@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Runs DuckDB on the oracle SQL emitted by graft.Verify and compares each
+query's result against the parquet Spark wrote, mimicking the driver:
+sort columns by name, sort rows, compare values.
+
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+(Dev tool only — the product library has no Python dependency.)
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float) and math.isnan(v):
+                v = "NaN"
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return [c for c in sorted(cols)], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    failed = []
+    for name in sorted(oracle):
+        sql = oracle[name]
+        spark_dir = Path(out_dir, name)
+        if not spark_dir.exists():
+            print(f"FAIL {name}: no Spark output")
+            failed.append(name)
+            continue
+        try:
+            duck = con.execute(sql)
+            dcols = [c[0] for c in duck.description]
+            drows = duck.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failed.append(name)
+            continue
+        try:
+            sp = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+            scols = [c[0] for c in sp.description]
+            srows = sp.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark parquet read error: {e}")
+            failed.append(name)
+            continue
+        dc, dr = normalize(drows, dcols)
+        sc, sr = normalize(srows, scols)
+        if dc != sc:
+            print(f"FAIL {name}: columns differ: spark={sc} duck={dc}")
+            failed.append(name)
+            continue
+        if len(dr) != len(sr):
+            print(f"FAIL {name}: row count spark={len(sr)} duck={len(dr)}")
+            failed.append(name)
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            if not rows_equal(a, b):
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at sorted row {bad[0]}:")
+            print(f"  spark: {bad[1]}")
+            print(f"  duck : {bad[2]}")
+            failed.append(name)
+        else:
+            print(f"PASS {name} ({len(sr)} rows)")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
+    return 1 if failed else 0
+
+
+def rows_equal(a, b):
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        # exact value compare across numeric types (int vs Decimal etc.)
+        try:
+            import decimal
+            if isinstance(x, (int, float, decimal.Decimal)) and \
+               isinstance(y, (int, float, decimal.Decimal)):
+                if float(x) == float(y):
+                    continue
+        except Exception:
+            pass
+        return False
+    return True
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level dense-vector math over `array<float>` / `array<double>`
+  * embedding columns.
+  *
+  * Everything is a Catalyst higher-order function (`transform` / `zip_with` /
+  * `aggregate`), not a UDF: codegen-friendly, null-safe, and usable inside
+  * joins and aggregations without breaking pushdown. `aggregate` folds
+  * left-to-right, so the floating-point result is a deterministic function of
+  * the array — the property the DuckDB-oracle parity relies on (DuckDB's
+  * `list_dot_product` is the same sequential fold; verified empirically).
+  */
+object VectorFunctions {
+
+  /** Cast an array<float> to array<double> (exact widening). */
+  def toDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Sequential-fold sum of an array<double>. */
+  def arraySum(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x)
+
+  /** Dot product of two equal-length vectors, in double precision. */
+  def dot(a: Column, b: Column): Column =
+    arraySum(zip_with(toDouble(a), toDouble(b), (x, y) => x * y))
+
+  /** Euclidean (L2) norm. */
+  def l2Norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity in double precision; 0.0 for zero-norm inputs. */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
+
+  /** Squared L2 distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    arraySum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
+
+  /** Sign-bit LSH bucket from the first `nBits` dimensions: bit j is set when
+    * component j > 0 (axis-aligned random-hyperplane LSH; the synthetic
+    * embeddings are centered so each bit is ~balanced). Cheap, deterministic,
+    * and shuffle-friendly: bucketing is a narrow map, and the later
+    * candidate join shuffles on a single int key.
+    */
+  def signBucket(v: Column, nBits: Int = 8): Column =
+    (0 until nBits).map { j =>
+      when(element_at(v, j + 1) > 0.0f, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+}

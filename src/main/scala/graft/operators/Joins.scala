@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark lacks as single built-ins: as-of join and
+  * range join. Both are implemented as shuffle-on-key + sort compositions —
+  * no point-in-time cross join ever materializes, so they scale linearly in
+  * rows per key partition.
+  */
+object Joins {
+
+  /** As-of join: for each left row, the latest right row with
+    * rightTs <= leftTs within the same key (nearest-prior match).
+    *
+    * Implementation: union the two sides tagged, sort within key by
+    * (ts, side) with right rows first at equal ts, and propagate the last
+    * non-null right payload with an unbounded-preceding window — a single
+    * exchange + sort per side, O(n log n) per key partition, identical to
+    * the merge phase of a sort-merge as-of join. Right rows with duplicate
+    * (key, ts) should be pre-aggregated by the caller for deterministic
+    * payloads.
+    *
+    * @param left     left DataFrame
+    * @param right    right DataFrame
+    * @param keys     equi-join key column names (present on both sides)
+    * @param leftTs   event-time column name on the left
+    * @param rightTs  event-time column name on the right
+    * @param payload  right-side columns to carry; emitted as as-of_<name>
+    * @return left rows + `asof_<payload>` columns (null when no prior match)
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // Tag and align schemas: left keeps its columns, right contributes the
+    // payload wrapped in a struct (so one last() propagates all of it).
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(1).as("__is_right"),
+        struct(payload.map(col): _*).as("__pay")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(0).as("__is_right"),
+        lit(null).cast(rTagged.schema("__pay").dataType).as("__pay"),
+        struct(leftCols.map(col): _*).as("__row")): _*)
+    val rAligned = rTagged.withColumn("__row",
+      lit(null).cast(lTagged.schema("__row").dataType))
+    val unioned = lTagged.select(
+      (keys.map(col) ++ Seq(col("__ts"), col("__is_right"), col("__pay"), col("__row"))): _*)
+      .unionByName(rAligned.select(
+        (keys.map(col) ++ Seq(col("__ts"), col("__is_right"), col("__pay"), col("__row"))): _*))
+    // Right rows sort before left rows at equal ts => "<=" as-of semantics.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__is_right").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__asof", last(col("__pay"), ignoreNulls = true).over(w))
+      .filter(col("__is_right") === 0)
+    val outCols = leftCols.map(c => col(s"__row.$c").as(c)) ++
+      payload.map(p => col(s"__asof.$p").as(s"asof_$p"))
+    matched.select(outCols: _*)
+  }
+
+  /** Range join: pair left rows with right rows of the same key whose
+    * timestamp falls in [leftTs + lo, leftTs + hi). Expressed as an
+    * equi-join on the key (hash-partitioned; Catalyst plans SMJ/SHJ) with
+    * the range as a residual predicate — scales with per-key density, not
+    * |L|×|R|.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                lo: Column, hi: Column, joinType: String = "inner"): DataFrame = {
+    val l = left.as("l")
+    val r = right.as("r")
+    val keyCond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _)
+    val rangeCond = col(s"r.$rightTs") >= col(s"l.$leftTs") + lo &&
+      col(s"r.$rightTs") < col(s"l.$leftTs") + hi
+    l.join(r, keyCond && rangeCond, joinType)
+  }
+}

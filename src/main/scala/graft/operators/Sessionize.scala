@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing wrappers. These work identically in batch and
+  * Structured Streaming (the same `window`/`session_window` expressions);
+  * streaming callers add `withWatermark` upstream (see
+  * graft.streaming.StreamOps).
+  */
+object Windows {
+
+  /** Tumbling window aggregation keyed by window start. */
+  def tumbling(df: DataFrame, tsCol: String, width: String,
+               keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), width) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Sliding window aggregation (width, slide). */
+  def sliding(df: DataFrame, tsCol: String, width: String, slide: String,
+              keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((window(col(tsCol), width, slide) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+
+  /** Session windows with a fixed inactivity gap. Two events belong to the
+    * same session iff their gap is strictly less than `gap` (Spark merges
+    * overlapping [ts, ts+gap) intervals; an exact-gap successor starts a
+    * new session).
+    */
+  def session(df: DataFrame, tsCol: String, gap: String,
+              keys: Seq[String], aggs: Seq[Column]): DataFrame =
+    df.groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("session_start", col("session_window.start"))
+      .withColumn("session_end", col("session_window.end"))
+      .drop("session_window")
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication inventory over documents (SURVEY.md §2 B15 + the
+  * training-data-pipeline ops): exact hash dedup, MinHash signatures,
+  * LSH candidate pairs, SimHash, and exact n-gram Jaccard. All hashing is
+  * integer arithmetic over a deterministic shingle-id dictionary so the
+  * DuckDB oracle reproduces it bit-for-bit (see graft.operators.Dedup).
+  */
+object DedupQueries extends QueryGroup {
+
+  private val P = Dedup.P
+
+  /** Shared oracle SQL prelude: exploded distinct 3-shingles + dense ids. */
+  private val ShingleCte = """
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+          unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks),
+      vocab AS (
+        SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT shingle FROM sh)),
+      ids AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_exact_dedup" -> { (s, d) =>
+      // Corpus-level stats: hash full text to md5, count collision groups.
+      // The exchange moves 16-byte digests, not documents.
+      Tables.documents(s, d)
+        .select(md5(col("text")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_distinct_texts"),
+          sum(col("n")).as("n_docs"),
+          sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_redundant"))
+    },
+
+    "q37_minhash_signatures" -> { (s, d) =>
+      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    "q38_lsh_pairs" -> { (s, d) =>
+      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+      Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q39_simhash" -> { (s, d) =>
+      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      Dedup.simhash(ids, "doc_id", nBits = 16)
+        .orderBy(col("doc_id"))
+    },
+
+    "q40_ngram_jaccard" -> { (s, d) =>
+      // Exact 3-gram Jaccard for consecutive doc pairs (a linear-size,
+      // deterministic pair set; LSH pairs are checked separately in q38).
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIds(docs, "doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), "id_b")
+      Dedup.jaccard(ids, "doc_id", pairs)
+        .orderBy(col("id_a"))
+    })
+
+  private def minhashSql(extraCte: String, selectList: String, tail: String): String = {
+    val hashes = Dedup.hashParams(8).zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(min((tid * $a + $b) % $P) AS BIGINT) AS h$i"
+    }.mkString(", ")
+    s"""$ShingleCte,
+      sigs AS (SELECT doc_id, $hashes FROM ids GROUP BY doc_id)$extraCte
+      SELECT $selectList $tail"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q36_exact_dedup" -> """
+      WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
+      SELECT count(*) AS n_distinct_texts,
+        CAST(sum(n) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant
+      FROM g""",
+
+    "q37_minhash_signatures" ->
+      minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
+        "FROM sigs ORDER BY doc_id"),
+
+    "q38_lsh_pairs" -> {
+      val bandKeys = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS bkey FROM sigs"
+      }.mkString(" UNION ALL ")
+      minhashSql(s", banded AS ($bandKeys)",
+        "DISTINCT l.doc_id AS id_a, r.doc_id AS id_b",
+        """FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+          ORDER BY id_a, id_b""")
+    },
+
+    "q39_simhash" -> {
+      val bits = Dedup.hashParams(16).zipWithIndex.map { case ((a, b), j) =>
+        s"CASE WHEN sum(((tid * $a + $b) % $P % 2) * 2 - 1) > 0 THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"""$ShingleCte
+        SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+        FROM ids GROUP BY doc_id ORDER BY doc_id"""
+    },
+
+    "q40_ngram_jaccard" -> s"""$ShingleCte,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM pairs p
+        JOIN ids ia ON ia.doc_id = p.id_a
+        JOIN ids ib ON ib.doc_id = p.id_b AND ib.tid = ia.tid
+        GROUP BY p.id_a, p.id_b),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id)
+      SELECT p.id_a, p.id_b,
+        CAST(coalesce(i.inter, 0) AS DOUBLE)
+          / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      ORDER BY p.id_a""")
+}

@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Joins, Windows}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Stream-shaped operators exercised in batch so the DuckDB oracle can check
+  * them (SURVEY.md §2 B12-B14, B4-B5): tumbling/sliding/session windows,
+  * deterministic dedup, as-of join, range join, and a kaflow-style
+  * deserialize→transform→serialize record pipeline (§2 Part A surface).
+  * The same window/session expressions run unchanged under Structured
+  * Streaming (see graft.streaming).
+  */
+object EventQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_tumbling_window" -> { (s, d) =>
+      Windows.tumbling(Tables.events(s, d), "ts", "1 hour", Seq("event_type"),
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    "q26_sliding_window" -> { (s, d) =>
+      Windows.sliding(Tables.events(s, d), "ts", "1 hour", "30 minutes", Nil,
+          Seq(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+        .select(col("window_start"), col("n"), col("sum_value"))
+        .orderBy(col("window_start"))
+    },
+
+    "q27_session_window" -> { (s, d) =>
+      Windows.session(Tables.events(s, d), "ts", "10 minutes", Seq("user_id"),
+          Seq(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value")))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
+    "q28_dedup_first" -> { (s, d) =>
+      Dedup.keepFirst(Tables.events(s, d), Seq("user_id", "event_type"),
+          Seq(col("ts").asc, col("event_id").asc))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
+    "q29_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      // Pre-aggregate the right side to unique (user, ts) for determinism.
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(col("event_id")).as("signup_event_id"))
+      Joins.asof(purchases, signups, Seq("user_id"), "ts", "sts",
+          Seq("signup_event_id", "sts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_signup_event_id"), col("asof_sts"))
+        .orderBy(col("event_id"))
+    },
+
+    "q30_range_join_count" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val all = ev.select(col("event_id").as("e2_id"), col("user_id"), col("ts").as("ts2"))
+      val joined = Joins.rangeJoin(errors, all, Seq("user_id"), "ts", "ts2",
+        expr("INTERVAL '0' SECOND"), expr("INTERVAL '5' MINUTE"), "left")
+      joined
+        .groupBy(col("l.event_id").as("event_id"))
+        .agg(count(when(col("r.e2_id") =!= col("l.event_id"), 1)).as("n_nearby"))
+        .orderBy(col("event_id"))
+    },
+
+    "q31_record_pipeline" -> { (s, d) =>
+      // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
+      // value-deserialize JSON → validate/filter → transform → serialize.
+      // The reference does this one record at a time in Python
+      // (/root/reference/kaflow/_consumer.py:246-258); here it is one
+      // narrow codegen'd map over the batch with no shuffle at all.
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(s, d)
+        .select(col("event_id").as("offset"),
+          (col("user_id") % 4).as("partition"),
+          k.as("k"))
+        .filter(col("k").isNotNull && col("k") % 2 === 0)
+        .select(col("offset"), col("partition"),
+          to_json(struct((col("k") * 2).as("k2"))).as("value"))
+        .orderBy(col("offset"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q25_tumbling_window" -> s"""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+        count(*) AS n, ${sqlSum("value")} AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q26_sliding_window" -> s"""
+      SELECT ws AS window_start, count(*) AS n, ${sqlSum("value")} AS sum_value
+      FROM (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                         - INTERVAL '30 minutes']) AS ws,
+               value
+        FROM events)
+      GROUP BY ws ORDER BY ws""",
+
+    "q27_session_window" -> s"""
+      WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            < INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
+        FROM e),
+      numbered AS (
+        SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL '10 minutes' AS session_end,
+        count(*) AS n_events, ${sqlSum("value")} AS sum_value
+      FROM numbered GROUP BY user_id, sid ORDER BY user_id, session_start""",
+
+    "q28_dedup_first" -> """
+      SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+        SELECT user_id, event_type, event_id, ts,
+          row_number() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events)
+      WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "q29_asof_join" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type = 'purchase'),
+      signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS sts, max(event_id) AS signup_event_id
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      SELECT p.event_id, p.user_id, p.ts,
+        s.signup_event_id AS asof_signup_event_id, s.sts AS asof_sts
+      FROM purchases p ASOF LEFT JOIN signups s
+        ON p.user_id = s.user_id AND p.ts >= s.sts
+      ORDER BY p.event_id""",
+
+    "q30_range_join_count" -> """
+      WITH errors AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type = 'error'),
+      all_ev AS (SELECT event_id AS e2_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events)
+      SELECT e.event_id,
+        count(CASE WHEN a.e2_id <> e.event_id THEN 1 END) AS n_nearby
+      FROM errors e LEFT JOIN all_ev a
+        ON e.user_id = a.user_id
+        AND a.ts2 >= e.ts AND a.ts2 < e.ts + INTERVAL '5 minutes'
+      GROUP BY e.event_id ORDER BY e.event_id""",
+
+    "q31_record_pipeline" -> """
+      SELECT event_id AS "offset", user_id % 4 AS partition,
+        '{"k2":' || (2 * CAST(json_extract_string(props, '$.k') AS BIGINT)) || '}' AS value
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+      ORDER BY "offset"""")
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis inventory over the documents table (SURVEY.md §2 B17 +
+  * the training-data-pipeline ops): token statistics, quality scoring,
+  * language-ID heuristic, and positional document fingerprinting.
+  * Everything is expression-only (no UDFs) and DuckDB-oracle-checked.
+  */
+object TextQueries extends QueryGroup {
+
+  /** Fixed stopword list shared with the oracle SQL. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+  private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_tokens"),
+          distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+          avgTokenLength(col("text")).as("avg_token_len"),
+          length(col("text")).cast("long").as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q33_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          stopwordRatio(col("text"), Stopwords).as("stopword_ratio"),
+          punctRatio(col("text")).as("punct_ratio"),
+          qualityScore(col("text"), Stopwords).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q34_lang_id" -> { (s, d) =>
+      // Heuristic language ID: stopword-profile score. (The synthetic corpus
+      // uses one shared vocabulary, so this demonstrates the operator shape,
+      // not linguistics.) Deterministic and oracle-checkable.
+      val ratio = stopwordRatio(col("text"), Stopwords)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("labeled_lang"),
+          when(ratio >= 0.15, lit("en"))
+            .when(ratio >= 0.05, lit("mixed"))
+            .otherwise(lit("other")).as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q35_fingerprint" -> { (s, d) =>
+      // Positional fingerprint over the deterministic token-id dictionary:
+      // fp = sum(tid * pos) mod P, pos 1-based. A content+order-sensitive
+      // hash whose every step is exact integer math (engine-portable).
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+      val vocab = toks.select(col("tok")).distinct()
+        .withColumn("tid", row_number().over(Window.orderBy(col("tok"))).cast("long"))
+      toks.join(broadcast(vocab), "tok")
+        .groupBy(col("doc_id"))
+        .agg((sum(col("tid") * col("pos")) % Dedup.P).as("fingerprint"),
+          count(lit(1)).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q32_token_stats" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS avg_token_len,
+        CAST(length(text) AS BIGINT) AS n_chars_computed
+      FROM documents ORDER BY doc_id""",
+
+    "q33_quality_score" -> s"""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> list_contains($StopwordsSql, x))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS swr,
+          CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+            / greatest(length(text), 1) AS pr
+        FROM documents)
+      SELECT doc_id, swr AS stopword_ratio, pr AS punct_ratio,
+        0.5 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+          + 0.3 * least(swr * 3.0, 1.0)
+          + 0.2 * (1.0 - pr) AS quality
+      FROM t ORDER BY doc_id""",
+
+    "q34_lang_id" -> s"""
+      WITH t AS (
+        SELECT doc_id, lang,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> list_contains($StopwordsSql, x))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS swr
+        FROM documents)
+      SELECT doc_id, lang AS labeled_lang,
+        CASE WHEN swr >= 0.15 THEN 'en'
+             WHEN swr >= 0.05 THEN 'mixed'
+             ELSE 'other' END AS predicted_lang
+      FROM t ORDER BY doc_id""",
+
+    "q35_fingerprint" -> s"""
+      WITH toks AS (
+        SELECT doc_id,
+          unnest(string_split(text, ' ')) AS tok,
+          CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS pos
+        FROM documents),
+      vocab AS (
+        SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+        FROM (SELECT DISTINCT tok FROM toks))
+      SELECT doc_id, CAST(sum(tid * pos) % ${Dedup.P} AS BIGINT) AS fingerprint,
+        count(*) AS n_tokens
+      FROM toks JOIN vocab USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""")
+}
