@@ -28,10 +28,10 @@ object Windows {
       .withColumn("window_end", col("window.end"))
       .drop("window")
 
-  /** Session windows with a fixed inactivity gap. Two events belong to the
-    * same session iff their gap is strictly less than `gap` (Spark merges
-    * overlapping [ts, ts+gap) intervals; an exact-gap successor starts a
-    * new session).
+  /** Session windows with a fixed inactivity gap. Two consecutive events
+    * belong to the same session iff their time difference is <= `gap`:
+    * Spark merges [ts, ts+gap) intervals that overlap *or abut*, so an
+    * exact-gap successor extends the session (verified in OperatorsSpec).
     */
   def session(df: DataFrame, tsCol: String, gap: String,
               keys: Seq[String], aggs: Seq[Column]): DataFrame =

@@ -110,7 +110,7 @@ object EventQueries extends QueryGroup {
       WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
       flagged AS (
         SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                            < INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
+                            <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_sess
         FROM e),
       numbered AS (
         SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts

@@ -1,0 +1,80 @@
+package graft.serde
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+
+/** Wire-format serde as Column transformations (the Spark-native analog of
+  * the reference's Serializer ABC, kaflow `serializers.py:32-43`).
+  *
+  * `deserialize` maps a BINARY column to a typed column (struct for
+  * schema'd formats); `serialize` maps a typed column back to BINARY.
+  * JSON/String are pure Catalyst expressions (codegen'd, pushdown-safe).
+  * Avro/Protobuf are UDF-backed codecs over public wire formats (this
+  * container ships no spark-avro/spark-protobuf modules) — still
+  * per-record, executor-side, and schema-checked.
+  */
+trait Serde extends Serializable {
+  /** Spark type produced by deserialize. */
+  def dataType: DataType
+  def deserialize(bytes: Column): Column
+  def serialize(value: Column): Column
+
+  /** True for records whose payload fails to deserialize — the condition
+    * the pipeline uses for DLQ routing. Default: non-null input decoded to
+    * null (the UDF codecs return null on any codec exception).
+    */
+  def failureIndicator(raw: Column): Column =
+    raw.isNotNull && deserialize(raw).isNull
+}
+
+/** UTF-8 string passthrough (reference StringSerializer,
+  * `serializers.py:46-57`).
+  */
+object StringSerde extends Serde {
+  val dataType: DataType = StringType
+  def deserialize(bytes: Column): Column = bytes.cast("string")
+  def serialize(value: Column): Column = value.cast("string").cast("binary")
+}
+
+/** Raw bytes passthrough (reference's un-serded `bytes` params,
+  * `parameters.py:51-56`).
+  */
+object BytesSerde extends Serde {
+  val dataType: DataType = org.apache.spark.sql.types.BinaryType
+  def deserialize(bytes: Column): Column = bytes
+  def serialize(value: Column): Column = value
+}
+
+/** JSON with a declared schema (reference JsonSerializer + pydantic
+  * validation, `serializers.py:60-71` + `_consumer.py:23-37`).
+  *
+  * Declared-schema, fail-per-record semantics: malformed or
+  * schema-violating payloads deserialize to null (PERMISSIVE), which the
+  * pipeline routes to the DLQ — the Spark-native form of the reference's
+  * deserialization_error_handler path (`_consumer.py:129-190`).
+  */
+final case class JsonSerde(schema: StructType) extends Serde {
+  val dataType: DataType = schema
+  /** Null-on-failure (PERMISSIVE): malformed payloads become null structs,
+    * which the pipeline routes to the DLQ. `deserializeStrict` is the
+    * fail-the-job variant for pipelines that prefer crashing to skipping.
+    */
+  def deserialize(bytes: Column): Column =
+    from_json(bytes.cast("string"), schema)
+  def deserializeStrict(bytes: Column): Column =
+    from_json(bytes.cast("string"), schema, Map("mode" -> "FAILFAST"))
+  def serialize(value: Column): Column = to_json(value).cast("binary")
+
+  /** PERMISSIVE `from_json` yields an all-null struct (not null) for
+    * malformed input, so failure detection uses a corrupt-record column:
+    * populated iff the payload failed to parse as the declared schema.
+    */
+  override def failureIndicator(raw: Column): Column = {
+    val withCorrupt = StructType(schema.fields :+ StructField("__corrupt", StringType))
+    raw.isNotNull &&
+      from_json(raw.cast("string"), withCorrupt,
+        Map("columnNameOfCorruptRecord" -> "__corrupt"))
+        .getField("__corrupt").isNotNull
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank now"),   // near-dup
+    (3L, "completely different words appear here with nothing shared at all whatsoever")
+  ).toDF("doc_id", "text")
+
+  test("minhash: identical docs get identical signatures; distinct docs differ") {
+    val ids = Dedup.shingleIds(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(ids, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (0 until 8).map(i => r.getAs[Long](s"h$i")))
+      .toMap
+    assert(sigs(0L) == sigs(1L), "exact dups share full signature")
+    assert(sigs(0L) != sigs(3L), "unrelated docs differ")
+  }
+
+  test("LSH candidate pairs contain dups/near-dups but not unrelated docs") {
+    val ids = Dedup.shingleIds(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(ids, "doc_id")
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair found")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near-dup bucketed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated never paired")
+  }
+
+  test("jaccard: identical = 1.0, disjoint pair absent, near-dup in (0,1)") {
+    val ids = Dedup.shingleIds(docs, "doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.jaccard(ids, "doc_id", pairs).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Double]("jaccard"))
+      .toMap
+    assert(j((0L, 1L)) == 1.0)
+    assert(j((0L, 2L)) > 0.0 && j((0L, 2L)) < 1.0)
+    assert(j((0L, 3L)) == 0.0)
+  }
+
+  test("simhash: identical docs equal; near-dups within small hamming distance") {
+    val ids = Dedup.shingleIds(docs, "doc_id", "text")
+    val h = Dedup.simhash(ids, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(h(0L) == h(1L))
+    val hamming = java.lang.Long.bitCount(h(0L) ^ h(2L))
+    assert(hamming <= 6, s"near-dup hamming distance was $hamming")
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force topK ranks by cosine with id tiebreak") {
+    val queries = vecs.filter(col("vec_id") === 0L)
+    val corpus = vecs.filter(col("vec_id") > 0L)
+    val out = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L, 3L)) // cos: ~0.994, 0, -1
+  }
+
+  test("cosine matches an independently computed value") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
+      .as[Double].collect()(0)
+    assert(math.abs(c - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("sign-bucket LSH: only same-bucket candidates are scored") {
+    val all = Seq(
+      (0L, Array(1.0f, -0.1f, -0.2f)), // query: bucket 001 = 1
+      (1L, Array(2.0f, -0.5f, -0.1f)), // bucket 1: candidate
+      (2L, Array(0.5f, 1.0f, 0.0f)),   // bucket 011 = 3: excluded
+      (3L, Array(-1.0f, -1.0f, -1.0f)) // bucket 0: excluded
+    ).toDF("vec_id", "embedding")
+    val queries = all.filter(col("vec_id") === 0L)
+    val corpus = all.filter(col("vec_id") > 0L)
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 3, nBits = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+}

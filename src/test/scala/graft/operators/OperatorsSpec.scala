@@ -1,0 +1,96 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asof join picks nearest prior right row per key") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 12:00:00"), "b"),
+      (2L, ts("2024-01-01 10:30:00"), "c")
+    ).toDF("k", "t", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 11:00:00"), 200L),
+      (2L, ts("2024-01-01 11:00:00"), 300L) // after left → no match
+    ).toDF("k", "rt", "payload")
+    val out = Joins.asof(left, right, Seq("k"), "t", "rt", Seq("payload"))
+      .orderBy("k", "t").collect()
+    assert(out(0).getAs[Long]("asof_payload") == 100L) // 10:00 → 09:00
+    assert(out(1).getAs[Long]("asof_payload") == 200L) // 12:00 → 11:00
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_payload"))) // no prior
+  }
+
+  test("asof join matches right row at exactly-equal timestamp") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "x")).toDF("k", "t", "tag")
+    val right = Seq((1L, ts("2024-01-01 10:00:00"), 7L)).toDF("k", "rt", "p")
+    val out = Joins.asof(left, right, Seq("k"), "t", "rt", Seq("p")).collect()
+    assert(out(0).getAs[Long]("asof_p") == 7L)
+  }
+
+  test("range join pairs rows within [lo, hi) only") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "t")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "at0"),
+      (1L, ts("2024-01-01 10:04:59"), "in"),
+      (1L, ts("2024-01-01 10:05:00"), "boundary"), // hi is exclusive
+      (1L, ts("2024-01-01 09:59:59"), "before")
+    ).toDF("k", "rt", "tag")
+    val out = Joins.rangeJoin(l, r, Seq("k"), "t", "rt",
+        expr("INTERVAL '0' SECOND"), expr("INTERVAL '5' MINUTE"))
+      .select(col("tag")).as[String].collect().toSet
+    assert(out == Set("at0", "in"))
+  }
+
+  test("keepFirst is deterministic under reordered input") {
+    val rows = Seq((1L, 5L, "late"), (1L, 1L, "first"), (2L, 3L, "only"))
+    val a = Dedup.keepFirst(rows.toDF("k", "seq", "v"), Seq("k"), Seq(col("seq").asc))
+    val b = Dedup.keepFirst(rows.reverse.toDF("k", "seq", "v"), Seq("k"), Seq(col("seq").asc))
+    val expect = Set((1L, "first"), (2L, "only"))
+    assert(a.select("k", "v").as[(Long, String)].collect().toSet == expect)
+    assert(b.select("k", "v").as[(Long, String)].collect().toSet == expect)
+  }
+
+  test("session window: exact-gap successor extends; beyond-gap splits") {
+    // gap = 10 min; +10:00 exactly abuts → same session; +10:00.001 → new
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-01 00:10:00"), 1.0), // abuts: merged
+      (1L, ts("2024-01-01 00:30:00"), 1.0)  // 20 min gap: new session
+    ).toDF("user_id", "ts", "value")
+    val out = Windows.session(df, "ts", "10 minutes", Seq("user_id"),
+        Seq(count(lit(1)).as("n")))
+      .orderBy("session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2L)
+    assert(out(0).getAs[Timestamp]("session_end") == ts("2024-01-01 00:20:00"))
+    assert(out(1).getAs[Long]("n") == 1L)
+  }
+
+  test("topK per group returns k rows with deterministic tiebreak") {
+    val df = Seq(("a", 10, 1), ("a", 10, 2), ("a", 5, 3), ("b", 1, 4))
+      .toDF("g", "score", "id")
+    val out = TopK.perGroup(df, Seq("g"),
+        Seq(col("score").desc, col("id").asc), 2)
+      .select("g", "id").as[(String, Int)].collect().toSet
+    assert(out == Set(("a", 1), ("a", 2), ("b", 4)))
+  }
+
+  test("multimodal decode stub runs partition-wise over typed records") {
+    import Multimodal._
+    val ds = spark.createDataset(Seq(
+      MediaRecord(1L, "image", Array.fill[Byte](100)(1)),
+      MediaRecord(2L, "video", Array.fill[Byte](65)(2))))
+    val out = decode(ds).collect().map(m => m.media_id -> m).toMap
+    assert(out(1L).byte_len == 100L && out(1L).width == 100L && out(1L).n_frames == 11L)
+    assert(out(2L).height == (65L * 7) % 480)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.runtime
+
+import graft.SparkSpec
+
+/** Config-mapping tests for the Kafka surface (the connector jar is not in
+  * this container, so `.load()` is integration-only; the option assembly —
+  * the part mirroring the reference's ~60-knob `Kaflow.__init__` surface —
+  * is verified here).
+  */
+class KafkaIOSpec extends SparkSpec {
+
+  test("source options: subscribe list, offsets, headers, backpressure") {
+    val conf = KafkaConfig(
+      bootstrapServers = "broker1:9092,broker2:9092",
+      startingOffsets = "earliest",
+      maxOffsetsPerTrigger = Some(100000L),
+      minPartitions = Some(64))
+    val opts = conf.sourceOptions(Seq("t1", "t2"))
+    assert(opts("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(opts("subscribe") == "t1,t2")
+    assert(opts("startingOffsets") == "earliest")
+    assert(opts("includeHeaders") == "true")
+    assert(opts("maxOffsetsPerTrigger") == "100000")
+    assert(opts("minPartitions") == "64")
+  }
+
+  test("security + passthrough options map to kafka.-prefixed keys") {
+    val conf = KafkaConfig(
+      bootstrapServers = "b:9092",
+      securityProtocol = Some("SASL_SSL"),
+      saslMechanism = Some("SCRAM-SHA-256"),
+      saslJaasConfig = Some("org.apache.kafka.common.security.scram.ScramLoginModule required;"),
+      extra = Map("kafka.compression.type" -> "zstd",
+        "kafka.isolation.level" -> "read_committed"))
+    val opts = conf.sourceOptions(Seq("t"))
+    assert(opts("kafka.security.protocol") == "SASL_SSL")
+    assert(opts("kafka.sasl.mechanism") == "SCRAM-SHA-256")
+    assert(opts("kafka.compression.type") == "zstd")
+    assert(opts("kafka.isolation.level") == "read_committed")
+    assert(conf.sinkOptions("kafka.bootstrap.servers") == "b:9092")
+    assert(!conf.sinkOptions.contains("subscribe"))
+  }
+}

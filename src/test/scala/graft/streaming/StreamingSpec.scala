@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming semantics over MemoryStream (the testkit's
+  * streaming spine; SURVEY.md §5.2-5).
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("dedupWithinWatermark drops duplicates within the horizon") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp)]
+    val deduped = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts"), "ts", "1 hour", Seq("id"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:05:00")),
+        (2L, ts("2024-01-01 10:06:00")))
+      q.processAllAvailable()
+      val out = spark.table("dedup_test").select("id").as[Long].collect().sorted
+      assert(out.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation emits closed windows") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val agg = StreamOps.windowedAgg(
+      input.toDF().toDF("user_id", "ts", "value"), "ts", "10 minutes",
+      "1 hour", Seq("user_id"), Seq(count(lit(1)).as("n")))
+    val q = agg.writeStream.format("memory").queryName("window_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:10:00"), 1.0),
+        (1L, ts("2024-01-01 10:20:00"), 2.0))
+      q.processAllAvailable()
+      // advance watermark past 11:10 to close the 10:00 window
+      input.addData((1L, ts("2024-01-01 12:00:00"), 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("window_test")
+        .select(col("window.start").cast("string"), col("n")).collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("2024-01-01 10:00:00", 2L)))
+    } finally q.stop()
+  }
+
+  test("runningSessions tracks per-user session state across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamOps.SessionInput]
+    val sessions = StreamOps.runningSessions(input.toDS(), gapMs = 600000L)
+    val q = sessions.writeStream.format("memory").queryName("session_test")
+      .outputMode("update").start()
+    try {
+      input.addData(StreamOps.SessionInput(1L, ts("2024-01-01 10:00:00"), 5.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.SessionInput(1L, ts("2024-01-01 10:05:00"), 7.0))
+      q.processAllAvailable()
+      val latest = spark.table("session_test")
+        .orderBy(col("nEvents").desc).collect()(0)
+      assert(latest.getAs[Long]("nEvents") == 2L)
+      assert(latest.getAs[Double]("sum") == 12.0)
+    } finally q.stop()
+  }
+}
