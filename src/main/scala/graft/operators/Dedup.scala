@@ -44,9 +44,18 @@ object Dedup {
 
   /** One row per (id, distinct shingle) — the exploded set representation
     * used by minhash/jaccard. Shingle k=3 over whitespace tokens.
+    *
+    * Dedup happens row-wise after the explode (one shuffle) rather than via
+    * per-row `array_distinct`, which is O(len²) string comparisons on long
+    * documents — measurably pathological at corpus scale.
     */
-  def explodedShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    df.select(col(idCol), explode(array_distinct(TextFunctions.shingles(col(textCol), k))).as("shingle"))
+  def explodedShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val sh = transform(
+      sequence(lit(1), greatest(size(col("__toks")) - lit(k - 1), lit(0))),
+      i => concat_ws(" ", (0 until k).map(j => element_at(col("__toks"), i + lit(j))): _*))
+    toks.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
 
   /** Deterministic dense integer ids for the global distinct-shingle set:
     * row_number over the sorted vocabulary. One narrow distinct + one
@@ -58,12 +67,29 @@ object Dedup {
 
   /** Shingles joined to their token ids: (id, tid). The vocabulary side is
     * broadcast — it is vocabulary-sized, orders of magnitude smaller than
-    * the corpus.
+    * the corpus. The exploded-shingle table is cached: it feeds both the
+    * vocabulary build and the join (callers release via
+    * `spark.catalog.clearCache()` — the Verify/Bench harnesses do).
+    *
+    * The dictionary (sorted dense ids) exists for engine-reproducible
+    * hashing (oracle parity). At real 100 TB corpus scale the shingle
+    * vocabulary itself is corpus-sized — use [[shingleIdsHashed]] there,
+    * which hashes shingles directly (xxhash64) with no dictionary, no
+    * global sort, and no second pass.
     */
   def shingleIds(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, k)
+    val sh = explodedShingles(df, idCol, textCol, k).persist()
     sh.join(broadcast(shingleVocabulary(sh)), "shingle").select(col(idCol), col("tid"))
   }
+
+  /** Scale-path shingle ids: tid = xxhash64(shingle) masked non-negative.
+    * One narrow pass, no dictionary; not oracle-portable (Spark-specific
+    * hash) but the production choice for corpora whose vocabulary doesn't
+    * fit a broadcast.
+    */
+  def shingleIdsHashed(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    explodedShingles(df, idCol, textCol, k)
+      .select(col(idCol), (abs(xxhash64(col("shingle"))) % (P - 1) + 1).as("tid"))
 
   /** MinHash signatures: one row per id with columns h0..h{k-1}.
     * minhash_i = min over the doc's token ids of (a_i*tid + b_i) mod P.
@@ -91,9 +117,11 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
+    // Cached: the banded table is both sides of the self-join.
     val banded = signatures
       .select(col(idCol), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
+      .persist()
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -124,7 +152,8 @@ object Dedup {
     * intersection size comes from a join of the two shingle-id sets, union
     * size by inclusion-exclusion — no per-pair set materialization.
     */
-  def jaccard(ids: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def jaccard(ids0: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val ids = ids0.persist() // reused three times: intersection + both sizes
     val ta = ids.select(col(idCol).as("id_a"), col("tid"))
     val tb = ids.select(col(idCol).as("id_b"), col("tid"))
     val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "tid"))

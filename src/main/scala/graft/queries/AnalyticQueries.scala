@@ -101,8 +101,11 @@ object AnalyticQueries extends QueryGroup {
     },
 
     "q22_array_funcs" -> { (s, d) =>
-      val toks = split(col("text"), " ")
+      // Tokenize once into a column; downstream expressions reuse it rather
+      // than re-splitting per output column.
+      val toks = col("toks")
       Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           size(array_distinct(toks)).cast("long").as("n_distinct"),
@@ -114,12 +117,14 @@ object AnalyticQueries extends QueryGroup {
     },
 
     "q23_json_funcs" -> { (s, d) =>
+      // Parse the JSON once; three outputs derive from the parsed column.
       Tables.events(s, d)
-        .select(col("event_id"),
-          get_json_object(col("props"), "$.k").cast("long").as("k_value"),
-          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"),
+        .select(col("event_id"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_value"))
+        .select(col("event_id"), col("k_value"),
+          (col("k_value") % 10).as("k_mod"),
           to_json(struct(col("event_type").as("t"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))).as("repacked"))
+            col("k_value").as("k"))).as("repacked"))
         .orderBy(col("event_id"))
     },
 

@@ -23,6 +23,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(0L) != sigs(3L), "unrelated docs differ")
   }
 
+  test("hashed shingle ids (scale path) preserve dup/near-dup structure") {
+    val ids = Dedup.shingleIdsHashed(docs, "doc_id", "text")
+    val sigs = Dedup.minhashSignatures(ids, "doc_id")
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("LSH candidate pairs contain dups/near-dups but not unrelated docs") {
     val ids = Dedup.shingleIds(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignatures(ids, "doc_id")
