@@ -58,6 +58,22 @@ class GraftApp {
 
   def spec(topic: String): ConsumerSpec = specs(topic)
 
+  /** Out-of-band publish (reference `@app.produce` decorator,
+    * kaflow `applications.py:376-418`): normalize an arbitrary message
+    * frame to Kafka-sink shape for `sinkTopic`. The reference enforces a
+    * `Message` return type at runtime; here the shape is enforced at plan
+    * time (a missing `value` column fails analysis).
+    */
+  def produce(sinkTopic: String)(messages: DataFrame): DataFrame = {
+    val withKey =
+      if (messages.columns.contains("key")) messages
+      else messages.withColumn("key", lit(null).cast("binary"))
+    withKey
+      .withColumn("value", col("value").cast("binary"))
+      .withColumn("topic", lit(sinkTopic))
+      .select(col("topic"), col("key").cast("binary").as("key"), col("value"))
+  }
+
   /** Decode one spec's records: value/key/header deserialization + metadata
     * projection (A4-A6, A13). Adds `value_raw`/`key_raw`, replaces
     * `value`/`key` with typed columns, adds `header_<name>` columns.

@@ -29,8 +29,22 @@ object VectorFunctions {
   /** Euclidean (L2) norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
-  /** Cosine similarity in double precision; 0.0 for zero-norm inputs. */
+  /** Cosine similarity in double precision; 0.0 for zero-norm inputs.
+    * Backed by the native codegen'd [[graft.functions.expressions.CosineSimilarity]]
+    * expression: one fused loop, no intermediate arrays — same sequential
+    * fold (bitwise-identical results) as the HOF formulation
+    * [[cosineViaHof]], several times faster in the ANN hot path.
+    */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Higher-order-function formulation of cosine (reference semantics for
+    * tests; bitwise-identical to [[cosine]]).
+    */
+  def cosineViaHof(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }

@@ -59,6 +59,19 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q41a_minhash_udaf" -> { (s, d) =>
+      // Same signatures as q37, computed through the typed Aggregator
+      // (custom-UDAF surface, §2 B19): one k-vector aggregate instead of
+      // k min() columns; the shuffle carries one array per doc.
+      import org.apache.spark.sql.functions.udaf
+      val agg = udaf(new graft.functions.MinHashAggregator(8))
+      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val sigs = ids.groupBy(col("doc_id")).agg(agg(col("tid")).as("sig"))
+      sigs.select(col("doc_id") +:
+          (0 until 8).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+        .orderBy(col("doc_id"))
+    },
+
     "q40_ngram_jaccard" -> { (s, d) =>
       // Exact 3-gram Jaccard for consecutive doc pairs (a linear-size,
       // deterministic pair set; LSH pairs are checked separately in q38).
@@ -88,6 +101,11 @@ object DedupQueries extends QueryGroup {
       FROM g""",
 
     "q37_minhash_signatures" ->
+      minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
+        "FROM sigs ORDER BY doc_id"),
+
+    // The UDAF path must produce the exact same signature table.
+    "q41a_minhash_udaf" ->
       minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
         "FROM sigs ORDER BY doc_id"),
 

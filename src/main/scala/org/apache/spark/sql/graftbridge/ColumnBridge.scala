@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between public `Column` and catalyst `Expression` for the graft
+  * engine's native expressions. Spark 4 removed the public
+  * `new Column(expr)` constructor; the supported path for extensions is
+  * `ExpressionUtils`, which is `private[sql]` — hence this shim living
+  * under the `org.apache.spark.sql` package namespace (the conventional
+  * extension-point pattern).
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,91 @@
+package graft.dsl
+
+import graft.SparkSpec
+import graft.operators.Skew
+import graft.runtime.TableLayout
+import graft.serde.JsonSerde
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tests for produce (A18), typed error recovery (A19), AsyncAPI doc
+  * emission (A28), and the skew/layout scale utilities.
+  */
+class SurfaceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("produce normalizes a message frame for the sink topic (A18)") {
+    val app = new GraftApp
+    val out = app.produce("metrics")(
+      Seq(("m1", "v1")).toDF("key", "value")
+        .select(col("key").cast("binary").as("key"), col("value")))
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("topic") == "metrics")
+    assert(new String(out(0).getAs[Array[Byte]]("value"), "UTF-8") == "v1")
+  }
+
+  test("mapRecover: nearest registered handler wins; unhandled rethrows (A19)") {
+    val ds = Seq(1, 2, 3, 4).toDS()
+    val out = Recover.mapRecover(ds)(
+      i => if (i == 2) throw new IllegalArgumentException("bad 2")
+           else if (i == 3) throw new RuntimeException("boom 3")
+           else i * 10,
+      handlers = Seq(
+        classOf[IllegalArgumentException] -> ((_: Throwable) => Some(-1)),
+        classOf[RuntimeException] -> ((_: Throwable) => None)))
+      .collect().toSeq
+    assert(out.map(_.value) == Seq(Some(10), Some(-1), None, Some(40)))
+    assert(out(1).errorClass.get == "java.lang.IllegalArgumentException")
+    // unhandled exception type fails the job (reference semantics)
+    intercept[org.apache.spark.SparkException] {
+      Recover.mapRecover(ds)(
+        i => if (i == 2) throw new IllegalStateException("x") else i,
+        handlers = Seq(classOf[IllegalArgumentException] -> ((_: Throwable) => Some(0))))
+        .collect()
+    }
+  }
+
+  test("AsyncAPI doc renders channels + payload schemas as valid JSON (A28)") {
+    val app = new GraftApp().consume(ConsumerSpec(
+      topic = "user_clicks",
+      sinkTopics = Seq("clicks_out"),
+      valueSerde = JsonSerde(StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("url", StringType))))))
+    val doc = AsyncApiDoc.render(app, "graft app", "1.0.0")
+    // must be parseable JSON with the expected channels
+    val parsed = spark.read.json(Seq(doc).toDS()).collect()
+    assert(parsed.nonEmpty)
+    assert(doc.contains("\"user_clicks\""))
+    assert(doc.contains("\"clicks_out\""))
+    assert(doc.contains("\"user_id\": {\"type\": \"integer\"}"))
+  }
+
+  test("salted join preserves row multiplicity and join semantics") {
+    val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
+    val small = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w")
+      .as[(Int, String, String)].collect().sorted.toSeq
+    val salted = Skew.saltedJoin(big, small, "k", factor = 4)
+      .select("k", "v", "w").as[(Int, String, String)].collect().sorted.toSeq
+    assert(salted == plain)
+  }
+
+  test("bucketed table join plans without exchange on the bucket key") {
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    TableLayout.saveBucketed(df, "t_bucketed_a", Seq("id"), 4)
+    TableLayout.saveBucketed(df.withColumnRenamed("v", "w"), "t_bucketed_b", Seq("id"), 4)
+    // Force a non-broadcast join so the bucket layout is what avoids the
+    // shuffle (tiny test tables would otherwise broadcast).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("t_bucketed_a").join(spark.table("t_bucketed_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected bucket-co-located join without shuffle, got:\n$plan")
+      assert(joined.count() == 3)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class VectorExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine expression is bitwise-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(emb.select((col("vec_id") + 1).as("id_a"), col("embedding").as("vb")), "id_a")
+    val diff = pairs.select(
+        VectorFunctions.cosine(col("va"), col("vb")).as("fast"),
+        VectorFunctions.cosineViaHof(col("va"), col("vb")).as("hof"))
+      .filter(col("fast") =!= col("hof")) // exact double compare
+      .count()
+    assert(diff == 0L, "fused-loop and HOF folds must agree bitwise")
+  }
+
+  test("native cosine handles nulls, length mismatch, zero norms") {
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))
+    ).toDF("a", "b")
+    val vals = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(vals(0) - 1.0) < 1e-15)
+    assert(vals(1) == 0.0)
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).collect()(0)
+    assert(mismatch.isNullAt(0))
+    val withNull = Seq((null.asInstanceOf[Array[Float]], Array(1.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine(col("a"), col("b"))).collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("native cosine works on double arrays and mixed float/double") {
+    val df = Seq((Array(3.0, 4.0), Array(4.0f, 3.0f))).toDF("a", "b")
+    val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()(0)
+    assert(math.abs(c - 24.0 / 25.0) < 1e-15)
+  }
+}
