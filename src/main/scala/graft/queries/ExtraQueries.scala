@@ -1,0 +1,119 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Det._
+
+/** Second-wave coverage: deterministic collect_list/set, exact percentiles,
+  * the engine-safe math-function subset, join-strategy hints, and sampling.
+  *
+  * Math functions stick to operations with exact IEEE semantics across
+  * engines (sqrt, abs, floor/ceil, mod, least/greatest, sign) — pow/log/exp
+  * are libm-dependent and can differ in the last ulp, so they are exercised
+  * in unit tests instead of the byte-exact oracle.
+  */
+object ExtraQueries extends QueryGroup {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_collect_sorted" -> { (s, d) =>
+      // collect_list is order-nondeterministic; sort_array makes it a
+      // deterministic set-valued aggregation (matching DuckDB's ORDER BY).
+      Tables.orders(s, d)
+        .filter(col("o_totalprice") > 95000)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          sort_array(collect_list(col("o_orderkey"))).as("orderkeys"),
+          sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderstatus"),
+          array_join(transform(col("orderkeys"), _.cast("string")), ",").as("orderkeys"),
+          array_join(col("priorities"), ",").as("priorities"), col("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    "q50_percentile_exact" -> { (s, d) =>
+      // Exact interpolated percentiles (SQL PERCENTILE_CONT semantics in
+      // both engines). Values are raw parquet doubles — no arithmetic, so
+      // interpolation (one subtraction/multiply/add) is engine-identical.
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_quantity, 0.25)").as("q1_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q51_math_funcs" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          abs(col("c_acctbal")).as("abs_bal"),
+          sqrt(abs(col("c_acctbal"))).as("sqrt_bal"),
+          floor(col("c_acctbal")).cast("long").as("floor_bal"),
+          ceil(col("c_acctbal")).cast("long").as("ceil_bal"),
+          (col("c_custkey") % 7).as("mod7"),
+          least(col("c_acctbal"), lit(0.0)).as("min0"),
+          greatest(col("c_acctbal"), lit(0.0)).as("max0"),
+          signum(col("c_acctbal")).as("sign_bal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q52_join_hints" -> { (s, d) =>
+      // Strategy hints: force shuffle-hash on one join, merge on another —
+      // results identical to unhinted execution (the oracle checks that).
+      val l = Tables.lineitem(s, d).hint("SHUFFLE_HASH")
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d).hint("MERGE")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Seeded sampling is engine-specific → rows-only check (no oracle).
+    "q53_sample" -> { (s, d) =>
+      Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"),
+          dsum(col("l_quantity")).as("sum_qty"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q49_collect_sorted" -> """
+      SELECT o_orderstatus,
+        array_to_string(list_transform(list_sort(list(o_orderkey)),
+          x -> CAST(x AS VARCHAR)), ',') AS orderkeys,
+        array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        count(*) AS n
+      FROM orders WHERE o_totalprice > 95000
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q50_percentile_exact" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.95) AS p95,
+        quantile_cont(l_quantity, 0.25) AS q1_qty,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q51_math_funcs" -> """
+      SELECT c_custkey,
+        abs(c_acctbal) AS abs_bal,
+        sqrt(abs(c_acctbal)) AS sqrt_bal,
+        CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        c_custkey % 7 AS mod7,
+        least(c_acctbal, 0.0) AS min0,
+        greatest(c_acctbal, 0.0) AS max0,
+        CASE WHEN c_acctbal > 0 THEN 1.0 WHEN c_acctbal < 0 THEN -1.0 ELSE 0.0 END AS sign_bal
+      FROM customer ORDER BY c_custkey""",
+
+    "q52_join_hints" -> s"""
+      SELECT c_mktsegment, count(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+}

@@ -1,0 +1,22 @@
+package org.apache.spark.sql.graftbridge
+
+import graft.functions.expressions.CosineSimilarity
+import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
+import org.apache.spark.sql.SparkSession
+
+/** Runtime registration of the engine's SQL functions on an existing
+  * session (the extensions path, [[graft.GraftExtensions]], requires
+  * configuring before session creation).
+  */
+object FunctionRegistrar {
+  def registerAll(spark: SparkSession): Unit = {
+    val classic = spark.asInstanceOf[ClassicSparkSession]
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => {
+        require(exprs.length == 2, "cosine_similarity(a, b) takes 2 arguments")
+        CosineSimilarity(exprs.head, exprs(1))
+      },
+      "built-in")
+  }
+}

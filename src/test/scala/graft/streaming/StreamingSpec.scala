@@ -52,6 +52,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("full GraftApp pipeline runs under Structured Streaming via foreachBatch") {
+    import graft.dsl.{ConsumerSpec, GraftApp}
+    import graft.model.KafkaRecordIn
+    import graft.serde.{JsonSerde, StringSerde}
+    import org.apache.spark.sql.types._
+    implicit val sc = spark.sqlContext
+    val app = new GraftApp().consume(ConsumerSpec(
+      topic = "clicks",
+      sinkTopics = Seq("out"),
+      valueSerde = JsonSerde(StructType(Seq(StructField("user_id", LongType)))),
+      outValueSerde = Some(StringSerde),
+      handler = df => df.select(
+        concat(lit("u"), col("value.user_id")).as("value"))))
+    val input = MemoryStream[KafkaRecordIn]
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        app.processBatch(batch).outputs.collect().foreach { r =>
+          collected.add(r.getAs[String]("topic") + ":" +
+            new String(r.getAs[Array[Byte]]("value"), "UTF-8"))
+        }
+      }.start()
+    try {
+      input.addData(
+        KafkaRecordIn(topic = "clicks", value = """{"user_id": 7}""".getBytes),
+        KafkaRecordIn(topic = "other", value = """{"user_id": 8}""".getBytes))
+      q.processAllAvailable()
+      assert(collected.toArray.toSeq == Seq("out:u7"))
+    } finally q.stop()
+  }
+
+  test("cosine_similarity registers as a SQL function") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val c = spark.sql(
+      "SELECT cosine_similarity(array(3.0D, 4.0D), array(4.0D, 3.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(c - 0.96) < 1e-15)
+  }
+
   test("runningSessions tracks per-user session state across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
