@@ -62,6 +62,57 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) approximate top-k: the 100 TB-scale ANN path.
+    *
+    * Train `nlist` k-means centroids on (a sample of) the corpus, assign
+    * every corpus vector to its nearest centroid (one narrow pass), and
+    * at query time probe only the `nprobe` closest centroid cells —
+    * corpus touched per query shrinks to ~nprobe/nlist, and the candidate
+    * join is an equi-join on the cell id (shuffle-friendly, no cross
+    * join). Deterministic for a fixed seed; not DuckDB-oracle-portable
+    * (k-means is engine-specific), so correctness is recall-tested against
+    * brute force in unit tests.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      array_to_vector(toDouble(col(vecCol))).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(corpusVec.select(col("features")))
+    val assigned = model.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
+
+    // Query-side: nprobe nearest centroids per query (centroids are tiny —
+    // computed driver-side into a literal map of probe cells).
+    val centroids = model.clusterCenters.zipWithIndex
+    val queryRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probeUdf = udf { (q: Seq[Float]) =>
+      val qd = q.map(_.toDouble).toArray
+      centroids.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        val arr = c.toArray
+        while (j < arr.length && j < qd.length) {
+          val diff = arr(j) - qd(j); d += diff * diff; j += 1
+        }
+        (i, d)
+      }.sortBy(_._2).take(nprobe).map(_._1)
+    }
+    val probed = queryRows.withColumn("cell", explode(probeUdf(col("qv"))))
+    val scored = assigned.join(broadcast(probed), "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Cosine similarity for explicit id pairs (near-dup checking). */
   def pairCosine(vectors: DataFrame, idCol: String, vecCol: String,
                  pairs: DataFrame): DataFrame = {

@@ -77,6 +77,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L, 3L)) // cos: ~0.994, 0, -1
   }
 
+  test("IVF top-k achieves high recall vs brute force on real embeddings") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(corpus, queries, "vec_id", "embedding", 5,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall was $recall") // nprobe=half the cells
+  }
+
   test("cosine matches an independently computed value") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))

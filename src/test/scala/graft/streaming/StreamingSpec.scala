@@ -91,6 +91,39 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(c - 0.96) < 1e-15)
   }
 
+  test("transformWithState running counts persist across micro-batches") {
+    implicit val sc = spark.sqlContext
+    // state API v2 requires the RocksDB provider (multiple column families)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { transformWithStateBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def transformWithStateBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Double)]
+    val counted = RunningCountProcessor(input.toDS())
+    val q = counted.writeStream.format("memory").queryName("tws_test")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      input.addData((1L, 5.0))
+      q.processAllAvailable()
+      val latest = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      assert(latest(1L) == ((3L, 10.0)))
+      assert(latest(2L) == ((1L, 10.0)))
+    } finally q.stop()
+  }
+
   test("runningSessions tracks per-user session state across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
