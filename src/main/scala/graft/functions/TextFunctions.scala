@@ -20,16 +20,21 @@ object TextFunctions {
     */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Word n-gram shingles (default 3) as an array of strings.
-    * `sequence(1, max(n-k+1, 0))` is empty-safe for short docs; 1-based
-    * `element_at` keeps parity with SQL list indexing.
+  /** Word n-gram shingles (default 3) as an array of strings. Documents
+    * shorter than k tokens yield an empty array — guarded explicitly
+    * because Spark's `sequence(1, 0)` counts *down* ([1,0]), unlike SQL
+    * generate_series which is empty; 1-based `element_at` keeps parity
+    * with SQL list indexing.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(0))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*))
-  }
+  def shingles(text: Column, k: Int = 3): Column =
+    shinglesOfTokens(tokens(text), k)
+
+  /** Shingles over an existing token-array column. */
+  def shinglesOfTokens(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*)))
 
   /** Number of whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -55,6 +60,43 @@ object TextFunctions {
   def punctRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^A-Za-z0-9 ]", ""))).cast("double") /
       greatest(length(text), lit(1))
+
+  /** Character-n-gram language identification (Cavnar-Trenkle-style,
+    * profile-scored): each language has a signature set of frequent
+    * character n-grams; the predicted language maximizes the per-character
+    * signature hit rate. Expression-only (substring counting via
+    * length-difference), so it runs inside codegen at full scan speed —
+    * no UDF, no model file.
+    */
+  val LangProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of ", " to ", "ing ", " is ", " that ", " it "),
+    "de" -> Seq(" der ", " die ", " und ", " das ", " ist ", "chen ", " nicht ", " ein "),
+    "fr" -> Seq(" le ", " la ", " les ", " de ", " et ", " est ", " une ", " que "),
+    "es" -> Seq(" el ", " la ", " los ", " de ", " y ", " es ", " una ", "ción "),
+    "it" -> Seq(" il ", " la ", " di ", " e ", " che ", " per ", " una ", " sono "))
+
+  private def countOccurrences(text: Column, pattern: String): Column =
+    (length(text) - length(replace(text, lit(pattern), lit("")))) / pattern.length
+
+  /** Per-language score: signature-gram characters matched per character. */
+  def langScore(text: Column, lang: String): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val hits = LangProfiles(lang)
+      .map(p => countOccurrences(padded, p) * p.length)
+      .reduce(_ + _)
+    hits.cast("double") / greatest(length(padded), lit(1))
+  }
+
+  /** Predicted language code, or "und" when no profile scores above the
+    * threshold (proportion of characters covered by signature grams).
+    */
+  def langId(text: Column, threshold: Double = 0.02): Column = {
+    val scored = LangProfiles.keys.toSeq.sorted.map(l => (l, langScore(text, l)))
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    scored.foldLeft(when(best < threshold, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
 
   /** Heuristic document quality score in [0,1]:
     * 0.5 * length saturation (chars/500 capped at 1)

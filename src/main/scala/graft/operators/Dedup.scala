@@ -51,9 +51,7 @@ object Dedup {
     */
   def explodedShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
     val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
-    val sh = transform(
-      sequence(lit(1), greatest(size(col("__toks")) - lit(k - 1), lit(0))),
-      i => concat_ws(" ", (0 until k).map(j => element_at(col("__toks"), i + lit(j))): _*))
+    val sh = TextFunctions.shinglesOfTokens(col("__toks"), k)
     toks.select(col(idCol), explode(sh).as("shingle")).distinct()
   }
 

@@ -1,0 +1,56 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies real sentences by char-ngram profiles") {
+    val samples = Seq(
+      ("the cat sat on the mat and it is warm", "en"),
+      ("der Hund und die Katze sind nicht das Problem", "de"),
+      ("le chat est sur la table et les livres sont à lui", "fr"),
+      ("el perro y la casa de los niños es una maravilla", "es"),
+      ("il gatto che dorme per una giornata intera sono cose note", "it"))
+      .toDF("text", "expected")
+    val out = samples.withColumn("predicted", TextFunctions.langId(col("text")))
+      .select("expected", "predicted").as[(String, String)].collect()
+    out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("langId returns 'und' for non-language input") {
+    val out = Seq("zzz qqq xxx kkk 12345").toDF("text")
+      .select(TextFunctions.langId(col("text"))).as[String].collect()(0)
+    assert(out == "und")
+  }
+
+  test("token stats: counts, distinct, average length") {
+    val df = Seq("aa bb aa cccc").toDF("text")
+    val row = df.select(
+      TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.distinctTokenCount(col("text")).as("d"),
+      TextFunctions.avgTokenLength(col("text")).as("avg")).collect()(0)
+    assert(row.getAs[Int]("n") == 4)
+    assert(row.getAs[Int]("d") == 3)
+    assert(math.abs(row.getAs[Double]("avg") - 10.0 / 4) < 1e-12)
+  }
+
+  test("shingles produce n-k+1 word n-grams, empty-safe for short docs") {
+    val df = Seq("a b c d", "a b").toDF("text")
+    val out = df.select(TextFunctions.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq.empty)
+  }
+
+  test("quality score rewards length and stopword presence, penalizes punct") {
+    val good = "the quick brown fox jumps over the lazy dog " * 12
+    val bad = "@#$% ^&*! )(*& @#$%"
+    val df = Seq(good, bad).toDF("text")
+    val scores = df.select(TextFunctions.qualityScore(col("text"),
+      TextFunctions.LangProfiles("en").map(_.trim)).as("q")).as[Double].collect()
+    assert(scores(0) > 0.8)
+    assert(scores(1) < 0.4)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.runtime
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** B1 source/sink coverage beyond parquet: CSV and JSON round-trips with
+  * explicit schemas (declared-schema semantics, like every graft source),
+  * plus approximate-aggregate tolerance checks (B6).
+  */
+class IoSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CSV round-trip with explicit schema preserves data") {
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(tmp)
+    val back = spark.read.schema(docs.schema).option("header", "true").csv(tmp)
+    assert(back.count() == docs.count())
+    val a = docs.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    val b = back.agg(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("JSON-lines round-trip with explicit schema preserves data") {
+    val orders = Tables.orders(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    orders.write.mode("overwrite").json(tmp)
+    val back = spark.read.schema(orders.schema).json(tmp)
+    assert(back.count() == orders.count())
+    val a = orders.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    val b = back.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    assert(a == b)
+  }
+
+  test("malformed CSV rows route to a corrupt-record column (DLQ-style)") {
+    val tmp = java.nio.file.Files.createTempFile("graft_bad", ".csv")
+    java.nio.file.Files.writeString(tmp, "1,alpha\n2\nnot_a_number,gamma\n3,delta\n")
+    val df = spark.read
+      .schema("id LONG, name STRING, _corrupt_record STRING")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp.toString)
+    val rows = df.collect()
+    val corrupt = rows.filter(!_.isNullAt(2))
+    // both the short row ("2") and the type-violating row are flagged
+    assert(corrupt.length == 2)
+    assert(corrupt.exists(_.getString(2).startsWith("not_a_number")))
+    assert(rows.count(_.isNullAt(2)) == 2) // rows 1 and 3 parse clean
+  }
+
+  test("approx_count_distinct within 5% of exact at default rsd") {
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("percentile_approx within 2% of exact percentile") {
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.select(expr("percentile(l_extendedprice, 0.5)")).collect()(0).getDouble(0)
+    val approx = li.select(expr("percentile_approx(l_extendedprice, 0.5, 10000)"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+}
