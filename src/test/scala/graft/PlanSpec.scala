@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+
+/** Plan-shape regression tests: the properties that matter at 100 TB —
+  * broadcast dimension joins, filter pushdown into scans, bounded shuffle
+  * counts — asserted on the actual physical plans so a refactor that
+  * silently degrades a plan fails CI, not the cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val expanded = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    Seq(expanded) ++ expanded.children.flatMap(collectAll) ++
+      expanded.subqueries.flatMap(collectAll)
+  }
+
+  private def countShuffles(p: SparkPlan): Int =
+    collectAll(p).count(_.isInstanceOf[ShuffleExchangeExec])
+
+  private def countBroadcasts(p: SparkPlan): Int =
+    collectAll(p).count(_.isInstanceOf[BroadcastExchangeExec])
+
+  test("q03: all four dimension joins broadcast; fact side never shuffles pre-agg") {
+    val p = plan("q03_revenue_by_nation")
+    assert(countBroadcasts(p) == 4, s"expected 4 broadcasts:\n$p")
+    // shuffles: one for the aggregation, one for the final orderBy — never
+    // a join shuffle of the fact table
+    assert(countShuffles(p) <= 2, s"expected <=2 shuffles:\n$p")
+  }
+
+  test("q01: single aggregation pass (partial+final = 1 shuffle) + sort") {
+    val p = plan("q01_pricing_summary")
+    assert(countShuffles(p) <= 2, s"expected agg+sort shuffles only:\n$p")
+    assert(p.toString.contains("HashAggregate"), "hash aggregation expected")
+  }
+
+  test("q02: predicates and projection reach the parquet scan") {
+    val s = plan("q02_filter_pushdown").toString
+    assert(s.contains("PushedFilters: [IsNotNull(p_size)") || s.contains("GreaterThanOrEqual(p_size,10)"),
+      s"filters not pushed:\n$s")
+    assert(!s.contains("p_retailprice:double,p_type"),
+      "ReadSchema should prune to selected+filtered columns only")
+  }
+
+  test("asof join (q29) plans with bounded shuffles (union + one window sort)") {
+    val p = plan("q29_asof_join")
+    // union of two scans → window partitionBy shuffle (+AQE may add sort);
+    // final orderBy. No join exchange at all.
+    assert(countShuffles(p) <= 4, s"asof join must stay shuffle-bounded:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), "no pointwise join")
+  }
+
+  test("ANN brute force (q41): corpus side scans once, queries broadcast") {
+    val p = plan("q41_ann_bruteforce")
+    assert(countBroadcasts(p) >= 1, s"query side must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct") ||
+      p.toString.contains("BroadcastNestedLoopJoin"),
+      s"corpus must not shuffle for the cross join:\n$p")
+  }
+
+  test("record pipeline (q31) is wholly narrow: zero shuffles before sort") {
+    val p = plan("q31_record_pipeline")
+    // only the final orderBy (for the deterministic oracle) may exchange
+    assert(countShuffles(p) <= 1, s"kaflow-surface pipeline must not shuffle:\n$p")
+  }
+}

@@ -91,6 +91,50 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(c - 0.96) < 1e-15)
   }
 
+  test("stream-stream interval join emits matches within the window") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().toDF("user_id", "cts"),
+      views.toDF().toDF("user_id", "vts"),
+      "cts", "vts", "user_id", watermark = "1 hour", within = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")))
+      views.addData((1L, ts("2024-01-01 10:05:00")), // within 10 min: match
+        (1L, ts("2024-01-01 10:20:00")),             // outside: no match
+        (2L, ts("2024-01-01 10:01:00")))             // other key: no match
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_test").collect()
+      assert(rows.length == 1)
+      assert(rows(0).getAs[Timestamp]("vts") == ts("2024-01-01 10:05:00"))
+    } finally q.stop()
+  }
+
+  test("streaming session_window aggregation closes sessions at the watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = input.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sswin_test")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+        (1L, ts("2024-01-01 10:05:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 12:00:00"), 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sswin_test")
+        .select(col("session_window.start").cast("string"), col("n")).collect()
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSet ==
+        Set(("2024-01-01 10:00:00", 2L)))
+    } finally q.stop()
+  }
+
   test("transformWithState running counts persist across micro-batches") {
     implicit val sc = spark.sqlContext
     // state API v2 requires the RocksDB provider (multiple column families)
