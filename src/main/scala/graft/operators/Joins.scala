@@ -80,4 +80,55 @@ object Joins {
       col(s"r.$rightTs") < col(s"l.$leftTs") + hi
     l.join(r, keyCond && rangeCond, joinType)
   }
+
+  /** Range join through the engine's custom physical operator
+    * (graft.plans.RangeJoinExec): both sides hash-partitioned on the key
+    * and sorted by (key, ts); a sliding two-pointer window emits exactly
+    * the in-range pairs — O(|L|+|R|+|output|) per partition instead of
+    * filter-after-join. Inner join; rows with null keys/timestamps are
+    * dropped (they can never match). Timestamps must be castable to
+    * TimestampType.
+    *
+    * This is the full custom-operator ladder (logical node → strategy →
+    * exec) reserved for semantics Spark's built-ins can't plan optimally
+    * (SURVEY.md §2 B4); results are asserted identical to [[rangeJoin]]
+    * in OperatorsSpec.
+    */
+  def rangeJoinMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String,
+                     loMicros: Long, hiMicros: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.RangeJoinStrategy
+
+    require(keys.nonEmpty, "range join requires at least one key column")
+    val overlap = right.columns.toSet intersect left.columns.toSet
+    require(overlap.isEmpty || keys.toSet.subsetOf(overlap),
+      s"ambiguous non-key columns on both sides: ${overlap -- keys}")
+
+    def prep(df: DataFrame, ts: String, realias: Boolean): DataFrame = {
+      val cast = df.withColumn(ts, col(ts).cast("timestamp"))
+        .na.drop(keys :+ ts)
+      // fresh exprIds so self-joins don't alias the same attributes
+      if (realias) cast.select(cast.columns.map(c => col(c).as(c)).toIndexedSeq: _*)
+      else cast
+    }
+    val l = prep(left, leftTs, realias = false)
+    val r0 = prep(right, rightTs, realias = true)
+    // rename right-side key columns to avoid duplicate names in the output
+    val r = keys.foldLeft(r0)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+
+    val lp = ColumnBridge.logicalPlan(l)
+    val rp = ColumnBridge.logicalPlan(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    ColumnBridge.ofRows(spark, graft.plans.RangeJoin(
+      lp, rp,
+      keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
+      attr(lp, leftTs), attr(rp, rightTs),
+      loMicros, hiMicros))
+  }
 }

@@ -73,6 +73,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q54_range_join_custom" -> { (s, d) =>
+      // Same result as q30 through the custom RangeJoinExec physical
+      // operator (sort-merge sweep; see graft.plans). Inner join is
+      // equivalent here because every error event matches itself.
+      val ev = Tables.events(s, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val all = ev.select(col("event_id").as("e2_id"), col("user_id"), col("ts").as("ts2"))
+      Joins.rangeJoinMerge(errors, all, Seq("user_id"), "ts", "ts2",
+          loMicros = 0L, hiMicros = 5L * 60 * 1000000)
+        .groupBy(col("event_id"))
+        .agg(count(when(col("e2_id") =!= col("event_id"), 1)).as("n_nearby"))
+        .orderBy(col("event_id"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -143,6 +158,18 @@ object EventQueries extends QueryGroup {
       ORDER BY p.event_id""",
 
     "q30_range_join_count" -> """
+      WITH errors AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type = 'error'),
+      all_ev AS (SELECT event_id AS e2_id, user_id, CAST(ts AS TIMESTAMP) AS ts2 FROM events)
+      SELECT e.event_id,
+        count(CASE WHEN a.e2_id <> e.event_id THEN 1 END) AS n_nearby
+      FROM errors e LEFT JOIN all_ev a
+        ON e.user_id = a.user_id
+        AND a.ts2 >= e.ts AND a.ts2 < e.ts + INTERVAL '5 minutes'
+      GROUP BY e.event_id ORDER BY e.event_id""",
+
+    "q54_range_join_custom" -> """
       WITH errors AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
         WHERE event_type = 'error'),

@@ -50,6 +50,57 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set("at0", "in"))
   }
 
+  test("custom RangeJoinExec matches the composed range join on real events") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val all = ev.select(col("event_id").as("e2_id"), col("user_id"), col("ts").as("ts2"))
+    val composed = Joins.rangeJoin(errors, all, Seq("user_id"), "ts", "ts2",
+        expr("INTERVAL '0' SECOND"), expr("INTERVAL '5' MINUTE"))
+      .select(col("l.event_id"), col("r.e2_id"))
+      .as[(Long, Long)].collect().toSet
+    val merged = Joins.rangeJoinMerge(errors, all, Seq("user_id"), "ts", "ts2",
+        loMicros = 0L, hiMicros = 5L * 60 * 1000000)
+      .select(col("event_id"), col("e2_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(merged == composed, s"diff: ${(merged diff composed) ++ (composed diff merged)}")
+    assert(merged.nonEmpty)
+  }
+
+  test("custom RangeJoinExec: boundary semantics and plan node") {
+    val l = Seq((1L, ts("2024-01-01 10:00:00"), "L1")).toDF("k", "t", "ltag")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "at0"),
+      (1L, ts("2024-01-01 10:04:59"), "in"),
+      (1L, ts("2024-01-01 10:05:00"), "atHi"),   // hi exclusive
+      (1L, ts("2024-01-01 09:59:59"), "before"),
+      (2L, ts("2024-01-01 10:00:00"), "otherKey")
+    ).toDF("k", "rt", "rtag")
+    val out = Joins.rangeJoinMerge(l, r, Seq("k"), "t", "rt",
+      0L, 5L * 60 * 1000000)
+    assert(out.queryExecution.executedPlan.toString.contains("RangeJoin"),
+      "custom operator must be planned") // nodeName prints without "Exec"
+    val tags = out.select("rtag").as[String].collect().toSet
+    assert(tags == Set("at0", "in"))
+  }
+
+  test("custom RangeJoinExec handles empty groups, nulls, and self-join") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:03:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (3L, ts("2024-01-01 12:00:00"))
+    ).toDF("k", "t")
+    val withNull = ev.union(Seq((0L, null.asInstanceOf[Timestamp])).toDF("k", "t"))
+    // self range join: events within 5 minutes after each event, same key
+    val out = Joins.rangeJoinMerge(withNull, withNull.withColumnRenamed("t", "t2")
+        .withColumn("tag", lit("r")), Seq("k"), "t", "t2",
+      0L, 5L * 60 * 1000000)
+      .select(col("k"), col("t"), col("t2")).collect()
+    // key 1: (10:00→10:00), (10:00→10:03), (10:03→10:03); keys 2,3 self only
+    assert(out.length == 5)
+  }
+
   test("keepFirst is deterministic under reordered input") {
     val rows = Seq((1L, 5L, "late"), (1L, 1L, "first"), (2L, 3L, "only"))
     val a = Dedup.keepFirst(rows.toDF("k", "seq", "v"), Seq("k"), Seq(col("seq").asc))
