@@ -24,6 +24,29 @@ class KafkaIOSpec extends SparkSpec {
     assert(opts("minPartitions") == "64")
   }
 
+  test("normalizeHeaders converts the source's array<struct> to map<string,binary>") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(("h1", "v1".getBytes), ("h2", "v2".getBytes))))
+      .toDF("headers")
+      .select(transform(col("headers"),
+        e => struct(e.getField("_1").as("key"), e.getField("_2").as("value"))).as("headers"))
+    val out = KafkaIO.normalizeHeaders(df).collect()(0)
+      .getAs[Map[String, Array[Byte]]]("headers")
+    assert(new String(out("h1"), "UTF-8") == "v1")
+    assert(new String(out("h2"), "UTF-8") == "v2")
+    // absent headers column → null map column of the right type
+    val no = KafkaIO.normalizeHeaders(Seq(1).toDF("x"))
+    assert(no.schema("headers").dataType.simpleString == "map<string,binary>")
+  }
+
+  test("lifespan bracket and query lifecycle listener fire hooks (A22)") {
+    val events = scala.collection.mutable.ArrayBuffer.empty[String]
+    val r = graft.runtime.Lifecycle.withLifespan(
+      () => events += "up", () => events += "down") { events += "body"; 42 }
+    assert(r == 42 && events.toSeq == Seq("up", "body", "down"))
+  }
+
   test("security + passthrough options map to kafka.-prefixed keys") {
     val conf = KafkaConfig(
       bootstrapServers = "b:9092",
