@@ -47,6 +47,15 @@ class KafkaIOSpec extends SparkSpec {
     assert(r == 42 && events.toSeq == Seq("up", "body", "down"))
   }
 
+  test("IdempotentSink runs a batch write exactly once across replays") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    var writes = 0
+    assert(IdempotentSink.writeOnce(dir, 7L) { writes += 1 })
+    assert(!IdempotentSink.writeOnce(dir, 7L) { writes += 1 }) // replay: skipped
+    assert(IdempotentSink.writeOnce(dir, 8L) { writes += 1 })
+    assert(writes == 2)
+  }
+
   test("security + passthrough options map to kafka.-prefixed keys") {
     val conf = KafkaConfig(
       bootstrapServers = "b:9092",
