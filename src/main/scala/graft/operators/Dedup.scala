@@ -167,6 +167,23 @@ object Dedup {
           (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
   }
 
+  /** End-to-end near-duplicate detection: shingle → MinHash → LSH
+    * candidates → exact Jaccard verification → threshold filter. The
+    * complete pipeline a training-data dedup pass runs: candidates come
+    * from banding (never the O(n²) pair space), and only candidates pay
+    * the exact-Jaccard join.
+    *
+    * @return (id_a, id_b, jaccard) for pairs with jaccard >= threshold
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, numHashes: Int = 8,
+                   rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val ids = shingleIds(df, idCol, textCol, k).persist()
+    val sigs = minhashSignatures(ids, idCol, numHashes)
+    val candidates = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    jaccard(ids, idCol, candidates).filter(col("jaccard") >= threshold)
+  }
+
   /** Keep the first row per key by the given ordering — the deterministic
     * form of dropDuplicates. One window, no extra shuffle beyond the
     * partitionBy exchange.

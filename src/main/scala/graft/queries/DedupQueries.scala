@@ -83,7 +83,14 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"))
     })
 
-  private def minhashSql(extraCte: String, selectList: String, tail: String): String = {
+  /** The 4-band (2 rows/band) band-key union over `sigs` — shared with the
+    * end-to-end near-dup oracle in ExtraQueries.
+    */
+  private[queries] val BandedCteBody: String = (0 until 4).map { b =>
+    s"SELECT doc_id, $b AS band, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS bkey FROM sigs"
+  }.mkString(" UNION ALL ")
+
+  private[queries] def minhashSql(extraCte: String, selectList: String, tail: String): String = {
     val hashes = Dedup.hashParams(8).zipWithIndex.map { case ((a, b), i) =>
       s"CAST(min((tid * $a + $b) % $P) AS BIGINT) AS h$i"
     }.mkString(", ")
@@ -110,10 +117,7 @@ object DedupQueries extends QueryGroup {
         "FROM sigs ORDER BY doc_id"),
 
     "q38_lsh_pairs" -> {
-      val bandKeys = (0 until 4).map { b =>
-        s"SELECT doc_id, $b AS band, CAST(h${2 * b} AS VARCHAR) || '_' || CAST(h${2 * b + 1} AS VARCHAR) AS bkey FROM sigs"
-      }.mkString(" UNION ALL ")
-      minhashSql(s", banded AS ($bandKeys)",
+      minhashSql(s", banded AS ($BandedCteBody)",
         "DISTINCT l.doc_id AS id_a, r.doc_id AS id_b",
         """FROM banded l JOIN banded r
             ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id

@@ -78,6 +78,51 @@ object ExtraQueries extends QueryGroup {
       Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
         .agg(count(lit(1)).as("n_sampled"),
           dsum(col("l_quantity")).as("sum_qty"))
+    },
+
+    "q55_pivot" -> { (s, d) =>
+      // Pivot order status into columns per year (spread/wide-form).
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderstatus"))
+        .groupBy(col("yr"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .select(col("yr"),
+          coalesce(col("O"), lit(0L)).as("n_open"),
+          coalesce(col("F"), lit(0L)).as("n_full"),
+          coalesce(col("P"), lit(0L)).as("n_partial"))
+        .orderBy(col("yr"))
+    },
+
+    "q56_unpivot" -> { (s, d) =>
+      // Unpivot (melt) wide metrics back to long form.
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("c_custkey").cast("double").as("key_as_metric"))
+        .unpivot(Array(col("c_custkey")),
+          Array(col("c_acctbal"), col("key_as_metric")),
+          "metric", "value")
+        .orderBy(col("c_custkey"), col("metric"))
+    },
+
+    "q57_conditional_agg" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count_if(col("o_totalprice") > 50000).as("n_big"),
+          dsum(when(col("o_orderpriority") === "1-URGENT", col("o_totalprice"))
+            .otherwise(lit(0.0))).as("urgent_total"),
+          max_by(col("o_orderkey"), col("o_orderkey")).as("last_orderkey"),
+          min_by(col("o_custkey"), col("o_orderkey")).as("first_customer"))
+        .orderBy(col("o_orderstatus"))
+    },
+
+    "q58_neardup_pipeline" -> { (s, d) =>
+      // Flagship LLM-pipeline op end-to-end: MinHash LSH candidates
+      // verified by exact Jaccard, thresholded.
+      graft.operators.Dedup.nearDupPairs(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -115,5 +160,52 @@ object ExtraQueries extends QueryGroup {
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
-      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q55_pivot" -> """
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        count(*) FILTER (o_orderstatus = 'O') AS n_open,
+        count(*) FILTER (o_orderstatus = 'F') AS n_full,
+        count(*) FILTER (o_orderstatus = 'P') AS n_partial
+      FROM orders GROUP BY 1 ORDER BY yr""",
+
+    "q56_unpivot" -> """
+      SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+      UNION ALL
+      SELECT c_custkey, 'key_as_metric', CAST(c_custkey AS DOUBLE) FROM customer
+      ORDER BY c_custkey, metric""",
+
+    "q57_conditional_agg" -> s"""
+      SELECT o_orderstatus,
+        count(*) FILTER (o_totalprice > 50000) AS n_big,
+        CAST(sum(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+          THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE) AS urgent_total,
+        arg_max(o_orderkey, o_orderkey) AS last_orderkey,
+        arg_min(o_custkey, o_orderkey) AS first_customer
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q58_neardup_pipeline" ->
+      DedupQueries.minhashSql(
+        s""", banded AS (${DedupQueries.BandedCteBody}),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+          inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN ids ia ON ia.doc_id = c.id_a
+            JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
+            GROUP BY c.id_a, c.id_b),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id)""",
+        """c.id_a, c.id_b,
+          CAST(coalesce(i.inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard""",
+        """FROM cand c
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b
+          WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4
+          ORDER BY c.id_a, c.id_b"""))
 }

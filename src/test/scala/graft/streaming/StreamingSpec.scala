@@ -91,6 +91,22 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(c - 0.96) < 1e-15)
   }
 
+  test("file-based streaming source processes a directory with AvailableNow") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema("id LONG, v STRING").parquet(dir)
+    val q = stream.groupBy().count().writeStream
+      .format("memory").queryName("filestream_test")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("filestream_test").collect()(0).getLong(0) == 2L)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join emits matches within the window") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[(Long, Timestamp)]
