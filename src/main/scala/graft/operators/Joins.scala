@@ -81,6 +81,43 @@ object Joins {
     l.join(r, keyCond && rangeCond, joinType)
   }
 
+  /** As-of join through the engine's custom physical operator
+    * (graft.plans.AsofJoinExec): each side exchanges+sorts independently
+    * (same requirements as SMJ), then one forward merge pass with a single
+    * buffered right row per key — no union-wide sort, no window state.
+    * Output: left columns + `asof_<col>` for every right non-key column
+    * (null when no prior right row exists). Rows with null keys/timestamps
+    * on the right are dropped; null-key left rows keep null matches.
+    */
+  def asofMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+
+    val l = left.withColumn(leftTs, col(leftTs).cast("timestamp"))
+    val r0 = right.withColumn(rightTs, col(rightTs).cast("timestamp"))
+      .na.drop(keys :+ rightTs)
+    val r1 = r0.select(r0.columns.map(c => col(c).as(c)).toIndexedSeq: _*) // fresh exprIds
+    val r = keys.foldLeft(r1)((df, k) => df.withColumnRenamed(k, s"__r_$k"))
+
+    val lp = ColumnBridge.logicalPlan(l)
+    val rp = ColumnBridge.logicalPlan(r)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val planned = ColumnBridge.ofRows(spark, graft.plans.AsofJoin(
+      lp, rp,
+      keys.map(attr(lp, _)), keys.map(k => attr(rp, s"__r_$k")),
+      attr(lp, leftTs), attr(rp, rightTs)))
+    val payload = r.columns.filterNot(c => keys.map(k => s"__r_$k").contains(c))
+    planned.select(
+      left.columns.map(col).toIndexedSeq ++
+        payload.map(c => col(c).as(s"asof_$c")): _*)
+  }
+
   /** Range join through the engine's custom physical operator
     * (graft.plans.RangeJoinExec): both sides hash-partitioned on the key
     * and sorted by (key, ts); a sliding two-pointer window emits exactly

@@ -60,6 +60,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q59_asof_join_custom" -> { (s, d) =>
+      // Same result as q29 through the custom AsofJoinExec physical
+      // operator (single forward merge; see graft.plans.AsofJoin).
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"), col("ts").as("sts"))
+        .agg(max(col("event_id")).as("signup_event_id"))
+      Joins.asofMerge(purchases, signups, Seq("user_id"), "ts", "sts")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof_signup_event_id"), col("asof_sts"))
+        .orderBy(col("event_id"))
+    },
+
     "q30_range_join_count" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val errors = ev.filter(col("event_type") === "error")
@@ -145,6 +160,19 @@ object EventQueries extends QueryGroup {
       WHERE rn = 1 ORDER BY user_id, event_type""",
 
     "q29_asof_join" -> """
+      WITH purchases AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        WHERE event_type = 'purchase'),
+      signups AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS sts, max(event_id) AS signup_event_id
+        FROM events WHERE event_type = 'signup' GROUP BY user_id, CAST(ts AS TIMESTAMP))
+      SELECT p.event_id, p.user_id, p.ts,
+        s.signup_event_id AS asof_signup_event_id, s.sts AS asof_sts
+      FROM purchases p ASOF LEFT JOIN signups s
+        ON p.user_id = s.user_id AND p.ts >= s.sts
+      ORDER BY p.event_id""",
+
+    "q59_asof_join_custom" -> """
       WITH purchases AS (
         SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
         WHERE event_type = 'purchase'),

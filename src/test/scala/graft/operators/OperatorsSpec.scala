@@ -50,6 +50,47 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set("at0", "in"))
   }
 
+  test("custom AsofJoinExec matches the composed as-of join on real events") {
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts").as("sts"))
+      .agg(max(col("event_id")).as("signup_event_id"))
+    val composed = Joins.asof(purchases, signups, Seq("user_id"), "ts", "sts",
+        Seq("signup_event_id"))
+      .select(col("event_id"), col("asof_signup_event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val custom = Joins.asofMerge(purchases, signups, Seq("user_id"), "ts", "sts")
+      .select(col("event_id"), col("asof_signup_event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(custom == composed)
+    assert(custom.nonEmpty && custom.values.exists(_ >= 0))
+  }
+
+  test("custom AsofJoinExec: equal-ts match, no-prior null, key isolation") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "A"),
+      (1L, ts("2024-01-01 12:00:00"), "B"),
+      (2L, ts("2024-01-01 10:30:00"), "C"),
+      (3L, ts("2024-01-01 09:00:00"), "D")
+    ).toDF("k", "t", "tag")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // equal ts: matches A
+      (1L, ts("2024-01-01 11:00:00"), 200L), // matches B
+      (2L, ts("2024-01-01 11:00:00"), 300L), // after C: no match
+      (4L, ts("2024-01-01 08:00:00"), 400L)  // key not on left
+    ).toDF("k", "rt", "payload")
+    val out = Joins.asofMerge(l, r, Seq("k"), "t", "rt")
+    assert(out.queryExecution.executedPlan.toString.contains("AsofJoin"))
+    val byTag = out.collect().map(row => row.getAs[String]("tag") ->
+      (if (row.isNullAt(row.fieldIndex("asof_payload"))) -1L
+       else row.getAs[Long]("asof_payload"))).toMap
+    assert(byTag == Map("A" -> 100L, "B" -> 200L, "C" -> -1L, "D" -> -1L))
+  }
+
   test("custom RangeJoinExec matches the composed range join on real events") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val errors = ev.filter(col("event_type") === "error")
