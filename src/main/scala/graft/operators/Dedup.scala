@@ -184,6 +184,20 @@ object Dedup {
     jaccard(ids, idCol, candidates).filter(col("jaccard") >= threshold)
   }
 
+  /** Deduplicated corpus: drop every document that has a near-duplicate
+    * with a smaller id (the standard greedy keep-first pass — one
+    * candidate join, no iterative connected components; a doc chained
+    * transitively to a smaller id through intermediate near-dups survives
+    * only if none of its direct pairs has a smaller id).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         threshold: Double, numHashes: Int = 8,
+                         rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k)
+      .select(col("id_b").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Keep the first row per key by the given ordering — the deterministic
     * form of dropDuplicates. One window, no extra shuffle beyond the
     * partitionBy exchange.

@@ -123,6 +123,14 @@ object ExtraQueries extends QueryGroup {
       graft.operators.Dedup.nearDupPairs(
           Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "q60_deduped_corpus" -> { (s, d) =>
+      // The actual dedup output: corpus minus greedy near-dup losers.
+      graft.operators.Dedup.dropNearDuplicates(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -207,5 +215,31 @@ object ExtraQueries extends QueryGroup {
           JOIN sizes sb ON sb.doc_id = c.id_b
           WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
             / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4
-          ORDER BY c.id_a, c.id_b"""))
+          ORDER BY c.id_a, c.id_b"""),
+
+    "q60_deduped_corpus" ->
+      DedupQueries.minhashSql(
+        s""", banded AS (${DedupQueries.BandedCteBody}),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+          inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN ids ia ON ia.doc_id = c.id_a
+            JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
+            GROUP BY c.id_a, c.id_b),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
+          losers AS (
+            SELECT DISTINCT c.id_b FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4)""",
+        "d.doc_id, d.lang, d.n_chars",
+        """FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM losers x WHERE x.id_b = d.doc_id)
+          ORDER BY d.doc_id"""))
 }
