@@ -150,14 +150,18 @@ object Dedup {
     * intersection size comes from a join of the two shingle-id sets, union
     * size by inclusion-exclusion — no per-pair set materialization.
     */
-  def jaccard(ids0: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+  def jaccard(ids0: DataFrame, idCol: String, pairs0: DataFrame): DataFrame = {
     val ids = ids0.persist() // reused three times: intersection + both sizes
+    // The pair set is tiny next to the exploded id table — broadcast it so
+    // the expansion join is map-side; only the (id_b, tid) intersection
+    // join shuffles. Doc-size tables are doc-count-sized: broadcast too.
+    val pairs = broadcast(pairs0)
     val ta = ids.select(col(idCol).as("id_a"), col("tid"))
     val tb = ids.select(col(idCol).as("id_b"), col("tid"))
-    val inter = pairs.join(ta, "id_a").join(tb, Seq("id_b", "tid"))
+    val inter = ta.join(pairs, "id_a").join(tb, Seq("id_b", "tid"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    val szA = ids.groupBy(col(idCol).as("id_a")).agg(count(lit(1)).as("sz_a"))
-    val szB = ids.groupBy(col(idCol).as("id_b")).agg(count(lit(1)).as("sz_b"))
+    val szA = broadcast(ids.groupBy(col(idCol).as("id_a")).agg(count(lit(1)).as("sz_a")))
+    val szB = broadcast(ids.groupBy(col(idCol).as("id_b")).agg(count(lit(1)).as("sz_b")))
     pairs
       .join(inter, Seq("id_a", "id_b"), "left")
       .join(szA, "id_a")

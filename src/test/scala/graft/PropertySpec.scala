@@ -75,6 +75,76 @@ class PropertySpec extends SparkSpec {
     assert(a.map(_._1).size == a.size, "one row per key")
   }
 
+  test("property: custom as-of exec == composed as-of on random event sets") {
+    import graft.operators.Joins
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 4L), Gen.choose(0L, 50L)))
+    for (seedOff <- 0 until 3) {
+      val rows = samples(gen, 1).head.distinct
+      val sec = rows.map { case (k, s) =>
+        (k, new java.sql.Timestamp(1700000000000L + s * 1000)) }
+      val (lSide, rSide) = sec.splitAt(sec.length / 2)
+      if (lSide.nonEmpty && rSide.nonEmpty) {
+        // right must be unique per (key, ts) for deterministic payloads
+        val rUnique = rSide.distinct.zipWithIndex
+          .map { case ((k, t), i) => (k, t, i.toLong + seedOff) }
+          .groupBy(x => (x._1, x._2)).map(_._2.maxBy(_._3)).toSeq
+        val l = lSide.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "t", "lid")
+        val r = rUnique.toDF("k", "rt", "payload")
+        val composed = Joins.asof(l, r, Seq("k"), "t", "rt", Seq("payload"))
+          .select("lid", "asof_payload").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+        val custom = Joins.asofMerge(l, r, Seq("k"), "t", "rt")
+          .select("lid", "asof_payload").collect()
+          .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+        assert(custom == composed, s"seedOff=$seedOff")
+      }
+    }
+  }
+
+  test("property: custom range exec == composed range join on random event sets") {
+    import graft.operators.Joins
+    import org.apache.spark.sql.functions.expr
+    val gen = Gen.listOfN(50, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 40L)))
+    for (seedOff <- 0 until 3) {
+      val rows = samples(gen, 1).head.distinct.zipWithIndex
+        .map { case ((k, s), i) =>
+          (k, new java.sql.Timestamp(1700000000000L + s * 1000), i.toLong + seedOff) }
+      val l = rows.toDF("k", "t", "lid")
+      val r = rows.map { case (k, t, i) => (k, t, i + 1000) }.toDF("k", "rt", "rid")
+      val composed = Joins.rangeJoin(l, r, Seq("k"), "t", "rt",
+          expr("INTERVAL '0' SECOND"), expr("INTERVAL '10' SECOND"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val custom = Joins.rangeJoinMerge(l, r, Seq("k"), "t", "rt",
+          0L, 10L * 1000000)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(custom == composed, s"seedOff=$seedOff diff=${
+        (custom diff composed) ++ (composed diff custom)}")
+    }
+  }
+
+  test("custom execs support multi-column keys") {
+    import graft.operators.Joins
+    val l = Seq((1L, "a", ts2("2024-01-01 10:00:00"), 1L),
+      (1L, "b", ts2("2024-01-01 10:00:00"), 2L),
+      (2L, "a", ts2("2024-01-01 10:00:00"), 3L))
+      .toDF("k1", "k2", "t", "lid")
+    val r = Seq((1L, "a", ts2("2024-01-01 09:00:00"), 10L),
+      (1L, "b", ts2("2024-01-01 09:30:00"), 20L),
+      (2L, "b", ts2("2024-01-01 09:00:00"), 30L))
+      .toDF("k1", "k2", "rt", "pay")
+    val asof = Joins.asofMerge(l, r, Seq("k1", "k2"), "t", "rt")
+      .select("lid", "asof_pay").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+    assert(asof == Map(1L -> 10L, 2L -> 20L, 3L -> -1L))
+    val range = Joins.rangeJoinMerge(l, r, Seq("k1", "k2"), "t", "rt",
+        -2L * 3600 * 1000000, 1L)
+      .select("lid", "pay").as[(Long, Long)].collect().toSet
+    assert(range == Set((1L, 10L), (2L, 20L)))
+  }
+
+  private def ts2(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
   test("property: minhash signatures independent of corpus row order") {
     val docsTokens = samples(
       Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f")), 8)
