@@ -125,6 +125,38 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q61_histogram" -> { (s, d) =>
+      // Fixed-width binning via integer arithmetic (width_bucket dialects
+      // differ; floor-division is engine-identical).
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 20.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .withColumn("bin_lo", col("bin") * 20.0)
+        .select(col("bin"), col("bin_lo"), col("n"), col("sum_value"))
+        .orderBy(col("bin"))
+    },
+
+    "q62_exact_moments" -> { (s, d) =>
+      // Order-independent variance/stddev: exact decimal sums of x and x²
+      // (2-dec inputs → 4-dec squares, both exact), moments assembled in
+      // double with a fixed expression tree — bitwise-identical on any
+      // engine and ANY partitioning, unlike native stddev/var whose
+      // accumulation order varies.
+      val x = dec(col("value"))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sum_x"),
+          sum(x * x).cast("double").as("sum_x2"))
+        .select(col("event_type"), col("n"),
+          (col("sum_x") / col("n")).as("mean"),
+          ((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) /
+            (col("n") - 1)).as("variance"),
+          sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) /
+            (col("n") - 1)).as("stddev"))
+        .orderBy(col("event_type"))
+    },
+
     "q60_deduped_corpus" -> { (s, d) =>
       // The actual dedup output: corpus minus greedy near-dup losers.
       graft.operators.Dedup.dropNearDuplicates(
@@ -191,6 +223,24 @@ object ExtraQueries extends QueryGroup {
         arg_max(o_orderkey, o_orderkey) AS last_orderkey,
         arg_min(o_custkey, o_orderkey) AS first_customer
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "q61_histogram" -> s"""
+      SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+        CAST(floor(value / 20.0) AS BIGINT) * 20.0 AS bin_lo,
+        count(*) AS n, ${sqlSum("value")} AS sum_value
+      FROM events GROUP BY 1 ORDER BY bin""",
+
+    "q62_exact_moments" -> """
+      WITH m AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_x,
+          CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_x2
+        FROM events GROUP BY event_type)
+      SELECT event_type, n,
+        sum_x / n AS mean,
+        (sum_x2 - sum_x * sum_x / n) / (n - 1) AS variance,
+        sqrt((sum_x2 - sum_x * sum_x / n) / (n - 1)) AS stddev
+      FROM m ORDER BY event_type""",
 
     "q58_neardup_pipeline" ->
       DedupQueries.minhashSql(
