@@ -26,6 +26,18 @@ object AnalyticQueries extends QueryGroup {
         .orderBy(col("o_custkey"), col("rn"))
     },
 
+    "q63_window_dist" -> { (s, d) =>
+      // percent_rank/cume_dist are exact rationals of integer ranks —
+      // engine-deterministic doubles.
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+    },
+
     "q16_window_analytic" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
@@ -148,6 +160,15 @@ object AnalyticQueries extends QueryGroup {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
       ORDER BY o_custkey, rn""",
+
+    "q63_window_dist" -> """
+      SELECT o_orderstatus, o_orderkey,
+        percent_rank() OVER w AS pct_rank,
+        cume_dist() OVER w AS cdist
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus
+        ORDER BY o_totalprice ASC, o_orderkey ASC)
+      ORDER BY o_orderstatus, o_orderkey""",
 
     "q16_window_analytic" -> """
       SELECT o_custkey, o_orderkey, o_orderdate,
