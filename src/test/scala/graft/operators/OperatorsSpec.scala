@@ -176,6 +176,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Set(("a", 1), ("a", 2), ("b", 4)))
   }
 
+  test("map column functions: build, lookup, keys, entries round-trip") {
+    val df = Seq((1L, Seq(("a", 10L), ("b", 20L)))).toDF("id", "kv")
+      .select(col("id"),
+        map_from_entries(transform(col("kv"),
+          e => struct(e.getField("_1"), e.getField("_2")))).as("m"))
+    val row = df.select(
+      element_at(col("m"), "b").as("b_val"),
+      sort_array(map_keys(col("m"))).as("keys"),
+      map_contains_key(col("m"), "a").as("has_a"),
+      size(map_entries(col("m"))).as("n")).collect()(0)
+    assert(row.getAs[Long]("b_val") == 20L)
+    assert(row.getAs[scala.collection.Seq[String]]("keys").toSeq == Seq("a", "b"))
+    assert(row.getAs[Boolean]("has_a"))
+    assert(row.getAs[Int]("n") == 2)
+  }
+
   test("multimodal decode stub runs partition-wise over typed records") {
     import Multimodal._
     val ds = spark.createDataset(Seq(
