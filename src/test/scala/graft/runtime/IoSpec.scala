@@ -48,6 +48,17 @@ class IoSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(2)) == 2) // rows 1 and 3 parse clean
   }
 
+  test("observe() exposes pipeline metrics without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("pipeline_metrics")
+    Tables.lineitem(spark, dir)
+      .observe(obs, count(lit(1)).as("rows"),
+        sum(when(col("l_discount") > 0.05, 1).otherwise(0)).as("high_discount"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    assert(m("rows").asInstanceOf[Long] == 6000L)
+    assert(m("high_discount").asInstanceOf[Long] > 0L)
+  }
+
   test("approx_count_distinct within 5% of exact at default rsd") {
     val li = Tables.lineitem(spark, dir)
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0).getLong(0)

@@ -82,6 +82,33 @@ class SerdeSpec extends SparkSpec {
     assert(back.getAs[String]("value") == "unit_test_value")
   }
 
+  test("AvroSerde round-trips nested records, arrays, maps, nullable unions") {
+    val schema =
+      """{"type":"record","name":"outer","fields":[
+         {"name":"tag","type":"string"},
+         {"name":"inner","type":{"type":"record","name":"inner_t","fields":[
+            {"name":"n","type":"long"},
+            {"name":"opt","type":["null","string"],"default":null}]}},
+         {"name":"nums","type":{"type":"array","items":"long"}},
+         {"name":"attrs","type":{"type":"map","values":"string"}}]}"""
+    val serde = AvroSerde(schema)
+    import org.apache.spark.sql.functions.{map_from_entries, transform, array, struct, lit}
+    val df = Seq(Tuple1("x")).toDF("ignore").select(
+      serde.serialize(struct(
+        lit("t1").as("tag"),
+        struct(lit(42L).as("n"), lit(null).cast("string").as("opt")).as("inner"),
+        array(lit(1L), lit(2L), lit(3L)).as("nums"),
+        map_from_entries(array(struct(lit("k").as("key"), lit("v").as("value")))).as("attrs")
+      )).as("w"))
+      .select(serde.deserialize(col("w")).as("v"))
+    val v = firstRow(df).getAs[Row]("v")
+    assert(v.getAs[String]("tag") == "t1")
+    val inner = v.getAs[Row]("inner")
+    assert(inner.getAs[Long]("n") == 42L && inner.isNullAt(inner.fieldIndex("opt")))
+    assert(v.getAs[scala.collection.Seq[Long]]("nums").toSeq == Seq(1L, 2L, 3L))
+    assert(v.getAs[Map[String, String]]("attrs") == Map("k" -> "v"))
+  }
+
   test("AvroSerde malformed payload deserializes to null (DLQ path)") {
     val serde = AvroSerde(avroSchema)
     val df = Seq(Tuple1(Array[Byte](0x7f, 0x00))).toDF("raw")
