@@ -101,6 +101,21 @@ object Dedup {
     ids.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** MinHash signatures via the native TypedImperativeAggregate
+    * ([[graft.functions.expressions.MinHashAgg]]): identical results to
+    * [[minhashSignatures]], one array-buffered aggregate with no
+    * per-row Encoder round-trip. Same output columns h0..h{k-1}.
+    */
+  def minhashSignaturesNative(ids: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.MinHashAgg(
+        ColumnBridge.expression(col("tid")), numHashes).toAggregateExpression())
+    ids.groupBy(col(idCol)).agg(agg.as("sig"))
+      .select(col(idCol) +:
+        (0 until numHashes).map(i => col("sig").getItem(i).as(s"h$i")): _*)
+  }
+
   /** LSH candidate pairs: ids sharing at least one band of the signature.
     * Bands of `rowsPerBand` hashes are concatenated into a band key; docs
     * are grouped by (band index, band key) and paired within buckets.

@@ -59,6 +59,13 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q41b_minhash_native" -> { (s, d) =>
+      // Third path to the same signatures: the native
+      // TypedImperativeAggregate (raw long-array buffer, no Encoder).
+      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      Dedup.minhashSignaturesNative(ids, "doc_id").orderBy(col("doc_id"))
+    },
+
     "q41a_minhash_udaf" -> { (s, d) =>
       // Same signatures as q37, computed through the typed Aggregator
       // (custom-UDAF surface, §2 B19): one k-vector aggregate instead of
@@ -111,8 +118,12 @@ object DedupQueries extends QueryGroup {
       minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
         "FROM sigs ORDER BY doc_id"),
 
-    // The UDAF path must produce the exact same signature table.
+    // The UDAF and native-aggregate paths must produce the exact same
+    // signature table.
     "q41a_minhash_udaf" ->
+      minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
+        "FROM sigs ORDER BY doc_id"),
+    "q41b_minhash_native" ->
       minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
         "FROM sigs ORDER BY doc_id"),
 

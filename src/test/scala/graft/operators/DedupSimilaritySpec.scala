@@ -23,6 +23,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sigs(0L) != sigs(3L), "unrelated docs differ")
   }
 
+  test("native TypedImperativeAggregate minhash equals the k-column form") {
+    val ids = Dedup.shingleIds(docs, "doc_id", "text")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    assert(toMap(Dedup.minhashSignaturesNative(ids, "doc_id")) ==
+      toMap(Dedup.minhashSignatures(ids, "doc_id")))
+  }
+
   test("hashed shingle ids (scale path) preserve dup/near-dup structure") {
     val ids = Dedup.shingleIdsHashed(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignatures(ids, "doc_id")
