@@ -48,6 +48,28 @@ class IoSpec extends SparkSpec {
     assert(rows.count(_.isNullAt(2)) == 2) // rows 1 and 3 parse clean
   }
 
+  test("df.stat surface: freqItems, crosstab, sampleBy run and make sense") {
+    val orders = Tables.orders(spark, dir)
+    val freq = orders.stat.freqItems(Array("o_orderstatus"), 0.3).collect()(0)
+      .getAs[scala.collection.Seq[String]](0)
+    assert(freq.contains("O") || freq.contains("F"))
+    val ct = orders.stat.crosstab("o_orderstatus", "o_orderpriority")
+    assert(ct.count() == 3) // one row per status
+    val sampled = orders.stat.sampleBy("o_orderstatus",
+      Map("O" -> 0.5, "F" -> 0.1, "P" -> 1.0), seed = 42L)
+    assert(sampled.count() > 0 && sampled.count() < orders.count())
+  }
+
+  test("StringSerde round-trips non-ASCII utf-8 content") {
+    import graft.serde.StringSerde
+    import spark.implicits._
+    val s = "héllo wörld — 你好 🚀"
+    val back = Seq(s).toDF("s")
+      .select(StringSerde.deserialize(StringSerde.serialize(col("s"))).as("s"))
+      .as[String].collect()(0)
+    assert(back == s)
+  }
+
   test("observe() exposes pipeline metrics without a second pass") {
     val obs = new org.apache.spark.sql.Observation("pipeline_metrics")
     Tables.lineitem(spark, dir)
