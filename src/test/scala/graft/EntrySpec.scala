@@ -1,0 +1,38 @@
+package graft
+
+/** The driver contract itself: entry() returns rows on sf0.001, every
+  * query has either an oracle or a documented rows-only status, and all
+  * oracle SQL references only driver-registered table names.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns rows on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; rows-only set is the documented one") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
+    val rowsOnly = q -- o
+    assert(rowsOnly == Set("q47_approx_distinct", "q48_approx_percentile", "q53_sample"),
+      s"unexpected rows-only queries: $rowsOnly")
+  }
+
+  test("oracle SQL references only the driver's table names") {
+    val known = Tables.names.toSet
+    val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
+    val cteOrAlias = Set("banded", "cand", "inter", "sizes", "losers", "sigs",
+      "ids", "sh", "toks", "vocab", "purchases", "signups", "errors", "all_ev",
+      "e", "flagged", "numbered", "m", "t", "a", "b", "g", "q", "c", "s", "x",
+      "p", "ia", "ib", "sa", "sb", "l", "r", "i", "d", "v", "va", "vb", "pairs",
+      "scored", "ranked", "open", "closed", "big",
+      "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
+        assert(known.contains(t) || cteOrAlias.contains(t),
+          s"$name references unknown table '$t'")
+      }
+    }
+  }
+}
