@@ -76,9 +76,19 @@ class GraftApp {
 
   /** Decode one spec's records: value/key/header deserialization + metadata
     * projection (A4-A6, A13). Adds `value_raw`/`key_raw`, replaces
-    * `value`/`key` with typed columns, adds `header_<name>` columns.
+    * `value`/`key` with typed columns, adds `header_<name>` columns, and a
+    * `__deser_failed` indicator derived from the ALREADY-decoded columns
+    * (A12/A20) — each record is decoded once; the DLQ/ok split filters on
+    * the indicator instead of re-invoking the serde (which for UDF-backed
+    * Avro/Protobuf codecs would multiply decode CPU on the hot path).
     */
   def decoded(spec: ConsumerSpec, records: DataFrame): DataFrame = {
+    val valueFailed =
+      spec.valueSerde.failureFromDecoded(col("value_raw"), col("value"))
+    val keyFailed = spec.keySerde match {
+      case Some(s) => s.failureFromDecoded(col("key_raw"), col("key"))
+      case None => lit(false)
+    }
     val base = records
       .filter(col("topic") === spec.topic)
       .withColumn("value_raw", col("value"))
@@ -86,22 +96,11 @@ class GraftApp {
       .withColumn("value", spec.valueSerde.deserialize(col("value")))
       .withColumn("key",
         spec.keySerde.map(_.deserialize(col("key"))).getOrElse(col("key")))
+      .withColumn("__deser_failed", valueFailed || keyFailed)
     spec.headerSerdes.foldLeft(base) { case (df, (name, serde)) =>
       df.withColumn(s"header_$name",
         serde.deserialize(element_at(col("headers"), name)))
     }
-  }
-
-  /** Rows whose value (or key, when a key serde is declared) failed to
-    * deserialize: declared-schema, fail-per-record semantics (A12/A20).
-    */
-  private def deserFailed(spec: ConsumerSpec): Column = {
-    val valueFailed = spec.valueSerde.failureIndicator(col("value_raw"))
-    val keyFailed = spec.keySerde match {
-      case Some(s) => s.failureIndicator(col("key_raw"))
-      case None => lit(false)
-    }
-    valueFailed || keyFailed
   }
 
   /** Route a batch of Kafka-shaped records (KafkaRecordIn schema) through
@@ -113,11 +112,11 @@ class GraftApp {
     require(specs.nonEmpty, "no consumers registered")
     val parts = specs.values.map { spec =>
       val dec = decoded(spec, records)
-      val failed = dec.filter(deserFailed(spec))
+      val failed = dec.filter(col("__deser_failed"))
         .select(col("topic"), col("partition"), col("offset"), col("timestamp"),
           col("value_raw"), col("key_raw"),
           lit("deserialization_error").as("error"))
-      val ok = dec.filter(!deserFailed(spec))
+      val ok = dec.filter(!col("__deser_failed")).drop("__deser_failed")
       val handled = spec.handler(ok)
       // 1 → 0-or-1 semantics (A15): handlers drop rows via filter; a null
       // value column after the handler also publishes nothing.

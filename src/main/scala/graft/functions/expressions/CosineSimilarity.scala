@@ -22,6 +22,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Length-mismatched inputs yield null regardless of child nullability, so
+  // this expression is always nullable. Without this override, non-nullable
+  // children would make nullSafeCodeGen emit `false = true;` for the mismatch
+  // branch (ev.isNull is the literal "false") — a Janino compile error that
+  // silently disables whole-stage codegen.
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(t: DataType): Boolean = t match {
       case ArrayType(FloatType | DoubleType, _) => true

@@ -87,7 +87,9 @@ object Joins {
     * buffered right row per key — no union-wide sort, no window state.
     * Output: left columns + `asof_<col>` for every right non-key column
     * (null when no prior right row exists). Rows with null keys/timestamps
-    * on the right are dropped; null-key left rows keep null matches.
+    * on the right are dropped; left rows with null keys or a null timestamp
+    * are kept and carry null matches (the exec checks the null slot instead
+    * of reading it as epoch 0).
     */
   def asofMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
                 leftTs: String, rightTs: String): DataFrame = {

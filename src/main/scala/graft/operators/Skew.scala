@@ -15,10 +15,19 @@ object Skew {
     * salt value. The join key becomes (key, salt), splitting each hot
     * key's rows across `factor` reducers. Row multiplicity is unchanged —
     * each big-side row matches exactly its salt's replica.
+    *
+    * Only inner and left(-outer) are supported: those preserve multiplicity
+    * because every big-side row sees exactly one replica per key. Right/full
+    * outer would emit `factor` copies of each unmatched small-side replica,
+    * so they are rejected rather than silently wrong.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  factor: Int, joinType: String = "inner"): DataFrame = {
     require(factor > 0)
+    val jt = joinType.toLowerCase.replace("_", "").replace("outer", "")
+    require(jt == "inner" || jt == "left",
+      s"saltedJoin supports inner/left join types only (got '$joinType'): " +
+        "outer-on-the-replicated-side would duplicate unmatched small rows")
     val salted = big.withColumn("__salt", (rand(seed = 42) * factor).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))

@@ -88,23 +88,32 @@ case class AsofJoinExec(
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTime = lTsProj(lRow).getLong(0)
         // Drop the remembered match when the key group changes.
         if (lastKey != null && keyOrdering.compare(lKey, lastKey) != 0) {
           lastRight = null
         }
         lastKey = lKey.copy()
-        // Advance right side: consume rows with smaller key, and same-key
-        // rows with ts <= left ts (remembering the most recent one).
-        var advancing = true
-        while (advancing && rIter.hasNext) {
-          val cmp = keyOrdering.compare(rKeyProj(rIter.head), lastKey)
-          if (cmp < 0) { rIter.next() } // behind: skip (its group is done)
-          else if (cmp == 0 && rTsProj(rIter.head).getLong(0) <= lTime) {
-            lastRight = rIter.next().copy()
-          } else advancing = false
+        val lTsRow = lTsProj(lRow)
+        if (lTsRow.isNullAt(0)) {
+          // A null left timestamp has no defined "prior" instant — emit the
+          // null match rather than reading the null slot as epoch 0 (which
+          // would spuriously match right rows with ts <= 1970-01-01). Nulls
+          // sort first, so not advancing the right iterator here is safe.
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lTime = lTsRow.getLong(0)
+          // Advance right side: consume rows with smaller key, and same-key
+          // rows with ts <= left ts (remembering the most recent one).
+          var advancing = true
+          while (advancing && rIter.hasNext) {
+            val cmp = keyOrdering.compare(rKeyProj(rIter.head), lastKey)
+            if (cmp < 0) { rIter.next() } // behind: skip (its group is done)
+            else if (cmp == 0 && rTsProj(rIter.head).getLong(0) <= lTime) {
+              lastRight = rIter.next().copy()
+            } else advancing = false
+          }
+          outProj(joined(lRow, if (lastRight == null) nullRight else lastRight))
         }
-        outProj(joined(lRow, if (lastRight == null) nullRight else lastRight))
       }
     }
   }

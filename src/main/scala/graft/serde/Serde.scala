@@ -25,7 +25,17 @@ trait Serde extends Serializable {
     * null (the UDF codecs return null on any codec exception).
     */
   def failureIndicator(raw: Column): Column =
-    raw.isNotNull && deserialize(raw).isNull
+    failureFromDecoded(raw, deserialize(raw))
+
+  /** Failure indicator derived from an ALREADY-decoded column, so the hot
+    * ingestion path decodes each record once and reuses the result — for
+    * UDF-backed codecs (Avro/Protobuf) re-invoking `deserialize` per filter
+    * would multiply decode CPU. Formats whose decode cannot signal failure
+    * through null (e.g. PERMISSIVE JSON's all-null struct) override this
+    * with a raw-based check instead.
+    */
+  def failureFromDecoded(raw: Column, decoded: Column): Column =
+    raw.isNotNull && decoded.isNull
 }
 
 /** UTF-8 string passthrough (reference StringSerializer,
@@ -77,4 +87,13 @@ final case class JsonSerde(schema: StructType) extends Serde {
         Map("columnNameOfCorruptRecord" -> "__corrupt"))
         .getField("__corrupt").isNotNull
   }
+
+  /** The decoded struct can't distinguish malformed input (all-null struct)
+    * from a legitimate all-null payload, so the corrupt-record parse of the
+    * raw bytes stays the failure source. `from_json` is a codegen'd Catalyst
+    * expression — cheap relative to a UDF round-trip — and subexpression
+    * elimination dedupes it within a projection.
+    */
+  override def failureFromDecoded(raw: Column, decoded: Column): Column =
+    failureIndicator(raw)
 }

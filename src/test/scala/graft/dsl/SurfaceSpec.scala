@@ -71,6 +71,19 @@ class SurfaceSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join supports left joins but rejects outer-on-replicated-side") {
+    val big = Seq((1, "a"), (9, "nomatch")).toDF("k", "v")
+    val small = Seq((1, "X"), (3, "Z")).toDF("k", "w")
+    val leftJoined = Skew.saltedJoin(big, small, "k", factor = 4, joinType = "left")
+      .select("k", "v", "w").collect()
+    assert(leftJoined.length == 2) // unmatched big row kept once, not 4x
+    assert(leftJoined.count(_.isNullAt(2)) == 1)
+    for (jt <- Seq("right", "full", "full_outer", "right_outer"))
+      intercept[IllegalArgumentException] {
+        Skew.saltedJoin(big, small, "k", factor = 4, joinType = jt)
+      }
+  }
+
   test("bucketed table join plans without exchange on the bucket key") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     TableLayout.saveBucketed(df, "t_bucketed_a", Seq("id"), 4)

@@ -34,6 +34,24 @@ class VectorExpressionSpec extends SparkSpec {
     assert(withNull.isNullAt(0))
   }
 
+  test("native cosine: non-nullable children + length mismatch stays in codegen") {
+    // Literal arrays are non-nullable children; without the nullable=true
+    // override the mismatch branch generates `false = true;` (Janino error)
+    // and codegen silently falls back to interpreted eval returning null
+    // from a declared-non-nullable expression.
+    val df = spark.range(1).select(
+      VectorFunctions.cosine(
+        array(lit(1.0), lit(2.0)), array(lit(1.0))).as("c"))
+    assert(df.schema("c").nullable, "mismatch can null a non-nullable-child input")
+    val row = df.collect()(0)
+    assert(row.isNullAt(0))
+    // matching lengths on the same non-nullable shape still computes
+    val ok = spark.range(1).select(
+      VectorFunctions.cosine(
+        array(lit(3.0), lit(4.0)), array(lit(4.0), lit(3.0)))).as[Double].collect()(0)
+    assert(math.abs(ok - 24.0 / 25.0) < 1e-15)
+  }
+
   test("native cosine works on double arrays and mixed float/double") {
     val df = Seq((Array(3.0, 4.0), Array(4.0f, 3.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()(0)

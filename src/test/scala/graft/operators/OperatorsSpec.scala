@@ -91,6 +91,19 @@ class OperatorsSpec extends SparkSpec {
     assert(byTag == Map("A" -> 100L, "B" -> 200L, "C" -> -1L, "D" -> -1L))
   }
 
+  test("custom AsofJoinExec: null left timestamp yields null match, not epoch-0") {
+    val l = Seq(
+      (1L, Some(ts("2024-01-01 12:00:00")), "with_ts"),
+      (1L, Option.empty[java.sql.Timestamp], "null_ts")
+    ).toDF("k", "t", "tag")
+    // right row at epoch start: a null left ts read as 0 would match it
+    val r = Seq((1L, ts("1969-12-31 00:00:00"), 100L)).toDF("k", "rt", "payload")
+    val out = Joins.asofMerge(l, r, Seq("k"), "t", "rt")
+    val byTag = out.collect().map(row => row.getAs[String]("tag") ->
+      row.isNullAt(row.fieldIndex("asof_payload"))).toMap
+    assert(byTag == Map("with_ts" -> false, "null_ts" -> true))
+  }
+
   test("custom RangeJoinExec matches the composed range join on real events") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
     val errors = ev.filter(col("event_type") === "error")

@@ -56,6 +56,18 @@ class KafkaIOSpec extends SparkSpec {
     assert(writes == 2)
   }
 
+  test("IdempotentSink markers resolve through Hadoop FileSystem URIs") {
+    // file:-scheme URI exercises the FileSystem path (the same resolution an
+    // hdfs:// or s3a:// checkpoint-colocated markerDir would take).
+    val dir = "file:" +
+      java.nio.file.Files.createTempDirectory("graft_sink_fs").toString
+    var writes = 0
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(IdempotentSink.writeOnce(dir, 1L, conf) { writes += 1 })
+    assert(!IdempotentSink.writeOnce(dir, 1L, conf) { writes += 1 })
+    assert(writes == 1)
+  }
+
   test("security + passthrough options map to kafka.-prefixed keys") {
     val conf = KafkaConfig(
       bootstrapServers = "b:9092",
