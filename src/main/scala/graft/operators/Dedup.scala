@@ -14,14 +14,15 @@ import org.apache.spark.sql.functions._
   *    by band signature and only bucket-mates are paired (the classic
   *    Broder '97 / MMDS ch.3 scheme), which is a key-partitioned shuffle
   *    join, not a cross join.
-  *  - All hashing is integer arithmetic over a deterministic token-id
-  *    dictionary (dense ranks of the distinct-shingle set), so results are
-  *    engine-reproducible (DuckDB-oracle-checkable) — no reliance on any
-  *    engine's private string hash.
+  *  - All hashing is integer arithmetic over content-derived token ids
+  *    ([[polyHash]]: a base-31 code-point fold both Spark and DuckDB
+  *    compute bit-identically), so results are engine-reproducible with
+  *    NO global vocabulary pass — no corpus-wide distinct, no
+  *    single-partition dictionary sort, no join back.
   *
-  * The token-id dictionary is itself a DataFrame, built with one distinct +
-  * window pass; at scale the dictionary is tiny relative to the corpus (it
-  * is vocabulary-sized) and broadcast-joins back to the exploded shingles.
+  * A dictionary path ([[shingleIds]]: dense ranks of the sorted distinct
+  * shingle set) is retained for collision-free ids where those are wanted;
+  * its vocabulary build is a global sort, so it is not the hot path.
   */
 object Dedup {
 
@@ -29,6 +30,37 @@ object Dedup {
     * a*id+b stays far from Long overflow for any realistic vocabulary.
     */
   val P: Long = 1000003L
+
+  /** Modulus of the polynomial shingle hash (2^31 - 1, prime): collisions
+    * over a realistic shingle vocabulary are negligible, and tid * a for
+    * the largest permutation multiplier stays far below Long overflow.
+    */
+  val M: Long = 2147483647L
+
+  /** Deterministic, engine-portable string hash: the classic base-31
+    * polynomial fold over code points, mod [[M]], exactly reproducible in
+    * ANSI SQL (DuckDB: list_reduce over unicode(char)) — so oracle-checked
+    * pipelines get content-derived token ids with NO global vocabulary
+    * pass: no distinct-over-the-corpus, no single-partition dictionary
+    * sort, no broadcast join. This is both the oracle-parity path and the
+    * 100 TB path (narrow, per-row, scales embarrassingly).
+    *
+    * Computed by the native codegen'd expression
+    * [[graft.functions.expressions.PolyHash]] (one tight loop over the
+    * UTF-8 bytes); [[polyHashViaHof]] is the built-ins-only formulation
+    * kept for parity testing.
+    */
+  def polyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.PolyHash(ColumnBridge.expression(s), M))
+  }
+
+  /** Same fold through built-in HOFs (allocates a per-char array per value —
+    * parity-test reference, not the hot path).
+    */
+  def polyHashViaHof(s: Column): Column =
+    aggregate(split(s, ""), lit(0L), (acc, c) => (acc * 31L + ascii(c)) % M)
 
   /** (a, b) parameters of the K hash permutations h_i(x) = (a*x + b) mod P.
     * Fixed primes: deterministic across runs and engines.
@@ -82,12 +114,33 @@ object Dedup {
 
   /** Scale-path shingle ids: tid = xxhash64(shingle) masked non-negative.
     * One narrow pass, no dictionary; not oracle-portable (Spark-specific
-    * hash) but the production choice for corpora whose vocabulary doesn't
-    * fit a broadcast.
+    * hash). Superseded by [[shingleIdsPoly]], which is equally
+    * dictionary-free but also engine-reproducible.
     */
   def shingleIdsHashed(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     explodedShingles(df, idCol, textCol, k)
       .select(col(idCol), (abs(xxhash64(col("shingle"))) % (P - 1) + 1).as("tid"))
+
+  /** Content-hashed shingle ids via [[polyHash]]: (id, tid) with
+    * set-or-bag semantics chosen by the caller.
+    *
+    * This replaces the dictionary path in every hot pipeline: tids come
+    * from the shingle text itself, so there is no global distinct, no
+    * sorted row_number dictionary (a single-partition window at corpus
+    * scale), and no join back. `distinct = false` skips the (id, tid)
+    * dedup shuffle entirely — correct whenever the consumer is
+    * duplicate-insensitive (MinHash's `min` is); set-based consumers
+    * (SimHash majority vote, Jaccard counts) take `distinct = true`,
+    * which shuffles compact 16-byte (id, tid) rows rather than strings.
+    */
+  def shingleIdsPoly(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, distinct: Boolean = true): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val sh = TextFunctions.shinglesOfTokens(col("__toks"), k)
+    val rows = toks.select(col(idCol), explode(sh).as("shingle"))
+      .select(col(idCol), polyHash(col("shingle")).as("tid"))
+    if (distinct) rows.distinct() else rows
+  }
 
   /** MinHash signatures: one row per id with columns h0..h{k-1}.
     * minhash_i = min over the doc's token ids of (a_i*tid + b_i) mod P.
@@ -197,7 +250,9 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 8,
                    rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val ids = shingleIds(df, idCol, textCol, k).persist()
+    // One distinct (id, tid) set feeds both signature build and Jaccard
+    // verify; content-hashed tids need no vocabulary pass.
+    val ids = shingleIdsPoly(df, idCol, textCol, k).persist()
     val sigs = minhashSignatures(ids, idCol, numHashes)
     val candidates = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
     jaccard(ids, idCol, candidates).filter(col("jaccard") >= threshold)

@@ -8,25 +8,35 @@ import org.apache.spark.sql.functions._
 /** Deduplication inventory over documents (SURVEY.md §2 B15 + the
   * training-data-pipeline ops): exact hash dedup, MinHash signatures,
   * LSH candidate pairs, SimHash, and exact n-gram Jaccard. All hashing is
-  * integer arithmetic over a deterministic shingle-id dictionary so the
-  * DuckDB oracle reproduces it bit-for-bit (see graft.operators.Dedup).
+  * integer arithmetic over content-derived shingle ids (Dedup.polyHash, a
+  * base-31 code-point fold) that DuckDB reproduces bit-for-bit — no
+  * vocabulary pass on either engine.
   */
 object DedupQueries extends QueryGroup {
 
   private val P = Dedup.P
+  private val M = Dedup.M
 
-  /** Shared oracle SQL prelude: exploded distinct 3-shingles + dense ids. */
-  private val ShingleCte = """
+  /** Shared oracle SQL prelude: exploded 3-shingles hashed to tids with the
+    * same polynomial fold Dedup.polyHash computes in Spark (unicode() ==
+    * ascii() per code point; list_prepend supplies the 0 seed). DISTINCT at
+    * the (doc_id, tid) level matches shingleIdsPoly(distinct = true).
+    */
+  private val ShingleCte = s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       sh AS (
-        SELECT DISTINCT doc_id,
+        SELECT doc_id,
           unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)),
             i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
         FROM toks),
-      vocab AS (
-        SELECT shingle, CAST(row_number() OVER (ORDER BY shingle) AS BIGINT) AS tid
-        FROM (SELECT DISTINCT shingle FROM sh)),
-      ids AS (SELECT doc_id, tid FROM sh JOIN vocab USING (shingle))"""
+      ids AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(shingle, ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_exact_dedup" -> { (s, d) =>
@@ -41,20 +51,22 @@ object DedupQueries extends QueryGroup {
     },
 
     "q37_minhash_signatures" -> { (s, d) =>
-      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text",
+        distinct = false) // min() is duplicate-insensitive: no dedup shuffle
       Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
         .orderBy(col("doc_id"))
     },
 
     "q38_lsh_pairs" -> { (s, d) =>
-      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text",
+        distinct = false)
       val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
       Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
     "q39_simhash" -> { (s, d) =>
-      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text")
       Dedup.simhash(ids, "doc_id", nBits = 16)
         .orderBy(col("doc_id"))
     },
@@ -62,7 +74,8 @@ object DedupQueries extends QueryGroup {
     "q41b_minhash_native" -> { (s, d) =>
       // Third path to the same signatures: the native
       // TypedImperativeAggregate (raw long-array buffer, no Encoder).
-      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text",
+        distinct = false)
       Dedup.minhashSignaturesNative(ids, "doc_id").orderBy(col("doc_id"))
     },
 
@@ -72,7 +85,8 @@ object DedupQueries extends QueryGroup {
       // k min() columns; the shuffle carries one array per doc.
       import org.apache.spark.sql.functions.udaf
       val agg = udaf(new graft.functions.MinHashAggregator(8))
-      val ids = Dedup.shingleIds(Tables.documents(s, d), "doc_id", "text")
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text",
+        distinct = false)
       val sigs = ids.groupBy(col("doc_id")).agg(agg(col("tid")).as("sig"))
       sigs.select(col("doc_id") +:
           (0 until 8).map(i => col("sig").getItem(i).as(s"h$i")): _*)
@@ -83,7 +97,7 @@ object DedupQueries extends QueryGroup {
       // Exact 3-gram Jaccard for consecutive doc pairs (a linear-size,
       // deterministic pair set; LSH pairs are checked separately in q38).
       val docs = Tables.documents(s, d)
-      val ids = Dedup.shingleIds(docs, "doc_id", "text")
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text")
       val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
         .join(docs.select(col("doc_id").as("id_b")), "id_b")
       Dedup.jaccard(ids, "doc_id", pairs)

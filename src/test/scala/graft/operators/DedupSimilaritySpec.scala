@@ -31,6 +31,26 @@ class DedupSimilaritySpec extends SparkSpec {
       toMap(Dedup.minhashSignatures(ids, "doc_id")))
   }
 
+  test("polyHash matches a reference base-31 code-point fold") {
+    val samples = Seq("the quick brown", "a b c", "é 中 x", "single")
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((acc, c) => (acc * 31 + c) % Dedup.M)
+    val got = samples.toDF("s")
+      .select(col("s"), Dedup.polyHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    samples.foreach(s => assert(got(s) == ref(s), s"mismatch for '$s'"))
+  }
+
+  test("poly shingle ids: bag vs set form give identical minhash signatures") {
+    def sigMap(ids: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignatures(ids, "doc_id").collect()
+        .map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val bag = sigMap(Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false))
+    val set = sigMap(Dedup.shingleIdsPoly(docs, "doc_id", "text"))
+    assert(bag == set, "min() is duplicate-insensitive")
+    assert(bag(0L) == bag(1L) && bag(0L) != bag(3L))
+  }
+
   test("hashed shingle ids (scale path) preserve dup/near-dup structure") {
     val ids = Dedup.shingleIdsHashed(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignatures(ids, "doc_id")
