@@ -16,7 +16,7 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     RelationalQueries, AnalyticQueries, EventQueries,
     TextQueries, DedupQueries, SimilarityQueries,
-    MultimodalQueries, ApproxQueries, ExtraQueries)
+    MultimodalQueries, ApproxQueries, ExtraQueries, VariantQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -97,3 +97,24 @@ final case class JsonSerde(schema: StructType) extends Serde {
   override def failureFromDecoded(raw: Column, decoded: Column): Column =
     failureIndicator(raw)
 }
+
+/** Schemaless JSON via Spark 4's VARIANT type (the reference JsonSerializer's
+  * no-model path, kaflow `serializers.py:60-71` with a plain-`dict` handler
+  * param): payloads keep their full structure without a declared StructType,
+  * fields are extracted lazily with `variant_get(col, "$.path", type)`.
+  *
+  * Variant stores a parsed binary form (typed values + a field dictionary),
+  * so repeated path extraction does NOT re-parse the JSON text the way
+  * repeated `get_json_object` calls do — the right default for pipelines
+  * whose consumers each read a few fields of a wide, evolving payload.
+  *
+  * `try_parse_json` yields null on malformed input, so the default
+  * null-on-failure DLQ indicator applies unchanged.
+  */
+object VariantSerde extends Serde {
+  val dataType: DataType = org.apache.spark.sql.types.VariantType
+  def deserialize(bytes: Column): Column = try_parse_json(bytes.cast("string"))
+  /** Fail-the-job variant (`parse_json` throws on malformed input). */
+  def deserializeStrict(bytes: Column): Column = parse_json(bytes.cast("string"))
+  def serialize(value: Column): Column = to_json(value).cast("binary")
+}

@@ -147,4 +147,37 @@ class SerdeSpec extends SparkSpec {
     assert(decoded.getAs[Long]("n") == 300L)
     assert(!decoded.getAs[Boolean]("flag")) // proto3 default
   }
+
+  test("VariantSerde: schemaless path extraction, round trip, DLQ on malformed") {
+    val df = Seq(
+      """{"a": {"b": 7}, "tags": [1, "two", null]}""",
+      """not json at all""").toDF("s")
+      .select(col("s").cast("binary").as("raw"))
+    val decoded = df.select(col("raw"),
+      VariantSerde.deserialize(col("raw")).as("v"))
+
+    val good = decoded.filter(!VariantSerde.failureFromDecoded(col("raw"), col("v")))
+      .select(
+        variant_get(col("v"), "$.a.b", "long").as("ab"),
+        variant_get(col("v"), "$.tags[1]", "string").as("t1"),
+        is_variant_null(variant_get(col("v"), "$.tags[2]", "variant")).as("t2null"),
+        try_variant_get(col("v"), "$.nope", "long").as("nope"))
+      .collect()
+    assert(good.length == 1)
+    assert(good(0).getLong(0) == 7L)
+    assert(good(0).getString(1) == "two")
+    assert(good(0).getBoolean(2))
+    assert(good(0).isNullAt(3))
+
+    // Malformed payload trips the default null-on-failure DLQ indicator.
+    val bad = decoded.filter(VariantSerde.failureFromDecoded(col("raw"), col("v")))
+      .select(col("raw").cast("string")).collect()
+    assert(bad.map(_.getString(0)).toSeq == Seq("not json at all"))
+
+    // serialize(deserialize(x)) is valid JSON preserving structure.
+    val back = decoded.filter(col("v").isNotNull)
+      .select(VariantSerde.serialize(col("v")).cast("string").as("js"))
+      .collect()(0).getString(0)
+    assert(back.contains("\"b\":7") && back.contains("\"two\""))
+  }
 }
