@@ -163,6 +163,21 @@ object ExtraQueries extends QueryGroup {
           Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    "q65_percentile_dist" -> { (s, d) =>
+      // q50's exact percentiles through the distributed operator
+      // (operators.Percentiles): no per-group value collection — the same
+      // oracle proves result parity with the single-reducer built-in.
+      val li = Tables.lineitem(s, d)
+      val ep = graft.operators.Percentiles.percentileContWide(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "p50", 0.95 -> "p95"))
+      val qt = graft.operators.Percentiles.percentileContWide(
+        li, "l_returnflag", "l_quantity", Seq(0.25 -> "q1_qty"))
+      val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      ep.join(qt, "l_returnflag").join(n, "l_returnflag")
+        .select(col("l_returnflag"), col("p50"), col("p95"), col("q1_qty"), col("n"))
+        .orderBy(col("l_returnflag"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -176,6 +191,14 @@ object ExtraQueries extends QueryGroup {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "q50_percentile_exact" -> """
+      SELECT l_returnflag,
+        quantile_cont(l_extendedprice, 0.5) AS p50,
+        quantile_cont(l_extendedprice, 0.95) AS p95,
+        quantile_cont(l_quantity, 0.25) AS q1_qty,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q65_percentile_dist" -> """
       SELECT l_returnflag,
         quantile_cont(l_extendedprice, 0.5) AS p50,
         quantile_cont(l_extendedprice, 0.95) AS p95,

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Distributed exact percentile vs the built-in single-reducer aggregate:
+  * results must be bit-identical (same interpolation arithmetic) on every
+  * shape — few groups, many groups, duplicates, single-element groups,
+  * values split across many partitions.
+  */
+class PercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def builtIn(df: org.apache.spark.sql.DataFrame, p: Double) =
+    df.groupBy("k").agg(expr(s"percentile(v, $p)").as("exp"))
+      .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+
+  private def dist(df: org.apache.spark.sql.DataFrame, p: Double) =
+    Percentiles.percentileCont(df, "k", "v", Seq(p))
+      .collect().map(r => r.get(0) -> r.getDouble(2)).toMap
+
+  test("matches built-in percentile bitwise across group shapes") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      val k = s"g${i % 7}"
+      val v = math.floor(rnd.nextDouble() * 1000) / 4.0 // many duplicates
+      (k, v)
+    } :+ (("singleton", 42.25))
+    val df = rows.toDF("k", "v").repartition(13)
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 0.95, 1.0)) {
+      val exp = builtIn(df, p)
+      val got = dist(df, p)
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (k, e) =>
+        assert(java.lang.Double.doubleToLongBits(got(k)) ==
+          java.lang.Double.doubleToLongBits(e), s"p=$p key=$k: ${got(k)} != $e")
+      }
+    }
+  }
+
+  test("multiple percentiles in one pass; nulls ignored like the built-in") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)),
+      ("a", Some(2.0)), ("b", Some(10.0)))
+      .toDF("k", "v")
+    val wide = Percentiles.percentileContWide(df, "k", "v",
+      Seq(0.5 -> "p50", 1.0 -> "p100"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(wide("a") == ((2.0, 3.0)))
+    assert(wide("b") == ((10.0, 10.0)))
+  }
+
+  test("group spanning many range partitions gets correct global ranks") {
+    // One dominant key whose values are spread over every partition: the
+    // per-partition offset bookkeeping must stitch ranks back together.
+    val df = (1 to 100000).map(i => ("hot", i.toDouble))
+      .toDF("k", "v").repartition(32)
+    val got = dist(df, 0.5)
+    // 1 + 0.5*(100000-1) = 50000.5 -> (50000 + 50001)/2
+    assert(got("hot") == 50000.5)
+  }
+}
