@@ -113,6 +113,69 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF top-k with a PROVIDED coarse quantizer — the oracle-checkable IVF.
+    *
+    * [[ivfTopK]] trains its quantizer with k-means (engine-specific, so its
+    * correctness is recall-tested, not hash-checked). In production the
+    * coarse quantizer is usually trained once offline and reused; this
+    * variant takes those centroids as a (cell, cv) DataFrame and the whole
+    * pipeline becomes deterministic relational algebra that a SQL oracle
+    * reproduces exactly:
+    *
+    *  - centroids are nlist-sized by definition → collected once into a
+    *    single array literal, so corpus cell assignment is a NARROW map
+    *    (an `aggregate` HOF argmin per row — no shuffle, no join);
+    *  - distances use d = <c,c> - 2<v,c> with the same sequential dot fold
+    *    as DuckDB's `list_dot_product`, so argmin ties and all are
+    *    bit-identical across engines (ties break to the lowest cell id);
+    *  - queries probe their `nprobe` closest cells; candidates join on the
+    *    cell id (broadcast, queries are the small side).
+    */
+  def ivfTopKFixed(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                   idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents: Seq[(Long, Seq[Double])] = centroids
+      .select(col("cell").cast("long"), toDouble(col("cv")))
+      .orderBy(col("cell"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val centArr = typedLit(cents)
+
+    def centDist(v: Column, cv: Column): Column =
+      dot(cv, cv) - lit(2.0) * dot(v, cv)
+
+    // Narrow argmin over the centroid literal; strict `<` keeps the first
+    // (= lowest cell id, the array is cell-sorted) on exact ties, matching
+    // the oracle's ORDER BY d, cell.
+    def bestCell(v: Column): Column =
+      aggregate(centArr,
+        struct(lit(-1L).as("cell"), lit(Double.MaxValue).as("d")),
+        (acc, c) => {
+          val dist = centDist(v, c.getField("_2"))
+          when(dist < acc.getField("d"),
+            struct(c.getField("_1").as("cell"), dist.as("d"))).otherwise(acc)
+        }).getField("cell")
+
+    val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      bestCell(col(vecCol)).as("cell"))
+
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("d"), col("cell"))
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), explode(centArr).as("c"))
+      .select(col("query_id"), col("qv"), col("c._1").as("cell"),
+        centDist(col("qv"), col("c._2")).as("d"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+
+    val scored = assigned.join(broadcast(probed), "cell")
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Cosine similarity for explicit id pairs (near-dup checking). */
   def pairCosine(vectors: DataFrame, idCol: String, vecCol: String,
                  pairs: DataFrame): DataFrame = {

@@ -52,6 +52,22 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("id_a"))
     },
 
+    "q66_ann_ivf" -> { (s, d) =>
+      // IVF with a fixed coarse quantizer (every 50th vector): cell
+      // assignment is a narrow argmin map, probes hit nprobe=2 cells —
+      // the full inverted-file pipeline under an exact SQL oracle.
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cv"))
+      val queries = emb.filter(col("vec_id") < 10)
+      val corpus = emb.filter(col("vec_id") >= 10)
+      Similarity.ivfTopKFixed(corpus, queries, cents, "vec_id", "embedding",
+          k = 3, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("cosine"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "q44_vector_stats" -> { (s, d) =>
       // Per-label centroid norms — aggregation over vector columns using
       // position-wise sums (exact integer count + sequential-fold norm).
@@ -119,5 +135,35 @@ object SimilarityQueries extends QueryGroup {
       SELECT label, count(*) AS n,
         min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS min_norm,
         max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS max_norm
-      FROM embeddings GROUP BY label ORDER BY label""")
+      FROM embeddings GROUP BY label ORDER BY label""",
+
+    "q66_ann_ivf" -> s"""
+      WITH cent AS (
+        SELECT CAST(vec_id AS BIGINT) AS cell, CAST(embedding AS DOUBLE[]) AS mv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 10),
+      cdist AS (
+        SELECT neighbor_id, cv, cell,
+          row_number() OVER (PARTITION BY neighbor_id ORDER BY
+            (list_dot_product(mv, mv) - 2 * list_dot_product(cv, mv)), cell) AS rn
+        FROM c CROSS JOIN cent),
+      assigned AS (SELECT neighbor_id, cv, cell FROM cdist WHERE rn = 1),
+      qdist AS (
+        SELECT query_id, qv, cell,
+          row_number() OVER (PARTITION BY query_id ORDER BY
+            (list_dot_product(mv, mv) - 2 * list_dot_product(qv, mv)), cell) AS rn
+        FROM q CROSS JOIN cent),
+      probed AS (SELECT query_id, qv, cell FROM qdist WHERE rn <= 2),
+      scored AS (
+        SELECT query_id, neighbor_id, $CosSql AS cosine
+        FROM assigned JOIN probed USING (cell)),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, cosine FROM ranked
+      WHERE rank <= 3 ORDER BY query_id, rank""")
 }

@@ -118,6 +118,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall was $recall") // nprobe=half the cells
   }
 
+  test("fixed-quantizer IVF: every result is the true cosine, ranks contiguous") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").cast("long").as("cell"), col("embedding").as("cv"))
+    val out = Similarity.ivfTopKFixed(corpus, queries, cents,
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1 to rows.length))
+      // ranks ordered by descending cosine
+      assert(rows.sortBy(_._2).map(_._4).toSeq ==
+        rows.map(_._4).sorted(Ordering[Double].reverse).toSeq)
+    }
+    // spot-check one cosine against the native expression on the same pair
+    val (q0, _, n0, c0) = out.minBy(r => (r._1, r._2))
+    val expect = emb.filter(col("vec_id") === q0).select(col("embedding").as("a"))
+      .crossJoin(emb.filter(col("vec_id") === n0).select(col("embedding").as("b")))
+      .select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()(0)
+    assert(c0 == expect)
+  }
+
   test("cosine matches an independently computed value") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
