@@ -27,6 +27,53 @@ object AsyncApiDoc {
       s""""channels": {${channels.mkString(", ")}}}"""
   }
 
+  /** AsyncAPI 3.0 document: channels + operations split (the 3.0 shape),
+    * with payload schemas deduplicated into components/schemas — every
+    * channel's message payload is a `$ref`, and structurally identical
+    * serde schemas (a fan-out re-publishing its input type, two topics
+    * sharing one model) are emitted exactly once.
+    */
+  def renderV3(app: GraftApp, title: String, version: String): String = {
+    // Structural dedup: rendered-schema string -> component name.
+    val schemaNames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def refFor(topic: String, schema: String): String = {
+      val name = schemaNames.getOrElseUpdate(schema, s"${sanitize(topic)}Payload")
+      s"""{"$$ref": "#/components/schemas/$name"}"""
+    }
+    val BinarySchema = """{"type": "string", "format": "binary"}"""
+
+    // One channel per topic; a topic that is both someone's sink and
+    // someone's source keeps the source's (authoritative) payload schema.
+    val channels = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val operations = scala.collection.mutable.ListBuffer.empty[String]
+    app.topics.foreach { t =>
+      val spec = app.spec(t)
+      channels.update(t, refFor(t, jsonSchema(spec.valueSerde.dataType)))
+      operations += s"""${q(s"recv_$t")}: {"action": "receive", "channel": {"$$ref": ${q(s"#/channels/$t")}}}"""
+      spec.sinkTopics.foreach { st =>
+        val payload = spec.outValueSerde.map(s => jsonSchema(s.dataType))
+          .getOrElse(BinarySchema)
+        if (!channels.contains(st)) channels.update(st, refFor(st, payload))
+        operations += s"""${q(s"send_$st")}: {"action": "send", "channel": {"$$ref": ${q(s"#/channels/$st")}}}"""
+      }
+    }
+
+    val channelJson = channels.map { case (t, ref) =>
+      s"""${q(t)}: {"address": ${q(t)}, "messages": {"message": {"payload": $ref}}}"""
+    }.mkString(", ")
+    val componentJson = schemaNames.map { case (schema, name) =>
+      s"${q(name)}: $schema"
+    }.mkString(", ")
+
+    s"""{"asyncapi": "3.0.0", "info": {"title": ${q(title)}, "version": ${q(version)}}, """ +
+      s""""channels": {$channelJson}, """ +
+      s""""operations": {${operations.mkString(", ")}}, """ +
+      s""""components": {"schemas": {$componentJson}}}"""
+  }
+
+  private def sanitize(s: String): String =
+    s.map(c => if (c.isLetterOrDigit) c else '_')
+
   /** Spark type → JSON Schema fragment. */
   def jsonSchema(t: DataType): String = t match {
     case StringType => """{"type": "string"}"""

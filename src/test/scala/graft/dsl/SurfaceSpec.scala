@@ -61,6 +61,40 @@ class SurfaceSpec extends SparkSpec {
     assert(doc.contains("\"user_id\": {\"type\": \"integer\"}"))
   }
 
+  test("AsyncAPI 3.0 doc dedups identical payload schemas into components") {
+    val clickSchema = StructType(Seq(
+      StructField("user_id", LongType, nullable = false),
+      StructField("url", StringType)))
+    val app = new GraftApp()
+      .consume(ConsumerSpec(
+        topic = "user_clicks", sinkTopics = Seq("clicks_out"),
+        valueSerde = JsonSerde(clickSchema),
+        outValueSerde = Some(JsonSerde(clickSchema)))) // same shape re-published
+      .consume(ConsumerSpec(
+        topic = "page_views", sinkTopics = Nil,
+        valueSerde = JsonSerde(clickSchema))) // identical model, second topic
+    val doc = AsyncApiDoc.renderV3(app, "graft app", "1.0.0")
+
+    // Syntactically valid JSON (jackson ships with Spark).
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper().readTree(doc)
+    assert(tree.get("asyncapi").asText() == "3.0.0")
+
+    // Three channels, but ONE deduped schema component, referenced thrice.
+    assert(tree.get("channels").size() == 3)
+    val comps = tree.get("components").get("schemas")
+    assert(comps.size() == 1 && comps.has("user_clicksPayload"))
+    val refs = doc.sliding("#/components/schemas/user_clicksPayload".length)
+      .count(_ == "#/components/schemas/user_clicksPayload")
+    assert(refs == 3)
+
+    // 3.0 shape: operations split from channels, channel $refs.
+    val ops = tree.get("operations")
+    assert(ops.get("recv_user_clicks").get("action").asText() == "receive")
+    assert(ops.get("send_clicks_out").get("action").asText() == "send")
+    assert(ops.get("recv_user_clicks").get("channel").get("$ref").asText()
+      == "#/channels/user_clicks")
+  }
+
   test("salted join preserves row multiplicity and join semantics") {
     val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
     val small = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "w")
