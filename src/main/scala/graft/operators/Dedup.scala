@@ -142,6 +142,40 @@ object Dedup {
     if (distinct) rows.distinct() else rows
   }
 
+  /** Per-row MinHash signature as a single array<long> column — fully
+    * NARROW: shingles, content hashing, and the k permutation-minimums are
+    * all higher-order functions over the row's own text, so there is no
+    * explode, no shuffle, and no aggregation. Identical values to the
+    * aggregated paths (min over the same tid multiset under the same
+    * permutations — duplicates don't affect min), proven by the shared
+    * q37 oracle.
+    *
+    * This is the signature path for STREAMING (per-record, append-mode
+    * safe, no stateful agg needed) and for pipelines that want signatures
+    * as a projection rather than a reduction. Documents with fewer than k
+    * tokens yield null elements (empty shingle set) — filter upstream.
+    */
+  def minhashSignatureCol(textCol: Column, numHashes: Int = 8, k: Int = 3): Column = {
+    val tids = transform(
+      TextFunctions.shinglesOfTokens(split(textCol, " "), k),
+      s => polyHash(s))
+    array(hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(tids, t => (t * a + b) % P))
+    }: _*)
+  }
+
+  /** LSH band keys from a signature array: band b's key is
+    * "b_h(b*r)_..._h(b*r+r-1)" — the band index is embedded so buckets
+    * never collide across bands and the whole banded structure is ONE
+    * string key (the shape a streaming state store or a single-column
+    * shuffle wants).
+    */
+  def bandKeysCol(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    array((0 until numHashes / rowsPerBand).map { b =>
+      concat_ws("_", (lit(b) +: (0 until rowsPerBand).map(i =>
+        element_at(sig, b * rowsPerBand + i + 1))): _*)
+    }: _*)
+
   /** MinHash signatures: one row per id with columns h0..h{k-1}.
     * minhash_i = min over the doc's token ids of (a_i*tid + b_i) mod P.
     * Single hash-aggregate over the exploded shingle-id table — partial

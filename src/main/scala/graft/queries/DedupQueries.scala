@@ -65,6 +65,19 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q67_minhash_narrow" -> { (s, d) =>
+      // Fourth path to the same signature table: the fully NARROW per-row
+      // form (HOFs only — no explode, no shuffle, no aggregation), the
+      // signature path streaming ingest uses. Same oracle as q37/q41a/q41b.
+      val docs = Tables.documents(s, d)
+      docs.filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          Dedup.minhashSignatureCol(col("text"), numHashes = 8).as("sig"))
+        .select(col("doc_id") +:
+          (0 until 8).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+        .orderBy(col("doc_id"))
+    },
+
     "q39_simhash" -> { (s, d) =>
       val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text")
       Dedup.simhash(ids, "doc_id", nBits = 16)
@@ -138,6 +151,9 @@ object DedupQueries extends QueryGroup {
       minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
         "FROM sigs ORDER BY doc_id"),
     "q41b_minhash_native" ->
+      minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
+        "FROM sigs ORDER BY doc_id"),
+    "q67_minhash_narrow" ->
       minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
         "FROM sigs ORDER BY doc_id"),
 

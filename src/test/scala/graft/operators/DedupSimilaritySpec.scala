@@ -51,6 +51,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bag(0L) == bag(1L) && bag(0L) != bag(3L))
   }
 
+  test("narrow per-row signature equals the aggregated signature") {
+    val agg = Dedup.minhashSignatures(
+        Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false), "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val narrow = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.minhashSignatureCol(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(narrow == agg)
+  }
+
   test("hashed shingle ids (scale path) preserve dup/near-dup structure") {
     val ids = Dedup.shingleIdsHashed(docs, "doc_id", "text")
     val sigs = Dedup.minhashSignatures(ids, "doc_id")

@@ -184,6 +184,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: candidate pairs emitted across micro-batches") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { streamingNearDupBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def streamingNearDupBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val cands = NearDupStream.candidates(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = cands.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      // Batch 1: two distinct docs — no candidates yet.
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely different words about spark execution engines here"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_stream").count() == 0)
+
+      // Batch 2: a near-copy of doc 1 arrives LATER — must pair with the
+      // historical doc via the band-bucket state, plus an unrelated doc.
+      input.addData(
+        (3L, "the quick brown fox jumps over the lazy dog today"),
+        (4L, "unrelated text with zero shared shingles in it at all"))
+      q.processAllAvailable()
+      val pairs = spark.table("neardup_stream")
+        .select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 3L)), s"expected (1,3) in $pairs")
+      assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+
+      // Batch 3: exact duplicate of doc 1 pairs with BOTH 1 and 3.
+      input.addData((5L, "the quick brown fox jumps over the lazy dog tonight"))
+      q.processAllAvailable()
+      val pairs2 = spark.table("neardup_stream")
+        .select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+      assert(pairs2.contains((1L, 5L)) && pairs2.contains((3L, 5L)))
+    } finally q.stop()
+  }
+
   test("runningSessions tracks per-user session state across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
