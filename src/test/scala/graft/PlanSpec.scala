@@ -74,4 +74,33 @@ class PlanSpec extends SparkSpec {
     // only the final orderBy (for the deterministic oracle) may exchange
     assert(countShuffles(p) <= 1, s"kaflow-surface pipeline must not shuffle:\n$p")
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    import org.apache.spark.sql.functions._
+    // A selective dimension filter on a SHUFFLE join (broadcast disabled)
+    // should inject a bloom filter on the fact side, so fact rows that
+    // cannot match are dropped at the scan, before the exchange — at 100 TB
+    // this is the difference between shuffling the full fact table and
+    // shuffling the matching slice.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = Tables.orders(spark, dir)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      val li = Tables.lineitem(spark, dir)
+      val joined = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val s = joined.queryExecution.executedPlan.toString
+      assert(s.contains("bloom_filter") || s.contains("BloomFilter"),
+        s"bloom filter not injected:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

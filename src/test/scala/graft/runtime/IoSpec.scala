@@ -96,4 +96,20 @@ class IoSpec extends SparkSpec {
       .collect()(0).getDouble(0)
     assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
   }
+
+  test("HLL sketches merge to the same estimate as a direct global sketch") {
+    val o = Tables.orders(spark, dir)
+    val exact = o.select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    // Per-group sketches union-merged == one global sketch (mergeability),
+    // and both land within 5% of exact.
+    val merged = o.groupBy(col("o_orderstatus"))
+      .agg(hll_sketch_agg(col("o_custkey")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .collect()(0).getLong(0)
+    val direct = o.agg(hll_sketch_estimate(hll_sketch_agg(col("o_custkey"))))
+      .collect()(0).getLong(0)
+    assert(merged == direct, s"merge-invariance: $merged != $direct")
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"est=$merged exact=$exact")
+  }
 }
