@@ -1,9 +1,10 @@
 package graft
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, PolyHash}
+import graft.operators.Dedup
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions. Activate with
@@ -19,6 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_similarity(a, b) takes 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("poly_hash"),
+      new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => PolyHash(s, Dedup.M)
+        case Seq(s, Literal(m: Long, _)) => PolyHash(s, m)
+        case _ => throw new IllegalArgumentException(
+          "poly_hash(str[, mod]) takes a string and an optional long literal modulus")
       }))
   }
 }

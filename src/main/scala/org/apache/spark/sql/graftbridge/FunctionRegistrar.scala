@@ -1,6 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
-import graft.functions.expressions.CosineSimilarity
+import graft.functions.expressions.{CosineSimilarity, PolyHash}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.SparkSession
 
@@ -16,6 +17,15 @@ object FunctionRegistrar {
       exprs => {
         require(exprs.length == 2, "cosine_similarity(a, b) takes 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash",
+      {
+        case Seq(s) => PolyHash(s, graft.operators.Dedup.M)
+        case Seq(s, Literal(m: Long, _)) => PolyHash(s, m)
+        case _ => throw new IllegalArgumentException(
+          "poly_hash(str[, mod]) takes a string and an optional long literal modulus")
       },
       "built-in")
   }

@@ -91,6 +91,17 @@ class StreamingSpec extends SparkSpec {
     assert(math.abs(c - 0.96) < 1e-15)
   }
 
+  test("poly_hash registers as a SQL function and matches the Column API") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val viaSql = spark.sql("SELECT poly_hash('the quick brown') AS h")
+      .collect()(0).getLong(0)
+    val viaCol = Seq("the quick brown").toDF("s")
+      .select(graft.operators.Dedup.polyHash(col("s"))).collect()(0).getLong(0)
+    assert(viaSql == viaCol)
+    val custom = spark.sql("SELECT poly_hash('abc', 97L) AS h").collect()(0).getLong(0)
+    assert(custom == ((((('a'.toLong % 97) * 31 + 'b') % 97) * 31 + 'c') % 97))
+  }
+
   test("file-based streaming source processes a directory with AvailableNow") {
     val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
     import spark.implicits._
