@@ -15,7 +15,8 @@ class EntrySpec extends SparkSpec {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
     val rowsOnly = q -- o
-    assert(rowsOnly == Set("q47_approx_distinct", "q48_approx_percentile", "q53_sample"),
+    assert(rowsOnly == Set("q47_approx_distinct", "q48_approx_percentile",
+        "q53_sample", "q68_hll_sketch"),
       s"unexpected rows-only queries: $rowsOnly")
   }
 
@@ -26,7 +27,8 @@ class EntrySpec extends SparkSpec {
       "ids", "sh", "toks", "vocab", "purchases", "signups", "errors", "all_ev",
       "e", "flagged", "numbered", "m", "t", "a", "b", "g", "q", "c", "s", "x",
       "p", "ia", "ib", "sa", "sb", "l", "r", "i", "d", "v", "va", "vb", "pairs",
-      "scored", "ranked", "open", "closed", "big",
+      "scored", "ranked", "open", "closed", "big", "cent", "cdist", "qdist",
+      "assigned", "probed", "j",
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
