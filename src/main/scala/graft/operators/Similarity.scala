@@ -142,17 +142,17 @@ object Similarity {
     def centDist(v: Column, cv: Column): Column =
       dot(cv, cv) - lit(2.0) * dot(v, cv)
 
-    // Narrow argmin over the centroid literal; strict `<` keeps the first
-    // (= lowest cell id, the array is cell-sorted) on exact ties, matching
-    // the oracle's ORDER BY d, cell.
-    def bestCell(v: Column): Column =
-      aggregate(centArr,
-        struct(lit(-1L).as("cell"), lit(Double.MaxValue).as("d")),
-        (acc, c) => {
-          val dist = centDist(v, c.getField("_2"))
-          when(dist < acc.getField("d"),
-            struct(c.getField("_1").as("cell"), dist.as("d"))).otherwise(acc)
-        }).getField("cell")
+    // Narrow argmin over the centroid literal — the native fused
+    // [[graft.functions.expressions.NearestCentroid]] kernel (one codegen'd
+    // loop nest; the interpreted HOF formulation allocates zip_with arrays
+    // per centroid per row). Strict `<` keeps the first (= lowest cell id,
+    // the array is cell-sorted) on exact ties, matching the oracle's
+    // ORDER BY d, cell.
+    def bestCell(v: Column): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.expressions.NearestCentroid(
+        ColumnBridge.expression(v), ColumnBridge.expression(centArr)))
+    }
 
     val assigned = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       bestCell(col(vecCol)).as("cell"))
