@@ -261,6 +261,20 @@ object Dedup {
     sums.select(col(idCol), hash.as("simhash"))
   }
 
+  /** Per-row SimHash via the native fused kernel
+    * [[graft.functions.expressions.SimHash]]: shingle hashing, in-row
+    * distinct, and the per-bit majority vote in one codegen'd pass — no
+    * explode, no distinct shuffle, no nBits-column aggregate. Bit-identical
+    * to [[simhash]] over `shingleIdsPoly(distinct = true)` (integer vote
+    * sums are order-independent), proven by the shared q39 oracle.
+    * Documents with fewer than k tokens yield null — filter upstream.
+    */
+  def simhashCol(textCol: Column, nBits: Int = 16, k: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.SimHash(
+      ColumnBridge.expression(textCol), nBits, k))
+  }
+
   /** Exact n-gram Jaccard similarity between chosen id pairs.
     * `pairs` must have columns (id_a, id_b). Shuffle-join on tid: the
     * intersection size comes from a join of the two shingle-id sets, union

@@ -79,8 +79,12 @@ object DedupQueries extends QueryGroup {
     },
 
     "q39_simhash" -> { (s, d) =>
-      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text")
-      Dedup.simhash(ids, "doc_id", nBits = 16)
+      // Native fused kernel (one narrow pass; in-row distinct) — the
+      // aggregated set-table form (Dedup.simhash) computes the identical
+      // hash and is parity-tested in DedupSimilaritySpec.
+      Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"), Dedup.simhashCol(col("text"), nBits = 16).as("simhash"))
         .orderBy(col("doc_id"))
     },
 

@@ -68,6 +68,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hof == agg)
   }
 
+  test("native simhash kernel equals the aggregated set-table form") {
+    val agg = Dedup.simhash(
+        Dedup.shingleIdsPoly(docs, "doc_id", "text"), "doc_id", nBits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrow = docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.simhashCol(col("text"), nBits = 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrow == agg)
+    // a doc with heavy internal repetition exercises the in-row distinct
+    val rep = Seq((0L, Seq.fill(50)("spark dedup engine").mkString(" ")),
+        (1L, "spark dedup engine spark dedup engine spark"))
+      .toDF("doc_id", "text")
+    val aggRep = Dedup.simhash(
+        Dedup.shingleIdsPoly(rep, "doc_id", "text"), "doc_id", nBits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrowRep = rep.select(col("doc_id"),
+        Dedup.simhashCol(col("text"), nBits = 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrowRep == aggRep)
+  }
+
   test("native signature edge cases: unicode, repeated spaces, short docs") {
     val df = Seq(
       (1L, "é 中 x y"),            // multibyte code points
