@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, PolyHash}
+import graft.functions.expressions.{CosineSimilarity, MinHashSignature, PolyHash, SimHash}
 import graft.operators.Dedup
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -30,5 +30,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "poly_hash(str[, mod]) takes a string and an optional long literal modulus")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.withIntArgs("minhash_signature", children, 8, 3)(MinHashSignature.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash"),
+      new ExpressionInfo(classOf[SimHash].getName, "simhash"),
+      (children: Seq[Expression]) =>
+        GraftExtensions.withIntArgs("simhash", children, 16, 3)(SimHash.apply)))
+  }
+}
+
+object GraftExtensions {
+  /** Builder for `fn(str[, n[, k]])` signatures with int-literal options. */
+  def withIntArgs(name: String, children: Seq[Expression],
+      defaultN: Int, defaultK: Int)(
+      build: (Expression, Int, Int) => Expression): Expression = children match {
+    case Seq(s) => build(s, defaultN, defaultK)
+    case Seq(s, Literal(n: Int, _)) => build(s, n, defaultK)
+    case Seq(s, Literal(n: Int, _), Literal(k: Int, _)) => build(s, n, k)
+    case _ => throw new IllegalArgumentException(
+      s"$name(str[, n[, k]]) takes a string and optional int literals")
   }
 }

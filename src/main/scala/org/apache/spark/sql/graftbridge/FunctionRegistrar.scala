@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import graft.functions.expressions.{CosineSimilarity, PolyHash}
+import graft.functions.expressions.{CosineSimilarity, MinHashSignature, PolyHash, SimHash}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.SparkSession
@@ -27,6 +27,16 @@ object FunctionRegistrar {
         case _ => throw new IllegalArgumentException(
           "poly_hash(str[, mod]) takes a string and an optional long literal modulus")
       },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature",
+      exprs => graft.GraftExtensions.withIntArgs("minhash_signature", exprs, 8, 3)(
+        MinHashSignature.apply),
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash",
+      exprs => graft.GraftExtensions.withIntArgs("simhash", exprs, 16, 3)(
+        SimHash.apply),
       "built-in")
   }
 }

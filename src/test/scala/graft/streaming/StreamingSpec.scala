@@ -102,6 +102,21 @@ class StreamingSpec extends SparkSpec {
     assert(custom == ((((('a'.toLong % 97) * 31 + 'b') % 97) * 31 + 'c') % 97))
   }
 
+  test("minhash_signature and simhash register as SQL functions") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val viaSql = spark.sql(s"SELECT minhash_signature('$txt') AS s, simhash('$txt') AS h")
+      .collect()(0)
+    val viaCol = Seq(txt).toDF("t")
+      .select(graft.operators.Dedup.minhashSignatureCol(col("t")).as("s"),
+        graft.operators.Dedup.simhashCol(col("t")).as("h"))
+      .collect()(0)
+    assert(viaSql.getSeq[Long](0) == viaCol.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaCol.getLong(1))
+    // short doc -> null through SQL too
+    assert(spark.sql("SELECT minhash_signature('one two') AS s").collect()(0).isNullAt(0))
+  }
+
   test("file-based streaming source processes a directory with AvailableNow") {
     val dir = java.nio.file.Files.createTempDirectory("graft_filestream").toString
     import spark.implicits._
