@@ -156,4 +156,86 @@ class PropertySpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     assert(sigs(docs) == sigs(docs.reverse))
   }
+
+  // ---- native byte-level kernels vs independent JVM-string references ----
+
+  private val M = Dedup.M
+  private val P = Dedup.P
+  private val hp = Dedup.hashParams(16)
+
+  private def refPoly(s: String, seed: Long = 0L): Long =
+    s.codePoints().toArray.foldLeft(seed)((acc, c) => (acc * 31 + c) % M)
+
+  /** Shingles under Java split(" ") semantics — the contract the kernels
+    * document (trailing empties dropped; empty input = one empty token).
+    */
+  private def refShingles(s: String, k: Int): Seq[String] = {
+    val toks = s.split(" ")
+    if (toks.length < k) Seq.empty
+    else toks.sliding(k).map(_.mkString(" ")).toSeq
+  }
+
+  private def refSignature(s: String, n: Int, k: Int): Option[Seq[Long]] = {
+    val tids = refShingles(s, k).map(refPoly(_))
+    if (tids.isEmpty) None
+    else Some((0 until n).map(j => tids.map(t => (t * hp(j)._1 + hp(j)._2) % P).min))
+  }
+
+  private def refSimhash(s: String, nBits: Int, k: Int): Option[Long] = {
+    val tids = refShingles(s, k).map(refPoly(_)).distinct
+    if (tids.isEmpty) None
+    else Some((0 until nBits).map { j =>
+      val vote = tids.map(t => ((t * hp(j)._1 + hp(j)._2) % P % 2L) * 2L - 1L).sum
+      if (vote > 0) 1L << j else 0L
+    }.sum)
+  }
+
+  /** Random docs with multibyte code points (2-, 3-, 4-byte incl. a
+    * surrogate pair), empty tokens from doubled spaces, and trailing
+    * spaces — every split/UTF-8 edge the byte kernels hand-roll.
+    */
+  private val docGen: Gen[String] = {
+    val atom = Gen.oneOf("a", "z", "Q", "9", "é", "ß", "中", "λ", "𝄞")
+    val word = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    for {
+      nWords <- Gen.choose(0, 12)
+      words <- Gen.listOfN(nWords, word)
+      seps <- Gen.listOfN(math.max(nWords - 1, 0), Gen.oneOf(" ", "  "))
+      trail <- Gen.oneOf("", " ", "  ")
+    } yield words.zipAll(seps, "", "").flatMap(p => Seq(p._1, p._2)).mkString + trail
+  }
+
+  test("property: native MinHashSignature matches a string-level reference") {
+    val docs = samples(docGen, 120).distinct.zipWithIndex.map(_.swap)
+    val got = docs.map { case (i, t) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), Dedup.minhashSignatureCol(col("text")).as("sig"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getSeq[Long](1).toIndexedSeq)))
+      .toMap
+    docs.foreach { case (i, t) =>
+      assert(got(i.toLong) == refSignature(t, 8, 3).map(_.toIndexedSeq),
+        s"mismatch for doc $i: '${t.take(60)}'")
+    }
+  }
+
+  test("property: native SimHash matches a string-level reference") {
+    val docs = samples(docGen, 120).distinct.zipWithIndex.map(_.swap)
+    val got = docs.map { case (i, t) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), Dedup.simhashCol(col("text")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    docs.foreach { case (i, t) =>
+      assert(got(i.toLong) == refSimhash(t, 16, 3),
+        s"mismatch for doc $i: '${t.take(60)}'")
+    }
+  }
+
+  test("property: native PolyHash matches the code-point fold on random strings") {
+    val strs = samples(docGen, 120).distinct
+    val got = strs.toDF("s")
+      .select(col("s"), Dedup.polyHash(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    strs.foreach(s => assert(got(s) == refPoly(s), s"mismatch for '${s.take(60)}'"))
+  }
 }
