@@ -15,4 +15,29 @@ object TopK {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Top-k per group via the bounded aggregate
+    * [[graft.functions.expressions.BoundedTopKAgg]] — the scale form of
+    * [[perGroup]]: the window version shuffles every group row to one
+    * reducer and sorts it; this shuffles at most k pairs per group per
+    * input partition (map-side combine) and never sorts the group.
+    * Ordering is (valueCol DESC, idCol ASC) — a total order when idCol is
+    * unique. Null values/ids are excluded (filter upstream if they matter).
+    *
+    * Output: groupCols ++ (rn [1..k], value, id), strongest first.
+    */
+  def perGroupAgg(df: DataFrame, groupCols: Seq[String],
+                  valueCol: Column, idCol: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.BoundedTopKAgg(
+        ColumnBridge.expression(valueCol.cast("double")),
+        ColumnBridge.expression(idCol.cast("long")), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("__topk"))
+      .select(groupCols.map(col) :+ posexplode(col("__topk")): _*)
+      .select(groupCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rn") :+
+        col("col.value").as("value") :+
+        col("col.id").as("id"): _*)
+  }
 }

@@ -75,6 +75,16 @@ object AnalyticQueries extends QueryGroup {
         .orderBy(col("o_orderstatus"), col("rn"))
     },
 
+    "q69_topk_agg" -> { (s, d) =>
+      // q18 through the bounded aggregate (no per-group sort, k-bounded
+      // shuffle) — same oracle proves identical ranking incl. tiebreaks.
+      TopK.perGroupAgg(Tables.orders(s, d), Seq("o_orderstatus"),
+          col("o_totalprice"), col("o_orderkey"), 3)
+        .select(col("o_orderstatus"), col("rn").cast("long").as("rn"),
+          col("id").as("o_orderkey"), col("value").as("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("rn"))
+    },
+
     "q19_orderby_limit" -> { (s, d) =>
       Tables.lineitem(s, d)
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
@@ -196,6 +206,14 @@ object AnalyticQueries extends QueryGroup {
       ORDER BY o_custkey, o_orderkey""",
 
     "q18_topk_per_group" -> """
+      SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders)
+      WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
+
+    "q69_topk_agg" -> """
       SELECT o_orderstatus, rn, o_orderkey, o_totalprice FROM (
         SELECT o_orderstatus, o_orderkey, o_totalprice,
           row_number() OVER (PARTITION BY o_orderstatus
