@@ -83,19 +83,20 @@ class GraftApp {
     * Avro/Protobuf codecs would multiply decode CPU on the hot path).
     */
   def decoded(spec: ConsumerSpec, records: DataFrame): DataFrame = {
-    val valueFailed =
-      spec.valueSerde.failureFromDecoded(col("value_raw"), col("value"))
-    val keyFailed = spec.keySerde match {
-      case Some(s) => s.failureFromDecoded(col("key_raw"), col("key"))
-      case None => lit(false)
+    // decodeWithFailure: value and indicator come from ONE decode
+    // evaluation per serde (JSON: a single corrupt-record-augmented parse;
+    // UDF codecs: one shared deterministic tree, deduped by CSE).
+    val (valueDec, valueFailed) = spec.valueSerde.decodeWithFailure(col("value_raw"))
+    val (keyDec, keyFailed) = spec.keySerde match {
+      case Some(s) => s.decodeWithFailure(col("key_raw"))
+      case None => (col("key_raw"), lit(false))
     }
     val base = records
       .filter(col("topic") === spec.topic)
       .withColumn("value_raw", col("value"))
       .withColumn("key_raw", col("key"))
-      .withColumn("value", spec.valueSerde.deserialize(col("value")))
-      .withColumn("key",
-        spec.keySerde.map(_.deserialize(col("key"))).getOrElse(col("key")))
+      .withColumn("value", valueDec)
+      .withColumn("key", keyDec)
       .withColumn("__deser_failed", valueFailed || keyFailed)
     spec.headerSerdes.foldLeft(base) { case (df, (name, serde)) =>
       df.withColumn(s"header_$name",

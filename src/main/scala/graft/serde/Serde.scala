@@ -36,6 +36,18 @@ trait Serde extends Serializable {
     */
   def failureFromDecoded(raw: Column, decoded: Column): Column =
     raw.isNotNull && decoded.isNull
+
+  /** Decode once, returning (typedValue, failureIndicator) as expressions
+    * over ONE decode evaluation. The default derives both from the same
+    * `deserialize` tree (deterministic expressions — Catalyst's
+    * subexpression elimination evaluates it once per row); formats whose
+    * failure signal needs a different parse (JSON's corrupt-record column)
+    * override this so the hot path still parses each record exactly once.
+    */
+  def decodeWithFailure(raw: Column): (Column, Column) = {
+    val d = deserialize(raw)
+    (d, failureFromDecoded(raw, d))
+  }
 }
 
 /** UTF-8 string passthrough (reference StringSerializer,
@@ -96,6 +108,23 @@ final case class JsonSerde(schema: StructType) extends Serde {
     */
   override def failureFromDecoded(raw: Column, decoded: Column): Column =
     failureIndicator(raw)
+
+  /** Single-parse decode: ONE corrupt-record-augmented `from_json` serves
+    * both outputs — the typed value is the parsed struct minus the corrupt
+    * field, the failure indicator is that field's non-nullness. Without
+    * this, value decode and failure detection are two different parses of
+    * every record (different schemas, so subexpression elimination can't
+    * merge them) — measurable on the ingest hot path.
+    */
+  override def decodeWithFailure(raw: Column): (Column, Column) = {
+    val withCorrupt = StructType(schema.fields :+ StructField("__corrupt", StringType))
+    val parsed = from_json(raw.cast("string"), withCorrupt,
+      Map("columnNameOfCorruptRecord" -> "__corrupt"))
+    val value = when(parsed.isNull, lit(null).cast(schema))
+      .otherwise(struct(schema.fieldNames.toSeq.map(n => parsed.getField(n).as(n)): _*))
+    val failed = raw.isNotNull && parsed.getField("__corrupt").isNotNull
+    (value, failed)
+  }
 }
 
 /** Schemaless JSON via Spark 4's VARIANT type (the reference JsonSerializer's
