@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Distributed exact interpolated percentiles (SQL PERCENTILE_CONT).
   *
@@ -15,12 +15,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * bit-identical results with per-task memory bounded by the partition
   * size, in three fully-parallel passes:
   *
-  *  1. (key, value) -> count: a hash aggregate (map-side partial combine),
-  *     collapsing duplicate values. Output is the distinct-value table.
-  *  2. Range-partition + sort that table by (key, value); collect ONLY the
-  *     per-(partition, key) subtotals to the driver (O(partitions + groups)
-  *     rows — the same order as the final result itself) and turn them into
-  *     running rank offsets, broadcast back.
+  *  1. (column, key, value) -> count: a hash aggregate (map-side partial
+  *     combine) over the long form of every requested value column (one
+  *     posexplode — the table is scanned ONCE no matter how many columns).
+  *  2. Range-partition + sort that table by (column, key, value); collect
+  *     ONLY the per-(partition, column, key) subtotals to the driver
+  *     (O(partitions + groups) rows — the same order as the final result
+  *     itself) and turn them into running rank offsets, broadcast back.
   *  3. One scan of the sorted table: with its partition's offset, each
   *     distinct value knows its global rank interval [lo, hi] within its
   *     group; a row is emitted ONLY if that interval contains a rank some
@@ -29,129 +30,152 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   *
   * The boundary rows then interpolate with exactly the arithmetic of
   * Spark's `Percentile.getPercentile` (`(hi - pos)*vLo + (pos - lo)*vHi`),
-  * which the q50 oracle shows is bit-identical to DuckDB's quantile_cont on
-  * raw-double inputs.
-  *
-  * Output: one row per (key, percentile): (keyCol, p, value).
+  * which the q50/q65 oracles show is bit-identical to DuckDB's
+  * quantile_cont on raw-double inputs.
   */
 object Percentiles {
 
+  /** One value column, long output: (keyCol, p, value). */
   def percentileCont(df: DataFrame, keyCol: String, valueCol: String,
-                     ps: Seq[Double]): DataFrame = {
-    val spark = df.sparkSession
-    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+                     ps: Seq[Double]): DataFrame =
+    percentileContLong(df, keyCol, Seq(valueCol -> ps))
+      .drop("column")
 
-    // Pass 1: distinct-value counts (nulls ignored, like the built-in).
+  /** Wide form for one value column: one row per key, one column per
+    * requested percentile.
+    */
+  def percentileContWide(df: DataFrame, keyCol: String, valueCol: String,
+                         ps: Seq[(Double, String)]): DataFrame =
+    percentileContMultiWide(df, keyCol, Seq(valueCol -> ps))
+
+  /** Multi-column wide form: every (valueCol, percentile) in ONE pass over
+    * the table — one row per key, one output column per (col, p) name.
+    */
+  def percentileContMultiWide(df: DataFrame, keyCol: String,
+      specs: Seq[(String, Seq[(Double, String)])]): DataFrame = {
+    val long = percentileContLong(df, keyCol,
+      specs.map { case (c, ps) => c -> ps.map(_._1) })
+    val outs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
+      ps.map { case (p, name) =>
+        max(when(col("column") === ci && col("p") === p, col("value"))).as(name)
+      }
+    }
+    long.groupBy(col(keyCol)).agg(outs.head, outs.tail: _*)
+  }
+
+  /** Long output over any number of value columns:
+    * (column index, keyCol, p, value).
+    */
+  def percentileContLong(df: DataFrame, keyCol: String,
+      specs: Seq[(String, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    require(specs.nonEmpty &&
+      specs.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)))
+
+    // Pass 1: long form (one scan for all columns), then distinct-value
+    // counts. Nulls ignored, like the built-in.
+    val arr = array(specs.map { case (vc, _) => col(vc).cast("double") }: _*)
     val counts = df
-      .select(col(keyCol).as("__k"), col(valueCol).cast("double").as("__v"))
+      .select(col(keyCol).as("__k"), posexplode(arr).as(Seq("__c", "__v")))
       .filter(col("__v").isNotNull)
-      .groupBy(col("__k"), col("__v"))
-      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c"), col("__k"), col("__v"))
+      .agg(count(lit(1)).as("__n"))
 
     val nPart = spark.sessionState.conf.numShufflePartitions
     val sorted = counts
-      .repartitionByRange(nPart, col("__k"), col("__v"))
-      .sortWithinPartitions(col("__k"), col("__v"))
+      .repartitionByRange(nPart, col("__c"), col("__k"), col("__v"))
+      .sortWithinPartitions(col("__c"), col("__k"), col("__v"))
       .persist()
 
-    // Pass 2: per-(partition, key) subtotals — O(partitions + groups).
-    val partials: Array[(Int, Any, Long)] = sorted.rdd
+    // Pass 2: per-(partition, column, key) subtotals.
+    val partials: Array[(Int, (Int, Any), Long)] = sorted.rdd
       .mapPartitionsWithIndex { (pid, it) =>
-        val sub = mutable.LinkedHashMap.empty[Any, Long]
+        val sub = mutable.LinkedHashMap.empty[(Int, Any), Long]
         it.foreach { r =>
-          val k = r.get(0)
-          sub.update(k, sub.getOrElse(k, 0L) + r.getLong(2))
+          val ck = (r.getInt(0), r.get(1))
+          sub.update(ck, sub.getOrElse(ck, 0L) + r.getLong(3))
         }
-        sub.iterator.map { case (k, c) => (pid, k, c) }
+        sub.iterator.map { case (ck, c) => (pid, ck, c) }
       }.collect()
 
-    // Driver-side prefix sums: rank offset of each (partition, key), total n
-    // per key, and the target ranks each percentile needs.
-    val offsets = mutable.HashMap.empty[(Int, Any), Long]
-    val totals = mutable.HashMap.empty[Any, Long]
-    partials.sortBy(_._1).foreach { case (pid, k, c) =>
-      val sofar = totals.getOrElse(k, 0L)
-      offsets.update((pid, k), sofar)
-      totals.update(k, sofar + c)
+    // Driver-side prefix sums (O(partitions + groups)) + target ranks.
+    val offsets = mutable.HashMap.empty[(Int, (Int, Any)), Long]
+    val totals = mutable.HashMap.empty[(Int, Any), Long]
+    partials.sortBy(_._1).foreach { case (pid, ck, c) =>
+      val sofar = totals.getOrElse(ck, 0L)
+      offsets.update((pid, ck), sofar)
+      totals.update(ck, sofar + c)
     }
-    val targetRanks: Map[Any, Array[Long]] = totals.iterator.map { case (k, n) =>
-      val ranks = ps.flatMap { p =>
-        val pos = 1.0 + p * (n - 1).toDouble
-        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-      }.distinct.sorted.toArray
-      k -> ranks
+    val psByCol: Map[Int, Seq[Double]] = specs.zipWithIndex
+      .map { case ((_, ps), i) => i -> ps }.toMap
+    val targetRanks: Map[(Int, Any), Array[Long]] = totals.iterator.map {
+      case (ck, n) =>
+        val ranks = psByCol(ck._1).flatMap { p =>
+          val pos = 1.0 + p * (n - 1).toDouble
+          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+        }.distinct.sorted.toArray
+        ck -> ranks
     }.toMap
     val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
     val bTargets = spark.sparkContext.broadcast(targetRanks)
 
     // Pass 3: emit only rank-boundary values.
-    val boundarySchema = StructType(Seq(
-      StructField("__rank", LongType, nullable = false),
-      StructField("__bv", DoubleType, nullable = false)))
-    val keyField = sorted.schema.fields(0).copy(name = "__k")
+    val keyField = sorted.schema.fields(1).copy(name = "__k")
     val boundaries = spark.createDataFrame(
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val offs = bOffsets.value
         val targets = bTargets.value
-        var curKey: Any = null
+        var curKey: (Int, Any) = null
         var cum = 0L
-        var started = false
         it.flatMap { r =>
-          val k = r.get(0)
-          if (!started || k != curKey) {
-            curKey = k; started = true
-            cum = offs.getOrElse((pid, k), 0L)
+          val ck = (r.getInt(0), r.get(1))
+          if (curKey == null || ck != curKey) {
+            curKey = ck
+            cum = offs.getOrElse((pid, ck), 0L)
           }
-          val c = r.getLong(2)
+          val c = r.getLong(3)
           val lo = cum + 1
           val hi = cum + c
           cum = hi
-          val ranks = targets.getOrElse(k, Array.empty[Long])
-          // ranks is sorted and tiny (<= 2|ps|): linear scan is fine.
+          val ranks = targets.getOrElse(ck, Array.empty[Long])
           ranks.iterator.filter(rk => rk >= lo && rk <= hi)
-            .map(rk => Row(k, rk, r.getDouble(1)))
+            .map(rk => Row(ck._1, ck._2, rk, r.getDouble(2)))
         }
       },
-      StructType(keyField +: boundarySchema.fields))
+      StructType(Seq(
+        StructField("__c", IntegerType, nullable = false),
+        keyField,
+        StructField("__rank", LongType, nullable = false),
+        StructField("__bv", DoubleType, nullable = false))))
 
     // Distributed interpolation: targets as a (broadcastable) DataFrame.
-    val targetRows = targetRanks.iterator.flatMap { case (k, _) =>
-      val n = totals(k)
-      ps.map { p =>
+    val targetRows = totals.iterator.flatMap { case (ck, n) =>
+      psByCol(ck._1).map { p =>
         val pos = 1.0 + p * (n - 1).toDouble
-        Row(k, p, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+        Row(ck._1, ck._2, p, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
       }
     }.toSeq
     val targetsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(targetRows, 1),
-      StructType(Seq(keyField,
+      StructType(Seq(
+        StructField("__c", IntegerType, nullable = false),
+        keyField,
         StructField("p", DoubleType, nullable = false),
         StructField("__pos", DoubleType, nullable = false),
         StructField("__rlo", LongType, nullable = false),
         StructField("__rhi", LongType, nullable = false))))
 
-    boundaries.join(broadcast(targetsDf), Seq("__k"))
+    boundaries.join(broadcast(targetsDf), Seq("__c", "__k"))
       .filter(col("__rank") === col("__rlo") || col("__rank") === col("__rhi"))
-      .groupBy(col("__k"), col("p"), col("__pos"), col("__rlo"), col("__rhi"))
+      .groupBy(col("__c"), col("__k"), col("p"), col("__pos"), col("__rlo"), col("__rhi"))
       .agg(
         max(when(col("__rank") === col("__rlo"), col("__bv"))).as("__vlo"),
         max(when(col("__rank") === col("__rhi"), col("__bv"))).as("__vhi"))
-      .select(col("__k").as(keyCol), col("p"),
+      .select(col("__c").as("column"), col("__k").as(keyCol), col("p"),
         when(col("__rlo") === col("__rhi"), col("__vlo"))
           .otherwise(
             (col("__rhi") - col("__pos")) * col("__vlo") +
               (col("__pos") - col("__rlo")) * col("__vhi"))
           .as("value"))
   }
-
-  /** Wide form: one row per key, one column per requested percentile. */
-  def percentileContWide(df: DataFrame, keyCol: String, valueCol: String,
-                         ps: Seq[(Double, String)]): DataFrame =
-    percentileCont(df, keyCol, valueCol, ps.map(_._1))
-      .groupBy(col(keyCol))
-      .agg(
-        max(when(col("p") === ps.head._1, col("value"))).as(ps.head._2),
-        ps.tail.map { case (p, name) =>
-          max(when(col("p") === p, col("value"))).as(name)
-        }: _*)
 }

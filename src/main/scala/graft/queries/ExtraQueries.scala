@@ -170,12 +170,12 @@ object ExtraQueries extends QueryGroup {
       // (operators.Percentiles): no per-group value collection — the same
       // oracle proves result parity with the single-reducer built-in.
       val li = Tables.lineitem(s, d)
-      val ep = graft.operators.Percentiles.percentileContWide(
-        li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "p50", 0.95 -> "p95"))
-      val qt = graft.operators.Percentiles.percentileContWide(
-        li, "l_returnflag", "l_quantity", Seq(0.25 -> "q1_qty"))
+      val wide = graft.operators.Percentiles.percentileContMultiWide(
+        li, "l_returnflag", Seq(
+          "l_extendedprice" -> Seq(0.5 -> "p50", 0.95 -> "p95"),
+          "l_quantity" -> Seq(0.25 -> "q1_qty")))
       val n = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
-      ep.join(qt, "l_returnflag").join(n, "l_returnflag")
+      wide.join(n, "l_returnflag")
         .select(col("l_returnflag"), col("p50"), col("p95"), col("q1_qty"), col("n"))
         .orderBy(col("l_returnflag"))
     })

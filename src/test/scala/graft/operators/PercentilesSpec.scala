@@ -49,6 +49,25 @@ class PercentilesSpec extends SparkSpec {
     assert(wide("b") == ((10.0, 10.0)))
   }
 
+  test("multi-column single-pass form matches per-column results bitwise") {
+    val rnd = new scala.util.Random(3)
+    val df = (1 to 3000).map { i =>
+      (s"g${i % 4}", rnd.nextDouble() * 100, math.floor(rnd.nextDouble() * 40).toDouble)
+    }.toDF("k", "a", "b").repartition(9)
+    val multi = Percentiles.percentileContMultiWide(df, "k", Seq(
+        "a" -> Seq(0.5 -> "a50", 0.9 -> "a90"),
+        "b" -> Seq(0.25 -> "b25")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val a = builtIn(df.select(col("k"), col("a").as("v")), 0.5)
+    val a9 = builtIn(df.select(col("k"), col("a").as("v")), 0.9)
+    val b = builtIn(df.select(col("k"), col("b").as("v")), 0.25)
+    multi.foreach { case (k, (a50, a90, b25)) =>
+      assert(a50 == a(k) && a90 == a9(k) && b25 == b(k), s"mismatch for $k")
+    }
+    assert(multi.size == 4)
+  }
+
   test("group spanning many range partitions gets correct global ranks") {
     // One dominant key whose values are spread over every partition: the
     // per-partition offset bookkeeping must stitch ranks back together.
