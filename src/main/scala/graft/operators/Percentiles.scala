@@ -41,6 +41,31 @@ object Percentiles {
     percentileContLong(df, keyCol, Seq(valueCol -> ps))
       .drop("column")
 
+  /** PERCENTILE_DISC on the same machinery: the smallest value whose
+    * cumulative distribution reaches p — rank max(1, ceil(p*n)), no
+    * interpolation (matches DuckDB `quantile_disc` and Spark's
+    * `percentile_disc`, parity-tested). Long output: (keyCol, p, value).
+    */
+  def percentileDisc(df: DataFrame, keyCol: String, valueCol: String,
+                     ps: Seq[Double]): DataFrame =
+    percentileContLong(df, keyCol, Seq(valueCol -> ps), disc = true)
+      .drop("column")
+
+  /** Multi-column wide PERCENTILE_DISC — one table pass, like
+    * [[percentileContMultiWide]].
+    */
+  def percentileDiscMultiWide(df: DataFrame, keyCol: String,
+      specs: Seq[(String, Seq[(Double, String)])]): DataFrame = {
+    val long = percentileContLong(df, keyCol,
+      specs.map { case (c, ps) => c -> ps.map(_._1) }, disc = true)
+    val outs = specs.zipWithIndex.flatMap { case ((_, ps), ci) =>
+      ps.map { case (p, name) =>
+        max(when(col("column") === ci && col("p") === p, col("value"))).as(name)
+      }
+    }
+    long.groupBy(col(keyCol)).agg(outs.head, outs.tail: _*)
+  }
+
   /** Wide form for one value column: one row per key, one column per
     * requested percentile.
     */
@@ -64,10 +89,12 @@ object Percentiles {
   }
 
   /** Long output over any number of value columns:
-    * (column index, keyCol, p, value).
+    * (column index, keyCol, p, value). `disc = true` switches the target
+    * rank from the interpolated pair (floor/ceil of 1 + p*(n-1)) to the
+    * single PERCENTILE_DISC rank max(1, ceil(p*n)).
     */
   def percentileContLong(df: DataFrame, keyCol: String,
-      specs: Seq[(String, Seq[Double])]): DataFrame = {
+      specs: Seq[(String, Seq[Double])], disc: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     require(specs.nonEmpty &&
       specs.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)))
@@ -108,13 +135,15 @@ object Percentiles {
     }
     val psByCol: Map[Int, Seq[Double]] = specs.zipWithIndex
       .map { case ((_, ps), i) => i -> ps }.toMap
+    def ranksOf(p: Double, n: Long): Seq[Long] =
+      if (disc) Seq(math.max(1L, math.ceil(p * n).toLong))
+      else {
+        val pos = 1.0 + p * (n - 1).toDouble
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
+      }
     val targetRanks: Map[(Int, Any), Array[Long]] = totals.iterator.map {
       case (ck, n) =>
-        val ranks = psByCol(ck._1).flatMap { p =>
-          val pos = 1.0 + p * (n - 1).toDouble
-          Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
-        }.distinct.sorted.toArray
-        ck -> ranks
+        ck -> psByCol(ck._1).flatMap(ranksOf(_, n)).distinct.sorted.toArray
     }.toMap
     val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
     val bTargets = spark.sparkContext.broadcast(targetRanks)
@@ -151,8 +180,13 @@ object Percentiles {
     // Distributed interpolation: targets as a (broadcastable) DataFrame.
     val targetRows = totals.iterator.flatMap { case (ck, n) =>
       psByCol(ck._1).map { p =>
-        val pos = 1.0 + p * (n - 1).toDouble
-        Row(ck._1, ck._2, p, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+        if (disc) {
+          val r = math.max(1L, math.ceil(p * n).toLong)
+          Row(ck._1, ck._2, p, r.toDouble, r, r) // rlo == rhi: no interpolation
+        } else {
+          val pos = 1.0 + p * (n - 1).toDouble
+          Row(ck._1, ck._2, p, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+        }
       }
     }.toSeq
     val targetsDf = spark.createDataFrame(

@@ -178,6 +178,17 @@ object ExtraQueries extends QueryGroup {
       wide.join(n, "l_returnflag")
         .select(col("l_returnflag"), col("p50"), col("p95"), col("q1_qty"), col("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    "q70_percentile_disc" -> { (s, d) =>
+      // PERCENTILE_DISC (actual data values, no interpolation) through the
+      // same distributed rank machinery as q65.
+      graft.operators.Percentiles.percentileDiscMultiWide(
+          Tables.lineitem(s, d), "l_returnflag", Seq(
+            "l_extendedprice" -> Seq(0.5 -> "d50", 0.95 -> "d95"),
+            "l_quantity" -> Seq(0.25 -> "dq1")))
+        .select(col("l_returnflag"), col("d50"), col("d95"), col("dq1"))
+        .orderBy(col("l_returnflag"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -204,6 +215,13 @@ object ExtraQueries extends QueryGroup {
         quantile_cont(l_extendedprice, 0.95) AS p95,
         quantile_cont(l_quantity, 0.25) AS q1_qty,
         count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q70_percentile_disc" -> """
+      SELECT l_returnflag,
+        quantile_disc(l_extendedprice, 0.5) AS d50,
+        quantile_disc(l_extendedprice, 0.95) AS d95,
+        quantile_disc(l_quantity, 0.25) AS dq1
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q51_math_funcs" -> """

@@ -68,6 +68,20 @@ class PercentilesSpec extends SparkSpec {
     assert(multi.size == 4)
   }
 
+  test("percentileDisc matches Spark's built-in percentile_disc") {
+    val rnd = new scala.util.Random(5)
+    val df = ((1 to 2000).map(i => (s"g${i % 3}", math.floor(rnd.nextDouble() * 200) / 2.0))
+      :+ (("one", 7.5))).toDF("k", "v").repartition(11)
+    for (p <- Seq(0.0, 0.25, 0.5, 0.95, 1.0)) {
+      val exp = df.groupBy("k")
+        .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = Percentiles.percentileDisc(df, "k", "v", Seq(p))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got == exp, s"p=$p: $got != $exp")
+    }
+  }
+
   test("group spanning many range partitions gets correct global ranks") {
     // One dominant key whose values are spread over every partition: the
     // per-partition offset bookkeeping must stitch ranks back together.
