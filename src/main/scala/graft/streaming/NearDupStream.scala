@@ -12,12 +12,16 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   * near-dup of anything we've already ingested?" at ingest time.
   *
   * Shape: each record's MinHash signature and band keys are computed
-  * NARROWLY ([[Dedup.minhashSignatureCol]] — no aggregation, so it composes
-  * with append-mode streaming), records explode to one row per band, and a
-  * transformWithState processor keyed by band key holds the doc ids seen in
-  * that bucket (ListState). A new arrival emits one candidate pair per
-  * bucket-mate; exact-Jaccard verification of candidates stays a
-  * downstream/batch concern, as in the batch pipeline.
+  * NARROWLY ([[Dedup.minhashSignatureCol]], the fused native kernel — no
+  * aggregation, so it composes with append-mode streaming), records explode
+  * to one row per band, and a transformWithState processor keyed by band
+  * key holds (doc id, signature) for the docs seen in that bucket
+  * (ListState). A new arrival emits one candidate pair per bucket-mate,
+  * carrying the signature-agreement Jaccard estimate (fraction of equal
+  * MinHash components — the standard estimator); `minEstJaccard` drops
+  * weak pairs at the bucket, before they ever leave the state store.
+  * Exact-Jaccard verification of survivors stays a downstream/batch
+  * concern, as in the batch pipeline.
   *
   * State hygiene at scale:
   *  - per-bucket membership is capped (`maxPerBucket`) so a degenerate
@@ -29,29 +33,44 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   */
 object NearDupStream {
 
-  case class BandDoc(band: String, docId: Long)
-  case class CandidatePair(idA: Long, idB: Long, band: String)
+  case class BandDoc(band: String, docId: Long, sig: Seq[Long])
+  case class StoredDoc(docId: Long, sig: Seq[Long])
+  case class CandidatePair(idA: Long, idB: Long, band: String, estJaccard: Double)
 
-  class BandBucketProcessor(maxPerBucket: Int, ttl: TTLConfig)
+  class BandBucketProcessor(maxPerBucket: Int, minEstJaccard: Double, ttl: TTLConfig)
       extends StatefulProcessor[String, BandDoc, CandidatePair] {
-    @transient private var seen: ListState[Long] = _
+    @transient private var seen: ListState[StoredDoc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      seen = getHandle.getListState[Long]("seen", Encoders.scalaLong, ttl)
+      seen = getHandle.getListState[StoredDoc]("seen", Encoders.product[StoredDoc], ttl)
+
+    private def estimate(a: Seq[Long], b: Seq[Long]): Double = {
+      val n = math.min(a.length, b.length)
+      if (n == 0) return 0.0
+      var eq = 0
+      var i = 0
+      while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / n
+    }
 
     override def handleInputRows(band: String, rows: Iterator[BandDoc],
         timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[CandidatePair] = {
-      val stored = ArrayBuffer.empty[Long]
+      val stored = ArrayBuffer.empty[StoredDoc]
       seen.get().foreach(stored += _)
       val out = ArrayBuffer.empty[CandidatePair]
       rows.foreach { r =>
         stored.foreach { prev =>
-          if (prev != r.docId)
-            out += CandidatePair(math.min(prev, r.docId), math.max(prev, r.docId), band)
+          if (prev.docId != r.docId) {
+            val est = estimate(prev.sig, r.sig)
+            if (est >= minEstJaccard)
+              out += CandidatePair(math.min(prev.docId, r.docId),
+                math.max(prev.docId, r.docId), band, est)
+          }
         }
         if (stored.length < maxPerBucket) {
-          stored += r.docId
-          seen.appendValue(r.docId)
+          val s = StoredDoc(r.docId, r.sig)
+          stored += s
+          seen.appendValue(s)
         }
       }
       out.iterator
@@ -66,17 +85,18 @@ object NearDupStream {
   def candidates(docs: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 8, rowsPerBand: Int = 2, k: Int = 3,
                  maxPerBucket: Int = 64,
+                 minEstJaccard: Double = 0.0,
                  ttl: TTLConfig = TTLConfig.NONE): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
-    val sig = Dedup.minhashSignatureCol(col(textCol), numHashes, k)
     docs
-      .filter(size(split(col(textCol), " ")) >= k)
-      .select(
-        explode(Dedup.bandKeysCol(sig, numHashes, rowsPerBand)).as("band"),
-        col(idCol).cast("long").as("docId"))
+      .select(col(idCol).cast("long").as("docId"),
+        Dedup.minhashSignatureCol(col(textCol), numHashes, k).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("docId"), col("sig"),
+        explode(Dedup.bandKeysCol(col("sig"), numHashes, rowsPerBand)).as("band"))
       .as[BandDoc]
       .groupByKey(_.band)
-      .transformWithState(new BandBucketProcessor(maxPerBucket, ttl),
+      .transformWithState(new BandBucketProcessor(maxPerBucket, minEstJaccard, ttl),
         TimeMode.None(), OutputMode.Append())
   }
 }

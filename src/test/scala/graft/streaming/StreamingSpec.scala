@@ -249,13 +249,39 @@ class StreamingSpec extends SparkSpec {
       assert(pairs.contains((1L, 3L)), s"expected (1,3) in $pairs")
       assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
 
-      // Batch 3: exact duplicate of doc 1 pairs with BOTH 1 and 3.
+      // Batch 3: exact duplicate of doc 1 pairs with BOTH 1 and 3, and the
+      // signature-agreement estimate for the exact dup is 1.0.
       input.addData((5L, "the quick brown fox jumps over the lazy dog tonight"))
       q.processAllAvailable()
       val pairs2 = spark.table("neardup_stream")
         .select("idA", "idB").distinct()
         .as[(Long, Long)].collect().toSet
       assert(pairs2.contains((1L, 5L)) && pairs2.contains((3L, 5L)))
+      val est15 = spark.table("neardup_stream")
+        .filter(col("idA") === 1L && col("idB") === 5L)
+        .select(max(col("estJaccard"))).collect()(0).getDouble(0)
+      assert(est15 == 1.0, s"exact dup must have estimate 1.0, got $est15")
+
+      // A strict pre-filter keeps everything below threshold inside the
+      // bucket: re-run the same feed with minEstJaccard = 1.0 — only the
+      // exact-dup pair survives.
+      val input2 = MemoryStream[(Long, String)]
+      val strict = NearDupStream.candidates(
+        input2.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        minEstJaccard = 1.0)
+      val q2 = strict.writeStream.format("memory").queryName("neardup_strict")
+        .outputMode("append").start()
+      try {
+        input2.addData(
+          (1L, "the quick brown fox jumps over the lazy dog tonight"),
+          (3L, "the quick brown fox jumps over the lazy dog today"))
+        q2.processAllAvailable()
+        input2.addData((5L, "the quick brown fox jumps over the lazy dog tonight"))
+        q2.processAllAvailable()
+        val strictPairs = spark.table("neardup_strict")
+          .select("idA", "idB").distinct().as[(Long, Long)].collect().toSet
+        assert(strictPairs == Set((1L, 5L)), s"got $strictPairs")
+      } finally q2.stop()
     } finally q.stop()
   }
 
