@@ -341,6 +341,54 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every node ends with the smallest id in its component.
+    * Each iteration is one shuffle join + aggregate (fully distributed);
+    * convergence takes at most graph-diameter iterations — near-dup
+    * components are short chains, so a handful in practice. Iterations
+    * localCheckpoint to keep lineage flat.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String, maxIter: Int = 50): DataFrame = {
+    val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("__node"), col(idCol).as("__label"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = adj
+        .join(labels.withColumnRenamed("__node", "src"), "src")
+        .groupBy(col("dst").as("__node"))
+        .agg(min(col("__label")).as("__nmin"))
+      val next = labels.join(neighborMin, Seq("__node"), "left")
+        .select(col("__node"),
+          least(col("__label"), coalesce(col("__nmin"), col("__label"))).as("__label"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("__label", "__old"), "__node")
+        .filter(col("__label") =!= col("__old")).count()
+      labels = next
+      iter += 1
+    }
+    adj.unpersist()
+    labels.select(col("__node").as(idCol), col("__label").as("cluster_id"))
+  }
+
+  /** Transitive near-duplicate clusters: every document labeled with the
+    * smallest doc id of its near-dup component. [[dropNearDuplicates]] is
+    * the greedy single-pass form (drops direct losers only); this is the
+    * cluster-complete form a corpus-level dedup pass wants — keep
+    * `cluster_id == id` rows for one-representative-per-component.
+    */
+  def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, numHashes: Int = 8,
+                      rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol)), pairs, idCol)
+  }
+
   /** Keep the first row per key by the given ordering — the deterministic
     * form of dropDuplicates. One window, no extra shuffle beyond the
     * partitionBy exchange.

@@ -180,6 +180,15 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     },
 
+    "q71_neardup_clusters" -> { (s, d) =>
+      // Transitive near-dup components (min-label propagation) — the
+      // cluster-complete dedup labeling; oracle is a recursive-CTE
+      // transitive closure over the same verified pair set as q58.
+      graft.operators.Dedup.nearDupClusters(
+          Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
+        .orderBy(col("doc_id"))
+    },
+
     "q70_percentile_disc" -> { (s, d) =>
       // PERCENTILE_DISC (actual data values, no interpolation) through the
       // same distributed rank machinery as q65.
@@ -307,6 +316,38 @@ object ExtraQueries extends QueryGroup {
           WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
             / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4
           ORDER BY c.id_a, c.id_b"""),
+
+    "q71_neardup_clusters" ->
+      DedupQueries.minhashSql(
+        s""", banded AS (${DedupQueries.BandedCteBody}),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+          inter AS (
+            SELECT c.id_a, c.id_b, count(*) AS inter
+            FROM cand c
+            JOIN ids ia ON ia.doc_id = c.id_a
+            JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
+            GROUP BY c.id_a, c.id_b),
+          sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
+          verified AS (
+            SELECT c.id_a, c.id_b FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+            WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+              / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4),
+          und AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION ALL SELECT id_b, id_a FROM verified),
+          reach AS (
+            SELECT doc_id AS n, doc_id AS l FROM documents
+            UNION
+            SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n)""",
+        "n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id",
+        "FROM reach GROUP BY n ORDER BY doc_id")
+        .replaceFirst("WITH ", "WITH RECURSIVE "),
 
     "q60_deduped_corpus" ->
       DedupQueries.minhashSql(

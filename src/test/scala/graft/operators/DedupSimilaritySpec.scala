@@ -90,6 +90,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(narrowRep == aggRep)
   }
 
+  test("connected components: chains collapse transitively, singletons stay") {
+    // 1-2, 2-3, 3-4 chain (diameter 3) + 7-9 pair + isolated 5.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("id")
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(nodes, edges, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("native signature edge cases: unicode, repeated spaces, short docs") {
     val df = Seq(
       (1L, "é 中 x y"),            // multibyte code points
