@@ -75,6 +75,35 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 1, s"kaflow-surface pipeline must not shuffle:\n$p")
   }
 
+  test("narrow minhash (q67): no shuffle except the oracle orderBy") {
+    val p = plan("q67_minhash_narrow")
+    assert(countShuffles(p) <= 1, s"signature must be a projection:\n$p")
+    assert(!p.toString.contains("Generate"), s"no explode in the narrow path:\n$p")
+  }
+
+  test("simhash kernel (q39): no explode, no distinct exchange, no wide agg") {
+    val p = plan("q39_simhash")
+    assert(countShuffles(p) <= 1, s"kernel form must not shuffle pre-sort:\n$p")
+    assert(!p.toString.contains("Generate"), s"no explode:\n$p")
+  }
+
+  test("bounded top-k (q69): hash aggregate with partial merge, no window") {
+    val p = plan("q69_topk_agg")
+    val s = p.toString
+    assert(s.contains("topk_agg"), s"aggregate missing:\n$s")
+    assert(!s.contains("Window"), s"no window fallback:\n$s")
+    // partial (map-side) + final: the aggregate appears in two stages
+    assert("partial_topk_agg|merge_topk_agg|ObjectHashAggregate".r
+      .findFirstIn(s).isDefined, s"expected two-phase aggregate:\n$s")
+  }
+
+  test("IVF fixed (q66): corpus assignment is narrow; probes broadcast") {
+    val p = plan("q66_ann_ivf")
+    assert(countBroadcasts(p) >= 1, s"probed queries must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"candidate join must be the cell equi-join:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // A selective dimension filter on a SHUFFLE join (broadcast disabled)
