@@ -215,6 +215,55 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(c0 == expect)
   }
 
+  test("PQ: 32x-compressed codes rank with high recall vs exact L2") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 5)
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val model = Pq.fit(corpus, "embedding", m = 16, nCodes = 32)
+    assert(model.dsub == 4 && model.codebooks.length == 16)
+
+    val encoded = corpus.select(col("vec_id"), col("embedding"),
+      Pq.encodeCol(col("embedding"), model).as("pq_codes")).persist()
+
+    def exactTopK(base: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Long)] = {
+      import graft.functions.VectorFunctions
+      val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val scored = base.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(q)
+        .select(col("query_id"), col("neighbor_id"),
+          VectorFunctions.l2DistanceSq(col("qv"), col("cv")).as("d"))
+      TopK.perGroupAgg(scored, Seq("query_id"), -col("d"), col("neighbor_id"), k)
+        .select("query_id", "id").as[(Long, Long)].collect().toSet
+    }
+    val exact = exactTopK(corpus, 10)
+
+    // Pure ADC ranking (no original vectors touched).
+    val approx = Pq.topK(encoded, queries, "vec_id", "embedding", "pq_codes",
+        model, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recallAdc = (approx intersect exact).size.toDouble / exact.size
+    assert(recallAdc >= 0.4, s"ADC recall@10 was $recallAdc") // deterministic seeds
+
+    // Production shape: per-query PQ shortlist (10x over-fetch) -> exact
+    // rerank of only the shortlisted pairs.
+    import graft.functions.VectorFunctions
+    val shortlist = Pq.topK(encoded, queries, "vec_id", "embedding", "pq_codes",
+        model, k = 100)
+      .select(col("query_id"), col("neighbor_id"))
+    val rerankScored = shortlist
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+        "neighbor_id")
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        VectorFunctions.l2DistanceSq(col("qv"), col("cv")).as("d"))
+    val reranked = TopK.perGroupAgg(rerankScored, Seq("query_id"),
+        -col("d"), col("neighbor_id"), 10)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recallRr = (reranked intersect exact).size.toDouble / exact.size
+    assert(recallRr >= 0.9, s"shortlist+rerank recall@10 was $recallRr")
+  }
+
   test("cosine matches an independently computed value") {
     val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
     val c = df.select(VectorFunctions.cosine(col("a"), col("b")).as("c"))
