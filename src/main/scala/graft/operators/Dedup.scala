@@ -362,13 +362,14 @@ object Dedup {
         .join(labels.withColumnRenamed("__node", "src"), "src")
         .groupBy(col("dst").as("__node"))
         .agg(min(col("__label")).as("__nmin"))
-      val next = labels.join(neighborMin, Seq("__node"), "left")
-        .select(col("__node"),
+      // One checkpointed frame carries old + new label, so the
+      // convergence count reads it directly — no extra join per iteration.
+      val prop = labels.join(neighborMin, Seq("__node"), "left")
+        .select(col("__node"), col("__label").as("__old"),
           least(col("__label"), coalesce(col("__nmin"), col("__label"))).as("__label"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("__label", "__old"), "__node")
-        .filter(col("__label") =!= col("__old")).count()
-      labels = next
+      changed = prop.filter(col("__label") =!= col("__old")).count()
+      labels = prop.select(col("__node"), col("__label"))
       iter += 1
     }
     adj.unpersist()
