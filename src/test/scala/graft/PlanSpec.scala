@@ -104,6 +104,21 @@ class PlanSpec extends SparkSpec {
       s"candidate join must be the cell equi-join:\n$p")
   }
 
+  test("distributed percentile (q65): range-partitioned, no single-partition data exchange") {
+    val p = plan("q65_percentile_dist")
+    val s = p.toString
+    assert(s.contains("rangepartitioning"), s"expected a range exchange:\n$s")
+    // the only SinglePartition appearances may be the tiny driver-built
+    // targets table and the final 3-row orderBy — never the counts table
+    val offenders = collectAll(p).filter { n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] &&
+        n.asInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]
+          .outputPartitioning.numPartitions == 1 &&
+        n.toString.contains("__v") // the data path carries the value column
+    }
+    assert(offenders.isEmpty, s"value table must never centralize:\n$offenders")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // A selective dimension filter on a SHUFFLE join (broadcast disabled)
