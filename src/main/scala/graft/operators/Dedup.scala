@@ -390,6 +390,20 @@ object Dedup {
     connectedComponents(df.select(col(idCol)), pairs, idCol)
   }
 
+  /** Cluster-complete dedup output: one representative (the smallest id)
+    * per transitive near-dup component — the corpus a training run keeps.
+    * Unlike [[dropNearDuplicates]] (greedy over direct pairs), a doc
+    * chained to a smaller id through intermediates is dropped here.
+    */
+  def dropNearDuplicatesClustered(df: DataFrame, idCol: String, textCol: String,
+                                  threshold: Double, numHashes: Int = 8,
+                                  rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+    val reps = nearDupClusters(df, idCol, textCol, threshold, numHashes, rowsPerBand, k)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
   /** Keep the first row per key by the given ordering — the deterministic
     * form of dropDuplicates. One window, no extra shuffle beyond the
     * partitionBy exchange.

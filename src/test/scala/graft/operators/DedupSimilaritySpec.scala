@@ -90,6 +90,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(narrowRep == aggRep)
   }
 
+  test("clustered dedup keeps exactly one representative per component") {
+    val kept = Dedup.dropNearDuplicatesClustered(docs, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val clusters = Dedup.nearDupClusters(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val reps = clusters.map(_._2).toSet
+    assert(kept == reps, "kept set must be the cluster minima")
+    // docs 0 and 1 are near-dups in the fixture: only the smaller survives
+    assert(kept.contains(0L) && !kept.contains(1L))
+  }
+
   test("connected components: chains collapse transitively, singletons stay") {
     // 1-2, 2-3, 3-4 chain (diameter 3) + 7-9 pair + isolated 5.
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("id")
