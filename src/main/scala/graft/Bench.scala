@@ -24,14 +24,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Timing window covers ONLY the query execution: cache cleanup and the
+    // inter-query GC barrier happen after the closing nanoTime() read, so
+    // persist-heavy queries aren't billed for unpersisting their own caches
+    // and no query is billed for its predecessor's garbage.
+    val gcBarrier = sys.env.getOrElse("SPARK_GRAFT_GC", "1") == "1"
     def run(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
-      finally spark.catalog.clearCache() // operators may persist intermediates
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      spark.catalog.clearCache() // operators may persist intermediates
+      if (gcBarrier) System.gc() // damp cross-query heap pressure in long runs
+      elapsed
     }
 
     // Warm-up: JVM + codegen + parquet footer caches.

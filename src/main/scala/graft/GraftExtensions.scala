@@ -27,8 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => children match {
         case Seq(s) => PolyHash(s, Dedup.M)
         case Seq(s, Literal(m: Long, _)) => PolyHash(s, m)
+        // SQL users write plain int literals (`poly_hash(s, 1000003)`
+        // parses as IntegerType) — widen rather than reject.
+        case Seq(s, Literal(m: Int, _)) => PolyHash(s, m.toLong)
         case _ => throw new IllegalArgumentException(
-          "poly_hash(str[, mod]) takes a string and an optional long literal modulus")
+          "poly_hash(str[, mod]) takes a string and an optional integer literal modulus")
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash_signature"),

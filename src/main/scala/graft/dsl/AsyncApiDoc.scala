@@ -34,10 +34,22 @@ object AsyncApiDoc {
     * sharing one model) are emitted exactly once.
     */
   def renderV3(app: GraftApp, title: String, version: String): String = {
-    // Structural dedup: rendered-schema string -> component name.
+    // Structural dedup: rendered-schema string -> component name. Names
+    // derive from the topic, so two DIFFERENT schemas can want the same
+    // name (a topic that is sink-with-one-schema then source-with-another,
+    // or sanitized collisions like "a.b"/"a_b") — disambiguate with a
+    // counter so every $ref resolves to its own schema.
     val schemaNames = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val usedNames = scala.collection.mutable.HashSet.empty[String]
     def refFor(topic: String, schema: String): String = {
-      val name = schemaNames.getOrElseUpdate(schema, s"${sanitize(topic)}Payload")
+      val name = schemaNames.getOrElseUpdate(schema, {
+        val base = s"${sanitize(topic)}Payload"
+        var candidate = base
+        var i = 2
+        while (usedNames.contains(candidate)) { candidate = s"$base$i"; i += 1 }
+        candidate
+      })
+      usedNames += name
       s"""{"$$ref": "#/components/schemas/$name"}"""
     }
     val BinarySchema = """{"type": "string", "format": "binary"}"""

@@ -20,10 +20,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * and re-evaluates the shingle construction once per permutation; this is
   * a single codegen'd loop — measured ~80x faster at sf0.1.
   *
-  * Split semantics mirror Java `String.split(" ")`: consecutive spaces
-  * yield empty tokens, trailing empty tokens are dropped, and an empty
-  * input is the single empty token. Documents with fewer than k tokens
-  * have no shingles and yield null (filter upstream, as with the HOF form).
+  * Split semantics mirror Spark `split(text, " ")` (Java split with
+  * limit -1, the same thing DuckDB's `string_split` computes): consecutive
+  * spaces yield empty tokens and trailing empty tokens are KEPT — so a
+  * document with trailing spaces hashes identically here, in the
+  * aggregated batch paths, and in the oracle. Documents with fewer than k
+  * tokens have no shingles and yield null (filter upstream, as with the
+  * HOF form).
   */
 case class MinHashSignature(child: Expression, numHashes: Int, k: Int)
     extends UnaryExpression {
@@ -98,12 +101,10 @@ object MinHashSignature {
       i += 1
     }
     ends(seg) = b.length
-    // Java split(" ") semantics: drop trailing empty tokens — except the
-    // empty-input case, which is the single empty token.
-    var n = nSeg
-    if (b.length > 0) {
-      while (n > 0 && starts(n - 1) == ends(n - 1)) n -= 1
-    }
+    // Spark split(limit -1) semantics: trailing empty tokens are kept
+    // (unlike Java's default split), matching the batch paths and the
+    // DuckDB oracle's string_split.
+    val n = nSeg
     if (n < k) return null
 
     val sig = new Array[Long](numHashes)

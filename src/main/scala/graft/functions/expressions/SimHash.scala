@@ -78,10 +78,9 @@ object SimHash {
       i += 1
     }
     ends(seg) = b.length
-    var n = nSeg
-    if (b.length > 0) {
-      while (n > 0 && starts(n - 1) == ends(n - 1)) n -= 1
-    }
+    // Spark split(limit -1) semantics: trailing empty tokens kept, matching
+    // the aggregated path and the DuckDB oracle (see [[MinHashSignature]]).
+    val n = nSeg
     if (n < k) return null
 
     // Open-addressing distinct-tid set (-1 = empty; tids are >= 0).

@@ -96,9 +96,10 @@ object Dedup {
 
   /** Shingles joined to their token ids: (id, tid). The vocabulary side is
     * broadcast — it is vocabulary-sized, orders of magnitude smaller than
-    * the corpus. The exploded-shingle table is cached: it feeds both the
-    * vocabulary build and the join (callers release via
-    * `spark.catalog.clearCache()` — the Verify/Bench harnesses do).
+    * the corpus. The exploded-shingle table feeds both the vocabulary
+    * build and the join from the same subplan, so its distinct exchange is
+    * executed once and reused (ReusedExchange) — no persist, no session
+    * cache residue.
     *
     * The dictionary (sorted dense ids) exists for engine-reproducible
     * hashing (oracle parity). At real 100 TB corpus scale the shingle
@@ -107,7 +108,7 @@ object Dedup {
     * global sort, and no second pass.
     */
   def shingleIds(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val sh = explodedShingles(df, idCol, textCol, k).persist()
+    val sh = explodedShingles(df, idCol, textCol, k)
     sh.join(broadcast(shingleVocabulary(sh)), "shingle").select(col(idCol), col("tid"))
   }
 
@@ -221,9 +222,29 @@ object Dedup {
     * Bands of `rowsPerBand` hashes are concatenated into a band key; docs
     * are grouped by (band index, band key) and paired within buckets.
     * Output: (id_a, id_b) with id_a < id_b, distinct.
+    *
+    * `maxPerBucket > 0` caps every (band, bkey) bucket to its lowest-N ids
+    * before pairing — the batch twin of [[graft.streaming.NearDupStream]]'s
+    * state cap. At corpus scale a degenerate bucket (boilerplate or
+    * near-empty text) otherwise goes quadratic: a bucket of size s emits
+    * s·(s-1)/2 pairs, so one million-doc bucket is 5·10^11 pairs — the one
+    * scale-killer of the uncapped scheme. The cap is deterministic (lowest
+    * ids survive) and bounds pairs per bucket at N·(N-1)/2; pairs whose
+    * members were evicted are lost, but members of a giant bucket are
+    * mutual near-dups of the same boilerplate — keeping N of them still
+    * links the component (recall impact quantified in SCALING.md). The cap
+    * costs no extra shuffle: the row_number window partitions by the same
+    * (band, bkey) key the self-join shuffles on. `0` = uncapped (exact
+    * banding semantics, the oracle-parity mode).
+    *
+    * No caching: both sides of the self-join are the identical subplan, so
+    * the (band, bkey) exchange is planned once and reused (ReusedExchange)
+    * — nothing leaks into the session cache (callers no longer need
+    * `clearCache()`).
     */
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
-                        numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+                        numHashes: Int = 8, rowsPerBand: Int = 2,
+                        maxPerBucket: Int = 0): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
@@ -231,11 +252,15 @@ object Dedup {
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
       struct(lit(b).as("band"), key.as("bkey"))
     }
-    // Cached: the banded table is both sides of the self-join.
-    val banded = signatures
+    val banded0 = signatures
       .select(col(idCol), explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("bk.band"), col("bk.bkey"))
-      .persist()
+    val banded =
+      if (maxPerBucket > 0) {
+        val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col(idCol))
+        banded0.withColumn("__bn", row_number().over(w))
+          .filter(col("__bn") <= maxPerBucket).drop("__bn")
+      } else banded0
     val l = banded.as("l")
     val r = banded.as("r")
     l.join(r,
@@ -281,7 +306,12 @@ object Dedup {
     * size by inclusion-exclusion — no per-pair set materialization.
     */
   def jaccard(ids0: DataFrame, idCol: String, pairs0: DataFrame): DataFrame = {
-    val ids = ids0.persist() // reused three times: intersection + both sizes
+    // `ids` is consumed four times (intersection's two sides + both size
+    // tables), all from the SAME frame: the shuffle that materializes it
+    // (shingleIdsPoly's distinct, in the pipeline) is an identical subplan
+    // in every consumer, so it is executed once and reused
+    // (ReusedExchange) — no persist, nothing left in the session cache.
+    val ids = ids0
     // The pair set is tiny next to the exploded id table — broadcast it so
     // the expansion join is map-side; only the (id_b, tid) intersection
     // join shuffles. Doc-size tables are doc-count-sized: broadcast too.
@@ -311,7 +341,8 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double, numHashes: Int = 8,
-                   rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
+                   rowsPerBand: Int = 2, k: Int = 3,
+                   maxPerBucket: Int = 0): DataFrame = {
     // Signatures come from the narrow fused expression — one codegen'd
     // pass per document, no signature hash-aggregate (a whole shuffle
     // gone). The exploded (id, tid) set exists only for what genuinely
@@ -322,7 +353,7 @@ object Dedup {
       .filter(col("__sig").isNotNull)
       .select(col(idCol) +: (0 until numHashes).map(i =>
         element_at(col("__sig"), i + 1).as(s"h$i")): _*)
-    val candidates = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand)
+    val candidates = lshCandidatePairs(sigs, idCol, numHashes, rowsPerBand, maxPerBucket)
     val ids = shingleIdsPoly(df, idCol, textCol, k)
     jaccard(ids, idCol, candidates).filter(col("jaccard") >= threshold)
   }
@@ -335,8 +366,10 @@ object Dedup {
     */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          threshold: Double, numHashes: Int = 8,
-                         rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val losers = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k)
+                         rowsPerBand: Int = 2, k: Int = 3,
+                         maxPerBucket: Int = 0): DataFrame = {
+    val losers = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k,
+        maxPerBucket)
       .select(col("id_b").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -353,27 +386,30 @@ object Dedup {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("__node"), col(idCol).as("__label"))
-      .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = adj
-        .join(labels.withColumnRenamed("__node", "src"), "src")
-        .groupBy(col("dst").as("__node"))
-        .agg(min(col("__label")).as("__nmin"))
-      // One checkpointed frame carries old + new label, so the
-      // convergence count reads it directly — no extra join per iteration.
-      val prop = labels.join(neighborMin, Seq("__node"), "left")
-        .select(col("__node"), col("__label").as("__old"),
-          least(col("__label"), coalesce(col("__nmin"), col("__label"))).as("__label"))
+    try {
+      var labels = nodes.select(col(idCol).as("__node"), col(idCol).as("__label"))
         .localCheckpoint()
-      changed = prop.filter(col("__label") =!= col("__old")).count()
-      labels = prop.select(col("__node"), col("__label"))
-      iter += 1
-    }
-    adj.unpersist()
-    labels.select(col("__node").as(idCol), col("__label").as("cluster_id"))
+      var iter = 0
+      var changed = 1L
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = adj
+          .join(labels.withColumnRenamed("__node", "src"), "src")
+          .groupBy(col("dst").as("__node"))
+          .agg(min(col("__label")).as("__nmin"))
+        // One checkpointed frame carries old + new label, so the
+        // convergence count reads it directly — no extra join per iteration.
+        val prop = labels.join(neighborMin, Seq("__node"), "left")
+          .select(col("__node"), col("__label").as("__old"),
+            least(col("__label"), coalesce(col("__nmin"), col("__label"))).as("__label"))
+          .localCheckpoint()
+        changed = prop.filter(col("__label") =!= col("__old")).count()
+        labels = prop.select(col("__node"), col("__label"))
+        iter += 1
+      }
+      // The result is checkpointed — the adjacency cache is releasable NOW,
+      // not at some caller-side clearCache(): library hygiene.
+      labels.select(col("__node").as(idCol), col("__label").as("cluster_id"))
+    } finally adj.unpersist()
   }
 
   /** Transitive near-duplicate clusters: every document labeled with the
@@ -384,8 +420,10 @@ object Dedup {
     */
   def nearDupClusters(df: DataFrame, idCol: String, textCol: String,
                       threshold: Double, numHashes: Int = 8,
-                      rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k)
+                      rowsPerBand: Int = 2, k: Int = 3,
+                      maxPerBucket: Int = 0): DataFrame = {
+    val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k,
+        maxPerBucket)
       .select(col("id_a"), col("id_b"))
     connectedComponents(df.select(col(idCol)), pairs, idCol)
   }
@@ -397,8 +435,10 @@ object Dedup {
     */
   def dropNearDuplicatesClustered(df: DataFrame, idCol: String, textCol: String,
                                   threshold: Double, numHashes: Int = 8,
-                                  rowsPerBand: Int = 2, k: Int = 3): DataFrame = {
-    val reps = nearDupClusters(df, idCol, textCol, threshold, numHashes, rowsPerBand, k)
+                                  rowsPerBand: Int = 2, k: Int = 3,
+                                  maxPerBucket: Int = 0): DataFrame = {
+    val reps = nearDupClusters(df, idCol, textCol, threshold, numHashes, rowsPerBand, k,
+        maxPerBucket)
       .filter(col(idCol) === col("cluster_id"))
       .select(col(idCol))
     df.join(reps, Seq(idCol), "left_semi")

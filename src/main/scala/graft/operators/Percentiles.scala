@@ -199,7 +199,19 @@ object Percentiles {
         StructField("__rlo", LongType, nullable = false),
         StructField("__rhi", LongType, nullable = false))))
 
-    boundaries.join(broadcast(targetsDf), Seq("__c", "__k"))
+    // Materialize the boundary rows eagerly (at most 2|ps| per group — the
+    // same order as the final result), then release the sorted table's
+    // cache: library callers get a leak-free frame, and the already-eager
+    // pass-2 collect means this adds no new laziness surprise.
+    val boundariesChk = boundaries.localCheckpoint()
+    sorted.unpersist()
+
+    // Null-SAFE key equality: groups with a NULL key are real groups (the
+    // built-in percentile returns a row for them) and must survive the join.
+    boundariesChk
+      .join(broadcast(targetsDf.withColumnRenamed("__c", "__tc").withColumnRenamed("__k", "__tk")),
+        col("__c") === col("__tc") && col("__k") <=> col("__tk"))
+      .drop("__tc", "__tk")
       .filter(col("__rank") === col("__rlo") || col("__rank") === col("__rhi"))
       .groupBy(col("__c"), col("__k"), col("p"), col("__pos"), col("__rlo"), col("__rhi"))
       .agg(

@@ -83,10 +83,14 @@ object Pq {
     val spark = encodedCorpus.sparkSession
     import spark.implicits._
     // Exact per-subspace distances query -> every code centroid.
+    // Cast to array<double> before collect: accepts float OR double vector
+    // columns (reading getSeq[Float] from an array<double> column would
+    // throw at element access).
     val qTables: Seq[(Long, Seq[Double])] = queries
-      .select(col(idCol).cast("long"), col(vecCol)).collect().toSeq.map { r =>
+      .select(col(idCol).cast("long"),
+        graft.functions.VectorFunctions.toDouble(col(vecCol))).collect().toSeq.map { r =>
         val qid = r.getLong(0)
-        val qv = r.getSeq[Float](1).map(_.toDouble)
+        val qv = r.getSeq[Double](1)
         val table = for {
           i <- 0 until model.m
           c <- 0 until model.nCodes

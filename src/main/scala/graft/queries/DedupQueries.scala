@@ -110,6 +110,21 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q73_lsh_capped" -> { (s, d) =>
+      // The capped banding (maxPerBucket): every (band, bkey) bucket keeps
+      // its lowest-2 ids before pairing — the batch form of the streaming
+      // state cap, and the 100 TB safety valve against degenerate
+      // (boilerplate) buckets going quadratic. cap=2 so the semantics bind
+      // on any bucket of >= 3 members; the oracle replays the same
+      // row_number() <= 2 rule in SQL.
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text",
+        distinct = false)
+      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+      Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2,
+          maxPerBucket = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q40_ngram_jaccard" -> { (s, d) =>
       // Exact 3-gram Jaccard for consecutive doc pairs (a linear-size,
       // deterministic pair set; LSH pairs are checked separately in q38).
@@ -163,6 +178,21 @@ object DedupQueries extends QueryGroup {
 
     "q38_lsh_pairs" -> {
       minhashSql(s", banded AS ($BandedCteBody)",
+        "DISTINCT l.doc_id AS id_a, r.doc_id AS id_b",
+        """FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+          ORDER BY id_a, id_b""")
+    },
+
+    "q73_lsh_capped" -> {
+      minhashSql(
+        s""", banded0 AS ($BandedCteBody),
+          banded AS (
+            SELECT doc_id, band, bkey FROM (
+              SELECT doc_id, band, bkey,
+                row_number() OVER (PARTITION BY band, bkey ORDER BY doc_id) AS rn
+              FROM banded0)
+            WHERE rn <= 2)""",
         "DISTINCT l.doc_id AS id_a, r.doc_id AS id_b",
         """FROM banded l JOIN banded r
             ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id

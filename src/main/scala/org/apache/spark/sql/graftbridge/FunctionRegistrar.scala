@@ -24,8 +24,10 @@ object FunctionRegistrar {
       {
         case Seq(s) => PolyHash(s, graft.operators.Dedup.M)
         case Seq(s, Literal(m: Long, _)) => PolyHash(s, m)
+        // Plain int literals parse as IntegerType — widen rather than reject.
+        case Seq(s, Literal(m: Int, _)) => PolyHash(s, m.toLong)
         case _ => throw new IllegalArgumentException(
-          "poly_hash(str[, mod]) takes a string and an optional long literal modulus")
+          "poly_hash(str[, mod]) takes a string and an optional integer literal modulus")
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(

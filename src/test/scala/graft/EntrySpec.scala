@@ -23,7 +23,7 @@ class EntrySpec extends SparkSpec {
   test("oracle SQL references only the driver's table names") {
     val known = Tables.names.toSet
     val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
-    val cteOrAlias = Set("banded", "cand", "inter", "sizes", "losers", "sigs",
+    val cteOrAlias = Set("banded", "banded0", "cand", "inter", "sizes", "losers", "sigs",
       "ids", "sh", "toks", "vocab", "purchases", "signups", "errors", "all_ev",
       "e", "flagged", "numbered", "m", "t", "a", "b", "g", "q", "c", "s", "x",
       "p", "ia", "ib", "sa", "sb", "l", "r", "i", "d", "v", "va", "vb", "pairs",

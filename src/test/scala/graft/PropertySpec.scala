@@ -166,11 +166,12 @@ class PropertySpec extends SparkSpec {
   private def refPoly(s: String, seed: Long = 0L): Long =
     s.codePoints().toArray.foldLeft(seed)((acc, c) => (acc * 31 + c) % M)
 
-  /** Shingles under Java split(" ") semantics — the contract the kernels
-    * document (trailing empties dropped; empty input = one empty token).
+  /** Shingles under Spark split(text, " ") semantics (Java split with
+    * limit -1): trailing empty tokens KEPT — the contract the kernels,
+    * the batch paths, and the DuckDB oracle all share.
     */
   private def refShingles(s: String, k: Int): Seq[String] = {
-    val toks = s.split(" ")
+    val toks = s.split(" ", -1)
     if (toks.length < k) Seq.empty
     else toks.sliding(k).map(_.mkString(" ")).toSeq
   }

@@ -152,6 +152,67 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated never paired")
   }
 
+  test("LSH bucket cap keeps the lowest-N ids; pair count per bucket is bounded") {
+    // 10 identical docs land in the same bucket of every band: uncapped
+    // banding pairs all C(10,2) = 45; cap=4 must keep exactly ids 0..3 and
+    // emit exactly C(4,2) = 6 pairs — deterministic, bounded.
+    val clones = (0L until 10L).map(i =>
+        (i, "the same boilerplate text repeated across the entire corpus"))
+      .toDF("doc_id", "text")
+    val ids = Dedup.shingleIdsPoly(clones, "doc_id", "text", distinct = false)
+    val sigs = Dedup.minhashSignatures(ids, "doc_id")
+    val uncapped = Dedup.lshCandidatePairs(sigs, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 45, "uncapped banding pairs every clone")
+    val capped = Dedup.lshCandidatePairs(sigs, "doc_id", maxPerBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    val expect = (for { a <- 0L until 4L; b <- (a + 1) until 4L } yield (a, b)).toSet
+    assert(capped == expect, s"cap must keep the lowest-4 ids: $capped")
+  }
+
+  test("near-dup pipeline leaves nothing in the session cache (library hygiene)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val n = Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.4).count()
+    assert(n >= 1, "fixture has near-dups")
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"nearDupPairs leaked cached RDDs: $leaked")
+    // the capped form is equally clean
+    val before2 = sc.getPersistentRDDs.keySet
+    Dedup.nearDupPairs(docs, "doc_id", "text", threshold = 0.4, maxPerBucket = 8).count()
+    assert((sc.getPersistentRDDs.keySet -- before2).isEmpty)
+  }
+
+  test("trailing-space docs: narrow kernels match the Spark-split batch paths") {
+    // Spark split(text, " ") KEEPS trailing empty tokens; the kernels must
+    // agree (they once dropped them — a silent narrow-vs-aggregated fork).
+    val tdocs = Seq(
+      (0L, "alpha beta gamma "),   // 4 tokens, last empty
+      (1L, "alpha beta gamma"),    // 3 tokens
+      (2L, "a b  "),               // "a","b","","" — shingles only via empties
+      (3L, "x y z   ")             // three trailing empties
+    ).toDF("doc_id", "text")
+    val agg = Dedup.minhashSignatures(
+        Dedup.shingleIdsPoly(tdocs, "doc_id", "text", distinct = false), "doc_id")
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong)).toMap
+    val narrow = tdocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.minhashSignatureCol(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    assert(narrow == agg, "minhash narrow vs aggregated must agree on trailing spaces")
+    val aggSh = Dedup.simhash(
+        Dedup.shingleIdsPoly(tdocs, "doc_id", "text"), "doc_id", nBits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val narrowSh = tdocs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), Dedup.simhashCol(col("text"), nBits = 16).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(narrowSh == aggSh, "simhash narrow vs aggregated must agree on trailing spaces")
+    // the trailing empty token is semantic: doc 0 has one more shingle than doc 1
+    assert(Dedup.shingleIdsPoly(tdocs, "doc_id", "text", distinct = false)
+      .filter(col("doc_id") === 0L).count() == 2)
+  }
+
   test("jaccard: identical = 1.0, disjoint pair absent, near-dup in (0,1)") {
     val ids = Dedup.shingleIds(docs, "doc_id", "text")
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("id_a", "id_b")

@@ -82,6 +82,30 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("groups with a NULL key survive (null-safe join) and match the built-in") {
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 4.0),
+      (None, 3.0), (None, 5.0), (None, 7.0), (None, 9.0))
+      .toDF("k", "v")
+    for (p <- Seq(0.0, 0.5, 0.75, 1.0)) {
+      val exp = builtIn(df, p).map { case (k, v) => Option(k) -> v }
+      val got = dist(df, p).map { case (k, v) => Option(k) -> v }
+      assert(got.keySet == exp.keySet, s"p=$p: null-key group must not vanish")
+      assert(got == exp, s"p=$p: $got != $exp")
+    }
+  }
+
+  test("the sorted intermediate cache is released before returning") {
+    val sc = spark.sparkContext
+    val df = (1 to 500).map(i => (s"g${i % 3}", i.toDouble)).toDF("k", "v")
+    val before = sc.getPersistentRDDs.keySet
+    val out = Percentiles.percentileCont(df, "k", "v", Seq(0.5))
+    out.count()
+    // the only surviving storage is the (tiny, result-sized) localCheckpoint
+    // of the boundary rows — the full sorted counts cache must be gone.
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"expected at most the boundaries checkpoint: $leaked")
+  }
+
   test("group spanning many range partitions gets correct global ranks") {
     // One dominant key whose values are spread over every partition: the
     // per-partition offset bookkeeping must stitch ranks back together.
