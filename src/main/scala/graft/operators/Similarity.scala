@@ -78,39 +78,16 @@ object Similarity {
               nlist: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import org.apache.spark.ml.linalg.Vector
 
-    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      array_to_vector(toDouble(col(vecCol))).as("features"))
+    // Only the quantizer TRAINING is k-means; everything downstream —
+    // corpus assignment, query probing, candidate scoring — runs on the
+    // same expression-only machinery as [[ivfTopKFixed]] (native
+    // NearestCentroid argmin, no UDF, no per-row closure).
     val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(corpusVec.select(col("features")))
-    val assigned = model.transform(corpusVec)
-      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"))
-
-    // Query-side: nprobe nearest centroids per query (centroids are tiny —
-    // computed driver-side into a literal map of probe cells).
-    val centroids = model.clusterCenters.zipWithIndex
-    val queryRows = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probeUdf = udf { (q: Seq[Float]) =>
-      val qd = q.map(_.toDouble).toArray
-      centroids.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        val arr = c.toArray
-        while (j < arr.length && j < qd.length) {
-          val diff = arr(j) - qd(j); d += diff * diff; j += 1
-        }
-        (i, d)
-      }.sortBy(_._2).take(nprobe).map(_._1)
-    }
-    val probed = queryRows.withColumn("cell", explode(probeUdf(col("qv"))))
-    val scored = assigned.join(broadcast(probed), "cell")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .fit(corpus.select(array_to_vector(toDouble(col(vecCol))).as("features")))
+    val cents: Seq[(Long, Seq[Double])] = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+    ivfTopKWithCentroids(corpus, queries, cents, idCol, vecCol, k, nprobe)
   }
 
   /** IVF top-k with a PROVIDED coarse quantizer — the oracle-checkable IVF.
@@ -137,6 +114,15 @@ object Similarity {
       .select(col("cell").cast("long"), toDouble(col("cv")))
       .orderBy(col("cell"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    ivfTopKWithCentroids(corpus, queries, cents, idCol, vecCol, k, nprobe)
+  }
+
+  /** Shared IVF core over an in-memory (cell-sorted) centroid table: both
+    * the k-means-trained and the provided-quantizer paths end here.
+    */
+  private def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[(Long, Seq[Double])], idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
     val centArr = typedLit(cents)
 
     def centDist(v: Column, cv: Column): Column =
