@@ -41,6 +41,29 @@ object Percentiles {
     percentileContLong(df, keyCol, Seq(valueCol -> ps))
       .drop("column")
 
+  /** Weighted PERCENTILE_CONT: each row counts `weightCol` times — the
+    * semantics of Spark's built-in `percentile(v, p, frequency)` (which
+    * buffers whole groups on single reducers; this stays distributed).
+    * Weights must be positive integers (cast to long); the machinery is
+    * untouched because a weight is just a pre-aggregated duplicate count:
+    * pass 1's count(1) becomes sum(w) and every rank downstream already
+    * works on cumulative counts. Long output: (keyCol, p, value).
+    */
+  def percentileContWeighted(df: DataFrame, keyCol: String, valueCol: String,
+                             weightCol: String, ps: Seq[Double]): DataFrame =
+    percentileContLong(df, keyCol, Seq(valueCol -> ps),
+      weightCol = Some(weightCol))
+      .drop("column")
+
+  /** Weighted PERCENTILE_DISC: smallest value whose cumulative weight
+    * reaches rank max(1, ceil(p * totalWeight)).
+    */
+  def percentileDiscWeighted(df: DataFrame, keyCol: String, valueCol: String,
+                             weightCol: String, ps: Seq[Double]): DataFrame =
+    percentileContLong(df, keyCol, Seq(valueCol -> ps), disc = true,
+      weightCol = Some(weightCol))
+      .drop("column")
+
   /** PERCENTILE_DISC on the same machinery: the smallest value whose
     * cumulative distribution reaches p — rank max(1, ceil(p*n)), no
     * interpolation (matches DuckDB `quantile_disc` and Spark's
@@ -94,19 +117,23 @@ object Percentiles {
     * single PERCENTILE_DISC rank max(1, ceil(p*n)).
     */
   def percentileContLong(df: DataFrame, keyCol: String,
-      specs: Seq[(String, Seq[Double])], disc: Boolean = false): DataFrame = {
+      specs: Seq[(String, Seq[Double])], disc: Boolean = false,
+      weightCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     require(specs.nonEmpty &&
       specs.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)))
 
     // Pass 1: long form (one scan for all columns), then distinct-value
-    // counts. Nulls ignored, like the built-in.
+    // counts — weighted counts when a weight column is given (a weight IS
+    // a duplicate count, so nothing downstream changes). Nulls ignored,
+    // like the built-in.
     val arr = array(specs.map { case (vc, _) => col(vc).cast("double") }: _*)
+    val w = weightCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     val counts = df
-      .select(col(keyCol).as("__k"), posexplode(arr).as(Seq("__c", "__v")))
-      .filter(col("__v").isNotNull)
+      .select(col(keyCol).as("__k"), w.as("__w"), posexplode(arr).as(Seq("__c", "__v")))
+      .filter(col("__v").isNotNull && col("__w") > 0L)
       .groupBy(col("__c"), col("__k"), col("__v"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__w")).as("__n"))
 
     val nPart = spark.sessionState.conf.numShufflePartitions
     val sorted = counts

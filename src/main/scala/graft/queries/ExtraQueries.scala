@@ -198,6 +198,27 @@ object ExtraQueries extends QueryGroup {
             "l_quantity" -> Seq(0.25 -> "dq1")))
         .select(col("l_returnflag"), col("d50"), col("d95"), col("dq1"))
         .orderBy(col("l_returnflag"))
+    },
+
+    "q72_weighted_percentile" -> { (s, d) =>
+      // Weighted percentiles (each row counts l_quantity times) on the
+      // distributed rank machinery — the semantics of Spark's built-in
+      // percentile(v, p, frequency) without its per-group value buffering.
+      // The oracle replays cumulative weights + the identical interpolation
+      // arithmetic in SQL.
+      val li = Tables.lineitem(s, d)
+      val cont = graft.operators.Percentiles.percentileContWeighted(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", Seq(0.5, 0.95))
+        .groupBy(col("l_returnflag")).agg(
+          max(when(col("p") === 0.5, col("value"))).as("w50"),
+          max(when(col("p") === 0.95, col("value"))).as("w95"))
+      val disc = graft.operators.Percentiles.percentileDiscWeighted(
+        li, "l_returnflag", "l_extendedprice", "l_quantity", Seq(0.5))
+        .groupBy(col("l_returnflag")).agg(
+          max(when(col("p") === 0.5, col("value"))).as("wd50"))
+      cont.join(disc, "l_returnflag")
+        .select(col("l_returnflag"), col("w50"), col("w95"), col("wd50"))
+        .orderBy(col("l_returnflag"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -232,6 +253,44 @@ object ExtraQueries extends QueryGroup {
         quantile_disc(l_extendedprice, 0.95) AS d95,
         quantile_disc(l_quantity, 0.25) AS dq1
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // Weighted percentiles: cumulative weights over distinct values, then
+    // the exact interpolation arithmetic of the operator ((rhi-pos)*vlo +
+    // (pos-rlo)*vhi). CAST(p AS DOUBLE) forces double (not DECIMAL)
+    // multiplication so pos matches Spark bit-for-bit.
+    "q72_weighted_percentile" -> """
+      WITH vals AS (
+        SELECT l_returnflag AS k, l_extendedprice AS v,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+      cum AS (
+        SELECT k, v, w,
+          sum(w) OVER (PARTITION BY k ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+          sum(w) OVER (PARTITION BY k) AS n
+        FROM vals),
+      b AS (
+        SELECT k, v, w, cw,
+          1.0 + CAST(0.5 AS DOUBLE) * (n - 1) AS pos50,
+          1.0 + CAST(0.95 AS DOUBLE) * (n - 1) AS pos95,
+          greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) AS r50
+        FROM cum)
+      SELECT k AS l_returnflag,
+        CASE WHEN any_value(floor(pos50)) = any_value(ceil(pos50))
+          THEN max(CASE WHEN floor(pos50) > cw - w AND floor(pos50) <= cw THEN v END)
+          ELSE (any_value(ceil(pos50)) - any_value(pos50))
+                 * max(CASE WHEN floor(pos50) > cw - w AND floor(pos50) <= cw THEN v END)
+               + (any_value(pos50) - any_value(floor(pos50)))
+                 * max(CASE WHEN ceil(pos50) > cw - w AND ceil(pos50) <= cw THEN v END)
+        END AS w50,
+        CASE WHEN any_value(floor(pos95)) = any_value(ceil(pos95))
+          THEN max(CASE WHEN floor(pos95) > cw - w AND floor(pos95) <= cw THEN v END)
+          ELSE (any_value(ceil(pos95)) - any_value(pos95))
+                 * max(CASE WHEN floor(pos95) > cw - w AND floor(pos95) <= cw THEN v END)
+               + (any_value(pos95) - any_value(floor(pos95)))
+                 * max(CASE WHEN ceil(pos95) > cw - w AND ceil(pos95) <= cw THEN v END)
+        END AS w95,
+        max(CASE WHEN r50 > cw - w AND r50 <= cw THEN v END) AS wd50
+      FROM b GROUP BY k ORDER BY l_returnflag""",
 
     "q51_math_funcs" -> """
       SELECT c_custkey,

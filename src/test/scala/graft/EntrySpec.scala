@@ -28,7 +28,7 @@ class EntrySpec extends SparkSpec {
       "e", "flagged", "numbered", "m", "t", "a", "b", "g", "q", "c", "s", "x",
       "p", "ia", "ib", "sa", "sb", "l", "r", "i", "d", "v", "va", "vb", "pairs",
       "scored", "ranked", "open", "closed", "big", "cent", "cdist", "qdist",
-      "assigned", "probed", "j", "verified", "und", "reach", "u",
+      "assigned", "probed", "j", "verified", "und", "reach", "u", "vals", "cum",
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>

@@ -82,6 +82,34 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("weighted percentile matches built-in percentile(v, p, frequency) bitwise") {
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4000).map { i =>
+      (s"g${i % 5}", math.floor(rnd.nextDouble() * 500) / 4.0, 1L + rnd.nextInt(9))
+    }.toDF("k", "v", "w").repartition(7)
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val exp = df.groupBy("k").agg(expr(s"percentile(v, $p, w)").as("e"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val got = Percentiles.percentileContWeighted(df, "k", "v", "w", Seq(p))
+        .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(got.keySet == exp.keySet)
+      exp.foreach { case (k, e) =>
+        assert(java.lang.Double.doubleToLongBits(got(k)) ==
+          java.lang.Double.doubleToLongBits(e), s"p=$p key=$k: ${got(k)} != $e")
+      }
+    }
+  }
+
+  test("weighted percentile_disc picks the value whose cumulative weight covers the rank") {
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 3L), ("a", 3.0, 2L)).toDF("k", "v", "w")
+    def disc(p: Double): Double =
+      Percentiles.percentileDiscWeighted(df, "k", "v", "w", Seq(p))
+        .collect().map(_.getDouble(2)).head
+    assert(disc(0.0) == 1.0)  // rank max(1, ceil(0*6)) = 1 -> first value
+    assert(disc(0.5) == 2.0)  // rank 3 falls in 2.0's [2, 4] interval
+    assert(disc(1.0) == 3.0)  // rank 6 -> last value
+  }
+
   test("groups with a NULL key survive (null-safe join) and match the built-in") {
     val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 4.0),
       (None, 3.0), (None, 5.0), (None, 7.0), (None, 9.0))
