@@ -83,6 +83,42 @@ object AsyncApiDoc {
       s""""components": {"schemas": {$componentJson}}}"""
   }
 
+  /** Self-contained HTML docs page: the AsyncAPI JSON embedded in the
+    * standard `<asyncapi-component>` web component (the same page shape
+    * the reference's docs renderer emits — kaflow `asyncapi/docs.py:9-37`
+    * — but actually reachable: the reference's entry point raises
+    * NotImplementedError). Component/CSS URLs are parameters so an
+    * air-gapped deployment can point at a vendored copy.
+    */
+  def renderHtml(app: GraftApp, title: String, version: String,
+      componentJsUrl: String =
+        "https://unpkg.com/@asyncapi/web-component@1.0.0-next.47/lib/asyncapi-web-component.js",
+      componentCssUrl: String =
+        "https://unpkg.com/@asyncapi/react-component@1.0.0-next.12/styles/default.min.css"): String = {
+    val schema = render(app, title, version)
+    // The schema sits in a single-quoted HTML attribute: escape the
+    // attribute delimiter and ampersands (JSON string escapes handle the
+    // rest — q() never emits raw control characters).
+    val attr = schema.replace("&", "&amp;").replace("'", "&#39;")
+    s"""<!DOCTYPE html>
+       |<html>
+       |<head>
+       |  <meta charset="utf-8"/>
+       |  <link rel="stylesheet" href="$componentCssUrl"/>
+       |  <title>${attr2(title)}</title>
+       |</head>
+       |<body>
+       |  <script src="$componentJsUrl" defer></script>
+       |  <asyncapi-component schema='$attr' cssImportPath="$componentCssUrl">
+       |  </asyncapi-component>
+       |</body>
+       |</html>
+       |""".stripMargin
+  }
+
+  private def attr2(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
   private def sanitize(s: String): String =
     s.map(c => if (c.isLetterOrDigit) c else '_')
 

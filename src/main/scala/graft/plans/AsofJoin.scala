@@ -39,7 +39,11 @@ case class AsofJoin(
   * clustered on the keys and sorted by (keys, ts); for each left row the
   * right iterator advances through rows with (key < leftKey) or
   * (key == leftKey && ts <= leftTs), keeping only the last same-key row —
-  * which is exactly the as-of match.
+  * which is exactly the as-of match. The merge lives in
+  * [[AsofJoinScanner]], shared by the interpreted path and the
+  * whole-stage-codegen path (the SortMergeJoinExec pattern: generated code
+  * drives the scanner and consumes columns from the current row pair, so
+  * downstream operators fuse with no per-row output projection).
   */
 case class AsofJoinExec(
     left: SparkPlan,
@@ -47,7 +51,8 @@ case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression) extends BinaryExecNode {
+    rightTs: Expression) extends BinaryExecNode
+    with org.apache.spark.sql.execution.CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -59,63 +64,74 @@ case class AsofJoinExec(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
     (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
 
+  private def scannerFactory = new AsofJoinScannerFactory(
+    leftKeys, rightKeys, leftTs, rightTs, left.output, right.output)
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val factory = scannerFactory
+    val schema = output
     val leftOut = left.output
     val rightOut = right.output
-    val lKeys = leftKeys
-    val rKeys = rightKeys
-    val lTs = leftTs
-    val rTs = rightTs
-    val schema = output
-
-    left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
-      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
-      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
-      val lTsProj = UnsafeProjection.create(Seq(lTs), leftOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTs), rightOut)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val scanner = factory.create(lIter, rIter)
       // Bind against nullable right attrs — the null-filled row for
       // unmatched left rows must project as nulls, not type defaults.
       val outProj = UnsafeProjection.create(schema.map(a => a: Expression),
         leftOut ++ rightOut.map(_.withNullability(true)))
-      val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .createNaturalAscendingOrdering(lKeys.map(_.dataType))
       val joined = new JoinedRow
-      val nullRight = new GenericInternalRow(rightOut.length)
-      val rIter = rIter0.buffered
-
-      var lastKey: UnsafeRow = null
-      var lastRight: InternalRow = null
-
-      lIter.map { lRow =>
-        val lKey = lKeyProj(lRow)
-        // Drop the remembered match when the key group changes.
-        if (lastKey != null && keyOrdering.compare(lKey, lastKey) != 0) {
-          lastRight = null
+      new Iterator[InternalRow] {
+        private var ready = false
+        override def hasNext: Boolean = {
+          if (!ready) ready = scanner.advanceNext()
+          ready
         }
-        lastKey = lKey.copy()
-        val lTsRow = lTsProj(lRow)
-        if (lTsRow.isNullAt(0)) {
-          // A null left timestamp has no defined "prior" instant — emit the
-          // null match rather than reading the null slot as epoch 0 (which
-          // would spuriously match right rows with ts <= 1970-01-01). Nulls
-          // sort first, so not advancing the right iterator here is safe.
-          outProj(joined(lRow, nullRight))
-        } else {
-          val lTime = lTsRow.getLong(0)
-          // Advance right side: consume rows with smaller key, and same-key
-          // rows with ts <= left ts (remembering the most recent one).
-          var advancing = true
-          while (advancing && rIter.hasNext) {
-            val cmp = keyOrdering.compare(rKeyProj(rIter.head), lastKey)
-            if (cmp < 0) { rIter.next() } // behind: skip (its group is done)
-            else if (cmp == 0 && rTsProj(rIter.head).getLong(0) <= lTime) {
-              lastRight = rIter.next().copy()
-            } else advancing = false
-          }
-          outProj(joined(lRow, if (lastRight == null) nullRight else lastRight))
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          ready = false
+          outProj(joined(scanner.getLeft, scanner.getRight))
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext): String = {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    val factoryName = classOf[AsofJoinScannerFactory].getName
+    val scannerName = classOf[AsofJoinScanner].getName
+    val factoryRef = ctx.addReferenceObj("asofJoinFactory", scannerFactory, factoryName)
+    val scanner = ctx.addMutableState(scannerName, "asofJoinScanner",
+      v => s"$v = $factoryRef.create(inputs[0], inputs[1]);", forceInline = true)
+    val leftRow = ctx.addMutableState("InternalRow", "asofJoinLeftRow")
+    val rightRow = ctx.addMutableState("InternalRow", "asofJoinRightRow")
+
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // Right side reads may hit the all-null row — generate with
+    // nullability forced on, whatever the child claims.
+    ctx.INPUT_ROW = rightRow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, nullable = true).genCode(ctx)
+    }
+    ctx.INPUT_ROW = null
+    s"""
+       |while ($scanner.advanceNext()) {
+       |  $leftRow = $scanner.getLeft();
+       |  $rightRow = $scanner.getRight();
+       |  ${consume(ctx, leftVars ++ rightVars).trim}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

