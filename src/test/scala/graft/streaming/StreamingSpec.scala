@@ -222,6 +222,94 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ANN: incremental neighbors via IVF cell state") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { streamingAnnBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def streamingAnnBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // Two well-separated cells on the x/y axes.
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+      .toDF("cell", "cv")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val hits = AnnStream.neighbors(
+      input.toDF().toDF("vec_id", "embedding"), cents,
+      "vec_id", "embedding", k = 2, nprobe = 1, minCosine = 0.5)
+    val q = hits.writeStream.format("memory").queryName("ann_stream")
+      .outputMode("append").start()
+    try {
+      // Batch 1: one vector per cell — nothing to pair with yet.
+      input.addData((1L, Seq(0.9, 0.1, 0.0)), (2L, Seq(0.1, 0.9, 0.0)))
+      q.processAllAvailable()
+      assert(spark.table("ann_stream").count() == 0)
+
+      // Batch 2: a vector near cell 0 pairs with the HISTORICAL vec 1 (same
+      // cell), never with vec 2 (other cell, and cosine below threshold).
+      input.addData((3L, Seq(0.95, 0.05, 0.0)))
+      q.processAllAvailable()
+      val got = spark.table("ann_stream")
+        .select("queryId", "neighborId").as[(Long, Long)].collect().toSet
+      assert(got == Set((3L, 1L)), s"got $got")
+
+      // Batch 3: another cell-0 vector sees both stored members, ranked by
+      // cosine (vec 3 is closer to vec 4 than vec 1 is).
+      input.addData((4L, Seq(0.97, 0.03, 0.0)))
+      q.processAllAvailable()
+      val r4 = spark.table("ann_stream").filter(col("queryId") === 4L)
+        .orderBy(col("cosine").desc).select("neighborId").as[Long].collect().toSeq
+      assert(r4 == Seq(3L, 1L), s"got $r4")
+    } finally q.stop()
+  }
+
+  test("streaming ANN: nprobe > 1 probes neighbor cells without storing there") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+        .toDF("cell", "cv")
+      val input = MemoryStream[(Long, Seq[Double])]
+      val hits = AnnStream.neighbors(
+        input.toDF().toDF("vec_id", "embedding"), cents,
+        "vec_id", "embedding", k = 3, nprobe = 2, minCosine = 0.0)
+      val q = hits.writeStream.format("memory").queryName("ann_probe")
+        .outputMode("append").start()
+      try {
+        input.addData((1L, Seq(0.9, 0.1, 0.0)))
+        q.processAllAvailable()
+        // On-diagonal arrival: home cell is 1 (closer to y), probes cell 0
+        // too — finds vec 1 there even though they live in different cells.
+        input.addData((2L, Seq(0.6, 0.8, 0.0)))
+        q.processAllAvailable()
+        val got = spark.table("ann_probe")
+          .select("queryId", "neighborId", "cell").as[(Long, Long, Long)].collect().toSet
+        assert(got == Set((2L, 1L, 0L)), s"got $got")
+        // vec 2 was stored only in its home cell 1: a later cell-0 arrival
+        // with nprobe=1 must NOT see it, but sees vec 1.
+        val input3 = Seq((3L, Seq(0.99, 0.01, 0.0)))
+        input.addData(input3: _*)
+        q.processAllAvailable()
+        val r3 = spark.table("ann_probe").filter(col("queryId") === 3L)
+          .select("neighborId", "cell").as[(Long, Long)].collect().toSet
+        assert(r3.contains((1L, 0L)), s"got $r3")
+        assert(!r3.contains((2L, 0L)), s"vec 2 must not be stored in cell 0: $r3")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   private def streamingNearDupBody(): Unit = {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, String)]
