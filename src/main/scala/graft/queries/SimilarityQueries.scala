@@ -68,6 +68,42 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "q74_ivfpq_adc" -> { (s, d) =>
+      // IVFADC under an exact SQL oracle: like q66's fixed quantizer, the
+      // coarse cells AND the PQ codebooks are taken from data rows
+      // (codebook c for subspace i = slice i of vector 3+c), so the whole
+      // residual-encode → in-cell ADC pipeline is deterministic relational
+      // algebra DuckDB replays bit-for-bit — every fold in the operator
+      // (cell argmin, code argmin, table build, lookup sum) is sequential
+      // left-to-right by construction. Quantization QUALITY is the recall
+      // specs' concern (IvfPqSpec, trained codebooks); this pins the
+      // MACHINERY.
+      import graft.functions.VectorFunctions.toDouble
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 3)
+      val corpus = emb.filter(col("vec_id") >= 3)
+      val m = 4; val nCodes = 8; val dsub = 16
+      val cents: Seq[(Long, Seq[Double])] = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), toDouble(col("embedding")))
+        .orderBy(col("vec_id")).collect()
+        .zipWithIndex.map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }.toSeq
+      val cbVecs: Seq[Seq[Double]] = emb
+        .filter(col("vec_id") >= 3 && col("vec_id") < 3 + nCodes)
+        .select(col("vec_id"), toDouble(col("embedding")))
+        .orderBy(col("vec_id")).collect().map(_.getSeq[Double](1)).toSeq
+      val codebooks = Array.tabulate(m, nCodes) { (i, c) =>
+        cbVecs(c).slice(i * dsub, (i + 1) * dsub).toArray
+      }
+      val model = graft.operators.IvfPq.IvfPqModel(cents,
+        graft.operators.Pq.PqModel(m, dsub, nCodes, codebooks))
+      val encoded = graft.operators.IvfPq.encode(corpus, "vec_id", "embedding", model)
+      graft.operators.IvfPq.topK(encoded, queries, "vec_id", "embedding",
+          model, k = 5, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("adist"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     "q44_vector_stats" -> { (s, d) =>
       // Per-label centroid norms — aggregation over vector columns using
       // position-wise sums (exact integer count + sequential-fold norm).
@@ -136,6 +172,87 @@ object SimilarityQueries extends QueryGroup {
         min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS min_norm,
         max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS max_norm
       FROM embeddings GROUP BY label ORDER BY label""",
+
+    // IVFADC replay: positional cells (row_number over the cell-source
+    // order), codebook c for subspace i = 1-based slice [i*16+1, i*16+16]
+    // of vector 3+c. Every distance is the operator's exact arithmetic:
+    // assignment d = <c,c> - 2<v,c> (list_dot_product = the same
+    // sequential fold), probe d = full L2 as a 0.0-seeded left fold,
+    // table entries ((q-cent)-cb)^2 likewise, adist = left-assoc sum of
+    // the m lookups.
+    "q74_ivfpq_adc" -> """
+      WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+          CAST(embedding AS DOUBLE[]) AS mv
+        FROM embeddings WHERE vec_id % 50 = 0),
+      cb AS (
+        SELECT CAST(vec_id - 3 AS BIGINT) AS c, CAST(embedding AS DOUBLE[]) AS cbv
+        FROM embeddings WHERE vec_id >= 3 AND vec_id < 11),
+      subs AS (SELECT unnest(generate_series(0, 3)) AS i),
+      q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 3),
+      c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+            FROM embeddings WHERE vec_id >= 3),
+      assigned AS (
+        SELECT neighbor_id, cv, cell, mv FROM (
+          SELECT neighbor_id, cv, cell, mv,
+            row_number() OVER (PARTITION BY neighbor_id ORDER BY
+              (list_dot_product(mv, mv) - 2 * list_dot_product(cv, mv)), cell) AS rn
+          FROM c CROSS JOIN cent) WHERE rn = 1),
+      codedist AS (
+        SELECT a.neighbor_id, a.cell, subs.i, cb.c,
+          (list_dot_product(cb.cbv[subs.i*16+1 : subs.i*16+16],
+                            cb.cbv[subs.i*16+1 : subs.i*16+16])
+           - 2 * list_dot_product(
+               list_transform(generate_series(1, 16),
+                 j -> a.cv[subs.i*16+j] - a.mv[subs.i*16+j]),
+               cb.cbv[subs.i*16+1 : subs.i*16+16])) AS d
+        FROM assigned a CROSS JOIN subs CROSS JOIN cb),
+      codes AS (
+        SELECT neighbor_id, cell,
+          max(CASE WHEN i = 0 THEN c END) AS c0,
+          max(CASE WHEN i = 1 THEN c END) AS c1,
+          max(CASE WHEN i = 2 THEN c END) AS c2,
+          max(CASE WHEN i = 3 THEN c END) AS c3
+        FROM (SELECT *, row_number() OVER (PARTITION BY neighbor_id, i
+                ORDER BY d, c) AS rn FROM codedist)
+        WHERE rn = 1 GROUP BY neighbor_id, cell),
+      probed AS (
+        SELECT query_id, qv, cell, mv FROM (
+          SELECT q.query_id, q.qv, ct.cell, ct.mv,
+            row_number() OVER (PARTITION BY q.query_id ORDER BY
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(generate_series(1, 64),
+                  j -> (q.qv[j] - ct.mv[j]) * (q.qv[j] - ct.mv[j]))),
+                (a, b) -> a + b), ct.cell) AS rn
+          FROM q CROSS JOIN cent ct) WHERE rn <= 2),
+      adc AS (
+        SELECT p.query_id, p.cell, subs.i, cb.c,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(generate_series(1, 16),
+              j -> (p.qv[subs.i*16+j] - p.mv[subs.i*16+j] - cb.cbv[subs.i*16+j])
+                 * (p.qv[subs.i*16+j] - p.mv[subs.i*16+j] - cb.cbv[subs.i*16+j]))),
+            (a, b) -> a + b) AS d
+        FROM probed p CROSS JOIN subs CROSS JOIN cb),
+      scored AS (
+        SELECT p.query_id, e.neighbor_id,
+          t0.d + t1.d + t2.d + t3.d AS adist
+        FROM probed p
+        JOIN codes e USING (cell)
+        JOIN adc t0 ON t0.query_id = p.query_id AND t0.cell = p.cell
+          AND t0.i = 0 AND t0.c = e.c0
+        JOIN adc t1 ON t1.query_id = p.query_id AND t1.cell = p.cell
+          AND t1.i = 1 AND t1.c = e.c1
+        JOIN adc t2 ON t2.query_id = p.query_id AND t2.cell = p.cell
+          AND t2.i = 2 AND t2.c = e.c2
+        JOIN adc t3 ON t3.query_id = p.query_id AND t3.cell = p.cell
+          AND t3.i = 3 AND t3.c = e.c3),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY adist, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, adist FROM ranked
+      WHERE rank <= 5 ORDER BY query_id, rank""",
 
     "q66_ann_ivf" -> s"""
       WITH cent AS (
