@@ -66,6 +66,33 @@ object TextQueries extends QueryGroup {
         .agg((sum(col("tid") * col("pos")) % Dedup.P).as("fingerprint"),
           count(lit(1)).as("n_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    "q75_tfidf" -> { (s, d) =>
+      // Corpus TF-IDF: top-3 terms per document. The weight uses the
+      // rational idf N/df (not ln) so every arithmetic step is an exact
+      // IEEE multiply/divide both engines compute identically — same
+      // ranking behavior, hash-parity safe. One exploded-term table feeds
+      // both the tf and df aggregates; the df side is vocabulary-sized and
+      // broadcast back.
+      val docs = Tables.documents(s, d)
+      val terms = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(total))
+        .select(col("doc_id"), col("term"), col("tf"), col("df"),
+          (col("tf").cast("double") *
+            (col("n_docs").cast("double") / col("df"))).as("w"))
+      graft.operators.TopK
+        .perGroup(scored, Seq("doc_id"), Seq(col("w").desc, col("term").asc), 3)
+        .select(col("doc_id"), col("rn").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"), col("w"))
+        .orderBy(col("doc_id"), col("rank"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -118,5 +145,25 @@ object TextQueries extends QueryGroup {
       SELECT doc_id, CAST(sum(tid * pos) % ${Dedup.P} AS BIGINT) AS fingerprint,
         count(*) AS n_tokens
       FROM toks JOIN vocab USING (tok)
-      GROUP BY doc_id ORDER BY doc_id""")
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "q75_tfidf" -> """
+      WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      t AS (SELECT doc_id, term, count(*) AS tf
+            FROM terms WHERE term <> '' GROUP BY 1, 2),
+      d AS (SELECT term, count(DISTINCT doc_id) AS df
+            FROM terms WHERE term <> '' GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+          CAST(d.df AS BIGINT) AS df,
+          CAST(t.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / d.df) AS w
+        FROM t JOIN d USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY w DESC, term ASC) AS rank
+        FROM scored)
+      SELECT doc_id, rank, term, tf, df, w FROM ranked
+      WHERE rank <= 3 ORDER BY doc_id, rank""")
 }
