@@ -406,10 +406,85 @@ object Dedup {
         labels = prop.select(col("__node"), col("__label"))
         iter += 1
       }
+      if (changed > 0) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"(graph diameter exceeds maxIter) — raise maxIter or use " +
+          s"connectedComponentsStar, whose round count is logarithmic")
       // The result is checkpointed — the adjacency cache is releasable NOW,
       // not at some caller-side clearCache(): library hygiene.
       labels.select(col("__node").as(idCol), col("__label").as("cluster_id"))
     } finally adj.unpersist()
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): each round rewires edges toward per-neighborhood minima,
+    * and the edge set converges to stars centered on component minima in
+    * O(log n) rounds REGARDLESS of graph diameter — the scale path for
+    * long-chain graphs where [[connectedComponents]]' min-label
+    * propagation needs diameter-many rounds. Same output contract:
+    * (idCol, cluster_id = smallest id in the component).
+    *
+    * Each round is two join+aggregate passes over the edge list; the
+    * convergence check is one tiny (count, checksum) aggregate per round.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              idCol: String, maxIter: Int = 30): DataFrame = {
+    val e0 = edges
+      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+
+    // large-star: per node u over its full neighborhood N(u), m = min(N ∪
+    // {u}); every larger neighbor rewires to m. No per-node neighbor list
+    // is ever materialized — the min is an aggregate, the emit is a join.
+    def largeStar(es: DataFrame): DataFrame = {
+      val sym = es.union(es.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    // small-star: per node u over its SMALLER neighbors N- (edges stored
+    // larger→smaller), m = min(N-); all of N- ∪ {u} except m rewires to m.
+    def smallStar(es: DataFrame): DataFrame = {
+      val dir = es.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var e = e0.distinct().localCheckpoint()
+    var iter = 0
+    var converged = e.isEmpty
+    var lastSig: (Long, Long) = null
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      // count + order-independent xor checksum (sum would overflow ANSI
+      // long arithmetic); the edge list is distinct, so equal signatures
+      // mean the fixpoint with overwhelming probability.
+      val sigRow = e.agg(count(lit(1)), coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L)))
+        .collect()(0)
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == lastSig || sig._1 == 0L
+      lastSig = sig
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+
+    // At the fixpoint the edge set is stars (node → component min).
+    val labels = e.groupBy(col("u")).agg(min(col("v")).as("cluster_id"))
+    nodes.select(col(idCol))
+      .join(labels.withColumnRenamed("u", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("cluster_id"), col(idCol)).as("cluster_id"))
   }
 
   /** Transitive near-duplicate clusters: every document labeled with the

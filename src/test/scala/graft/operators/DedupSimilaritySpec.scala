@@ -111,6 +111,36 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("large-star/small-star components match min-label on random graphs") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val nodes = (0L until n.toLong).toDF("id")
+      val es = (0 until 50).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+      val a = Dedup.connectedComponents(nodes, es, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val b = Dedup.connectedComponentsStar(nodes, es, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(a == b, s"trial $trial")
+    }
+  }
+
+  test("star components handle a high-diameter chain; min-label fails loudly") {
+    val n = 200L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // diameter 199: star rounds are logarithmic, well under the default 30
+    val got = Dedup.connectedComponentsStar(nodes, chain, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == n && got.forall(_._2 == 0L))
+    // min-label needs ~diameter rounds — with a short budget it must
+    // refuse rather than silently return half-propagated labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, chain, "id", maxIter = 20)
+    }
+  }
+
   test("native signature edge cases: unicode, repeated spaces, short docs") {
     val df = Seq(
       (1L, "é 中 x y"),            // multibyte code points
