@@ -189,6 +189,20 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q76_neardup_clusters_star" -> { (s, d) =>
+      // q71's clustering through the large-star/small-star algorithm
+      // (O(log n) rounds, diameter-independent) — same verified pair set,
+      // same recursive-CTE oracle, so the two CC implementations are
+      // pinned to identical labelings on real data.
+      val docs = Tables.documents(s, d)
+      val pairs = graft.operators.Dedup.nearDupPairs(
+          docs, "doc_id", "text", threshold = 0.4)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.connectedComponentsStar(
+          docs.select(col("doc_id")), pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     "q70_percentile_disc" -> { (s, d) =>
       // PERCENTILE_DISC (actual data values, no interpolation) through the
       // same distributed rank machinery as q65.
@@ -220,6 +234,41 @@ object ExtraQueries extends QueryGroup {
         .select(col("l_returnflag"), col("w50"), col("w95"), col("wd50"))
         .orderBy(col("l_returnflag"))
     })
+
+  /** Shared by q71 (min-label) and q76 (large-star/small-star): the same
+    * verified near-dup pair set closed transitively by a recursive CTE.
+    */
+  private val NearDupClustersOracle: String =
+    DedupQueries.minhashSql(
+      s""", banded AS (${DedupQueries.BandedCteBody}),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c
+          JOIN ids ia ON ia.doc_id = c.id_a
+          JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
+          GROUP BY c.id_a, c.id_b),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
+        verified AS (
+          SELECT c.id_a, c.id_b FROM cand c
+          LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+          JOIN sizes sa ON sa.doc_id = c.id_a
+          JOIN sizes sb ON sb.doc_id = c.id_b
+          WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+            / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4),
+        und AS (
+          SELECT id_a AS src, id_b AS dst FROM verified
+          UNION ALL SELECT id_b, id_a FROM verified),
+        reach AS (
+          SELECT doc_id AS n, doc_id AS l FROM documents
+          UNION
+          SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n)""",
+      "n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id",
+      "FROM reach GROUP BY n ORDER BY doc_id")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
     "q49_collect_sorted" -> """
@@ -376,37 +425,12 @@ object ExtraQueries extends QueryGroup {
             / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4
           ORDER BY c.id_a, c.id_b"""),
 
-    "q71_neardup_clusters" ->
-      DedupQueries.minhashSql(
-        s""", banded AS (${DedupQueries.BandedCteBody}),
-          cand AS (
-            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-            FROM banded l JOIN banded r
-              ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-          inter AS (
-            SELECT c.id_a, c.id_b, count(*) AS inter
-            FROM cand c
-            JOIN ids ia ON ia.doc_id = c.id_a
-            JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
-            GROUP BY c.id_a, c.id_b),
-          sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
-          verified AS (
-            SELECT c.id_a, c.id_b FROM cand c
-            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-            JOIN sizes sa ON sa.doc_id = c.id_a
-            JOIN sizes sb ON sb.doc_id = c.id_b
-            WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
-              / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4),
-          und AS (
-            SELECT id_a AS src, id_b AS dst FROM verified
-            UNION ALL SELECT id_b, id_a FROM verified),
-          reach AS (
-            SELECT doc_id AS n, doc_id AS l FROM documents
-            UNION
-            SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n)""",
-        "n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id",
-        "FROM reach GROUP BY n ORDER BY doc_id")
-        .replaceFirst("WITH ", "WITH RECURSIVE "),
+    "q71_neardup_clusters" -> NearDupClustersOracle,
+
+    // Same recursive-CTE transitive-closure oracle: the two distributed
+    // CC algorithms (min-label q71, large-star/small-star q76) must land
+    // on identical cluster labelings.
+    "q76_neardup_clusters_star" -> NearDupClustersOracle,
 
     "q60_deduped_corpus" ->
       DedupQueries.minhashSql(
