@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Distributed exact interpolated percentiles (SQL PERCENTILE_CONT).
   *
@@ -114,14 +114,28 @@ object Percentiles {
   /** Long output over any number of value columns:
     * (column index, keyCol, p, value). `disc = true` switches the target
     * rank from the interpolated pair (floor/ceil of 1 + p*(n-1)) to the
-    * single PERCENTILE_DISC rank max(1, ceil(p*n)).
+    * single PERCENTILE_DISC rank max(1, ceil(p*n)). Thin wrapper over
+    * [[percentileMixedLong]] with a uniform mode.
     */
   def percentileContLong(df: DataFrame, keyCol: String,
       specs: Seq[(String, Seq[Double])], disc: Boolean = false,
+      weightCol: Option[String] = None): DataFrame =
+    percentileMixedLong(df, keyCol,
+      specs.map { case (c, ps) => c -> ps.map(p => (p, disc)) }, weightCol)
+      .drop("disc")
+
+  /** The general form: every requested (percentile, mode) of every value
+    * column in ONE pass over the table — CONT and DISC targets share the
+    * same sorted counts, partition offsets, and boundary scan, so mixing
+    * modes costs nothing extra. Long output:
+    * (column index, keyCol, p, disc, value).
+    */
+  def percentileMixedLong(df: DataFrame, keyCol: String,
+      specs: Seq[(String, Seq[(Double, Boolean)])],
       weightCol: Option[String] = None): DataFrame = {
     val spark = df.sparkSession
     require(specs.nonEmpty &&
-      specs.forall(_._2.forall(p => p >= 0.0 && p <= 1.0)))
+      specs.forall(_._2.forall { case (p, _) => p >= 0.0 && p <= 1.0 }))
 
     // Pass 1: long form (one scan for all columns), then distinct-value
     // counts — weighted counts when a weight column is given (a weight IS
@@ -160,9 +174,9 @@ object Percentiles {
       offsets.update((pid, ck), sofar)
       totals.update(ck, sofar + c)
     }
-    val psByCol: Map[Int, Seq[Double]] = specs.zipWithIndex
+    val psByCol: Map[Int, Seq[(Double, Boolean)]] = specs.zipWithIndex
       .map { case ((_, ps), i) => i -> ps }.toMap
-    def ranksOf(p: Double, n: Long): Seq[Long] =
+    def ranksOf(p: Double, disc: Boolean, n: Long): Seq[Long] =
       if (disc) Seq(math.max(1L, math.ceil(p * n).toLong))
       else {
         val pos = 1.0 + p * (n - 1).toDouble
@@ -170,7 +184,8 @@ object Percentiles {
       }
     val targetRanks: Map[(Int, Any), Array[Long]] = totals.iterator.map {
       case (ck, n) =>
-        ck -> psByCol(ck._1).flatMap(ranksOf(_, n)).distinct.sorted.toArray
+        ck -> psByCol(ck._1)
+          .flatMap { case (p, d) => ranksOf(p, d, n) }.distinct.sorted.toArray
     }.toMap
     val bOffsets = spark.sparkContext.broadcast(offsets.toMap)
     val bTargets = spark.sparkContext.broadcast(targetRanks)
@@ -206,13 +221,13 @@ object Percentiles {
 
     // Distributed interpolation: targets as a (broadcastable) DataFrame.
     val targetRows = totals.iterator.flatMap { case (ck, n) =>
-      psByCol(ck._1).map { p =>
-        if (disc) {
+      psByCol(ck._1).map { case (p, d) =>
+        if (d) {
           val r = math.max(1L, math.ceil(p * n).toLong)
-          Row(ck._1, ck._2, p, r.toDouble, r, r) // rlo == rhi: no interpolation
+          Row(ck._1, ck._2, p, d, r.toDouble, r, r) // rlo == rhi: no interpolation
         } else {
           val pos = 1.0 + p * (n - 1).toDouble
-          Row(ck._1, ck._2, p, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
+          Row(ck._1, ck._2, p, d, pos, math.floor(pos).toLong, math.ceil(pos).toLong)
         }
       }
     }.toSeq
@@ -222,6 +237,7 @@ object Percentiles {
         StructField("__c", IntegerType, nullable = false),
         keyField,
         StructField("p", DoubleType, nullable = false),
+        StructField("disc", BooleanType, nullable = false),
         StructField("__pos", DoubleType, nullable = false),
         StructField("__rlo", LongType, nullable = false),
         StructField("__rhi", LongType, nullable = false))))
@@ -240,11 +256,12 @@ object Percentiles {
         col("__c") === col("__tc") && col("__k") <=> col("__tk"))
       .drop("__tc", "__tk")
       .filter(col("__rank") === col("__rlo") || col("__rank") === col("__rhi"))
-      .groupBy(col("__c"), col("__k"), col("p"), col("__pos"), col("__rlo"), col("__rhi"))
+      .groupBy(col("__c"), col("__k"), col("p"), col("disc"),
+        col("__pos"), col("__rlo"), col("__rhi"))
       .agg(
         max(when(col("__rank") === col("__rlo"), col("__bv"))).as("__vlo"),
         max(when(col("__rank") === col("__rhi"), col("__bv"))).as("__vhi"))
-      .select(col("__c").as("column"), col("__k").as(keyCol), col("p"),
+      .select(col("__c").as("column"), col("__k").as(keyCol), col("p"), col("disc"),
         when(col("__rlo") === col("__rhi"), col("__vlo"))
           .otherwise(
             (col("__rhi") - col("__pos")) * col("__vlo") +

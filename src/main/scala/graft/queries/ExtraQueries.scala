@@ -221,17 +221,16 @@ object ExtraQueries extends QueryGroup {
       // The oracle replays cumulative weights + the identical interpolation
       // arithmetic in SQL.
       val li = Tables.lineitem(s, d)
-      val cont = graft.operators.Percentiles.percentileContWeighted(
-        li, "l_returnflag", "l_extendedprice", "l_quantity", Seq(0.5, 0.95))
+      // One table pass for all three targets: the mixed form computes the
+      // CONT pair and the DISC rank from the same sorted weighted counts.
+      graft.operators.Percentiles.percentileMixedLong(
+          li, "l_returnflag",
+          Seq("l_extendedprice" -> Seq((0.5, false), (0.95, false), (0.5, true))),
+          weightCol = Some("l_quantity"))
         .groupBy(col("l_returnflag")).agg(
-          max(when(col("p") === 0.5, col("value"))).as("w50"),
-          max(when(col("p") === 0.95, col("value"))).as("w95"))
-      val disc = graft.operators.Percentiles.percentileDiscWeighted(
-        li, "l_returnflag", "l_extendedprice", "l_quantity", Seq(0.5))
-        .groupBy(col("l_returnflag")).agg(
-          max(when(col("p") === 0.5, col("value"))).as("wd50"))
-      cont.join(disc, "l_returnflag")
-        .select(col("l_returnflag"), col("w50"), col("w95"), col("wd50"))
+          max(when(col("p") === 0.5 && !col("disc"), col("value"))).as("w50"),
+          max(when(col("p") === 0.95 && !col("disc"), col("value"))).as("w95"),
+          max(when(col("p") === 0.5 && col("disc"), col("value"))).as("wd50"))
         .orderBy(col("l_returnflag"))
     })
 

@@ -100,6 +100,30 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
+  test("mixed cont+disc single pass equals the separate-mode runs bitwise") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 2000).map { i =>
+      (s"g${i % 4}", math.floor(rnd.nextDouble() * 300) / 2.0, 1L + rnd.nextInt(5))
+    }.toDF("k", "v", "w").repartition(9)
+    val mixed = Percentiles.percentileMixedLong(df, "k",
+        Seq("v" -> Seq((0.25, false), (0.9, false), (0.25, true))),
+        weightCol = Some("w"))
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getBoolean(3)) -> r.getDouble(4))
+      .toMap
+    val cont = Percentiles.percentileContWeighted(df, "k", "v", "w", Seq(0.25, 0.9))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val disc = Percentiles.percentileDiscWeighted(df, "k", "v", "w", Seq(0.25))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    cont.foreach { case ((k, p), v) =>
+      assert(java.lang.Double.doubleToLongBits(mixed((k, p, false))) ==
+        java.lang.Double.doubleToLongBits(v), s"cont k=$k p=$p")
+    }
+    disc.foreach { case (k, v) =>
+      assert(mixed((k, 0.25, true)) == v, s"disc k=$k")
+    }
+    assert(mixed.size == 12) // 4 keys x 3 targets
+  }
+
   test("weighted percentile_disc picks the value whose cumulative weight covers the rank") {
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 3L), ("a", 3.0, 2L)).toDF("k", "v", "w")
     def disc(p: Double): Double =

@@ -84,4 +84,26 @@ class KafkaIOSpec extends SparkSpec {
     assert(conf.sinkOptions("kafka.bootstrap.servers") == "b:9092")
     assert(!conf.sinkOptions.contains("subscribe"))
   }
+
+  test("kafka connector probe: source plan builds when the jar is present") {
+    // The image currently ships no spark-sql-kafka connector, so the
+    // executable half of A1/A17 cannot run here. This probe flips on
+    // AUTOMATICALLY the round the jar appears: it builds the real
+    // readStream plan through KafkaIO.source (exercising option wiring +
+    // the DataSource lookup) and only then stops short of needing a
+    // broker. Until the jar exists, the probe cancels (reported as
+    // canceled, not passed) so coverage claims stay honest.
+    val hasConnector = scala.util.Try(
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+    ).isSuccess
+    assume(hasConnector, "spark-sql-kafka connector jar not in /opt/spark/jars")
+    import graft.dsl.{ConsumerSpec, GraftApp}
+    import graft.serde.StringSerde
+    val app = new GraftApp().consume(ConsumerSpec(
+      topic = "probe_topic", sinkTopics = Nil, valueSerde = StringSerde))
+    val df = KafkaIO.source(spark, app,
+      KafkaConfig(bootstrapServers = "localhost:9092"))
+    assert(df.isStreaming)
+    assert(df.schema.fieldNames.contains("value"))
+  }
 }
