@@ -1,0 +1,158 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Pure-JVM decoders for UNCOMPRESSED media containers — real decode paths
+  * for the multimodal column conventions (SURVEY.md §2 B18). RIFF/WAV PCM
+  * and BMP are byte-layout formats needing no codec library, so this much
+  * of the decode surface is genuinely implemented; compressed codecs
+  * (JPEG/MP3/H.264) remain behind the honest stub
+  * ([[graft.operators.Multimodal.fakeDecode]]) until the image ships
+  * codec libs.
+  *
+  * Everything here is a pure function of the payload bytes — safe inside
+  * `mapPartitions` with zero per-row setup, deterministic across runs.
+  */
+object MediaCodecs {
+
+  /** Decoded PCM WAV: header fields + whole-signal features. */
+  final case class WavMeta(
+      channels: Int, sampleRate: Int, bitsPerSample: Int,
+      nSamples: Long, durationMs: Double,
+      rms: Double, peak: Double)
+
+  /** Decoded BMP: dimensions + mean channel values (feature extraction). */
+  final case class BmpMeta(
+      width: Int, height: Int, bitsPerPixel: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  private def le(b: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+
+  private def ascii(b: Array[Byte], off: Int, n: Int): String =
+    if (off + n <= b.length) new String(b, off, n, "US-ASCII") else ""
+
+  /** Parse a RIFF/WAVE PCM payload; None when the bytes are not a
+    * well-formed PCM WAV (wrong magic, truncated chunks, non-PCM format).
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    if (bytes.length < 44 || ascii(bytes, 0, 4) != "RIFF" ||
+      ascii(bytes, 8, 4) != "WAVE") return None
+    val buf = le(bytes)
+    var pos = 12
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    // chunk walk: id(4) size(4 LE) payload(size, padded to even)
+    while (pos + 8 <= bytes.length && (dataOff < 0 || channels == 0)) {
+      val id = ascii(bytes, pos, 4)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(pos + 8) & 0xffff
+          if (audioFormat != 1) return None // PCM only
+          channels = buf.getShort(pos + 10) & 0xffff
+          sampleRate = buf.getInt(pos + 12)
+          bits = buf.getShort(pos + 22) & 0xffff
+        case "data" =>
+          dataOff = pos + 8
+          dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    if (channels <= 0 || sampleRate <= 0 || dataOff < 0 ||
+      (bits != 8 && bits != 16)) return None
+    val bytesPerSample = bits / 8
+    val frameBytes = bytesPerSample * channels
+    if (frameBytes == 0) return None
+    val nFrames = dataLen / frameBytes
+    // features over all samples (channel-interleaved): RMS + peak,
+    // normalized to [-1, 1]
+    var sumSq = 0.0
+    var peak = 0.0
+    var i = 0
+    val totalSamples = nFrames * channels
+    while (i < totalSamples) {
+      val v =
+        if (bits == 16) buf.getShort(dataOff + i * 2).toDouble / 32768.0
+        else ((bytes(dataOff + i) & 0xff) - 128).toDouble / 128.0
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      i += 1
+    }
+    val rms = if (totalSamples == 0) 0.0 else math.sqrt(sumSq / totalSamples)
+    Some(WavMeta(channels, sampleRate, bits, nFrames,
+      nFrames * 1000.0 / sampleRate, rms, peak))
+  }
+
+  /** Parse an uncompressed 24/32-bpp BMP; None otherwise. */
+  def decodeBmp(bytes: Array[Byte]): Option[BmpMeta] = {
+    if (bytes.length < 54 || ascii(bytes, 0, 2) != "BM") return None
+    val buf = le(bytes)
+    val dataOffset = buf.getInt(10)
+    val width = buf.getInt(18)
+    val heightRaw = buf.getInt(22)
+    val bpp = buf.getShort(28) & 0xffff
+    val compression = buf.getInt(30)
+    if (width <= 0 || heightRaw == 0 || compression != 0 ||
+      (bpp != 24 && bpp != 32)) return None
+    val height = math.abs(heightRaw)
+    val bytesPerPx = bpp / 8
+    val rowBytes = ((width * bytesPerPx + 3) / 4) * 4 // rows pad to 4 bytes
+    if (dataOffset < 0 || dataOffset.toLong + rowBytes.toLong * height > bytes.length)
+      return None
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < height) {
+      val row = dataOffset + y * rowBytes
+      var x = 0
+      while (x < width) {
+        val p = row + x * bytesPerPx // layout is B, G, R [, A]
+        sb += (bytes(p) & 0xff)
+        sg += (bytes(p + 1) & 0xff)
+        sr += (bytes(p + 2) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val n = width.toDouble * height
+    Some(BmpMeta(width, height, bpp, sr / n, sg / n, sb / n))
+  }
+
+  /** Nearest-neighbor downscale of a decoded BMP to at most
+    * `maxSide` x `maxSide`, returned as packed RGB triples row-major
+    * top-down — the "resize" stage of a thumbnailing pipeline, and the
+    * shape an embedding model's preprocessor consumes.
+    */
+  def bmpThumbnail(bytes: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    decodeBmp(bytes).map { m =>
+      val buf = le(bytes)
+      val dataOffset = buf.getInt(10)
+      val heightRaw = buf.getInt(22)
+      val bottomUp = heightRaw > 0
+      val bytesPerPx = m.bitsPerPixel / 8
+      val rowBytes = ((m.width * bytesPerPx + 3) / 4) * 4
+      val ow = math.min(maxSide, m.width)
+      val oh = math.min(maxSide, m.height)
+      val out = new Array[Byte](ow * oh * 3)
+      var oy = 0
+      while (oy < oh) {
+        val sy = (oy.toLong * m.height / oh).toInt
+        val fileRow = if (bottomUp) m.height - 1 - sy else sy
+        var ox = 0
+        while (ox < ow) {
+          val sx = (ox.toLong * m.width / ow).toInt
+          val p = dataOffset + fileRow * rowBytes + sx * bytesPerPx
+          val o = (oy * ow + ox) * 3
+          out(o) = bytes(p + 2)     // R
+          out(o + 1) = bytes(p + 1) // G
+          out(o + 2) = bytes(p)     // B
+          ox += 1
+        }
+        oy += 1
+      }
+      out
+    }
+}
