@@ -86,6 +86,27 @@ object AnnStream {
     * hits in Append mode; global top-k across probed cells is a downstream
     * aggregation.
     */
+  /** Cross-cell global top-k over the hit stream, per micro-batch: when
+    * `nprobe > 1` a query's hits span cells, and chaining a second
+    * stateful aggregation behind transformWithState is restricted without
+    * event time — so the composition runs inside `foreachBatch`, where
+    * each micro-batch is a plain DataFrame and the k-bounded
+    * [[graft.operators.TopK.perGroupAgg]] applies as-is. `sink` receives
+    * (queryId, rank, neighborId, cosine) per batch; hits for a query
+    * arrive within one batch (the processor emits them together), so
+    * per-batch top-k IS the query's global top-k.
+    */
+  def globalTopK(hits: Dataset[NeighborHit], k: Int)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    hits.toDF().writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val ranked = graft.operators.TopK
+        .perGroupAgg(batch, Seq("queryId"), col("cosine"), col("neighborId"), k)
+        .select(col("queryId"), col("rn").as("rank"),
+          col("id").as("neighborId"), col("value").as("cosine"))
+      sink(ranked, id)
+    }
+  }
+
   def neighbors(vecs: DataFrame, centroids: DataFrame,
                 idCol: String, vecCol: String,
                 k: Int = 10, nprobe: Int = 1,

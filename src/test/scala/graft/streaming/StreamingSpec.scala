@@ -269,6 +269,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN: cross-cell global top-k composes in foreachBatch") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val cents = Seq((0L, Seq(1.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0)))
+        .toDF("cell", "cv")
+      val input = MemoryStream[(Long, Seq[Double])]
+      val hits = AnnStream.neighbors(
+        input.toDF().toDF("vec_id", "embedding"), cents,
+        "vec_id", "embedding", k = 5, nprobe = 2, minCosine = 0.0)
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      val q = AnnStream.globalTopK(hits, k = 2) { (ranked, _) =>
+        collected ++= ranked.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }.start()
+      try {
+        input.addData((1L, Seq(0.9, 0.1, 0.0)), (2L, Seq(0.1, 0.9, 0.0)))
+        q.processAllAvailable()
+        // a diagonal arrival probes BOTH cells: its per-cell hits (vec 1 in
+        // cell 0, vec 2 in cell 1) merge into one cross-cell ranking
+        input.addData((3L, Seq(0.7, 0.7, 0.0)))
+        q.processAllAvailable()
+        val r3 = collected.filter(_._1 == 3L).sortBy(_._2)
+        assert(r3.map(_._3) == Seq(1L, 2L) || r3.map(_._3) == Seq(2L, 1L))
+        assert(r3.size == 2 && r3.map(_._2) == Seq(1, 2))
+        // symmetric cosines: both neighbors score identically
+        assert(math.abs(r3(0)._4 - r3(1)._4) < 1e-12)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming ANN: nprobe > 1 probes neighbor cells without storing there") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
