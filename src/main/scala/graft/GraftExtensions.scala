@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{CosineSimilarity, MinHashSignature, PolyHash, SimHash}
+import graft.functions.expressions.{CosineSimilarity, L2DistanceSq, MinHashSignature, PolyHash, SimHash}
 import graft.operators.Dedup
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -20,6 +20,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "cosine_similarity(a, b) takes 2 arguments")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("l2_distance_sq"),
+      new ExpressionInfo(classOf[L2DistanceSq].getName, "l2_distance_sq"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "l2_distance_sq(a, b) takes 2 arguments")
+        L2DistanceSq(children.head, children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("poly_hash"),

@@ -49,8 +49,21 @@ object VectorFunctions {
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
 
-  /** Squared L2 distance. */
-  def l2DistanceSq(a: Column, b: Column): Column =
+  /** Squared L2 distance — the native codegen'd
+    * [[graft.functions.expressions.L2DistanceSq]] kernel (one fused loop;
+    * same 0.0-seeded sequential fold as the HOF formulation below, so
+    * results are bitwise identical).
+    */
+  def l2DistanceSq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.L2DistanceSq(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
+
+  /** Higher-order-function formulation of [[l2DistanceSq]] (parity
+    * reference for tests; interpreted).
+    */
+  def l2DistanceSqViaHof(a: Column, b: Column): Column =
     arraySum(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)))
 
   /** Sign-bit LSH bucket from the first `nBits` dimensions: bit j is set when

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import graft.functions.expressions.{CosineSimilarity, MinHashSignature, PolyHash, SimHash}
+import graft.functions.expressions.{CosineSimilarity, L2DistanceSq, MinHashSignature, PolyHash, SimHash}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.SparkSession
@@ -17,6 +17,13 @@ object FunctionRegistrar {
       exprs => {
         require(exprs.length == 2, "cosine_similarity(a, b) takes 2 arguments")
         CosineSimilarity(exprs.head, exprs(1))
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_distance_sq",
+      exprs => {
+        require(exprs.length == 2, "l2_distance_sq(a, b) takes 2 arguments")
+        L2DistanceSq(exprs.head, exprs(1))
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(

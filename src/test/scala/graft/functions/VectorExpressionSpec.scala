@@ -18,6 +18,25 @@ class VectorExpressionSpec extends SparkSpec {
     assert(diff == 0L, "fused-loop and HOF folds must agree bitwise")
   }
 
+  test("native l2DistanceSq is bitwise-identical to the HOF formulation") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(emb.select((col("vec_id") + 1).as("id_a"), col("embedding").as("vb")), "id_a")
+    val diff = pairs.select(
+        VectorFunctions.l2DistanceSq(col("va"), col("vb")).as("fast"),
+        VectorFunctions.l2DistanceSqViaHof(col("va"), col("vb")).as("hof"))
+      .filter(col("fast") =!= col("hof"))
+      .count()
+    assert(diff == 0L, "fused-loop and HOF folds must agree bitwise")
+    // edge semantics match cosine: mismatch -> null, mixed types fine
+    val mismatch = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.l2DistanceSq(col("a"), col("b"))).collect()(0)
+    assert(mismatch.isNullAt(0))
+    val mixed = Seq((Array(3.0, 4.0), Array(0.0f, 0.0f))).toDF("a", "b")
+      .select(VectorFunctions.l2DistanceSq(col("a"), col("b"))).as[Double].collect()(0)
+    assert(mixed == 25.0)
+  }
+
   test("native cosine handles nulls, length mismatch, zero norms") {
     val df = Seq(
       (Array(1.0f, 2.0f), Array(1.0f, 2.0f)),
