@@ -119,6 +119,19 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"value table must never centralize:\n$offenders")
   }
 
+  test("dedup pipelines reuse shared shuffles at runtime instead of caching") {
+    // The library-level persists were removed on the claim that identical
+    // subplans share their exchange; pin the claim on the executed plans
+    // (AQE dedupes stages at runtime — reuse is invisible pre-execution).
+    for ((q, minReuse) <- Seq("q38_lsh_pairs" -> 1, "q40_ngram_jaccard" -> 2)) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.treeString
+      val reused = "ReusedQueryStage|ReusedExchange".r.findAllIn(p).length
+      assert(reused >= minReuse, s"$q expected >= $minReuse reused exchanges:\n$p")
+    }
+  }
+
   test("custom merge execs run inside WholeStageCodegen (q54 range, q59 asof)") {
     // With AQE on, codegen collapse happens per-stage at runtime; disable it
     // here so the static plan exposes the WholeStageCodegen wrapping.
