@@ -50,6 +50,26 @@ object TextFunctions {
     aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks)
   }
 
+  /** GPT-2-style pretokenizer pattern, restricted to the portable subset
+    * Java regex and RE2 (DuckDB) match identically: contraction suffixes,
+    * optionally space-prefixed letter runs, digit runs, punctuation runs,
+    * then bare spaces. No lookahead (RE2 has none), no `\s` (Java's
+    * includes vertical tab, RE2's does not) — alternation order carries
+    * the priorities, and both engines scan leftmost with first-matching
+    * alternative, so token counts are engine-identical.
+    */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ']+| "
+
+  /** Number of BPE-ish pretokens — the statistic training-cost estimates
+    * want (whitespace counts undercount punctuation-heavy text). A real
+    * BPE would further merge within these pretokens; the pretoken count is
+    * the deterministic, vocabulary-free upper structure both engines
+    * reproduce.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Per-occurrence ratio of tokens that appear in a fixed stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

@@ -68,6 +68,20 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q77_bpe_tokens" -> { (s, d) =>
+      // BPE-ish pretoken counting next to the whitespace count — the
+      // token statistic an LLM-training cost estimate wants. The regex is
+      // the portable Java∩RE2 subset so DuckDB replays it exactly.
+      val bpe = bpeTokenCount(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).cast("long").as("n_ws"),
+          bpe.cast("long").as("n_bpe"),
+          (length(col("text")).cast("double") /
+            greatest(bpe, lit(1))).as("chars_per_tok"))
+        .orderBy(col("doc_id"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -146,6 +160,18 @@ object TextQueries extends QueryGroup {
         count(*) AS n_tokens
       FROM toks JOIN vocab USING (tok)
       GROUP BY doc_id ORDER BY doc_id""",
+
+    "q77_bpe_tokens" -> """
+      SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        CAST(len(regexp_extract_all(text,
+          '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+| '))
+          AS BIGINT) AS n_bpe,
+        CAST(length(text) AS DOUBLE)
+          / greatest(len(regexp_extract_all(text,
+              '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+| ')), 1)
+          AS chars_per_tok
+      FROM documents ORDER BY doc_id""",
 
     "q75_tfidf" -> """
       WITH terms AS (
