@@ -519,6 +519,39 @@ object Dedup {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003 —
+    * the MOSS scheme): hash every positional k-shingle ([[polyHash]], the
+    * same engine-portable rolling polynomial fold as the rest of the
+    * dedup stack), slide a window of `w` consecutive hashes, keep each
+    * window's minimum, dedupe. Guarantees: any shared substring of length
+    * >= w+k-1 tokens yields at least one shared fingerprint, and the
+    * selected density is ~2/(w+1) of all shingles — a tunable sketch for
+    * partial-overlap detection (quotes, boilerplate paragraphs) where
+    * whole-document MinHash washes out.
+    *
+    * One explode + one window per doc ordered by position (the window's
+    * partitionBy exchange is the only shuffle before the distinct).
+    * Output: (idCol, fingerprint) distinct.
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, w: Int = 4): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val sh = TextFunctions.shinglesOfTokens(col("__toks"), k)
+    val positioned = toks
+      .select(col(idCol), posexplode(sh).as(Seq("__pos", "__shingle")))
+      .select(col(idCol), col("__pos"), polyHash(col("__shingle")).as("__hv"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val minWin = win.rowsBetween(Window.currentRow, w - 1)
+    positioned
+      .withColumn("__fp", min(col("__hv")).over(minWin))
+      .withColumn("__m", count(lit(1)).over(win.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+      // only full windows select a fingerprint (positions 0 .. m-w)
+      .filter(col("__pos") <= col("__m") - w)
+      .select(col(idCol), col("__fp").as("fingerprint"))
+      .distinct()
+  }
+
   /** Keep the first row per key by the given ordering — the deterministic
     * form of dropDuplicates. One window, no extra shuffle beyond the
     * partitionBy exchange.

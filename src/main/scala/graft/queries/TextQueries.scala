@@ -68,6 +68,14 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q78_winnowing" -> { (s, d) =>
+      // Winnowing fingerprint sets (MOSS scheme) — partial-overlap
+      // detection; oracle replays the shingle hashing + windowed min in
+      // SQL. Sorted for deterministic hashing.
+      Dedup.winnowingFingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"), col("fingerprint"))
+    },
+
     "q77_bpe_tokens" -> { (s, d) =>
       // BPE-ish pretoken counting next to the whitespace count — the
       // token statistic an LLM-training cost estimate wants. The regex is
@@ -160,6 +168,29 @@ object TextQueries extends QueryGroup {
         count(*) AS n_tokens
       FROM toks JOIN vocab USING (tok)
       GROUP BY doc_id ORDER BY doc_id""",
+
+    "q78_winnowing" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, i AS pos,
+          l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS t(i)),
+      h AS (
+        SELECT doc_id, pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${Dedup.M}) AS hv
+        FROM sh),
+      wins AS (
+        SELECT doc_id, pos,
+          min(hv) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+          count(*) OVER (PARTITION BY doc_id) AS m
+        FROM h)
+      SELECT DISTINCT doc_id, fp AS fingerprint
+      FROM wins WHERE pos <= m - 3
+      ORDER BY doc_id, fingerprint""",
 
     "q77_bpe_tokens" -> """
       SELECT doc_id,

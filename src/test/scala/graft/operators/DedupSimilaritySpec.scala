@@ -111,6 +111,24 @@ class DedupSimilaritySpec extends SparkSpec {
       5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("winnowing: shared substring >= w+k-1 tokens guarantees a shared fingerprint") {
+    // k=3, w=4: any shared run of >= 6 tokens must share a fingerprint.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs2 = Seq(
+      (0L, s"unrelated prefix words here $shared and then some suffix"),
+      (1L, s"$shared totally different continuation text follows now"),
+      (2L, "nothing in common with the others at all whatsoever today")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(docs2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+    assert((fps(0L) intersect fps(1L)).nonEmpty, "shared run must share a fingerprint")
+    assert((fps(0L) intersect fps(2L)).isEmpty, "disjoint docs share nothing")
+    // density: ~2/(w+1) of shingles selected, never more than the shingles
+    val nShingles = 10 // doc 2: 12 tokens -> 10 shingles
+    assert(fps(2L).size <= nShingles && fps(2L).size >= 1)
+  }
+
   test("large-star/small-star components match min-label on random graphs") {
     val rnd = new scala.util.Random(13)
     for (trial <- 0 until 3) {
