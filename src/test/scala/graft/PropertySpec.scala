@@ -206,6 +206,28 @@ class PropertySpec extends SparkSpec {
     } yield words.zipAll(seps, "", "").flatMap(p => Seq(p._1, p._2)).mkString + trail
   }
 
+  test("property: winnowing fingerprints match a string-level reference") {
+    val k = 3; val w = 4
+    def refWinnow(s: String): Set[Long] = {
+      val toks = s.split(" ", -1)
+      if (toks.length < k) Set.empty
+      else {
+        val hashes = toks.sliding(k).map(g => refPoly(g.mkString(" "))).toArray
+        if (hashes.length < w) Set.empty
+        else hashes.sliding(w).map(_.min).toSet
+      }
+    }
+    val docs = samples(docGen, 80).distinct.zipWithIndex.map(_.swap)
+    val df = docs.map { case (i, t) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.winnowingFingerprints(df, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (id, v) => id -> v.map(_._2).toSet }
+    docs.foreach { case (i, t) =>
+      assert(got.getOrElse(i.toLong, Set.empty[Long]) == refWinnow(t),
+        s"mismatch for doc $i: '${t.take(60)}'")
+    }
+  }
+
   test("property: native MinHashSignature matches a string-level reference") {
     val docs = samples(docGen, 120).distinct.zipWithIndex.map(_.swap)
     val got = docs.map { case (i, t) => (i.toLong, t) }.toDF("id", "text")

@@ -80,6 +80,22 @@ class MediaCodecsSpec extends SparkSpec {
     assert(MediaCodecs.bmpThumbnail(bmpBytes(2, 2, 1, 2, 3), maxSide = 8).get.length == 2 * 2 * 3)
   }
 
+  test("property: WAV synth/decode round-trips random PCM signals exactly") {
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 20) {
+      val n = 1 + rnd.nextInt(500)
+      val rate = 1000 + rnd.nextInt(47000)
+      val samples = Array.fill[Short](n)(rnd.nextInt(65536).toShort)
+      val w = MediaCodecs.decodeWav(wavBytes(samples, rate)).get
+      assert(w.nSamples == n && w.sampleRate == rate &&
+        w.channels == 1 && w.bitsPerSample == 16)
+      val norm = samples.map(_.toDouble / 32768.0)
+      val expRms = math.sqrt(norm.map(v => v * v).sum / n)
+      assert(math.abs(w.rms - expRms) < 1e-12)
+      assert(w.peak == norm.map(math.abs).max)
+    }
+  }
+
   test("decodeMedia dispatches on magic bytes with stub fallback (Spark path)") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wavBytes(Array.fill[Short](100)(1000), 8000)),
