@@ -68,6 +68,28 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q79_repetition" -> { (s, d) =>
+      // Within-document repetition signals (the Gopher-style quality
+      // filters): duplicate 3-gram fraction (per-row expression) and the
+      // most-frequent token's coverage (relational: explode + two
+      // aggregates — never a per-row quadratic scan). Exact ratio
+      // arithmetic throughout, so DuckDB replays it bit-for-bit.
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("tok"))
+      val top = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_toks"))
+      docs
+        .select(col("doc_id"), dupShingleFrac(col("text")).as("dup_3gram_frac"))
+        .join(top, "doc_id")
+        .select(col("doc_id"), col("dup_3gram_frac"),
+          (col("top_c").cast("double") / col("n_toks")).as("top_token_frac"),
+          col("top_c").cast("long").as("top_c"))
+        .orderBy(col("doc_id"))
+    },
+
     "q78_winnowing" -> { (s, d) =>
       // Winnowing fingerprint sets (MOSS scheme) — partial-overlap
       // detection; oracle replays the shingle hashing + windowed min in
@@ -168,6 +190,25 @@ object TextQueries extends QueryGroup {
         count(*) AS n_tokens
       FROM toks JOIN vocab USING (tok)
       GROUP BY doc_id ORDER BY doc_id""",
+
+    "q79_repetition" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+      top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
+        CAST(sum(c) AS BIGINT) AS n_toks FROM tc GROUP BY 1),
+      shl AS (SELECT doc_id,
+          list_transform(generate_series(1, greatest(len(l) - 2, 0)),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+      SELECT s.doc_id,
+        CASE WHEN len(s.sh) = 0 THEN 0.0
+             ELSE 1.0 - CAST(len(list_distinct(s.sh)) AS DOUBLE) / len(s.sh)
+        END AS dup_3gram_frac,
+        CAST(t.top_c AS DOUBLE) / t.n_toks AS top_token_frac,
+        t.top_c
+      FROM shl s JOIN top t ON t.doc_id = s.doc_id
+      ORDER BY s.doc_id""",
 
     "q78_winnowing" -> s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
