@@ -162,6 +162,36 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding near-duplicate candidate pairs: sign-bucket LSH restricts
+    * pairing to bucket-mates (equi-join on the bucket id — never the
+    * O(n²) pair space), exact cosine filters to `threshold`. Same-bucket
+    * restriction is the documented recall trade (a pair straddling a
+    * hyperplane is missed; raise recall by lowering nBits or unioning a
+    * second bucketing on different dimensions).
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, nBits: Int = 8): DataFrame = {
+    val b = withBucket(df, vecCol, nBits)
+    val l = b.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("bucket"))
+    val r = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("bucket"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-level corpus dedup: drop every row whose vector has a
+    * same-bucket near-duplicate (cosine >= threshold) with a smaller id —
+    * the greedy keep-first pass, the fifth dedup modality next to exact /
+    * MinHash-LSH / SimHash / n-gram Jaccard.
+    */
+  def dropNearDuplicatesByCosine(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double, nBits: Int = 8): DataFrame = {
+    val losers = cosineNearDupPairs(df, idCol, vecCol, threshold, nBits)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Cosine similarity for explicit id pairs (near-dup checking). */
   def pairCosine(vectors: DataFrame, idCol: String, vecCol: String,
                  pairs: DataFrame): DataFrame = {

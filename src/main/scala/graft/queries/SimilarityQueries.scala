@@ -104,6 +104,17 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "q80_cosine_dedup" -> { (s, d) =>
+      // Embedding-level corpus dedup (greedy keep-first over bucketed
+      // cosine candidates) — the dedup output a training run keeps, as
+      // opposed to q43's pair scores.
+      Similarity.dropNearDuplicatesByCosine(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.3, nBits = 8)
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    },
+
     "q44_vector_stats" -> { (s, d) =>
       // Per-label centroid norms — aggregation over vector columns using
       // position-wise sums (exact integer count + sequential-fold norm).
@@ -115,7 +126,28 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("label"))
     })
 
+  /** The 8-bit sign-bucket expression (matches VectorFunctions.signBucket
+    * on the raw float column) — shared by the q42 and q80 oracles.
+    */
+  private val BucketSql: String = (0 until 8).map { j =>
+    s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
+    "q80_cosine_dedup" -> s"""
+      WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          $BucketSql AS bucket
+        FROM embeddings),
+      losers AS (
+        SELECT DISTINCT r.vec_id
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE list_dot_product(l.v, r.v)
+          / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+          >= 0.3)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+      ORDER BY vec_id""",
     "q41_ann_bruteforce" -> s"""
       WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
                  FROM embeddings WHERE vec_id < 10),
