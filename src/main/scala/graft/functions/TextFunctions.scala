@@ -70,19 +70,6 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
-  /** Fraction of k-shingles that are repeats of an earlier shingle in the
-    * same document: 1 − distinct/total (0.0 for shingle-less docs) — the
-    * Gopher-style within-document repetition signal (Rae et al. 2021 use
-    * duplicate n-gram fractions as quality filters). Exact ratio
-    * arithmetic: engine-portable.
-    */
-  def dupShingleFrac(text: Column, k: Int = 3): Column = {
-    val sh = shingles(text, k)
-    when(size(sh) === 0, lit(0.0))
-      .otherwise(lit(1.0) -
-        size(array_distinct(sh)).cast("double") / size(sh))
-  }
-
   /** Per-occurrence ratio of tokens that appear in a fixed stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

@@ -70,10 +70,12 @@ object TextQueries extends QueryGroup {
 
     "q79_repetition" -> { (s, d) =>
       // Within-document repetition signals (the Gopher-style quality
-      // filters): duplicate 3-gram fraction (per-row expression) and the
-      // most-frequent token's coverage (relational: explode + two
-      // aggregates — never a per-row quadratic scan). Exact ratio
-      // arithmetic throughout, so DuckDB replays it bit-for-bit.
+      // filters): duplicate 3-gram fraction and the most-frequent token's
+      // coverage. Both are RELATIONAL (explode + aggregates over
+      // content-hashed shingle ids) — a per-row array_distinct over
+      // shingle strings is O(len²) string compares, the exact pathology
+      // the dedup stack documents. Exact ratio arithmetic throughout, so
+      // DuckDB replays it bit-for-bit.
       val docs = Tables.documents(s, d)
       val toks = docs.select(col("doc_id"),
           explode(split(col("text"), " ")).as("tok"))
@@ -81,10 +83,15 @@ object TextQueries extends QueryGroup {
         .agg(count(lit(1)).as("c"))
         .groupBy(col("doc_id"))
         .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_toks"))
-      docs
-        .select(col("doc_id"), dupShingleFrac(col("text")).as("dup_3gram_frac"))
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
+      val shStats = ids.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), countDistinct(col("tid")).as("n_dist"))
+      docs.select(col("doc_id"))
+        .join(shStats, Seq("doc_id"), "left") // < k-token docs have no shingles
         .join(top, "doc_id")
-        .select(col("doc_id"), col("dup_3gram_frac"),
+        .select(col("doc_id"),
+          coalesce(lit(1.0) - col("n_dist").cast("double") / col("n_sh"),
+            lit(0.0)).as("dup_3gram_frac"),
           (col("top_c").cast("double") / col("n_toks")).as("top_token_frac"),
           col("top_c").cast("long").as("top_c"))
         .orderBy(col("doc_id"))
@@ -191,24 +198,34 @@ object TextQueries extends QueryGroup {
       FROM toks JOIN vocab USING (tok)
       GROUP BY doc_id ORDER BY doc_id""",
 
-    "q79_repetition" -> """
+    "q79_repetition" -> s"""
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
       tc AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
       top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c,
         CAST(sum(c) AS BIGINT) AS n_toks FROM tc GROUP BY 1),
-      shl AS (SELECT doc_id,
-          list_transform(generate_series(1, greatest(len(l) - 2, 0)),
-            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) AS sh
-        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
-      SELECT s.doc_id,
-        CASE WHEN len(s.sh) = 0 THEN 0.0
-             ELSE 1.0 - CAST(len(list_distinct(s.sh)) AS DOUBLE) / len(s.sh)
-        END AS dup_3gram_frac,
+      shw AS (
+        SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+          unnest(generate_series(1, greatest(len(l) - 2, 0))) AS w(i)),
+      ids0 AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${Dedup.M}) AS tid
+        FROM shw),
+      shstats AS (
+        SELECT doc_id, count(*) AS n_sh, count(DISTINCT tid) AS n_dist
+        FROM ids0 GROUP BY 1)
+      SELECT d.doc_id,
+        coalesce(1.0 - CAST(s.n_dist AS DOUBLE) / s.n_sh, 0.0) AS dup_3gram_frac,
         CAST(t.top_c AS DOUBLE) / t.n_toks AS top_token_frac,
         t.top_c
-      FROM shl s JOIN top t ON t.doc_id = s.doc_id
-      ORDER BY s.doc_id""",
+      FROM documents d
+      LEFT JOIN shstats s ON s.doc_id = d.doc_id
+      JOIN top t ON t.doc_id = d.doc_id
+      ORDER BY d.doc_id""",
 
     "q78_winnowing" -> s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
