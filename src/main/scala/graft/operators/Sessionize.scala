@@ -40,4 +40,25 @@ object Windows {
       .withColumn("session_start", col("session_window.start"))
       .withColumn("session_end", col("session_window.end"))
       .drop("session_window")
+
+  /** Event-level sessionization: LABEL every event with its per-key
+    * session sequence number (1, 2, ...) — the lag/running-sum classic.
+    * Where [[session]] aggregates sessions away, this keeps the events
+    * (per-session feature pipelines join on the label). A new session
+    * starts when the gap to the previous event EXCEEDS `gapMicros`
+    * (<= gap continues — matching `session_window`'s inclusive-gap merge
+    * semantics). `tieBreak` totalizes the ordering under duplicate
+    * timestamps so labels are deterministic. One window over (key, ts)
+    * — the partitionBy exchange is the only shuffle.
+    */
+  def withSessionIds(df: DataFrame, keyCol: String, tsCol: String,
+                     gapMicros: Long, tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val w = W.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieBreak))
+    val prev = lag(col(tsCol), 1).over(w)
+    val isNew = when(prev.isNull ||
+      unix_micros(col(tsCol)) - unix_micros(prev) > gapMicros, 1L).otherwise(0L)
+    df.withColumn("session_seq",
+      sum(isNew).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+  }
 }

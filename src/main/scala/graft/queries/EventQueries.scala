@@ -103,6 +103,19 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q81_session_ids" -> { (s, d) =>
+      // Event-LEVEL sessionization: label every event with its per-user
+      // session sequence (lag + running sum) — q27 aggregates sessions,
+      // this keeps the events for per-session feature joins. 30-minute
+      // gap; event_id totalizes ordering under duplicate timestamps.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      Windows.withSessionIds(ev, "user_id", "ts",
+          gapMicros = 30L * 60 * 1000000, tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .orderBy(col("event_id"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -208,6 +221,21 @@ object EventQueries extends QueryGroup {
         ON e.user_id = a.user_id
         AND a.ts2 >= e.ts AND a.ts2 < e.ts + INTERVAL '5 minutes'
       GROUP BY e.event_id ORDER BY e.event_id""",
+
+    "q81_session_ids" -> """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (
+        SELECT event_id, user_id, t,
+          CASE WHEN lag(t) OVER w IS NULL
+               OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+      SELECT event_id, user_id,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM m ORDER BY event_id""",
 
     "q31_record_pipeline" -> """
       SELECT event_id AS "offset", user_id % 4 AS partition,
