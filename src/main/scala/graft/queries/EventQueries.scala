@@ -116,6 +116,42 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q82_cohort_retention" -> { (s, d) =>
+      // Cohort retention: users grouped by first-seen day, distinct
+      // actives per (cohort, day-offset) — the classic product-analytics
+      // triangle. Integer day arithmetic only (engine-exact).
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+      ev.join(first, "user_id")
+        .select(date_trunc("day", col("first_ts")).as("cohort_day"),
+          datediff(col("ts").cast("date"), col("first_ts").cast("date"))
+            .cast("long").as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    "q83_funnel" -> { (s, d) =>
+      // Signup → purchase funnel with a 7-day conversion window: one
+      // conditional-aggregation pass per user, then one global rollup.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      perUser.agg(
+        count(when(col("first_signup").isNotNull, 1)).as("n_signup_users"),
+        count(when(col("first_signup").isNotNull &&
+          col("first_purchase") > col("first_signup"), 1)).as("n_purchased_after"),
+        count(when(col("first_signup").isNotNull &&
+          col("first_purchase") > col("first_signup") &&
+          unix_micros(col("first_purchase")) - unix_micros(col("first_signup"))
+            <= 7L * 24 * 3600 * 1000000, 1)).as("n_converted_7d"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -221,6 +257,39 @@ object EventQueries extends QueryGroup {
         ON e.user_id = a.user_id
         AND a.ts2 >= e.ts AND a.ts2 < e.ts + INTERVAL '5 minutes'
       GROUP BY e.event_id ORDER BY e.event_id""",
+
+    "q82_cohort_retention" -> """
+      WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      f AS (SELECT user_id, min(t) AS ft FROM e GROUP BY 1),
+      a AS (
+        SELECT CAST(date_trunc('day', f.ft) AS TIMESTAMP) AS cohort_day,
+          CAST(date_diff('day', CAST(f.ft AS DATE), CAST(e.t AS DATE)) AS BIGINT)
+            AS day_offset,
+          e.user_id
+        FROM e JOIN f USING (user_id))
+      SELECT cohort_day, day_offset, count(DISTINCT user_id) AS n_active
+      FROM a GROUP BY 1, 2 ORDER BY cohort_day, day_offset""",
+
+    "q83_funnel" -> """
+      WITH e AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      u AS (
+        SELECT user_id,
+          min(CASE WHEN event_type = 'signup' THEN t END) AS first_signup,
+          min(CASE WHEN event_type = 'purchase' THEN t END) AS first_purchase
+        FROM e GROUP BY 1)
+      SELECT
+        count(CASE WHEN first_signup IS NOT NULL THEN 1 END) AS n_signup_users,
+        count(CASE WHEN first_signup IS NOT NULL
+          AND first_purchase > first_signup THEN 1 END) AS n_purchased_after,
+        count(CASE WHEN first_signup IS NOT NULL
+          AND first_purchase > first_signup
+          AND epoch_us(first_purchase) - epoch_us(first_signup)
+            <= CAST(7 AS BIGINT) * 24 * 3600 * 1000000 THEN 1 END) AS n_converted_7d
+      FROM u""",
 
     "q81_session_ids" -> """
       WITH e AS (

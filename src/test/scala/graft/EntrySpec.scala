@@ -30,7 +30,7 @@ class EntrySpec extends SparkSpec {
       "scored", "ranked", "open", "closed", "big", "cent", "cdist", "qdist",
       "assigned", "probed", "j", "verified", "und", "reach", "u", "vals", "cum",
       "cb", "subs", "codedist", "codes", "adc", "t0", "t1", "t2", "t3", "ct",
-      "terms", "n", "h", "wins", "tc", "top", "shw", "ids0", "shstats", "w",
+      "terms", "n", "h", "wins", "tc", "top", "shw", "ids0", "shstats", "w", "f",
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
