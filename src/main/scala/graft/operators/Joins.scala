@@ -170,4 +170,43 @@ object Joins {
       attr(lp, leftTs), attr(rp, rightTs),
       loMicros, hiMicros))
   }
+
+  /** Bloom-filter runtime prefilter: prune `big` down to rows whose
+    * `bigKey` MIGHT appear in `small`'s `smallKey` set, BEFORE the join
+    * shuffle. This is the manual form of Spark's own runtime-filter
+    * injection (which only fires on selective equi-joins it can cost):
+    * at 100 TB the win is that non-matching rows never enter the big
+    * side's exchange — only `fpp` of them survive as false positives,
+    * and a subsequent exact join removes those, so composing
+    * `bloomPrefilter` + join is RESULT-IDENTICAL to the plain join.
+    *
+    * The filter is built with one map-side-combinable aggregate over the
+    * build side (Spark's `BloomFilterAggregate`, the expression behind
+    * `spark.sql.optimizer.runtime.bloomFilter.*`), collected to the driver
+    * (`numBits/8` bytes — sized by `expectedItems`, NOT by the build side's
+    * row width) and shipped back as a literal, exactly how broadcast
+    * runtime filters move. An empty build side yields a null filter;
+    * `might_contain(null, x)` is null, so every big-side row is dropped —
+    * the correct prefilter for an empty key set.
+    *
+    * @param expectedItems expected distinct build keys (sizes the filter)
+    * @param numBits       bloom bits; default 8 bits/key ≈ 2% fpp
+    */
+  def bloomPrefilter(big: DataFrame, bigKey: Column,
+                     small: DataFrame, smallKey: Column,
+                     expectedItems: Long = 1000000L,
+                     numBits: Long = 8L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(smallKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val bf = small.agg(agg.as("bf")).head.getAs[Array[Byte]](0)
+    big.filter(ColumnBridge.column(
+      BloomFilterMightContain(Literal(bf, BinaryType),
+        ColumnBridge.expression(xxhash64(bigKey)))))
+  }
 }

@@ -152,6 +152,26 @@ object EventQueries extends QueryGroup {
             <= 7L * 24 * 3600 * 1000000, 1)).as("n_converted_7d"))
     },
 
+    "q89_outliers" -> { (s, d) =>
+      // Z-score outlier flagging per event type: one sufficient-statistics
+      // pass (order-independent DECIMAL sums), broadcast the tiny per-type
+      // stats back, flag |z| > 3. The z derivation is a single IEEE
+      // expression tree both engines evaluate identically (sqrt is
+      // correctly-rounded in both), so the boundary predicate is portable.
+      val ev = Tables.events(s, d)
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("value")).as("s1"),
+        sum(dec(col("value")) * dec(col("value"))).cast("double").as("s2"))
+      val mean = col("s1") / col("n")
+      val sd = sqrt(col("s2") / col("n") - mean * mean)
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          ((col("value") - mean) / sd).as("z"))
+        .filter(abs(col("z")) > 3.0)
+        .orderBy(col("event_id"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -305,6 +325,20 @@ object EventQueries extends QueryGroup {
         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM m ORDER BY event_id""",
+
+    "q89_outliers" -> """
+      WITH s AS (
+        SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(value AS DECIMAL(18,2))
+            * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value,
+        (e.value - s1/n) / sqrt(s2/n - (s1/n) * (s1/n)) AS z
+      FROM events e JOIN s USING (event_type)
+      WHERE abs((e.value - s1/n) / sqrt(s2/n - (s1/n) * (s1/n)))
+        > CAST(3 AS DOUBLE)
+      ORDER BY e.event_id""",
 
     "q31_record_pipeline" -> """
       SELECT event_id AS "offset", user_id % 4 AS partition,

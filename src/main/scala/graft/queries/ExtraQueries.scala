@@ -232,6 +232,107 @@ object ExtraQueries extends QueryGroup {
           max(when(col("p") === 0.95 && !col("disc"), col("value"))).as("w95"),
           max(when(col("p") === 0.5 && col("disc"), col("value"))).as("wd50"))
         .orderBy(col("l_returnflag"))
+    },
+
+    "q85_corr_regression" -> { (s, d) =>
+      // Correlation + simple linear regression per group, derived from
+      // exact DECIMAL sufficient statistics. The built-ins (corr,
+      // regr_slope) accumulate doubles in engine-specific order — not
+      // hash-portable; here the five sums are order-independent decimal
+      // aggregates and the derivation is one identical IEEE expression
+      // tree in both engines. Single pass, map-side combinable.
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_discount"))
+      val stats = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * y).cast("double").as("sxy"),
+        sum(x * x).cast("double").as("sxx"),
+        sum(y * y).cast("double").as("syy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val vx = col("n") * col("sxx") - col("sx") * col("sx")
+      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      stats.select(col("l_returnflag"), col("n").cast("long").as("n"),
+          (cov / sqrt(vx * vy)).as("corr_qd"),
+          (cov / vx).as("slope"),
+          ((col("sy") - cov / vx * col("sx")) / col("n")).as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q86_mode" -> { (s, d) =>
+      // Exact mode per group with a deterministic tie-break (highest count,
+      // then lexicographically smallest value) — engines' native mode()
+      // tie-break is unspecified, so the portable form is count + rank.
+      val cnt = Tables.documents(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+      graft.operators.TopK.perGroup(cnt, Seq("source"),
+          Seq(col("c").desc, col("lang").asc), 1)
+        .select(col("source"), col("lang").as("mode_lang"),
+          col("c").as("n_docs"))
+        .orderBy(col("source"))
+    },
+
+    "q87_profile" -> { (s, d) =>
+      // Data-profiling sweep (the "summarize" shape): one uniform row per
+      // profiled column — rows / nulls / exact distinct / min / max.
+      // Numeric extremes render through DECIMAL(18,2) because raw double
+      // formatting is engine-specific. Each branch is a column-pruned
+      // single-aggregate scan; the union is driver-side plan assembly,
+      // not data movement.
+      val o = Tables.orders(s, d)
+      def prof(c: String, numeric: Boolean): DataFrame = {
+        val v = if (numeric) dec(col(c)) else col(c)
+        o.agg(count(lit(1)).as("n_rows"),
+            count(when(col(c).isNull, lit(1))).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            min(v).cast("string").as("min_val"),
+            max(v).cast("string").as("max_val"))
+          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_val"), col("max_val"))
+      }
+      Seq(prof("o_orderstatus", numeric = false),
+          prof("o_orderpriority", numeric = false),
+          prof("o_totalprice", numeric = true),
+          prof("o_custkey", numeric = true))
+        .reduce(_.union(_)).orderBy(col("column_name"))
+    },
+
+    "q92_bloom_join" -> { (s, d) =>
+      // Manual runtime-filter join: bloom-prefilter the fact side on the
+      // selective dimension subset's keys BEFORE the join shuffle
+      // (Joins.bloomPrefilter). False positives are removed by the exact
+      // join that follows, so the bloom changes the plan — ~90% of fact
+      // rows never enter the exchange here — never the result: the oracle
+      // is the PLAIN join.
+      val small = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      val pre = graft.operators.Joins.bloomPrefilter(
+        Tables.lineitem(s, d), col("l_orderkey"),
+        small, col("o_orderkey"),
+        expectedItems = 100000L, numBits = 800000L)
+      pre.join(small, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q90_mad" -> { (s, d) =>
+      // Median absolute deviation per group: the distributed percentile
+      // machinery runs twice (median, then median of |x - med|) — no
+      // per-group value buffering at either stage. The group-median side
+      // table is group-count-sized and broadcast back. abs/subtract are
+      // exact IEEE ops, and quantile interpolation is parity-pinned by
+      // q65, so DuckDB's nested quantile_cont replay hash-matches.
+      val li = Tables.lineitem(s, d)
+      val med = graft.operators.Percentiles.percentileContWide(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "med"))
+      val ad = li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"),
+          abs(col("l_extendedprice") - col("med")).as("ad"))
+      graft.operators.Percentiles.percentileContWide(
+          ad, "l_returnflag", "ad", Seq(0.5 -> "mad"))
+        .join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), col("med"), col("mad"))
+        .orderBy(col("l_returnflag"))
     })
 
   /** Shared by q71 (min-label) and q76 (large-star/small-star): the same
@@ -270,6 +371,74 @@ object ExtraQueries extends QueryGroup {
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
+    "q85_corr_regression" -> """
+      WITH s AS (
+        SELECT l_returnflag,
+          CAST(count(*) AS DOUBLE) AS n,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+          CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+          CAST(sum(CAST(l_discount AS DECIMAL(18,2))
+            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qd,
+        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
+        (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+      FROM s ORDER BY l_returnflag""",
+
+    "q86_mode" -> """
+      WITH tc AS (
+        SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, lang, c, row_number() OVER
+          (PARTITION BY source ORDER BY c DESC, lang) AS rn FROM tc)
+      SELECT source, lang AS mode_lang, c AS n_docs
+      FROM ranked WHERE rn = 1 ORDER BY source""",
+
+    "q87_profile" -> """
+      SELECT 'o_orderstatus' AS column_name, count(*) AS n_rows,
+        count(*) - count(o_orderstatus) AS n_nulls,
+        count(DISTINCT o_orderstatus) AS n_distinct,
+        CAST(min(o_orderstatus) AS VARCHAR) AS min_val,
+        CAST(max(o_orderstatus) AS VARCHAR) AS max_val FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        count(DISTINCT o_orderpriority),
+        CAST(min(o_orderpriority) AS VARCHAR),
+        CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        count(DISTINCT o_totalprice),
+        CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        count(DISTINCT o_custkey),
+        CAST(min(CAST(o_custkey AS DECIMAL(18,2))) AS VARCHAR),
+        CAST(max(CAST(o_custkey AS DECIMAL(18,2))) AS VARCHAR) FROM orders
+      ORDER BY column_name""",
+
+    "q92_bloom_join" -> s"""
+      SELECT o_orderpriority, count(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_totalprice > 450000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q90_mad" -> """
+      WITH m AS (
+        SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        FROM lineitem GROUP BY 1),
+      d AS (
+        SELECT l.l_returnflag, m.med,
+          abs(l.l_extendedprice - m.med) AS ad
+        FROM lineitem l JOIN m USING (l_returnflag))
+      SELECT l_returnflag, max(med) AS med, quantile_cont(ad, 0.5) AS mad
+      FROM d GROUP BY l_returnflag ORDER BY l_returnflag""",
+
     "q49_collect_sorted" -> """
       SELECT o_orderstatus,
         array_to_string(list_transform(list_sort(list(o_orderkey)),

@@ -119,6 +119,72 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q84_chunk_dedup" -> { (s, d) =>
+      // Chunk-level exact dedup (the C4/RefinedWeb passage-dedup shape):
+      // split each document into non-overlapping 16-token chunks, keep only
+      // the first corpus-wide occurrence of each chunk (ordered by doc_id,
+      // then position), and report per-document retention. The chunk build
+      // is narrow per-row work; the only shuffle is the first-occurrence
+      // window keyed on the chunk — at corpus scale that key would be
+      // xxhash64(chunk) (same plan, 8-byte shuffle rows); the raw string is
+      // kept here so DuckDB replays the query exactly.
+      val C = 16
+      val toks = split(col("text"), " ")
+      val chunked = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(toks) - 1) / lit(C)).cast("int")),
+          i => concat_ws(" ", slice(toks, i * C + 1, lit(C)))))
+          .as(Seq("chunk_idx", "chunk")))
+      val marked = chunked.withColumn("keep",
+        (row_number().over(Window.partitionBy(col("chunk"))
+          .orderBy(col("doc_id"), col("chunk_idx"))) === 1).cast("int"))
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("keep")).cast("long").as("kept_chunks"))
+        .withColumn("retained_frac",
+          col("kept_chunks").cast("double") / col("n_chunks"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q88_inverted_index" -> { (s, d) =>
+      // Inverted-index build: term -> document frequency + the first 10
+      // postings. The posting list is bounded BEFORE collection via the
+      // bounded top-k aggregate (map-side combined, at most k ids per term
+      // per partition cross the shuffle) — collect_list over raw postings
+      // would buffer unbounded lists per term at corpus scale.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "").distinct()
+      val dfreq = toks.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val posts = graft.operators.TopK
+        .perGroupAgg(toks, Seq("term"), -col("doc_id"), col("doc_id"), 10)
+        .groupBy(col("term"))
+        .agg(array_join(transform(sort_array(collect_list(col("id"))),
+          _.cast("string")), ",").as("postings"))
+      dfreq.join(posts, "term")
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("term"))
+    },
+
+    "q91_token_gini" -> { (s, d) =>
+      // Per-source token concentration: Gini impurity 1 - sum(c^2)/N^2 of
+      // the term-count distribution — a rational-arithmetic diversity
+      // signal (no logs, so DuckDB computes it bit-identically; the
+      // entropy variant needs ln and would break float parity). Two
+      // aggregations, both keyed small (source x term, then source).
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      toks.groupBy(col("source"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_terms"),
+          sum(col("c") * col("c")).as("sumsq"))
+        .select(col("source"), col("n_tokens"), col("n_terms"),
+          (lit(1.0) - col("sumsq").cast("double") /
+            (col("n_tokens") * col("n_tokens")).cast("double")).as("gini"))
+        .orderBy(col("source"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -197,6 +263,41 @@ object TextQueries extends QueryGroup {
         count(*) AS n_tokens
       FROM toks JOIN vocab USING (tok)
       GROUP BY doc_id ORDER BY doc_id""",
+
+    "q84_chunk_dedup" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+          array_to_string(l[(i*16+1):(i*16+16)], ' ') AS chunk
+        FROM t, unnest(generate_series(0, (len(l)-1)//16)) AS u(i)),
+      k AS (
+        SELECT doc_id,
+          CASE WHEN row_number() OVER (PARTITION BY chunk
+            ORDER BY doc_id, chunk_idx) = 1 THEN 1 ELSE 0 END AS keep
+        FROM chunks)
+      SELECT doc_id, count(*) AS n_chunks,
+        CAST(sum(keep) AS BIGINT) AS kept_chunks,
+        CAST(sum(keep) AS DOUBLE) / count(*) AS retained_frac
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
+
+    "q88_inverted_index" -> """
+      WITH raw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      toks AS (SELECT DISTINCT doc_id, term FROM raw WHERE term <> '')
+      SELECT term, count(*) AS df,
+        array_to_string(list_transform(list_sort(list(doc_id))[1:10],
+          x -> CAST(x AS VARCHAR)), ',') AS postings
+      FROM toks GROUP BY term ORDER BY term""",
+
+    "q91_token_gini" -> """
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+      tc AS (SELECT source, term, count(*) AS c
+        FROM toks WHERE term <> '' GROUP BY 1, 2)
+      SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_terms,
+        CAST(1 AS DOUBLE) - CAST(sum(c*c) AS DOUBLE)
+          / CAST(sum(c) * sum(c) AS DOUBLE) AS gini
+      FROM tc GROUP BY source ORDER BY source""",
 
     "q79_repetition" -> s"""
       WITH toks AS (

@@ -205,6 +205,27 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[Int]("n") == 2)
   }
 
+  test("bloom prefilter: no false negatives, exact after join, empty build drops all") {
+    val big = spark.range(0, 10000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val small = spark.range(0, 10000).filter(col("id") % 100 === 0)
+      .select(col("id").as("sk"))
+    val pre = Joins.bloomPrefilter(big, col("k"), small, col("sk"),
+      expectedItems = 1000L, numBits = 8000L)
+    // No false negatives: every true match survives the prefilter.
+    assert(pre.join(small, col("k") === col("sk")).count() == 100L)
+    // Prefilter+join is result-identical to the plain join.
+    val plain = big.join(small, col("k") === col("sk"))
+    assert(pre.join(small, col("k") === col("sk"))
+      .exceptAll(plain).isEmpty && plain.exceptAll(
+        pre.join(small, col("k") === col("sk"))).isEmpty)
+    // The bloom actually prunes: non-matching keys mostly gone (fpp ~2%).
+    val kept = pre.count()
+    assert(kept >= 100L && kept < 1000L, s"bloom kept $kept of 10000")
+    // Empty build side → null filter → every probe row dropped.
+    assert(Joins.bloomPrefilter(big, col("k"),
+      small.filter(lit(false)), col("sk")).count() == 0L)
+  }
+
   test("multimodal decode stub runs partition-wise over typed records") {
     import Multimodal._
     val ds = spark.createDataset(Seq(
