@@ -51,7 +51,11 @@ object Bench {
     // property of the plan; extra runs damp machine noise on the
     // shingle-heavy queries when the time budget allows.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=q90_mad,q40_ngram_jaccard benches a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val times = Seq.fill(nRuns)(run(name, fn)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }

@@ -305,7 +305,19 @@ object Dedup {
     * intersection size comes from a join of the two shingle-id sets, union
     * size by inclusion-exclusion — no per-pair set materialization.
     */
-  def jaccard(ids0: DataFrame, idCol: String, pairs0: DataFrame): DataFrame = {
+  def jaccard(ids0: DataFrame, idCol: String, pairs0: DataFrame): DataFrame =
+    overlapStats(ids0, idCol, pairs0)
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+
+  /** Sufficient statistics of any set-overlap measure for each pair:
+    * (id_a, id_b, inter, sz_a, sz_b). Jaccard, containment |A∩B|/|A|
+    * (the asymmetric measure that catches a small document embedded in a
+    * big one), and the overlap coefficient are all one arithmetic
+    * expression over this frame — see [[jaccard]] and q94.
+    */
+  def overlapStats(ids0: DataFrame, idCol: String, pairs0: DataFrame): DataFrame = {
     // `ids` is consumed four times (intersection's two sides + both size
     // tables), all from the SAME frame: the shuffle that materializes it
     // (shingleIdsPoly's distinct, in the pipeline) is an identical subplan
@@ -327,8 +339,7 @@ object Dedup {
       .join(szA, "id_a")
       .join(szB, "id_b")
       .select(col("id_a"), col("id_b"),
-        (coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("sz_a") + col("sz_b") - coalesce(col("inter"), lit(0L)))).as("jaccard"))
+        coalesce(col("inter"), lit(0L)).as("inter"), col("sz_a"), col("sz_b"))
   }
 
   /** End-to-end near-duplicate detection: shingle → MinHash → LSH

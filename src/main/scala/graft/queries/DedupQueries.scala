@@ -134,6 +134,24 @@ object DedupQueries extends QueryGroup {
         .join(docs.select(col("doc_id").as("id_b")), "id_b")
       Dedup.jaccard(ids, "doc_id", pairs)
         .orderBy(col("id_a"))
+    },
+
+    "q94_containment" -> { (s, d) =>
+      // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
+      // consecutive-pair set as q40 — the measure that catches a small
+      // document embedded verbatim in a larger one, where symmetric
+      // Jaccard stays low. One overlapStats pass yields every overlap
+      // measure; only the (id, tid) intersection join shuffles.
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), "id_b")
+      Dedup.overlapStats(ids, "doc_id", pairs)
+        .select(col("id_a"), col("id_b"), col("inter"),
+          col("sz_a"), col("sz_b"),
+          (col("inter").cast("double") / col("sz_a")).as("containment_a"),
+          (col("inter").cast("double") / col("sz_b")).as("containment_b"))
+        .orderBy(col("id_a"))
     })
 
   /** The 4-band (2 rows/band) band-key union over `sigs` — shared with the
@@ -222,6 +240,28 @@ object DedupQueries extends QueryGroup {
       SELECT p.id_a, p.id_b,
         CAST(coalesce(i.inter, 0) AS DOUBLE)
           / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sizes sa ON sa.doc_id = p.id_a
+      JOIN sizes sb ON sb.doc_id = p.id_b
+      ORDER BY p.id_a""",
+
+    "q94_containment" -> s"""$ShingleCte,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM pairs p
+        JOIN ids ia ON ia.doc_id = p.id_a
+        JOIN ids ib ON ib.doc_id = p.id_b AND ib.tid = ia.tid
+        GROUP BY p.id_a, p.id_b),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id)
+      SELECT p.id_a, p.id_b,
+        CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+        sa.sz AS sz_a, sb.sz AS sz_b,
+        CAST(coalesce(i.inter, 0) AS DOUBLE) / sa.sz AS containment_a,
+        CAST(coalesce(i.inter, 0) AS DOUBLE) / sb.sz AS containment_b
       FROM pairs p
       LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
       JOIN sizes sa ON sa.doc_id = p.id_a

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, Joins, Windows}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Det._
 
@@ -150,6 +151,25 @@ object EventQueries extends QueryGroup {
           col("first_purchase") > col("first_signup") &&
           unix_micros(col("first_purchase")) - unix_micros(col("first_signup"))
             <= 7L * 24 * 3600 * 1000000, 1)).as("n_converted_7d"))
+    },
+
+    "q93_trailing_1h" -> { (s, d) =>
+      // Event-time RANGE frame: per event, the trailing-hour count and sum
+      // for its event type — the time-windowed sibling of the rows-frame
+      // coverage in q17. The frame bound is in exact microseconds (no
+      // fractional-second rounding ambiguity); equal-timestamp rows are
+      // frame peers in both engines by RANGE semantics. One exchange on
+      // the partition key; the running frame is computed in a single sort.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("us"))
+        .rangeBetween(-3600L * 1000000L, 0)
+      Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .select(col("event_id"), col("event_type"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(dec(col("value"))).over(w).cast("double").as("sum_1h"))
+        .orderBy(col("event_id"))
     },
 
     "q89_outliers" -> { (s, d) =>
@@ -325,6 +345,16 @@ object EventQueries extends QueryGroup {
         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM m ORDER BY event_id""",
+
+    "q93_trailing_1h" -> """
+      SELECT event_id, event_type,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM (SELECT event_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) e
+      WINDOW w AS (PARTITION BY event_type ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
 
     "q89_outliers" -> """
       WITH s AS (

@@ -318,20 +318,25 @@ object ExtraQueries extends QueryGroup {
     "q90_mad" -> { (s, d) =>
       // Median absolute deviation per group: the distributed percentile
       // machinery runs twice (median, then median of |x - med|) — no
-      // per-group value buffering at either stage. The group-median side
-      // table is group-count-sized and broadcast back. abs/subtract are
-      // exact IEEE ops, and quantile interpolation is parity-pinned by
-      // q65, so DuckDB's nested quantile_cont replay hash-matches.
+      // per-group value buffering at either stage. The medians are
+      // MATERIALIZED to the driver between the stages (group-count rows,
+      // like the percentile machinery's own subtotal collects): left as a
+      // lazy subplan, every pass of the second stage would re-run the
+      // whole first-stage computation. abs/subtract are exact IEEE ops,
+      // and quantile interpolation is parity-pinned by q65, so DuckDB's
+      // nested quantile_cont replay hash-matches.
       val li = Tables.lineitem(s, d)
-      val med = graft.operators.Percentiles.percentileContWide(
-        li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "med"))
-      val ad = li.join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"),
-          abs(col("l_extendedprice") - col("med")).as("ad"))
+      val medRows = graft.operators.Percentiles.percentileContWide(
+        li, "l_returnflag", "l_extendedprice", Seq(0.5 -> "med")).collect()
+      val medMap = map(medRows.toSeq.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getDouble(1)))): _*)
+      val ad = li.select(col("l_returnflag"),
+        abs(col("l_extendedprice") - element_at(medMap, col("l_returnflag")))
+          .as("ad"))
       graft.operators.Percentiles.percentileContWide(
           ad, "l_returnflag", "ad", Seq(0.5 -> "mad"))
-        .join(broadcast(med), "l_returnflag")
-        .select(col("l_returnflag"), col("med"), col("mad"))
+        .select(col("l_returnflag"),
+          element_at(medMap, col("l_returnflag")).as("med"), col("mad"))
         .orderBy(col("l_returnflag"))
     })
 
