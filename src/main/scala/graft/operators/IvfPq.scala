@@ -181,4 +181,56 @@ object IvfPq {
       .select(col("query_id"), col("rn").as("rank"),
         col("id").as("neighbor_id"), (-col("value")).as("d"))
   }
+
+  /** Recall/cost tuning surface: for each (nprobe, shortlistK) config,
+    * recall@k of shortlist+rerank against exact L2, the scanned-candidate
+    * fraction (mean fraction of the corpus the cell equi-join touches per
+    * query — the DETERMINISTIC latency proxy: at fixed hardware, IVFADC
+    * latency is linear in scanned codes), and measured wall seconds
+    * (environment-dependent, informational). A sizing tool, run once per
+    * deployment at a representative sample — ground truth is one
+    * brute-force pass, then one job per grid config over the SAME encoded
+    * frame.
+    */
+  def tuningGrid(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, model: IvfPqModel, k: Int,
+                 grid: Seq[(Int, Int)]): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    def l2(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var j = 0
+      while (j < a.length) { val t = a(j) - b(j); d += t * t; j += 1 }
+      d
+    }
+    val q = broadcast(queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).as("qv")))
+    val exact = TopK.perGroupAgg(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+          .crossJoin(q)
+          .select(col("query_id"), col("neighbor_id"),
+            l2DistanceSq(col("qv"), col("cv")).as("d")),
+        Seq("query_id"), -col("d"), col("neighbor_id"), k)
+      .select(col("query_id"), col("id")).as[(Long, Long)].collect().toSet
+    val cellSizes: Map[Long, Long] = encoded.groupBy(col("cell")).count()
+      .as[(Long, Long)].collect().toMap
+    val corpusN = cellSizes.values.sum.toDouble
+    val qRows = queries.select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val rows = grid.map { case (nprobe, shortlistK) =>
+      val t0 = System.nanoTime()
+      val got = topKReranked(encoded, corpus, queries, idCol, vecCol,
+          model, k, nprobe, shortlistK)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().toSet
+      val secs = (System.nanoTime() - t0) / 1e9
+      val recall = (got intersect exact).size.toDouble / exact.size
+      val scanned = qRows.map { case (_, qv) =>
+        model.cents.map { case (cid, cv) => (cid, l2(qv, cv)) }
+          .sortBy(c => (c._2, c._1)).take(nprobe)
+          .map(c => cellSizes.getOrElse(c._1, 0L)).sum
+      }.sum / (qRows.size * corpusN)
+      (nprobe, shortlistK, recall, scanned, secs)
+    }
+    rows.toDF("nprobe", "shortlist_k", "recall", "scanned_frac", "seconds")
+  }
 }

@@ -82,6 +82,23 @@ class IvfPqSpec extends SparkSpec {
     assert(plan.contains("Broadcast"), s"probe side must broadcast:\n$plan")
   }
 
+  test("tuning grid: recall and scanned fraction grow with nprobe; top config >= 0.9") {
+    val model = IvfPq.fit(corpus, "embedding", cents, m = 16, nCodes = 32)
+    val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)
+    val grid = Seq((1, 20), (4, 50), (8, 100))
+    val rows = IvfPq.tuningGrid(encoded, corpus, queries,
+        "vec_id", "embedding", model, k = 10, grid)
+      .orderBy("nprobe").collect()
+    assert(rows.length == 3)
+    val recalls = rows.map(_.getAs[Double]("recall"))
+    val scanned = rows.map(_.getAs[Double]("scanned_frac"))
+    // The tradeoff curve: more probes -> more corpus scanned, more recall.
+    assert(scanned.sliding(2).forall(p => p(0) < p(1)), scanned.toSeq.toString)
+    assert(scanned.forall(f => f > 0 && f <= 1.0))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)), recalls.toSeq.toString)
+    assert(recalls.last >= 0.9, s"recall@10 at (8,100) was ${recalls.last}")
+  }
+
   test("encode is narrow: no shuffle, codes within bounds, cells valid") {
     val model = IvfPq.fit(corpus, "embedding", cents, m = 16, nCodes = 32)
     val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)
