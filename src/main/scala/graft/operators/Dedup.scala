@@ -245,6 +245,24 @@ object Dedup {
   def lshCandidatePairs(signatures: DataFrame, idCol: String,
                         numHashes: Int = 8, rowsPerBand: Int = 2,
                         maxPerBucket: Int = 0): DataFrame = {
+    val banded = bandedKeys(signatures, idCol, Nil,
+      numHashes, rowsPerBand, maxPerBucket)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r,
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Exploded (id, band, bkey) band-bucket keys (+ carried columns), with
+    * the optional deterministic per-bucket cap — shared by the batch pair
+    * generators; the streaming path keeps its own capped state form.
+    */
+  private def bandedKeys(signatures: DataFrame, idCol: String,
+                         carry: Seq[String], numHashes: Int, rowsPerBand: Int,
+                         maxPerBucket: Int): DataFrame = {
     require(numHashes % rowsPerBand == 0)
     val nBands = numHashes / rowsPerBand
     val bands = (0 until nBands).map { b =>
@@ -253,20 +271,38 @@ object Dedup {
       struct(lit(b).as("band"), key.as("bkey"))
     }
     val banded0 = signatures
-      .select(col(idCol), explode(array(bands: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bkey"))
-    val banded =
-      if (maxPerBucket > 0) {
-        val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col(idCol))
-        banded0.withColumn("__bn", row_number().over(w))
-          .filter(col("__bn") <= maxPerBucket).drop("__bn")
-      } else banded0
-    val l = banded.as("l")
-    val r = banded.as("r")
-    l.join(r,
+      .select((col(idCol) +: carry.map(col)) :+ explode(array(bands: _*)).as("bk"): _*)
+      .select((col(idCol) +: carry.map(col)) :+ col("bk.band") :+ col("bk.bkey"): _*)
+    if (maxPerBucket > 0) {
+      val w = Window.partitionBy(col("band"), col("bkey")).orderBy(col(idCol))
+      banded0.withColumn("__bn", row_number().over(w))
+        .filter(col("__bn") <= maxPerBucket).drop("__bn")
+    } else banded0
+  }
+
+  /** Incremental LSH — the daily-ingestion shape: candidate pairs that
+    * involve at least one row where `isNewCol` is true. The (small) new
+    * side's band keys join against the full banded corpus, so
+    * history×history pairs are never GENERATED — the candidate volume
+    * scales with the new batch, not the accumulated corpus, which is what
+    * makes re-deduping a 100 TB corpus on every ingest affordable. Pairs
+    * are normalized (id_a < id_b) and deduped, so new×new pairs arriving
+    * from both join sides appear once, identical to filtering
+    * [[lshCandidatePairs]] — the equivalence q97 pins under its oracle.
+    */
+  def lshCandidatePairsIncremental(signatures: DataFrame, idCol: String,
+                                   isNewCol: String, numHashes: Int = 8,
+                                   rowsPerBand: Int = 2,
+                                   maxPerBucket: Int = 0): DataFrame = {
+    val banded = bandedKeys(signatures, idCol, Seq(isNewCol),
+      numHashes, rowsPerBand, maxPerBucket)
+    val newSide = banded.filter(col(isNewCol)).as("l")
+    val all = banded.as("r")
+    newSide.join(all,
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
-          col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+          col(s"l.$idCol") =!= col(s"r.$idCol"))
+      .select(least(col(s"l.$idCol"), col(s"r.$idCol")).as("id_a"),
+        greatest(col(s"l.$idCol"), col(s"r.$idCol")).as("id_b"))
       .distinct()
   }
 

@@ -150,6 +150,22 @@ object AnalyticQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q95_decile_stats" -> { (s, d) =>
+      // Global quantile binning (feature-bucketing shape): ntile(10) over
+      // the whole table, then per-decile stats. A global ORDER BY window
+      // centralizes the sort — acceptable for the built-in's coverage
+      // here; the 100 TB path for this output is percentileDisc boundary
+      // computation + broadcast binning (graft.operators.Percentiles),
+      // which range-partitions instead of single-partitioning.
+      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("decile"))
+    },
+
     "q24_null_handling" -> { (s, d) =>
       val masked = when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
       Tables.customer(s, d)
@@ -267,6 +283,15 @@ object AnalyticQueries extends QueryGroup {
         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         '{"t":"' || event_type || '","k":' || json_extract_string(props, '$.k') || '}' AS repacked
       FROM events ORDER BY event_id""",
+
+    "q95_decile_stats" -> s"""
+      WITH t AS (
+        SELECT o_orderkey, o_totalprice,
+          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders)
+      SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
+        max(o_totalprice) AS hi, ${sqlSum("o_totalprice")} AS total
+      FROM t GROUP BY decile ORDER BY decile""",
 
     "q24_null_handling" -> """
       SELECT c_custkey,

@@ -136,6 +136,22 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"))
     },
 
+    "q97_incremental_lsh" -> { (s, d) =>
+      // Incremental ingest dedup: every 10th document is "today's batch";
+      // only candidate pairs touching the batch are generated (the banded
+      // new side joins the full banded corpus — history×history never
+      // exists). Same signatures as q38, so the oracle is q38's banding
+      // restricted to pairs with a new member.
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
+      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+        .join(docs.select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_new")),
+          "doc_id")
+      Dedup.lshCandidatePairsIncremental(sigs, "doc_id", "is_new",
+          numHashes = 8, rowsPerBand = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q94_containment" -> { (s, d) =>
       // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
       // consecutive-pair set as q40 — the measure that catches a small
@@ -245,6 +261,15 @@ object DedupQueries extends QueryGroup {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b
       ORDER BY p.id_a""",
+
+    "q97_incremental_lsh" -> minhashSql(
+      s""", banded AS ($BandedCteBody)""",
+      """DISTINCT least(l.doc_id, r.doc_id) AS id_a,
+        greatest(l.doc_id, r.doc_id) AS id_b""",
+      """FROM banded l JOIN banded r
+        ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id <> r.doc_id
+        WHERE l.doc_id % 10 = 0
+        ORDER BY id_a, id_b"""),
 
     "q94_containment" -> s"""$ShingleCte,
       pairs AS (

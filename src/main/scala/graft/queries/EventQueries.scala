@@ -153,6 +153,21 @@ object EventQueries extends QueryGroup {
             <= 7L * 24 * 3600 * 1000000, 1)).as("n_converted_7d"))
     },
 
+    "q96_daily_change" -> { (s, d) =>
+      // Day-over-day change per event type: windowed lag over the
+      // PRE-AGGREGATED daily table — the window input is group-count-
+      // sized, so the per-type sort is trivial regardless of event volume.
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily.select(col("day"), col("event_type"), col("n"),
+          lag(col("n"), 1).over(w).as("prev_n"))
+        .withColumn("pct_change",
+          (col("n") - col("prev_n")).cast("double") / col("prev_n"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
     "q93_trailing_1h" -> { (s, d) =>
       // Event-time RANGE frame: per event, the trailing-hour count and sum
       // for its event type — the time-windowed sibling of the rows-frame
@@ -345,6 +360,20 @@ object EventQueries extends QueryGroup {
         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM m ORDER BY event_id""",
+
+    "q96_daily_change" -> """
+      WITH t AS (
+        SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+          event_type,
+          count(*) AS n
+        FROM events GROUP BY 1, 2),
+      w AS (
+        SELECT day, event_type, n,
+          lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+        FROM t)
+      SELECT day, event_type, n, prev_n,
+        CAST(n - prev_n AS DOUBLE) / prev_n AS pct_change
+      FROM w ORDER BY event_type, day""",
 
     "q93_trailing_1h" -> """
       SELECT event_id, event_type,

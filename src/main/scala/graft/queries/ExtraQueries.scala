@@ -297,6 +297,34 @@ object ExtraQueries extends QueryGroup {
         .reduce(_.union(_)).orderBy(col("column_name"))
     },
 
+    "q98_hash_sample" -> { (s, d) =>
+      // Deterministic stratified sampling by portable hash-gating — the
+      // reproducible sampling a production pipeline ships: stable under
+      // re-runs, repartitioning, and engine changes (seeded RNG sampling
+      // is engine-specific, which is why q53 is rows-only). Per-stratum
+      // rates: en 50%, other languages 20%. Narrow filter, no shuffle.
+      val bucket = (col("doc_id") * 1000003L + 17L) % 1000000007L % 100L
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .filter(when(col("lang") === "en", col("bucket") < 50)
+          .otherwise(col("bucket") < 20))
+        .orderBy(col("doc_id"))
+    },
+
+    "q99_cluster_split" -> { (s, d) =>
+      // Leakage-safe train/eval split: hash the near-dup CLUSTER id, not
+      // the document id, so near-duplicates always land in the same split
+      // (the decontamination property an LLM data pipeline needs — a
+      // doc-id hash would put a train document's near-copy in eval).
+      // Portable polynomial hash → exact oracle on the q71 closure.
+      val clusters = graft.operators.Dedup.nearDupClusters(
+        Tables.documents(s, d), "doc_id", "text", threshold = 0.4)
+      clusters.select(col("doc_id"), col("cluster_id"),
+          when((col("cluster_id") * 1000003L + 17L) % 1000000007L % 10L < 8,
+            lit("train")).otherwise(lit("eval")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     "q92_bloom_join" -> { (s, d) =>
       // Manual runtime-filter join: bloom-prefilter the fact side on the
       // selective dimension subset's keys BEFORE the join shuffle
@@ -340,12 +368,12 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     })
 
-  /** Shared by q71 (min-label) and q76 (large-star/small-star): the same
-    * verified near-dup pair set closed transitively by a recursive CTE.
+  /** Shared by q71 (min-label), q76 (large-star/small-star), and q99
+    * (leakage-safe split): the same verified near-dup pair set closed
+    * transitively by a recursive CTE.
     */
-  private val NearDupClustersOracle: String =
-    DedupQueries.minhashSql(
-      s""", banded AS (${DedupQueries.BandedCteBody}),
+  private val ClustersCteBody: String =
+    s""", banded AS (${DedupQueries.BandedCteBody}),
         cand AS (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
@@ -370,8 +398,22 @@ object ExtraQueries extends QueryGroup {
         reach AS (
           SELECT doc_id AS n, doc_id AS l FROM documents
           UNION
-          SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n)""",
+          SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n)"""
+
+  private val NearDupClustersOracle: String =
+    DedupQueries.minhashSql(ClustersCteBody,
       "n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id",
+      "FROM reach GROUP BY n ORDER BY doc_id")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
+  /** q99: the split hash must be over the CLUSTER id, not the doc id —
+    * that is the whole leakage guarantee (near-dups co-travel).
+    */
+  private val ClusterSplitOracle: String =
+    DedupQueries.minhashSql(ClustersCteBody,
+      """n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id,
+        CASE WHEN (min(l) * 1000003 + 17) % 1000000007 % 10 < 8
+          THEN 'train' ELSE 'eval' END AS split""",
       "FROM reach GROUP BY n ORDER BY doc_id")
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
@@ -426,6 +468,17 @@ object ExtraQueries extends QueryGroup {
         CAST(min(CAST(o_custkey AS DECIMAL(18,2))) AS VARCHAR),
         CAST(max(CAST(o_custkey AS DECIMAL(18,2))) AS VARCHAR) FROM orders
       ORDER BY column_name""",
+
+    "q98_hash_sample" -> """
+      WITH t AS (
+        SELECT doc_id, lang,
+          (doc_id * 1000003 + 17) % 1000000007 % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, lang, bucket FROM t
+      WHERE CASE WHEN lang = 'en' THEN bucket < 50 ELSE bucket < 20 END
+      ORDER BY doc_id""",
+
+    "q99_cluster_split" -> ClusterSplitOracle,
 
     "q92_bloom_join" -> s"""
       SELECT o_orderpriority, count(*) AS n, ${sqlSum("l_quantity")} AS sum_qty
