@@ -297,6 +297,32 @@ object ExtraQueries extends QueryGroup {
         .reduce(_.union(_)).orderBy(col("column_name"))
     },
 
+    "q100_winsorize" -> { (s, d) =>
+      // Percentile clipping (winsorization): p05/p95 bounds per group from
+      // the distributed rank machinery, materialized driver-side
+      // (group-count rows, the q90 pattern) and re-applied as a literal
+      // map — so the clip pass is a narrow scan, and re-aggregation is
+      // one map-side-combinable pass. Bounds are interpolated doubles and
+      // least/greatest is exact, so DuckDB replays bitwise.
+      val li = Tables.lineitem(s, d)
+      val bounds = graft.operators.Percentiles.percentileContWide(
+        li, "l_returnflag", "l_extendedprice",
+        Seq(0.05 -> "lo", 0.95 -> "hi")).collect()
+      val loMap = map(bounds.toSeq.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getDouble(1)))): _*)
+      val hiMap = map(bounds.toSeq.flatMap(r =>
+        Seq(lit(r.getString(0)), lit(r.getDouble(2)))): _*)
+      li.select(col("l_returnflag"),
+          least(greatest(col("l_extendedprice"),
+            element_at(loMap, col("l_returnflag"))),
+            element_at(hiMap, col("l_returnflag"))).as("clipped"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("clipped")).as("sum_clipped"),
+          min(col("clipped")).as("lo_clipped"),
+          max(col("clipped")).as("hi_clipped"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q98_hash_sample" -> { (s, d) =>
       // Deterministic stratified sampling by portable hash-gating — the
       // reproducible sampling a production pipeline ships: stable under
@@ -468,6 +494,20 @@ object ExtraQueries extends QueryGroup {
         CAST(min(CAST(o_custkey AS DECIMAL(18,2))) AS VARCHAR),
         CAST(max(CAST(o_custkey AS DECIMAL(18,2))) AS VARCHAR) FROM orders
       ORDER BY column_name""",
+
+    "q100_winsorize" -> s"""
+      WITH b AS (
+        SELECT l_returnflag,
+          quantile_cont(l_extendedprice, 0.05) AS lo,
+          quantile_cont(l_extendedprice, 0.95) AS hi
+        FROM lineitem GROUP BY 1),
+      c AS (
+        SELECT l.l_returnflag,
+          least(greatest(l.l_extendedprice, b.lo), b.hi) AS clipped
+        FROM lineitem l JOIN b USING (l_returnflag))
+      SELECT l_returnflag, count(*) AS n, ${sqlSum("clipped")} AS sum_clipped,
+        min(clipped) AS lo_clipped, max(clipped) AS hi_clipped
+      FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q98_hash_sample" -> """
       WITH t AS (

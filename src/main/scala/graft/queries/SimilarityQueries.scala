@@ -115,6 +115,24 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q101_label_centroids" -> { (s, d) =>
+      // Per-label centroids — the k-means update step, computed
+      // relationally: posexplode + FIXED-POINT position sums (x·2^30
+      // rounded to integer), so the aggregation is order-independent
+      // (parallel-safe under any partitioning), map-side combinable, and
+      // never buffers vectors per group. Fixed-point rather than DECIMAL
+      // because engines round float→decimal differently (Spark via the
+      // shortest string repr); round-half-away on the exact 2^30 product
+      // is identical in both. Long-form output (label, dim, mean).
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(((sum(round(col("x").cast("double") * 1073741824L).cast("long"))
+          .cast("double") / 1073741824L) / count(lit(1))).as("mean"))
+        .select(col("label"), col("dim").cast("long").as("dim"), col("mean"))
+        .orderBy(col("label"), col("dim"))
+    },
+
     "q44_vector_stats" -> { (s, d) =>
       // Per-label centroid norms — aggregation over vector columns using
       // position-wise sums (exact integer count + sequential-fold norm).
@@ -198,6 +216,17 @@ object SimilarityQueries extends QueryGroup {
           / (sqrt(list_dot_product(va.ve, va.ve)) * sqrt(list_dot_product(vb.ve, vb.ve)))) > 0.3 AS near_dup
       FROM pairs p JOIN v va ON va.vec_id = p.id_a JOIN v vb ON vb.vec_id = p.id_b
       ORDER BY p.id_a""",
+
+    "q101_label_centroids" -> """
+      WITH t AS (
+        SELECT label,
+          CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+          unnest(embedding) AS x
+        FROM embeddings)
+      SELECT label, dim,
+        CAST(sum(CAST(round(CAST(x AS DOUBLE) * 1073741824) AS BIGINT))
+          AS DOUBLE) / 1073741824 / count(*) AS mean
+      FROM t GROUP BY label, dim ORDER BY label, dim""",
 
     "q44_vector_stats" -> """
       SELECT label, count(*) AS n,
