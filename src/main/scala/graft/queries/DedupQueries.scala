@@ -136,6 +136,22 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"))
     },
 
+    "q103_source_overlap" -> { (s, d) =>
+      // Corpus-level vocabulary overlap BETWEEN ingest feeds: Jaccard of
+      // each source's distinct shingle-id set — the cross-feed duplication
+      // diagnostic that tells you two crawls cover the same content before
+      // any doc-level pairing. Same overlapStats machinery keyed by
+      // source; the pair list is source-count² (tiny, broadcast).
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "source", "text")
+      val srcs = docs.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("id_a"))
+        .crossJoin(srcs.select(col("source").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.jaccard(ids, "source", pairs)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q97_incremental_lsh" -> { (s, d) =>
       // Incremental ingest dedup: every 10th document is "today's batch";
       // only candidate pairs touching the batch are generated (the banded
@@ -261,6 +277,41 @@ object DedupQueries extends QueryGroup {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b
       ORDER BY p.id_a""",
+
+    "q103_source_overlap" -> s"""
+      WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT source,
+          unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks),
+      ids AS (
+        SELECT DISTINCT source,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(shingle, ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      pairs AS (
+        SELECT a.source AS id_a, b.source AS id_b
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+      inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM pairs p
+        JOIN ids ia ON ia.source = p.id_a
+        JOIN ids ib ON ib.source = p.id_b AND ib.tid = ia.tid
+        GROUP BY 1, 2),
+      sizes AS (SELECT source, count(*) AS sz FROM ids GROUP BY 1)
+      SELECT p.id_a, p.id_b,
+        CAST(coalesce(i.inter, 0) AS DOUBLE)
+          / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+      FROM pairs p
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sizes sa ON sa.source = p.id_a
+      JOIN sizes sb ON sb.source = p.id_b
+      ORDER BY p.id_a, p.id_b""",
 
     "q97_incremental_lsh" -> minhashSql(
       s""", banded AS ($BandedCteBody)""",

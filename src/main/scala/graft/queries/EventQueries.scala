@@ -153,6 +153,29 @@ object EventQueries extends QueryGroup {
             <= 7L * 24 * 3600 * 1000000, 1)).as("n_converted_7d"))
     },
 
+    "q104_transitions" -> { (s, d) =>
+      // Event-type transition matrix (user-behavior bigrams): one lag per
+      // user's time-ordered stream, then pair counts and exact row-
+      // normalized probabilities. The lag shuffles once on user_id; the
+      // count table is type²-sized and its row totals broadcast back.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = ev.select(col("user_id"),
+          lag(col("event_type"), 1).over(w).as("from_type"),
+          col("event_type").as("to_type"))
+        .filter(col("from_type").isNotNull)
+      val counts = pairs.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val fromTot = counts.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("from_n"))
+      counts.join(broadcast(fromTot), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          (col("n").cast("double") / col("from_n")).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     "q96_daily_change" -> { (s, d) =>
       // Day-over-day change per event type: windowed lag over the
       // PRE-AGGREGATED daily table — the window input is group-count-
@@ -360,6 +383,27 @@ object EventQueries extends QueryGroup {
         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM m ORDER BY event_id""",
+
+    "q104_transitions" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      p AS (
+        SELECT user_id,
+          lag(event_type, 1) OVER
+            (PARTITION BY user_id ORDER BY t, event_id) AS from_type,
+          event_type AS to_type
+        FROM e),
+      tc AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      f AS (
+        SELECT from_type, CAST(sum(n) AS BIGINT) AS from_n
+        FROM tc GROUP BY 1)
+      SELECT tc.from_type, tc.to_type, tc.n,
+        CAST(tc.n AS DOUBLE) / f.from_n AS p
+      FROM tc JOIN f USING (from_type)
+      ORDER BY tc.from_type, tc.to_type""",
 
     "q96_daily_change" -> """
       WITH t AS (

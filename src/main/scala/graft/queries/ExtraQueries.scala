@@ -273,28 +273,36 @@ object ExtraQueries extends QueryGroup {
     },
 
     "q87_profile" -> { (s, d) =>
-      // Data-profiling sweep (the "summarize" shape): one uniform row per
-      // profiled column — rows / nulls / exact distinct / min / max.
-      // Numeric extremes render through DECIMAL(18,2) because raw double
-      // formatting is engine-specific. Each branch is a column-pruned
-      // single-aggregate scan; the union is driver-side plan assembly,
-      // not data movement.
-      val o = Tables.orders(s, d)
-      def prof(c: String, numeric: Boolean): DataFrame = {
-        val v = if (numeric) dec(col(c)) else col(c)
-        o.agg(count(lit(1)).as("n_rows"),
-            count(when(col(c).isNull, lit(1))).as("n_nulls"),
-            countDistinct(col(c)).as("n_distinct"),
-            min(v).cast("string").as("min_val"),
-            max(v).cast("string").as("max_val"))
-          .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
-            col("n_distinct"), col("min_val"), col("max_val"))
-      }
-      Seq(prof("o_orderstatus", numeric = false),
-          prof("o_orderpriority", numeric = false),
-          prof("o_totalprice", numeric = true),
-          prof("o_custkey", numeric = true))
-        .reduce(_.union(_)).orderBy(col("column_name"))
+      // Data-profiling sweep — see graft.operators.Profile (numeric/string
+      // dispatch by dtype; per-column pruned scans, driver-side union).
+      graft.operators.Profile.profile(Tables.orders(s, d),
+          Seq("o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"))
+        .orderBy(col("column_name"))
+    },
+
+    "q102_contingency" -> { (s, d) =>
+      // Contingency table + chi-square independence cells for lang ×
+      // source: the full grid (including zero-observed cells — textbook
+      // chi² needs them), expected counts from broadcast marginals, and
+      // each cell's (o−e)²/e contribution. Per-cell output (not a global
+      // double sum, which would be fold-order-dependent); every value is
+      // one identical IEEE expression both engines evaluate bitwise.
+      val docs = Tables.documents(s, d)
+      val n = docs.count()
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("o"))
+      val grid = docs.select(col("lang")).distinct()
+        .crossJoin(docs.select(col("source")).distinct())
+      val rowN = docs.groupBy(col("lang")).agg(count(lit(1)).as("row_n"))
+      val colN = docs.groupBy(col("source")).agg(count(lit(1)).as("col_n"))
+      val e = (col("row_n") * col("col_n")).cast("double") / lit(n)
+      val oD = coalesce(col("o"), lit(0L)).cast("double")
+      grid.join(cells, Seq("lang", "source"), "left")
+        .join(broadcast(rowN), "lang").join(broadcast(colN), "source")
+        .select(col("lang"), col("source"),
+          coalesce(col("o"), lit(0L)).as("o"), e.as("e"),
+          ((oD - e) * (oD - e) / e).as("contrib"))
+        .orderBy(col("lang"), col("source"))
     },
 
     "q100_winsorize" -> { (s, d) =>
@@ -508,6 +516,30 @@ object ExtraQueries extends QueryGroup {
       SELECT l_returnflag, count(*) AS n, ${sqlSum("clipped")} AS sum_clipped,
         min(clipped) AS lo_clipped, max(clipped) AS hi_clipped
       FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q102_contingency" -> """
+      WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      g AS (
+        SELECT a.lang, b.source
+        FROM (SELECT DISTINCT lang FROM documents) a
+        CROSS JOIN (SELECT DISTINCT source FROM documents) b),
+      rt AS (SELECT lang, count(*) AS row_n FROM documents GROUP BY 1),
+      ct AS (SELECT source, count(*) AS col_n FROM documents GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM documents)
+      SELECT g.lang, g.source, coalesce(c.o, 0) AS o,
+        CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n AS e,
+        (CAST(coalesce(c.o, 0) AS DOUBLE)
+            - CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n)
+          * (CAST(coalesce(c.o, 0) AS DOUBLE)
+            - CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n)
+          / (CAST(rt.row_n * ct.col_n AS DOUBLE) / tot.n) AS contrib
+      FROM g
+      LEFT JOIN cells c ON c.lang = g.lang AND c.source = g.source
+      JOIN rt ON rt.lang = g.lang
+      JOIN ct ON ct.source = g.source
+      CROSS JOIN tot
+      ORDER BY g.lang, g.source""",
 
     "q98_hash_sample" -> """
       WITH t AS (
