@@ -29,6 +29,17 @@ object VectorFunctions {
   /** Euclidean (L2) norm. */
   def l2Norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Fixed-point position-wise vector sum aggregate — see
+    * [[graft.functions.expressions.FixedPointVectorSum]]. Returns
+    * struct(sums array<long>, n long); mean(dim) = sums[dim]/scale/n.
+    */
+  def vectorSumFixed(v: Column, scale: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.FixedPointVectorSum(
+        ColumnBridge.expression(v), scale).toAggregateExpression())
+  }
+
   /** Cosine similarity in double precision; 0.0 for zero-norm inputs.
     * Backed by the native codegen'd [[graft.functions.expressions.CosineSimilarity]]
     * expression: one fused loop, no intermediate arrays — same sequential

@@ -116,20 +116,23 @@ object SimilarityQueries extends QueryGroup {
     },
 
     "q101_label_centroids" -> { (s, d) =>
-      // Per-label centroids — the k-means update step, computed
-      // relationally: posexplode + FIXED-POINT position sums (x·2^30
-      // rounded to integer), so the aggregation is order-independent
-      // (parallel-safe under any partitioning), map-side combinable, and
-      // never buffers vectors per group. Fixed-point rather than DECIMAL
+      // Per-label centroids — the k-means update step — via the native
+      // FIXED-POINT vector-sum aggregate (round(x·2^30) into long[dims]
+      // buffers): integer sums are order-independent (float sums are not
+      // even run-to-run stable under Spark's merge order), map-side
+      // combinable, and ship ONE buffer per (group, partition) instead of
+      // rows×dims exploded scalars. Fixed-point rather than DECIMAL
       // because engines round float→decimal differently (Spark via the
       // shortest string repr); round-half-away on the exact 2^30 product
-      // is identical in both. Long-form output (label, dim, mean).
+      // is identical in both. Long-form output (label, dim, mean); the
+      // posexplode+sum formulation is the spec-pinned parity reference.
       Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
-        .groupBy(col("label"), col("dim"))
-        .agg(((sum(round(col("x").cast("double") * 1073741824L).cast("long"))
-          .cast("double") / 1073741824L) / count(lit(1))).as("mean"))
-        .select(col("label"), col("dim").cast("long").as("dim"), col("mean"))
+        .groupBy(col("label"))
+        .agg(VectorFunctions.vectorSumFixed(col("embedding"), 1L << 30).as("fx"))
+        .select(col("label"), col("fx.n").as("n"),
+          posexplode(col("fx.sums")).as(Seq("dim", "s")))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          ((col("s").cast("double") / 1073741824L) / col("n")).as("mean"))
         .orderBy(col("label"), col("dim"))
     },
 

@@ -76,4 +76,34 @@ class VectorExpressionSpec extends SparkSpec {
     val c = df.select(VectorFunctions.cosine(col("a"), col("b"))).as[Double].collect()(0)
     assert(math.abs(c - 24.0 / 25.0) < 1e-15)
   }
+
+  test("fixed-point vector sum matches the posexplode+round formulation bitwise") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val native = emb.groupBy(col("label"))
+      .agg(VectorFunctions.vectorSumFixed(col("embedding"), 1L << 30).as("fx"))
+      .select(col("label"), col("fx.n").as("n"),
+        posexplode(col("fx.sums")).as(Seq("dim", "s")))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("s"), col("n"))
+    val exploded = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * (1L << 30)).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("s"), col("n"))
+    assert(native.exceptAll(exploded).isEmpty && exploded.exceptAll(native).isEmpty,
+      "native buffer sums must equal the relational fixed-point sums")
+    // Negative halves round away from zero (SQL round), not toward +inf.
+    val neg = Seq(Tuple1(Array(-2.5f, 2.5f)), Tuple1(Array(-1.0f, 1.0f)))
+      .toDF("v")
+      .agg(VectorFunctions.vectorSumFixed(col("v"), 1L).as("fx"))
+      .select(col("fx.sums")).as[Seq[Long]].collect()(0)
+    assert(neg == Seq(-4L, 4L), s"half-away rounding expected, got $neg")
+    // Dimensionality mismatch fails loudly, not silently truncates.
+    val err = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f)), Tuple1(Array(1.0f, 2.0f))).toDF("v")
+        .coalesce(1)
+        .agg(VectorFunctions.vectorSumFixed(col("v"), 1L)).collect()
+    }
+    assert(err.getMessage != null)
+  }
 }
