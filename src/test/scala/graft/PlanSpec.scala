@@ -152,6 +152,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("manual bloom prefilter (q92) filters the fact scan; bounded top-k agg in q88") {
+    // q92: Joins.bloomPrefilter must show up as a might_contain filter on
+    // the lineitem side BEFORE the join.
+    val p92 = plan("q92_bloom_join").toString
+    assert(p92.contains("might_contain"),
+      s"q92 must filter the fact side with might_contain:\n$p92")
+    // q88: posting lists must be bounded by the top-k aggregate, never an
+    // unbounded per-term collect of raw postings.
+    val p88 = plan("q88_inverted_index").toString
+    assert(p88.contains("topk_agg"),
+      s"q88 postings must go through the bounded top-k aggregate:\n$p88")
+    // q101: centroid sums ride the native fixed-point aggregate (one
+    // buffer per group-partition), not an exploded per-dim shuffle.
+    val p101 = plan("q101_label_centroids").toString
+    assert(p101.contains("fixed_point_vector_sum"),
+      s"q101 must use the native vector-sum aggregate:\n$p101")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective shuffle join") {
     import org.apache.spark.sql.functions._
     // A selective dimension filter on a SHUFFLE join (broadcast disabled)

@@ -200,6 +200,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated never paired")
   }
 
+  test("incremental LSH equals the full pair set restricted to new-involving pairs") {
+    val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
+    val sigs = Dedup.minhashSignatures(ids, "doc_id")
+    val full = Dedup.lshCandidatePairs(sigs, "doc_id").as[(Long, Long)]
+      .collect().toSet
+    for (newSet <- Seq(Set(0L), Set(2L), Set(0L, 3L), Set.empty[Long],
+        Set(0L, 1L, 2L, 3L))) {
+      val flagged = sigs.withColumn("is_new", col("doc_id").isInCollection(
+        if (newSet.isEmpty) Seq(-1L) else newSet.toSeq))
+      val inc = Dedup.lshCandidatePairsIncremental(flagged, "doc_id", "is_new")
+        .as[(Long, Long)].collect().toSet
+      val expected = full.filter(p => newSet(p._1) || newSet(p._2))
+      assert(inc == expected, s"newSet=$newSet: got $inc, expected $expected")
+    }
+  }
+
   test("LSH bucket cap keeps the lowest-N ids; pair count per bucket is bounded") {
     // 10 identical docs land in the same bucket of every band: uncapped
     // banding pairs all C(10,2) = 45; cap=4 must keep exactly ids 0..3 and
