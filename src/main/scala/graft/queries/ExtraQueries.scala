@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Det._
 
@@ -331,6 +332,40 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("l_returnflag"))
     },
 
+    "q105_domain_cap" -> { (s, d) =>
+      // Per-source frequency capping (the C4-style per-domain cap): keep
+      // at most 10 documents per source, chosen by portable-hash order —
+      // a deterministic "random" cap that needs no RNG state and survives
+      // re-runs and repartitioning. One window shuffle on source; skewed
+      // domains split under AQE.
+      val h = (col("doc_id") * 1000003L + 17L) % 1000000007L
+      val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q106_zorder" -> { (s, d) =>
+      // Z-order (Morton) layout key over (partkey, suppkey) — the
+      // multi-dimensional clustering key: range-partition + sort by z and
+      // parquet zone maps prune on EITHER column. Here each 256th of the
+      // key space reports its bounding box in both dims (what the zone
+      // maps would store). Pure codegen'd bitwise arithmetic, replayed
+      // bit-for-bit by the oracle.
+      val z = graft.functions.Layout.interleaveBits(
+        col("l_partkey") % 65536, col("l_suppkey") % 65536)
+      Tables.lineitem(s, d)
+        .select((col("l_partkey") % 65536).as("pk"),
+          (col("l_suppkey") % 65536).as("sk"), z.as("z"))
+        .groupBy(shiftright(col("z"), 24).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("pk")).as("min_pk"), max(col("pk")).as("max_pk"),
+          min(col("sk")).as("min_sk"), max(col("sk")).as("max_sk"))
+        .orderBy(col("bucket"))
+    },
+
     "q98_hash_sample" -> { (s, d) =>
       // Deterministic stratified sampling by portable hash-gating — the
       // reproducible sampling a production pipeline ships: stable under
@@ -540,6 +575,27 @@ object ExtraQueries extends QueryGroup {
       JOIN ct ON ct.source = g.source
       CROSS JOIN tot
       ORDER BY g.lang, g.source""",
+
+    "q105_domain_cap" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY (doc_id * 1000003 + 17) % 1000000007, doc_id) AS rn
+        FROM documents)
+      SELECT doc_id, source, rn FROM t WHERE rn <= 10 ORDER BY doc_id""",
+
+    "q106_zorder" -> s"""
+      WITH t AS (
+        SELECT l_partkey % 65536 AS pk, l_suppkey % 65536 AS sk
+        FROM lineitem),
+      zk AS (
+        SELECT pk, sk,
+          ${graft.functions.Layout.interleaveBitsSql("pk", "sk")} AS z
+        FROM t)
+      SELECT z >> 24 AS bucket, count(*) AS n,
+        min(pk) AS min_pk, max(pk) AS max_pk,
+        min(sk) AS min_sk, max(sk) AS max_sk
+      FROM zk GROUP BY 1 ORDER BY bucket""",
 
     "q98_hash_sample" -> """
       WITH t AS (
