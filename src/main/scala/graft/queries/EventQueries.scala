@@ -153,6 +153,26 @@ object EventQueries extends QueryGroup {
             <= 7L * 24 * 3600 * 1000000, 1)).as("n_converted_7d"))
     },
 
+    "q107_top_paths" -> { (s, d) =>
+      // Top event trigram paths (funnel discovery): two lags per user's
+      // time-ordered stream build 3-step paths; global top-10 by count
+      // with a deterministic tiebreak. The path table is types³-bounded
+      // after aggregation, so the final top-k is trivial.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tri = ev.select(
+          lag(col("event_type"), 2).over(w).as("e1"),
+          lag(col("event_type"), 1).over(w).as("e2"),
+          col("event_type").as("e3"))
+        .filter(col("e1").isNotNull && col("e2").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      tri.groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc)
+        .limit(10)
+    },
+
     "q104_transitions" -> { (s, d) =>
       // Event-type transition matrix (user-behavior bigrams): one lag per
       // user's time-ordered stream, then pair counts and exact row-
@@ -383,6 +403,24 @@ object EventQueries extends QueryGroup {
         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM m ORDER BY event_id""",
+
+    "q107_top_paths" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      tri AS (
+        SELECT
+          lag(event_type, 2) OVER
+            (PARTITION BY user_id ORDER BY t, event_id) AS e1,
+          lag(event_type, 1) OVER
+            (PARTITION BY user_id ORDER BY t, event_id) AS e2,
+          event_type AS e3
+        FROM e),
+      paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path
+        FROM tri WHERE e1 IS NOT NULL AND e2 IS NOT NULL)
+      SELECT path, count(*) AS n FROM paths
+      GROUP BY path ORDER BY n DESC, path LIMIT 10""",
 
     "q104_transitions" -> """
       WITH e AS (
