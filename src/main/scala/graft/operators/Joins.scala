@@ -209,4 +209,29 @@ object Joins {
       BloomFilterMightContain(Literal(bf, BinaryType),
         ColumnBridge.expression(xxhash64(bigKey)))))
   }
+
+  /** Lazy form of [[bloomPrefilter]]: the bloom build is a SCALAR SUBQUERY
+    * inside the probe plan (the same shape Spark's own
+    * InjectRuntimeFilter emits), so nothing executes at plan-build time —
+    * the filter materializes when the query runs, and the whole pipeline
+    * stays one optimizable plan (AQE reuse, cancellation, EXPLAIN all see
+    * it). Prefer this in library code; the eager form remains for
+    * interactive sizing (it surfaces the filter bytes immediately).
+    */
+  def bloomPrefilterLazy(big: DataFrame, bigKey: Column,
+                         small: DataFrame, smallKey: Column,
+                         expectedItems: Long = 1000000L,
+                         numBits: Long = 8L * 1000000L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(smallKey)),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+    val buildPlan = ColumnBridge.logicalPlan(small.agg(agg.as("bf")))
+    big.filter(ColumnBridge.column(
+      BloomFilterMightContain(ScalarSubquery(buildPlan),
+        ColumnBridge.expression(xxhash64(bigKey)))))
+  }
 }

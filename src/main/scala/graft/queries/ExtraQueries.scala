@@ -396,13 +396,14 @@ object ExtraQueries extends QueryGroup {
 
     "q92_bloom_join" -> { (s, d) =>
       // Manual runtime-filter join: bloom-prefilter the fact side on the
-      // selective dimension subset's keys BEFORE the join shuffle
-      // (Joins.bloomPrefilter). False positives are removed by the exact
-      // join that follows, so the bloom changes the plan — ~90% of fact
-      // rows never enter the exchange here — never the result: the oracle
-      // is the PLAIN join.
+      // selective dimension subset's keys BEFORE the join shuffle — the
+      // LAZY scalar-subquery form (the bloom build lives inside the probe
+      // plan, nothing executes at plan-build). False positives are
+      // removed by the exact join that follows, so the bloom changes the
+      // plan — ~90% of fact rows never enter the exchange here — never
+      // the result: the oracle is the PLAIN join.
       val small = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
-      val pre = graft.operators.Joins.bloomPrefilter(
+      val pre = graft.operators.Joins.bloomPrefilterLazy(
         Tables.lineitem(s, d), col("l_orderkey"),
         small, col("o_orderkey"),
         expectedItems = 100000L, numBits = 800000L)

@@ -224,6 +224,13 @@ class OperatorsSpec extends SparkSpec {
     // Empty build side → null filter → every probe row dropped.
     assert(Joins.bloomPrefilter(big, col("k"),
       small.filter(lit(false)), col("sk")).count() == 0L)
+    // Lazy (scalar-subquery) form: same pruning, nothing runs at build.
+    val lazyPre = Joins.bloomPrefilterLazy(big, col("k"), small, col("sk"),
+      expectedItems = 1000L, numBits = 8000L)
+    assert(lazyPre.queryExecution.analyzed != null) // plan builds eagerly-free
+    assert(lazyPre.join(small, col("k") === col("sk")).count() == 100L)
+    val lazyKept = lazyPre.count()
+    assert(lazyKept >= 100L && lazyKept < 1000L, s"lazy bloom kept $lazyKept")
   }
 
   test("multimodal decode stub runs partition-wise over typed records") {
