@@ -17,12 +17,19 @@ object Layout {
   /** Interleave the low `bits` bits of two non-negative longs: bit j of
     * `a` lands at position 2j, bit j of `b` at 2j+1. `bits` <= 31.
     */
-  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    (0 until bits).map { j =>
-      shiftleft(shiftright(a, j).bitwiseAND(lit(1L)), 2 * j)
-        .bitwiseOR(shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), 2 * j + 1))
-    }.reduce(_ bitwiseOR _)
+  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column =
+    interleaveBitsN(Seq(a, b), bits)
+
+  /** N-column Morton key: bit j of column i lands at position n·j + i.
+    * n · bits must fit a non-negative long (<= 62).
+    */
+  def interleaveBitsN(cols: Seq[Column], bits: Int = 16): Column = {
+    val n = cols.size
+    require(n >= 2, "need at least two columns")
+    require(bits >= 1 && n * bits <= 62, s"$n x $bits bits overflow a long")
+    (for (j <- 0 until bits; (c, i) <- cols.zipWithIndex)
+      yield shiftleft(shiftright(c, j).bitwiseAND(lit(1L)), n * j + i))
+      .reduce(_ bitwiseOR _)
   }
 
   /** The identical arithmetic as portable SQL (for oracles/docs). */

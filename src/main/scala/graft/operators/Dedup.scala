@@ -421,6 +421,52 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Ingestion-time near-dup filter: of the `fresh` batch, keep only
+    * documents that near-duplicate NEITHER the existing corpus NOR an
+    * earlier (smaller-id) kept document of the same batch. The candidate
+    * stage is [[lshCandidatePairsIncremental]], so cost scales with the
+    * batch: history×history pairs are never generated, and only candidate
+    * pairs pay the exact-Jaccard verify (the candidate set bounds that
+    * join, not the corpus).
+    *
+    * Loser rule per verified pair: history always beats fresh; between
+    * two fresh docs the smaller id wins (keep-first, matching
+    * [[dropNearDuplicates]] greedy semantics within the batch).
+    */
+  def dropNearDuplicatesIncremental(history: DataFrame, fresh: DataFrame,
+                                    idCol: String, textCol: String,
+                                    threshold: Double, numHashes: Int = 8,
+                                    rowsPerBand: Int = 2, k: Int = 3,
+                                    maxPerBucket: Int = 0): DataFrame = {
+    val all = history.select(col(idCol), col(textCol), lit(false).as("__new"))
+      .unionByName(fresh.select(col(idCol), col(textCol), lit(true).as("__new")))
+    val sig = minhashSignatureCol(col(textCol), numHashes, k)
+    val sigs = all
+      .select(col(idCol), col("__new"), sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(idCol) +: col("__new") +: (0 until numHashes).map(i =>
+        element_at(col("__sig"), i + 1).as(s"h$i")): _*)
+    val candidates = lshCandidatePairsIncremental(sigs, idCol, "__new",
+      numHashes, rowsPerBand, maxPerBucket)
+    val ids = shingleIdsPoly(all, idCol, textCol, k)
+    val verified = jaccard(ids, idCol, candidates)
+      .filter(col("jaccard") >= threshold)
+    // Flag sides from the BATCH-sized table only (never broadcast the
+    // corpus); every pair has >=1 fresh member by construction.
+    val fa = fresh.select(col(idCol).as("id_a"), lit(true).as("__new_a"))
+    val fb = fresh.select(col(idCol).as("id_b"), lit(true).as("__new_b"))
+    val losers = verified
+      .join(broadcast(fa), Seq("id_a"), "left")
+      .join(broadcast(fb), Seq("id_b"), "left")
+      .select(
+        when(col("__new_a").isNotNull && col("__new_b").isNull, col("id_a"))
+          .when(col("__new_a").isNull && col("__new_b").isNotNull, col("id_b"))
+          .otherwise(greatest(col("id_a"), col("id_b"))) // fresh vs fresh
+          .as(idCol))
+      .distinct()
+    fresh.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Connected components over an undirected pair graph by min-label
     * propagation: every node ends with the smallest id in its component.
     * Each iteration is one shuffle join + aggregate (fully distributed);

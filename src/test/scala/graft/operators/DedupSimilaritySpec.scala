@@ -200,6 +200,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated never paired")
   }
 
+  test("incremental drop: history wins, batch keeps first, unique survives") {
+    val history = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (1L, "some archived corpus text that matches nothing in the new batch at all")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      // near-dup of history doc 0 → dropped
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      // unique → kept
+      (11L, "completely different words appear here with nothing shared at all whatsoever"),
+      // two fresh dups of each other → first kept, second dropped
+      (12L, "brand new passage repeated inside the same batch exactly twice for the test"),
+      (13L, "brand new passage repeated inside the same batch exactly twice for the test")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicatesIncremental(
+        history, fresh, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 12L), s"kept $kept")
+  }
+
   test("incremental LSH equals the full pair set restricted to new-involving pairs") {
     val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
     val sigs = Dedup.minhashSignatures(ids, "doc_id")

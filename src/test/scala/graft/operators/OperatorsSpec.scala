@@ -233,6 +233,29 @@ class OperatorsSpec extends SparkSpec {
     assert(lazyKept >= 100L && lazyKept < 1000L, s"lazy bloom kept $lazyKept")
   }
 
+  test("z-order layout: point predicates on the second dim prune partitions") {
+    import graft.functions.Layout
+    // 4096x4096 scrambled grid, 16 range partitions. An x-only layout
+    // leaves every partition covering the full y range (y predicates
+    // prune nothing); z-order tiles cover ~1/4 of y each.
+    val df = spark.range(1 << 12).select(
+      (col("id") * 2654435761L % 4096).as("x"),
+      ((col("id") * 40503L + 7) % 4096).as("y"))
+    def partitionsCovering(d: org.apache.spark.sql.DataFrame, yVal: Long): Long =
+      d.withColumn("part", spark_partition_id())
+        .groupBy("part").agg(min("y").as("lo"), max("y").as("hi"))
+        .filter(col("lo") <= yVal && col("hi") >= yVal).count()
+    val byX = df.repartitionByRange(16, col("x"))
+    val byZ = df.repartitionByRange(16, Layout.interleaveBits(col("x"), col("y"), 12))
+    assert(partitionsCovering(byX, 2000L) == 16L, "x-slabs never prune on y")
+    val zCover = partitionsCovering(byZ, 2000L)
+    assert(zCover <= 8L, s"z tiles should bound y; $zCover of 16 cover y=2000")
+    // 3-column Morton key stays within long range and is monotone-safe.
+    val z3 = df.select(Layout.interleaveBitsN(
+      Seq(col("x"), col("y"), (col("x") + col("y")) % 4096), 12).as("z"))
+    assert(z3.agg(min("z"), max("z")).collect()(0).getLong(0) >= 0L)
+  }
+
   test("multimodal decode stub runs partition-wise over typed records") {
     import Multimodal._
     val ds = spark.createDataset(Seq(
