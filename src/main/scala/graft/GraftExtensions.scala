@@ -50,6 +50,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
       (children: Seq[Expression]) =>
         GraftExtensions.withIntArgs("simhash", children, 16, 3)(SimHash.apply)))
+    // Aggregates: the analyzer wraps a returned AggregateFunction in an
+    // AggregateExpression itself (same path as built-in percentile).
+    ext.injectFunction((
+      FunctionIdentifier("topk_agg"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BoundedTopKAgg].getName, "topk_agg"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, id, Literal(k: Int, _)) =>
+          graft.functions.expressions.BoundedTopKAgg(v, id, k)
+        case _ => throw new IllegalArgumentException(
+          "topk_agg(value, id, k) takes two columns and an int literal k")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("fixed_point_vector_sum"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.FixedPointVectorSum].getName,
+        "fixed_point_vector_sum"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(s: Long, _)) =>
+          graft.functions.expressions.FixedPointVectorSum(v, s)
+        case Seq(v, Literal(s: Int, _)) =>
+          graft.functions.expressions.FixedPointVectorSum(v, s.toLong)
+        case _ => throw new IllegalArgumentException(
+          "fixed_point_vector_sum(vec, scale) takes a vector column and an integer literal scale")
+      }))
   }
 }
 

@@ -47,5 +47,28 @@ object FunctionRegistrar {
       exprs => graft.GraftExtensions.withIntArgs("simhash", exprs, 16, 3)(
         SimHash.apply),
       "built-in")
+    // Aggregates: returning the AggregateFunction is enough — the
+    // analyzer wraps it in an AggregateExpression (built-in percentile's
+    // own registration path).
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_agg",
+      {
+        case Seq(v, id, Literal(k: Int, _)) =>
+          graft.functions.expressions.BoundedTopKAgg(v, id, k)
+        case _ => throw new IllegalArgumentException(
+          "topk_agg(value, id, k) takes two columns and an int literal k")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "fixed_point_vector_sum",
+      {
+        case Seq(v, Literal(s: Long, _)) =>
+          graft.functions.expressions.FixedPointVectorSum(v, s)
+        case Seq(v, Literal(s: Int, _)) =>
+          graft.functions.expressions.FixedPointVectorSum(v, s.toLong)
+        case _ => throw new IllegalArgumentException(
+          "fixed_point_vector_sum(vec, scale) takes a vector column and an integer literal scale")
+      },
+      "built-in")
   }
 }

@@ -83,6 +83,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom aggregates register as SQL functions") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    Seq((1L, 10.0, 100L), (1L, 30.0, 101L), (1L, 20.0, 102L), (2L, 5.0, 103L))
+      .toDF("g", "v", "id").createOrReplaceTempView("tk")
+    val top = spark.sql(
+      "SELECT g, topk_agg(v, id, 2) AS t FROM tk GROUP BY g ORDER BY g")
+      .collect()
+    val g1 = top(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r => (r.getDouble(0), r.getLong(1))) ==
+      Seq((30.0, 101L), (20.0, 102L)))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).size == 1)
+    val fx = spark.sql(
+      """SELECT fixed_point_vector_sum(v, 1073741824L) AS s
+        FROM (SELECT array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)) AS v
+              UNION ALL
+              SELECT array(CAST(0.25 AS FLOAT), CAST(0.25 AS FLOAT)))""")
+      .collect()(0).getStruct(0)
+    assert(fx.getSeq[Long](0) == Seq((0.75 * (1L << 30)).toLong, 0L))
+    assert(fx.getLong(1) == 2L)
+  }
+
   test("cosine_similarity registers as a SQL function") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     val c = spark.sql(
