@@ -26,6 +26,23 @@ object TopK {
     *
     * Output: groupCols ++ (rn [1..k], value, id), strongest first.
     */
+  /** Misra–Gries frequent-item candidates over `item` — see
+    * [[graft.functions.expressions.MisraGriesAgg]]. Output: (item,
+    * mg_count) sorted strongest-first; counts are lower bounds, and any
+    * item with true frequency > n/(k+1) is guaranteed present. Compose
+    * with an exact recount of the ≤k candidates for exact heavy hitters
+    * (q108).
+    */
+  def frequentItems(df: DataFrame, item: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.MisraGriesAgg(
+        ColumnBridge.expression(item.cast("string")), k).toAggregateExpression())
+    df.agg(agg.as("__mg"))
+      .select(explode(col("__mg")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("mg_count"))
+  }
+
   def perGroupAgg(df: DataFrame, groupCols: Seq[String],
                   valueCol: Column, idCol: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -185,6 +185,26 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"))
     },
 
+    "q108_heavy_hitters" -> { (s, d) =>
+      // Heavy hitters, the scale pattern: Misra-Gries candidates (k=32 →
+      // any token with freq > n/33 is provably in the summary), then an
+      // exact recount of ONLY the candidates, thresholded at c·20 > n —
+      // above the MG guarantee line, so the two-phase result is EXACT and
+      // the oracle is a plain GROUP BY/HAVING. At corpus scale phase 1
+      // ships one 32-entry buffer per partition instead of the full
+      // n-gram vocabulary, and phase 2 aggregates ≤ 32 keys.
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val total = toks.count()
+      val cands = graft.operators.TopK.frequentItems(toks, col("tok"), 32)
+        .select(col("item").as("tok"))
+      toks.join(broadcast(cands), "tok")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .filter(col("c") * 20 > total)
+        .orderBy(col("tok"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -298,6 +318,15 @@ object TextQueries extends QueryGroup {
         CAST(1 AS DOUBLE) - CAST(sum(c*c) AS DOUBLE)
           / CAST(sum(c) * sum(c) AS DOUBLE) AS gini
       FROM tc GROUP BY source ORDER BY source""",
+
+    "q108_heavy_hitters" -> """
+      WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      t AS (SELECT tok FROM toks WHERE tok <> ''),
+      tot AS (SELECT count(*) AS n FROM t)
+      SELECT tok, count(*) AS c FROM t
+      GROUP BY tok HAVING count(*) * 20 > (SELECT n FROM tot)
+      ORDER BY tok""",
 
     "q79_repetition" -> s"""
       WITH toks AS (
