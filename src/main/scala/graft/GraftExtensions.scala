@@ -63,6 +63,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "topk_agg(value, id, k) takes two columns and an int literal k")
       }))
     ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.MisraGriesAgg].getName, "misra_gries"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(k: Int, _)) =>
+          graft.functions.expressions.MisraGriesAgg(v, k)
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(item, k) takes a string column and an int literal k")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("fixed_point_vector_sum"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.FixedPointVectorSum].getName,

@@ -60,6 +60,15 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "misra_gries",
+      {
+        case Seq(v, Literal(k: Int, _)) =>
+          graft.functions.expressions.MisraGriesAgg(v, k)
+        case _ => throw new IllegalArgumentException(
+          "misra_gries(item, k) takes a string column and an int literal k")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fixed_point_vector_sum",
       {
         case Seq(v, Literal(s: Long, _)) =>

@@ -83,6 +83,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: Misra-Gries aggregate in complete mode") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[String]
+    val mg = graft.operators.TopK.frequentItems(input.toDF()
+      .withColumnRenamed("value", "item"), col("item"), 3)
+    val q = mg.writeStream.format("memory").queryName("mg_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+        (1 to 10).map(i => s"cold_$i"): _*)
+      q.processAllAvailable()
+      val out = spark.sql("SELECT item, mg_count FROM mg_out")
+        .as[(String, Long)].collect().toMap
+      assert(out.contains("hot") && out.contains("warm"),
+        s"heavies must survive the stream summary: $out")
+      assert(out("hot") <= 50 && out("warm") <= 30, "lower bounds only")
+      // More data arrives; the summary keeps tracking without rescans.
+      input.addData(Seq.fill(40)("surge"): _*)
+      q.processAllAvailable()
+      val out2 = spark.sql("SELECT item FROM mg_out").as[String].collect().toSet
+      assert(out2.contains("surge"), s"new heavy must enter: $out2")
+    } finally q.stop()
+  }
+
   test("custom aggregates register as SQL functions") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     Seq((1L, 10.0, 100L), (1L, 30.0, 101L), (1L, 20.0, 102L), (2L, 5.0, 103L))
