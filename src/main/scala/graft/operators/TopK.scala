@@ -43,6 +43,21 @@ object TopK {
       .select(col("e.item").as("item"), col("e.count").as("mg_count"))
   }
 
+  /** [[frequentItems]] per group: one k-bounded summary per group per map
+    * partition. Output: groupCols ++ (item, mg_count).
+    */
+  def frequentItemsPerGroup(df: DataFrame, groupCols: Seq[String],
+                            item: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.MisraGriesAgg(
+        ColumnBridge.expression(item.cast("string")), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*).agg(agg.as("__mg"))
+      .select(groupCols.map(col) :+ explode(col("__mg")).as("e"): _*)
+      .select(groupCols.map(col) :+ col("e.item").as("item")
+        :+ col("e.count").as("mg_count"): _*)
+  }
+
   def perGroupAgg(df: DataFrame, groupCols: Seq[String],
                   valueCol: Column, idCol: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

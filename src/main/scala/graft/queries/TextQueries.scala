@@ -205,6 +205,27 @@ object TextQueries extends QueryGroup {
         .orderBy(col("tok"))
     },
 
+    "q109_group_heavy_hitters" -> { (s, d) =>
+      // Per-group heavy hitters: the Misra-Gries summary as a GROUPED
+      // aggregate (one bounded buffer per source per map partition),
+      // then exact recount of only the per-group candidates, thresholded
+      // at c·10 > group_total — above the per-group n/33 guarantee, so
+      // the result is exact and the oracle a plain grouped HAVING.
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+      val cands = graft.operators.TopK
+        .frequentItemsPerGroup(toks, Seq("source"), col("tok"), 32)
+        .select(col("source"), col("item").as("tok"))
+      val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("gn"))
+      toks.join(broadcast(cands), Seq("source", "tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+        .join(broadcast(totals), "source")
+        .filter(col("c") * 10 > col("gn"))
+        .select(col("source"), col("tok"), col("c"))
+        .orderBy(col("source"), col("tok"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -327,6 +348,17 @@ object TextQueries extends QueryGroup {
       SELECT tok, count(*) AS c FROM t
       GROUP BY tok HAVING count(*) * 20 > (SELECT n FROM tot)
       ORDER BY tok""",
+
+    "q109_group_heavy_hitters" -> """
+      WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      t AS (SELECT source, tok FROM toks WHERE tok <> ''),
+      g AS (SELECT source, count(*) AS gn FROM t GROUP BY 1),
+      c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2)
+      SELECT c.source, c.tok, c.c
+      FROM c JOIN g USING (source)
+      WHERE c.c * 10 > g.gn
+      ORDER BY c.source, c.tok""",
 
     "q79_repetition" -> s"""
       WITH toks AS (
