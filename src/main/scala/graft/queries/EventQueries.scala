@@ -173,6 +173,29 @@ object EventQueries extends QueryGroup {
         .limit(10)
     },
 
+    "q110_user_sequences" -> { (s, d) =>
+      // Ordered per-user event sequences (the behavioral-sequence export a
+      // training pipeline ships): each user's first 20 events as a '>'
+      // joined string. BOUNDED before collection — a rank filter keeps 20
+      // rows per user ahead of the collect, so no unbounded per-user
+      // buffers; the final sort_array on structs (ts, event_id carried as
+      // the total order) makes the collect order-deterministic.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+      val first20 = graft.operators.TopK.perGroup(
+        ev, Seq("user_id"), Seq(col("us").asc, col("event_id").asc), 20)
+      first20.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(
+            transform(
+              sort_array(collect_list(struct(col("us"), col("event_id"),
+                col("event_type")))),
+              e => e.getField("event_type")), ">").as("seq"))
+        .orderBy(col("user_id"))
+    },
+
     "q104_transitions" -> { (s, d) =>
       // Event-type transition matrix (user-behavior bigrams): one lag per
       // user's time-ordered stream, then pair counts and exact row-
@@ -421,6 +444,19 @@ object EventQueries extends QueryGroup {
         FROM tri WHERE e1 IS NOT NULL AND e2 IS NOT NULL)
       SELECT path, count(*) AS n FROM paths
       GROUP BY path ORDER BY n DESC, path LIMIT 10""",
+
+    "q110_user_sequences" -> """
+      WITH e AS (
+        SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      numbered AS (
+        SELECT user_id, event_type,
+          row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+        FROM e)
+      SELECT user_id, count(*) AS n_events,
+        array_to_string(list(event_type ORDER BY rn), '>') AS seq
+      FROM numbered WHERE rn <= 20
+      GROUP BY user_id ORDER BY user_id""",
 
     "q104_transitions" -> """
       WITH e AS (
