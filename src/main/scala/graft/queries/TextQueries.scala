@@ -186,22 +186,26 @@ object TextQueries extends QueryGroup {
     },
 
     "q108_heavy_hitters" -> { (s, d) =>
-      // Heavy hitters, the scale pattern: Misra-Gries candidates (k=32 →
-      // any token with freq > n/33 is provably in the summary), then an
-      // exact recount of ONLY the candidates, thresholded at c·20 > n —
+      // Heavy hitters, the scale pattern: Misra-Gries candidates (k=64 →
+      // any token with freq > n/65 is provably in the summary), then an
+      // exact recount of ONLY the candidates, thresholded at c·50 > n —
       // above the MG guarantee line, so the two-phase result is EXACT and
       // the oracle is a plain GROUP BY/HAVING. At corpus scale phase 1
-      // ships one 32-entry buffer per partition instead of the full
-      // n-gram vocabulary, and phase 2 aggregates ≤ 32 keys.
+      // ships one 64-entry buffer per partition instead of the full
+      // n-gram vocabulary, and phase 2 aggregates ≤ 64 keys. The corpus
+      // total joins in-plan as a broadcast 1-row aggregate (no eager
+      // driver-side count(): the whole query is one job).
       val toks = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
-      val total = toks.count()
-      val cands = graft.operators.TopK.frequentItems(toks, col("tok"), 32)
+      val total = toks.agg(count(lit(1)).as("n"))
+      val cands = graft.operators.TopK.frequentItems(toks, col("tok"), 64)
         .select(col("item").as("tok"))
       toks.join(broadcast(cands), "tok")
         .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        .filter(col("c") * 20 > total)
+        .crossJoin(broadcast(total))
+        .filter(col("c") * 50 > col("n"))
+        .select(col("tok"), col("c"))
         .orderBy(col("tok"))
     },
 
@@ -209,19 +213,19 @@ object TextQueries extends QueryGroup {
       // Per-group heavy hitters: the Misra-Gries summary as a GROUPED
       // aggregate (one bounded buffer per source per map partition),
       // then exact recount of only the per-group candidates, thresholded
-      // at c·10 > group_total — above the per-group n/33 guarantee, so
+      // at c·50 > group_total — above the per-group n/65 guarantee, so
       // the result is exact and the oracle a plain grouped HAVING.
       val toks = Tables.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ")).as("tok"))
         .filter(col("tok") =!= "")
       val cands = graft.operators.TopK
-        .frequentItemsPerGroup(toks, Seq("source"), col("tok"), 32)
+        .frequentItemsPerGroup(toks, Seq("source"), col("tok"), 64)
         .select(col("source"), col("item").as("tok"))
       val totals = toks.groupBy(col("source")).agg(count(lit(1)).as("gn"))
       toks.join(broadcast(cands), Seq("source", "tok"))
         .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
         .join(broadcast(totals), "source")
-        .filter(col("c") * 10 > col("gn"))
+        .filter(col("c") * 50 > col("gn"))
         .select(col("source"), col("tok"), col("c"))
         .orderBy(col("source"), col("tok"))
     },
@@ -346,7 +350,7 @@ object TextQueries extends QueryGroup {
       t AS (SELECT tok FROM toks WHERE tok <> ''),
       tot AS (SELECT count(*) AS n FROM t)
       SELECT tok, count(*) AS c FROM t
-      GROUP BY tok HAVING count(*) * 20 > (SELECT n FROM tot)
+      GROUP BY tok HAVING count(*) * 50 > (SELECT n FROM tot)
       ORDER BY tok""",
 
     "q109_group_heavy_hitters" -> """
@@ -357,7 +361,7 @@ object TextQueries extends QueryGroup {
       c AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2)
       SELECT c.source, c.tok, c.c
       FROM c JOIN g USING (source)
-      WHERE c.c * 10 > g.gn
+      WHERE c.c * 50 > g.gn
       ORDER BY c.source, c.tok""",
 
     "q79_repetition" -> s"""
