@@ -1,9 +1,8 @@
 package graft.plans
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GenericInternalRow, RowOrdering, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.graftbridge.SpillableRowBuffer
 
 /** Per-partition merge scanners for the custom sort-merge execs — the
   * Scala half of their whole-stage-codegen integration (the pattern of
@@ -24,33 +23,60 @@ final class RangeJoinScanner(
     rKeyProj: UnsafeProjection,
     lTsProj: UnsafeProjection,
     rTsProj: UnsafeProjection,
+    rRowProj: UnsafeProjection,
     keyOrdering: Ordering[InternalRow],
     lo: Long,
-    hi: Long) {
+    hi: Long,
+    inMemoryRowsThreshold: Int,
+    spillRowsThreshold: Int,
+    spillSizeThreshold: Long) {
 
   private val lIter = lIter0
   private val rIter = rIter0.buffered
   private var curKey: UnsafeRow = _
-  private val rGroup = ArrayBuffer.empty[InternalRow] // buffered right group
-  private val rGroupTs = ArrayBuffer.empty[Long]
+  // Buffered right group — spill-capable (the SortMergeJoinExec group
+  // buffer), so a hot key whose group exceeds executor memory degrades to
+  // disk instead of OOMing. Window bounds come from two monotone peek
+  // iterators instead of a parallel in-heap timestamp array, so NOTHING
+  // about the group stays O(group) on the heap.
+  private val rGroup = new SpillableRowBuffer(
+    inMemoryRowsThreshold, spillRowsThreshold, spillSizeThreshold)
   private var lRow: InternalRow = _
-  private var lRowTs: Long = 0L
+  // Window [winStart, winEnd) over the buffered group; both bounds only
+  // move forward per left row (left rows are ts-sorted within a key).
   private var winStart = 0
-  private var winPos = 0
   private var winEnd = 0
+  private var startIter: Iterator[UnsafeRow] = _
+  private var startTs = 0L // ts of the row at index winStart (when valid)
+  private var startValid = false
+  private var endIter: Iterator[UnsafeRow] = _
+  private var endTs = 0L // ts of the row at index winEnd (when valid)
+  private var endValid = false
+  private var emitIter: Iterator[UnsafeRow] = _
+  private var emitRemaining = 0
   private var curRight: InternalRow = _
 
   def getLeft: InternalRow = lRow
   def getRight: InternalRow = curRight
+
+  private def advanceStartPeek(): Unit =
+    if (startIter.hasNext) {
+      startTs = rTsProj(startIter.next()).getLong(0); startValid = true
+    } else startValid = false
+
+  private def advanceEndPeek(): Unit =
+    if (endIter.hasNext) {
+      endTs = rTsProj(endIter.next()).getLong(0); endValid = true
+    } else endValid = false
 
   /** Advance to the next (left, right) in-range pair; window pointers only
     * move forward per left row (linear in group sizes plus output).
     */
   def advanceNext(): Boolean = {
     while (true) {
-      if (lRow != null && winPos < winEnd) {
-        curRight = rGroup(winPos)
-        winPos += 1
+      if (lRow != null && emitRemaining > 0) {
+        curRight = emitIter.next()
+        emitRemaining -= 1
         return true
       }
       // need a new left row
@@ -60,28 +86,34 @@ final class RangeJoinScanner(
       if (curKey == null || keyOrdering.compare(ck, curKey) != 0) {
         // new key group: drop old buffer, align right iterator
         curKey = ck.copy()
-        rGroup.clear(); rGroupTs.clear()
+        rGroup.clear()
         winStart = 0; winEnd = 0
         while (rIter.hasNext &&
           keyOrdering.compare(rKeyProj(rIter.head), curKey) < 0) rIter.next()
         while (rIter.hasNext &&
           keyOrdering.compare(rKeyProj(rIter.head), curKey) == 0) {
-          val r = rIter.next().copy()
-          rGroup += r
-          rGroupTs += rTsProj(r).getLong(0)
+          rGroup.add(toUnsafe(rIter.next())) // add() copies the bytes
         }
+        startIter = rGroup.iterator; advanceStartPeek()
+        endIter = rGroup.iterator; advanceEndPeek()
       }
       lRow = candidate
-      lRowTs = lTsProj(candidate).getLong(0)
       // slide window: [lts+lo, lts+hi)
+      val lRowTs = lTsProj(candidate).getLong(0)
       val fromTs = lRowTs + lo
       val untilTs = lRowTs + hi
-      while (winStart < rGroup.length && rGroupTs(winStart) < fromTs) winStart += 1
-      winEnd = math.max(winEnd, winStart)
-      while (winEnd < rGroup.length && rGroupTs(winEnd) < untilTs) winEnd += 1
-      winPos = winStart
+      while (startValid && startTs < fromTs) { winStart += 1; advanceStartPeek() }
+      while (winEnd < winStart) { winEnd += 1; advanceEndPeek() }
+      while (endValid && endTs < untilTs) { winEnd += 1; advanceEndPeek() }
+      emitRemaining = winEnd - winStart
+      if (emitRemaining > 0) emitIter = rGroup.iteratorFrom(winStart)
     }
     false // unreachable
+  }
+
+  private def toUnsafe(r: InternalRow): UnsafeRow = r match {
+    case u: UnsafeRow => u
+    case other => rRowProj(other)
   }
 }
 
@@ -93,7 +125,10 @@ final class RangeJoinScannerFactory(
     lKeys: Seq[Expression], rKeys: Seq[Expression],
     lTs: Expression, rTs: Expression,
     leftOut: Seq[Attribute], rightOut: Seq[Attribute],
-    lo: Long, hi: Long) extends Serializable {
+    lo: Long, hi: Long,
+    inMemoryRowsThreshold: Int,
+    spillRowsThreshold: Int,
+    spillSizeThreshold: Long) extends Serializable {
   def create(l: Iterator[InternalRow], r: Iterator[InternalRow]): RangeJoinScanner =
     new RangeJoinScanner(
       l, r,
@@ -101,8 +136,10 @@ final class RangeJoinScannerFactory(
       UnsafeProjection.create(rKeys, rightOut),
       UnsafeProjection.create(Seq(lTs), leftOut),
       UnsafeProjection.create(Seq(rTs), rightOut),
+      UnsafeProjection.create(rightOut.map(a => a: Expression), rightOut),
       RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType)),
-      lo, hi)
+      lo, hi,
+      inMemoryRowsThreshold, spillRowsThreshold, spillSizeThreshold)
 }
 
 /** As-of merge: one output row per left row; `getRight` is the remembered

@@ -46,9 +46,16 @@ case class RangeJoinExec(
     (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
     (rightKeys :+ rightTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
-  private def scannerFactory = new RangeJoinScannerFactory(
-    leftKeys, rightKeys, leftTs, rightTs, left.output, right.output,
-    loMicros, hiMicros)
+  // Group-buffer spill knobs: the same session confs SortMergeJoinExec
+  // reads for ITS duplicate-key buffer, captured on the driver at plan
+  // time and shipped to the per-partition scanner factory.
+  private def scannerFactory = {
+    val (inMem, spillRows, spillSize) =
+      org.apache.spark.sql.graftbridge.SpillableRowBuffer.smjThresholds(conf)
+    new RangeJoinScannerFactory(
+      leftKeys, rightKeys, leftTs, rightTs, left.output, right.output,
+      loMicros, hiMicros, inMem, spillRows, spillSize)
+  }
 
   override protected def doExecute(): RDD[InternalRow] = {
     val factory = scannerFactory
