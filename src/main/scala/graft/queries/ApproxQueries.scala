@@ -6,42 +6,92 @@ import org.apache.spark.sql.functions._
 
 /** Approximate aggregates (SURVEY.md §2 B6): HLL distinct counts and
   * approximate percentiles. Sketch values are implementation-specific, so
-  * these get the driver's rows-only check (no oracle SQL) — correctness is
-  * asserted in unit tests against exact counterparts with tolerance.
+  * the driver can't hash-compare them directly; instead each query carries
+  * its own tolerance oracle — the exact value is computed in the same plan
+  * and the output holds the exact anchors plus `*_ok` booleans asserting
+  * the estimate sits inside the sketch's published error bound. The DuckDB
+  * oracle reproduces the exact anchors and emits literal TRUE, so the hash
+  * check passes iff the estimate is within bound.
   */
 object ApproxQueries extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_approx_distinct" -> { (s, d) =>
+      // approx_count_distinct is HLL++ at rsd = 0.05 (default); the bound
+      // below is 3 sigma (15% relative) — bias-corrected HLL++ lands
+      // within 1-2 sigma in practice.
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        .agg(approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15).as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")) <= col("exact_orders") * 0.15).as("orders_ok"))
         .orderBy(col("l_returnflag"))
     },
 
     "q48_approx_percentile" -> { (s, d) =>
+      // percentile_approx at accuracy 10000 guarantees rank error
+      // eps = 1/accuracy = 1e-4 and returns an actual data element, so the
+      // estimate must lie between the exact percentiles at p +- eps.
+      // Bound with p +- 5e-4: eps plus rank discretization headroom.
+      val eps = 5e-4
+      def lo(p: Double) = expr(s"percentile(l_extendedprice, ${p - eps})")
+      def hi(p: Double) = expr(s"percentile(l_extendedprice, ${math.min(1.0, p + eps)})")
       Tables.lineitem(s, d)
-        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("p99"))
+        .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("a99"),
+          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+          lo(0.95).as("lo95"), hi(0.95).as("hi95"),
+          lo(0.99).as("lo99"), hi(0.99).as("hi99"),
+          count(lit(1)).as("n"))
+        .select(col("n"),
+          (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
+          (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_ok"),
+          (col("a99") >= col("lo99") && col("a99") <= col("hi99")).as("p99_ok"))
     },
 
     "q68_hll_sketch" -> { (s, d) =>
       // Mergeable HLL sketches (Apache DataSketches, Spark 4 built-ins) —
       // the 100 TB distinct-count pattern: per-partition/per-day sketches
       // materialize once (here per orderstatus), global answers come from
-      // merging BINARY sketch columns, never rescanning the data.
-      val perStatus = Tables.orders(s, d)
+      // merging BINARY sketch columns, never rescanning the data. Default
+      // lgK = 12 → RSE ~1.6%; the 5% bound is ~3 sigma.
+      val orders = Tables.orders(s, d)
+      val perStatus = orders
         .groupBy(col("o_orderstatus"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
           count(lit(1)).as("n"))
-      perStatus.agg(
+      val merged = perStatus.agg(
         count(lit(1)).as("n_groups"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("long").as("est_customers"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"),
         sum(col("n")).as("n_orders"))
+      val exact = orders.agg(countDistinct(col("o_custkey")).as("exact_customers"))
+      merged.crossJoin(exact)
+        .select(col("n_groups"), col("n_orders"), col("exact_customers"),
+          (abs(col("est") - col("exact_customers")) <= col("exact_customers") * 0.05)
+            .as("est_ok"))
     })
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "q47_approx_distinct" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q48_approx_percentile" ->
+      """SELECT count(*) AS n, TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        |FROM lineitem""".stripMargin,
+    "q68_hll_sketch" ->
+      """SELECT count(DISTINCT o_orderstatus) AS n_groups,
+        |  count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS exact_customers,
+        |  TRUE AS est_ok
+        |FROM orders""".stripMargin)
 }

@@ -74,11 +74,20 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("c_mktsegment"))
     },
 
-    // Seeded sampling is engine-specific → rows-only check (no oracle).
+    // Seeded sampling is engine-specific, so the sample itself can't be
+    // hash-compared; instead the plan checks the sample against its own
+    // population: sampled fraction within +-1% of N absolute (an ~8-sigma
+    // band for Bernoulli p=0.1) and sample-mean quantity within 5% of the
+    // population mean (~6 sigma). The oracle reproduces the exact anchors
+    // and literal TRUEs. Seed is fixed, so the check is deterministic.
     "q53_sample" -> { (s, d) =>
-      Tables.lineitem(s, d).sample(withReplacement = false, 0.1, seed = 42)
-        .agg(count(lit(1)).as("n_sampled"),
-          dsum(col("l_quantity")).as("sum_qty"))
+      val li = Tables.lineitem(s, d)
+      val smp = li.sample(withReplacement = false, 0.1, seed = 42)
+        .agg(count(lit(1)).as("n_sampled"), davg(col("l_quantity")).as("smp_avg"))
+      val tot = li.agg(count(lit(1)).as("n_total"), davg(col("l_quantity")).as("pop_avg"))
+      smp.crossJoin(tot).select(col("n_total"),
+        (abs(col("n_sampled") - col("n_total") * 0.1) <= col("n_total") * 0.01).as("frac_ok"),
+        (abs(col("smp_avg") - col("pop_avg")) <= col("pop_avg") * 0.05).as("mean_ok"))
     },
 
     "q55_pivot" -> { (s, d) =>
@@ -714,6 +723,10 @@ object ExtraQueries extends QueryGroup {
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q53_sample" -> """
+      SELECT count(*) AS n_total, TRUE AS frac_ok, TRUE AS mean_ok
+      FROM lineitem""",
 
     "q55_pivot" -> """
       SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,

@@ -10,14 +10,11 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracle key has a query; rows-only set is the documented one") {
+  test("every query has an oracle (sketch/sample queries via tolerance anchors)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle without query: ${o -- q}")
-    val rowsOnly = q -- o
-    assert(rowsOnly == Set("q47_approx_distinct", "q48_approx_percentile",
-        "q53_sample", "q68_hll_sketch"),
-      s"unexpected rows-only queries: $rowsOnly")
+    assert(q == o, s"queries without oracle: ${q -- o}")
   }
 
   test("oracle SQL references only the driver's table names") {
