@@ -475,7 +475,19 @@ object Dedup {
     * localCheckpoint to keep lineage flat.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
-                          idCol: String, maxIter: Int = 50): DataFrame = {
+                          idCol: String, maxIter: Int = 50): DataFrame =
+    minLabelCC(nodes, edges, idCol, maxIter).getOrElse(
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"(graph diameter exceeds maxIter) — raise maxIter, use " +
+          s"connectedComponentsStar (logarithmic round count), or " +
+          s"connectedComponentsAuto (min-label with star fallback)"))
+
+  /** Min-label propagation with an iteration budget; None when the budget
+    * is exhausted before the fixpoint (graph diameter > maxIter).
+    */
+  private def minLabelCC(nodes: DataFrame, edges: DataFrame,
+                         idCol: String, maxIter: Int): Option[DataFrame] = {
     val adj = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -499,15 +511,26 @@ object Dedup {
         labels = prop.select(col("__node"), col("__label"))
         iter += 1
       }
-      if (changed > 0) throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations " +
-          s"(graph diameter exceeds maxIter) — raise maxIter or use " +
-          s"connectedComponentsStar, whose round count is logarithmic")
+      if (changed > 0) None
       // The result is checkpointed — the adjacency cache is releasable NOW,
       // not at some caller-side clearCache(): library hygiene.
-      labels.select(col("__node").as(idCol), col("__label").as("cluster_id"))
+      else Some(labels.select(col("__node").as(idCol), col("__label").as("cluster_id")))
     } finally adj.unpersist()
   }
+
+  /** Connected components with automatic algorithm selection: min-label
+    * propagation (one join+agg per round, converges in graph-diameter
+    * rounds — the cheap path for the shallow graphs near-dup clustering
+    * produces) up to `minLabelBudget` rounds, then fall over to the
+    * large-star/small-star algorithm whose round count is O(log n)
+    * regardless of diameter. Callers never see a convergence failure for
+    * any graph star CC can close.
+    */
+  def connectedComponentsAuto(nodes: DataFrame, edges: DataFrame, idCol: String,
+                              minLabelBudget: Int = 12,
+                              starMaxIter: Int = 30): DataFrame =
+    minLabelCC(nodes, edges, idCol, minLabelBudget).getOrElse(
+      connectedComponentsStar(nodes, edges, idCol, starMaxIter))
 
   /** Connected components by alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -593,7 +616,10 @@ object Dedup {
     val pairs = nearDupPairs(df, idCol, textCol, threshold, numHashes, rowsPerBand, k,
         maxPerBucket)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(df.select(col(idCol)), pairs, idCol)
+    // Auto-select: min-label for the shallow components near-dup graphs
+    // form, star fallback so a pathological long chain converges instead
+    // of throwing at the iteration budget.
+    connectedComponentsAuto(df.select(col(idCol)), pairs, idCol)
   }
 
   /** Cluster-complete dedup output: one representative (the smallest id)

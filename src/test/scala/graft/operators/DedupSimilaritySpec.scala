@@ -159,6 +159,26 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("auto components: long chain falls over to star and converges") {
+    val n = 120L
+    val nodes = (0L until n).toDF("id")
+    // diameter 119 chain + an isolated node: min-label's 5-round budget is
+    // exhausted, the facade must finish via star without throwing.
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponentsAuto(nodes.union(Seq(500L).toDF("id")),
+        chain, "id", minLabelBudget = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n + 1)
+    assert((0L until n).forall(got(_) == 0L) && got(500L) == 500L)
+    // shallow graph: the min-label path answers within budget (no fallback
+    // machinery in the result) and matches the direct call
+    val shallow = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 9L).toDF("id")
+    val auto = Dedup.connectedComponentsAuto(ids, shallow, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
   test("native signature edge cases: unicode, repeated spaces, short docs") {
     val df = Seq(
       (1L, "é 中 x y"),            // multibyte code points
