@@ -455,6 +455,107 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session labels equal batch withSessionIds on a two-batch split") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { sessionLabelParityBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def sessionLabelParityBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    val gap = 30L * 60 * 1000000 // 30 min, the q81 rule
+    def us(s: String): Long = ts(s).getTime * 1000L
+    // (userId, usMicros, eventId): user 1 splits across the batch boundary
+    // mid-session AND starts a new session in batch 2; user 2's exact-gap
+    // successor extends (strict > rule); batch-2 rows arrive shuffled.
+    val batch1 = Seq(
+      (1L, us("2024-01-01 10:00:00"), 101L),
+      (1L, us("2024-01-01 10:10:00"), 102L),
+      (2L, us("2024-01-01 09:00:00"), 201L))
+    val batch2 = Seq(
+      (1L, us("2024-01-01 12:00:00"), 104L), // new session (gap > 30m)
+      (1L, us("2024-01-01 10:20:00"), 103L), // continues session 1
+      (2L, us("2024-01-01 09:30:00"), 202L)) // exactly the gap: extends
+    val input = MemoryStream[(Long, Long, Long)]
+    val labeled = SessionLabelProcessor(input.toDS(), gap)
+    val q = labeled.writeStream.format("memory").queryName("sess_labels")
+      .outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("sess_labels").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = graft.operators.Windows.withSessionIds(
+          (batch1 ++ batch2).toDF("user_id", "usv", "event_id")
+            .select(col("user_id"), timestamp_micros(col("usv")).as("ts"), col("event_id")),
+          "user_id", "ts", gapMicros = gap, tieBreak = "event_id")
+        .select(col("event_id"), col("user_id"), col("session_seq"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(batch(103L)._2 == 1L && batch(104L)._2 == 2L && batch(202L)._2 == 1L)
+    } finally q.stop()
+  }
+
+  test("streaming bounded sequences equal the batch q110 shape across batches") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { boundedSequenceParityBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def boundedSequenceParityBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val maxLen = 3
+    // user 1 exceeds the cap (5 events over two batches → first 3 kept);
+    // user 2 stays under it; same-timestamp events order by event_id.
+    val batch1 = Seq(
+      (1L, us("2024-01-01 10:00:00"), 11L, "view"),
+      (1L, us("2024-01-01 10:01:00"), 12L, "click"),
+      (2L, us("2024-01-01 09:00:00"), 21L, "signup"))
+    val batch2 = Seq(
+      (1L, us("2024-01-01 10:00:30"), 13L, "scroll"), // lands inside the kept prefix
+      (1L, us("2024-01-01 11:00:00"), 14L, "purchase"), // beyond the cap: dropped
+      (2L, us("2024-01-01 09:05:00"), 22L, "view"))
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val seqs = BoundedSequenceProcessor(input.toDS(), maxLen)
+    val q = seqs.writeStream.format("memory").queryName("bounded_seqs")
+      .outputMode("update").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // Update mode: the latest row per user wins; n_events is monotone
+      // across updates, so max(n_events) identifies it.
+      val streamed = spark.table("bounded_seqs").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      // batch equivalent: rank-filter then ordered collect (the q110 shape)
+      val all = (batch1 ++ batch2).toDF("user_id", "us", "event_id", "event_type")
+      val first = graft.operators.TopK.perGroup(
+        all, Seq("user_id"), Seq(col("us").asc, col("event_id").asc), maxLen)
+      val batch = first.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+            e => e.getField("event_type")), ">").as("seq"))
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(batch(1L) == ((3L, "view>scroll>click")))
+    } finally q.stop()
+  }
+
   test("runningSessions tracks per-user session state across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[StreamOps.SessionInput]
