@@ -61,4 +61,69 @@ object Windows {
     df.withColumn("session_seq",
       sum(isNew).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
   }
+
+  /** Distributed trailing-range count+sum: per row, `count(*)` and
+    * `sum(decValue)` over `[us - windowMicros, us]` within its key group —
+    * the semantics of `RANGE BETWEEN W PRECEDING AND CURRENT ROW`, without
+    * its two scale problems. Spark's sliding RANGE frame re-accumulates
+    * the whole frame for every row (aggregates don't retract), so the
+    * naive window is O(rows × frame-size) — frame size grows with data
+    * density, making 10× data cost ~100×. And `partitionBy(key)` caps
+    * parallelism at the number of keys.
+    *
+    * Decomposition: bucket time by W. A trailing window of width W from a
+    * row in bucket b spans exactly buckets b-1 and b, so
+    *
+    *   trailing(e) = #\{same bucket, us' <= us\} + #\{bucket b-1, us' >= us-W\}
+    *
+    * Both terms are GROWING frames (incremental in Spark's WindowExec):
+    * the first a running aggregate over (key, bucket) ascending; the
+    * second a running aggregate DESCENDING over bucket b-1's rows plus a
+    * weight-0 "ghost" probe row per event at us-W, whose running value IS
+    * the suffix aggregate at the threshold (RANGE peers make the >= exact,
+    * ties included). One exchange on (key, bucket) — parallelism is
+    * keys × buckets — two sorts over it, and a final exchange on the id to
+    * add the two terms. Strictly more shuffles than the naive form, but
+    * every stage is linear and the partition count scales with the data.
+    *
+    * Output: (idCol, keyCols..., n_trailing, sum_trailing as double).
+    */
+  def trailingCountSum(df: DataFrame, keyCols: Seq[String], idCol: String,
+                       usCol: String, decValue: Column,
+                       windowMicros: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val keys = keyCols.map(col)
+    val reals = df.select(
+      (col(idCol).as("__id") +: keys) ++ Seq(
+        lit(1L).as("__w"),
+        decValue.as("__v"),
+        col(usCol).as("__us"),
+        (col(usCol) - (col(usCol) % windowMicros)).as("__b")): _*)
+    // Ghost probe at us - W lands in bucket b-1 by construction (the
+    // window width equals the bucket width). when(false, ...) keeps the
+    // exact decimal type of __v with a NULL value.
+    val ghosts = df.select(
+      (col(idCol).as("__id") +: keys) ++ Seq(
+        lit(0L).as("__w"),
+        when(lit(false), decValue).as("__v"),
+        (col(usCol) - windowMicros).as("__us"),
+        (col(usCol) - (col(usCol) % windowMicros) - windowMicros).as("__b")): _*)
+    val parts = col("__b") +: keys
+    val asc = W.partitionBy(parts: _*).orderBy(col("__us").asc)
+      .rangeBetween(W.unboundedPreceding, W.currentRow)
+    val desc = W.partitionBy(parts: _*).orderBy(col("__us").desc)
+      .rangeBetween(W.unboundedPreceding, W.currentRow)
+    val contrib = reals.unionByName(ghosts).select(
+      (col("__id") +: keys) ++ Seq(
+        when(col("__w") === 1L, sum(col("__w")).over(asc))
+          .otherwise(sum(col("__w")).over(desc)).as("__n"),
+        when(col("__w") === 1L, sum(col("__v")).over(asc))
+          .otherwise(sum(col("__v")).over(desc)).as("__s")): _*)
+    val aggs = keyCols.map(k => max(col(k)).as(k)) ++ Seq(
+      sum(col("__n")).as("n_trailing"),
+      sum(col("__s")).cast("double").as("sum_trailing"))
+    contrib.groupBy(col("__id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("__id", idCol)
+  }
 }

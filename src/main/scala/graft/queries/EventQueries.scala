@@ -253,6 +253,24 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q111_trailing_1h_dist" -> { (s, d) =>
+      // q93's trailing-hour frame on the SCALE path: Spark's sliding RANGE
+      // frame re-accumulates the whole frame per row (O(rows × density))
+      // and partitionBy(event_type) caps parallelism at 5, so q93 goes
+      // ~100× slower on 10× data. Windows.trailingCountSum decomposes the
+      // frame into two growing (incremental) frames over (type, hour
+      // bucket) partitions — same oracle, linear scaling. q93 stays as the
+      // built-in cross-check, the q50-vs-q65 pattern.
+      Windows.trailingCountSum(
+          Tables.events(s, d).select(col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("value")),
+          Seq("event_type"), "event_id", "us", dec(col("value")),
+          windowMicros = 3600L * 1000000L)
+        .select(col("event_id"), col("event_type"),
+          col("n_trailing").as("n_1h"), col("sum_trailing").as("sum_1h"))
+        .orderBy(col("event_id"))
+    },
+
     "q89_outliers" -> { (s, d) =>
       // Z-score outlier flagging per event type: one sufficient-statistics
       // pass (order-independent DECIMAL sums), broadcast the tiny per-type
@@ -494,6 +512,18 @@ object EventQueries extends QueryGroup {
       FROM w ORDER BY event_type, day""",
 
     "q93_trailing_1h" -> """
+      SELECT event_id, event_type,
+        count(*) OVER w AS n_1h,
+        CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM (SELECT event_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events) e
+      WINDOW w AS (PARTITION BY event_type ORDER BY us
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""",
+
+    // identical semantics to q93 — the oracle pins the decomposed plan to
+    // the naive frame's answer
+    "q111_trailing_1h_dist" -> """
       SELECT event_id, event_type,
         count(*) OVER w AS n_1h,
         CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h

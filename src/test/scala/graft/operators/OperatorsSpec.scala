@@ -164,6 +164,34 @@ class OperatorsSpec extends SparkSpec {
     assert(b.select("k", "v").as[(Long, String)].collect().toSet == expect)
   }
 
+  test("trailing count/sum decomposition equals the built-in RANGE frame") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    // Adversarial fixture: ties at the exact threshold (us' == us - W is IN
+    // the frame), duplicate timestamps (RANGE peers), an empty previous
+    // bucket, bucket-boundary rows, and two keys.
+    val W1 = 100L
+    val rows = Seq(
+      ("a", 1L, 0L, 1.0), ("a", 2L, 50L, 2.0), ("a", 3L, 100L, 3.0),
+      ("a", 4L, 100L, 4.0), // duplicate ts: frame peer of row 3
+      ("a", 5L, 150L, 5.0), // frame starts at 50 inclusive
+      ("a", 6L, 199L, 6.0),
+      ("a", 7L, 450L, 7.0), // bucket with empty predecessor
+      ("b", 8L, 120L, 8.0), ("b", 9L, 220L, 9.0) // exact-threshold tie at 120
+    ).toDF("k", "id", "us", "v")
+    val got = Windows.trailingCountSum(rows, Seq("k"), "id", "us",
+        col("v").cast("decimal(18,2)"), W1)
+      .select(col("id"), col("n_trailing"), col("sum_trailing"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val frame = W.partitionBy(col("k")).orderBy(col("us"))
+      .rangeBetween(-W1, 0)
+    val want = rows.select(col("id"),
+        count(lit(1)).over(frame).as("n"),
+        sum(col("v").cast("decimal(18,2)")).over(frame).cast("double").as("s"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == want, s"got $got want $want")
+    assert(want(9L) == ((2L, 17.0)), "us'=120 == 220-100 must be inside the frame")
+  }
+
   test("session window: exact-gap successor extends; beyond-gap splits") {
     // gap = 10 min; +10:00 exactly abuts → same session; +10:00.001 → new
     val df = Seq(
