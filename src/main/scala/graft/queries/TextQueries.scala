@@ -230,6 +230,78 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"), col("tok"))
     },
 
+    "q112_text_clean" -> { (s, d) =>
+      // Cleaning pipeline (the CCNet/C4 normalization shape): stopword
+      // removal + consecutive-duplicate-token collapse, emitting the
+      // cleaned text plus retention stats. Entirely narrow array kernels —
+      // zero shuffles besides the deterministic output sort — so at 100 TB
+      // this is pure map-side work that scales with input splits. The
+      // collapse uses the indexed filter HOF against the previous element
+      // (guarded CASE, no out-of-bounds access under ANSI mode).
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .withColumn("__ns", filter(toks, t => !t.isin(Stopwords: _*)))
+        .select(col("doc_id"),
+          array_join(filter(col("__ns"), (t, i) =>
+            when(i === 0, lit(true)).otherwise(t =!= get(col("__ns"), i - 1))),
+            " ").as("cleaned_text"),
+          size(toks).cast("long").as("n_orig"),
+          size(filter(col("__ns"), (t, i) =>
+            when(i === 0, lit(true)).otherwise(t =!= get(col("__ns"), i - 1))))
+            .cast("long").as("n_clean"))
+        .withColumn("removed_frac",
+          (col("n_orig") - col("n_clean")).cast("double") / col("n_orig"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q113_sliding_chunks" -> { (s, d) =>
+      // Overlapping sliding-window chunker (the RAG / context-window prep
+      // shape): size-32 chunks at stride 24, one output row per chunk with
+      // its 1-based token span. Chunk construction is narrow per-row array
+      // work (same kernel family as q84's non-overlapping variant); output
+      // rows ~ len/stride per doc, so the fan-out is a constant factor of
+      // the corpus, not quadratic.
+      val C = 32; val S = 24
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).as("__len"),
+          posexplode(transform(
+            sequence(lit(0), ((size(toks) - 1) / lit(S)).cast("int")),
+            i => concat_ws(" ", slice(toks, i * S + 1, lit(C)))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * S + 1).cast("long").as("token_start"),
+          least(lit(C), col("__len") - col("chunk_idx") * S)
+            .cast("long").as("n_chunk_tokens"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    "q114_sampling_weights" -> { (s, d) =>
+      // Temperature-based source mixture weights (the multilingual
+      // alpha-sampling scheme, alpha = 0.5): p_target ∝ sqrt(n_tokens),
+      // sample_weight = the per-source duplication factor that reshapes the
+      // natural token distribution into the target. Token counts come from
+      // a narrow per-row size(filter(split)) — no explode, one tiny
+      // source-keyed agg. Determinism note: the sqrt weights are summed as
+      // scaled integers (floor(sqrt·1e6)) because a float sum's value
+      // depends on reduction order — integer sums are order-independent,
+      // so both engines derive bit-identical doubles downstream.
+      val nToks = sum(size(filter(split(col("text"), " "), t => t =!= "")))
+      val perSrc = Tables.documents(s, d)
+        .groupBy(col("source")).agg(nToks.cast("long").as("n_tokens"))
+        .withColumn("__rt",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("__n"), sum(col("__rt")).as("__rsum"))
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_tokens"),
+          (col("n_tokens").cast("double") / col("__n")).as("p_natural"),
+          (col("__rt").cast("double") / col("__rsum")).as("p_target"),
+          ((col("__rt").cast("double") / col("__rsum")) *
+            (col("__n").cast("double") / col("n_tokens"))).as("sample_weight"))
+        .orderBy(col("source"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -427,6 +499,51 @@ object TextQueries extends QueryGroup {
               '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 '']+| ')), 1)
           AS chars_per_tok
       FROM documents ORDER BY doc_id""",
+
+    "q112_text_clean" -> s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      f AS (
+        SELECT doc_id, toks,
+          list_filter(toks, x -> NOT list_contains($StopwordsSql, x)) AS ns
+        FROM t),
+      c AS (
+        SELECT doc_id, toks,
+          list_filter(ns, (x, i) ->
+            CASE WHEN i = 1 THEN true ELSE x <> ns[i-1] END) AS cl
+        FROM f)
+      SELECT doc_id, array_to_string(cl, ' ') AS cleaned_text,
+        CAST(len(toks) AS BIGINT) AS n_orig,
+        CAST(len(cl) AS BIGINT) AS n_clean,
+        CAST(len(toks) - len(cl) AS DOUBLE) / len(toks) AS removed_frac
+      FROM c ORDER BY doc_id""",
+
+    "q113_sliding_chunks" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        CAST(i*24 + 1 AS BIGINT) AS token_start,
+        CAST(least(32, len(l) - i*24) AS BIGINT) AS n_chunk_tokens,
+        array_to_string(l[(i*24+1):(i*24+32)], ' ') AS chunk
+      FROM t, unnest(generate_series(0, (len(l)-1)//24)) AS u(i)
+      ORDER BY doc_id, chunk_idx""",
+
+    "q114_sampling_weights" -> """
+      WITH s AS (
+        SELECT source,
+          CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      r AS (
+        SELECT source, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS rt
+        FROM s),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n,
+        CAST(sum(rt) AS BIGINT) AS rsum FROM r)
+      SELECT source, n_tokens,
+        CAST(n_tokens AS DOUBLE) / n AS p_natural,
+        CAST(rt AS DOUBLE) / rsum AS p_target,
+        (CAST(rt AS DOUBLE) / rsum) * (CAST(n AS DOUBLE) / n_tokens) AS sample_weight
+      FROM r CROSS JOIN tot ORDER BY source""",
 
     "q75_tfidf" -> """
       WITH terms AS (
