@@ -70,6 +70,28 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpePattern), lit(0)))
 
+  /** Cleaned text: stopword removal + consecutive-duplicate-token
+    * collapse, fused into one native pass over the UTF-8 bytes (see
+    * [[graft.functions.expressions.CleanTokens]]). Same semantics as the
+    * HOF chain `array_join(filter(filter(tokens, not stopword), run-head),
+    * " ")` that q112 and the DuckDB oracle use.
+    */
+  def cleanTokens(text: Column, stopwords: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.CleanTokens(
+      ColumnBridge.expression(text), stopwords))
+  }
+
+  /** Token count of [[cleanTokens]]'s output — its own scalar because an
+    * all-stopword document cleans to "", which a re-split would count as
+    * one empty token instead of zero.
+    */
+  def cleanTokensCount(text: Column, stopwords: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.CleanTokensCount(
+      ColumnBridge.expression(text), stopwords))
+  }
+
   /** Per-occurrence ratio of tokens that appear in a fixed stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

@@ -254,6 +254,23 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q115_text_clean_native" -> { (s, d) =>
+      // q112's cleaning pipeline on the fused native kernel (the
+      // q37-vs-q67 pairing): CleanTokens walks the UTF-8 bytes once inside
+      // whole-stage codegen, where the HOF chain interprets two lambdas
+      // per token and materializes both intermediate arrays. Same oracle
+      // SQL as q112 — the driver hash-checks the two plans agree.
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          cleanTokens(col("text"), Stopwords).as("cleaned_text"),
+          size(toks).cast("long").as("n_orig"),
+          cleanTokensCount(col("text"), Stopwords).cast("long").as("n_clean"))
+        .withColumn("removed_frac",
+          (col("n_orig") - col("n_clean")).cast("double") / col("n_orig"))
+        .orderBy(col("doc_id"))
+    },
+
     "q113_sliding_chunks" -> { (s, d) =>
       // Overlapping sliding-window chunker (the RAG / context-window prep
       // shape): size-32 chunks at stride 24, one output row per chunk with
@@ -501,6 +518,24 @@ object TextQueries extends QueryGroup {
       FROM documents ORDER BY doc_id""",
 
     "q112_text_clean" -> s"""
+      WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      f AS (
+        SELECT doc_id, toks,
+          list_filter(toks, x -> NOT list_contains($StopwordsSql, x)) AS ns
+        FROM t),
+      c AS (
+        SELECT doc_id, toks,
+          list_filter(ns, (x, i) ->
+            CASE WHEN i = 1 THEN true ELSE x <> ns[i-1] END) AS cl
+        FROM f)
+      SELECT doc_id, array_to_string(cl, ' ') AS cleaned_text,
+        CAST(len(toks) AS BIGINT) AS n_orig,
+        CAST(len(cl) AS BIGINT) AS n_clean,
+        CAST(len(toks) - len(cl) AS DOUBLE) / len(toks) AS removed_frac
+      FROM c ORDER BY doc_id""",
+
+    "q115_text_clean_native" -> s"""
       WITH t AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       f AS (

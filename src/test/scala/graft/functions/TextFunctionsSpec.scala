@@ -44,6 +44,53 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(1) == Seq.empty)
   }
 
+  test("cleanTokens: native kernel matches the HOF chain on edge shapes") {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    // Edge shapes: consecutive dups, stopword runs that expose new dups
+    // ("x the x" -> "x x" -> "x"), leading/trailing/double spaces (empty
+    // tokens are ordinary tokens), all-stopword, empty, single-token.
+    val docs = Seq(
+      "key agg agg row the the table a a value",
+      "x the x and x",
+      " leading and trailing ",
+      "double  space  a  a",
+      "the a of and to in",
+      "",
+      "solo",
+      "a", "aa aa", "the the the")
+    val df = docs.toDF("text")
+    val toks = split(col("text"), " ")
+    val hof = df.select(
+      array_join(
+        filter(
+          filter(toks, t => !t.isin(stops: _*)),
+          (t, i) => when(i === 0, lit(true))
+            .otherwise(t =!= get(filter(toks, tt => !tt.isin(stops: _*)), i - 1))),
+        " ").as("cleaned"),
+      size(filter(
+        filter(toks, t => !t.isin(stops: _*)),
+        (t, i) => when(i === 0, lit(true))
+          .otherwise(t =!= get(filter(toks, tt => !tt.isin(stops: _*)), i - 1))))
+        .as("n")).as[(String, Int)].collect()
+    val native = df.select(
+      TextFunctions.cleanTokens(col("text"), stops).as("cleaned"),
+      TextFunctions.cleanTokensCount(col("text"), stops).as("n"))
+      .as[(String, Int)].collect()
+    docs.indices.foreach { i =>
+      assert(native(i) == hof(i), s"doc '${docs(i)}': native=${native(i)} hof=${hof(i)}")
+    }
+    // Spot-check the all-stopword doc: cleans to "" with count 0 (not 1).
+    assert(native(4) == (("", 0)))
+  }
+
+  test("cleanTokens handles null input and non-ASCII tokens") {
+    val stops = Seq("the")
+    val df = Seq[String](null, "héllo héllo the wörld").toDF("text")
+    val out = df.select(TextFunctions.cleanTokens(col("text"), stops)).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getString(0) == "héllo wörld")
+  }
+
   test("quality score rewards length and stopword presence, penalizes punct") {
     val good = "the quick brown fox jumps over the lazy dog " * 12
     val bad = "@#$% ^&*! )(*& @#$%"
