@@ -50,6 +50,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHash].getName, "simhash"),
       (children: Seq[Expression]) =>
         GraftExtensions.withIntArgs("simhash", children, 16, 3)(SimHash.apply)))
+    ext.injectFunction((
+      FunctionIdentifier("clean_tokens"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CleanTokens].getName, "clean_tokens"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, arr) =>
+          graft.functions.expressions.CleanTokens(
+            s, GraftExtensions.stringArrayArg("clean_tokens", arr))
+        case _ => throw new IllegalArgumentException(
+          "clean_tokens(str, array(stopword, ...)) takes a string column and a literal string array")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("clean_tokens_count"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.CleanTokensCount].getName,
+        "clean_tokens_count"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, arr) =>
+          graft.functions.expressions.CleanTokensCount(
+            s, GraftExtensions.stringArrayArg("clean_tokens_count", arr))
+        case _ => throw new IllegalArgumentException(
+          "clean_tokens_count(str, array(stopword, ...)) takes a string column and a literal string array")
+      }))
     // Aggregates: the analyzer wraps a returned AggregateFunction in an
     // AggregateExpression itself (same path as built-in percentile).
     ext.injectFunction((
@@ -89,6 +112,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  /** Evaluates a foldable array<string> argument (SQL `array('a', 'b')`
+    * parses as CreateArray, not Literal, so match on foldability).
+    */
+  def stringArrayArg(name: String, e: Expression): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val isStringArray = e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    }
+    require(e.foldable && isStringArray,
+      s"$name expects a literal array<string>, got ${e.dataType.catalogString}")
+    val data = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    data.toArray[org.apache.spark.unsafe.types.UTF8String](StringType)
+      .map(s => if (s == null) null else s.toString).toSeq
+  }
+
   /** Builder for `fn(str[, n[, k]])` signatures with int-literal options. */
   def withIntArgs(name: String, children: Seq[Expression],
       defaultN: Int, defaultK: Int)(

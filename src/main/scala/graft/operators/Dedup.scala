@@ -467,6 +467,33 @@ object Dedup {
     fresh.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Benchmark decontamination stats: per corpus document, the number of
+    * distinct k-token shingles it shares with a benchmark/eval set — the
+    * standard n-gram-overlap decontamination gate an LLM training pipeline
+    * runs before training (production widths are 8-13 tokens; pick k to
+    * the corpus's document length).
+    *
+    * Scale shape: the benchmark side is eval-set-sized by definition, so
+    * its distinct shingle ids are BROADCAST; the corpus side is one narrow
+    * shingle pass (content-hashed [[polyHash]] ids — no dictionary, no
+    * vocabulary shuffle). The only corpus-wide shuffle is the per-doc
+    * count aggregate over the (tiny) intersection. Never generates a
+    * corpus×corpus or corpus×bench pair explosion.
+    */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    val corpusIds = shingleIdsPoly(corpus, idCol, textCol, k)
+    val benchIds = shingleIdsPoly(bench, idCol, textCol, k)
+      .select(col("tid")).distinct()
+    val hits = corpusIds.join(broadcast(benchIds), "tid")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_shared"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("__n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected pair graph by min-label
     * propagation: every node ends with the smallest id in its component.
     * Each iteration is one shuffle join + aggregate (fully distributed);

@@ -168,6 +168,22 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q116_decontamination" -> { (s, d) =>
+      // Benchmark decontamination (the n-gram-overlap gate an LLM training
+      // pipeline runs before training): every 50th document stands in as
+      // the held-out eval set; each remaining corpus document reports how
+      // many distinct 4-token shingles it shares with that set (width
+      // scaled to the short synthetic documents; production uses 8-13).
+      // Bench shingle ids broadcast, corpus side one narrow hashed-shingle
+      // pass — see Dedup.contaminationStats for the scale argument.
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationStats(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 4)
+        .orderBy(col("doc_id"))
+    },
+
     "q94_containment" -> { (s, d) =>
       // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
       // consecutive-pair set as q40 — the measure that catches a small
@@ -203,6 +219,30 @@ object DedupQueries extends QueryGroup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q116_decontamination" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, array_to_string(l[i:i+3], ' ') AS shingle
+        FROM t, unnest(generate_series(1, greatest(len(l) - 3, 0))) AS u(i)),
+      ids AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      bench AS (SELECT DISTINCT tid FROM ids WHERE doc_id % 50 = 0),
+      corpus AS (SELECT doc_id, tid FROM ids WHERE doc_id % 50 <> 0),
+      hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM corpus JOIN bench USING (tid) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+        coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id""",
+
     "q36_exact_dedup" -> """
       WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
       SELECT count(*) AS n_distinct_texts,

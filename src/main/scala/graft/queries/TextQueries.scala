@@ -319,6 +319,33 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"))
     },
 
+    "q117_mixture_apply" -> { (s, d) =>
+      // Applying q114's mixture weights: deterministic per-document copy
+      // counts — floor(w) guaranteed copies plus one more iff the doc's
+      // portable hash bucket clears the fractional part (q98's hash gate,
+      // so the realized mixture converges to the target with no RNG and is
+      // stable under re-runs and repartitioning). The weight table is
+      // source-sized and broadcast; the corpus side stays narrow.
+      val nToks = sum(size(filter(split(col("text"), " "), t => t =!= "")))
+      val perSrc = Tables.documents(s, d)
+        .groupBy(col("source")).agg(nToks.cast("long").as("n_tokens"))
+        .withColumn("__rt",
+          floor(sqrt(col("n_tokens").cast("double")) * lit(1000000.0)).cast("long"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("__n"), sum(col("__rt")).as("__rsum"))
+      val w = perSrc.crossJoin(broadcast(tot))
+        .select(col("source"),
+          ((col("__rt").cast("double") / col("__rsum")) *
+            (col("__n").cast("double") / col("n_tokens"))).as("__w"))
+      val bucket = (col("doc_id") * 1000003L + 17L) % 1000000007L % 1000000L
+      Tables.documents(s, d).select(col("doc_id"), col("source"))
+        .join(broadcast(w), "source")
+        .select(col("doc_id"), col("source"),
+          (floor(col("__w")) + when(bucket <
+            floor((col("__w") - floor(col("__w"))) * lit(1000000.0)).cast("long"),
+            1).otherwise(0)).cast("long").as("n_copies"))
+        .orderBy(col("doc_id"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -579,6 +606,30 @@ object TextQueries extends QueryGroup {
         CAST(rt AS DOUBLE) / rsum AS p_target,
         (CAST(rt AS DOUBLE) / rsum) * (CAST(n AS DOUBLE) / n_tokens) AS sample_weight
       FROM r CROSS JOIN tot ORDER BY source""",
+
+    "q117_mixture_apply" -> """
+      WITH s AS (
+        SELECT source,
+          CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+            AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      r AS (
+        SELECT source, n_tokens,
+          CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS rt
+        FROM s),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n,
+        CAST(sum(rt) AS BIGINT) AS rsum FROM r),
+      w AS (
+        SELECT source,
+          (CAST(rt AS DOUBLE) / rsum) * (CAST(n AS DOUBLE) / n_tokens) AS wgt
+        FROM r CROSS JOIN tot)
+      SELECT d.doc_id, d.source,
+        CAST(floor(wgt) + CASE WHEN
+          (d.doc_id * 1000003 + 17) % 1000000007 % 1000000 <
+            CAST(floor((wgt - floor(wgt)) * 1000000.0) AS BIGINT)
+          THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+      FROM documents d JOIN w USING (source)
+      ORDER BY d.doc_id""",
 
     "q75_tfidf" -> """
       WITH terms AS (

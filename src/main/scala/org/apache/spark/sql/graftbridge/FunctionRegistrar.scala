@@ -47,6 +47,24 @@ object FunctionRegistrar {
       exprs => graft.GraftExtensions.withIntArgs("simhash", exprs, 16, 3)(
         SimHash.apply),
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "clean_tokens",
+      {
+        case Seq(s, arr) => graft.functions.expressions.CleanTokens(
+          s, graft.GraftExtensions.stringArrayArg("clean_tokens", arr))
+        case _ => throw new IllegalArgumentException(
+          "clean_tokens(str, array(stopword, ...)) takes a string column and a literal string array")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "clean_tokens_count",
+      {
+        case Seq(s, arr) => graft.functions.expressions.CleanTokensCount(
+          s, graft.GraftExtensions.stringArrayArg("clean_tokens_count", arr))
+        case _ => throw new IllegalArgumentException(
+          "clean_tokens_count(str, array(stopword, ...)) takes a string column and a literal string array")
+      },
+      "built-in")
     // Aggregates: returning the AggregateFunction is enough — the
     // analyzer wraps it in an AggregateExpression (built-in percentile's
     // own registration path).

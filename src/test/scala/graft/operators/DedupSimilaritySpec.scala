@@ -101,6 +101,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept.contains(0L) && !kept.contains(1L))
   }
 
+  test("contaminationStats counts shared k-shingles against a bench set") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river"), // overlaps
+      (1L, "completely different words appear here with nothing shared at all"),
+      (2L, "ab")) // shorter than k: zero shingles, must still appear with 0
+      .toDF("doc_id", "text")
+    val out = Dedup.contaminationStats(corpus, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // bench doc has 7 3-shingles; corpus doc 0 shares exactly those 7.
+    assert(out(0L) == ((7L, true)))
+    assert(out(1L) == ((0L, false)))
+    assert(out(2L) == ((0L, false)))
+    assert(out.size == 3)
+  }
+
   test("connected components: chains collapse transitively, singletons stay") {
     // 1-2, 2-3, 3-4 chain (diameter 3) + 7-9 pair + isolated 5.
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L).toDF("id")

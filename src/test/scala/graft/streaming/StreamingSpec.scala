@@ -147,6 +147,20 @@ class StreamingSpec extends SparkSpec {
     assert(custom == ((((('a'.toLong % 97) * 31 + 'b') % 97) * 31 + 'c') % 97))
   }
 
+  test("clean_tokens and clean_tokens_count register as SQL functions") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val r = spark.sql(
+      """SELECT clean_tokens('x the x x and y', array('the', 'and')) AS c,
+        clean_tokens_count('x the x x and y', array('the', 'and')) AS n""")
+      .collect()(0)
+    assert(r.getString(0) == "x y") // stopword drop exposes the x-run
+    assert(r.getInt(1) == 2)
+    val viaCol = Seq("x the x x and y").toDF("t")
+      .select(graft.functions.TextFunctions
+        .cleanTokens(col("t"), Seq("the", "and"))).collect()(0).getString(0)
+    assert(viaCol == "x y")
+  }
+
   test("minhash_signature and simhash register as SQL functions") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     val txt = "the quick brown fox jumps over the lazy dog"
