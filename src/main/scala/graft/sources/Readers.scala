@@ -71,6 +71,25 @@ object Readers {
     df
   }
 
+  /** ORC: same contract as [[parquet]] — self-describing footer schema,
+    * optional declared-schema verification. ORC is the other columnar
+    * lake format Spark reads natively (predicate pushdown, column
+    * pruning, vectorized scan all apply); pipelines migrating a Hive-era
+    * warehouse land here instead of parquet.
+    */
+  def orc(spark: SparkSession, path: String,
+          expect: Option[StructType] = None): DataFrame = {
+    val df = spark.read.orc(path)
+    expect.foreach { s =>
+      val have = df.schema.map(f => f.name -> f.dataType).toMap
+      val missing = s.filter(f => !have.get(f.name).contains(f.dataType))
+      require(missing.isEmpty,
+        s"orc at $path is missing declared columns: " +
+          missing.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
+    df
+  }
+
   /** CSV with declared schema + corrupt-record routing. `header = true`
     * drops lines that are byte-identical to the rendered header (a data
     * row that exactly equals the header text is indistinguishable from

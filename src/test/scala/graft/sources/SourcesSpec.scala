@@ -74,6 +74,19 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("orc: round-trips a parquet table byte-identically, verifies schema") {
+    val dir = tmpDir("orc") + "/t"
+    val src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    src.write.orc(dir)
+    val back = Readers.orc(spark, dir,
+      Some(src.schema)).orderBy("r_regionkey").collect()
+    assert(back.toSeq == src.orderBy("r_regionkey").collect().toSeq)
+    intercept[IllegalArgumentException] {
+      Readers.orc(spark, dir, Some(StructType(Seq(
+        StructField("missing_col", LongType)))))
+    }
+  }
+
   test("binaryFiles: size guard routes oversized blobs before any decode") {
     val dir = tmpDir("bin")
     Files.write(Paths.get(dir, "small.bin"), Array.fill[Byte](128)(1))
