@@ -97,6 +97,42 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(s).isDefined, s"expected two-phase aggregate:\n$s")
   }
 
+  test("native cleaning (q115): wholly narrow, inside WholeStageCodegen") {
+    val p = plan("q115_text_clean_native")
+    assert(countShuffles(p) <= 1, s"cleaning must be map-side only:\n$p")
+    assert(p.toString.contains("clean_tokens"), s"native kernel missing:\n$p")
+    // AQE hides codegen collapse until runtime; disable to see the spans.
+    val saved = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val static = plan("q115_text_clean_native")
+      val wscg = collectAll(static).collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+      }
+      assert(wscg.exists(_.collect {
+        case n if n.toString.contains("clean_tokens") => n
+      }.nonEmpty), s"kernel must fuse into codegen:\n$static")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
+  }
+
+  test("decontamination (q116): bench side broadcasts, no pair explosion") {
+    val p = plan("q116_decontamination")
+    assert(countBroadcasts(p) >= 1, s"bench tids must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no corpus-wide pointwise join:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"the corpus side must never shuffle for the bench join:\n$p")
+  }
+
+  test("mixture apply (q117): weight table broadcasts, corpus stays narrow") {
+    val p = plan("q117_mixture_apply")
+    assert(countBroadcasts(p) >= 1, s"weight table must broadcast:\n$p")
+    // shuffles: the per-source agg (+AQE variants) and the final orderBy —
+    // never a corpus-side join exchange.
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"corpus must not shuffle into the weight join:\n$p")
+  }
+
   test("IVF fixed (q66): corpus assignment is narrow; probes broadcast") {
     val p = plan("q66_ann_ivf")
     assert(countBroadcasts(p) >= 1, s"probed queries must broadcast:\n$p")
