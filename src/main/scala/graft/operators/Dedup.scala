@@ -475,18 +475,20 @@ object Dedup {
     *
     * Scale shape: the benchmark side is eval-set-sized by definition, so
     * its distinct shingle ids are BROADCAST; the corpus side is one narrow
-    * shingle pass (content-hashed [[polyHash]] ids — no dictionary, no
-    * vocabulary shuffle). The only corpus-wide shuffle is the per-doc
-    * count aggregate over the (tiny) intersection. Never generates a
-    * corpus×corpus or corpus×bench pair explosion.
+    * shingle pass in BAG form (content-hashed [[polyHash]] ids — no
+    * dictionary, no vocabulary shuffle, and crucially no corpus-wide
+    * distinct exchange: the dedup happens as a countDistinct AFTER the
+    * broadcast join, so the only thing that ever shuffles is the tiny
+    * bench∩corpus intersection). Never generates a corpus×corpus or
+    * corpus×bench pair explosion.
     */
   def contaminationStats(corpus: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String, k: Int = 8): DataFrame = {
-    val corpusIds = shingleIdsPoly(corpus, idCol, textCol, k)
+    val corpusIds = shingleIdsPoly(corpus, idCol, textCol, k, distinct = false)
     val benchIds = shingleIdsPoly(bench, idCol, textCol, k)
       .select(col("tid")).distinct()
     val hits = corpusIds.join(broadcast(benchIds), "tid")
-      .groupBy(col(idCol)).agg(count(lit(1)).as("__n_shared"))
+      .groupBy(col(idCol)).agg(countDistinct(col("tid")).as("__n_shared"))
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
