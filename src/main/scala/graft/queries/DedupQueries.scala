@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.Dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication inventory over documents (SURVEY.md §2 B15 + the
@@ -184,6 +185,36 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q118_corpus_pipeline" -> { (s, d) =>
+      // The whole training-corpus prep chain in one oracle-checked query:
+      // clean (native kernel) -> quality gate (cleaned token count) ->
+      // exact dedup on cleaned text (first doc_id wins) -> benchmark
+      // decontamination (4-shingles of cleaned text vs the doc_id%50
+      // bench set) -> surviving docs. Every stage is the scale shape its
+      // standalone query pins: cleaning narrow (q115), dedup one window
+      // keyed on cleaned text (q84's shape — hash the key at corpus
+      // scale), decontamination bag-shingles + broadcast bench (q116).
+      import graft.functions.TextFunctions.{cleanTokens, cleanTokensCount}
+      val cleaned = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        cleanTokens(col("text"), TextQueries.Stopwords).as("ctext"),
+        cleanTokensCount(col("text"), TextQueries.Stopwords)
+          .cast("long").as("n_clean"))
+      val deduped = cleaned.filter(col("n_clean") >= 25)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ctext")).orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+      val ids = Dedup.shingleIdsPoly(cleaned.select(col("doc_id"), col("ctext")),
+        "doc_id", "ctext", k = 4, distinct = false)
+      val benchTids = ids.filter(col("doc_id") % 50 === 0)
+        .select(col("tid")).distinct()
+      val contaminated = ids.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(benchTids), "tid").select(col("doc_id")).distinct()
+      deduped.filter(col("doc_id") % 50 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_clean"))
+        .orderBy(col("doc_id"))
+    },
+
     "q94_containment" -> { (s, d) =>
       // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
       // consecutive-pair set as q40 — the measure that catches a small
@@ -219,6 +250,43 @@ object DedupQueries extends QueryGroup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q118_corpus_pipeline" -> s"""
+      WITH t0 AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      f AS (
+        SELECT doc_id, source,
+          list_filter(toks, x -> NOT list_contains(
+            ['the', 'a', 'of', 'and', 'to', 'in'], x)) AS ns
+        FROM t0),
+      cleaned AS (
+        SELECT doc_id, source,
+          list_filter(ns, (x, i) ->
+            CASE WHEN i = 1 THEN true ELSE x <> ns[i-1] END) AS cl
+        FROM f),
+      q AS (
+        SELECT doc_id, source, array_to_string(cl, ' ') AS ctext,
+          CAST(len(cl) AS BIGINT) AS n_clean
+        FROM cleaned WHERE len(cl) >= 25),
+      d AS (
+        SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY ctext
+          ORDER BY doc_id) AS rn FROM q) WHERE rn = 1),
+      sh AS (
+        SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(array_to_string(l2[i:i+3], ' '), ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM (SELECT doc_id, string_split(array_to_string(cl, ' '), ' ') AS l2
+          FROM cleaned),
+          unnest(generate_series(1, greatest(len(l2) - 3, 0))) AS u(i)),
+      bench AS (SELECT DISTINCT tid FROM sh WHERE doc_id % 50 = 0),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 50 <> 0 AND tid IN (SELECT tid FROM bench))
+      SELECT doc_id, source, n_clean FROM d
+      WHERE doc_id % 50 <> 0
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ORDER BY doc_id""",
+
     "q116_decontamination" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       sh AS (

@@ -29,7 +29,7 @@ class EntrySpec extends SparkSpec {
       "cb", "subs", "codedist", "codes", "adc", "t0", "t1", "t2", "t3", "ct",
       "terms", "n", "h", "wins", "tc", "top", "shw", "ids0", "shstats", "w", "f",
       "chunks", "k", "raw", "cells", "rt", "tot", "zk", "tri", "paths",
-      "bench", "corpus", "hits",
+      "bench", "corpus", "hits", "cleaned", "contaminated",
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
