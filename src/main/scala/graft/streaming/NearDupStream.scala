@@ -99,4 +99,25 @@ object NearDupStream {
       .transformWithState(new BandBucketProcessor(maxPerBucket, minEstJaccard, ttl),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming benchmark decontamination: per incoming document, one row
+    * per k-token shingle it shares with a STATIC benchmark/eval set — the
+    * incremental form of [[graft.operators.Dedup.contaminationStats]] for
+    * ingest-time gating. Stateless (no watermark, Append-safe): the bench
+    * side is a batch frame whose distinct shingle ids broadcast into a
+    * stream-static join, so each micro-batch is one narrow shingle pass
+    * plus a broadcast probe. A doc with zero output rows is clean;
+    * dedupe/aggregate hits downstream where doc-level flags are needed.
+    */
+  def contaminationHits(docs: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        benchTextCol: String, k: Int = 8): DataFrame = {
+    val benchIds = Dedup.shingleIdsPoly(
+        bench.select(lit(0L).as("__bid"), col(benchTextCol)), "__bid", benchTextCol, k)
+      .select(col("tid")).distinct()
+    Dedup.shingleIdsPoly(docs.select(col(idCol), col(textCol)),
+        idCol, textCol, k, distinct = false)
+      .join(broadcast(benchIds), "tid")
+      .select(col(idCol), col("tid"))
+  }
 }

@@ -406,6 +406,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decontamination: stream-static bench join flags shared shingles") {
+    implicit val sc = spark.sqlContext
+    val bench = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val input = MemoryStream[(Long, String)]
+    val hits = NearDupStream.contaminationHits(
+      input.toDF().toDF("doc_id", "text"), bench, "doc_id", "text", "text", k = 3)
+    val q = hits.writeStream.format("memory").queryName("contam_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "completely different words appear here with nothing shared at all"))
+      q.processAllAvailable()
+      assert(spark.table("contam_stream").count() == 0, "clean doc must emit no hits")
+      // A later batch containing bench text must flag against the STATIC set.
+      input.addData(
+        (2L, "prefix words then the quick brown fox jumps over the lazy dog"),
+        (3L, "another clean document with its own vocabulary entirely"))
+      q.processAllAvailable()
+      val flagged = spark.table("contam_stream").select("doc_id")
+        .distinct().as[Long].collect().toSet
+      assert(flagged == Set(2L), s"only doc 2 shares bench shingles: $flagged")
+    } finally q.stop()
+  }
+
   private def streamingNearDupBody(): Unit = {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, String)]
