@@ -29,6 +29,37 @@ object TableLayout {
     ws.format("parquet").saveAsTable(table)
   }
 
+  /** Compacting write: bounds both the partition count (repartition) and
+    * rows per output file (maxRecordsPerFile) — the two knobs that stop a
+    * 100 TB table from becoming millions of KiB-sized files (metadata
+    * death) or a handful of multi-GiB ones (no scan parallelism).
+    */
+  def writeCompacted(df: DataFrame, path: String, numFiles: Int,
+                     maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.repartition(numFiles).write.mode("overwrite")
+    val wo = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+    wo.parquet(path)
+  }
+
+  /** Z-order-clustered write: range-partition then sort within partitions
+    * by the interleaved-bit key of `cols` (graft.functions.Layout), so
+    * rows close in the multi-dimensional key space land in the same files
+    * and min/max footer stats prune scans filtered on ANY prefix of the
+    * dimensions — the lakehouse data-skipping layout, from public
+    * Z-order/space-filling-curve literature.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+                    cols: Seq[String], numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val zkey = graft.functions.Layout.interleaveBitsN(cols.map(col), bits)
+    df.withColumn("__zkey", zkey)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Repartition to target a given in-memory partition size before a wide
     * stage — the knob that keeps shuffle spills bounded when
     * `spark.sql.shuffle.partitions` is tuned for the average query, not

@@ -137,6 +137,41 @@ class SurfaceSpec extends SparkSpec {
       }
   }
 
+  test("writeCompacted bounds file count and rows per file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = spark.range(1000).toDF("id")
+    TableLayout.writeCompacted(df, dir, numFiles = 4, maxRecordsPerFile = 200)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 4 partitions x 250 rows, capped at 200/file -> 8 files of <=200 rows.
+    assert(files.length == 8, s"got ${files.length} files")
+    files.foreach { f =>
+      assert(spark.read.parquet(f.getPath).count() <= 200)
+    }
+    assert(spark.read.parquet(dir).count() == 1000)
+  }
+
+  test("writeZOrdered: file zkey ranges are disjoint (range-clustered layout)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
+    val df = spark.range(4096).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    TableLayout.writeZOrdered(df, dir, Seq("x", "y"), numFiles = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    val zkey = graft.functions.Layout.interleaveBitsN(Seq(col("x"), col("y")))
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).select(min(zkey), max(zkey)).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file zkey ranges overlap: $ranges")
+      case _ =>
+    }
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("bucketed table join plans without exchange on the bucket key") {
     val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
     TableLayout.saveBucketed(df, "t_bucketed_a", Seq("id"), 4)
