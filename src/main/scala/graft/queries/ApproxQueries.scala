@@ -20,13 +20,23 @@ object ApproxQueries extends QueryGroup {
       // approx_count_distinct is HLL++ at rsd = 0.05 (default); the bound
       // below is 3 sigma (15% relative) — bias-corrected HLL++ lands
       // within 1-2 sigma in practice.
-      Tables.lineitem(s, d)
-        .groupBy(col("l_returnflag"))
+      //
+      // The exact anchors are manual two-phase distincts (distinct pairs,
+      // then count per group) joined back on the 5-row group table: two
+      // countDistinct columns in one Aggregate make Catalyst EXPAND every
+      // input row 3x before the shuffle — 3x the shuffle IO of the whole
+      // fact table, the exact cost this engine avoids everywhere else.
+      val li = Tables.lineitem(s, d)
+      val sketches = li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("ap"),
           approx_count_distinct(col("l_orderkey")).as("ao"),
-          countDistinct(col("l_partkey")).as("exact_parts"),
-          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n"))
+      def exactDistinct(c: String, as: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy(col("l_returnflag")).agg(count(lit(1)).as(as))
+      sketches
+        .join(exactDistinct("l_partkey", "exact_parts"), "l_returnflag")
+        .join(exactDistinct("l_orderkey", "exact_orders"), "l_returnflag")
         .select(col("l_returnflag"), col("n"),
           col("exact_parts"), col("exact_orders"),
           (abs(col("ap") - col("exact_parts")) <= col("exact_parts") * 0.15).as("parts_ok"),
@@ -39,17 +49,23 @@ object ApproxQueries extends QueryGroup {
       // eps = 1/accuracy = 1e-4 and returns an actual data element, so the
       // estimate must lie between the exact percentiles at p +- eps.
       // Bound with p +- 5e-4: eps plus rank discretization headroom.
+      // All six exact anchors come from ONE array-form percentile call —
+      // a single value buffer and one sort, not six (six separate
+      // percentile() aggregates each buffered the whole column and made
+      // this tolerance check 6x the cost of the q50 cross-check).
       val eps = 5e-4
-      def lo(p: Double) = expr(s"percentile(l_extendedprice, ${p - eps})")
-      def hi(p: Double) = expr(s"percentile(l_extendedprice, ${math.min(1.0, p + eps)})")
+      val ps = Seq(0.5 - eps, 0.5 + eps, 0.95 - eps, 0.95 + eps,
+        0.99 - eps, math.min(1.0, 0.99 + eps))
       Tables.lineitem(s, d)
         .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("a50"),
           percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("a95"),
           percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000)).as("a99"),
-          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
-          lo(0.95).as("lo95"), hi(0.95).as("hi95"),
-          lo(0.99).as("lo99"), hi(0.99).as("hi99"),
+          expr(s"percentile(l_extendedprice, array(${ps.mkString(", ")}))").as("__b"),
           count(lit(1)).as("n"))
+        .select(col("n"), col("a50"), col("a95"), col("a99"),
+          element_at(col("__b"), 1).as("lo50"), element_at(col("__b"), 2).as("hi50"),
+          element_at(col("__b"), 3).as("lo95"), element_at(col("__b"), 4).as("hi95"),
+          element_at(col("__b"), 5).as("lo99"), element_at(col("__b"), 6).as("hi99"))
         .select(col("n"),
           (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("p50_ok"),
           (col("a95") >= col("lo95") && col("a95") <= col("hi95")).as("p95_ok"),
