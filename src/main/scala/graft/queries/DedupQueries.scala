@@ -215,6 +215,47 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q119_graph_rank" -> { (s, d) =>
+      // PageRank-style importance over the LSH candidate graph (q38's
+      // edges), 3 unrolled iterations, damping 0.85 — the iterative
+      // distributed-graph shape: each step is one edge-partitioned join +
+      // one aggregate, no driver-side loop state. ALL arithmetic is
+      // integer fixed-point (rank scaled by 1e12, integer division for
+      // contributions and damping) because per-node inflow is a SUM over
+      // neighbors and float sums depend on reduction order — long sums
+      // are partition-order-independent, so ranks are bit-stable at any
+      // parallelism and DuckDB replays them exactly.
+      val S = 1000000000000L
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
+      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nTab = docs.agg(count(lit(1)).as("__n"))
+      val nodes = docs.select(col("doc_id"))
+      val r0 = nodes.crossJoin(broadcast(nTab))
+        .select(col("doc_id"), expr(s"${S}L div __n").as("r"))
+      def step(prev: DataFrame): DataFrame = {
+        val inflow = edges
+          .join(prev.withColumnRenamed("doc_id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+          .groupBy(col("doc_id")).agg(sum(col("c")).as("inflow"))
+        nodes.join(inflow, Seq("doc_id"), "left").crossJoin(broadcast(nTab))
+          .select(col("doc_id"),
+            expr(s"((${S}L * 15) div 100) div __n + (85 * coalesce(inflow, 0L)) div 100")
+              .as("r"))
+      }
+      val r3 = step(step(step(r0)))
+      r3.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("deg"), lit(0L)).cast("long").as("deg"),
+          col("r").cast("long").as("rank_fp"))
+        .orderBy(col("doc_id"))
+    },
+
     "q94_containment" -> { (s, d) =>
       // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
       // consecutive-pair set as q40 — the measure that catches a small
@@ -286,6 +327,35 @@ object DedupQueries extends QueryGroup {
       WHERE doc_id % 50 <> 0
         AND doc_id NOT IN (SELECT doc_id FROM contaminated)
       ORDER BY doc_id""",
+
+    "q119_graph_rank" -> {
+      val S = "1000000000000"
+      def iter(k: Int): String = s"""
+        i$k AS (SELECT e.dst AS doc_id, CAST(sum(r${k - 1}.r // d.deg) AS BIGINT) AS inflow
+          FROM edges e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src
+          JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r$k AS (SELECT d0.doc_id, (($S * 15) // 100) // (SELECT n FROM n)
+            + (85 * coalesce(i$k.inflow, 0)) // 100 AS r
+          FROM documents d0 LEFT JOIN i$k USING (doc_id))"""
+      minhashSql(
+        s""", banded AS ($BandedCteBody),
+          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+          edges AS (SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          r0 AS (SELECT doc_id, $S // n AS r FROM documents CROSS JOIN n),
+          ${iter(1)},
+          ${iter(2)},
+          ${iter(3)}""",
+        """r3.doc_id, CAST(coalesce(deg.deg, 0) AS BIGINT) AS deg,
+          CAST(r3.r AS BIGINT) AS rank_fp""",
+        """FROM r3 LEFT JOIN deg ON deg.src = r3.doc_id
+          ORDER BY r3.doc_id""")
+    },
 
     "q116_decontamination" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

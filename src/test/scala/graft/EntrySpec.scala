@@ -30,6 +30,7 @@ class EntrySpec extends SparkSpec {
       "terms", "n", "h", "wins", "tc", "top", "shw", "ids0", "shstats", "w", "f",
       "chunks", "k", "raw", "cells", "rt", "tot", "zk", "tri", "paths",
       "bench", "corpus", "hits", "cleaned", "contaminated",
+      "edges", "deg", "r0", "r1", "r2", "r3", "i1", "i2", "i3",
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
