@@ -230,9 +230,17 @@ object DedupQueries extends QueryGroup {
       val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
       val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
       val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
+      // The edge list is edge-set-sized (tiny vs the corpus) but carries
+      // the whole shingle->signature->banding lineage; localCheckpoint it
+      // once (the connectedComponents pattern) so the three iterations
+      // join against the materialized RDD instead of re-running the LSH
+      // pipeline per step — without it the executed plan re-scans the
+      // corpus 36 times.
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint()
       val nTab = docs.agg(count(lit(1)).as("__n"))
       val nodes = docs.select(col("doc_id"))
       val r0 = nodes.crossJoin(broadcast(nTab))
