@@ -254,6 +254,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: native CleanTokens matches a split-level reference") {
+    // Stopwords drawn from the atom alphabet so removal actually fires;
+    // docGen's double/trailing spaces exercise empty-token semantics
+    // (Spark split limit -1: empties are ordinary tokens) and the
+    // multi-byte atoms exercise the UTF-8 byte-span comparisons.
+    val stops = Seq("a", "9", "中")
+    def refClean(s: String): (String, Int) = {
+      val ns = s.split(" ", -1).filterNot(stops.contains)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      ns.foreach(t => if (out.isEmpty || out.last != t) out += t)
+      (out.mkString(" "), out.length)
+    }
+    val docs = samples(docGen, 150).distinct.zipWithIndex.map(_.swap)
+    val got = docs.map { case (i, t) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"),
+        graft.functions.TextFunctions.cleanTokens(col("text"), stops).as("c"),
+        graft.functions.TextFunctions.cleanTokensCount(col("text"), stops).as("n"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    docs.foreach { case (i, t) =>
+      assert(got(i.toLong) == refClean(t),
+        s"mismatch for doc $i: '${t.take(60)}' got ${got(i.toLong)} want ${refClean(t)}")
+    }
+  }
+
   test("property: native PolyHash matches the code-point fold on random strings") {
     val strs = samples(docGen, 120).distinct
     val got = strs.toDF("s")
