@@ -708,4 +708,37 @@ object Dedup {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Corpus-boilerplate phrase statistics — the line-dedup analogue for
+    * newline-free corpora (RefinedWeb/CCNet drop lines repeated across
+    * many pages; here the repeated unit is the k-token phrase). A phrase
+    * is boilerplate when it occurs in >= `minDocs` DISTINCT documents.
+    * One row per input document: total k-gram occurrences, how many of
+    * those occurrences are boilerplate, and the boilerplate fraction
+    * (0.0 for documents too short to have any k-gram).
+    *
+    * Scale shape: tokenise/shingle/hash is NARROW; one shuffle groups by
+    * phrase id for document frequencies; the occurrences join back on the
+    * same key (co-partitioned, exchange-reusable); the final per-document
+    * aggregate ships ids only. Phrases travel as 8-byte polyHash ids,
+    * never as strings — hash collisions affect the DuckDB oracle
+    * identically because it replays the same fold.
+    */
+  def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 5, minDocs: Int = 2): DataFrame = {
+    val occ = shingleIdsPoly(df, idCol, textCol, k = k, distinct = false)
+    val docFreq = occ.select(col(idCol), col("tid")).distinct()
+      .groupBy(col("tid")).agg(count(lit(1)).as("__nd"))
+    val stats = occ.join(docFreq, "tid")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_phrases"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        coalesce(col("n_boiler").cast("double") / col("n_phrases"), lit(0.0))
+          .as("boiler_frac"))
+  }
 }

@@ -264,6 +264,17 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q120_boilerplate" -> { (s, d) =>
+      // Corpus-boilerplate phrases (line-dedup analogue for a corpus with
+      // no newlines): 5-grams occurring in >= 2 distinct documents are
+      // boilerplate; report each document's boilerplate occurrence
+      // fraction. On this corpus the >=2 threshold catches exactly the
+      // near-dup families' shared phrasing (non-empty at sf0.01).
+      Dedup.boilerplateStats(Tables.documents(s, d), "doc_id", "text",
+          k = 5, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
     "q94_containment" -> { (s, d) =>
       // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
       // consecutive-pair set as q40 — the measure that catches a small
@@ -507,6 +518,32 @@ object DedupQueries extends QueryGroup {
         ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id <> r.doc_id
         WHERE l.doc_id % 10 = 0
         ORDER BY id_a, id_b"""),
+
+    "q120_boilerplate" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, greatest(len(l) - 4, 0)),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS shingle
+        FROM toks),
+      ids AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(shingle, ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      d AS (SELECT tid, count(DISTINCT doc_id) AS nd FROM ids GROUP BY tid),
+      t AS (
+        SELECT ids.doc_id, CAST(count(*) AS BIGINT) AS n_phrases,
+          CAST(sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM ids JOIN d USING (tid) GROUP BY ids.doc_id)
+      SELECT doc_id,
+        coalesce(n_phrases, CAST(0 AS BIGINT)) AS n_phrases,
+        coalesce(n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+        coalesce(CAST(n_boiler AS DOUBLE) / n_phrases, 0.0) AS boiler_frac
+      FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
 
     "q94_containment" -> s"""$ShingleCte,
       pairs AS (
