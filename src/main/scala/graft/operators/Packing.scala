@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LM training batch prep: concatenate documents in
+  * a deterministic order and cut the token stream into fixed-capacity
+  * bins (the "concat and chunk" scheme every large pretraining run uses
+  * to avoid padding waste). `/root/reference` has no analytics surface —
+  * this is part of the training-data-pipeline inventory layered on top
+  * (SURVEY.md §2 Part B).
+  *
+  * The global running offset is computed with the two-phase shape that
+  * survives 100 TB: a within-bucket window cumsum (parallel across
+  * buckets) plus a broadcast prefix-total per bucket. The only global
+  * step is the window over BUCKET TOTALS — thousands of rows, not
+  * documents — the documented bounded-single-partition pattern
+  * (SCALING.md), identical to how q111 decomposes its trailing window.
+  */
+object Packing {
+
+  /** Per-document packing positions over `orderCol` (a NUMERIC id that
+    * defines the concatenation order and the bucketing: bucket =
+    * orderCol / bucketWidth — contiguity is not required, monotonicity
+    * is). Output: one row per input row with
+    * (orderCol, n_tokens, start_off, first_bin, last_bin).
+    */
+  def packPositions(df: DataFrame, orderCol: String, nTokensCol: String,
+                    capacity: Long, bucketWidth: Long = 100000L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val base = df.select(col(orderCol),
+        col(nTokensCol).cast("long").as("__n"))
+      .withColumn("__b", floor(col(orderCol).cast("double") / bucketWidth).cast("long"))
+    // Phase 1: cumsum within each bucket (parallel over buckets).
+    val inBucket = Window.partitionBy(col("__b")).orderBy(col(orderCol))
+    val local = base.withColumn("__cum_in", sum(col("__n")).over(inBucket))
+    // Phase 2: exclusive prefix of bucket totals — rows = #buckets, a
+    // bounded single-partition window over the AGGREGATED totals only.
+    val totals = base.groupBy(col("__b")).agg(sum(col("__n")).as("__bt"))
+    val prefW = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prefixes = totals
+      .withColumn("__pre", sum(col("__bt")).over(prefW) - col("__bt"))
+      .select(col("__b"), col("__pre"))
+    local.join(broadcast(prefixes), "__b")
+      .select(col(orderCol), col("__n").as("n_tokens"),
+        (col("__pre") + col("__cum_in") - col("__n")).as("start_off"))
+      .withColumn("first_bin", floor(col("start_off") / capacity).cast("long"))
+      .withColumn("last_bin",
+        floor((col("start_off") + col("n_tokens") - 1) / capacity).cast("long"))
+  }
+
+  /** Per-bin packing summary: how many documents overlap each bin, how
+    * many start in it, and the bin's token fill (== capacity for every
+    * bin but the last — the no-padding invariant). The explode is bounded
+    * by doc_tokens/capacity + 1 spanned bins per document.
+    */
+  def packBins(df: DataFrame, orderCol: String, nTokensCol: String,
+               capacity: Long, bucketWidth: Long = 100000L): DataFrame = {
+    val pos = packPositions(df, orderCol, nTokensCol, capacity, bucketWidth)
+    pos.filter(col("n_tokens") > 0)
+      .select(col("start_off"), col("n_tokens"), col("first_bin"),
+        explode(sequence(col("first_bin"), col("last_bin"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("first_bin") === col("bin"), 1L).otherwise(0L)).as("n_starting"),
+        sum(least(col("start_off") + col("n_tokens"), (col("bin") + 1) * capacity)
+          - greatest(col("start_off"), col("bin") * capacity)).as("n_tokens"))
+  }
+}

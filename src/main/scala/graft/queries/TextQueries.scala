@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Packing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -346,6 +346,22 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q121_seq_pack" -> { (s, d) =>
+      // Sequence packing ("concat and chunk", the padding-free LM batch
+      // prep): documents concatenated in doc_id order, the token stream
+      // cut into 256-token bins. Per-bin fill stats; every bin except the
+      // last holds exactly 256 tokens (invariant pinned in PackingSpec).
+      // The global offset comes from Packing's two-phase cumsum — only
+      // BUCKET TOTALS ever cross a single partition.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      Packing.packBins(docs, "doc_id", "n_toks",
+          capacity = 256L, bucketWidth = 100L)
+        .select(col("bin"), col("n_docs"), col("n_starting"), col("n_tokens"))
+        .orderBy(col("bin"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -374,6 +390,28 @@ object TextQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+    "q121_seq_pack" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n,
+          CAST(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+        FROM t),
+      b AS (
+        SELECT doc_id, n, s, s // 256 AS fb, (s + n - 1) // 256 AS lb
+        FROM cum WHERE n > 0),
+      x AS (
+        SELECT doc_id, n, s, fb, lb, unnest(generate_series(fb, lb)) AS bin
+        FROM b)
+      SELECT bin,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN fb = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+        CAST(sum(least(s + n, (bin + 1) * 256) - greatest(s, bin * 256)) AS BIGINT) AS n_tokens
+      FROM x GROUP BY bin ORDER BY bin""",
+
     "q32_token_stats" -> """
       SELECT doc_id,
         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: positions tile the token stream exactly; every bin
+  * but the last is full; bucketWidth never changes the answer (the
+  * two-phase cumsum is a pure decomposition of the global one).
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, 100L), (1L, 300L), (2L, 56L), (3L, 200L), (4L, 1L),
+    (5L, 255L), (6L, 512L), (7L, 44L)).toDF("doc_id", "n")
+
+  test("packPositions is an exact exclusive cumsum in id order") {
+    val pos = Packing.packPositions(docs, "doc_id", "n", capacity = 256L,
+        bucketWidth = 3L)
+      .orderBy("doc_id").collect()
+    val expectedStarts = Seq(0L, 100L, 400L, 456L, 656L, 657L, 912L, 1424L)
+    assert(pos.map(_.getAs[Long]("start_off")).toSeq == expectedStarts)
+    // first/last bins follow from the offsets
+    val r1 = pos(1) // start 100, 300 tokens -> bins 0..1
+    assert(r1.getAs[Long]("first_bin") == 0L && r1.getAs[Long]("last_bin") == 1L)
+    val r6 = pos(6) // start 912, 512 tokens -> bins 3..5
+    assert(r6.getAs[Long]("first_bin") == 3L && r6.getAs[Long]("last_bin") == 5L)
+  }
+
+  test("packBins fills every bin except the last to capacity") {
+    val bins = Packing.packBins(docs, "doc_id", "n", capacity = 256L,
+        bucketWidth = 3L).orderBy("bin").collect()
+    val total = 100L + 300L + 56L + 200L + 1L + 255L + 512L + 44L // 1468
+    assert(bins.map(_.getAs[Long]("n_tokens")).sum == total)
+    val fills = bins.map(_.getAs[Long]("n_tokens")).toSeq
+    assert(fills.init.forall(_ == 256L), s"non-final bin underfilled: $fills")
+    assert(fills.last == total % 256L)
+    // every doc starts in exactly one bin
+    assert(bins.map(_.getAs[Long]("n_starting")).sum == 8L)
+  }
+
+  test("bucketWidth does not change the packing") {
+    val a = Packing.packBins(docs, "doc_id", "n", 256L, bucketWidth = 2L)
+      .orderBy("bin").collect().toSeq
+    val b = Packing.packBins(docs, "doc_id", "n", 256L, bucketWidth = 1000L)
+      .orderBy("bin").collect().toSeq
+    assert(a == b)
+  }
+
+  test("zero-token rows occupy no bin but keep their offset") {
+    val withEmpty = Seq((0L, 10L), (1L, 0L), (2L, 10L)).toDF("doc_id", "n")
+    val pos = Packing.packPositions(withEmpty, "doc_id", "n", 8L, 2L)
+      .orderBy("doc_id").collect()
+    assert(pos.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 10L, 10L))
+    val bins = Packing.packBins(withEmpty, "doc_id", "n", 8L, 2L)
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(bins == 20L)
+  }
+}
