@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the perplexity-style quality filter a
+  * pretraining pipeline runs over candidate documents (CCNet scores every
+  * paragraph with a KenLM model; the model here is a bigram table trained
+  * on a held-in slice of the corpus itself). `/root/reference` has no
+  * analytics surface — this belongs to the training-data-pipeline
+  * inventory layered on top (SURVEY.md §2 Part B).
+  *
+  * Probabilities are Laplace-smoothed integer ratios, never floats:
+  * a bigram (w1, w2) scores `((c(w1,w2) + 1) * scale) div (c(w1,·) + V)`
+  * where c(·) are training counts and V the training vocabulary size.
+  * Integer division makes every step engine-portable (the DuckDB oracle
+  * replays it bit-for-bit), and summing longs is reduction-order-proof —
+  * the house determinism rule for cross-group sums.
+  *
+  * Scale shape: the model is vocabulary-bounded (|V|² worst case, far
+  * smaller in practice) — both count tables BROADCAST. The corpus side is
+  * one narrow position-explode; the only wide exchange is the final
+  * per-document aggregate, which ships (id, three longs).
+  */
+object LmScore {
+
+  /** Consecutive token pairs of `textCol`, one row per position:
+    * (idCol, w1, w2). Empty for documents with fewer than two tokens.
+    */
+  private def bigramPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__l"))
+    toks.select(col(idCol), col("__l"),
+        explode(when(size(col("__l")) < 2, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__l")) - 1))).as("__i"))
+      .select(col(idCol),
+        element_at(col("__l"), col("__i")).as("w1"),
+        element_at(col("__l"), col("__i") + 1).as("w2"))
+  }
+
+  /** Score every `corpus` document under a bigram model trained on
+    * `train`. Output per document: bigram count, out-of-vocabulary bigram
+    * count (pairs never seen in training), the summed integer score, and
+    * its per-bigram integer mean. Documents with < 2 tokens score 0.
+    */
+  def bigramScores(corpus: DataFrame, train: DataFrame, idCol: String,
+                   textCol: String, scale: Long = 1000000L): DataFrame = {
+    val cb = bigramPairs(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    // Prefix counts derived FROM the bigram table (c(w1,·) = how often w1
+    // opens a bigram) — the standard conditional denominator.
+    val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val vocab = train.select(explode(split(col(textCol), " ")).as("__t"))
+      .agg(countDistinct(col("__t")).as("vs"))
+    val scored = bigramPairs(corpus, idCol, textCol)
+      .join(broadcast(cb), Seq("w1", "w2"), "left")
+      .join(broadcast(cu), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        when(col("cb").isNull, 1L).otherwise(0L).as("__oov"),
+        expr(s"((coalesce(cb, CAST(0 AS BIGINT)) + 1) * ${scale}L) div " +
+          "(coalesce(cu, CAST(0 AS BIGINT)) + vs)").as("__sc"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__oov")).as("n_oov"),
+        sum(col("__sc")).as("score_sum"))
+    corpus.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        coalesce(expr("score_sum div n_bigrams"), lit(0L)).as("avg_score"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Packing}
+import graft.operators.{Dedup, LmScore, Packing}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -362,6 +362,18 @@ object TextQueries extends QueryGroup {
         .orderBy(col("bin"))
     },
 
+    "q122_lm_score" -> { (s, d) =>
+      // Bigram LM scoring (the CCNet/KenLM perplexity-filter analogue):
+      // train on the held-in src0 slice, score every document with
+      // Laplace-smoothed INTEGER-ratio probabilities — exact in both
+      // engines, no transcendental functions. Unseen bigrams count as
+      // OOV, so the score separates in-distribution from novel phrasing.
+      val docs = Tables.documents(s, d)
+      LmScore.bigramScores(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -390,6 +402,35 @@ object TextQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+    "q122_lm_score" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS oov,
+          ((coalesce(b.cb, 0) + 1) * 1000000) // (coalesce(u.cu, 0) + v.vs) AS sc
+        FROM c LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      t AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(sc) AS BIGINT) AS score_sum
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id,
+        coalesce(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        coalesce(n_oov, CAST(0 AS BIGINT)) AS n_oov,
+        coalesce(score_sum, CAST(0 AS BIGINT)) AS score_sum,
+        coalesce(score_sum // n_bigrams, CAST(0 AS BIGINT)) AS avg_score
+      FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
+
     "q121_seq_pack" -> """
       WITH t AS (
         SELECT doc_id,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Bigram LM scoring: hand-computed Laplace-smoothed integer scores on a
+  * tiny corpus, OOV accounting, and the short-document zero path.
+  */
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed scores, OOV counts, and short-doc zeros") {
+    // Train: "a b a b c" -> bigrams ab, ba, ab, bc
+    //   cb: (a,b)=2 (b,a)=1 (b,c)=1 ; cu: a->2, b->2 ; V = 3 (a,b,c)
+    val train = Seq((100L, "a b a b c")).toDF("id", "text")
+    val corpus = Seq(
+      (0L, "a b c"),   // (a,b): (2+1)*1e6 div (2+3) = 600000
+                       // (b,c): (1+1)*1e6 div (2+3) = 400000
+      (1L, "c a"),     // (c,a): OOV, prefix c unseen -> 1e6 div 3 = 333333
+      (2L, "x")        // < 2 tokens -> all zeros
+    ).toDF("id", "text")
+
+    val out = LmScore.bigramScores(corpus, train, "id", "text")
+      .orderBy("id").collect()
+
+    assert(out(0).getAs[Long]("n_bigrams") == 2L)
+    assert(out(0).getAs[Long]("n_oov") == 0L)
+    assert(out(0).getAs[Long]("score_sum") == 600000L + 400000L)
+    assert(out(0).getAs[Long]("avg_score") == 500000L)
+
+    assert(out(1).getAs[Long]("n_bigrams") == 1L)
+    assert(out(1).getAs[Long]("n_oov") == 1L)
+    assert(out(1).getAs[Long]("score_sum") == 333333L)
+    assert(out(1).getAs[Long]("avg_score") == 333333L)
+
+    assert(out(2).getAs[Long]("n_bigrams") == 0L)
+    assert(out(2).getAs[Long]("n_oov") == 0L)
+    assert(out(2).getAs[Long]("score_sum") == 0L)
+    assert(out(2).getAs[Long]("avg_score") == 0L)
+  }
+
+  test("seen-prefix unseen-suffix uses the smoothed prefix denominator") {
+    val train = Seq((0L, "a b a c")).toDF("id", "text")
+    // cb: (a,b)=1 (b,a)=1 (a,c)=1 ; cu: a->2, b->1 ; V=3
+    val corpus = Seq((1L, "a a")).toDF("id", "text")
+    // (a,a): OOV but prefix a seen -> (0+1)*1e6 div (2+3) = 200000
+    val r = LmScore.bigramScores(corpus, train, "id", "text").collect().head
+    assert(r.getAs[Long]("n_oov") == 1L)
+    assert(r.getAs[Long]("score_sum") == 200000L)
+  }
+}
