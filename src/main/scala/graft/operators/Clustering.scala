@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over embedding columns — the clustering
+  * primitive behind SemDeDup-style semantic dedup and corpus curriculum
+  * bucketing. `/root/reference` has no analytics surface; this extends
+  * the training-data-pipeline inventory (SURVEY.md §2 Part B).
+  *
+  * Everything is FIXED-POINT: vectors are scaled to longs once
+  * (`floor(x·scale + 0.5)`, the engine-portable round-half-up), distances
+  * are integer L2, centroid updates are integer sums with a
+  * floor-divide mean. No float accumulates across rows, so results are
+  * identical under any partitioning/reduction order and the DuckDB
+  * oracle replays every iteration bit-for-bit. Seeds are the k smallest
+  * ids (deterministic, no RNG) — k-means++ trades determinism for
+  * quality and belongs to a sampled driver-side fit, not the
+  * oracle-checked path.
+  *
+  * Scale shape per iteration: the ASSIGNMENT is completely NARROW — the
+  * centroid table (k×dims longs) is collapsed to one array row and
+  * broadcast; each vector folds over it in-row (no n×k join, no
+  * shuffle). The UPDATE is one groupBy(cell, dim) over exploded longs —
+  * map-side combinable, k×dims output rows. With iters unrolled, a full
+  * run is `iters` narrow passes + `iters-1` bounded aggregates, exactly
+  * the MLlib shape but plan-expressed and collect-free.
+  */
+object Clustering {
+
+  /** Scaled copy of the vector column: `floor(x·scale + 0.5)` per element. */
+  def scaleVector(vecCol: Column, scale: Long): Column =
+    transform(vecCol, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+
+  /** Integer argmin over a broadcast centroid list: folds (dist, cell)
+    * keeping the smallest pair lexicographically, so ties break to the
+    * lowest cell id regardless of list order.
+    */
+  private def bestCell(vecCol: Column, centsCol: Column): Column =
+    aggregate(
+      centsCol,
+      struct(lit(Long.MaxValue).as("bd"), lit(Long.MaxValue).as("bc")),
+      (acc, ct) => {
+        val d = aggregate(
+          zip_with(vecCol, ct.getField("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (s, x) => s + x)
+        val cell = ct.getField("cell")
+        val better = d < acc.getField("bd") ||
+          (d === acc.getField("bd") && cell < acc.getField("bc"))
+        when(better, struct(d.as("bd"), cell.as("bc"))).otherwise(acc)
+      }).getField("bc")
+
+  /** Run `iters` assignment passes (with `iters - 1` centroid updates in
+    * between) and return the final assignment: (idCol, cell). Clusters
+    * that lose all members are dropped by the update (standard Lloyd
+    * behavior); cell ids are 0-based ranks of the seed ids.
+    */
+  def kmeansFixed(df: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int = 2, scale: Long = 1000L): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val scaled = df.select(col(idCol), scaleVector(col(vecCol), scale).as("__v"))
+    // Seeds: the k smallest ids (TakeOrdered on k rows, then a k-row window).
+    var cent: DataFrame = scaled.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
+        .cast("long").as("cell"), col("__v").as("cv"))
+    var assigned: DataFrame = null
+    for (it <- 1 to iters) {
+      val centArr = cent.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+      assigned = scaled.crossJoin(broadcast(centArr))
+        .select(col(idCol), col("__v"), bestCell(col("__v"), col("cents")).as("cell"))
+      if (it < iters) {
+        val sums = assigned
+          .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+          .groupBy(col("cell"), col("dim"))
+          .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+        cent = sums
+          .groupBy(col("cell"))
+          .agg(array_sort(collect_list(struct(col("dim"),
+            floor(col("sm").cast("double") / col("n")).cast("long").as("cx"))))
+            .as("pairs"))
+          .select(col("cell").cast("long").as("cell"),
+            transform(col("pairs"), p => p.getField("cx")).as("cv"))
+      }
+    }
+    assigned.select(col(idCol), col("cell"))
+  }
+}

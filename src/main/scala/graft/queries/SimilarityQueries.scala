@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Similarity
+import graft.operators.{Clustering, Similarity}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -115,6 +115,20 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q123_kmeans" -> { (s, d) =>
+      // Fixed-point Lloyd k-means (the SemDeDup clustering step): k=8
+      // seeds = the lowest vec_ids, two assignment passes with one
+      // integer centroid update between them. Assignment is NARROW (the
+      // k×dims centroid table collapses to one broadcast array row);
+      // the oracle replays both iterations in SQL over the same
+      // scaled-long vectors, so sizes and id checksums match exactly.
+      Clustering.kmeansFixed(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, scale = 1000L)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("vec_id")).as("id_sum"))
+        .orderBy(col("cell"))
+    },
+
     "q101_label_centroids" -> { (s, d) =>
       // Per-label centroids — the k-means update step — via the native
       // FIXED-POINT vector-sum aggregate (round(x·2^30) into long[dims]
@@ -155,6 +169,42 @@ object SimilarityQueries extends QueryGroup {
   }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "q123_kmeans" -> """
+      WITH v AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS sv
+        FROM embeddings),
+      c AS (
+        SELECT cell, cv FROM (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cell, sv AS cv FROM v) t
+        WHERE cell < 8),
+      a AS (
+        SELECT id, sv, cell,
+          row_number() OVER (PARTITION BY id ORDER BY
+            list_sum(list_transform(generate_series(1, len(sv)),
+              i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), cell) AS rn
+        FROM v CROSS JOIN c),
+      i1 AS (SELECT id, sv, cell FROM a WHERE rn = 1),
+      g AS (
+        SELECT cell, dim, CAST(sum(x) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT cell, CAST(generate_subscripts(sv, 1) AS BIGINT) AS dim,
+                unnest(sv) AS x FROM i1) t
+        GROUP BY cell, dim),
+      ct AS (
+        SELECT cell,
+          list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cv
+        FROM g GROUP BY cell),
+      b AS (
+        SELECT id, cell,
+          row_number() OVER (PARTITION BY id ORDER BY
+            list_sum(list_transform(generate_series(1, len(sv)),
+              i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), cell) AS rn
+        FROM v CROSS JOIN ct),
+      i2 AS (SELECT id, cell FROM b WHERE rn = 1)
+      SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum
+      FROM i2 GROUP BY cell ORDER BY cell""",
+
     "q80_cosine_dedup" -> s"""
       WITH b AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

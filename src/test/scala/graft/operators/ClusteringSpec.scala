@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Fixed-point k-means: blob recovery, partitioning invariance (the
+  * integer-arithmetic determinism claim), and lexicographic tie-breaks.
+  */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pts = Seq(
+    (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 10.0f)),
+    (2L, Seq(0.2f, 0.0f)), (3L, Seq(0.1f, 0.1f)),
+    (4L, Seq(9.9f, 10.0f)), (5L, Seq(10.0f, 9.8f))).toDF("id", "vec")
+
+  test("two well-separated blobs resolve in two passes") {
+    val out = Clustering.kmeansFixed(pts, "id", "vec", k = 2, iters = 2)
+      .orderBy("id").collect().map(_.getAs[Long]("cell")).toSeq
+    assert(out == Seq(0L, 1L, 0L, 0L, 1L, 1L))
+  }
+
+  test("assignment is partitioning-invariant") {
+    val a = Clustering.kmeansFixed(pts, "id", "vec", 2, 2)
+      .orderBy("id").collect().toSeq
+    val b = Clustering.kmeansFixed(pts.repartition(7), "id", "vec", 2, 2)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("identical centroids tie-break to the lowest cell id") {
+    val dup = Seq((0L, Seq(1.0f)), (1L, Seq(1.0f)), (2L, Seq(1.0f)))
+      .toDF("id", "vec")
+    val cells = Clustering.kmeansFixed(dup, "id", "vec", k = 2, iters = 1)
+      .collect().map(_.getAs[Long]("cell")).toSet
+    assert(cells == Set(0L))
+  }
+
+  test("scaleVector computes floor(x*scale + 0.5) exactly") {
+    // binary-exact inputs so the expectation is unambiguous:
+    // 0.5*2+0.5=1.5 -> 1; -0.5*2+0.5=-0.5 -> -1; 0.25*2+0.5=1.0 -> 1
+    val df = Seq((0L, Seq(0.5f, -0.5f, 0.25f))).toDF("id", "vec")
+    val v = df.select(Clustering.scaleVector($"vec", 2L).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(v == Seq(1L, -1L, 1L))
+  }
+}
