@@ -85,4 +85,30 @@ object Clustering {
     }
     assigned.select(col(idCol), col("cell"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, public arXiv): semantic dedup =
+    * k-means cells, then exact pairwise cosine INSIDE each cell only,
+    * dropping the larger id of every pair above `threshold` (the house
+    * greedy keep-first, same semantics as
+    * [[Similarity.dropNearDuplicatesByCosine]] with cells instead of
+    * sign-buckets). Returns the kept rows as (idCol, cell).
+    *
+    * Scale: the pair space is Σ |cell|² — k must grow with n so the
+    * expected cell size stays bounded (k ≈ n/1000 keeps cells ~1000 and
+    * the pair join ~1000n rows); the cell equi-join shuffles ids+vectors
+    * once and never goes cartesian across cells.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int = 2, scale: Long = 1000L,
+                    threshold: Double = 0.3): DataFrame = {
+    val withCell = df.join(kmeansFixed(df, idCol, vecCol, k, iters, scale), idCol)
+    val l = withCell.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = withCell.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val losers = l.join(r, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    withCell.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
 }

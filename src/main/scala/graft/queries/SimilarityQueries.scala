@@ -129,6 +129,17 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("cell"))
     },
 
+    "q124_semdedup" -> { (s, d) =>
+      // SemDeDup end-to-end: k-means cells (q123's exact fixture), then
+      // pairwise cosine INSIDE each cell only, greedy keep-first above
+      // 0.3. The pair space is bounded by the cell sizes — k grows with n
+      // at scale so cells stay ~constant and the join never goes
+      // cartesian. Output = the kept corpus with its cell labels.
+      Clustering.semanticDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, scale = 1000L, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+
     "q101_label_centroids" -> { (s, d) =>
       // Per-label centroids — the k-means update step — via the native
       // FIXED-POINT vector-sum aggregate (round(x·2^30) into long[dims]
@@ -168,10 +179,14 @@ object SimilarityQueries extends QueryGroup {
     s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 
-  val oracle: Map[String, String] = Map(
-    "q123_kmeans" -> """
+  /** Shared k-means oracle prefix (q123 + q124): two unrolled Lloyd
+    * iterations over scaled-long vectors. `i2` is the final (id, cell)
+    * assignment; `v` also carries the raw doubles for cosine reuse.
+    */
+  private val KmeansCte = """
       WITH v AS (
         SELECT CAST(vec_id AS BIGINT) AS id,
+          CAST(embedding AS DOUBLE[]) AS rv,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS sv
         FROM embeddings),
@@ -201,9 +216,28 @@ object SimilarityQueries extends QueryGroup {
             list_sum(list_transform(generate_series(1, len(sv)),
               i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), cell) AS rn
         FROM v CROSS JOIN ct),
-      i2 AS (SELECT id, cell FROM b WHERE rn = 1)
+      i2 AS (SELECT id, cell FROM b WHERE rn = 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "q123_kmeans" -> s"""$KmeansCte
       SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum
       FROM i2 GROUP BY cell ORDER BY cell""",
+
+    "q124_semdedup" -> s"""$KmeansCte,
+      pairs AS (
+        SELECT ia.id AS id_a, ib.id AS id_b
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id < ib.id),
+      losers AS (
+        SELECT DISTINCT p.id_b
+        FROM pairs p
+        JOIN v va ON va.id = p.id_a
+        JOIN v vb ON vb.id = p.id_b
+        WHERE list_dot_product(va.rv, vb.rv)
+          / (sqrt(list_dot_product(va.rv, va.rv))
+             * sqrt(list_dot_product(vb.rv, vb.rv))) >= 0.3)
+      SELECT id AS vec_id, cell FROM i2
+      WHERE id NOT IN (SELECT id_b FROM losers)
+      ORDER BY vec_id""",
 
     "q80_cosine_dedup" -> s"""
       WITH b AS (

@@ -35,6 +35,16 @@ class ClusteringSpec extends SparkSpec {
     assert(cells == Set(0L))
   }
 
+  test("semanticDedup keeps the lowest id of each in-cell near-dup set") {
+    // origin blob: [0.2,0] vs [0.1,0.1] have cosine ~0.707 -> drop id 3;
+    // the zero vector's cosine is NaN (norm 0), never >= threshold.
+    // far blob: all three vectors nearly parallel -> keep only id 1.
+    val kept = Clustering.semanticDedup(pts, "id", "vec", k = 2, iters = 2,
+        threshold = 0.3)
+      .orderBy("id").collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("cell")))
+    assert(kept.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L)))
+  }
+
   test("scaleVector computes floor(x*scale + 0.5) exactly") {
     // binary-exact inputs so the expectation is unambiguous:
     // 0.5*2+0.5=1.5 -> 1; -0.5*2+0.5=-0.5 -> -1; 0.25*2+0.5=1.0 -> 1
