@@ -140,6 +140,21 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q125_int8_quant" -> { (s, d) =>
+      // Int8 storage quantization: per-vector max-abs scale + integer
+      // codes (the 4x embedding-table shrink an ANN ingest consumes).
+      // Reported as the scale plus integer code checksums; every step is
+      // per-row narrow arithmetic — no shuffle at any scale.
+      val q = VectorFunctions.int8Quantize(col("embedding"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), q.as("__q"))
+        .select(col("vec_id"),
+          col("__q").getField("qscale").as("qscale"),
+          aggregate(col("__q").getField("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          aggregate(col("__q").getField("q"), lit(0L), (a, x) => a + x * x).as("q_norm2"))
+        .orderBy(col("vec_id"))
+    },
+
     "q101_label_centroids" -> { (s, d) =>
       // Per-label centroids — the k-means update step — via the native
       // FIXED-POINT vector-sum aggregate (round(x·2^30) into long[dims]
@@ -238,6 +253,22 @@ object SimilarityQueries extends QueryGroup {
       SELECT id AS vec_id, cell FROM i2
       WHERE id NOT IN (SELECT id_b FROM losers)
       ORDER BY vec_id""",
+
+    "q125_int8_quant" -> """
+      WITH t AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          CAST(embedding AS DOUBLE[]) AS dv,
+          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        FROM embeddings),
+      q AS (
+        SELECT vec_id, m,
+          list_transform(dv, x -> CASE WHEN m = 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(floor(x * 127 / m + 0.5) AS BIGINT) END) AS qs
+        FROM t)
+      SELECT vec_id, m AS qscale,
+        CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        CAST(list_sum(list_transform(qs, x -> x * x)) AS BIGINT) AS q_norm2
+      FROM q ORDER BY vec_id""",
 
     "q80_cosine_dedup" -> s"""
       WITH b AS (

@@ -106,4 +106,19 @@ class VectorExpressionSpec extends SparkSpec {
     }
     assert(err.getMessage != null)
   }
+
+  test("int8Quantize: max-abs scale, [-127,127] codes, zero-vector guard") {
+    val rows = Seq(
+      Tuple1(Array(0.5f, -0.5f, 0.25f)), // scale 0.5 -> codes 127, -127, 64
+      Tuple1(Array(0.0f, 0.0f, 0.0f))    // all-zero -> scale 0, codes 0
+    ).toDF("v")
+      .select(VectorFunctions.int8Quantize(col("v")).as("q"))
+      .select(col("q").getField("qscale").as("m"), col("q").getField("q").as("codes"))
+      .collect()
+    assert(rows(0).getAs[Double]("m") == 0.5)
+    // floor(0.25*127/0.5 + 0.5) = floor(64.0) = 64 (0.25/0.5 exact in binary)
+    assert(rows(0).getSeq[Long](1) == Seq(127L, -127L, 64L))
+    assert(rows(1).getAs[Double]("m") == 0.0)
+    assert(rows(1).getSeq[Long](1) == Seq(0L, 0L, 0L))
+  }
 }
