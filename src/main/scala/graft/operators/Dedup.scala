@@ -717,22 +717,25 @@ object Dedup {
     * those occurrences are boilerplate, and the boilerplate fraction
     * (0.0 for documents too short to have any k-gram).
     *
-    * Scale shape: tokenise/shingle/hash is NARROW; one shuffle groups by
-    * phrase id for document frequencies; the occurrences join back on the
-    * same key (co-partitioned, exchange-reusable); the final per-document
-    * aggregate ships ids only. Phrases travel as 8-byte polyHash ids,
-    * never as strings — hash collisions affect the DuckDB oracle
-    * identically because it replays the same fold.
+    * Scale shape: ONE tokenise/shingle/hash pass (narrow), collapsed to
+    * per-(phrase, doc) occurrence counts; the distinct-document frequency
+    * of a phrase is then a window count over the phrase partition — no
+    * second corpus scan and no self-join. Shuffles: the (tid, doc)
+    * aggregate, the tid window, and the final per-document aggregate,
+    * all shipping 8-byte polyHash ids, never phrase strings — hash
+    * collisions affect the DuckDB oracle identically because it replays
+    * the same fold.
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 5, minDocs: Int = 2): DataFrame = {
     val occ = shingleIdsPoly(df, idCol, textCol, k = k, distinct = false)
-    val docFreq = occ.select(col(idCol), col("tid")).distinct()
-      .groupBy(col("tid")).agg(count(lit(1)).as("__nd"))
-    val stats = occ.join(docFreq, "tid")
+      .groupBy(col("tid"), col(idCol)).agg(count(lit(1)).as("__c"))
+    // each row is a distinct (tid, doc): document frequency by window
+    val nd = count(lit(1)).over(Window.partitionBy(col("tid")))
+    val stats = occ.withColumn("__nd", nd)
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_phrases"),
-        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .agg(sum(col("__c")).as("n_phrases"),
+        sum(when(col("__nd") >= minDocs, col("__c")).otherwise(0L)).as("n_boiler"))
     df.select(col(idCol))
       .join(stats, Seq(idCol), "left")
       .select(col(idCol),

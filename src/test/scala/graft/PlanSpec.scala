@@ -234,4 +234,48 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("boilerplate (q120): one shingle pass — a single Generate, no self-join") {
+    val p = plan("q120_boilerplate")
+    val generates = collectAll(p).count(_.getClass.getSimpleName == "GenerateExec")
+    assert(generates == 1, s"expected exactly one shingle explode, got $generates:\n$p")
+    assert(countShuffles(p) <= 5, s"bounded exchanges expected:\n$p")
+  }
+
+  test("sequence packing (q121): bucket prefixes broadcast, bounded exchanges") {
+    val p = plan("q121_seq_pack")
+    assert(countBroadcasts(p) >= 1, s"prefix table must broadcast:\n$p")
+    assert(countShuffles(p) <= 6, s"bounded exchanges expected:\n$p")
+  }
+
+  test("LM scoring (q122): all three model tables broadcast") {
+    val p = plan("q122_lm_score")
+    assert(countBroadcasts(p) >= 3,
+      s"bigram, prefix, and vocab tables must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"1-row vocab cross join must be a broadcast NLJ:\n$p")
+  }
+
+  test("k-means (q123): both assignment passes are narrow broadcast folds") {
+    val p = plan("q123_kmeans")
+    val bnlj = collectAll(p)
+      .count(_.getClass.getSimpleName == "BroadcastNestedLoopJoinExec")
+    assert(bnlj == 2, s"expected 2 broadcast centroid-array joins, got $bnlj:\n$p")
+    assert(!p.toString.contains("SortMergeJoin") &&
+      !p.toString.contains("CartesianProduct"),
+      s"assignment must never shuffle or go cartesian:\n$p")
+  }
+
+  test("semdedup (q124): the in-cell pair join is an equi-join, never cartesian") {
+    val p = plan("q124_semdedup")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"cell pair join must stay an equi-join:\n$p")
+  }
+
+  test("int8 quantization (q125): wholly narrow — only the oracle sort exchanges") {
+    val p = plan("q125_int8_quant")
+    assert(countShuffles(p) <= 1, s"quantization must be a projection:\n$p")
+    val generates = collectAll(p).count(_.getClass.getSimpleName == "GenerateExec")
+    assert(generates == 0, s"no explode in the quantization path:\n$p")
+  }
 }
