@@ -275,6 +275,27 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q126_curation_pipeline" -> { (s, d) =>
+      // Curation v2 — the round-4 ops composed end-to-end: boilerplate
+      // gate (q120's fraction <= 0.5) + LM quality gate (q122's integer
+      // avg score >= 25000) + exact keep-first dedup on the content
+      // hash. Each stage keeps its standalone scale shape; the gates
+      // join id+metric tables on doc_id. Drops 47 boilerplate-heavy and
+      // 3 low-scoring documents at sf0.01 before the dedup pass.
+      val docs = Tables.documents(s, d)
+      val boiler = Dedup.boilerplateStats(docs, "doc_id", "text", k = 5, minDocs = 2)
+      val lm = graft.operators.LmScore.bigramScores(
+        docs, docs.filter(col("source") === "src0"), "doc_id", "text")
+      val gated = docs.select(col("doc_id"), col("text"), col("source"))
+        .join(boiler.select(col("doc_id"), col("boiler_frac")), "doc_id")
+        .join(lm.select(col("doc_id"), col("avg_score")), "doc_id")
+        .filter(col("boiler_frac") <= 0.5 && col("avg_score") >= 25000L)
+        .withColumn("__h", md5(col("text")))
+      Dedup.keepFirst(gated, Seq("__h"), Seq(col("doc_id").asc))
+        .select(col("doc_id"), col("source"), col("boiler_frac"), col("avg_score"))
+        .orderBy(col("doc_id"))
+    },
+
     "q94_containment" -> { (s, d) =>
       // Asymmetric containment |A∩B|/|A| (and its mirror) over the same
       // consecutive-pair set as q40 — the measure that catches a small
@@ -544,6 +565,57 @@ object DedupQueries extends QueryGroup {
         coalesce(n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
         coalesce(CAST(n_boiler AS DOUBLE) / n_phrases, 0.0) AS boiler_frac
       FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
+
+    "q126_curation_pipeline" -> s"""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, greatest(len(l) - 4, 0)),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2] || ' ' || l[i+3] || ' ' || l[i+4])) AS shingle
+        FROM toks),
+      ids AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(shingle, ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      d AS (SELECT tid, count(DISTINCT doc_id) AS nd FROM ids GROUP BY tid),
+      t AS (
+        SELECT ids.doc_id, count(*) AS np,
+          sum(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END) AS nb
+        FROM ids JOIN d USING (tid) GROUP BY ids.doc_id),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g2(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') vt),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g2(i)),
+      scored AS (
+        SELECT c.doc_id,
+          ((coalesce(b.cb, 0) + 1) * 1000000) // (coalesce(u.cu, 0) + v.vs) AS sc
+        FROM c LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      g AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS nbi,
+          CAST(sum(sc) AS BIGINT) AS ss
+        FROM scored GROUP BY doc_id),
+      f AS (
+        SELECT doc_id, source, text,
+          coalesce(CAST(t.nb AS DOUBLE) / t.np, 0.0) AS boiler_frac,
+          coalesce(g.ss // g.nbi, CAST(0 AS BIGINT)) AS avg_score
+        FROM documents LEFT JOIN t USING (doc_id) LEFT JOIN g USING (doc_id)),
+      k AS (
+        SELECT doc_id, source, boiler_frac, avg_score,
+          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM f WHERE boiler_frac <= 0.5 AND avg_score >= 25000)
+      SELECT doc_id, source, boiler_frac, avg_score
+      FROM k WHERE rn = 1 ORDER BY doc_id""",
 
     "q94_containment" -> s"""$ShingleCte,
       pairs AS (

@@ -611,4 +611,36 @@ class StreamingSpec extends SparkSpec {
       assert(latest.getAs[Double]("sum") == 12.0)
     } finally q.stop()
   }
+
+  test("streaming LM scoring: static model composes in foreachBatch, batch == stream") {
+    implicit val sc = spark.sqlContext
+    val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b c"), (1L, "c a"), (2L, "a b a"))
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // scoring is per-document given the STATIC model, so scoring each
+        // micro-batch is exactly the batch op on its slice
+        results ++= graft.operators.LmScore
+          .bigramScores(batch, train, "doc_id", "text")
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_oov"),
+            r.getAs[Long]("score_sum"), r.getAs[Long]("avg_score")))
+        ()
+      }.start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2))
+      q.processAllAvailable()
+      val batchRun = graft.operators.LmScore
+        .bigramScores(docs.toDF("doc_id", "text"), train, "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_oov"),
+          r.getAs[Long]("score_sum"), r.getAs[Long]("avg_score"))).toSet
+      assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
+      assert(results.size == 3)
+    } finally q.stop()
+  }
 }
