@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LmScore, Packing}
+import graft.operators.{Dedup, LmScore, Packing, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -374,6 +374,16 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q127_vocab_coverage" -> { (s, d) =>
+      // Tokenizer vocabulary construction: top-50 tokens with document
+      // frequency and cumulative stream coverage. One corpus explode +
+      // token aggregate; the rank/cumsum window runs over VOCAB rows
+      // only (bounded single-partition step, same class as q121's
+      // bucket totals).
+      Vocab.coverage(Tables.documents(s, d), "doc_id", "text", topN = 50)
+        .orderBy(col("rank"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -402,6 +412,23 @@ object TextQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+    "q127_vocab_coverage" -> """
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      c AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM toks GROUP BY tok),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM c),
+      r AS (
+        SELECT tok, cnt, df,
+          CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS BIGINT) AS rank,
+          CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+        FROM c)
+      SELECT rank, tok, cnt, df, CAST(cum_cnt AS DOUBLE) / tot AS cum_frac
+      FROM r CROSS JOIN t WHERE rank <= 50 ORDER BY rank""",
+
     "q122_lm_score" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
       b AS (
