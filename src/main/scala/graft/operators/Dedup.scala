@@ -709,6 +709,52 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Content-defined chunking (the Rabin/gear-CDC idea at token
+    * granularity): a chunk boundary falls AFTER position p whenever the
+    * polyHash of the w-token window ending at p is ≡ 0 mod `divisor` —
+    * so boundaries are decided by CONTENT, not offsets, and an insertion
+    * near the front of a document only perturbs the chunks it touches
+    * (fixed-stride chunking like q84/q113 reshifts everything after it).
+    * Expected chunk length ≈ `divisor` tokens. Output: one row per
+    * (idCol, chunk_idx) with the token count and the chunk's polyHash —
+    * the unit a chunk-level dedup store keys on.
+    *
+    * Scale shape: boundary detection is NARROW (per-row window hash);
+    * the chunk-id prefix sum and the chunk re-assembly are one
+    * window + one aggregate over (doc, pos) rows, both partitioned by
+    * document — linear, no quadratic per-row array folds (the in-row
+    * prefix-sum alternative copies O(len²)). Chunk text is re-hashed to
+    * an 8-byte id before anything corpus-wide would join on it.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                w: Int = 3, divisor: Long = 8L): DataFrame = {
+    require(w >= 1 && divisor >= 2, s"need w >= 1, divisor >= 2; got $w, $divisor")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__l"))
+    val pos = toks
+      .select(col(idCol), col("__l"),
+        posexplode(col("__l")).as(Seq("__p0", "tok")))
+      .select(col(idCol), col("tok"), (col("__p0") + 1).cast("long").as("pos"),
+        // the w-token window ENDING at this position (null when pos < w)
+        when(col("__p0") + 1 >= w,
+          concat_ws(" ", (w - 1 to 0 by -1).map(j =>
+            element_at(col("__l"), (col("__p0") + 1 - j).cast("int"))): _*))
+          .as("__shEnd"))
+    val flagged = pos.withColumn("__b",
+      when(col("__shEnd").isNotNull && polyHash(col("__shEnd")) % divisor === 0, 1L)
+        .otherwise(0L))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val withChunk = flagged.withColumn("chunk_idx",
+      coalesce(sum(col("__b")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    withChunk.groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok")), " ").as("__chunk"))
+      .select(col(idCol), col("chunk_idx"), col("n_tokens"),
+        polyHash(col("__chunk")).as("chunk_hash"))
+  }
+
   /** Corpus-boilerplate phrase statistics — the line-dedup analogue for
     * newline-free corpora (RefinedWeb/CCNet drop lines repeated across
     * many pages; here the repeated unit is the k-token phrase). A phrase

@@ -275,6 +275,17 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q128_cdc_chunks" -> { (s, d) =>
+      // Content-defined chunking: boundaries where the 3-token rolling
+      // polyHash ≡ 0 mod 8 (expected chunk ~8 tokens) — the
+      // insertion-robust chunk unit, vs q84's fixed-stride chunks that
+      // reshift after any edit. The oracle replays hash, prefix-sum
+      // chunk ids, and chunk re-hashing exactly.
+      Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          w = 3, divisor = 8L)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     "q126_curation_pipeline" -> { (s, d) =>
       // Curation v2 — the round-4 ops composed end-to-end: boilerplate
       // gate (q120's fraction <= 0.5) + LM quality gate (q122's integer
@@ -565,6 +576,39 @@ object DedupQueries extends QueryGroup {
         coalesce(n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
         coalesce(CAST(n_boiler AS DOUBLE) / n_phrases, 0.0) AS boiler_frac
       FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
+
+    "q128_cdc_chunks" -> s"""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      p AS (
+        SELECT doc_id, l, unnest(l) AS tok,
+          CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
+        FROM toks),
+      f AS (
+        SELECT doc_id, tok, pos,
+          CASE WHEN pos >= 3 AND
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(
+                l[pos - 2] || ' ' || l[pos - 1] || ' ' || l[pos], ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % $M) % 8 = 0
+          THEN 1 ELSE 0 END AS b
+        FROM p),
+      x AS (
+        SELECT doc_id, tok, pos,
+          CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS chunk_idx
+        FROM f),
+      a AS (
+        SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+          string_agg(tok, ' ' ORDER BY pos) AS chunk
+        FROM x GROUP BY doc_id, chunk_idx)
+      SELECT doc_id, chunk_idx, n_tokens,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(chunk, ''),
+            x -> CAST(unicode(x) AS BIGINT))),
+          (acc, c) -> (acc * 31 + c) % $M) AS chunk_hash
+      FROM a ORDER BY doc_id, chunk_idx""",
 
     "q126_curation_pipeline" -> s"""
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

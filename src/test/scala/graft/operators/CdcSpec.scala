@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Content-defined chunking: tokens are conserved, chunk ids are
+  * contiguous from 0, and — the point of CDC — a front-of-document
+  * insertion leaves the later chunks' hashes intact.
+  */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while " +
+    "rain falls softly on the quiet village roofs tonight and nobody minds"
+
+  test("chunks tile the document exactly with contiguous ids") {
+    val docs = Seq((0L, base)).toDF("doc_id", "text")
+    val out = Dedup.cdcChunks(docs, "doc_id", "text", w = 3, divisor = 4L)
+      .orderBy("chunk_idx").collect()
+    val nTok = base.split(" ").length
+    assert(out.map(_.getAs[Long]("n_tokens")).sum == nTok)
+    assert(out.map(_.getAs[Long]("chunk_idx")).toSeq == out.indices.map(_.toLong))
+    assert(out.length > 1, "divisor 4 on ~22 tokens must cut at least once")
+  }
+
+  test("a front insertion preserves later chunk hashes (unlike fixed stride)") {
+    val docs = Seq((0L, base), (1L, "inserted " + base)).toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs, "doc_id", "text", w = 3, divisor = 4L)
+      .select(col("doc_id"), col("chunk_hash")).collect()
+    val a = chunks.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    val b = chunks.filter(_.getLong(0) == 1L).map(_.getLong(1)).toSet
+    // content-decided boundaries re-synchronize after the edit
+    assert((a intersect b).nonEmpty,
+      s"CDC must share suffix chunks after an insertion: a=$a b=$b")
+  }
+
+  test("short documents form a single chunk 0") {
+    val docs = Seq((0L, "a b")).toDF("doc_id", "text") // fewer than w tokens
+    val out = Dedup.cdcChunks(docs, "doc_id", "text", w = 3, divisor = 4L).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("chunk_idx") == 0L
+      && out.head.getAs[Long]("n_tokens") == 2L)
+  }
+}
