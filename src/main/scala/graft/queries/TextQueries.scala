@@ -384,6 +384,22 @@ object TextQueries extends QueryGroup {
         .orderBy(col("rank"))
     },
 
+    "q129_corpus_shuffle" -> { (s, d) =>
+      // Deterministic epoch shuffle + sharding: the portable affine hash
+      // (injective for id < P, so no ties) defines a reproducible random
+      // order; the global rank comes from Packing's two-phase cumsum
+      // with unit weights (only bucket totals cross one partition), and
+      // shard = rank mod 16 gives balanced, reproducible output shards.
+      val h = (col("doc_id") * 1000003L + 17L) % 1000000007L
+      val hashed = Tables.documents(s, d).select(col("doc_id"), h.as("h"))
+      Packing.packPositions(hashed.withColumn("one", lit(1L)),
+          "h", "one", capacity = 1L, bucketWidth = 10000000L)
+        .join(hashed, "h")
+        .select(col("doc_id"), col("h"), col("start_off").as("shuffle_pos"),
+          (col("start_off") % 16).as("shard"))
+        .orderBy(col("doc_id"))
+    },
+
     "q75_tfidf" -> { (s, d) =>
       // Corpus TF-IDF: top-3 terms per document. The weight uses the
       // rational idf N/df (not ln) so every arithmetic step is an exact
@@ -428,6 +444,16 @@ object TextQueries extends QueryGroup {
         FROM c)
       SELECT rank, tok, cnt, df, CAST(cum_cnt AS DOUBLE) / tot AS cum_frac
       FROM r CROSS JOIN t WHERE rank <= 50 ORDER BY rank""",
+
+    "q129_corpus_shuffle" -> """
+      WITH t AS (
+        SELECT doc_id,
+          (doc_id * 1000003 + 17) % 1000000007 AS h
+        FROM documents)
+      SELECT doc_id, CAST(h AS BIGINT) AS h,
+        CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS shuffle_pos,
+        CAST((row_number() OVER (ORDER BY h) - 1) % 16 AS BIGINT) AS shard
+      FROM t ORDER BY doc_id""",
 
     "q122_lm_score" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
