@@ -612,6 +612,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence packing: per-shard offsets persist, batch == stream") {
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Long, Long)] // (shard, docId, nTokens)
+      val packed = PackingStream(input.toDS(), capacity = 10L)
+      val q = packed.writeStream.format("memory").queryName("pack_stream")
+        .outputMode("update").start()
+      try {
+        input.addData((0L, 0L, 7L), (1L, 1L, 5L), (0L, 2L, 6L))
+        q.processAllAvailable()
+        input.addData((0L, 4L, 9L), (1L, 3L, 2L))
+        q.processAllAvailable()
+        val stream = spark.table("pack_stream")
+          .as[(Long, Long, Long, Long, Long)].collect().toSet
+        // batch reference: Packing.packPositions per shard on the union
+        val union = Seq((0L, 0L, 7L), (0L, 2L, 6L), (0L, 4L, 9L),
+          (1L, 1L, 5L), (1L, 3L, 2L))
+        val batch = union.groupBy(_._1).flatMap { case (shard, docs) =>
+          graft.operators.Packing.packPositions(
+              docs.map { case (_, id, n) => (id, n) }.toDF("doc_id", "n"),
+              "doc_id", "n", capacity = 10L)
+            .collect().toSeq.map(r => (shard, r.getAs[Long]("doc_id"),
+              r.getAs[Long]("start_off"), r.getAs[Long]("first_bin"),
+              r.getAs[Long]("last_bin")))
+        }.toSet
+        assert(stream == batch, s"stream $stream vs batch $batch")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming LM scoring: static model composes in foreachBatch, batch == stream") {
     implicit val sc = spark.sqlContext
     val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
