@@ -285,4 +285,64 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     strs.foreach(s => assert(got(s) == refPoly(s), s"mismatch for '${s.take(60)}'"))
   }
+
+  test("property: packing offsets are exact prefix sums and bins tile exactly") {
+    val ns = samples(Gen.choose(0L, 500L), 40)
+    val df = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n")
+    val cap = 256L
+    val pos = graft.operators.Packing
+      .packPositions(df, "doc_id", "n", cap, bucketWidth = 7L)
+      .orderBy("doc_id").collect()
+    val refStarts = ns.scanLeft(0L)(_ + _).init
+    assert(pos.map(_.getAs[Long]("start_off")).toSeq == refStarts)
+    val bins = graft.operators.Packing.packBins(df, "doc_id", "n", cap, 7L)
+      .orderBy("bin").collect()
+    assert(bins.map(_.getAs[Long]("n_tokens")).sum == ns.sum)
+    val fills = bins.map(_.getAs[Long]("n_tokens")).toSeq
+    assert(fills.init.forall(_ == cap), s"non-final bin underfilled: $fills")
+  }
+
+  test("property: CDC chunks match a string-level reference and tile the doc") {
+    val docs = samples(docGen, 60).distinct // multi-byte + empty-token edges
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = Dedup.cdcChunks(df, "doc_id", "text", w = 3, divisor = 4L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_hash"))).toMap
+    docs.zipWithIndex.foreach { case (t, i) =>
+      val toks = t.split(" ", -1)
+      // boundary AFTER 1-based position p iff the 3-token window ending
+      // at p hashes to 0 mod 4
+      val bounds = (1 to toks.length).map { p =>
+        if (p >= 3 && refPoly(toks.slice(p - 3, p).mkString(" ")) % 4 == 0) 1 else 0
+      }
+      var cum = 0
+      val chunkOf = (1 to toks.length).map { j =>
+        val c = cum; cum += bounds(j - 1); c
+      }
+      val ref = toks.zipWithIndex
+        .groupBy { case (_, idx0) => chunkOf(idx0).toLong }
+      ref.foreach { case (cid, members) =>
+        val chunkStr = members.sortBy(_._2).map(_._1).mkString(" ")
+        val (nTok, h) = got((i.toLong, cid))
+        assert(nTok == members.length, s"doc $i chunk $cid size")
+        assert(h == refPoly(chunkStr), s"doc $i chunk $cid hash for '$chunkStr'")
+      }
+      // chunks tile: ids 0..max contiguous, sizes sum to token count
+      val sizes = ref.values.map(_.length).sum
+      assert(sizes == toks.length)
+    }
+  }
+
+  test("property: fixed-point k-means is partitioning-invariant on random vectors") {
+    val vecs = samples(Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 250.0f)), 30)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+    val a = graft.operators.Clustering.kmeansFixed(df, "id", "vec", k = 3, iters = 3)
+      .orderBy("id").collect().toSeq
+    val b = graft.operators.Clustering
+      .kmeansFixed(df.repartition(13), "id", "vec", k = 3, iters = 3)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+  }
 }
