@@ -33,11 +33,23 @@ object Clustering {
   def scaleVector(vecCol: Column, scale: Long): Column =
     transform(vecCol, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
 
-  /** Integer argmin over a broadcast centroid list: folds (dist, cell)
-    * keeping the smallest pair lexicographically, so ties break to the
-    * lowest cell id regardless of list order.
+  /** Integer argmin over a broadcast centroid list — (dist, cell)
+    * lexicographic, so ties break to the lowest cell id regardless of
+    * list order. Hot path: the native codegen'd
+    * [[graft.functions.expressions.NearestCellFixed]] (one call per row
+    * instead of an interpreted nested-HOF fold).
     */
-  private def bestCell(vecCol: Column, centsCol: Column): Column =
+  private[operators] def bestCell(vecCol: Column, centsCol: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.NearestCellFixed(
+      ColumnBridge.expression(vecCol), ColumnBridge.expression(centsCol)))
+  }
+
+  /** HOF formulation of [[bestCell]] — the interpreted parity reference
+    * (spec-pinned equal to the native kernel on random inputs), not the
+    * hot path.
+    */
+  private[operators] def bestCellViaHof(vecCol: Column, centsCol: Column): Column =
     aggregate(
       centsCol,
       struct(lit(Long.MaxValue).as("bd"), lit(Long.MaxValue).as("bc")),

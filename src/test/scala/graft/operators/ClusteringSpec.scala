@@ -45,6 +45,33 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L)))
   }
 
+  test("native NearestCellFixed matches the HOF argmin fold, any list order") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 40).map { i =>
+      val v = Seq.fill(6)(rnd.nextInt(2001).toLong - 1000L)
+      // centroid list in a scrambled order, with a deliberate duplicate
+      // centroid (forces the tie-break) and varying cell ids
+      val cells = rnd.shuffle(
+        (0 until 4).map(c => (c.toLong, Seq.fill(6)(rnd.nextInt(2001).toLong - 1000L))) :+
+          (9L, v)) :+ (5L, v) // two cells sit exactly ON the vector: 9 and 5
+      (i.toLong, v, cells)
+    }
+    val df = rows.toDF("id", "v", "cents")
+      .withColumn("cents",
+        col("cents").cast("array<struct<cell:bigint,cv:array<bigint>>>"))
+    val out = df.select(col("id"),
+        Clustering.bestCell(col("v"), col("cents")).as("native"),
+        Clustering.bestCellViaHof(col("v"), col("cents")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getAs[Long]("native") == r.getAs[Long]("hof"),
+        s"row ${r.getAs[Long]("id")}")
+      assert(r.getAs[Long]("native") == 5L,
+        "ties on the exact vector must resolve to the lowest cell id (5 < 9)")
+    }
+  }
+
   test("scaleVector computes floor(x*scale + 0.5) exactly") {
     // binary-exact inputs so the expectation is unambiguous:
     // 0.5*2+0.5=1.5 -> 1; -0.5*2+0.5=-0.5 -> -1; 0.25*2+0.5=1.0 -> 1
