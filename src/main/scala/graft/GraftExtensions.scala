@@ -51,6 +51,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         GraftExtensions.withIntArgs("simhash", children, 16, 3)(SimHash.apply)))
     ext.injectFunction((
+      FunctionIdentifier("nearest_cell_fixed"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.NearestCellFixed].getName,
+        "nearest_cell_fixed"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, c) => graft.functions.expressions.NearestCellFixed(v, c)
+        case _ => throw new IllegalArgumentException(
+          "nearest_cell_fixed(vec, cents) takes a long-array vector and a " +
+            "array<struct<cell, cv>> centroid list")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("clean_tokens"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.CleanTokens].getName, "clean_tokens"),

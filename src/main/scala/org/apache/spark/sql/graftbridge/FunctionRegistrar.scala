@@ -48,6 +48,15 @@ object FunctionRegistrar {
         SimHash.apply),
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nearest_cell_fixed",
+      {
+        case Seq(v, c) => graft.functions.expressions.NearestCellFixed(v, c)
+        case _ => throw new IllegalArgumentException(
+          "nearest_cell_fixed(vec, cents) takes a long-array vector and a " +
+            "array<struct<cell, cv>> centroid list")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "clean_tokens",
       {
         case Seq(s, arr) => graft.functions.expressions.CleanTokens(

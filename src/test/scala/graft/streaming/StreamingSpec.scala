@@ -128,6 +128,16 @@ class StreamingSpec extends SparkSpec {
     assert(fx.getLong(1) == 2L)
   }
 
+  test("nearest_cell_fixed registers as a SQL function") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val cell = spark.sql(
+      """SELECT nearest_cell_fixed(array(1L, 1L),
+           array(named_struct('cell', 7L, 'cv', array(0L, 0L)),
+                 named_struct('cell', 3L, 'cv', array(1L, 2L)))) AS c""")
+      .collect()(0).getLong(0)
+    assert(cell == 3L) // d=2 for cell 7, d=1 for cell 3
+  }
+
   test("cosine_similarity registers as a SQL function") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     val c = spark.sql(
