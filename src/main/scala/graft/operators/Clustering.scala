@@ -63,40 +63,66 @@ object Clustering {
         when(better, struct(d.as("bd"), cell.as("bc"))).otherwise(acc)
       }).getField("bc")
 
+  private def scaledDf(df: DataFrame, idCol: String, vecCol: String,
+                       scale: Long): DataFrame =
+    df.select(col(idCol), scaleVector(col(vecCol), scale).as("__v"))
+
+  /** One narrow assignment pass: (idCol, __v, cell) for every row. */
+  private def assignScaled(scaled: DataFrame, idCol: String,
+                           cent: DataFrame): DataFrame = {
+    val centArr = cent.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+    scaled.crossJoin(broadcast(centArr))
+      .select(col(idCol), col("__v"), bestCell(col("__v"), col("cents")).as("cell"))
+  }
+
+  /** One integer centroid update from an assignment. */
+  private def updateCent(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("dim"),
+        floor(col("sm").cast("double") / col("n")).cast("long").as("cx"))))
+        .as("pairs"))
+      .select(col("cell").cast("long").as("cell"),
+        transform(col("pairs"), p => p.getField("cx")).as("cv"))
+
+  /** The centroid table the `iters`-th assignment pass would use: seeds
+    * (k smallest ids) refined by `iters - 1` integer updates over `df`.
+    * Exposed so INCREMENTAL flows can train on history and assign fresh
+    * batches without re-clustering.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 2, scale: Long = 1000L): DataFrame = {
+    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    val scaled = scaledDf(df, idCol, vecCol, scale)
+    // Seeds: the k smallest ids (TakeOrdered on k rows, then a k-row window).
+    var cent: DataFrame = scaled.orderBy(col(idCol)).limit(k)
+      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
+        .cast("long").as("cell"), col("__v").as("cv"))
+    for (_ <- 1 until iters)
+      cent = updateCent(assignScaled(scaled, idCol, cent))
+    cent
+  }
+
+  /** Assign every row of `df` to its nearest cell of a centroid table
+    * from [[kmeansCentroids]]: (idCol, cell). Wholly narrow.
+    */
+  def assignCells(df: DataFrame, cents: DataFrame, idCol: String,
+                  vecCol: String, scale: Long = 1000L): DataFrame =
+    assignScaled(scaledDf(df, idCol, vecCol, scale), idCol, cents)
+      .select(col(idCol), col("cell"))
+
   /** Run `iters` assignment passes (with `iters - 1` centroid updates in
     * between) and return the final assignment: (idCol, cell). Clusters
     * that lose all members are dropped by the update (standard Lloyd
     * behavior); cell ids are 0-based ranks of the seed ids.
     */
   def kmeansFixed(df: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iters: Int = 2, scale: Long = 1000L): DataFrame = {
-    require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
-    val scaled = df.select(col(idCol), scaleVector(col(vecCol), scale).as("__v"))
-    // Seeds: the k smallest ids (TakeOrdered on k rows, then a k-row window).
-    var cent: DataFrame = scaled.orderBy(col(idCol)).limit(k)
-      .select((row_number().over(Window.orderBy(col(idCol))) - 1)
-        .cast("long").as("cell"), col("__v").as("cv"))
-    var assigned: DataFrame = null
-    for (it <- 1 to iters) {
-      val centArr = cent.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
-      assigned = scaled.crossJoin(broadcast(centArr))
-        .select(col(idCol), col("__v"), bestCell(col("__v"), col("cents")).as("cell"))
-      if (it < iters) {
-        val sums = assigned
-          .select(col("cell"), posexplode(col("__v")).as(Seq("dim", "x")))
-          .groupBy(col("cell"), col("dim"))
-          .agg(sum(col("x")).as("sm"), count(lit(1)).as("n"))
-        cent = sums
-          .groupBy(col("cell"))
-          .agg(array_sort(collect_list(struct(col("dim"),
-            floor(col("sm").cast("double") / col("n")).cast("long").as("cx"))))
-            .as("pairs"))
-          .select(col("cell").cast("long").as("cell"),
-            transform(col("pairs"), p => p.getField("cx")).as("cv"))
-      }
-    }
-    assigned.select(col(idCol), col("cell"))
-  }
+                  k: Int, iters: Int = 2, scale: Long = 1000L): DataFrame =
+    assignCells(df, kmeansCentroids(df, idCol, vecCol, k, iters, scale),
+      idCol, vecCol, scale)
 
   /** SemDeDup (Abbas et al. 2023, public arXiv): semantic dedup =
     * k-means cells, then exact pairwise cosine INSIDE each cell only,
@@ -121,6 +147,38 @@ object Clustering {
       .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
     withCell.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
+  /** Incremental SemDeDup — the daily-ingest form: centroids are trained
+    * on HISTORY only (the existing model), both sides are assigned with
+    * the narrow pass, and candidate pairs are restricted to the fresh
+    * batch — fresh×history and fresh×fresh(smaller id); history×history
+    * pairs are NEVER generated (the same contract as
+    * `Dedup.lshCandidatePairsIncremental`). Returns the surviving fresh
+    * rows as (idCol, cell).
+    *
+    * Scale: re-clustering the corpus per batch is O(corpus); this is
+    * O(batch × cell-slice). The history side ships (cell, id, vec) once
+    * through the cell equi-join against the batch-sized fresh side.
+    */
+  def semanticDedupIncremental(history: DataFrame, fresh: DataFrame,
+                               idCol: String, vecCol: String,
+                               k: Int, iters: Int = 2, scale: Long = 1000L,
+                               threshold: Double = 0.3): DataFrame = {
+    val cents = kmeansCentroids(history, idCol, vecCol, k, iters, scale)
+    val hSide = history.join(assignCells(history, cents, idCol, vecCol, scale), idCol)
+      .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val fAss = fresh.join(assignCells(fresh, cents, idCol, vecCol, scale), idCol)
+    val fSide = fAss.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val cos = graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
+    val vsHistory = hSide.join(fSide, "cell")
+    val vsFresh = fAss.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+      .join(fSide, "cell").filter(col("id_a") < col("id_b"))
+    val losers = vsHistory.unionByName(vsFresh)
+      .filter(cos >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    fAss.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }
 }

@@ -140,6 +140,21 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q130_semdedup_incremental" -> { (s, d) =>
+      // Daily-ingest semantic dedup: every 10th vector is "today's
+      // batch" (q97's convention); centroids are trained on HISTORY
+      // only, both sides get the narrow assignment, and pairs touch the
+      // batch only — history x history never exists. Output = the fresh
+      // vectors that survive against the corpus and each other.
+      val emb = Tables.embeddings(s, d)
+      Clustering.semanticDedupIncremental(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 8, iters = 2, scale = 1000L,
+          threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+
     "q125_int8_quant" -> { (s, d) =>
       // Int8 storage quantization: per-vector max-abs scale + integer
       // codes (the 4x embedding-table shrink an ANN ingest consumes).
@@ -194,27 +209,31 @@ object SimilarityQueries extends QueryGroup {
     s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1 << j} ELSE 0 END)"
   }.mkString(" + ")
 
-  /** Shared k-means oracle prefix (q123 + q124): two unrolled Lloyd
-    * iterations over scaled-long vectors. `i2` is the final (id, cell)
-    * assignment; `v` also carries the raw doubles for cosine reuse.
+  /** Shared k-means oracle prefix (q123 + q124 + q130): two unrolled
+    * Lloyd iterations — seeds + update TRAINED on the `va` view
+    * (`trainWhere` over all rows; TRUE = classic whole-corpus fit), the
+    * final assignment `i2` over ALL rows, which is exactly
+    * Clustering.assignCells(all, kmeansCentroids(train)). `v` also
+    * carries the raw doubles for cosine reuse.
     */
-  private val KmeansCte = """
+  private def kmeansCte(trainWhere: String): String = s"""
       WITH v AS (
         SELECT CAST(vec_id AS BIGINT) AS id,
           CAST(embedding AS DOUBLE[]) AS rv,
           list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS sv
         FROM embeddings),
+      va AS (SELECT * FROM v WHERE $trainWhere),
       c AS (
         SELECT cell, cv FROM (
-          SELECT row_number() OVER (ORDER BY id) - 1 AS cell, sv AS cv FROM v) t
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cell, sv AS cv FROM va) t
         WHERE cell < 8),
       a AS (
         SELECT id, sv, cell,
           row_number() OVER (PARTITION BY id ORDER BY
             list_sum(list_transform(generate_series(1, len(sv)),
               i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), cell) AS rn
-        FROM v CROSS JOIN c),
+        FROM va CROSS JOIN c),
       i1 AS (SELECT id, sv, cell FROM a WHERE rn = 1),
       g AS (
         SELECT cell, dim, CAST(sum(x) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n
@@ -233,7 +252,29 @@ object SimilarityQueries extends QueryGroup {
         FROM v CROSS JOIN ct),
       i2 AS (SELECT id, cell FROM b WHERE rn = 1)"""
 
+  private val KmeansCte = kmeansCte("TRUE")
+
   val oracle: Map[String, String] = Map(
+    "q130_semdedup_incremental" -> s"""${kmeansCte("id % 10 <> 0")},
+      f AS (SELECT id, cell FROM i2 WHERE id % 10 = 0),
+      h AS (SELECT id, cell FROM i2 WHERE id % 10 <> 0),
+      pairs AS (
+        SELECT h.id AS id_a, f.id AS id_b, f.cell FROM h JOIN f USING (cell)
+        UNION ALL
+        SELECT fa.id AS id_a, fb.id AS id_b, fb.cell
+        FROM f fa JOIN f fb ON fa.cell = fb.cell AND fa.id < fb.id),
+      losers AS (
+        SELECT DISTINCT p.id_b
+        FROM pairs p
+        JOIN v ia ON ia.id = p.id_a
+        JOIN v ib ON ib.id = p.id_b
+        WHERE list_dot_product(ia.rv, ib.rv)
+          / (sqrt(list_dot_product(ia.rv, ia.rv))
+             * sqrt(list_dot_product(ib.rv, ib.rv))) >= 0.3)
+      SELECT id AS vec_id, cell FROM f
+      WHERE id NOT IN (SELECT id_b FROM losers)
+      ORDER BY vec_id""",
+
     "q123_kmeans" -> s"""$KmeansCte
       SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum
       FROM i2 GROUP BY cell ORDER BY cell""",

@@ -45,6 +45,23 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L)))
   }
 
+  test("incremental semanticDedup: fresh vs history + fresh-smaller only") {
+    val history = Seq(
+      (0L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.05f))). // near-parallel to id 2 — history x history
+      toDF("id", "vec")        // pairs must NOT drop it (it's history)
+    val fresh = Seq(
+      (5L, Seq(1.0f, 0.02f)),  // near id 2 in history -> dropped
+      (7L, Seq(0.0f, 2.0f)),   // parallel to history id 0 -> dropped
+      (9L, Seq(-1.0f, 1.0f)),  // far from everything -> kept
+      (11L, Seq(-1.0f, 0.9f))) // near fresh id 9 (smaller) -> dropped
+      .toDF("id", "vec")
+    val kept = Clustering.semanticDedupIncremental(history, fresh, "id", "vec",
+        k = 2, iters = 2, threshold = 0.9)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(kept == Set(9L), s"got $kept")
+  }
+
   test("native NearestCellFixed matches the HOF argmin fold, any list order") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
