@@ -278,4 +278,35 @@ class PlanSpec extends SparkSpec {
     val generates = collectAll(p).count(_.getClass.getSimpleName == "GenerateExec")
     assert(generates == 0, s"no explode in the quantization path:\n$p")
   }
+
+  test("curation pipeline (q126): gates broadcast their model tables, no cartesian") {
+    val p = plan("q126_curation_pipeline")
+    assert(countBroadcasts(p) >= 3, s"LM model tables must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("CDC chunking (q128): one token explode, bounded exchanges") {
+    val p = plan("q128_cdc_chunks")
+    val generates = collectAll(p).count(_.getClass.getSimpleName == "GenerateExec")
+    assert(generates == 1, s"exactly one posexplode expected, got $generates:\n$p")
+    assert(countShuffles(p) <= 3,
+      s"per-doc window + aggregate + sort only:\n$p")
+  }
+
+  test("epoch shuffle (q129): two-phase rank — no global-order data window") {
+    val p = plan("q129_corpus_shuffle")
+    assert(countBroadcasts(p) >= 1, s"bucket prefixes must broadcast:\n$p")
+    // the only single-partition window runs over bucket TOTALS; the data
+    // path must stay partitioned (bounded exchange count proves it)
+    assert(countShuffles(p) <= 6, s"bounded exchanges expected:\n$p")
+  }
+
+  test("incremental semdedup (q130): narrow assignment, equi-join pairs only") {
+    val p = plan("q130_semdedup_incremental")
+    val bnlj = collectAll(p)
+      .count(_.getClass.getSimpleName == "BroadcastNestedLoopJoinExec")
+    assert(bnlj >= 2, s"centroid-array folds must broadcast, got $bnlj:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"pair generation must stay a cell equi-join:\n$p")
+  }
 }
