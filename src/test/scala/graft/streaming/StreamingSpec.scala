@@ -659,6 +659,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CDC chunking: per-document op composes in foreachBatch, batch == stream") {
+    implicit val sc = spark.sqlContext
+    val a = "the quick brown fox jumps over the lazy dog tonight again"
+    val b = "rain falls softly on the quiet village roofs and nobody minds at all"
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // chunk boundaries depend only on the document itself, so each
+        // micro-batch is exactly the batch op on its slice
+        results ++= graft.operators.Dedup
+          .cdcChunks(batch, "doc_id", "text", w = 3, divisor = 4L)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+            r.getAs[Long]("chunk_hash")))
+        ()
+      }.start()
+    try {
+      input.addData((0L, a))
+      q.processAllAvailable()
+      input.addData((1L, b))
+      q.processAllAvailable()
+      val batchRun = graft.operators.Dedup
+        .cdcChunks(Seq((0L, a), (1L, b)).toDF("doc_id", "text"),
+          "doc_id", "text", w = 3, divisor = 4L)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[Long]("chunk_hash"))).toSet
+      assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
+    } finally q.stop()
+  }
+
   test("streaming LM scoring: static model composes in foreachBatch, batch == stream") {
     implicit val sc = spark.sqlContext
     val train = Seq((100L, "a b a b c")).toDF("doc_id", "text")
