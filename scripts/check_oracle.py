@@ -37,8 +37,12 @@ def normalize(rows, cols):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
+        # driver testdata ships single files; Spark-generated scale dirs
+        # (tools/GenData) are directories of part files — glob those
+        p = Path(sf_dir, f"{t}.parquet")
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failed = []
     for name in sorted(oracle):
