@@ -65,12 +65,22 @@ case class NearestCellFixed(left: Expression, right: Expression)
 
 object NearestCellFixed {
   /** Integer L2 argmin with (dist, cell) lexicographic tie-breaks.
-    * Returns -1 for an empty centroid list.
+    * Returns Long.MaxValue for an empty centroid list — the HOF fold's
+    * initial accumulator (`bc` in `Clustering.bestCellViaHof`), so the
+    * native kernel and the parity reference agree on the edge case too
+    * (spec-pinned in VectorExpressionSpec).
+    *
+    * Overflow bound: distances accumulate in a long, so the caller must
+    * keep Σᵢ(aᵢ-bᵢ)² < 2⁶³ — i.e. per-dimension |a-b| below
+    * √(2⁶³/dim) ≈ 3.0×10⁹/√dim. At the house scale=1000 that admits
+    * |x| up to ~10⁵ even at dim=1000, far beyond the unit-norm
+    * embedding contract; callers scaling raw magnitudes toward 2³¹ per
+    * element would overflow and must reduce `scale`.
     */
   def compute(vec: ArrayData, cents: ArrayData): Long = {
     val n = vec.numElements()
     var bestD = Long.MaxValue
-    var bestCell = -1L
+    var bestCell = Long.MaxValue
     var ci = 0
     val nc = cents.numElements()
     while (ci < nc) {
@@ -88,7 +98,8 @@ object NearestCellFixed {
         d += diff * diff
         i += 1
       }
-      if (bestCell == -1L || d < bestD || (d == bestD && cell < bestCell)) {
+      // Mirror the HOF fold exactly: better = d < bd || (d == bd && cell < bc).
+      if (d < bestD || (d == bestD && cell < bestCell)) {
         bestD = d
         bestCell = cell
       }

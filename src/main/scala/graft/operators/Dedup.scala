@@ -765,20 +765,37 @@ object Dedup {
     *
     * Scale shape: ONE tokenise/shingle/hash pass (narrow), collapsed to
     * per-(phrase, doc) occurrence counts; the distinct-document frequency
-    * of a phrase is then a window count over the phrase partition — no
-    * second corpus scan and no self-join. Shuffles: the (tid, doc)
-    * aggregate, the tid window, and the final per-document aggregate,
-    * all shipping 8-byte polyHash ids, never phrase strings — hash
-    * collisions affect the DuckDB oracle identically because it replays
-    * the same fold.
+    * of a phrase is a map-side-combinable groupBy(tid) aggregate joined
+    * back — NOT a window over the tid partition: a boilerplate phrase is
+    * by definition a hot key (present in ~all documents), and a window
+    * would buffer its ~n_docs rows in ONE WindowExec task, while the
+    * aggregate collapses the hot key per map task and AQE's skew-join
+    * splitting handles the join-back. No second corpus scan and no
+    * self-join. Shuffles: the (tid, doc) aggregate, the tid aggregate +
+    * join-back, and the final per-document aggregate, all shipping
+    * 8-byte polyHash ids, never phrase strings — hash collisions affect
+    * the DuckDB oracle identically because it replays the same fold.
     */
   def boilerplateStats(df: DataFrame, idCol: String, textCol: String,
                        k: Int = 5, minDocs: Int = 2): DataFrame = {
-    val occ = shingleIdsPoly(df, idCol, textCol, k = k, distinct = false)
+    // Null-id rows are excluded up front: they could never receive a
+    // stats row (the final join is on the id), and filtering HERE keeps
+    // the occ and dfreq branches byte-identical so they share one
+    // canonical exchange (the outer join infers IsNotNull(id) into only
+    // one branch otherwise, forcing a second shingle pass).
+    val occ = shingleIdsPoly(df.filter(col(idCol).isNotNull), idCol, textCol,
+        k = k, distinct = false)
       .groupBy(col("tid"), col(idCol)).agg(count(lit(1)).as("__c"))
-    // each row is a distinct (tid, doc): document frequency by window
-    val nd = count(lit(1)).over(Window.partitionBy(col("tid")))
-    val stats = occ.withColumn("__nd", nd)
+    // each row is a distinct (tid, doc): document frequency by
+    // aggregate + join-back (skew-safe; see scale shape above).
+    // sum(least(__c, 1)), not count(1): the value is identical (every
+    // row has __c >= 1) but referencing __c stops the optimizer from
+    // rewriting this branch's copy of the (tid, doc) aggregate into a
+    // bare distinct — both consumers keep ONE canonical exchange
+    // (single shingle pass, ReuseExchange; plan-pinned in PlanSpec q120).
+    val dfreq = occ.groupBy(col("tid"))
+      .agg(sum(least(col("__c"), lit(1L))).as("__nd"))
+    val stats = occ.join(dfreq, "tid")
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_phrases"),
         sum(when(col("__nd") >= minDocs, col("__c")).otherwise(0L)).as("n_boiler"))

@@ -18,9 +18,18 @@ import org.apache.spark.sql.functions._
   * the house determinism rule for cross-group sums.
   *
   * Scale shape: the model is vocabulary-bounded (|V|² worst case, far
-  * smaller in practice) — both count tables BROADCAST. The corpus side is
-  * one narrow position-explode; the only wide exchange is the final
-  * per-document aggregate, which ships (id, three longs).
+  * smaller in practice) — both count tables broadcast WHEN SMALL. The
+  * broadcast is guarded, not assumed: the bigram table is counted first
+  * (one cheap action over the train slice — model-fit work, the same
+  * class as the IVF/PQ fit utilities), and a model above
+  * `maxBroadcastModelRows` falls back to shuffle joins instead of
+  * silently building a driver-OOM broadcast. No persist: a cached model
+  * would leak executor memory across long sessions, and Catalyst's
+  * exchange reuse already shares the aggregate between the bigram and
+  * prefix tables.
+  * The corpus side is one narrow position-explode; with a small model
+  * the only wide exchange is the final per-document aggregate, which
+  * ships (id, three longs).
   */
 object LmScore {
 
@@ -41,19 +50,33 @@ object LmScore {
     * `train`. Output per document: bigram count, out-of-vocabulary bigram
     * count (pairs never seen in training), the summed integer score, and
     * its per-bigram integer mean. Documents with < 2 tokens score 0.
+    *
+    * `maxBroadcastModelRows` is the broadcast guard: a bigram table at
+    * or under it is broadcast (the intended held-in-slice shape); above
+    * it the model joins by shuffle-hash instead — same answer, no
+    * unbounded driver broadcast. The vocabulary-size scalar (one row)
+    * is always broadcast.
     */
   def bigramScores(corpus: DataFrame, train: DataFrame, idCol: String,
-                   textCol: String, scale: Long = 1000000L): DataFrame = {
+                   textCol: String, scale: Long = 1000000L,
+                   maxBroadcastModelRows: Long = 2000000L): DataFrame = {
     val cb = bigramPairs(train, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val small = cb.count() <= maxBroadcastModelRows
     // Prefix counts derived FROM the bigram table (c(w1,·) = how often w1
     // opens a bigram) — the standard conditional denominator.
     val cu = cb.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val vocab = train.select(explode(split(col(textCol), " ")).as("__t"))
       .agg(countDistinct(col("__t")).as("vs"))
-    val scored = bigramPairs(corpus, idCol, textCol)
-      .join(broadcast(cb), Seq("w1", "w2"), "left")
-      .join(broadcast(cu), Seq("w1"), "left")
+    val pairs = bigramPairs(corpus, idCol, textCol)
+    val modeled =
+      if (small)
+        pairs.join(broadcast(cb), Seq("w1", "w2"), "left")
+          .join(broadcast(cu), Seq("w1"), "left")
+      else
+        pairs.join(cb.hint("shuffle_hash"), Seq("w1", "w2"), "left")
+          .join(cu.hint("shuffle_hash"), Seq("w1"), "left")
+    val scored = modeled
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         when(col("cb").isNull, 1L).otherwise(0L).as("__oov"),

@@ -20,18 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Per-document packing positions over `orderCol` (a NUMERIC id that
+  /** Per-document packing positions over `orderCol` (an INTEGRAL id that
     * defines the concatenation order and the bucketing: bucket =
-    * orderCol / bucketWidth — contiguity is not required, monotonicity
-    * is). Output: one row per input row with
+    * floorDiv(orderCol, bucketWidth) — contiguity is not required,
+    * monotonicity is). Output: one row per input row with
     * (orderCol, n_tokens, start_off, first_bin, last_bin).
+    *
+    * Zero-token documents get last_bin == first_bin (the bin their
+    * start offset falls in — they occupy no tokens but still carry a
+    * position), the same clamp the streaming counterpart
+    * [[graft.streaming.PackingProcessor]] applies; batch == stream on
+    * every row, zero-token rows included (StreamingSpec parity pin).
     */
   def packPositions(df: DataFrame, orderCol: String, nTokensCol: String,
                     capacity: Long, bucketWidth: Long = 100000L): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
+    // Exact integer floor-div for the bucket id: a double cast loses
+    // precision beyond 2^53 (64-bit hash-derived order keys), which
+    // could place edge rows in the wrong bucket and corrupt the prefix
+    // sum. pmod keeps the floor semantics for negative keys.
     val base = df.select(col(orderCol),
         col(nTokensCol).cast("long").as("__n"))
-      .withColumn("__b", floor(col(orderCol).cast("double") / bucketWidth).cast("long"))
+      .withColumn("__b",
+        expr(s"(CAST($orderCol AS BIGINT) - pmod(CAST($orderCol AS BIGINT), " +
+          s"${bucketWidth}L)) div ${bucketWidth}L"))
     // Phase 1: cumsum within each bucket (parallel over buckets).
     val inBucket = Window.partitionBy(col("__b")).orderBy(col(orderCol))
     val local = base.withColumn("__cum_in", sum(col("__n")).over(inBucket))
@@ -46,9 +58,11 @@ object Packing {
     local.join(broadcast(prefixes), "__b")
       .select(col(orderCol), col("__n").as("n_tokens"),
         (col("__pre") + col("__cum_in") - col("__n")).as("start_off"))
-      .withColumn("first_bin", floor(col("start_off") / capacity).cast("long"))
+      // Integer div throughout (start_off >= 0, so truncation == floor):
+      // double division would lose exactness past 2^53 total tokens.
+      .withColumn("first_bin", expr(s"start_off div ${capacity}L"))
       .withColumn("last_bin",
-        floor((col("start_off") + col("n_tokens") - 1) / capacity).cast("long"))
+        expr(s"(start_off + greatest(n_tokens, 1L) - 1L) div ${capacity}L"))
   }
 
   /** Per-bin packing summary: how many documents overlap each bin, how

@@ -235,11 +235,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("boilerplate (q120): one shingle pass — a single Generate, no self-join") {
-    val p = plan("q120_boilerplate")
-    val generates = collectAll(p).count(_.getClass.getSimpleName == "GenerateExec")
-    assert(generates == 1, s"expected exactly one shingle explode, got $generates:\n$p")
-    assert(countShuffles(p) <= 5, s"bounded exchanges expected:\n$p")
+  test("boilerplate (q120): one shingle pass at runtime, no window, no self-join") {
+    val df = SparkEntry.queries("q120_boilerplate")(spark, dir)
+    df.collect() // finalize the adaptive plan so stage reuse is visible
+    val p = df.queryExecution.executedPlan
+    val s = p.toString
+    // phrase document-frequency must be an aggregate + join-back, never a
+    // window over the tid partition: a boilerplate phrase IS a hot key,
+    // and a window would buffer ~n_docs rows in one task
+    assert(!s.contains("Window"),
+      s"skew-unsafe window in the phrase-frequency path:\n$s")
+    // the occ and dfreq branches are canonically identical up to the
+    // (tid, doc) exchange, so AQE must REUSE that stage — exactly one
+    // shingle explode executes even though two appear pre-runtime
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage"),
+      s"dfreq branch must reuse the occ exchange (one shingle pass):\n$s")
+  }
+
+  test("vocab coverage (q127): bounded top-N cut — no full-vocabulary window") {
+    val p = plan("q127_vocab_coverage")
+    val all = collectAll(p)
+    // the global cut must be a distributed bounded heap, not a sort
+    assert(all.exists(_.getClass.getSimpleName == "TakeOrderedAndProjectExec"),
+      s"top-N must plan as TakeOrderedAndProject:\n$p")
+    // every window (the rank/cumsum pass) must sit ABOVE the top-N cut,
+    // i.e. see <= topN rows — mirror of the q129 bucket-totals pin
+    def subtreeHasLimit(n: SparkPlan): Boolean =
+      collectAll(n).exists(c =>
+        c.getClass.getSimpleName == "TakeOrderedAndProjectExec" ||
+          c.getClass.getSimpleName.startsWith("GlobalLimit"))
+    val badWindows = all.filter(_.getClass.getSimpleName == "WindowExec")
+      .filterNot(w => w.children.forall(subtreeHasLimit))
+    assert(badWindows.isEmpty,
+      s"window over unbounded (vocabulary-sized) input:\n$badWindows")
   }
 
   test("sequence packing (q121): bucket prefixes broadcast, bounded exchanges") {

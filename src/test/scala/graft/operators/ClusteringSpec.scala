@@ -89,6 +89,19 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("NearestCellFixed on an empty centroid list equals the HOF fold's init") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((0L, Seq(1L, 2L))).toDF("id", "v")
+      .withColumn("cents",
+        array().cast("array<struct<cell:bigint,cv:array<bigint>>>"))
+    val r = df.select(
+        Clustering.bestCell(col("v"), col("cents")).as("native"),
+        Clustering.bestCellViaHof(col("v"), col("cents")).as("hof"))
+      .collect().head
+    assert(r.getAs[Long]("native") == Long.MaxValue)
+    assert(r.getAs[Long]("native") == r.getAs[Long]("hof"))
+  }
+
   test("scaleVector computes floor(x*scale + 0.5) exactly") {
     // binary-exact inputs so the expectation is unambiguous:
     // 0.5*2+0.5=1.5 -> 1; -0.5*2+0.5=-0.5 -> -1; 0.25*2+0.5=1.0 -> 1

@@ -47,4 +47,20 @@ class LmScoreSpec extends SparkSpec {
     assert(r.getAs[Long]("n_oov") == 1L)
     assert(r.getAs[Long]("score_sum") == 200000L)
   }
+
+  test("oversized model falls back to shuffle joins with identical scores") {
+    val train = Seq((100L, "a b a b c"), (101L, "c d e a b")).toDF("id", "text")
+    val corpus = Seq((0L, "a b c d"), (1L, "e a"), (2L, "x")).toDF("id", "text")
+    val guarded = LmScore.bigramScores(corpus, train, "id", "text",
+      maxBroadcastModelRows = 0L) // force the fallback
+    // the model count tables must NOT be broadcast-hash-joined (the
+    // one-row vocab scalar still rides a broadcast nested-loop cross)
+    val bhj = guarded.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isEmpty, s"model broadcast despite guard: $bhj")
+    val expected = LmScore.bigramScores(corpus, train, "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(guarded.orderBy("id").collect().toSeq == expected)
+  }
 }

@@ -48,12 +48,32 @@ class PackingSpec extends SparkSpec {
   }
 
   test("zero-token rows occupy no bin but keep their offset") {
-    val withEmpty = Seq((0L, 10L), (1L, 0L), (2L, 10L)).toDF("doc_id", "n")
+    val withEmpty = Seq((0L, 0L), (1L, 10L), (2L, 0L), (3L, 10L))
+      .toDF("doc_id", "n")
     val pos = Packing.packPositions(withEmpty, "doc_id", "n", 8L, 2L)
       .orderBy("doc_id").collect()
-    assert(pos.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 10L, 10L))
+    assert(pos.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 0L, 10L, 10L))
+    // zero-token rows: last_bin clamps to first_bin (== the bin of the
+    // start offset), including the doc at offset 0 — the streaming
+    // processor's formula, pinned identical here
+    for (r <- Seq(pos(0), pos(2))) {
+      assert(r.getAs[Long]("first_bin") == r.getAs[Long]("last_bin"))
+      assert(r.getAs[Long]("first_bin") == r.getAs[Long]("start_off") / 8L)
+    }
     val bins = Packing.packBins(withEmpty, "doc_id", "n", 8L, 2L)
       .agg(sum("n_tokens")).as[Long].head()
     assert(bins == 20L)
+  }
+
+  test("bucket ids use exact integer floor-div: 2^53+ and negative order keys") {
+    // beyond 2^53 a double cast can no longer represent adjacent longs,
+    // so bucket edges computed via doubles would misplace rows; pmod
+    // keeps floor semantics for negative keys
+    val big = Seq(
+      (-7L, 3L), (-1L, 2L),
+      ((1L << 53) + 1L, 5L), ((1L << 53) + 2L, 4L)).toDF("doc_id", "n")
+    val pos = Packing.packPositions(big, "doc_id", "n", 4L, bucketWidth = 2L)
+      .orderBy("doc_id").collect()
+    assert(pos.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 3L, 5L, 10L))
   }
 }

@@ -39,4 +39,28 @@ class SkewSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("boilerplateStats: one phrase planted in every document (hot tid)") {
+    // The op's own target case: a phrase occurring in ~all documents is
+    // the hottest possible tid key. The phrase document-frequency must
+    // be an aggregate + join-back (map-side partials collapse the hot
+    // key; AQE splits the join), never a window over the tid partition.
+    val docs = (0L until 2000L)
+      .map(i => (i, s"common phrase shared by all docs u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val out = Dedup.boilerplateStats(docs, "doc_id", "text", k = 5, minDocs = 1000)
+    val windows = out.queryExecution.executedPlan.toString
+    assert(!windows.contains("Window"),
+      s"hot-key phrase frequency must not plan a window:\n$windows")
+    val rows = out.collect()
+    assert(rows.length == 2000)
+    // 10 tokens -> 6 five-grams per doc; exactly 2 of them ("common
+    // phrase shared by all" / "phrase shared by all docs") occur in all
+    // 2000 documents, the other 4 contain unique tokens
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_phrases") == 6L)
+      assert(r.getAs[Long]("n_boiler") == 2L)
+      assert(math.abs(r.getAs[Double]("boiler_frac") - 2.0 / 6.0) < 1e-15)
+    }
+  }
 }

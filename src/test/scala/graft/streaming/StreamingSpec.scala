@@ -634,15 +634,17 @@ class StreamingSpec extends SparkSpec {
       val q = packed.writeStream.format("memory").queryName("pack_stream")
         .outputMode("update").start()
       try {
-        input.addData((0L, 0L, 7L), (1L, 1L, 5L), (0L, 2L, 6L))
+        // shard 2 leads with a ZERO-token doc at offset 0 — the edge
+        // where batch and stream lastBin formulas previously diverged
+        input.addData((0L, 0L, 7L), (1L, 1L, 5L), (0L, 2L, 6L), (2L, 9L, 0L))
         q.processAllAvailable()
-        input.addData((0L, 4L, 9L), (1L, 3L, 2L))
+        input.addData((0L, 3L, 0L), (0L, 4L, 9L), (1L, 3L, 2L))
         q.processAllAvailable()
         val stream = spark.table("pack_stream")
           .as[(Long, Long, Long, Long, Long)].collect().toSet
         // batch reference: Packing.packPositions per shard on the union
-        val union = Seq((0L, 0L, 7L), (0L, 2L, 6L), (0L, 4L, 9L),
-          (1L, 1L, 5L), (1L, 3L, 2L))
+        val union = Seq((0L, 0L, 7L), (0L, 2L, 6L), (0L, 3L, 0L), (0L, 4L, 9L),
+          (1L, 1L, 5L), (1L, 3L, 2L), (2L, 9L, 0L))
         val batch = union.groupBy(_._1).flatMap { case (shard, docs) =>
           graft.operators.Packing.packPositions(
               docs.map { case (_, id, n) => (id, n) }.toDF("doc_id", "n"),
