@@ -43,6 +43,18 @@ def main(sf_dir, out_dir):
         src = f"{p}/*.parquet" if p.is_dir() else str(p)
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
+        if t == "events":
+            # driver files carry timestamp[ns]; tools/GenData writes raw
+            # int64 nanos (mirroring Spark's nanosAsLong read path) —
+            # normalize to TIMESTAMP with the same ns->us truncation as
+            # Tables.events (timestamp_micros(ts div 1000))
+            (ts_type,) = [r[1] for r in con.execute(
+                "DESCRIBE events").fetchall() if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) "
+                    f"FROM read_parquet('{src}')")
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failed = []
     for name in sorted(oracle):

@@ -15,6 +15,24 @@ import org.apache.spark.sql.functions._
   * seconds on local[32]. `events.ts` is written as int64 NANOSECONDS to
   * mirror the driver files' timestamp[ns] physical type through
   * `Tables.events`' ns→us fixup.
+  *
+  * A third argument `skew` opts into planted hot keys (the stress
+  * fixtures VERDICT r4 asked for — uniform synthetic data never
+  * exercises the skew paths):
+  *   - events: ONE user (id 7) owns ~20% of all events (sessionize /
+  *     sequence-window stress);
+  *   - documents: every document carries the same 5-token boilerplate
+  *     banner (the hottest possible phrase id for boilerplateStats) and
+  *     a single token repeated so it makes up ~30% of the whole token
+  *     stream (heavy-hitter / vocabulary-coverage stress).
+  *
+  * Independent of `skew`, ~1-in-500 embedding vectors are "semantic
+  * outliers": near-one-hot on a per-outlier-unique dimension, so they
+  * sit far (cosine << 0.3) from every cluster direction. Their ids are
+  * multiples of 500, hence of 10 — they land in the FRESH slice of the
+  * incremental-SemDeDup convention (q97/q130: id % 10 = 0) and survive
+  * dedup, keeping the q130 scale check non-trivial at every scale
+  * (VERDICT r4 #5: the r4 sf1 run was green on an empty answer).
   */
 object GenData {
 
@@ -26,6 +44,7 @@ object GenData {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val scale = if (args.length > 1) args(1).toInt else 10 // ×sf0.1
+    val skew = args.length > 2 && args(2) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -144,8 +163,14 @@ object GenData {
     save(ids(nEv, "event_id").select(col("event_id"),
       (epochNs + pmod(h(col("event_id"), lit(27)), lit(30L * 86400)) * 1000000000L +
         pmod(h(col("event_id"), lit(28)), lit(1000000000L))).as("ts"),
-      // square a uniform to concentrate events on low user ids (hot users)
-      (pow(u(col("event_id"), lit(29)), 2.0) * nUsers).cast("long")
+      // square a uniform to concentrate events on low user ids (hot
+      // users); under `skew`, user 7 additionally owns ~20% of ALL
+      // events — the single-partition stress for per-user windows
+      (if (skew)
+        when(u(col("event_id"), lit(40)) < 0.2, lit(7L))
+          .otherwise((pow(u(col("event_id"), lit(29)), 2.0) * nUsers).cast("long"))
+      else
+        (pow(u(col("event_id"), lit(29)), 2.0) * nUsers).cast("long"))
         .as("user_id"),
       pick(evTypes, col("event_id"), lit(30)).as("event_type"),
       round(pow(u(col("event_id"), lit(31)), 3.0) * 560.0, 2).as("value"),
@@ -173,21 +198,41 @@ object GenData {
         when(pmod(col("doc_id"), lit(20)) === 19 &&
              pmod(col("doc_id"), lit(50)) =!= 49,
           concat(col("body"), lit(" extra"))).otherwise(col("body")))
+      // skew: a corpus-wide boilerplate banner (one phrase id in EVERY
+      // document) + one token at ~30% of the token stream (28 repeats
+      // vs ~65 body tokens)
+      .withColumn("text",
+        if (skew)
+          concat(col("text"), lit(" banner tokens repeated across corpus "),
+            array_join(array_repeat(lit("hotword"), 28), " "))
+        else col("text"))
     save(base.select(col("doc_id"), col("text"),
       pick(langs, col("seed_id"), lit(35)).as("lang"),
       concat(lit("src"), pmod(h(col("seed_id"), lit(36)), lit(20L))).as("source"),
       length(col("text")).cast("long").as("n_chars")), "documents")
 
-    // embeddings: 64-dim floats around 10 well-separated label centroids
+    // embeddings: 64-dim floats around 10 well-separated label centroids;
+    // vec_id % 500 == 0 are semantic OUTLIERS — near-one-hot on a
+    // per-outlier-unique dimension (8.0 on dim (vec_id/500) mod 64, tiny
+    // hash noise elsewhere), so cosine vs any cluster vector stays well
+    // under the 0.3 SemDeDup threshold and, being multiples of 10, they
+    // survive the q130 fresh-batch dedup at every scale
     val nVec = 2000L * scale
+    val isOutlier = pmod(col("vec_id"), lit(500L)) === 0
+    val hotDim = pmod(expr("vec_id div 500"), lit(64L)).cast("int")
     save(ids(nVec, "vec_id")
       .withColumn("label", pmod(h(col("vec_id"), lit(37)), lit(10L)).cast("int"))
       .select(col("vec_id"),
         transform(sequence(lit(0), lit(63)), d =>
-          ((pmod(h(col("label"), d, lit(38)), lit(2000L)).cast("double") / 1000.0
-            - 1.0) +
-           (pmod(h(col("vec_id"), d, lit(39)), lit(400L)).cast("double") / 1000.0
-            - 0.2)).cast("float")).as("embedding"),
+          when(isOutlier,
+            when(d === hotDim, lit(8.0))
+              .otherwise(pmod(h(col("vec_id"), d, lit(41)), lit(40L))
+                .cast("double") / 1000.0 - 0.02))
+          .otherwise(
+            (pmod(h(col("label"), d, lit(38)), lit(2000L)).cast("double") / 1000.0
+              - 1.0) +
+            (pmod(h(col("vec_id"), d, lit(39)), lit(400L)).cast("double") / 1000.0
+              - 0.2)).cast("float")).as("embedding"),
         col("label")), "embeddings")
 
     println(s"[gendata] done -> $outDir (scale ${scale}x sf0.1)")
