@@ -2,16 +2,20 @@ package graft.functions
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Pure-JVM decoders for UNCOMPRESSED media containers — real decode paths
-  * for the multimodal column conventions (SURVEY.md §2 B18). RIFF/WAV PCM
-  * and BMP are byte-layout formats needing no codec library, so this much
-  * of the decode surface is genuinely implemented; compressed codecs
-  * (JPEG/MP3/H.264) remain behind the honest stub
-  * ([[graft.operators.Multimodal.fakeDecode]]) until the image ships
-  * codec libs.
+/** Pure-JVM decoders for the multimodal column conventions (SURVEY.md §2
+  * B18). Three genuinely-implemented tiers:
+  *   - RIFF/WAV PCM and BMP: byte-layout formats, hand-parsed — no
+  *     library at all;
+  *   - JPEG and PNG: decoded via the JDK's own `javax.imageio` codecs
+  *     (part of every standard JDK, headless-safe — verified working in
+  *     this container), so "compressed image" is a REAL decode path;
+  *   - MP3/H.264 and other A/V codecs: still behind the honest stub
+  *     ([[graft.operators.Multimodal.fakeDecode]]) — the JDK ships no
+  *     decoder for them and the container has no codec libs.
   *
   * Everything here is a pure function of the payload bytes — safe inside
-  * `mapPartitions` with zero per-row setup, deterministic across runs.
+  * `mapPartitions` with zero per-row setup, deterministic across runs
+  * (a fixed JDK decodes fixed bytes to fixed pixels).
   */
 object MediaCodecs {
 
@@ -24,6 +28,13 @@ object MediaCodecs {
   /** Decoded BMP: dimensions + mean channel values (feature extraction). */
   final case class BmpMeta(
       width: Int, height: Int, bitsPerPixel: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+  /** Decoded compressed image (JPEG/PNG via the JDK codec): format tag,
+    * dimensions, mean channel values.
+    */
+  final case class ImgMeta(
+      format: String, width: Int, height: Int,
       meanR: Double, meanG: Double, meanB: Double)
 
   private def le(b: Array[Byte]): ByteBuffer =
@@ -119,6 +130,55 @@ object MediaCodecs {
     }
     val n = width.toDouble * height
     Some(BmpMeta(width, height, bpp, sr / n, sg / n, sb / n))
+  }
+
+  // javax.imageio needs no display, but force headless up front so a
+  // misconfigured DISPLAY env can never make executor JVMs try X11
+  private lazy val headless: Unit = {
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+  }
+
+  private def looksJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  private def looksPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G'
+
+  /** Decode a JPEG or PNG payload with the JDK's built-in `javax.imageio`
+    * codec; None when the magic bytes match neither format or the stream
+    * is corrupt. Deterministic: a fixed JDK decodes fixed bytes to fixed
+    * pixels (golden-byte case in MediaCodecsSpec).
+    */
+  def decodeImage(bytes: Array[Byte]): Option[ImgMeta] = {
+    val fmt =
+      if (looksJpeg(bytes)) "jpeg"
+      else if (looksPng(bytes)) "png"
+      else return None
+    headless
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        var (sr, sg, sb2) = (0.0, 0.0, 0.0)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb2 += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = img.getWidth.toDouble * img.getHeight
+        Some(ImgMeta(fmt, img.getWidth, img.getHeight, sr / n, sg / n, sb2 / n))
+      }
+    } catch { case _: Exception => None }
   }
 
   /** Nearest-neighbor downscale of a decoded BMP to at most

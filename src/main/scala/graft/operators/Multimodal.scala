@@ -10,14 +10,14 @@ import org.apache.spark.sql.functions._
   * parquet/object storage, metadata queryable without touching bytes).
   *
   * Decode coverage is split honestly: UNCOMPRESSED formats (RIFF/WAV PCM,
-  * BMP) are REALLY decoded — pure byte layouts, no codec library needed
+  * BMP) are hand-parsed byte layouts, and COMPRESSED images (JPEG/PNG)
+  * are really decoded too, via the JDK's own `javax.imageio` codecs
   * ([[graft.functions.MediaCodecs]], dispatched by [[decodeMedia]] on
-  * magic bytes) — while compressed codecs (JPEG/MP3/H.264), whose
-  * libraries are not in this container, fall back to the deterministic
-  * stub [[fakeDecode]]. The Spark-side plumbing is real throughout:
-  * schema, encoder, partition-wise `mapPartitions` (one codec init per
-  * partition, the shape a JNI decoder needs), and frame sampling as an
-  * expression.
+  * magic bytes). Only A/V codecs the JDK lacks (MP3/H.264) fall back to
+  * the deterministic stub [[fakeDecode]]. The Spark-side plumbing is
+  * real throughout: schema, encoder, partition-wise `mapPartitions`
+  * (one codec init per partition, the shape a JNI decoder needs), and
+  * frame sampling as an expression.
   */
 object Multimodal {
 
@@ -58,11 +58,11 @@ object Multimodal {
       mean_r: Double, mean_g: Double, mean_b: Double)
 
   /** Real decode where the bytes allow it — RIFF/WAV PCM and uncompressed
-    * BMP are pure byte layouts ([[graft.functions.MediaCodecs]], no codec
-    * library needed) — with the deterministic stub as the fallback for
-    * compressed formats this container cannot decode. Partition-wise like
-    * [[decode]]; dispatch is on the payload's magic bytes, not the
-    * claimed `kind` (data lakes lie).
+    * BMP are pure byte layouts, JPEG/PNG go through the JDK's built-in
+    * `javax.imageio` codec ([[graft.functions.MediaCodecs]]) — with the
+    * deterministic stub as the fallback only for A/V codecs the JDK
+    * lacks (MP3/H.264). Partition-wise like [[decode]]; dispatch is on
+    * the payload's magic bytes, not the claimed `kind` (data lakes lie).
     */
   def decodeMedia(records: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import records.sparkSession.implicits._
@@ -80,11 +80,17 @@ object Multimodal {
               DecodedMedia(r.media_id, r.kind, len, "bmp",
                 b.width.toLong, b.height.toLong, 1L, 0L, 0.0, 0.0, 0.0,
                 b.meanR, b.meanG, b.meanB)
-            case None =>
-              val f = fakeDecode(r)
-              DecodedMedia(r.media_id, r.kind, len, "stub",
-                f.width, f.height, f.n_frames, 0L, 0.0, 0.0, 0.0,
-                0.0, 0.0, 0.0)
+            case None => MediaCodecs.decodeImage(r.payload) match {
+              case Some(i) =>
+                DecodedMedia(r.media_id, r.kind, len, i.format,
+                  i.width.toLong, i.height.toLong, 1L, 0L, 0.0, 0.0, 0.0,
+                  i.meanR, i.meanG, i.meanB)
+              case None =>
+                val f = fakeDecode(r)
+                DecodedMedia(r.media_id, r.kind, len, "stub",
+                  f.width, f.height, f.n_frames, 0L, 0.0, 0.0, 0.0,
+                  0.0, 0.0, 0.0)
+            }
           }
         }
       }

@@ -96,6 +96,78 @@ class MediaCodecsSpec extends SparkSpec {
     }
   }
 
+  // A fixed 4x4 JPEG (x-ramp red, y-ramp green, blue=200) produced once
+  // with this container's JDK encoder — the golden-byte case for the
+  // compressed-image decode path. The pinned means are exact /16 binary
+  // doubles from this exact byte stream under this JDK's libjpeg port.
+  private val goldenJpegHex =
+    "ffd8ffe000104a46494600010200000100010000ffdb004300080606070605080707" +
+    "070909080a0c140d0c0b0b0c1912130f141d1a1f1e1d1a1c1c20242e2720222c231c" +
+    "1c2837292c30313434341f27393d38323c2e333432ffdb0043010909090c0b0c180d" +
+    "0d1832211c2132323232323232323232323232323232323232323232323232323232" +
+    "3232323232323232323232323232323232323232323232ffc0001108000400040301" +
+    "2200021101031101ffc4001f00000105010101010101000000000000000001020304" +
+    "05060708090a0bffc400b5100002010303020403050504040000017d010203000411" +
+    "05122131410613516107227114328191a1082342b1c11552d1f02433627282090a16" +
+    "1718191a25262728292a3435363738393a434445464748494a535455565758595a63" +
+    "6465666768696a737475767778797a838485868788898a9293949596979899" +
+    "9aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7" +
+    "d8d9dae1e2e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9faffc4001f01000301010101" +
+    "01010101010000000000000102030405060708090a0bffc400b51100020102040403" +
+    "040705040400010277000102031104052131061241510761711322328108144291a1" +
+    "b1c109233352f0156272d10a162434e125f11718191a262728292a35363738393a43" +
+    "4445464748494a535455565758595a636465666768696a737475767778797a828384" +
+    "85868788898a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6b7b8b9bac2" +
+    "c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae2e3e4e5e6e7e8e9eaf2f3f4f5f6f7f8f9" +
+    "faffda000c03010002110311003f00ea749f0a691fd9f1ff00a3d14515d956b54e77" +
+    "ef3fbce8c0e22afd5a9fbcf65d59ffd9"
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("golden JPEG bytes decode via the JDK codec to pinned pixel means") {
+    val m = MediaCodecs.decodeImage(hexBytes(goldenJpegHex)).get
+    assert(m.format == "jpeg" && m.width == 4 && m.height == 4)
+    assert(m.meanR == 113.3125 && m.meanG == 121.8125 && m.meanB == 200.8125)
+    // decoding is a pure function of the bytes
+    assert(MediaCodecs.decodeImage(hexBytes(goldenJpegHex)).get == m)
+  }
+
+  test("PNG encode/decode round-trip is lossless") {
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, ((x * 80) << 16) | ((y * 100) << 8) | 40)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val m = MediaCodecs.decodeImage(bos.toByteArray).get
+    assert(m.format == "png" && m.width == 3 && m.height == 2)
+    assert(m.meanR == (0 + 80 + 160) * 2 / 6.0)
+    assert(m.meanG == (0 + 100) * 3 / 6.0)
+    assert(m.meanB == 40.0)
+  }
+
+  test("decodeImage rejects corrupt streams and foreign magics") {
+    // JPEG magic followed by garbage -> decoder fails -> None
+    assert(MediaCodecs.decodeImage(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) ++
+        Array.fill[Byte](200)(0)).isEmpty)
+    // MP3-ish magic (ID3 tag): no JDK codec -> None (stays an honest stub)
+    assert(MediaCodecs.decodeImage("ID3abcdefgh".getBytes("US-ASCII")).isEmpty)
+    assert(MediaCodecs.decodeImage(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeMedia tags JPEG payloads with the real imageio path (Spark)") {
+    val recs = Seq(
+      Multimodal.MediaRecord(10L, "image", hexBytes(goldenJpegHex)),
+      Multimodal.MediaRecord(11L, "audio", "ID3andthensomegarbage".getBytes("US-ASCII"))
+    ).toDS()
+    val out = Multimodal.decodeMedia(recs).collect().map(d => d.media_id -> d).toMap
+    assert(out(10L).decoder == "jpeg" && out(10L).width == 4 &&
+      out(10L).height == 4 && out(10L).mean_b == 200.8125)
+    assert(out(11L).decoder == "stub")
+  }
+
   test("decodeMedia dispatches on magic bytes with stub fallback (Spark path)") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wavBytes(Array.fill[Short](100)(1000), 8000)),
