@@ -107,6 +107,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "misra_gries(item, k) takes a string column and an int literal k")
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_build"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BloomBuildAgg].getName, "bloom_build"),
+      (children: Seq[Expression]) => children match {
+        case Seq(v, Literal(logBits: Int, _), Literal(k: Int, _)) =>
+          graft.functions.expressions.BloomBuildAgg(v, logBits, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_build(id, logBits, numHashes) takes a bigint column and two int literals")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) => children match {
+        case Seq(b, v, Literal(k: Int, _)) =>
+          graft.functions.expressions.BloomMightContain(b, v, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(blob, id, numHashes) takes a binary column, a bigint column, and an int literal")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("fixed_point_vector_sum"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.FixedPointVectorSum].getName,

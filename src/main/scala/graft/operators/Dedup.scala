@@ -496,6 +496,53 @@ object Dedup {
         (coalesce(col("__n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Bloom-gated decontamination — [[contaminationStats]] for when the
+    * benchmark/eval shingle set is too large to broadcast RAW: build a
+    * compact Bloom bitset over the bench shingle ids with one mergeable
+    * aggregate ([[graft.functions.expressions.BloomBuildAgg]] — each
+    * partition fills a local bitset, partials merge by OR), broadcast
+    * the blob (2^logBits bits: 512 KiB at the default 22 — ~4 orders of
+    * magnitude smaller than the id set), prefilter the corpus shingle
+    * stream NARROWLY with the codegen'd probe, and exact-verify the
+    * survivors against the bench ids.
+    *
+    * The output is EXACT — identical to [[contaminationStats]], and
+    * oracle-checked against the same SQL (q131 vs q116's oracle): Bloom
+    * false positives die in the verify join, false negatives cannot
+    * exist. The bloom only shrinks the wide join's probe side from the
+    * whole corpus shingle stream to ~(true hits + fpp·stream) rows, so
+    * the verify join is deliberately UNHINTED: at bench sets worth this
+    * operator it is a shuffle join whose probe side the bloom just made
+    * tiny (AQE still broadcasts when small).
+    */
+  def contaminationStatsBloom(corpus: DataFrame, bench: DataFrame,
+                              idCol: String, textCol: String, k: Int = 8,
+                              logBits: Int = 22, numHashes: Int = 5): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val corpusIds = shingleIdsPoly(corpus, idCol, textCol, k, distinct = false)
+    val benchIds = shingleIdsPoly(bench, idCol, textCol, k)
+      .select(col("tid")).distinct()
+    val bloomAgg = ColumnBridge.column(
+      graft.functions.expressions.BloomBuildAgg(
+          ColumnBridge.expression(col("tid")), logBits, numHashes)
+        .toAggregateExpression())
+    val bloom = benchIds.agg(bloomAgg.as("__bloom"))
+    def mightContain = ColumnBridge.column(
+      graft.functions.expressions.BloomMightContain(
+        ColumnBridge.expression(col("__bloom")),
+        ColumnBridge.expression(col("tid")), numHashes))
+    val prefiltered = corpusIds.crossJoin(broadcast(bloom))
+      .filter(mightContain)
+      .select(col(idCol), col("tid"))
+    val hits = prefiltered.join(benchIds, "tid") // exact verify: FPs die here
+      .groupBy(col(idCol)).agg(countDistinct(col("tid")).as("__n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__n_shared"), lit(0L)).as("n_shared_ngrams"),
+        (coalesce(col("__n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Connected components over an undirected pair graph by min-label
     * propagation: every node ends with the smallest id in its component.
     * Each iteration is one shuffle join + aggregate (fully distributed);

@@ -185,6 +185,22 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q131_bloom_decontamination" -> { (s, d) =>
+      // The at-scale form of q116: the bench shingle-id set is summarized
+      // into a 2^16-bit Bloom blob by one mergeable aggregate, the corpus
+      // shingle stream is prefiltered by the codegen'd probe, and only
+      // the survivors meet the exact verify join. Same EXACT output as
+      // q116 under q116's oracle — false positives die in the verify,
+      // false negatives are impossible — so the hash match proves the
+      // whole bloom path end-to-end.
+      val docs = Tables.documents(s, d)
+      Dedup.contaminationStatsBloom(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 4, logBits = 16, numHashes = 5)
+        .orderBy(col("doc_id"))
+    },
+
     "q118_corpus_pipeline" -> { (s, d) =>
       // The whole training-corpus prep chain in one oracle-checked query:
       // clean (native kernel) -> quality gate (cleaned token count) ->
@@ -408,29 +424,12 @@ object DedupQueries extends QueryGroup {
           ORDER BY r3.doc_id""")
     },
 
-    "q116_decontamination" -> s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      sh AS (
-        SELECT doc_id, array_to_string(l[i:i+3], ' ') AS shingle
-        FROM t, unnest(generate_series(1, greatest(len(l) - 3, 0))) AS u(i)),
-      ids AS (
-        SELECT DISTINCT doc_id,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(string_split(shingle, ''),
-              x -> CAST(unicode(x) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % $M) AS tid
-        FROM sh),
-      bench AS (SELECT DISTINCT tid FROM ids WHERE doc_id % 50 = 0),
-      corpus AS (SELECT doc_id, tid FROM ids WHERE doc_id % 50 <> 0),
-      hits AS (
-        SELECT doc_id, count(*) AS n_shared
-        FROM corpus JOIN bench USING (tid) GROUP BY doc_id)
-      SELECT d.doc_id,
-        CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
-        coalesce(h.n_shared, 0) > 0 AS contaminated
-      FROM documents d LEFT JOIN hits h USING (doc_id)
-      WHERE d.doc_id % 50 <> 0
-      ORDER BY d.doc_id""",
+    "q116_decontamination" -> decontaminationSql,
+
+    // Same oracle as q116 BY DESIGN: the bloom is a prefilter before an
+    // exact verify, so the answer is identical — the hash match is the
+    // end-to-end no-false-negatives proof.
+    "q131_bloom_decontamination" -> decontaminationSql,
 
     "q36_exact_dedup" -> """
       WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
@@ -682,4 +681,31 @@ object DedupQueries extends QueryGroup {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b
       ORDER BY p.id_a""")
+
+  /** Shared by q116 and q131: the exact n-gram-overlap decontamination
+    * answer (the bloom path must reproduce it bit-for-bit).
+    */
+  private def decontaminationSql: String = s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, array_to_string(l[i:i+3], ' ') AS shingle
+        FROM t, unnest(generate_series(1, greatest(len(l) - 3, 0))) AS u(i)),
+      ids AS (
+        SELECT DISTINCT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      bench AS (SELECT DISTINCT tid FROM ids WHERE doc_id % 50 = 0),
+      corpus AS (SELECT doc_id, tid FROM ids WHERE doc_id % 50 <> 0),
+      hits AS (
+        SELECT doc_id, count(*) AS n_shared
+        FROM corpus JOIN bench USING (tid) GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared_ngrams,
+        coalesce(h.n_shared, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits h USING (doc_id)
+      WHERE d.doc_id % 50 <> 0
+      ORDER BY d.doc_id"""
 }

@@ -96,6 +96,24 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_build",
+      {
+        case Seq(v, Literal(logBits: Int, _), Literal(k: Int, _)) =>
+          graft.functions.expressions.BloomBuildAgg(v, logBits, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_build(id, logBits, numHashes) takes a bigint column and two int literals")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain",
+      {
+        case Seq(b, v, Literal(k: Int, _)) =>
+          graft.functions.expressions.BloomMightContain(b, v, k)
+        case _ => throw new IllegalArgumentException(
+          "bloom_might_contain(blob, id, numHashes) takes a binary column, a bigint column, and an int literal")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fixed_point_vector_sum",
       {
         case Seq(v, Literal(s: Long, _)) =>

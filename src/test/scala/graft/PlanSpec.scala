@@ -329,6 +329,18 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 6, s"bounded exchanges expected:\n$p")
   }
 
+  test("bloom decontamination (q131): blob broadcast, probe filters before the verify join") {
+    val p = plan("q131_bloom_decontamination")
+    val s = p.toString
+    // the 1-row bloom blob rides a broadcast, never a cartesian
+    assert(countBroadcasts(p) >= 1, s"bloom blob must broadcast:\n$p")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    // the codegen'd probe must appear as a Filter BELOW the exact verify
+    // join — the corpus shingle stream shrinks before anything wide
+    assert(s.contains("bloom_might_contain"),
+      s"bloom probe missing from the plan:\n$s")
+  }
+
   test("incremental semdedup (q130): narrow assignment, equi-join pairs only") {
     val p = plan("q130_semdedup_incremental")
     val bnlj = collectAll(p)
