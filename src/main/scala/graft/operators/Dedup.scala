@@ -854,4 +854,60 @@ object Dedup {
         coalesce(col("n_boiler").cast("double") / col("n_phrases"), lit(0.0))
           .as("boiler_frac"))
   }
+
+  /** Exact duplicated-substring spans (the ExactSubstr pass of Lee et
+    * al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499 — reference uses a suffix array; this is
+    * the shingle-index re-expression that distributes): every maximal
+    * run of >= `minLen` consecutive tokens that also appears somewhere
+    * ELSE in the corpus (another document, or another position of the
+    * same document) is reported as one (doc, span) row. A downstream
+    * cut pass can then drop exactly those byte ranges instead of whole
+    * documents — the reason ExactSubstr removes ~2x more duplicate text
+    * than document-level MinHash at web scale.
+    *
+    * Method: a token run of length L >= minLen is duplicated iff every
+    * one of its minLen-grams is duplicated, so (1) hash every
+    * minLen-gram WITH its position (one narrow pass, 8-byte polyHash
+    * ids — same collision behavior in the oracle, which replays the
+    * fold); (2) keep the grams whose global occurrence count is > 1 —
+    * a map-side-combinable groupBy(tid) + join-back, NOT a window over
+    * the tid partition (a boilerplate gram is a hot key; see
+    * [[boilerplateStats]]); (3) merge overlapping-or-adjacent fixed-
+    * length spans [pos, pos+minLen-1] per document by gaps-and-islands
+    * (two windows partitioned by DOCUMENT — bounded by document length,
+    * never corpus-sized).
+    *
+    * Output: (idCol, span_start, span_end, span_tokens), token
+    * positions 1-based inclusive.
+    */
+  def exactSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+    val occ = toks
+      .select(col(idCol),
+        posexplode(TextFunctions.shinglesOfTokens(col("__toks"), minLen))
+          .as(Seq("__p0", "__sh")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        polyHash(col("__sh")).as("tid"))
+    val dup = occ.groupBy(col("tid")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("tid"))
+    val dupOcc = occ.join(dup, "tid").select(col(idCol), col("pos"))
+    // Fixed-length spans sorted by start have monotone ends, so the
+    // running-max-end islands test collapses to one lag: a new island
+    // starts when the gap to the previous start exceeds minLen
+    // (pos == prev + minLen is adjacency — still one contiguous run).
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = dupOcc
+      .withColumn("__new",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1L)
+          .otherwise(0L)) // first row: NULL comparison -> otherwise -> 0
+      .withColumn("__isl", sum(col("__new")).over(byDoc))
+    islands.groupBy(col(idCol), col("__isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minLen - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
 }

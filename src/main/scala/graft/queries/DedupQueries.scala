@@ -201,6 +201,17 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q132_exact_substring_spans" -> { (s, d) =>
+      // ExactSubstr dedup (Lee et al. 2021): every maximal token run of
+      // >= 5 tokens that also occurs elsewhere in the corpus, reported
+      // as merged per-document spans — the unit a span-cut pass removes.
+      // Gram duplication is a combine-safe groupBy, span merging is
+      // per-document gaps-and-islands; nothing corpus-wide is windowed.
+      val docs = Tables.documents(s, d)
+      Dedup.exactSubstringSpans(docs, "doc_id", "text", minLen = 5)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     "q118_corpus_pipeline" -> { (s, d) =>
       // The whole training-corpus prep chain in one oracle-checked query:
       // clean (native kernel) -> quality gate (cleaned token count) ->
@@ -430,6 +441,35 @@ object DedupQueries extends QueryGroup {
     // exact verify, so the answer is identical — the hash match is the
     // end-to-end no-false-negatives proof.
     "q131_bloom_decontamination" -> decontaminationSql,
+
+    "q132_exact_substring_spans" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS shingle
+        FROM t, unnest(generate_series(1, greatest(len(l) - 4, 0))) AS u(i)),
+      ids AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      dup AS (SELECT tid FROM ids GROUP BY tid HAVING count(*) > 1),
+      occ AS (SELECT doc_id, pos FROM ids JOIN dup USING (tid)),
+      marked AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+            THEN 1 ELSE 0 END AS new_isl
+        FROM occ),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM marked)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) + 4 AS BIGINT) AS span_end,
+        CAST(max(pos) + 4 - min(pos) + 1 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
 
     "q36_exact_dedup" -> """
       WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)

@@ -31,6 +31,7 @@ class EntrySpec extends SparkSpec {
       "chunks", "k", "raw", "cells", "rt", "tot", "zk", "tri", "paths",
       "bench", "corpus", "hits", "cleaned", "contaminated",
       "edges", "deg", "r0", "r1", "r2", "r3", "i1", "i2", "i3",
+      "dup", "occ", "marked", "isl",
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>

@@ -270,6 +270,20 @@ class PlanSpec extends SparkSpec {
       s"window over unbounded (vocabulary-sized) input:\n$badWindows")
   }
 
+  test("exact substring spans (q132): agg+join dup detection, windows per-document only") {
+    val p = plan("q132_exact_substring_spans")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    // gram duplication must be groupBy + join-back (combine-safe on the
+    // hot boilerplate grams); the only windows are the per-DOCUMENT
+    // gaps-and-islands pair — both partitioned, never corpus-global
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"unpartitioned window in the span-merge path:\n$s")
+  }
+
   test("sequence packing (q121): bucket prefixes broadcast, bounded exchanges") {
     val p = plan("q121_seq_pack")
     assert(countBroadcasts(p) >= 1, s"prefix table must broadcast:\n$p")

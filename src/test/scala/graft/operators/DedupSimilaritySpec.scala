@@ -464,6 +464,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(math.abs(c - 24.0 / 25.0) < 1e-12)
   }
 
+  test("exact substring spans: cross-doc, same-doc, and adjacent runs merge per doc") {
+    val corpus = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 t1 t2 t3 t4"),          // "a1..a6" shared with 11
+      (11L, "u1 u2 a1 a2 a3 a4 a5 a6 v1 v2"),
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0"),          // nothing duplicated
+      (13L, "p1 p2 p3 p4 p5 m1 p1 p2 p3 p4 p5"),       // same-doc repeat, gap > minLen
+      (15L, "d1 d2 d3 d4 d5 d1 d2 d3 d4 d5")           // back-to-back repeat: one span
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstringSpans(corpus, "doc_id", "text", minLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (10L, 1L, 6L, 6L),  // run of 6: two overlapping dup 5-grams merged
+      (11L, 3L, 8L, 6L),
+      (13L, 1L, 5L, 5L),  // the two same-doc copies stay separate spans
+      (13L, 7L, 11L, 5L),
+      (15L, 1L, 10L, 10L) // adjacency (gap == minLen) merges to one span
+    ), s"got $spans")
+  }
+
   test("sign-bucket LSH: only same-bucket candidates are scored") {
     val all = Seq(
       (0L, Array(1.0f, -0.1f, -0.2f)), // query: bucket 001 = 1
