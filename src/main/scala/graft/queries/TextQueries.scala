@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LmScore, Packing, Vocab}
+import graft.operators.{Dedup, LmScore, Packing, Retrieval, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,6 +19,30 @@ object TextQueries extends QueryGroup {
   private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_bm25_topk" -> { (s, d) =>
+      // BM25 lexical retrieval: every 97th document donates tokens 5..7
+      // as a 3-term query; top-10 documents per query over the whole
+      // corpus. Rational idf + scaled-integer contribution sums keep the
+      // doubles bit-identical to the oracle; the cut is the bounded
+      // top-k aggregate, not a per-query sort.
+      val docs = Tables.documents(s, d)
+      val queries = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(col("text"), " "), 5, 3), " ").as("qtext"))
+      Retrieval.bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext")
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q134_bpe_merges" -> { (s, d) =>
+      // Distributed BPE tokenizer training: 10 merges learned on the
+      // word-frequency table (the corpus is scanned once; iterations run
+      // on the vocabulary). The oracle replays all 10 iterations —
+      // pair counts, (count DESC, pair ASC) argmax, and the left-fold
+      // merge application — so the hash match covers the whole loop.
+      graft.operators.Bpe.learnMerges(Tables.documents(s, d), "text", 10)
+        .orderBy(col("merge_rank"))
+    },
+
     "q32_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -427,7 +451,99 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"), col("rank"))
     })
 
+  /** Generated N-stage replay of the BPE training loop — each stage is
+    * (pair counts from the previous pieces) -> (1-row argmax) ->
+    * (left-fold merge application via list_reduce on the space-joined
+    * accumulator), exactly the operator's semantics.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val head = """w0 AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word),
+      p0 AS (SELECT word, cnt,
+        ' ' || array_to_string(string_split(word, ''), ' ') AS s FROM w0)"""
+    val stages = (1 to n).map { i =>
+      s"""pc$i AS (
+        SELECT l[j] || ' ' || l[j+1] AS pair, CAST(sum(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt, string_split(substr(s, 2), ' ') AS l FROM p${i - 1}),
+             unnest(generate_series(1, greatest(len(l) - 1, 0))) AS u(j)
+        GROUP BY 1),
+      b$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1),
+      p$i AS (
+        SELECT word, cnt,
+          list_reduce(list_prepend('', string_split(substr(s, 2), ' ')),
+            (acc, x) -> CASE
+              WHEN acc = '' THEN ' ' || x
+              WHEN ends_with(acc, ' ' || string_split(b.pair, ' ')[1])
+                   AND x = string_split(b.pair, ' ')[2]
+                THEN left(acc, len(acc) - len(string_split(b.pair, ' ')[1]) - 1)
+                     || ' ' || replace(b.pair, ' ', '')
+              ELSE acc || ' ' || x END) AS s
+        FROM p${i - 1} CROSS JOIN b$i b)"""
+    }
+    val union = (1 to n).map { i =>
+      s"""SELECT $i AS r, string_split(pair, ' ')[1] AS lhs,
+        string_split(pair, ' ')[2] AS rhs, c FROM b$i"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH $head,
+      ${stages.mkString(",\n      ")}
+      SELECT CAST(r AS BIGINT) AS merge_rank, lhs, rhs,
+        CAST(c AS BIGINT) AS pair_cnt
+      FROM ($union) ORDER BY merge_rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q134_bpe_merges" -> bpeOracleSql(10),
+
+    "q133_bm25_topk" -> {
+      // Interpolate the IDENTICAL derived constants the operator uses —
+      // Double.toString round-trips, so both engines parse the same bits.
+      val (bmNum, bmAdd, bmMul) = graft.operators.Retrieval.bm25Constants()
+      s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM t),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+      qt AS (
+        SELECT DISTINCT query_id, term FROM (
+          SELECT doc_id AS query_id, unnest(l[5:7]) AS term
+          FROM t WHERE doc_id % 97 = 0)
+        WHERE term <> ''),
+      qv AS (SELECT DISTINCT term FROM qt),
+      tf AS (
+        SELECT ct.doc_id, ct.term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(l) AS term FROM t) ct
+        JOIN qv USING (term)
+        GROUP BY ct.doc_id, ct.term),
+      dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      scored AS (
+        SELECT qt.query_id, tf.doc_id,
+          CAST(floor(
+            (CAST(2*st.n_docs - 2*dfq.df + 1 AS DOUBLE) /
+             CAST(2*dfq.df + 1 AS DOUBLE))
+            * (CAST(tf.tf AS DOUBLE) * $bmNum /
+               (CAST(tf.tf AS DOUBLE) + $bmAdd + $bmMul *
+                (CAST(dl.dl * st.n_docs AS DOUBLE) / CAST(st.tot AS DOUBLE))))
+            * 1000000.0 + 0.5) AS BIGINT) AS micro
+        FROM tf
+        JOIN qt USING (term)
+        JOIN dfq USING (term)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN st),
+      sc AS (SELECT query_id, doc_id, CAST(sum(micro) AS BIGINT) AS score_micro
+             FROM scored GROUP BY query_id, doc_id),
+      ranked AS (
+        SELECT query_id, doc_id, score_micro,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score_micro DESC, doc_id ASC) AS rn
+        FROM sc)
+      SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score_micro
+      FROM ranked WHERE rn <= 10
+      ORDER BY query_id, rank"""
+    },
+
     "q127_vocab_coverage" -> """
       WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -270,6 +270,19 @@ class PlanSpec extends SparkSpec {
       s"window over unbounded (vocabulary-sized) input:\n$badWindows")
   }
 
+  test("bm25 (q133): query tables broadcast, bounded top-k cut, no corpus window") {
+    val p = plan("q133_bm25_topk")
+    val s = p.toString
+    // query vocabulary, df table, query terms, and corpus stats all ride
+    // broadcasts — the corpus side is never shuffled for them
+    assert(countBroadcasts(p) >= 3, s"query-side tables must broadcast:\n$p")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    // the per-query cut is the bounded aggregate, not a window sort over
+    // every matching document
+    assert(s.contains("topk_agg"), s"bounded top-k aggregate missing:\n$s")
+    assert(!s.contains("Window"), s"no window fallback in the cut:\n$s")
+  }
+
   test("exact substring spans (q132): agg+join dup detection, windows per-document only") {
     val p = plan("q132_exact_substring_spans")
     val s = p.toString

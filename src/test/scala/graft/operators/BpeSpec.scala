@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "low lower lowest low"),
+    (2L, "new newer newest new low"),
+    (3L, "wide wider widest")
+  ).toDF("doc_id", "text")
+
+  test("learnMerges replays the classic BPE sequence with deterministic ties") {
+    val got = Bpe.learnMerges(corpus, "text", 6)
+      .orderBy(col("merge_rank"))
+      .as[(Long, String, String, Long)].collect().toSeq
+    // hand-checked: 5x 'low'-prefix words drive (l,o) then (lo,w); the
+    // 4x 'new'-family drives (e,w) then (n,ew); ties broken by pair asc
+    assert(got == Seq(
+      (1L, "l", "o", 5L),
+      (2L, "lo", "w", 5L),
+      (3L, "e", "w", 4L),
+      (4L, "n", "ew", 4L),
+      (5L, "d", "e", 3L),
+      (6L, "i", "de", 3L)), s"got $got")
+  }
+
+  test("tokenize applies merges in rank order without crossing merges") {
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "w", "n" -> "ew",
+      "d" -> "e", "i" -> "de")
+    val toks = Seq("lower", "newest", "widest", "x").toDF("word")
+      .select(Bpe.tokenize(col("word"), merges).as("t"))
+      .as[String].collect().toSeq
+    assert(toks == Seq("low e r", "new e s t", "w ide s t", "x"), s"got $toks")
+  }
+
+  test("vocabulary with no adjacent pairs stops early with an empty model") {
+    val singles = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(Bpe.learnMerges(singles, "text", 5).count() == 0)
+  }
+}
