@@ -910,4 +910,42 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
   }
+
+  /** The CUT step of ExactSubstr dedup: remove every
+    * [[exactSubstringSpans]] span from its document and return the
+    * remaining text — the output Lee et al. 2021 actually train on
+    * (duplicated PASSAGES disappear; the documents survive).
+    *
+    * Scale shape: spans explode to their (doc, pos) members (bounded by
+    * the document's own length), the kept tokens are a LEFT ANTI
+    * equi-join on (doc, pos) — no range join, no per-row interval
+    * scans — and reassembly is the per-document sort-in-aggregate
+    * pattern of [[cdcChunks]]. Documents with nothing duplicated pass
+    * through via the final left join.
+    *
+    * Output: (idCol, cleaned_text, n_kept, n_removed).
+    */
+  def exactSubstringCut(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int = 8): DataFrame = {
+    val spans = exactSubstringSpans(df, idCol, textCol, minLen)
+    val cutPos = spans.select(col(idCol),
+      explode(sequence(col("span_start"), col("span_end"))).as("pos"))
+    val toks = df
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("__p0", "tok")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"), col("tok"))
+    val kept = toks.join(cutPos, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          p => p.getField("tok")), " ").as("cleaned_text"))
+    df.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("__n_orig"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__n_orig") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -484,6 +484,24 @@ class DedupSimilaritySpec extends SparkSpec {
     ), s"got $spans")
   }
 
+  test("exact substring cut removes spans token-precisely, keeps the rest") {
+    val corpus = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 t1 t2 t3 t4"),
+      (11L, "u1 u2 a1 a2 a3 a4 a5 a6 v1 v2"),
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0"),
+      (13L, "p1 p2 p3 p4 p5 m1 p1 p2 p3 p4 p5"),
+      (15L, "d1 d2 d3 d4 d5 d1 d2 d3 d4 d5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringCut(corpus, "doc_id", "text", minLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(10L) == (("t1 t2 t3 t4", 4L, 6L)))
+    assert(got(11L) == (("u1 u2 v1 v2", 4L, 6L)))
+    assert(got(12L) == (("w1 w2 w3 w4 w5 w6 w7 w8 w9 w0", 10L, 0L)))
+    assert(got(13L) == (("m1", 1L, 10L))) // both copies cut, the gap stays
+    assert(got(15L) == (("", 0L, 10L)))   // wholly duplicated doc -> empty
+  }
+
   test("sign-bucket LSH: only same-bucket candidates are scored") {
     val all = Seq(
       (0L, Array(1.0f, -0.1f, -0.2f)), // query: bucket 001 = 1

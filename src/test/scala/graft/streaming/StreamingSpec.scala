@@ -724,4 +724,39 @@ class StreamingSpec extends SparkSpec {
       assert(results.size == 3)
     } finally q.stop()
   }
+
+  test("streaming BM25: queries stream against the static corpus, batch == stream") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "apple banana cherry"), (2L, "apple apple kiwi"),
+      (3L, "banana nut oat"), (4L, "rice soy tea")).toDF("doc_id", "text")
+    val qs = Seq((100L, "apple"), (101L, "banana nut"), (102L, "tea"))
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = input.toDF().toDF("query_id", "qtext").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // per-query scores depend only on the STATIC corpus statistics
+        // and the query's own terms, so scoring each micro-batch is
+        // exactly the batch op on its slice
+        results ++= graft.operators.Retrieval
+          .bm25TopK(corpus, batch, "doc_id", "text", "query_id", "qtext", k = 3)
+          .collect()
+          .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+            r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+        ()
+      }.start()
+    try {
+      input.addData(qs(0), qs(1))
+      q.processAllAvailable()
+      input.addData(qs(2))
+      q.processAllAvailable()
+      val batchRun = graft.operators.Retrieval
+        .bm25TopK(corpus, qs.toDF("query_id", "qtext"),
+          "doc_id", "text", "query_id", "qtext", k = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSet
+      assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
+    } finally q.stop()
+  }
 }
