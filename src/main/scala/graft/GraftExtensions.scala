@@ -128,6 +128,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "bloom_might_contain(blob, id, numHashes) takes a binary column, a bigint column, and an int literal")
       }))
     ext.injectFunction((
+      FunctionIdentifier("bpe_encode"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.BpeEncode].getName, "bpe_encode"),
+      (children: Seq[Expression]) => children match {
+        case Seq(w, Literal(m: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          graft.functions.expressions.BpeEncode(w,
+            graft.functions.expressions.BpeEncode.parseModel(m.toString))
+        case _ => throw new IllegalArgumentException(
+          "bpe_encode(word, model) takes a string column and a " +
+            "'lhs rhs,lhs rhs,…' model literal")
+      }))
+    ext.injectFunction((
       FunctionIdentifier("fixed_point_vector_sum"),
       new ExpressionInfo(
         classOf[graft.functions.expressions.FixedPointVectorSum].getName,

@@ -105,4 +105,16 @@ object Bpe {
     val sN = merges.foldLeft(s0) { case (s, (lhs, rhs)) => applyMerge(s, lhs, rhs) }
     sN.substr(lit(2), length(sN))
   }
+
+  /** [[tokenize]] on the native fused kernel
+    * ([[graft.functions.expressions.BpeEncode]]) — the hot path for
+    * encoding a full corpus: one codegen'd pass per word instead of one
+    * interpreted fold per merge. Bitwise parity with the HOF chain is
+    * spec-pinned.
+    */
+  def tokenizeNative(word: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.BpeEncode(
+      ColumnBridge.expression(word), merges))
+  }
 }

@@ -481,51 +481,9 @@ object DedupQueries extends QueryGroup {
       ORDER BY doc_id, span_start""",
 
     "q135_exact_substring_cut" -> s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      sh AS (
-        SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS shingle
-        FROM t, unnest(generate_series(1, greatest(len(l) - 4, 0))) AS u(i)),
-      ids AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS pos,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(string_split(shingle, ''),
-              x -> CAST(unicode(x) AS BIGINT))),
-            (acc, c) -> (acc * 31 + c) % $M) AS tid
-        FROM sh),
-      dup AS (SELECT tid FROM ids GROUP BY tid HAVING count(*) > 1),
-      occ AS (SELECT doc_id, pos FROM ids JOIN dup USING (tid)),
-      marked AS (
-        SELECT doc_id, pos,
-          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
-            THEN 1 ELSE 0 END AS new_isl
-        FROM occ),
-      isl AS (
-        SELECT doc_id, pos,
-          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-        FROM marked),
-      spans AS (
-        SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
-        FROM isl GROUP BY doc_id, island),
-      cut AS (
-        SELECT doc_id, CAST(j AS BIGINT) AS pos
-        FROM spans, unnest(generate_series(span_start, span_end)) AS u(j)),
-      toks AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS tok
-        FROM t, unnest(generate_series(1, len(l))) AS u(i)),
-      kept AS (
-        SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-          string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned_text
-        FROM (SELECT toks.* FROM toks
-              LEFT JOIN cut ON cut.doc_id = toks.doc_id AND cut.pos = toks.pos
-              WHERE cut.doc_id IS NULL) k
-        GROUP BY k.doc_id)
-      SELECT d.doc_id,
-        coalesce(kept.cleaned_text, '') AS cleaned_text,
-        coalesce(kept.n_kept, 0) AS n_kept,
-        CAST(len(string_split(d.text, ' ')) - coalesce(kept.n_kept, 0)
-          AS BIGINT) AS n_removed
-      FROM documents d LEFT JOIN kept USING (doc_id)
-      ORDER BY d.doc_id""",
+      WITH $exactSubstringCutCtes
+      SELECT doc_id, cleaned_text, n_kept, n_removed FROM cdocs
+      ORDER BY doc_id""",
 
     "q36_exact_dedup" -> """
       WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)
@@ -777,6 +735,57 @@ object DedupQueries extends QueryGroup {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b
       ORDER BY p.id_a""")
+
+  /** The full ExactSubstr find+cut CTE chain, ending in
+    * `cdocs(doc_id, cleaned_text, n_kept, n_removed)` — shared by the
+    * q135 oracle and compositions that train on the cut corpus (q136).
+    */
+  private[queries] def exactSubstringCutCtes: String = s"""t AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, i, array_to_string(l[i:i+4], ' ') AS shingle
+        FROM t, unnest(generate_series(1, greatest(len(l) - 4, 0))) AS u(i)),
+      ids AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      dup AS (SELECT tid FROM ids GROUP BY tid HAVING count(*) > 1),
+      occ AS (SELECT doc_id, pos FROM ids JOIN dup USING (tid)),
+      marked AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+            THEN 1 ELSE 0 END AS new_isl
+        FROM occ),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM marked),
+      spans AS (
+        SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+        FROM isl GROUP BY doc_id, island),
+      cut AS (
+        SELECT doc_id, CAST(j AS BIGINT) AS pos
+        FROM spans, unnest(generate_series(span_start, span_end)) AS u(j)),
+      toks AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS tok
+        FROM t, unnest(generate_series(1, len(l))) AS u(i)),
+      kept AS (
+        SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+          string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned_text
+        FROM (SELECT toks.* FROM toks
+              LEFT JOIN cut ON cut.doc_id = toks.doc_id AND cut.pos = toks.pos
+              WHERE cut.doc_id IS NULL) k
+        GROUP BY k.doc_id),
+      cdocs AS (
+        SELECT d.doc_id,
+          coalesce(kept.cleaned_text, '') AS cleaned_text,
+          coalesce(kept.n_kept, 0) AS n_kept,
+          CAST(len(string_split(d.text, ' ')) - coalesce(kept.n_kept, 0)
+            AS BIGINT) AS n_removed
+        FROM documents d LEFT JOIN kept USING (doc_id))"""
 
   /** Shared by q116 and q131: the exact n-gram-overlap decontamination
     * answer (the bloom path must reproduce it bit-for-bit).

@@ -43,6 +43,43 @@ object TextQueries extends QueryGroup {
         .orderBy(col("merge_rank"))
     },
 
+    "q136_cut_bpe_pipeline" -> { (s, d) =>
+      // Composition: ExactSubstr find+cut (q135) feeds BPE training
+      // (q134) — the tokenizer is learned on the DEDUPLICATED corpus, as
+      // a real pipeline would, so duplicated boilerplate can't dominate
+      // the merge table. learnMerges checkpoints the initial pieces, so
+      // the cut subplan executes once, not once per iteration.
+      val docs = Tables.documents(s, d)
+      val cut = graft.operators.Dedup
+        .exactSubstringCut(docs, "doc_id", "text", minLen = 5)
+        .select(col("doc_id"), col("cleaned_text").as("text"))
+      graft.operators.Bpe.learnMerges(cut, "text", 8)
+        .orderBy(col("merge_rank"))
+    },
+
+    "q137_bpe_symbol_freqs" -> { (s, d) =>
+      // Corpus symbol histogram under the learned tokenizer: train 10
+      // merges, then ENCODE the corpus with the native codegen'd kernel
+      // (the HOF chain is its spec-pinned parity reference) and count
+      // symbol occurrences weighted by word frequency — the top-20
+      // table a vocabulary report starts from. Encoding replays the
+      // training evolution exactly (each merge once, in rank order), so
+      // the oracle reads the symbols straight off its final stage.
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.Bpe.learnMerges(docs, "text", 10)
+        .orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      val words = docs.select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      words
+        .select(explode(split(
+          graft.operators.Bpe.tokenizeNative(col("word"), model), " ")).as("sym"),
+          col("cnt"))
+        .groupBy(col("sym")).agg(sum(col("cnt")).as("freq"))
+        .orderBy(col("freq").desc, col("sym").asc).limit(20)
+    },
+
     "q32_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -454,12 +491,16 @@ object TextQueries extends QueryGroup {
   /** Generated N-stage replay of the BPE training loop — each stage is
     * (pair counts from the previous pieces) -> (1-row argmax) ->
     * (left-fold merge application via list_reduce on the space-joined
-    * accumulator), exactly the operator's semantics.
+    * accumulator), exactly the operator's semantics. `src`/`textCol`
+    * parameterize the corpus (q136 trains on the ExactSubstr-cut
+    * corpus). Returns the CTE chain (ending in p{n} and b1..b{n}) for
+    * composition; [[bpeOracleSql]] wraps it with the merge-table select.
     */
-  private def bpeOracleSql(n: Int): String = {
-    val head = """w0 AS (
+  private[queries] def bpeStagesSql(n: Int, src: String = "documents",
+                                    textCol: String = "text"): String = {
+    val head = s"""w0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        FROM (SELECT unnest(string_split($textCol, ' ')) AS word FROM $src)
         WHERE word <> '' GROUP BY word),
       p0 AS (SELECT word, cnt,
         ' ' || array_to_string(string_split(word, ''), ' ') AS s FROM w0)"""
@@ -482,13 +523,20 @@ object TextQueries extends QueryGroup {
               ELSE acc || ' ' || x END) AS s
         FROM p${i - 1} CROSS JOIN b$i b)"""
     }
+    s"""$head,
+      ${stages.mkString(",\n      ")}"""
+  }
+
+  private def bpeOracleSql(n: Int, src: String = "documents",
+                           textCol: String = "text",
+                           prefixCtes: String = ""): String = {
     val union = (1 to n).map { i =>
       s"""SELECT $i AS r, string_split(pair, ' ')[1] AS lhs,
         string_split(pair, ' ')[2] AS rhs, c FROM b$i"""
     }.mkString("\nUNION ALL\n")
+    val pre = if (prefixCtes.isEmpty) "" else prefixCtes + ",\n      "
     s"""
-      WITH $head,
-      ${stages.mkString(",\n      ")}
+      WITH $pre${bpeStagesSql(n, src, textCol)}
       SELECT CAST(r AS BIGINT) AS merge_rank, lhs, rhs,
         CAST(c AS BIGINT) AS pair_cnt
       FROM ($union) ORDER BY merge_rank"""
@@ -496,6 +544,21 @@ object TextQueries extends QueryGroup {
 
   val oracle: Map[String, String] = Map(
     "q134_bpe_merges" -> bpeOracleSql(10),
+
+    // Train on the ExactSubstr-cut corpus: the q135 CTE chain feeds the
+    // same generated BPE stages, sourced from cdocs.cleaned_text.
+    "q136_cut_bpe_pipeline" -> bpeOracleSql(8, src = "cdocs",
+      textCol = "cleaned_text",
+      prefixCtes = graft.queries.DedupQueries.exactSubstringCutCtes),
+
+    // The symbols of the training replay's FINAL stage (p10) are the
+    // encoded corpus — weighted by word frequency, top-20.
+    "q137_bpe_symbol_freqs" -> s"""
+      WITH ${bpeStagesSql(10)}
+      SELECT sym, CAST(sum(cnt) AS BIGINT) AS freq
+      FROM (SELECT cnt, unnest(string_split(substr(s, 2), ' ')) AS sym
+            FROM p10)
+      GROUP BY sym ORDER BY freq DESC, sym ASC LIMIT 20""",
 
     "q133_bm25_topk" -> {
       // Interpolate the IDENTICAL derived constants the operator uses —

@@ -114,6 +114,17 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bpe_encode",
+      {
+        case Seq(w, Literal(m: org.apache.spark.unsafe.types.UTF8String, _)) =>
+          graft.functions.expressions.BpeEncode(w,
+            graft.functions.expressions.BpeEncode.parseModel(m.toString))
+        case _ => throw new IllegalArgumentException(
+          "bpe_encode(word, model) takes a string column and a " +
+            "'lhs rhs,lhs rhs,…' model literal")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "fixed_point_vector_sum",
       {
         case Seq(v, Literal(s: Long, _)) =>

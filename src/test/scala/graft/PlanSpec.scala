@@ -270,6 +270,20 @@ class PlanSpec extends SparkSpec {
       s"window over unbounded (vocabulary-sized) input:\n$badWindows")
   }
 
+  test("bpe symbol histogram (q137): native encode kernel, top-N as TakeOrdered") {
+    val p = plan("q137_bpe_symbol_freqs")
+    val s = p.toString
+    // the corpus-wide encode must be the codegen'd kernel, not the
+    // interpreted per-merge HOF fold chain
+    assert(s.contains("bpe_encode"), s"native encode missing:\n$s")
+    assert(!s.contains("aggregate(lambda"),
+      s"interpreted HOF fold leaked into the corpus path:\n$s")
+    // the top-20 cut is a distributed bounded heap, not a global sort
+    assert(collectAll(p).exists(
+      _.getClass.getSimpleName == "TakeOrderedAndProjectExec"),
+      s"top-N must plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("bm25 (q133): query tables broadcast, bounded top-k cut, no corpus window") {
     val p = plan("q133_bm25_topk")
     val s = p.toString

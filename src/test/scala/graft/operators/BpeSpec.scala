@@ -36,6 +36,26 @@ class BpeSpec extends SparkSpec {
     assert(toks == Seq("low e r", "new e s t", "w ide s t", "x"), s"got $toks")
   }
 
+  test("native BpeEncode kernel equals the HOF fold chain and the SQL form") {
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "w", "n" -> "ew",
+      "d" -> "e", "i" -> "de")
+    val words = Seq("lower", "newest", "widest", "x", "llll", "wewewe",
+      "olé", "中中文", "").toDF("word")
+    val both = words.select(
+      Bpe.tokenize(col("word"), merges).as("hof"),
+      Bpe.tokenizeNative(col("word"), merges).as("native"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    both.foreach { case (hof, nat) =>
+      assert(hof == nat, s"HOF '$hof' != native '$nat'") }
+    // SQL registration path, model as the rank-ordered literal
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    words.createOrReplaceTempView("bpe_words")
+    val sql = spark.sql(
+      "SELECT bpe_encode(word, 'l o,lo w,e w,n ew,d e,i de') FROM bpe_words")
+      .collect().map(_.getString(0)).toSeq
+    assert(sql == both.map(_._2).toSeq)
+  }
+
   test("vocabulary with no adjacent pairs stops early with an empty model") {
     val singles = Seq((1L, "a b c a")).toDF("doc_id", "text")
     assert(Bpe.learnMerges(singles, "text", 5).count() == 0)
