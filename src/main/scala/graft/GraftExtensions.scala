@@ -84,6 +84,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "clean_tokens_count(str, array(stopword, ...)) takes a string column and a literal string array")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("pii_scrub"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.PiiScrub].getName, "pii_scrub"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s) => graft.functions.expressions.PiiScrub(s)
+        case _ => throw new IllegalArgumentException(
+          "pii_scrub(str) takes one string column")
+      }))
     // Aggregates: the analyzer wraps a returned AggregateFunction in an
     // AggregateExpression itself (same path as built-in percentile).
     ext.injectFunction((

@@ -82,6 +82,17 @@ object TextFunctions {
       ColumnBridge.expression(text), stopwords))
   }
 
+  /** PII redaction: emails, dotted-quad IPs and dashed phone numbers
+    * replaced by `<EMAIL>`/`<IP>`/`<PHONE>` markers in three sequential
+    * byte-level passes (see [[graft.functions.expressions.PiiScrub]] for
+    * the exact regex-equivalent semantics the DuckDB oracle replays).
+    */
+  def piiScrub(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.PiiScrub(
+      ColumnBridge.expression(text)))
+  }
+
   /** Token count of [[cleanTokens]]'s output — its own scalar because an
     * all-stopword document cleans to "", which a re-split would count as
     * one empty token instead of zero.

@@ -18,6 +18,25 @@ object TextQueries extends QueryGroup {
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
   private val StopwordsSql = Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q138's synthesized-PII input, shared by both dialects (the corpus
+    * itself contains no PII, so the redactor would be trivially green on
+    * the raw text): a deterministic per-doc email, phone and dotted-quad
+    * appended to the text, with every 5th email invalid (bare `@invalid`,
+    * no TLD) so the non-match path is exercised too. `cast` is the
+    * dialect's string type name — STRING for Spark, VARCHAR for DuckDB;
+    * every other construct parses identically in both.
+    */
+  private def piiRawExpr(cast: String): String =
+    s"concat(text, ' contact user', CAST(doc_id AS $cast), " +
+      s"CASE WHEN doc_id % 5 = 0 THEN '@invalid' " +
+      s"ELSE concat('@mail', CAST(doc_id % 7 AS $cast), '.example.com') END, " +
+      s"' tel 555-', lpad(CAST(doc_id % 1000 AS $cast), 3, '0'), '-', " +
+      s"lpad(CAST((doc_id * 7) % 10000 AS $cast), 4, '0'), " +
+      s"' ip ', CAST(doc_id % 256 AS $cast), '.', " +
+      s"CAST((doc_id * 3) % 256 AS $cast), '.', " +
+      s"CAST((doc_id * 5) % 256 AS $cast), '.', " +
+      s"CAST((doc_id * 11) % 256 AS $cast))"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_bm25_topk" -> { (s, d) =>
       // BM25 lexical retrieval: every 97th document donates tokens 5..7
@@ -329,6 +348,25 @@ object TextQueries extends QueryGroup {
           cleanTokensCount(col("text"), Stopwords).cast("long").as("n_clean"))
         .withColumn("removed_frac",
           (col("n_orig") - col("n_clean")).cast("double") / col("n_orig"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q138_pii_scrub" -> { (s, d) =>
+      // PII redaction (the pre-training privacy-compliance pass): the
+      // native byte-level kernel replaces emails, dotted-quad IPs and
+      // dashed phones with markers in one codegen'd projection — purely
+      // narrow map-side work, so at 100 TB it scales with input splits
+      // exactly like q115. The DuckDB oracle replays the same three
+      // passes as RE2 global regexp_replace (PiiScrubSpec fuzz-pins the
+      // kernel byte-equal to the Java-regex formulation; both regex
+      // disciplines pick identical matches for these patterns).
+      Tables.documents(s, d)
+        .withColumn("raw", expr(piiRawExpr("STRING")))
+        .select(col("doc_id"), piiScrub(col("raw")).as("scrubbed"))
+        .select(col("doc_id"), col("scrubbed"),
+          (size(split(col("scrubbed"), "<EMAIL>")) - 1).cast("long").as("n_email"),
+          (size(split(col("scrubbed"), "<IP>")) - 1).cast("long").as("n_ip"),
+          (size(split(col("scrubbed"), "<PHONE>")) - 1).cast("long").as("n_phone"))
         .orderBy(col("doc_id"))
     },
 
@@ -872,6 +910,21 @@ object TextQueries extends QueryGroup {
         CAST(len(cl) AS BIGINT) AS n_clean,
         CAST(len(toks) - len(cl) AS DOUBLE) / len(toks) AS removed_frac
       FROM c ORDER BY doc_id""",
+
+    "q138_pii_scrub" -> s"""
+      WITH raw AS (
+        SELECT doc_id, ${piiRawExpr("VARCHAR")} AS raw FROM documents),
+      s AS (
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        FROM raw)
+      SELECT doc_id, scrubbed,
+        CAST(len(string_split(scrubbed, '<EMAIL>')) - 1 AS BIGINT) AS n_email,
+        CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ip,
+        CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone
+      FROM s ORDER BY doc_id""",
 
     "q115_text_clean_native" -> s"""
       WITH t AS (

@@ -74,6 +74,14 @@ object FunctionRegistrar {
           "clean_tokens_count(str, array(stopword, ...)) takes a string column and a literal string array")
       },
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pii_scrub",
+      {
+        case Seq(s) => graft.functions.expressions.PiiScrub(s)
+        case _ => throw new IllegalArgumentException(
+          "pii_scrub(str) takes one string column")
+      },
+      "built-in")
     // Aggregates: returning the AggregateFunction is enough — the
     // analyzer wraps it in an AggregateExpression (built-in percentile's
     // own registration path).
