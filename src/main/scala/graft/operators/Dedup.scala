@@ -855,6 +855,57 @@ object Dedup {
           .as("boiler_frac"))
   }
 
+  /** Common-chunk removal (the CCNet paragraph-dedup shape, Wenzek et
+    * al. 2020, arXiv:1911.00359 — there: drop paragraphs whose hash is
+    * shared across documents; here: fixed `chunkTokens`-token chunks,
+    * exact text key): every chunk appearing in more than `maxDf`
+    * DISTINCT documents is removed from all of them, and each document
+    * is rebuilt from its surviving chunks in order.
+    *
+    * Scale shape: chunking is narrow per-row array work; document
+    * frequency is distinct-(chunk, doc) + groupBy(chunk) — map-side
+    * combinable, no window over the chunk partition (a boilerplate
+    * chunk is by definition a hot key, the [[boilerplateStats]]
+    * argument). The removal is a LEFT ANTI join against only the
+    * OVER-THRESHOLD chunk set — tiny relative to the corpus (it's the
+    * boilerplate), so AQE broadcasts it; the corpus-sized side never
+    * carries per-chunk counts. Rebuild is one groupBy(doc) with an
+    * in-group sort bounded by document length.
+    *
+    * Output: (idCol, cleaned_text, n_chunks, n_kept) — documents whose
+    * every chunk was boilerplate survive with empty cleaned_text.
+    */
+  def removeCommonChunks(df: DataFrame, idCol: String, textCol: String,
+                         chunkTokens: Int = 8, maxDf: Long = 1L): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    val base = df.select(col(idCol), split(col(textCol), " ").as("__ts"))
+    val chunks = base.select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(size(col("__ts")) / lit(chunkTokens.toDouble)).cast("int") - 1),
+          g => array_join(
+            slice(col("__ts"), g * chunkTokens + 1, lit(chunkTokens)), " ")))
+          .as(Seq("cpos", "chunk")))
+    val hot = chunks.select(col("chunk"), col(idCol)).distinct()
+      .groupBy(col("chunk")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf).select(col("chunk"))
+    val kept = chunks.join(hot, Seq("chunk"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("cpos"), col("chunk")))),
+          x => x.getField("chunk")), " ").as("cleaned_text"),
+        count(lit(1)).cast("long").as("n_kept"))
+    base.select(col(idCol),
+        ceil(size(col("__ts")) / lit(chunkTokens.toDouble)).cast("long")
+          .as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"),
+        col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Exact duplicated-substring spans (the ExactSubstr pass of Lee et
     * al. 2021, "Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499 — reference uses a suffix array; this is

@@ -221,6 +221,19 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q139_common_chunk_removal" -> { (s, d) =>
+      // CCNet-style paragraph dedup: 8-token chunks shared by >1
+      // distinct document are removed from ALL of them and each doc is
+      // rebuilt from its surviving chunks — the paragraph-level
+      // counterpart of q135's token-span cut. Document frequency is
+      // distinct-pairs + groupBy (map-side combinable); the removal is
+      // an anti join against only the over-threshold set, which AQE
+      // broadcasts.
+      Dedup.removeCommonChunks(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 8, maxDf = 1L)
+        .orderBy(col("doc_id"))
+    },
+
     "q118_corpus_pipeline" -> { (s, d) =>
       // The whole training-corpus prep chain in one oracle-checked query:
       // clean (native kernel) -> quality gate (cleaned token count) ->
@@ -484,6 +497,29 @@ object DedupQueries extends QueryGroup {
       WITH $exactSubstringCutCtes
       SELECT doc_id, cleaned_text, n_kept, n_removed FROM cdocs
       ORDER BY doc_id""",
+
+    "q139_common_chunk_removal" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      c AS (
+        SELECT doc_id, CAST(g AS INT) AS cpos,
+          array_to_string(ts[g*8+1 : g*8+8], ' ') AS chunk
+        FROM t, unnest(generate_series(0,
+          CAST(ceil(len(ts) / 8.0) AS INT) - 1)) AS u(g)),
+      d AS (
+        SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM c)
+        GROUP BY chunk HAVING count(*) > 1),
+      kept AS (
+        SELECT c.doc_id, c.cpos, c.chunk FROM c
+        WHERE c.chunk NOT IN (SELECT chunk FROM d)),
+      r AS (
+        SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS cleaned_text,
+          count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(r.cleaned_text, '') AS cleaned_text,
+        CAST(ceil(len(t.ts) / 8.0) AS BIGINT) AS n_chunks,
+        CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+      FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+      ORDER BY t.doc_id""",
 
     "q36_exact_dedup" -> """
       WITH g AS (SELECT md5(text) AS h, count(*) AS n FROM documents GROUP BY 1)

@@ -502,6 +502,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(15L) == (("", 0L, 10L)))   // wholly duplicated doc -> empty
   }
 
+  test("removeCommonChunks: shared chunks cut from ALL docs, order kept") {
+    // 4-token chunks; "b1 b2 b3 b4" appears in docs 0, 1 -> removed from
+    // both; doc 2 is wholly boilerplate -> survives with empty text;
+    // doc 3 shares nothing -> untouched (incl. its short tail chunk).
+    val corpus = Seq(
+      (0L, "b1 b2 b3 b4 u1 u2 u3 u4"),
+      (1L, "v1 v2 v3 v4 b1 b2 b3 b4"),
+      (2L, "b1 b2 b3 b4 b1 b2 b3 b4"),
+      (3L, "w1 w2 w3 w4 w5 w6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeCommonChunks(corpus, "doc_id", "text",
+        chunkTokens = 4, maxDf = 1L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == (("u1 u2 u3 u4", 2L, 1L)))
+    assert(got(1L) == (("v1 v2 v3 v4", 2L, 1L)))
+    assert(got(2L) == (("", 2L, 0L)))
+    assert(got(3L) == (("w1 w2 w3 w4 w5 w6", 2L, 2L)))
+  }
+
+  test("removeCommonChunks: maxDf raises the survival bar") {
+    val corpus = Seq(
+      (0L, "c1 c2"), (1L, "c1 c2"), (2L, "c1 c2"), (3L, "x1 x2")
+    ).toDF("doc_id", "text")
+    // df("c1 c2") = 3 > 2 -> removed; at maxDf = 3 it survives.
+    val strict = Dedup.removeCommonChunks(corpus, "doc_id", "text", 2, 2L)
+      .filter(col("doc_id") === 0L).select("cleaned_text").as[String].collect()(0)
+    val loose = Dedup.removeCommonChunks(corpus, "doc_id", "text", 2, 3L)
+      .filter(col("doc_id") === 0L).select("cleaned_text").as[String].collect()(0)
+    assert(strict == "" && loose == "c1 c2")
+  }
+
   test("sign-bucket LSH: only same-bucket candidates are scored") {
     val all = Seq(
       (0L, Array(1.0f, -0.1f, -0.2f)), // query: bucket 001 = 1
