@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via hashed n-gram importance weights — the DSIR shape
+  * (Xie et al. 2023, "Data Selection for Language Models via Importance
+  * Resampling", arXiv:2302.03169): score every raw-corpus document by
+  * how much its hashed n-gram distribution looks like a small target
+  * corpus, then keep/resample the top.
+  *
+  * Determinism re-expression: DSIR's log-likelihood-ratio sum is
+  * transcendental, so cross-engine parity would die on libm. Instead
+  * each gram contributes the RATIONAL ratio
+  * `floor(scale * (t[b]+1) / (r[b]+1))` (add-1 smoothed bucket counts,
+  * floored to an integer BEFORE the per-document sum — the BM25 trick:
+  * integer sums are order-free, so shuffle order can't change the
+  * answer). A monotone per-gram transform of the DSIR ratio; ranking
+  * behavior is preserved gram-by-gram.
+  *
+  * Scale shape: one corpus pass builds the bucket model (groupBy on the
+  * hashed bucket — map-side combinable, output BOUNDED at `buckets`
+  * rows, which is why the model broadcast is guarded by construction,
+  * not by hope); one more pass scores raw grams against the broadcast
+  * model and sums per document. No corpus-sized join keys, no windows.
+  */
+object Dsir {
+
+  /** Importance scores for every raw-side document (those where
+    * `targetPred` is false). Grams are token bigrams hashed with
+    * [[Dedup.polyHash]] into `buckets` buckets.
+    *
+    * Output: (idCol, n_grams, imp_score, imp_per_gram), raw docs with
+    * at least one bigram.
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, buckets: Int = 4096,
+                       scale: Long = 1000000L): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 22),
+      s"buckets must be in (0, 2^22] to keep the model broadcastable, got $buckets")
+    val grams = df.select(col(idCol), targetPred.as("__is_t"),
+        explode(TextFunctions.shinglesOfTokens(split(col(textCol), " "), 2))
+          .as("__g"))
+      .select(col(idCol), col("__is_t"),
+        (Dedup.polyHash(col("__g")) % buckets).as("bkt"))
+    // Single model pass: both sides' bucket counts in ONE combinable
+    // aggregate (not two filtered passes — that would scan the corpus
+    // twice for the model alone).
+    val model = grams.groupBy(col("bkt")).agg(
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("tcnt"),
+        sum(when(!col("__is_t"), 1L).otherwise(0L)).as("rcnt"))
+      .select(col("bkt"),
+        expr(s"($scale * (tcnt + 1)) div (rcnt + 1)").as("contrib"))
+    grams.filter(!col("__is_t"))
+      .join(broadcast(model), "bkt")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(col("contrib")).as("imp_score"))
+      .withColumn("imp_per_gram",
+        col("imp_score").cast("double") / col("n_grams"))
+  }
+}

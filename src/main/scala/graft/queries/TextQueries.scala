@@ -370,6 +370,40 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q140_quality_classifier" -> { (s, d) =>
+      // Linear quality classifier over hashed bag-of-token features (the
+      // fastText-style filter of the CCNet/C4 pipelines): feature bucket
+      // = poly_hash(token) % 1024, weight = a fixed integer mix of the
+      // bucket (the stand-in for a pretrained weight vector — integer so
+      // the per-doc sum is order-free), logit = score / n_tokens. The
+      // whole scorer is one narrow per-row fold: no explode, no model
+      // join, no shuffle — at 100 TB it scales with input splits. The
+      // oracle replays the nested fold (polyhash inner, weight-sum
+      // outer) via list_reduce.
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(col("doc_id"),
+          aggregate(toks, lit(0L), (acc, t) =>
+            acc + ((graft.operators.Dedup.polyHash(t) % 1024L)
+              * lit(2654435761L) % 1000L - 500L)).as("quality_score"),
+          size(toks).cast("long").as("n_tokens"))
+        .withColumn("q_logit",
+          col("quality_score").cast("double") / col("n_tokens"))
+        .withColumn("label", col("quality_score") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    "q141_dsir_importance" -> { (s, d) =>
+      // DSIR-style data selection: raw docs scored by hashed-bigram
+      // similarity to the doc_id%50 target slice (the same gate the
+      // decontamination bench uses). Rational per-gram ratios floored to
+      // integers before the per-doc sum — order-free, oracle-exact; the
+      // bucket model is bounded at 4096 rows so its broadcast is guarded
+      // by construction.
+      graft.operators.Dsir.importanceScores(Tables.documents(s, d),
+          "doc_id", "text", targetPred = col("doc_id") % 50 === 0)
+        .orderBy(col("doc_id"))
+    },
+
     "q113_sliding_chunks" -> { (s, d) =>
       // Overlapping sliding-window chunker (the RAG / context-window prep
       // shape): size-32 chunks at stride 24, one output row per chunk with
@@ -925,6 +959,50 @@ object TextQueries extends QueryGroup {
         CAST(len(string_split(scrubbed, '<IP>')) - 1 AS BIGINT) AS n_ip,
         CAST(len(string_split(scrubbed, '<PHONE>')) - 1 AS BIGINT) AS n_phone
       FROM s ORDER BY doc_id""",
+
+    "q140_quality_classifier" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS quality_score
+        FROM t)
+      SELECT doc_id, quality_score, n_tokens,
+        CAST(quality_score AS DOUBLE) / n_tokens AS q_logit,
+        quality_score > 0 AS label
+      FROM s ORDER BY doc_id""",
+
+    "q141_dsir_importance" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, array_to_string(l[i:i+1], ' ') AS g
+        FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS u(i)),
+      b AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(g, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 4096 AS bkt
+        FROM sh),
+      m AS (
+        SELECT bkt,
+          (1000000 * (sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) + 1))
+            // (sum(CASE WHEN doc_id % 50 <> 0 THEN 1 ELSE 0 END) + 1) AS contrib
+        FROM b GROUP BY bkt),
+      sc AS (
+        SELECT b.doc_id, count(*) AS n_grams, sum(m.contrib) AS imp_score
+        FROM b JOIN m USING (bkt) WHERE b.doc_id % 50 <> 0
+        GROUP BY b.doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(imp_score AS BIGINT) AS imp_score,
+        CAST(imp_score AS DOUBLE) / n_grams AS imp_per_gram
+      FROM sc ORDER BY doc_id""",
 
     "q115_text_clean_native" -> s"""
       WITH t AS (
