@@ -215,4 +215,76 @@ object MediaCodecs {
       }
       out
     }
+
+  /** Encode a grayscale image as a 24-bpp uncompressed BMP (r=g=b).
+    * Stored TOP-DOWN (negative height in the info header — standard BMP,
+    * round-trips through [[decodeBmp]]/[[bmpThumbnail]]), rows padded to
+    * 4 bytes. `gray` is row-major top-down, values clamped 0..255.
+    * Returns null (not an exception) on a size mismatch so the Catalyst
+    * expression wrapper can surface SQL NULL.
+    */
+  def encodeBmpGray(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    if (gray == null || w <= 0 || h <= 0 || gray.length != w * h) return null
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    val buf = le(out)
+    out(0) = 'B'; out(1) = 'M'
+    buf.putInt(2, size)
+    buf.putInt(10, 54) // pixel data offset
+    buf.putInt(14, 40) // BITMAPINFOHEADER
+    buf.putInt(18, w)
+    buf.putInt(22, -h) // negative = top-down
+    buf.putShort(26, 1.toShort) // planes
+    buf.putShort(28, 24.toShort) // bpp
+    buf.putInt(30, 0) // BI_RGB
+    buf.putInt(34, rowBytes * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = math.max(0, math.min(255, gray(y * w + x))).toByte
+        val p = 54 + y * rowBytes + x * 3
+        out(p) = g; out(p + 1) = g; out(p + 2) = g // B, G, R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64 entries -> an 8x8 grayscale BMP; null otherwise. */
+  def encodeBmpGray8(gray: Array[Int]): Array[Byte] =
+    if (gray == null || gray.length != 64) null else encodeBmpGray(8, 8, gray)
+
+  /** Average-hash (aHash) of a BMP payload: decode, nearest-neighbor to
+    * 8x8 (via [[bmpThumbnail]] — identity for 8x8 inputs), then bit i
+    * (row-major top-down, i = y*8+x) is set iff pixel i's channel sum is
+    * strictly above the image mean. Integer-exact: the comparison is
+    * `64 * (r+g+b)_i > sum of all (r+g+b)` — no division, so the DuckDB
+    * oracle replays it bit-for-bit. Null (boxed) for non-BMP payloads or
+    * images smaller than 8x8 — the codegen wrapper maps it to SQL NULL.
+    */
+  def aHash64(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null) return null
+    bmpThumbnail(bytes, 8) match {
+      case Some(t) if t.length == 8 * 8 * 3 =>
+        val g = new Array[Long](64)
+        var s = 0L
+        var i = 0
+        while (i < 64) {
+          g(i) = (t(i * 3) & 0xff) + (t(i * 3 + 1) & 0xff) + (t(i * 3 + 2) & 0xff)
+          s += g(i)
+          i += 1
+        }
+        var h = 0L
+        i = 0
+        while (i < 64) {
+          if (64L * g(i) > s) h |= 1L << i
+          i += 1
+        }
+        java.lang.Long.valueOf(h)
+      case _ => null
+    }
+  }
 }

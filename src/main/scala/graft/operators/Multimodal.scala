@@ -111,4 +111,57 @@ object Multimodal {
     val step = greatest(ceil(nFrames.cast("double") / maxFrames).cast("long"), lit(1L))
     sequence(lit(0L), nFrames - 1, step)
   }
+
+  /** Column wrapper: gray array<int> -> real 8x8 BMP payload bytes. */
+  def encodeBmpGray8(gray: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.EncodeBmpGray8(
+      ColumnBridge.expression(gray)))
+  }
+
+  /** Column wrapper: BMP payload -> 64-bit average-hash (NULL if undecodable). */
+  def bmpAHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.BmpAHash(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** Perceptual image near-dup pairs: aHash each payload (real BMP
+    * decode), then find id pairs within `maxHamming` bits via 4-band
+    * 16-bit LSH — band-equality buckets generate candidates (the
+    * MinHash-LSH shape of [[Dedup]], so no all-pairs comparison
+    * anywhere), XOR popcount scores them inside codegen. Undecodable
+    * payloads drop out (hash NULL) instead of poisoning a bucket.
+    *
+    * Scale shape: 4 bucket-join passes over one hashed projection;
+    * candidate volume is bounded by bucket occupancy, exactly like the
+    * text-LSH path (cap there via maxPerBucket applies here too if a
+    * degenerate all-same-band corpus ever shows up).
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, each pair once.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 10): DataFrame = {
+    val hashed = df.select(col(idCol), bmpAHash(col(payloadCol)).as("__h"))
+      .filter(col("__h").isNotNull)
+    val banded = hashed.select(col(idCol), col("__h"),
+      explode(array((0 until 4).map(b => struct(
+        lit(b).as("__band"),
+        shiftrightunsigned(col("__h"), b * 16).bitwiseAND(lit(0xffffL))
+          .as("__key"))): _*)).as("__bk"))
+      .select(col(idCol), col("__h"),
+        col("__bk.__band").as("__band"), col("__bk.__key").as("__key"))
+    val a = banded.select(col(idCol).as("id_a"), col("__h").as("__ha"),
+      col("__band"), col("__key"))
+    val b = banded.select(col(idCol).as("id_b"), col("__h").as("__hb"),
+      col("__band"), col("__key"))
+    a.join(b, Seq("__band", "__key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__ha"), col("__hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -168,6 +168,54 @@ class MediaCodecsSpec extends SparkSpec {
     assert(out(11L).decoder == "stub")
   }
 
+  test("encodeBmpGray round-trips through decodeBmp and thumbnail") {
+    val gray = Array.tabulate(64)(i => (i * 4) % 256)
+    val bytes = MediaCodecs.encodeBmpGray8(gray)
+    val meta = MediaCodecs.decodeBmp(bytes).get
+    assert(meta.width == 8 && meta.height == 8 && meta.bitsPerPixel == 24)
+    // r=g=b=gray, so all channel means equal the gray mean
+    val mean = gray.sum / 64.0
+    assert(meta.meanR == mean && meta.meanG == mean && meta.meanB == mean)
+    // top-down order is preserved through the thumbnail path
+    val t = MediaCodecs.bmpThumbnail(bytes, 8).get
+    assert(t.length == 192)
+    (0 until 64).foreach { i =>
+      assert((t(i * 3) & 0xff) == gray(i), s"pixel $i")
+    }
+    assert(MediaCodecs.encodeBmpGray8(Array.fill(63)(0)) == null)
+  }
+
+  test("aHash64: bit i set iff pixel i strictly above the mean") {
+    // Half the pixels at 200, half at 100 -> mean 150: bits 0..31 set.
+    val gray = Array.tabulate(64)(i => if (i < 32) 200 else 100)
+    val h = MediaCodecs.aHash64(MediaCodecs.encodeBmpGray8(gray))
+    assert(h != null && h.longValue() == 0x00000000ffffffffL)
+    // All-equal image: no pixel is strictly above the mean -> 0
+    val flat = MediaCodecs.aHash64(MediaCodecs.encodeBmpGray8(Array.fill(64)(7)))
+    assert(flat != null && flat.longValue() == 0L)
+    // Not a BMP -> null, undersized image -> null
+    assert(MediaCodecs.aHash64("junk".getBytes("US-ASCII")) == null)
+    assert(MediaCodecs.aHash64(bmpBytes(4, 2, 9, 8, 7)) == null)
+  }
+
+  test("imageNearDupPairs: same-class images pair, far images don't") {
+    // Docs 0,1: differ in one pixel -> tiny hamming; doc 2: inverted.
+    def img(base: Int, noise: Int) = Array.tabulate(64)(i =>
+      if (i == 0) noise else if (i % 2 == 0) 220 else 30 + base)
+    val media = Seq(
+      (0L, MediaCodecs.encodeBmpGray8(img(0, 250))),
+      (1L, MediaCodecs.encodeBmpGray8(img(0, 240))),
+      (2L, MediaCodecs.encodeBmpGray8(Array.tabulate(64)(i =>
+        if (i % 2 == 0) 30 else 220))),
+      (3L, "notabmp".getBytes("US-ASCII")) // hash NULL: must drop out
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.imageNearDupPairs(media, "media_id", "payload",
+        maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 <= 1L)
+  }
+
   test("decodeMedia dispatches on magic bytes with stub fallback (Spark path)") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wavBytes(Array.fill[Short](100)(1000), 8000)),
