@@ -44,19 +44,29 @@ object Dsir {
           .as("__g"))
       .select(col(idCol), col("__is_t"),
         (Dedup.polyHash(col("__g")) % buckets).as("bkt"))
-    // Single model pass: both sides' bucket counts in ONE combinable
-    // aggregate (not two filtered passes — that would scan the corpus
-    // twice for the model alone).
-    val model = grams.groupBy(col("bkt")).agg(
-        sum(when(col("__is_t"), 1L).otherwise(0L)).as("tcnt"),
-        sum(when(!col("__is_t"), 1L).otherwise(0L)).as("rcnt"))
+    // Per-(doc, bucket) histogram FIRST: the model pass and the scoring
+    // pass both read this one combinable aggregate. `__is_t` is carried
+    // as an AGGREGATED column (max over a per-doc constant), not a
+    // grouping key — a filter on a grouping key would be pushed below
+    // the aggregate into the scan, making the two subtrees differ and
+    // forcing a second corpus scan; a filter on an aggregate output
+    // cannot be pushed, so both consumers share the identical subtree
+    // and AQE reuses its exchange (the q71 pattern; corpus scanned
+    // ONCE). It also shrinks the model input and the scoring join from
+    // #grams rows to #distinct (doc, bucket) pairs.
+    val dh = grams.groupBy(col(idCol), col("bkt"))
+      .agg(count(lit(1)).as("__n"),
+        max(when(col("__is_t"), 1L).otherwise(0L)).as("__t"))
+    val model = dh.groupBy(col("bkt")).agg(
+        sum(when(col("__t") === 1L, col("__n")).otherwise(0L)).as("tcnt"),
+        sum(when(col("__t") === 0L, col("__n")).otherwise(0L)).as("rcnt"))
       .select(col("bkt"),
         expr(s"($scale * (tcnt + 1)) div (rcnt + 1)").as("contrib"))
-    grams.filter(!col("__is_t"))
+    dh.filter(col("__t") === 0L)
       .join(broadcast(model), "bkt")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_grams"),
-        sum(col("contrib")).as("imp_score"))
+      .agg(sum(col("__n")).cast("long").as("n_grams"),
+        sum(col("__n") * col("contrib")).as("imp_score"))
       .withColumn("imp_per_gram",
         col("imp_score").cast("double") / col("n_grams"))
   }

@@ -159,7 +159,13 @@ class PlanSpec extends SparkSpec {
     // The library-level persists were removed on the claim that identical
     // subplans share their exchange; pin the claim on the executed plans
     // (AQE dedupes stages at runtime — reuse is invisible pre-execution).
-    for ((q, minReuse) <- Seq("q38_lsh_pairs" -> 1, "q40_ngram_jaccard" -> 2)) {
+    // q141: the DSIR model pass and scoring pass both read the same
+    // per-(doc, bucket) histogram; __is_t rides as an aggregated column
+    // precisely so the scoring filter can't be pushed below the
+    // aggregate — both subtrees stay identical and the corpus is
+    // scanned once.
+    for ((q, minReuse) <- Seq("q38_lsh_pairs" -> 1, "q40_ngram_jaccard" -> 2,
+        "q141_dsir_importance" -> 1)) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.treeString
