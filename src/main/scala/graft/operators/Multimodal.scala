@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column conventions + decode plumbing (SURVEY.md §2 B18).
@@ -135,22 +136,38 @@ object Multimodal {
     *
     * Scale shape: 4 bucket-join passes over one hashed projection;
     * candidate volume is bounded by bucket occupancy, exactly like the
-    * text-LSH path (cap there via maxPerBucket applies here too if a
-    * degenerate all-same-band corpus ever shows up).
+    * text-LSH path. A popular near-identical image (a site logo, a
+    * tracking pixel) puts its whole cluster in one band bucket, and the
+    * self-join then emits |bucket|^2 / 2 pairs — at web scale that is
+    * the dominant cost, so the text path's deterministic per-bucket cap
+    * applies here too: `maxPerBucket > 0` keeps the `n` smallest ids
+    * per (band, key) bucket. The cap costs no extra shuffle (the
+    * row_number window partitions by the same key the join shuffles
+    * on); capped buckets still link every member to the bucket minimum,
+    * so connected components survive — only redundant intra-cluster
+    * edges are dropped. `0` = exact banding semantics (the oracle
+    * mode, used by q142).
     *
     * Output: (id_a, id_b, hamming), id_a < id_b, each pair once.
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
-                        maxHamming: Int = 10): DataFrame = {
+                        maxHamming: Int = 10,
+                        maxPerBucket: Int = 0): DataFrame = {
     val hashed = df.select(col(idCol), bmpAHash(col(payloadCol)).as("__h"))
       .filter(col("__h").isNotNull)
-    val banded = hashed.select(col(idCol), col("__h"),
+    val banded0 = hashed.select(col(idCol), col("__h"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("__band"),
         shiftrightunsigned(col("__h"), b * 16).bitwiseAND(lit(0xffffL))
           .as("__key"))): _*)).as("__bk"))
       .select(col(idCol), col("__h"),
         col("__bk.__band").as("__band"), col("__bk.__key").as("__key"))
+    val banded = if (maxPerBucket > 0) {
+      val w = Window.partitionBy(col("__band"), col("__key"))
+        .orderBy(col(idCol))
+      banded0.withColumn("__bn", row_number().over(w))
+        .filter(col("__bn") <= maxPerBucket).drop("__bn")
+    } else banded0
     val a = banded.select(col(idCol).as("id_a"), col("__h").as("__ha"),
       col("__band"), col("__key"))
     val b = banded.select(col(idCol).as("id_b"), col("__h").as("__hb"),

@@ -216,6 +216,23 @@ class MediaCodecsSpec extends SparkSpec {
     assert(pairs.head._3 <= 1L)
   }
 
+  test("imageNearDupPairs: per-bucket cap bounds a hot cluster but keeps it connected") {
+    // 20 identical images = one hot bucket per band; uncapped emits all
+    // 190 pairs, cap=3 keeps ids (0,1,2) per bucket -> 3 pairs — but the
+    // survivors still link the bucket minimum, so a CC pass would still
+    // merge every capped member that appears in ANY surviving pair.
+    def img = Array.tabulate(64)(i => if (i % 2 == 0) 220 else 30)
+    val media = (0L until 20L).map(id => (id, MediaCodecs.encodeBmpGray8(img)))
+      .toDF("media_id", "payload")
+    val uncapped = Multimodal.imageNearDupPairs(media, "media_id", "payload",
+      maxHamming = 10).count()
+    assert(uncapped == 190L)
+    val capped = Multimodal.imageNearDupPairs(media, "media_id", "payload",
+        maxHamming = 10, maxPerBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("decodeMedia dispatches on magic bytes with stub fallback (Spark path)") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wavBytes(Array.fill[Short](100)(1000), 8000)),
