@@ -16,7 +16,8 @@ object SparkEntry {
   private val groups: Seq[QueryGroup] = Seq(
     RelationalQueries, AnalyticQueries, EventQueries,
     TextQueries, DedupQueries, SimilarityQueries,
-    MultimodalQueries, ApproxQueries, ExtraQueries, VariantQueries)
+    MultimodalQueries, ApproxQueries, ExtraQueries, VariantQueries,
+    WebQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

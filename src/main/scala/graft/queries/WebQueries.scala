@@ -1,0 +1,138 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.UrlFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus front-door curation: URL hygiene (q143) and Gopher-style
+  * document quality rules (q144). Both are narrow per-row passes until
+  * a final bounded aggregate — the shapes that run at scan speed on a
+  * 100 TB crawl.
+  */
+object WebQueries extends QueryGroup {
+
+  /** Deterministic URL per document — scheme/case/www/port/query/
+    * fragment/trailing-slash variants so every normalization rule is
+    * exercised, with enough host variety (37 subdomains x 17 domains x
+    * 4 TLDs, one a two-part suffix) that the registered-domain rollup
+    * is a real group-by. Replayed verbatim in the oracle SQL.
+    */
+  private def syntheticUrl(s: SparkSession) = {
+    val id = col("doc_id")
+    concat(
+      when(id % 3 === 1, lit("HTTP://")).otherwise(lit("https://")),
+      when(id % 5 === 0, lit("www.")).otherwise(lit("")),
+      when(id % 9 === 0, lit("SITE")).otherwise(lit("site")),
+      (id % 37).cast("string"),
+      lit(".d"), (id % 17).cast("string"),
+      element_at(array(lit(".com"), lit(".co.uk"), lit(".org"), lit(".net")),
+        (id % 4).cast("int") + 1),
+      when(id % 11 === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), (id % 13).cast("string"),
+      when(id % 2 === 0, lit("/")).otherwise(lit("")),
+      when(id % 6 === 0, concat(lit("?utm="), (id % 7).cast("string")))
+        .otherwise(lit("")),
+      when(id % 7 === 0, lit("#sec")).otherwise(lit("")))
+  }
+
+  private val urlSql = """
+    (CASE WHEN doc_id % 3 = 1 THEN 'HTTP://' ELSE 'https://' END ||
+     CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END ||
+     CASE WHEN doc_id % 9 = 0 THEN 'SITE' ELSE 'site' END ||
+     CAST(doc_id % 37 AS VARCHAR) || '.d' || CAST(doc_id % 17 AS VARCHAR) ||
+     (['.com', '.co.uk', '.org', '.net'])[CAST(doc_id % 4 AS INT) + 1] ||
+     CASE WHEN doc_id % 11 = 0 THEN ':8080' ELSE '' END ||
+     '/p/' || CAST(doc_id % 13 AS VARCHAR) ||
+     CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+     CASE WHEN doc_id % 6 = 0 THEN '?utm=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END ||
+     CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"""
+
+  /** Gopher-style stopword list (subset that appears in the corpus). */
+  private val StopWords = Seq("the", "a", "of", "to", "in")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q143_url_dedup_domains" -> { (s, d) =>
+      // URL normalization + registered-domain rollup: per-domain doc
+      // count, distinct canonical URLs, and the lexicographic canonical
+      // representative. Two-phase aggregate (per-(domain, url) first) —
+      // one COUNT DISTINCT next to a COUNT would make Catalyst EXPAND
+      // every row; the pre-aggregate also collapses the per-domain hot
+      // keys map-side before the final shuffle.
+      val u = Tables.documents(s, d)
+        .select(col("doc_id"), syntheticUrl(s).as("url"))
+        .select(UrlFunctions.registeredDomain(col("url")).as("registered_domain"),
+          UrlFunctions.normalizeUrl(col("url")).as("norm"))
+      u.groupBy(col("registered_domain"), col("norm"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("registered_domain"))
+        .agg(sum(col("__n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_urls"),
+          min(col("norm")).as("canonical_url"))
+        .orderBy(col("registered_domain"))
+    },
+
+    "q144_gopher_rules" -> { (s, d) =>
+      // Gopher-style (Rae et al. 2021) document quality gates, adapted
+      // to the fixture's vocabulary: word-count bounds, mean word
+      // length bounds, minimum stopword hits, minimum type-token ratio.
+      // One narrow per-row pass — counts are exact integers and the two
+      // ratios are single int/int double divisions, so the oracle
+      // reproduces them bit-for-bit; no regex (engines disagree on
+      // regex corner semantics).
+      val words = split(col("text"), " ")
+      val nWords = size(words).cast("long")
+      // single-space joined text: total word chars = len - (n-1) spaces
+      val charSum = (length(col("text")) - (nWords - 1)).cast("long")
+      val nStop = size(filter(words,
+        w => StopWords.map(sw => w === sw).reduce(_ || _))).cast("long")
+      val nTypes = size(array_distinct(words)).cast("long")
+      Tables.documents(s, d).select(
+          col("doc_id"), nWords.as("n_words"),
+          (charSum.cast("double") / nWords).as("mean_wlen"),
+          nStop.as("n_stop"), nTypes.as("n_types"),
+          (nTypes.cast("double") / nWords).as("ttr"))
+        .withColumn("passes",
+          col("n_words").between(20L, 400L) &&
+            col("mean_wlen").between(3.0, 8.0) &&
+            col("n_stop") >= 2L && col("ttr") >= 0.3)
+        .orderBy(col("doc_id"))
+    })
+
+  val oracle: Map[String, String] = Map(
+
+    "q143_url_dedup_domains" -> s"""
+      WITH u AS (
+        SELECT ${UrlFunctions.Sql.registeredExpr()} AS registered_domain,
+               ${UrlFunctions.Sql.normalizedExpr} AS norm
+        FROM (SELECT doc_id, $urlSql AS url FROM documents)),
+      per_url AS (
+        SELECT registered_domain, norm, count(*) AS n
+        FROM u GROUP BY 1, 2)
+      SELECT registered_domain, CAST(sum(n) AS BIGINT) AS n_docs,
+             count(*) AS n_urls, min(norm) AS canonical_url
+      FROM per_url GROUP BY 1 ORDER BY 1""",
+
+    "q144_gopher_rules" -> s"""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               CAST(length(text) AS BIGINT) AS len
+        FROM documents),
+      f AS (
+        SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          len - (CAST(len(words) AS BIGINT) - 1) AS char_sum,
+          CAST(len(list_filter(words, x -> x IN (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT) AS n_stop,
+          CAST(len(list_distinct(words)) AS BIGINT) AS n_types
+        FROM w)
+      SELECT doc_id, n_words,
+        CAST(char_sum AS DOUBLE) / n_words AS mean_wlen,
+        n_stop, n_types,
+        CAST(n_types AS DOUBLE) / n_words AS ttr,
+        (n_words BETWEEN 20 AND 400)
+          AND (CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 8.0)
+          AND n_stop >= 2
+          AND (CAST(n_types AS DOUBLE) / n_words >= 0.3) AS passes
+      FROM f ORDER BY doc_id""")
+}
