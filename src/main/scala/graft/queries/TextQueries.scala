@@ -392,6 +392,24 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q145_token_budget" -> { (s, d) =>
+      // Budgeted data selection: q140's hashed-feature quality score
+      // ranks the corpus, and Budget.takeByBudget keeps the head until
+      // 10k tokens — the two-phase bucket prefix sum, so no task ever
+      // sees a global order over the corpus. The oracle replays the
+      // naive single-window form; matching it exactly is the proof the
+      // decomposition is lossless.
+      val toks = split(col("text"), " ")
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + ((graft.operators.Dedup.polyHash(t) % 1024L)
+            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      graft.operators.Budget.takeByBudget(scored, "doc_id", "score",
+          "n_tokens", budget = 10000L)
+        .orderBy(col("doc_id"))
+    },
+
     "q141_dsir_importance" -> { (s, d) =>
       // DSIR-style data selection: raw docs scored by hashed-bigram
       // similarity to the doc_id%50 target slice (the same gate the
@@ -977,6 +995,27 @@ object TextQueries extends QueryGroup {
         CAST(quality_score AS DOUBLE) / n_tokens AS q_logit,
         quality_score > 0 AS label
       FROM s ORDER BY doc_id""",
+
+    "q145_token_budget" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score
+        FROM t),
+      cum AS (
+        SELECT doc_id, score, n_tokens,
+          SUM(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        FROM s)
+      SELECT doc_id, score, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+      FROM cum WHERE cum_cost <= 10000 ORDER BY doc_id""",
 
     "q141_dsir_importance" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
