@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LmScore, Packing, Retrieval, Vocab}
+import graft.operators.{Dedup, LmScore, Packing, Percentiles, Retrieval, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -390,6 +390,35 @@ object TextQueries extends QueryGroup {
           col("quality_score").cast("double") / col("n_tokens"))
         .withColumn("label", col("quality_score") > 0)
         .orderBy(col("doc_id"))
+    },
+
+    "q146_ccnet_buckets" -> { (s, d) =>
+      // CCNet's head/middle/tail split: per-LANGUAGE perplexity terciles
+      // of the bigram-LM score (q122's scorer), docs bucketed against
+      // the broadcast thresholds. The tercile boundaries come from the
+      // distributed PERCENTILE_DISC machinery — no per-lang windows, so
+      // a 100 TB lang partition never funnels to one task; the bucket
+      // assignment is a broadcast join + two comparisons.
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(LmScore.bigramScores(docs,
+            docs.filter(col("source") === "src0"), "doc_id", "text")
+          .select(col("doc_id"), col("avg_score")), "doc_id")
+      val th = Percentiles.percentileDisc(scored, "lang", "avg_score",
+          Seq(1.0 / 3, 2.0 / 3))
+        .groupBy(col("lang")).agg(
+          max(when(col("p") === 1.0 / 3, col("value"))).as("t1"),
+          max(when(col("p") === 2.0 / 3, col("value"))).as("t2"))
+      scored.join(broadcast(th), "lang")
+        .withColumn("bucket",
+          when(col("avg_score") > col("t2"), lit("head"))
+            .when(col("avg_score") > col("t1"), lit("middle"))
+            .otherwise(lit("tail")))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_score")).as("lo_score"),
+          max(col("avg_score")).as("hi_score"))
+        .orderBy(col("lang"), col("bucket"))
     },
 
     "q145_token_budget" -> { (s, d) =>
@@ -995,6 +1024,44 @@ object TextQueries extends QueryGroup {
         CAST(quality_score AS DOUBLE) / n_tokens AS q_logit,
         quality_score > 0 AS label
       FROM s ORDER BY doc_id""",
+
+    "q146_ccnet_buckets" -> s"""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          ((coalesce(b.cb, 0) + 1) * 1000000) // (coalesce(u.cu, 0) + v.vs) AS sc
+        FROM c LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      t AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(sc) AS BIGINT) AS score_sum
+        FROM scored GROUP BY doc_id),
+      sc2 AS (
+        SELECT d.doc_id, d.lang,
+          coalesce(t.score_sum // t.n_bigrams, CAST(0 AS BIGINT)) AS avg_score
+        FROM documents d LEFT JOIN t USING (doc_id)),
+      th AS (
+        SELECT lang, quantile_disc(avg_score, ${1.0 / 3}) AS t1,
+               quantile_disc(avg_score, ${2.0 / 3}) AS t2
+        FROM sc2 GROUP BY lang)
+      SELECT lang,
+        CASE WHEN avg_score > t2 THEN 'head'
+             WHEN avg_score > t1 THEN 'middle'
+             ELSE 'tail' END AS bucket,
+        count(*) AS n_docs, CAST(min(avg_score) AS BIGINT) AS lo_score,
+        CAST(max(avg_score) AS BIGINT) AS hi_score
+      FROM sc2 JOIN th USING (lang)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q145_token_budget" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
