@@ -396,4 +396,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"),
       s"pair generation must stay a cell equi-join:\n$p")
   }
+
+  test("url rollup (q143): two-phase aggregate — no count-distinct Expand") {
+    val p = plan("q143_url_dedup_domains")
+    val s = p.toString
+    // distinct-URL counting must be the pre-aggregated (domain, url)
+    // phase, not a COUNT DISTINCT next to COUNT (Catalyst would Expand
+    // every row ahead of the shuffle)
+    assert(!s.contains("Expand"), s"count-distinct Expand leaked in:\n$s")
+    assert(!s.contains("Window"), s"no window in the rollup:\n$s")
+    assert(countShuffles(p) <= 3, s"two agg phases + oracle sort only:\n$p")
+  }
+
+  test("gopher rules (q144): wholly narrow — only the oracle sort exchanges") {
+    val p = plan("q144_gopher_rules")
+    assert(countShuffles(p) <= 1, s"quality gates must not shuffle:\n$p")
+    assert(!p.toString.contains("Generate"),
+      s"counts must come from array kernels, not an explode:\n$p")
+  }
+
+  test("token budget (q145): cumsum windows bucket-partitioned, prefixes broadcast") {
+    val p = plan("q145_token_budget")
+    // the only unpartitioned window runs over bucket TOTALS (post-
+    // aggregate, #buckets rows) — the corpus-sized running cost must be
+    // partitioned by bucket
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"expected the two cumsum windows:\n$p")
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.forall(w =>
+        collectAll(w.child).exists(_.toString.contains("HashAggregate"))),
+      s"unpartitioned window must sit above the bucket-totals aggregate:\n$p")
+    assert(countBroadcasts(p) >= 1, s"bucket prefixes must broadcast:\n$p")
+  }
+
+  test("ccnet buckets (q146): thresholds broadcast, no per-language window") {
+    val p = plan("q146_ccnet_buckets")
+    val s = p.toString
+    // tercile thresholds and LM model tables all ride broadcasts; the
+    // corpus is never windowed by language (a dominant language would
+    // funnel to one task)
+    assert(countBroadcasts(p) >= 3, s"threshold + model tables must broadcast:\n$p")
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(!wins.exists(_.partitionSpec.toString.contains("lang")),
+      s"per-language window leaked into the bucketing:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+  }
 }
