@@ -26,7 +26,7 @@ object TextQueries extends QueryGroup {
     * dialect's string type name — STRING for Spark, VARCHAR for DuckDB;
     * every other construct parses identically in both.
     */
-  private def piiRawExpr(cast: String): String =
+  private[queries] def piiRawExpr(cast: String): String =
     s"concat(text, ' contact user', CAST(doc_id AS $cast), " +
       s"CASE WHEN doc_id % 5 = 0 THEN '@invalid' " +
       s"ELSE concat('@mail', CAST(doc_id % 7 AS $cast), '.example.com') END, " +

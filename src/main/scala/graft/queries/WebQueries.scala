@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.UrlFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.TextFunctions.piiScrub
+import graft.operators.{Budget, Dedup}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Web-corpus front-door curation: URL hygiene (q143) and Gopher-style
@@ -98,6 +100,53 @@ object WebQueries extends QueryGroup {
             col("mean_wlen").between(3.0, 8.0) &&
             col("n_stop") >= 2L && col("ttr") >= 0.3)
         .orderBy(col("doc_id"))
+    },
+
+    "q147_curation_pipeline_v2" -> { (s, d) =>
+      // The round-5 front-door chain in one oracle-checked query, each
+      // stage keeping its standalone scale shape: URL keep-first dedup
+      // (q143's canonicalization; groupBy(min) + semi join — skew-safe
+      // on a hot canonical URL, unlike a window) -> PII scrub (q138's
+      // narrow codegen byte-scan, same injected fixtures) -> common-
+      // chunk removal (q139: distinct-pair df + anti join, doc rebuild)
+      // -> Gopher quality gate on the REBUILT text (q144's exact-int
+      // rules) -> hashed-feature scoring (q140's fold, no model join)
+      // -> token-budget head selection (q145's two-phase bucket prefix
+      // sum). Corpus-sized data is never globally ordered and never
+      // windowed on a potentially-hot key anywhere in the chain.
+      val docs = Tables.documents(s, d)
+      val withUrl = docs
+        .select(col("doc_id"), col("text"),
+          UrlFunctions.normalizeUrl(syntheticUrl(s)).as("norm"))
+      val keepIds = withUrl.groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val scrubbed = withUrl.join(keepIds, "doc_id")
+        .withColumn("raw", expr(TextQueries.piiRawExpr("STRING")))
+        .select(col("doc_id"), piiScrub(col("raw")).as("stext"))
+      val rebuilt = Dedup.removeCommonChunks(scrubbed, "doc_id", "stext",
+        chunkTokens = 8, maxDf = 1L)
+      val ws = split(col("cleaned_text"), " ")
+      val nWords = size(ws).cast("long")
+      val charSum = (length(col("cleaned_text")) - (nWords - 1)).cast("long")
+      val nStop = size(filter(ws,
+        w => StopWords.map(sw => w === sw).reduce(_ || _))).cast("long")
+      val nTypes = size(array_distinct(ws)).cast("long")
+      val gated = rebuilt
+        .select(col("doc_id"), col("cleaned_text"), nWords.as("n_words"),
+          charSum.as("char_sum"), nStop.as("n_stop"), nTypes.as("n_types"))
+        .filter(col("n_words").between(20L, 400L) &&
+          (col("char_sum").cast("double") / col("n_words")).between(3.0, 8.0) &&
+          col("n_stop") >= 2L &&
+          (col("n_types").cast("double") / col("n_words")) >= 0.3)
+      val toks = split(col("cleaned_text"), " ")
+      val scored = gated.select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc: Column, t: Column) =>
+          acc + ((Dedup.polyHash(t) % 1024L)
+            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        col("n_words").as("n_tokens"))
+      Budget.takeByBudget(scored, "doc_id", "score", "n_tokens",
+          budget = 15000L)
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -134,5 +183,73 @@ object WebQueries extends QueryGroup {
           AND (CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 8.0)
           AND n_stop >= 2
           AND (CAST(n_types AS DOUBLE) / n_words >= 0.3) AS passes
-      FROM f ORDER BY doc_id""")
+      FROM f ORDER BY doc_id""",
+
+    "q147_curation_pipeline_v2" -> s"""
+      WITH u AS (
+        SELECT doc_id, text, ${UrlFunctions.Sql.normalizedExpr} AS norm
+        FROM (SELECT doc_id, text, $urlSql AS url FROM documents)),
+      keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY norm),
+      raw AS (
+        SELECT doc_id, ${TextQueries.piiRawExpr("VARCHAR")} AS raw
+        FROM (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id))),
+      sc AS (
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS stext
+        FROM raw),
+      t AS (SELECT doc_id, string_split(stext, ' ') AS ts FROM sc),
+      c AS (
+        SELECT doc_id, CAST(g AS INT) AS cpos,
+          array_to_string(ts[g*8+1 : g*8+8], ' ') AS chunk
+        FROM t, unnest(generate_series(0,
+          CAST(ceil(len(ts) / 8.0) AS INT) - 1)) AS un(g)),
+      dup AS (
+        SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM c)
+        GROUP BY chunk HAVING count(*) > 1),
+      keptc AS (
+        SELECT c.doc_id, c.cpos, c.chunk FROM c
+        WHERE c.chunk NOT IN (SELECT chunk FROM dup)),
+      reb AS (
+        SELECT t.doc_id, coalesce(r.ct, '') AS ct
+        FROM t LEFT JOIN (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS ct
+          FROM keptc GROUP BY doc_id) r ON t.doc_id = r.doc_id),
+      g AS (
+        SELECT doc_id, ct, string_split(ct, ' ') AS ws,
+          CAST(length(ct) AS BIGINT) AS len
+        FROM reb),
+      f AS (
+        SELECT doc_id, ct,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          len - (CAST(len(ws) AS BIGINT) - 1) AS char_sum,
+          CAST(len(list_filter(ws, x -> x IN (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT) AS n_stop,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS n_types
+        FROM g),
+      p AS (
+        SELECT doc_id, ct, n_words FROM f
+        WHERE (n_words BETWEEN 20 AND 400)
+          AND (CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 8.0)
+          AND n_stop >= 2
+          AND (CAST(n_types AS DOUBLE) / n_words >= 0.3)),
+      scored AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(ct, ' '), tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, ch) -> (acc * 31 + ch) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score,
+          n_words AS n_tokens
+        FROM p),
+      b AS (
+        SELECT doc_id, score, n_tokens,
+          sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        FROM scored)
+      SELECT doc_id, score, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+      FROM b WHERE cum_cost <= 15000 ORDER BY doc_id""")
 }
