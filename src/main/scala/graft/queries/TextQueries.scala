@@ -400,10 +400,16 @@ object TextQueries extends QueryGroup {
       // a 100 TB lang partition never funnels to one task; the bucket
       // assignment is a broadcast join + two comparisons.
       val docs = Tables.documents(s, d)
+      // The LM scoring pass feeds BOTH the tercile computation and the
+      // final bucket assignment — localCheckpoint the narrow (doc_id,
+      // lang, avg_score) table so the corpus-sized scoring (explode +
+      // model joins) runs once, not twice (q119's edge-list trick; the
+      // checkpoint is 3 columns/row, far cheaper than a second scan).
       val scored = docs.select(col("doc_id"), col("lang"))
         .join(LmScore.bigramScores(docs,
             docs.filter(col("source") === "src0"), "doc_id", "text")
           .select(col("doc_id"), col("avg_score")), "doc_id")
+        .localCheckpoint()
       val th = Percentiles.percentileDisc(scored, "lang", "avg_score",
           Seq(1.0 / 3, 2.0 / 3))
         .groupBy(col("lang")).agg(
