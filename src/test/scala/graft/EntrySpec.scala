@@ -33,7 +33,7 @@ class EntrySpec extends SparkSpec {
       "edges", "deg", "r0", "r1", "r2", "r3", "i1", "i2", "i3",
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
-      "sc2", "th",
+      "sc2", "th", "keep", "keptc", "reb",
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern

@@ -434,10 +434,15 @@ class PlanSpec extends SparkSpec {
   test("ccnet buckets (q146): thresholds broadcast, no per-language window") {
     val p = plan("q146_ccnet_buckets")
     val s = p.toString
-    // tercile thresholds and LM model tables all ride broadcasts; the
-    // corpus is never windowed by language (a dominant language would
-    // funnel to one task)
-    assert(countBroadcasts(p) >= 3, s"threshold + model tables must broadcast:\n$p")
+    // The LM-scored (doc_id, lang, avg_score) table is localCheckpointed
+    // so the corpus-sized scoring pass (token explode + model joins,
+    // plan-pinned on q122) runs ONCE; the final plan consumes it as a
+    // materialized RDD scan and only the tercile thresholds broadcast.
+    // The corpus is never windowed by language (a dominant language
+    // would funnel to one task).
+    assert(s.contains("ExistingRDD"),
+      s"scored table must be checkpointed (one scoring pass):\n$p")
+    assert(countBroadcasts(p) >= 1, s"threshold table must broadcast:\n$p")
     val wins = collectAll(p).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
