@@ -103,6 +103,17 @@ object TextFunctions {
       ColumnBridge.expression(text), stopwords))
   }
 
+  /** The four Gopher-style quality counters (n_words, char_sum, n_stop,
+    * n_types) as one struct from a single byte-scan — see
+    * [[graft.functions.expressions.GopherStats]] for the exact
+    * split/filter/array_distinct parity semantics the oracle replays.
+    */
+  def gopherStats(text: Column, stopwords: Seq[String]): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.GopherStats(
+      ColumnBridge.expression(text), stopwords))
+  }
+
   /** Per-occurrence ratio of tokens that appear in a fixed stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

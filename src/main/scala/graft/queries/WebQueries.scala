@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.UrlFunctions
+import graft.functions.{TextFunctions, UrlFunctions}
 import graft.functions.TextFunctions.piiScrub
 import graft.operators.{Budget, Dedup}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -82,19 +82,17 @@ object WebQueries extends QueryGroup {
       // One narrow per-row pass — counts are exact integers and the two
       // ratios are single int/int double divisions, so the oracle
       // reproduces them bit-for-bit; no regex (engines disagree on
-      // regex corner semantics).
-      val words = split(col("text"), " ")
-      val nWords = size(words).cast("long")
-      // single-space joined text: total word chars = len - (n-1) spaces
-      val charSum = (length(col("text")) - (nWords - 1)).cast("long")
-      val nStop = size(filter(words,
-        w => StopWords.map(sw => w === sw).reduce(_ || _))).cast("long")
-      val nTypes = size(array_distinct(words)).cast("long")
-      Tables.documents(s, d).select(
-          col("doc_id"), nWords.as("n_words"),
-          (charSum.cast("double") / nWords).as("mean_wlen"),
-          nStop.as("n_stop"), nTypes.as("n_types"),
-          (nTypes.cast("double") / nWords).as("ttr"))
+      // regex corner semantics). The four counters come from the native
+      // GopherStats byte-scan kernel (codegen, zero per-row array
+      // allocation); GopherStatsSpec pins its parity against the
+      // split/filter/array_distinct HOF chain the oracle replays.
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.gopherStats(col("text"), StopWords).as("g"))
+        .select(
+          col("doc_id"), col("g.n_words").as("n_words"),
+          (col("g.char_sum").cast("double") / col("g.n_words")).as("mean_wlen"),
+          col("g.n_stop").as("n_stop"), col("g.n_types").as("n_types"),
+          (col("g.n_types").cast("double") / col("g.n_words")).as("ttr"))
         .withColumn("passes",
           col("n_words").between(20L, 400L) &&
             col("mean_wlen").between(3.0, 8.0) &&
@@ -125,15 +123,12 @@ object WebQueries extends QueryGroup {
         .select(col("doc_id"), piiScrub(col("raw")).as("stext"))
       val rebuilt = Dedup.removeCommonChunks(scrubbed, "doc_id", "stext",
         chunkTokens = 8, maxDf = 1L)
-      val ws = split(col("cleaned_text"), " ")
-      val nWords = size(ws).cast("long")
-      val charSum = (length(col("cleaned_text")) - (nWords - 1)).cast("long")
-      val nStop = size(filter(ws,
-        w => StopWords.map(sw => w === sw).reduce(_ || _))).cast("long")
-      val nTypes = size(array_distinct(ws)).cast("long")
       val gated = rebuilt
-        .select(col("doc_id"), col("cleaned_text"), nWords.as("n_words"),
-          charSum.as("char_sum"), nStop.as("n_stop"), nTypes.as("n_types"))
+        .select(col("doc_id"), col("cleaned_text"),
+          TextFunctions.gopherStats(col("cleaned_text"), StopWords).as("g"))
+        .select(col("doc_id"), col("cleaned_text"),
+          col("g.n_words").as("n_words"), col("g.char_sum").as("char_sum"),
+          col("g.n_stop").as("n_stop"), col("g.n_types").as("n_types"))
         .filter(col("n_words").between(20L, 400L) &&
           (col("char_sum").cast("double") / col("n_words")).between(3.0, 8.0) &&
           col("n_stop") >= 2L &&

@@ -177,13 +177,18 @@ object GenData {
       format_string("{\"k\": %d}",
         pmod(h(col("event_id"), lit(32)), lit(100L))).as("props")), "events")
 
-    // documents: ~40-90 tokens from a 30-word vocab; id%50==49 is an EXACT
-    // dup of id-1, id%20==19 (and not %50==49) a NEAR dup (one token
-    // appended) — the dedup/LSH benchmark fodder.
-    val vocab = array(Seq("spark", "sort", "column", "order", "small", "batch",
-      "part", "line", "scan", "fast", "value", "hash", "slow", "query", "agg",
-      "table", "vector", "join", "shuffle", "merge", "read", "write", "cache",
-      "disk", "page", "row", "group", "filter", "map", "reduce").map(lit): _*)
+    // documents: ~40-90 tokens from the driver files' EXACT 30-word
+    // vocabulary (token-frequency audit of sf0.1/documents.parquet —
+    // uniform over these 30, including the stopwords "the"/"a" that the
+    // Gopher-style gates key on; an earlier vocab without them made
+    // every stopword gate empty at sf1, turning q147's scale check
+    // vacuous). id%50==49 is an EXACT dup of id-1, id%20==19 (and not
+    // %50==49) a NEAR dup (one token appended) — dedup/LSH fodder.
+    val vocab = array(Seq("spark", "window", "merge", "table", "column",
+      "vector", "stream", "value", "data", "small", "join", "filter", "big",
+      "group", "hash", "customer", "sort", "order", "slow", "line", "part",
+      "fast", "the", "row", "agg", "key", "query", "a", "scan", "batch")
+      .map(lit): _*)
     val nDoc = 5000L * scale
     val base = ids(nDoc, "doc_id")
       .withColumn("seed_id",

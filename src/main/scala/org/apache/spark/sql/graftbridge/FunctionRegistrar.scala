@@ -75,6 +75,15 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gopher_stats",
+      {
+        case Seq(s, arr) => graft.functions.expressions.GopherStats(
+          s, graft.GraftExtensions.stringArrayArg("gopher_stats", arr))
+        case _ => throw new IllegalArgumentException(
+          "gopher_stats(str, array(stopword, ...)) takes a string column and a literal string array")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pii_scrub",
       {
         case Seq(s) => graft.functions.expressions.PiiScrub(s)

@@ -759,4 +759,47 @@ class StreamingSpec extends SparkSpec {
       assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
     } finally q.stop()
   }
+
+  test("streaming web front door: keep-first URL dedup + Gopher gate, batch == stream") {
+    implicit val sc = spark.sqlContext
+    // The B30 front door as a stream: canonicalize the URL, keep the
+    // FIRST document per canonical URL (stateful dropDuplicates — state
+    // is one row per distinct norm, must persist across micro-batches),
+    // then the stateless native gopher_stats gate. Arrival order is
+    // doc_id order, so the batch reference is groupBy(norm).min(doc_id).
+    val stops = Seq("the", "a", "of", "to", "in")
+    val docs = Seq(
+      (0L, "HTTP://www.site.com/p/1", "the cat sat on a mat with the dog in town today now"),
+      (1L, "https://site.com/p/1/",  "different body that should lose to doc zero"),
+      (2L, "https://other.org/x",    "the quick brown fox jumps over a lazy dog the end today"),
+      // batch 2: doc 3 hits doc 0's canonical URL (cross-batch state),
+      // doc 4 is fresh but fails the stopword gate
+      (3L, "http://SITE.com/p/1?utm=9", "late duplicate of the first url"),
+      (4L, "https://fresh.net/y",    "no stopword tokens here whatsoever friends"))
+    val gate = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.gopherStats(col("text"), stops).as("g"))
+      .filter(col("g.n_stop") >= 2L && col("g.n_words") >= 10L)
+      .select(col("doc_id"))
+    val input = MemoryStream[(Long, String, String)]
+    val deduped = input.toDF().toDF("doc_id", "url", "text")
+      .withColumn("norm", graft.functions.UrlFunctions.normalizeUrl(col("url")))
+      .dropDuplicates("norm")
+    val q = gate(deduped).writeStream.format("memory")
+      .queryName("frontdoor_stream").outputMode("append").start()
+    try {
+      input.addData(docs(0), docs(1), docs(2))
+      q.processAllAvailable()
+      input.addData(docs(3), docs(4))
+      q.processAllAvailable()
+      val stream = spark.table("frontdoor_stream").as[Long].collect().toSet
+      val batchDf = docs.toDF("doc_id", "url", "text")
+        .withColumn("norm", graft.functions.UrlFunctions.normalizeUrl(col("url")))
+      val keep = batchDf.groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val batch = gate(batchDf.join(keep, "doc_id")).as[Long].collect().toSet
+      assert(stream == batch, s"stream $stream vs batch $batch")
+      assert(stream == Set(0L, 2L), s"docs 0 and 2 pass both gates: $stream")
+    } finally q.stop()
+  }
 }
