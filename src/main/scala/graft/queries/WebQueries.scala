@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
 import graft.functions.TextFunctions.piiScrub
-import graft.operators.{Budget, Dedup}
+import graft.operators.{Budget, Dedup, Snapshot, TopK}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,6 +142,50 @@ object WebQueries extends QueryGroup {
       Budget.takeByBudget(scored, "doc_id", "score", "n_tokens",
           budget = 15000L)
         .orderBy(col("doc_id"))
+    },
+
+    "q148_domain_quota" -> { (s, d) =>
+      // C4-style per-domain cap at the REGISTERED-domain level, in the
+      // shape that survives a viral domain: q105's window form shuffles
+      // every row of the hot domain to one reducer and sorts it there;
+      // here the k-bounded heap aggregate (BoundedTopKAgg) keeps at
+      // most 5 rows per domain per map partition, so the hot key
+      // collapses BEFORE the shuffle and no task ever buffers a domain.
+      // Selection is deterministic "random" — portable-hash order with
+      // doc_id tiebreak (the q98/q105 gate) — so the cap survives
+      // re-runs and repartitioning.
+      val u = Tables.documents(s, d)
+        .select(col("doc_id"),
+          UrlFunctions.registeredDomain(syntheticUrl(s)).as("registered_domain"))
+      val capKey = (col("doc_id") * 1000003L + 17L) % 1000000007L
+      TopK.perGroupAgg(u.withColumn("ck", -capKey),
+          Seq("registered_domain"), col("ck"), col("doc_id"), k = 5)
+        .select(col("registered_domain"), col("rn").cast("long").as("rn"),
+          col("id").as("doc_id"))
+        .orderBy(col("registered_domain"), col("rn"))
+    },
+
+    "q149_snapshot_diff" -> { (s, d) =>
+      // Corpus snapshot diff (data versioning between recurring crawls):
+      // two deterministic snapshots derived from the same table and
+      // replayed verbatim in the oracle. "Old" drops doc_id%10==9
+      // (those become adds), fingerprints a sentinel-modified text for
+      // %10==7 (changed), and carries retired ids (doc_id+10_000_000
+      // for %10==3) the new crawl no longer has (removed). Fingerprints
+      // are md5 digests computed BEFORE the full-outer join, so the
+      // diff moves (id, digest) pairs — never document bodies.
+      val docs = Tables.documents(s, d)
+      val cur = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val old = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v1")))
+            .otherwise(col("text"))).as("fp"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 3)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(col("text")).as("fp")))
+      Snapshot.diff(old, cur, "doc_id", "fp")
+        .select(col("doc_id"), col("status"), col("old_fp"), col("new_fp"))
+        .orderBy(col("doc_id"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -246,5 +290,37 @@ object WebQueries extends QueryGroup {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
         FROM scored)
       SELECT doc_id, score, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
-      FROM b WHERE cum_cost <= 15000 ORDER BY doc_id""")
+      FROM b WHERE cum_cost <= 15000 ORDER BY doc_id""",
+
+    "q148_domain_quota" -> s"""
+      WITH u AS (
+        SELECT doc_id, ${UrlFunctions.Sql.registeredExpr()} AS registered_domain
+        FROM (SELECT doc_id, $urlSql AS url FROM documents)),
+      t AS (
+        SELECT registered_domain, doc_id,
+          row_number() OVER (PARTITION BY registered_domain
+            ORDER BY (doc_id * 1000003 + 17) % 1000000007, doc_id) AS rn
+        FROM u)
+      SELECT registered_domain, CAST(rn AS BIGINT) AS rn, doc_id
+      FROM t WHERE rn <= 5 ORDER BY registered_domain, rn""",
+
+    "q149_snapshot_diff" -> """
+      WITH a AS (
+        SELECT doc_id,
+          md5(CASE WHEN doc_id % 10 = 7 THEN text || ' v1' ELSE text END) AS old_fp
+        FROM documents WHERE doc_id % 10 <> 9
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id, md5(text) AS old_fp
+        FROM documents WHERE doc_id % 10 = 3),
+      b AS (SELECT doc_id, md5(text) AS new_fp FROM documents),
+      d AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.old_fp, b.new_fp
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      SELECT doc_id,
+        CASE WHEN old_fp IS NULL THEN 'added'
+             WHEN new_fp IS NULL THEN 'removed'
+             WHEN old_fp = new_fp THEN 'unchanged'
+             ELSE 'changed' END AS status,
+        old_fp, new_fp
+      FROM d ORDER BY doc_id""")
 }

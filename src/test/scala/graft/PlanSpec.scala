@@ -450,4 +450,32 @@ class PlanSpec extends SparkSpec {
       s"per-language window leaked into the bucketing:\n$s")
     assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
   }
+
+  test("domain quota (q148): k-bounded aggregate, no window over the domain") {
+    val p = plan("q148_domain_quota")
+    val s = p.toString
+    // the hot-domain cap must be the BoundedTopKAgg heap (collapses
+    // map-side), never a row_number window that buffers a viral domain
+    // in one task
+    assert(!s.contains("Window"), s"window leaked into the cap:\n$s")
+    assert(s.contains("ObjectHashAggregate"),
+      s"expected the k-bounded heap aggregate:\n$s")
+    assert(countShuffles(p) <= 2, s"agg exchange + oracle sort only:\n$p")
+  }
+
+  test("snapshot diff (q149): fingerprints computed below the join") {
+    val p = plan("q149_snapshot_diff")
+    val s = p.toString
+    assert(!s.contains("Window") && !s.contains("CartesianProduct"),
+      s"diff must be a plain equi-join:\n$s")
+    // md5 must appear in project nodes under the join (pre-join,
+    // per-row) — the join itself carries only (id, digest)
+    val joins = collectAll(p).filter(n =>
+      n.getClass.getSimpleName.contains("SortMergeJoin") ||
+        n.getClass.getSimpleName.contains("ShuffledHashJoin"))
+    assert(joins.nonEmpty, s"expected the full-outer equi-join:\n$p")
+    assert(joins.forall(j => j.children.forall(c =>
+        collectAll(c).exists(_.toString.contains("md5")))),
+      s"fingerprints must be computed below the join:\n$p")
+  }
 }

@@ -802,4 +802,43 @@ class StreamingSpec extends SparkSpec {
       assert(stream == Set(0L, 2L), s"docs 0 and 2 pass both gates: $stream")
     } finally q.stop()
   }
+
+  test("streaming domain quota: first-arrival cap persists across batches") {
+    // state API v2 requires the RocksDB provider (multiple column families)
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { domainQuotaBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def domainQuotaBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // q148's C4-style per-domain cap as a stream: at most k docs per
+    // domain over the stream's lifetime, earliest batches first; state
+    // is one long per domain. Batch 2's x-domain doc 5 must be rejected
+    // even though its id is smaller — first arrival wins, exactly the
+    // semantics a backfill-free streaming ingest needs.
+    val input = MemoryStream[(String, Long)]
+    val q = DomainQuotaProcessor(input.toDS(), k = 2)
+      .toDF("domain", "doc_id", "rn")
+      .writeStream.format("memory").queryName("quota_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("x", 10L), ("x", 11L), ("x", 12L), ("y", 20L))
+      q.processAllAvailable()
+      input.addData(("x", 5L), ("y", 21L), ("y", 22L))
+      q.processAllAvailable()
+      val got = spark.table("quota_stream")
+        .as[(String, Long, Long)].collect().toSet
+      val expected = Set(
+        ("x", 10L, 1L), ("x", 11L, 2L), // batch 1, sorted ids, cap 2
+        ("y", 20L, 1L), ("y", 21L, 2L)) // y fills across the two batches
+      assert(got == expected, s"got $got")
+    } finally q.stop()
+  }
 }
