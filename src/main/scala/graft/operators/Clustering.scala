@@ -150,6 +150,67 @@ object Clustering {
       .select(col(idCol), col("cell"))
   }
 
+  /** Cell-bounded kNN graph: for every row, its `kNeighbors` nearest
+    * in-cell neighbors by cosine — the graph construction behind
+    * SemDeDup-style cluster analysis, diversity sampling and
+    * graph-based curriculum ordering. Same IVF approximation contract
+    * as [[semanticDedup]]: candidate pairs exist only inside a k-means
+    * cell, so the pair space is Σ |cell|² and never cartesian; `kCells`
+    * grows with n to hold cell sizes ~constant.
+    *
+    * The per-source top-k cut is the k-bounded heap
+    * ([[TopK.perGroupAgg]]), not a window — a mega-cell's pair list
+    * collapses map-side instead of buffering in one task. Ties break
+    * (cos DESC, dst ASC), total because ids are unique. NaN cosines
+    * (a zero-norm endpoint) are excluded EXPLICITLY: the heap's raw
+    * double compares would keep NaN insertion-order-dependently and
+    * DuckDB ranks NaN first under DESC, so neither engine's implicit
+    * behavior is portable.
+    *
+    * Output: (src, rn [1..kNeighbors], dst, cos).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               kCells: Int, kNeighbors: Int, iters: Int = 2,
+               scale: Long = 1000L): DataFrame = {
+    val withCell = df.join(kmeansFixed(df, idCol, vecCol, kCells, iters, scale), idCol)
+    val l = withCell.select(col("cell"), col(idCol).as("src"), col(vecCol).as("va"))
+    val r = withCell.select(col("cell"), col(idCol).as("dst"), col(vecCol).as("vb"))
+    val pairs = l.join(r, "cell").filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(!isnan(col("cos")))
+    TopK.perGroupAgg(pairs, Seq("src"), col("cos"), col("dst"), kNeighbors)
+      .select(col("src"), col("rn").cast("long").as("rn"),
+        col("id").as("dst"), col("value").as("cos"))
+  }
+
+  /** SSL-prototypes diversity pruning (Sorscher et al. 2022, public
+    * arXiv "Beyond neural scaling laws"): rank every row by its
+    * integer L2 distance to its assigned k-means centroid and keep the
+    * `keepPerCell` LEAST prototypical (most distant) per cell — the
+    * "hard example" subset that beats random pruning at scale.
+    *
+    * Everything is fixed-point: distances are exact integer L2 in the
+    * scaled space (deterministic under any partitioning; the double
+    * kernel is exact here because the fold sums integers far below
+    * 2^53), and the per-cell cut is the k-bounded heap — no window
+    * over a potentially-mega cell. Output: (cell, rn, idCol, dist).
+    */
+  def prototypePruning(df: DataFrame, idCol: String, vecCol: String,
+                       kCells: Int, keepPerCell: Int, iters: Int = 2,
+                       scale: Long = 1000L): DataFrame = {
+    import graft.functions.VectorFunctions.toDouble
+    val cents = kmeansCentroids(df, idCol, vecCol, kCells, iters, scale)
+    val assigned = assignScaled(scaledDf(df, idCol, vecCol, scale), idCol, cents)
+    val withDist = assigned.join(broadcast(cents), "cell")
+      .select(col("cell"), col(idCol),
+        graft.functions.VectorFunctions.l2DistanceSq(
+          toDouble(col("__v")), toDouble(col("cv"))).cast("long").as("dist"))
+    TopK.perGroupAgg(withDist, Seq("cell"), col("dist"), col(idCol), keepPerCell)
+      .select(col("cell"), col("rn").cast("long").as("rn"),
+        col("id").as(idCol), col("value").cast("long").as("dist"))
+  }
+
   /** Incremental SemDeDup — the daily-ingest form: centroids are trained
     * on HISTORY only (the existing model), both sides are assigned with
     * the narrow pass, and candidate pairs are restricted to the fresh

@@ -155,6 +155,28 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q150_knn_graph" -> { (s, d) =>
+      // Cell-bounded kNN graph over the corpus embeddings (q123's exact
+      // k-means fixture): 3 nearest in-cell neighbors by cosine per
+      // vector. Pair space is cell-bounded (never cartesian) and the
+      // per-source cut is the k-bounded heap — a mega-cell collapses
+      // map-side instead of buffering in a window task.
+      Clustering.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          kCells = 8, kNeighbors = 3, iters = 2, scale = 1000L)
+        .orderBy(col("src"), col("rn"))
+    },
+
+    "q151_proto_pruning" -> { (s, d) =>
+      // SSL-prototypes diversity pruning (Sorscher et al. 2022): keep
+      // the 10 LEAST prototypical (largest integer L2 to their assigned
+      // centroid) vectors per k-means cell. All-integer distances, so
+      // the oracle replays ranks bit-for-bit.
+      Clustering.prototypePruning(Tables.embeddings(s, d), "vec_id",
+          "embedding", kCells = 8, keepPerCell = 10, iters = 2,
+          scale = 1000L)
+        .orderBy(col("cell"), col("rn"))
+    },
+
     "q125_int8_quant" -> { (s, d) =>
       // Int8 storage quantization: per-vector max-abs scale + integer
       // codes (the 4x embedding-table shrink an ANN ingest consumes).
@@ -294,6 +316,36 @@ object SimilarityQueries extends QueryGroup {
       SELECT id AS vec_id, cell FROM i2
       WHERE id NOT IN (SELECT id_b FROM losers)
       ORDER BY vec_id""",
+
+    "q150_knn_graph" -> s"""$KmeansCte,
+      pairs AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va.rv, vb.rv)
+            / (sqrt(list_dot_product(va.rv, va.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN v va ON va.id = ia.id
+        JOIN v vb ON vb.id = ib.id),
+      ranked AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM pairs WHERE NOT isnan(cos))
+      SELECT src, CAST(rn AS BIGINT) AS rn, dst, cos
+      FROM ranked WHERE rn <= 3 ORDER BY src, rn""",
+
+    "q151_proto_pruning" -> s"""$KmeansCte,
+      d AS (
+        SELECT i2.cell, i2.id,
+          list_sum(list_transform(generate_series(1, len(v.sv)),
+            i -> (v.sv[i] - ct.cv[i]) * (v.sv[i] - ct.cv[i]))) AS dist
+        FROM i2 JOIN v ON v.id = i2.id JOIN ct ON ct.cell = i2.cell),
+      ranked AS (
+        SELECT cell, id, dist,
+          row_number() OVER (PARTITION BY cell ORDER BY dist DESC, id) AS rn
+        FROM d)
+      SELECT cell, CAST(rn AS BIGINT) AS rn, id AS vec_id,
+        CAST(dist AS BIGINT) AS dist
+      FROM ranked WHERE rn <= 10 ORDER BY cell, rn""",
 
     "q125_int8_quant" -> """
       WITH t AS (

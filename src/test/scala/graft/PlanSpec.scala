@@ -463,6 +463,33 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 2, s"agg exchange + oracle sort only:\n$p")
   }
 
+  test("knn graph (q150): cell equi-join, k-bounded heap, no cartesian") {
+    val p = plan("q150_knn_graph")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      s"pair generation must stay a cell equi-join:\n$s")
+    // the per-source top-k must be the heap aggregate, not a window
+    // buffering a mega-cell's pair list
+    assert(s.contains("ObjectHashAggregate"),
+      s"expected the k-bounded heap aggregate:\n$s")
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the only windows allowed are the k-row seed windows of the
+    // k-means fixture (over <= kCells rows), never over the pair list
+    assert(wins.forall(w => w.toString.contains("row_number")),
+      s"unexpected window in the kNN cut:\n$s")
+  }
+
+  test("prototype pruning (q151): centroids broadcast, heap cut per cell") {
+    val p = plan("q151_proto_pruning")
+    val s = p.toString
+    assert(countBroadcasts(p) >= 1, s"centroid table must broadcast:\n$p")
+    assert(s.contains("ObjectHashAggregate"),
+      s"expected the k-bounded heap aggregate:\n$s")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+  }
+
   test("snapshot diff (q149): fingerprints computed below the join") {
     val p = plan("q149_snapshot_diff")
     val s = p.toString

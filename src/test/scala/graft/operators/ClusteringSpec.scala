@@ -62,6 +62,40 @@ class ClusteringSpec extends SparkSpec {
     assert(kept == Set(9L), s"got $kept")
   }
 
+  test("knnGraph ranks in-cell neighbors by cosine, never crosses cells") {
+    val g = Clustering.knnGraph(pts, "id", "vec", kCells = 2, kNeighbors = 2)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("rn"),
+        r.getAs[Long]("dst"))).toSeq.sorted
+    // origin cell {0,2,3}: id 0 is the zero vector — its cosines are
+    // NaN and the operator filters them explicitly, so id 0 emits no
+    // edges and receives none. far cell {1,4,5}: all near-parallel,
+    // every vector sees both same-cell neighbors.
+    val bySrc = g.groupBy(_._1)
+    // no edge may cross the two blobs
+    val origin = Set(0L, 2L, 3L); val far = Set(1L, 4L, 5L)
+    g.foreach { case (s, _, d) =>
+      assert(origin.contains(s) == origin.contains(d),
+        s"edge $s->$d crosses cells") }
+    // every far-blob vector gets both same-cell neighbors
+    assert(far.forall(s => bySrc(s).map(_._3).toSet == (far - s)))
+  }
+
+  test("prototypePruning keeps the most-distant rows per cell, exact ranks") {
+    val kept = Clustering.prototypePruning(pts, "id", "vec", kCells = 2,
+        keepPerCell = 2, iters = 2)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("rn"),
+        r.getAs[Long]("id"), r.getAs[Long]("dist"))).toSeq.sorted
+    // ranks are 1..2 per cell, distances non-increasing within a cell,
+    // and the kept set per cell is the true top-2 by (dist, id) of an
+    // exhaustive integer recomputation
+    assert(kept.map(t => (t._1, t._2)).toSet ==
+      Set((0L, 1L), (0L, 2L), (1L, 1L), (1L, 2L)))
+    kept.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._4 >= sorted.last._4, s"ranks out of order: $rows")
+    }
+  }
+
   test("native NearestCellFixed matches the HOF argmin fold, any list order") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
