@@ -256,6 +256,55 @@ object Dedup {
       .distinct()
   }
 
+  /** LSH (bands × rows-per-band) design surface — the q-grid a dedup
+    * deployment reads before committing to a banding: for every
+    * `rowsPerBandGrid` config (b = numHashes / r bands of r rows), the
+    * measured bucket stats and candidate volume off ONE shared
+    * signature table:
+    *
+    *   - `n_buckets`    — (band, key) buckets holding ≥ 2 docs;
+    *   - `max_bucket`   — the largest bucket (the skew the
+    *     `maxPerBucket` cap would bound — run the grid UNCAPPED, its
+    *     point is to see the skew);
+    *   - `n_bucket_pairs` — Σ n·(n−1)/2 over buckets: the pair-join
+    *     COST before dedup;
+    *   - `n_candidate_pairs` — distinct candidate pairs: the OUTPUT.
+    *
+    * The analytic s-curve midpoint is (1/b)^(1/r) (collision
+    * probability 1−(1−sʳ)ᵇ at Jaccard s) — left to the reader rather
+    * than emitted, because cross-engine `pow` is not bit-portable and
+    * every emitted column here is an exact integer.
+    *
+    * Scale: the signature table (numHashes longs per doc) is computed
+    * once and every config reads it — the per-config work never
+    * touches text. Tuning a 100 TB corpus composes with the q98
+    * hash-gate sample upstream; counts scale by the sample rate
+    * (pair counts by its square).
+    */
+  def lshTuningGrid(signatures: DataFrame, idCol: String,
+                    numHashes: Int = 8,
+                    rowsPerBandGrid: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    val perConfig = rowsPerBandGrid.map { r =>
+      val banded = bandedKeys(signatures, idCol, Nil, numHashes, r, 0)
+      val bucketStats = banded.groupBy(col("band"), col("bkey"))
+        .agg(count(lit(1)).as("n"))
+        .agg(
+          sum(when(col("n") >= 2, lit(1L)).otherwise(lit(0L)))
+            .cast("long").as("n_buckets"),
+          max(col("n")).cast("long").as("max_bucket"),
+          // n·(n−1) is even, so the double division by 2 is exact
+          sum((col("n") * (col("n") - 1)) / 2).cast("long").as("n_bucket_pairs"))
+      val pairs = lshCandidatePairs(signatures, idCol, numHashes, r)
+        .agg(count(lit(1)).as("n_candidate_pairs"))
+      bucketStats.crossJoin(pairs)
+        .select(lit(r.toLong).as("rows_per_band"),
+          lit((numHashes / r).toLong).as("n_bands"),
+          col("n_buckets"), col("max_bucket"), col("n_bucket_pairs"),
+          col("n_candidate_pairs"))
+    }
+    perConfig.reduce(_ unionByName _)
+  }
+
   /** Exploded (id, band, bkey) band-bucket keys (+ carried columns), with
     * the optional deterministic per-bucket cap — shared by the batch pair
     * generators; the streaming path keeps its own capped state form.

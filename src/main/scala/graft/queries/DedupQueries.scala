@@ -66,6 +66,18 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q152_lsh_tuning" -> { (s, d) =>
+      // LSH design surface: bucket stats + candidate volume for every
+      // (bands × rows) split of the 8-hash signature, off ONE shared
+      // signature table. All-integer outputs; run UNCAPPED — the grid's
+      // point is to SEE the bucket skew the production cap would bound.
+      val ids = Dedup.shingleIdsPoly(Tables.documents(s, d), "doc_id", "text",
+        distinct = false)
+      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+      Dedup.lshTuningGrid(sigs, "doc_id", numHashes = 8, Seq(1, 2, 4, 8))
+        .orderBy(col("rows_per_band"))
+    },
+
     "q67_minhash_narrow" -> { (s, d) =>
       // Fourth path to the same signature table: the fully NARROW per-row
       // form (HOFs only — no explode, no shuffle, no aggregation), the
@@ -531,6 +543,35 @@ object DedupQueries extends QueryGroup {
     "q37_minhash_signatures" ->
       minhashSql("", "doc_id, h0, h1, h2, h3, h4, h5, h6, h7",
         "FROM sigs ORDER BY doc_id"),
+
+    "q152_lsh_tuning" -> {
+      val grid = Seq(1, 2, 4, 8)
+      val ctes = grid.map { r =>
+        val nb = 8 / r
+        val bandSql = (0 until nb).map { b =>
+          val key = (0 until r).map(i => s"CAST(h${b * r + i} AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS bkey FROM sigs"
+        }.mkString(" UNION ALL ")
+        s"""b$r AS ($bandSql),
+          g$r AS (SELECT band, bkey, count(*) AS n FROM b$r GROUP BY 1, 2),
+          p$r AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b2
+            FROM b$r l JOIN b$r r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+          st$r AS (SELECT
+            CAST($r AS BIGINT) AS rows_per_band,
+            CAST($nb AS BIGINT) AS n_bands,
+            (SELECT CAST(coalesce(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) FROM g$r) AS n_buckets,
+            (SELECT CAST(coalesce(max(n), 0) AS BIGINT) FROM g$r) AS max_bucket,
+            (SELECT CAST(coalesce(sum(n * (n - 1) // 2), 0) AS BIGINT)
+               FROM g$r) AS n_bucket_pairs,
+            (SELECT CAST(count(*) AS BIGINT) FROM p$r) AS n_candidate_pairs)"""
+      }.mkString(", ")
+      minhashSql(s", $ctes", "*",
+        s"FROM (${grid.map(r => s"SELECT * FROM st$r").mkString(" UNION ALL ")}) t " +
+          "ORDER BY rows_per_band")
+    },
 
     // The UDAF and native-aggregate paths must produce the exact same
     // signature table.

@@ -547,4 +547,28 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(out == Set(1L))
   }
+
+  test("lshTuningGrid: candidates shrink as bands get stricter, cost >= output") {
+    val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
+    val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+    val grid = Dedup.lshTuningGrid(sigs, "doc_id", 8, Seq(1, 2, 4, 8))
+      .orderBy("rows_per_band").collect()
+      .map(r => (r.getAs[Long]("rows_per_band"), r.getAs[Long]("n_bands"),
+        r.getAs[Long]("n_bucket_pairs"), r.getAs[Long]("n_candidate_pairs")))
+    assert(grid.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L))
+    assert(grid.forall { case (r, b, _, _) => r * b == 8 })
+    // pre-dedup bucket pairs bound the distinct candidates from above
+    assert(grid.forall { case (_, _, cost, out) => cost >= out })
+    // r rows per band must ALL match: stricter bands => candidates can
+    // only shrink as r grows (b8r1 is the most permissive split)
+    val cands = grid.map(_._4).toSeq
+    assert(cands == cands.sorted.reverse, s"not monotone: $cands")
+    // the exact dup pair (0,1) collides under every split; (0,3) never
+    val p8 = Dedup.lshCandidatePairs(sigs, "doc_id", 8, 8)
+      .as[(Long, Long)].collect().toSet
+    assert(p8.contains((0L, 1L)))
+    val p1 = Dedup.lshCandidatePairs(sigs, "doc_id", 8, 1)
+      .as[(Long, Long)].collect().toSet
+    assert(!p1.contains((0L, 3L)))
+  }
 }
