@@ -24,15 +24,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects. Read it as a raw long (legacy conf) and truncate
-    * to microseconds — the same ns→us truncation DuckDB applies on
-    * `CAST(ts AS TIMESTAMP)`, keeping oracle parity.
+  /** The events table's `ts` encoding has varied across driver testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark reads as a raw
+    * long under the legacy conf, then we truncate ns→us — the same
+    * truncation DuckDB applies on `CAST(ts AS TIMESTAMP)`), or a plain
+    * TIMESTAMP(MICROS) (read natively, possibly as NTZ). Normalize both
+    * to the session-zone TIMESTAMP the rest of the library expects;
+    * check_oracle.py applies the matching normalization on the DuckDB
+    * side, keeping oracle parity either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // Micros-encoded file: NTZ→LTZ cast in the UTC session is a
+        // wall-clock no-op; keeps the column type identical across
+        // testdata generations.
+        df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
