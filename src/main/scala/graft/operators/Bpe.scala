@@ -106,6 +106,44 @@ object Bpe {
     sN.substr(lit(2), length(sN))
   }
 
+  /** Per-group tokenizer fertility/compression stats under a learned
+    * merge list — the tokenizer-fairness report a multilingual corpus
+    * runs after training (fertility = symbols emitted per whitespace
+    * word; chars-per-symbol = how much text each symbol carries). A
+    * tokenizer trained on a skewed mixture over-fragments the
+    * under-represented groups; this is the table that shows it.
+    *
+    * Scale shape: ONE corpus scan into the combinable
+    * (group, word, cnt) aggregate; the encode then runs once per
+    * DISTINCT (group, word) pair — vocabulary-sized×k work, not
+    * corpus-sized — as a narrow codegen'd column ([[tokenizeNative]]),
+    * with NO join anywhere (joining an encoded-vocab table back would
+    * either broadcast an unbounded vocabulary — the q127 footgun — or
+    * add a shuffle; computing in place does neither). Totals are exact
+    * longs; the two ratios are single long/long double divisions.
+    */
+  def fertilityByGroup(df: DataFrame, groupCol: String, textCol: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .select(col(groupCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col(groupCol), col("word")).agg(count(lit(1)).as("cnt"))
+    words
+      .select(col(groupCol), col("cnt"),
+        size(split(tokenizeNative(col("word"), merges), " ")).cast("long")
+          .as("__sy"),
+        length(col("word")).cast("long").as("__ch"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("cnt")).cast("long").as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(col("cnt") * col("__sy")).cast("long").as("n_syms"),
+        sum(col("cnt") * col("__ch")).cast("long").as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_distinct_words"),
+        col("n_syms"), col("n_chars"),
+        (col("n_syms").cast("double") / col("n_words")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_syms")).as("chars_per_sym"))
+  }
+
   /** [[tokenize]] on the native fused kernel
     * ([[graft.functions.expressions.BpeEncode]]) — the hot path for
     * encoding a full corpus: one codegen'd pass per word instead of one

@@ -99,6 +99,39 @@ object TextQueries extends QueryGroup {
         .orderBy(col("freq").desc, col("sym").asc).limit(20)
     },
 
+    "q153_doremi_weights" -> { (s, d) =>
+      // DoReMi-style domain mixture reweighting (Xie et al. 2023): the
+      // per-source excess OOV rate under the src0-trained bigram LM
+      // (q122's model) drives three multiplicative-weights updates with
+      // a 1% uniform floor. The exp() update is linearized to the
+      // rational factor (scale + excess) and every step is long
+      // arithmetic, so the oracle replays all three iterations
+      // bit-for-bit. Corpus work: one LM-scoring pass + one combinable
+      // per-source aggregate; the iteration runs on the checkpointed
+      // source-sized table.
+      val docs = Tables.documents(s, d)
+      graft.operators.Doremi.domainWeights(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text", "source",
+          iters = 3)
+        .orderBy(col("source"))
+    },
+
+    "q154_bpe_fertility" -> { (s, d) =>
+      // Tokenizer fertility per language under the q134-trained merges:
+      // symbols per word and chars per symbol — the fairness table that
+      // shows which languages a skewed tokenizer over-fragments. The
+      // corpus is scanned once into (lang, word, cnt); the native
+      // encode then runs per DISTINCT (lang, word) pair — vocabulary-
+      // sized work, no join, no vocab broadcast. The oracle re-derives
+      // the same symbols from the training replay's final stage (p10).
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.Bpe.learnMerges(docs, "text", 10)
+        .orderBy(col("merge_rank"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Bpe.fertilityByGroup(docs, "lang", "text", model)
+        .orderBy(col("lang"))
+    },
+
     "q32_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -758,6 +791,83 @@ object TextQueries extends QueryGroup {
         CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS shuffle_pos,
         CAST((row_number() OVER (ORDER BY h) - 1) % 16 AS BIGINT) AS shard
       FROM t ORDER BY doc_id""",
+
+    // q122's LM-scoring CTE chain, then per-source aggregates and the
+    // three unrolled multiplicative-weights iterations — all integer
+    // `//` arithmetic (operands nonnegative, so DuckDB floor division
+    // == Spark `div` truncation).
+    "q153_doremi_weights" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS oov
+        FROM c LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      t AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(oov) AS BIGINT) AS n_oov
+        FROM scored GROUP BY doc_id),
+      per AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(t.n_bigrams), 0) AS BIGINT) AS nb,
+          CAST(coalesce(sum(t.n_oov), 0) AS BIGINT) AS noov
+        FROM documents d LEFT JOIN t USING (doc_id) GROUP BY d.source),
+      perl AS (
+        SELECT source, n_docs,
+          (1000000 * noov) // greatest(nb, 1) AS loss
+        FROM per),
+      ref AS (SELECT min(loss) AS r, CAST(count(*) AS BIGINT) AS k FROM perl),
+      e AS (
+        SELECT source, n_docs, loss, greatest(0, loss - ref.r) AS excess,
+          1000000 // ref.k AS w0, ref.k AS k
+        FROM perl CROSS JOIN ref),
+      s1 AS (SELECT CAST(sum(w0 * (1000000 + excess)) AS BIGINT) AS s FROM e),
+      i1 AS (SELECT e.*, CAST(((1000000 - 10000) * (w0 * (1000000 + excess)))
+          // s1.s + 10000 // k AS BIGINT) AS w1 FROM e CROSS JOIN s1),
+      s2 AS (SELECT CAST(sum(w1 * (1000000 + excess)) AS BIGINT) AS s FROM i1),
+      i2 AS (SELECT i1.*, CAST(((1000000 - 10000) * (w1 * (1000000 + excess)))
+          // s2.s + 10000 // k AS BIGINT) AS w2 FROM i1 CROSS JOIN s2),
+      s3 AS (SELECT CAST(sum(w2 * (1000000 + excess)) AS BIGINT) AS s FROM i2),
+      i3 AS (SELECT i2.*, CAST(((1000000 - 10000) * (w2 * (1000000 + excess)))
+          // s3.s + 10000 // k AS BIGINT) AS w3 FROM i2 CROSS JOIN s3)
+      SELECT source, n_docs, CAST(loss AS BIGINT) AS loss,
+        CAST(excess AS BIGINT) AS excess, w1, w2, w3
+      FROM i3 ORDER BY source""",
+
+    // The training replay's final stage (p10) holds each word's final
+    // symbol list — join it to per-(lang, word) counts for the
+    // fertility table.
+    "q154_bpe_fertility" -> s"""
+      WITH ${bpeStagesSql(10)},
+      wl AS (
+        SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY 1, 2),
+      enc AS (
+        SELECT word,
+          CAST(len(string_split(substr(s, 2), ' ')) AS BIGINT) AS sy,
+          CAST(length(word) AS BIGINT) AS ch
+        FROM p10)
+      SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+        CAST(count(*) AS BIGINT) AS n_distinct_words,
+        CAST(sum(cnt * sy) AS BIGINT) AS n_syms,
+        CAST(sum(cnt * ch) AS BIGINT) AS n_chars,
+        CAST(sum(cnt * sy) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS fertility,
+        CAST(sum(cnt * ch) AS DOUBLE) / CAST(sum(cnt * sy) AS DOUBLE)
+          AS chars_per_sym
+      FROM wl JOIN enc USING (word)
+      GROUP BY lang ORDER BY lang""",
 
     "q122_lm_score" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

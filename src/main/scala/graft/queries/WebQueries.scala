@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
 import graft.functions.TextFunctions.piiScrub
-import graft.operators.{Budget, Dedup, Snapshot, TopK}
+import graft.operators.{Budget, Dedup, Repetition, Snapshot, TopK}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -165,6 +165,20 @@ object WebQueries extends QueryGroup {
         .orderBy(col("registered_domain"), col("rn"))
     },
 
+    "q155_line_repetition" -> { (s, d) =>
+      // The remaining Gopher repetition signals (q79 covers the gram
+      // level): per-document duplicate-LINE fraction and the fraction
+      // of characters inside duplicate lines, over fixed 10-token line
+      // windows (the corpus has no newlines — q113/q139's chunk
+      // convention). Lines travel as polyHash ids + lengths after one
+      // combinable (doc, line) aggregate; no window ever buffers a
+      // document, so a pathologically repetitive document collapses
+      // map-side.
+      Repetition.lineStats(Tables.documents(s, d), "doc_id", "text",
+          lineTokens = 10)
+        .orderBy(col("doc_id"))
+    },
+
     "q149_snapshot_diff" -> { (s, d) =>
       // Corpus snapshot diff (data versioning between recurring crawls):
       // two deterministic snapshots derived from the same table and
@@ -303,6 +317,35 @@ object WebQueries extends QueryGroup {
         FROM u)
       SELECT registered_domain, CAST(rn AS BIGINT) AS rn, doc_id
       FROM t WHERE rn <= 5 ORDER BY registered_domain, rn""",
+
+    "q155_line_repetition" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      l AS (
+        SELECT doc_id, array_to_string(ts[g*10+1 : g*10+10], ' ') AS line
+        FROM t, unnest(generate_series(0,
+          CAST((len(ts) - 1) // 10 AS INT))) AS u(g)),
+      h AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(line, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) AS lid,
+          CAST(length(line) AS BIGINT) AS len
+        FROM l),
+      g AS (
+        SELECT doc_id, lid, CAST(count(*) AS BIGINT) AS c,
+          max(len) AS len
+        FROM h GROUP BY 1, 2),
+      a AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+          CAST(sum(c - 1) AS BIGINT) AS n_dup_lines,
+          CAST(sum((c - 1) * len) AS BIGINT) AS dupch,
+          CAST(sum(c * len) AS BIGINT) AS ch
+        FROM g GROUP BY 1)
+      SELECT doc_id, n_lines, n_dup_lines,
+        CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
+        CAST(dupch AS DOUBLE) / CAST(ch AS DOUBLE) AS dup_char_frac
+      FROM a ORDER BY doc_id""",
 
     "q149_snapshot_diff" -> """
       WITH a AS (

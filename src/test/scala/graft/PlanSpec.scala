@@ -505,4 +505,36 @@ class PlanSpec extends SparkSpec {
         collectAll(c).exists(_.toString.contains("md5")))),
       s"fingerprints must be computed below the join:\n$p")
   }
+
+  test("doremi (q153): iteration plan reads the checkpoint, never the corpus") {
+    // The corpus-scale LM scoring runs once, materialized into the
+    // localCheckpoint; the unrolled 3-iteration normalization must plan
+    // over the k-row checkpoint scan only — zero parquet scans.
+    val p = plan("q153_doremi_weights")
+    val s = collectAll(p).map(_.getClass.getSimpleName)
+    assert(!s.exists(_.contains("FileSourceScan")),
+      s"iteration plan must not rescan the corpus:\n$p")
+    assert(!p.toString.contains("Window"), s"no window anywhere:\n$p")
+  }
+
+  test("bpe fertility (q154): narrow encode, no join, no vocab broadcast") {
+    val p = plan("q154_bpe_fertility")
+    val names = collectAll(p).map(_.getClass.getSimpleName)
+    assert(!names.exists(_.contains("Join")),
+      s"fertility must not join an encoded-vocab table back:\n$p")
+    assert(countBroadcasts(p) == 0,
+      s"no vocabulary broadcast (the q127 footgun):\n$p")
+    // (lang, word) aggregate + lang aggregate + output sort
+    assert(countShuffles(p) <= 3, s"two aggregates + sort only:\n$p")
+  }
+
+  test("line repetition (q155): combinable aggregates, no window") {
+    val p = plan("q155_line_repetition")
+    val s = p.toString
+    assert(!s.contains("Window"),
+      s"per-doc stats must be aggregates, not windows:\n$s")
+    assert(!collectAll(p).map(_.getClass.getSimpleName)
+        .exists(_.contains("Join")), s"no join:\n$p")
+    assert(countShuffles(p) <= 3, s"two aggregates + sort only:\n$p")
+  }
 }

@@ -60,4 +60,21 @@ class BpeSpec extends SparkSpec {
     val singles = Seq((1L, "a b c a")).toDF("doc_id", "text")
     assert(Bpe.learnMerges(singles, "text", 5).count() == 0)
   }
+
+  test("fertilityByGroup weights symbol counts by word frequency per group") {
+    // merges (l,o)+(lo,w): "low"->1 sym, "lower"->3 ("low e r"), "x"->1.
+    val docs = Seq(
+      (1L, "low low lower", "en"),
+      (2L, "x", "de")
+    ).toDF("doc_id", "text", "lang")
+    val merges = Seq("l" -> "o", "lo" -> "w")
+    val out = Bpe.fertilityByGroup(docs, "lang", "text", merges)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // en: 3 words (2 distinct), syms = 2*1 + 1*3 = 5, chars = 2*3 + 5 = 11.
+    assert(out("en") == ((3L, 2L, 5L, 11L, 5.0 / 3.0, 11.0 / 5.0)),
+      s"en: ${out("en")}")
+    assert(out("de") == ((1L, 1L, 1L, 1L, 1.0, 1.0)), s"de: ${out("de")}")
+  }
 }
