@@ -132,6 +132,51 @@ object TextQueries extends QueryGroup {
         .orderBy(col("lang"))
     },
 
+    "q156_mixture_pack_pipeline" -> { (s, d) =>
+      // The LM batch-prep chain end-to-end: DoReMi weights (q153) ->
+      // deterministic per-doc epoch copy counts (q117's exact hash
+      // gate against the weight's fractional part, capped at 8 epochs)
+      // -> replicated corpus packed into 256-token bins (q121's
+      // two-phase cumsum). The order key `copy * 2e9 + injective-hash`
+      // is collision-free (hash < 1e9+7 < 2e9), so packing order is
+      // total and the oracle replays the whole pipeline bit-for-bit.
+      val docs = Tables.documents(s, d)
+      val w = graft.operators.Doremi.domainWeights(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text", "source",
+          iters = 3)
+        .select(col("source"), col("w3"))
+      val k = w.select(count(lit(1)).as("__k"))
+      val perDoc = docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(broadcast(w), "source").crossJoin(broadcast(k))
+        .withColumn("__rel", col("w3") * col("__k")) // ppm of uniform
+        .withColumn("__bucket",
+          (col("doc_id") * 1000003L + 17L) % 1000000007L % 1000000L)
+        .withColumn("n_copies", least(expr("__rel div 1000000L") +
+          when(col("__bucket") < expr("__rel % 1000000L"), 1L).otherwise(0L),
+          lit(8L)))
+      val rep = perDoc.filter(col("n_copies") >= 1L)
+        .select(col("doc_id"), col("n_toks"),
+          explode(sequence(lit(1L), col("n_copies"))).as("cp"))
+        .withColumn("ord", col("cp") * 2000000000L +
+          (col("doc_id") * 1000003L + 17L) % 1000000007L)
+      Packing.packBins(rep, "ord", "n_toks",
+          capacity = 256L, bucketWidth = 10000000L)
+        .select(col("bin"), col("n_docs"), col("n_starting"), col("n_tokens"))
+        .orderBy(col("bin"))
+    },
+
+    "q157_span_corruption" -> { (s, d) =>
+      // T5-style span corruption (Raffel et al. 2020): hash-gated 15%
+      // token masking, maximal masked runs become numbered sentinels in
+      // the input, target = sentinel + original tokens. Narrow explode
+      // + per-document windows (q132's gaps-and-islands convention) +
+      // one reassembly aggregate — scan-speed, no joins.
+      graft.operators.SpanCorrupt
+        .corrupt(Tables.documents(s, d), "doc_id", "text", maskPct = 15)
+        .orderBy(col("doc_id"))
+    },
+
     "q32_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -685,6 +730,57 @@ object TextQueries extends QueryGroup {
       ${stages.mkString(",\n      ")}"""
   }
 
+  /** The q153 DoReMi oracle chain: q122's LM-scoring CTEs, per-source
+    * loss/excess, and three unrolled multiplicative-weights iterations
+    * ending in `i3 (source, n_docs, loss, excess, w1, w2, w3)`. All
+    * integer `//` arithmetic — operands are nonnegative, so DuckDB
+    * floor division == Spark `div` truncation. Shared with q156, which
+    * builds the replicate-and-pack pipeline on top of i3.
+    */
+  private val doremiCtes: String = """toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS oov
+        FROM c LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      t AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          CAST(sum(oov) AS BIGINT) AS n_oov
+        FROM scored GROUP BY doc_id),
+      per AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(t.n_bigrams), 0) AS BIGINT) AS nb,
+          CAST(coalesce(sum(t.n_oov), 0) AS BIGINT) AS noov
+        FROM documents d LEFT JOIN t USING (doc_id) GROUP BY d.source),
+      perl AS (
+        SELECT source, n_docs,
+          (1000000 * noov) // greatest(nb, 1) AS loss
+        FROM per),
+      ref AS (SELECT min(loss) AS r, CAST(count(*) AS BIGINT) AS k FROM perl),
+      e AS (
+        SELECT source, n_docs, loss, greatest(0, loss - ref.r) AS excess,
+          1000000 // ref.k AS w0, ref.k AS k
+        FROM perl CROSS JOIN ref),
+      s1 AS (SELECT CAST(sum(w0 * (1000000 + excess)) AS BIGINT) AS s FROM e),
+      i1 AS (SELECT e.*, CAST(((1000000 - 10000) * (w0 * (1000000 + excess)))
+          // s1.s + 10000 // k AS BIGINT) AS w1 FROM e CROSS JOIN s1),
+      s2 AS (SELECT CAST(sum(w1 * (1000000 + excess)) AS BIGINT) AS s FROM i1),
+      i2 AS (SELECT i1.*, CAST(((1000000 - 10000) * (w1 * (1000000 + excess)))
+          // s2.s + 10000 // k AS BIGINT) AS w2 FROM i1 CROSS JOIN s2),
+      s3 AS (SELECT CAST(sum(w2 * (1000000 + excess)) AS BIGINT) AS s FROM i2),
+      i3 AS (SELECT i2.*, CAST(((1000000 - 10000) * (w2 * (1000000 + excess)))
+          // s3.s + 10000 // k AS BIGINT) AS w3 FROM i2 CROSS JOIN s3)"""
+
   private def bpeOracleSql(n: Int, src: String = "documents",
                            textCol: String = "text",
                            prefixCtes: String = ""): String = {
@@ -796,53 +892,80 @@ object TextQueries extends QueryGroup {
     // three unrolled multiplicative-weights iterations — all integer
     // `//` arithmetic (operands nonnegative, so DuckDB floor division
     // == Spark `div` truncation).
-    "q153_doremi_weights" -> """
-      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
-      b AS (
-        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
-        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
-        WHERE source = 'src0' GROUP BY 1, 2),
-      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
-      v AS (
-        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
-        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
-      c AS (
-        SELECT doc_id, l[i] AS w1, l[i+1] AS w2
-        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)),
-      scored AS (
-        SELECT c.doc_id,
-          CASE WHEN b.cb IS NULL THEN 1 ELSE 0 END AS oov
-        FROM c LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
-      t AS (
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-          CAST(sum(oov) AS BIGINT) AS n_oov
-        FROM scored GROUP BY doc_id),
-      per AS (
-        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-          CAST(coalesce(sum(t.n_bigrams), 0) AS BIGINT) AS nb,
-          CAST(coalesce(sum(t.n_oov), 0) AS BIGINT) AS noov
-        FROM documents d LEFT JOIN t USING (doc_id) GROUP BY d.source),
-      perl AS (
-        SELECT source, n_docs,
-          (1000000 * noov) // greatest(nb, 1) AS loss
-        FROM per),
-      ref AS (SELECT min(loss) AS r, CAST(count(*) AS BIGINT) AS k FROM perl),
-      e AS (
-        SELECT source, n_docs, loss, greatest(0, loss - ref.r) AS excess,
-          1000000 // ref.k AS w0, ref.k AS k
-        FROM perl CROSS JOIN ref),
-      s1 AS (SELECT CAST(sum(w0 * (1000000 + excess)) AS BIGINT) AS s FROM e),
-      i1 AS (SELECT e.*, CAST(((1000000 - 10000) * (w0 * (1000000 + excess)))
-          // s1.s + 10000 // k AS BIGINT) AS w1 FROM e CROSS JOIN s1),
-      s2 AS (SELECT CAST(sum(w1 * (1000000 + excess)) AS BIGINT) AS s FROM i1),
-      i2 AS (SELECT i1.*, CAST(((1000000 - 10000) * (w1 * (1000000 + excess)))
-          // s2.s + 10000 // k AS BIGINT) AS w2 FROM i1 CROSS JOIN s2),
-      s3 AS (SELECT CAST(sum(w2 * (1000000 + excess)) AS BIGINT) AS s FROM i2),
-      i3 AS (SELECT i2.*, CAST(((1000000 - 10000) * (w2 * (1000000 + excess)))
-          // s3.s + 10000 // k AS BIGINT) AS w3 FROM i2 CROSS JOIN s3)
+    "q153_doremi_weights" -> s"""
+      WITH $doremiCtes
       SELECT source, n_docs, CAST(loss AS BIGINT) AS loss,
         CAST(excess AS BIGINT) AS excess, w1, w2, w3
       FROM i3 ORDER BY source""",
+
+    // q153's chain feeds the copy-count gate (q117's form), the
+    // replicate explode, and the q121 bin aggregation.
+    "q156_mixture_pack_pipeline" -> s"""
+      WITH $doremiCtes,
+      perdoc AS (
+        SELECT d.doc_id,
+          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+          least((i3.w3 * kt.kk) // 1000000 +
+            CASE WHEN ((d.doc_id * 1000003 + 17) % 1000000007) % 1000000
+                 < (i3.w3 * kt.kk) % 1000000 THEN 1 ELSE 0 END, 8) AS n_copies
+        FROM documents d
+        JOIN i3 ON d.source = i3.source
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS kk FROM i3) kt),
+      rep AS (
+        SELECT doc_id, n_toks, CAST(c AS BIGINT) AS cp
+        FROM perdoc, unnest(generate_series(1, CAST(n_copies AS INT))) AS u(c)
+        WHERE n_copies >= 1),
+      orded AS (
+        SELECT doc_id, n_toks,
+          cp * 2000000000 + (doc_id * 1000003 + 17) % 1000000007 AS ord
+        FROM rep),
+      cum AS (
+        SELECT ord, n_toks,
+          CAST(sum(n_toks) OVER (ORDER BY ord
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks
+            AS BIGINT) AS st
+        FROM orded),
+      bx AS (
+        SELECT ord, n_toks, st, st // 256 AS fb, (st + n_toks - 1) // 256 AS lb
+        FROM cum WHERE n_toks > 0),
+      xx AS (SELECT *, unnest(generate_series(fb, lb)) AS bin FROM bx)
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN fb = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+        CAST(sum(least(st + n_toks, (bin + 1) * 256)
+          - greatest(st, bin * 256)) AS BIGINT) AS n_tokens
+      FROM xx GROUP BY bin ORDER BY bin""",
+
+    "q157_span_corruption" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      p AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i] AS tok,
+          ((doc_id * 1000003 + i * 7919) % 100) < 15 AS m
+        FROM t, unnest(generate_series(1, len(l))) AS u(i)),
+      rr AS (
+        SELECT *, m AND NOT coalesce(
+          lag(m) OVER (PARTITION BY doc_id ORDER BY pos), false) AS start
+        FROM p),
+      ss AS (
+        SELECT *, sum(CASE WHEN start THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM rr),
+      pieces AS (
+        SELECT doc_id, pos, m, sid,
+          CASE WHEN NOT m THEN tok
+               WHEN start THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '>'
+               ELSE NULL END AS in_piece,
+          CASE WHEN start THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '>'
+                 || ' ' || tok
+               WHEN m THEN tok
+               ELSE NULL END AS tg_piece
+        FROM ss)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        CAST(max(sid) AS BIGINT) AS n_spans,
+        coalesce(string_agg(in_piece, ' ' ORDER BY pos), '') AS input_text,
+        coalesce(string_agg(tg_piece, ' ' ORDER BY pos), '') AS target_text
+      FROM pieces GROUP BY doc_id ORDER BY doc_id""",
 
     // The training replay's final stage (p10) holds each word's final
     // symbol list — join it to per-(lang, word) counts for the

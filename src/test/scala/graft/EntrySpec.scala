@@ -37,6 +37,8 @@ class EntrySpec extends SparkSpec {
       "g1", "g2", "g4", "g8", "st1", "st2", "st4", "st8", // q152 per-config grids
       "per", "perl", "ref", "s1", "s2", "s3", // q153 DoReMi iterations
       "wl", "enc", // q154 fertility
+      "perdoc", "rep", "orded", "bx", "xx", // q156 replicate+pack
+      "rr", "ss", "pieces", // q157 span corruption
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern

@@ -528,6 +528,33 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 3, s"two aggregates + sort only:\n$p")
   }
 
+  test("mixture pack pipeline (q156): one corpus scan; weights via checkpoint") {
+    // The DoReMi stage lives in its localCheckpoint; the pipeline plan
+    // should scan the corpus exactly once (for token counts) and join
+    // the k-row weight table by broadcast.
+    val p = plan("q156_mixture_pack_pipeline")
+    val scans = collectAll(p).count(_.getClass.getSimpleName.contains("FileSourceScan"))
+    // 2 = packPositions' documented shape (within-bucket cumsum pass +
+    // bucket-totals pass both read the replicated base). The LM-scoring
+    // corpus pass is NOT here — it lives in the DoReMi checkpoint.
+    assert(scans <= 2, s"expected the two packing passes only, got $scans:\n$p")
+    assert(countBroadcasts(p) >= 2,
+      s"weight table and bucket prefixes must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("span corruption (q157): per-doc windows only, no join") {
+    val p = plan("q157_span_corruption")
+    assert(!collectAll(p).map(_.getClass.getSimpleName)
+        .exists(_.contains("Join")), s"no join:\n$p")
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.toString.contains("doc_id")),
+      s"run-id windows must partition by the document id:\n$p")
+    assert(countShuffles(p) <= 4, s"explode + doc window + agg + sort:\n$p")
+  }
+
   test("line repetition (q155): combinable aggregates, no window") {
     val p = plan("q155_line_repetition")
     val s = p.toString
