@@ -39,4 +39,39 @@ object Snapshot {
           .when(col("old_fp") === col("new_fp"), lit("unchanged"))
           .otherwise(lit("changed")))
   }
+
+  /** Token-distribution drift between two snapshots — the monitoring
+    * table a recurring-crawl pipeline alerts on (a crawler config
+    * change shows up as vocabulary drift long before downstream evals
+    * move). Output: the `topK` biggest per-token frequency movers
+    * (ppm_old/ppm_new are floor(1e6 · cnt/total) — exact integer
+    * parts-per-million, engine-portable) plus the corpus-level L1
+    * drift (Σ|Δppm| over ALL tokens, not just the movers) carried on
+    * every row.
+    *
+    * Scale shape: one tagged union + ONE combinable per-token
+    * aggregate (a hot token collapses map-side); totals are a 1-row
+    * broadcast; the movers cut is a distributed TakeOrdered, and the
+    * L1 sum is a second bounded aggregate over the per-token ppm
+    * table — no windows, no joins on corpus-sized keys.
+    */
+  def tokenDrift(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+                 topK: Int = 20): DataFrame = {
+    val tagged = oldDf.select(explode(split(col(textCol), " ")).as("tok"),
+        lit(1L).as("__o"), lit(0L).as("__n"))
+      .unionAll(newDf.select(explode(split(col(textCol), " ")).as("tok"),
+        lit(0L).as("__o"), lit(1L).as("__n")))
+    val counts = tagged.groupBy(col("tok"))
+      .agg(sum(col("__o")).as("cnt_old"), sum(col("__n")).as("cnt_new"))
+    val totals = counts.agg(sum(col("cnt_old")).as("__to"),
+      sum(col("cnt_new")).as("__tn"))
+    val ppm = counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("cnt_old"), col("cnt_new"),
+        expr("(1000000L * cnt_old) div greatest(__to, 1L)").as("ppm_old"),
+        expr("(1000000L * cnt_new) div greatest(__tn, 1L)").as("ppm_new"))
+      .withColumn("ppm_diff", col("ppm_new") - col("ppm_old"))
+    val l1 = ppm.agg(sum(abs(col("ppm_diff"))).as("l1_drift_ppm"))
+    ppm.orderBy(abs(col("ppm_diff")).desc, col("tok").asc).limit(topK)
+      .crossJoin(broadcast(l1))
+  }
 }

@@ -179,6 +179,22 @@ object WebQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q158_token_drift" -> { (s, d) =>
+      // Token-distribution drift between q149's two snapshots: top-20
+      // per-token ppm movers + the corpus L1 drift (over ALL tokens)
+      // on every row. One tagged union + one combinable token
+      // aggregate; both consumers (movers cut, L1 sum) read the same
+      // aggregate subtree, so its exchange is reused at runtime and
+      // the union is scanned once (the q141 pattern, plan-pinned).
+      val docs = Tables.documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 9)
+        .select(when(col("doc_id") % 10 === 7, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+        .unionAll(docs.filter(col("doc_id") % 10 === 3).select(col("text")))
+      Snapshot.tokenDrift(old, docs.select(col("text")), "text", topK = 20)
+        .orderBy(abs(col("ppm_diff")).desc, col("tok").asc)
+    },
+
     "q149_snapshot_diff" -> { (s, d) =>
       // Corpus snapshot diff (data versioning between recurring crawls):
       // two deterministic snapshots derived from the same table and
@@ -346,6 +362,40 @@ object WebQueries extends QueryGroup {
         CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
         CAST(dupch AS DOUBLE) / CAST(ch AS DOUBLE) AS dup_char_frac
       FROM a ORDER BY doc_id""",
+
+    "q158_token_drift" -> """
+      WITH a AS (
+        SELECT CASE WHEN doc_id % 10 = 7 THEN text || ' v1' ELSE text END AS text
+        FROM documents WHERE doc_id % 10 <> 9
+        UNION ALL
+        SELECT text FROM documents WHERE doc_id % 10 = 3),
+      tagged AS (
+        SELECT unnest(string_split(text, ' ')) AS tok, 1 AS o, 0 AS n FROM a
+        UNION ALL
+        SELECT unnest(string_split(text, ' ')) AS tok, 0 AS o, 1 AS n
+        FROM documents),
+      counts AS (
+        SELECT tok, CAST(sum(o) AS BIGINT) AS cnt_old,
+          CAST(sum(n) AS BIGINT) AS cnt_new
+        FROM tagged GROUP BY tok),
+      tt AS (
+        SELECT CAST(sum(cnt_old) AS BIGINT) AS ato,
+          CAST(sum(cnt_new) AS BIGINT) AS atn
+        FROM counts),
+      pd AS (
+        SELECT tok, cnt_old, cnt_new,
+          (1000000 * cnt_old) // greatest(ato, 1) AS ppm_old,
+          (1000000 * cnt_new) // greatest(atn, 1) AS ppm_new,
+          (1000000 * cnt_new) // greatest(atn, 1)
+            - (1000000 * cnt_old) // greatest(ato, 1) AS ppm_diff
+        FROM counts CROSS JOIN tt),
+      l1 AS (SELECT CAST(sum(abs(ppm_diff)) AS BIGINT) AS l1_drift_ppm FROM pd)
+      SELECT tok, cnt_old, cnt_new, CAST(ppm_old AS BIGINT) AS ppm_old,
+        CAST(ppm_new AS BIGINT) AS ppm_new,
+        CAST(ppm_diff AS BIGINT) AS ppm_diff, l1_drift_ppm
+      FROM (SELECT * FROM pd ORDER BY abs(ppm_diff) DESC, tok ASC LIMIT 20)
+      CROSS JOIN l1
+      ORDER BY abs(ppm_diff) DESC, tok ASC""",
 
     "q149_snapshot_diff" -> """
       WITH a AS (

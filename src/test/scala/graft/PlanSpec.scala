@@ -164,8 +164,10 @@ class PlanSpec extends SparkSpec {
     // precisely so the scoring filter can't be pushed below the
     // aggregate — both subtrees stay identical and the corpus is
     // scanned once.
+    // q158: the movers cut and the L1 sum both read the same per-token
+    // aggregate — the tagged union must be scanned once.
     for ((q, minReuse) <- Seq("q38_lsh_pairs" -> 1, "q40_ngram_jaccard" -> 2,
-        "q141_dsir_importance" -> 1)) {
+        "q141_dsir_importance" -> 1, "q158_token_drift" -> 1)) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.treeString

@@ -31,4 +31,30 @@ class SnapshotSpec extends SparkSpec {
       .select(col("status")).as[String].collect().toSet
     assert(statuses == Set("added"))
   }
+
+  test("tokenDrift reports exact ppm movers and the total L1 drift") {
+    import spark.implicits._
+    // old: a a b b (4 toks) -> a,b at 500000 ppm each.
+    // new: a b b c (4 toks) -> a 250000, b 500000, c 250000.
+    val old = Seq("a a b b").toDF("text")
+    val cur = Seq("a b b c").toDF("text")
+    val rows = Snapshot.tokenDrift(old, cur, "text", topK = 10).collect()
+    val byTok = rows.map(r => r.getAs[String]("tok") ->
+      (r.getAs[Long]("ppm_old"), r.getAs[Long]("ppm_new"),
+        r.getAs[Long]("ppm_diff"))).toMap
+    assert(byTok("a") == ((500000L, 250000L, -250000L)))
+    assert(byTok("b") == ((500000L, 500000L, 0L)))
+    assert(byTok("c") == ((0L, 250000L, 250000L)))
+    // L1 over all tokens = 250000 + 0 + 250000, carried on every row.
+    assert(rows.forall(_.getAs[Long]("l1_drift_ppm") == 500000L))
+  }
+
+  test("tokenDrift topK cut keeps the largest movers with deterministic ties") {
+    import spark.implicits._
+    val old = Seq("x x x x y z").toDF("text")
+    val cur = Seq("y y y y x z").toDF("text")
+    val toks = Snapshot.tokenDrift(old, cur, "text", topK = 2)
+      .collect().map(_.getAs[String]("tok")).toSet
+    assert(toks == Set("x", "y"), s"got $toks") // z is the zero-mover
+  }
 }

@@ -841,4 +841,34 @@ class StreamingSpec extends SparkSpec {
       assert(got == expected, s"got $got")
     } finally q.stop()
   }
+
+  test("streaming span corruption: per-document op composes in foreachBatch, batch == stream") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq((0L, "a b c d e f g h"), (7L, "p q r s t u v w x y z"))
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // the mask gate depends only on (doc_id, pos), so corrupting each
+        // micro-batch is exactly the batch op on its slice
+        results ++= graft.operators.SpanCorrupt
+          .corrupt(batch, "doc_id", "text", maskPct = 40)
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("input_text"),
+            r.getAs[String]("target_text")))
+        ()
+      }.start()
+    try {
+      input.addData(docs.head)
+      q.processAllAvailable()
+      input.addData(docs(1))
+      q.processAllAvailable()
+      val batchRun = graft.operators.SpanCorrupt
+        .corrupt(docs.toDF("doc_id", "text"), "doc_id", "text", maskPct = 40)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("input_text"),
+          r.getAs[String]("target_text"))).toSet
+      assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
+    } finally q.stop()
+  }
 }
