@@ -851,6 +851,53 @@ object Dedup {
         polyHash(col("__chunk")).as("chunk_hash"))
   }
 
+  /** Near-duplicate document pairs via content-defined chunk
+    * fingerprints — the backup-dedup resemblance measure (Jaccard over
+    * [[cdcChunks]] hash sets) applied to corpus near-dup detection.
+    * CDC boundaries survive insertions (CdcSpec), so two documents
+    * differing by an inserted sentence still share most chunk hashes —
+    * the edit-robustness MinHash approximates, computed here exactly.
+    *
+    * Common chunks (document frequency > `maxDf`) are boilerplate, not
+    * identity signal, and are excluded from BOTH the intersection and
+    * the per-document set sizes — the same principle as
+    * [[boilerplateStats]]/q139, and the bound that keeps the pair space
+    * from exploding on a viral chunk: pairs only form inside a chunk's
+    * posting list, Σ df² with df <= maxDf.
+    *
+    * Output: (id_a, id_b) with id_a < id_b, shared rare-chunk count,
+    * each side's rare-chunk count, and the exact scaled Jaccard
+    * `jac_ppm = (1e6 * shared) div (n_a + n_b - shared)` (integer —
+    * engine-portable), filtered to `jac_ppm >= minJacPpm`.
+    */
+  def cdcNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3, divisor: Long = 8L, maxDf: Long = 10L,
+                      minJacPpm: Long = 500000L): DataFrame = {
+    val sets = cdcChunks(df, idCol, textCol, w, divisor)
+      .select(col(idCol), col("chunk_hash")).distinct()
+    val dfreq = sets.groupBy(col("chunk_hash"))
+      .agg(count(lit(1)).as("__df"))
+    val rare = sets.join(dfreq.filter(col("__df") > 1L && col("__df") <= maxDf)
+        .select(col("chunk_hash")), "chunk_hash")
+    val perDoc = sets.join(dfreq.filter(col("__df") <= maxDf)
+        .select(col("chunk_hash")), "chunk_hash")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = rare.select(col("chunk_hash"), col(idCol).as("id_a"))
+    val b = rare.select(col("chunk_hash"), col(idCol).as("id_b"))
+    val shared = a.join(b, "chunk_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    shared
+      .join(perDoc.select(col(idCol).as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(perDoc.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
+      .withColumn("jac_ppm", expr(
+        "(1000000L * shared_chunks) div (n_a + n_b - shared_chunks)"))
+      .filter(col("jac_ppm") >= minJacPpm)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        col("n_a"), col("n_b"), col("jac_ppm"))
+  }
+
   /** Corpus-boilerplate phrase statistics — the line-dedup analogue for
     * newline-free corpora (RefinedWeb/CCNet drop lines repeated across
     * many pages; here the repeated unit is the k-token phrase). A phrase

@@ -336,6 +336,18 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q159_cdc_neardup" -> { (s, d) =>
+      // Near-dup pairs via CDC chunk fingerprints: exact Jaccard over
+      // q128's chunk-hash sets. Edit-robust (CDC boundaries survive
+      // insertions), and the pair space is bounded by posting lists of
+      // rare chunks only (df in [2, 10]) — common chunks are
+      // boilerplate, excluded from intersection AND set sizes. The
+      // threshold keeps genuinely similar pairs (>= 30% ppm Jaccard).
+      Dedup.cdcNearDupPairs(Tables.documents(s, d), "doc_id", "text",
+          w = 3, divisor = 8L, maxDf = 10L, minJacPpm = 300000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q128_cdc_chunks" -> { (s, d) =>
       // Content-defined chunking: boundaries where the 3-token rolling
       // polyHash ≡ 0 mod 8 (expected chunk ~8 tokens) — the
@@ -708,37 +720,37 @@ object DedupQueries extends QueryGroup {
       FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
 
     "q128_cdc_chunks" -> s"""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      p AS (
-        SELECT doc_id, l, unnest(l) AS tok,
-          CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
-        FROM toks),
-      f AS (
-        SELECT doc_id, tok, pos,
-          CASE WHEN pos >= 3 AND
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(
-                l[pos - 2] || ' ' || l[pos - 1] || ' ' || l[pos], ''),
-                x -> CAST(unicode(x) AS BIGINT))),
-              (acc, c) -> (acc * 31 + c) % $M) % 8 = 0
-          THEN 1 ELSE 0 END AS b
-        FROM p),
-      x AS (
-        SELECT doc_id, tok, pos,
-          CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-            AS chunk_idx
-        FROM f),
-      a AS (
-        SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
-          string_agg(tok, ' ' ORDER BY pos) AS chunk
-        FROM x GROUP BY doc_id, chunk_idx)
-      SELECT doc_id, chunk_idx, n_tokens,
-        list_reduce(list_prepend(CAST(0 AS BIGINT),
-          list_transform(string_split(chunk, ''),
-            x -> CAST(unicode(x) AS BIGINT))),
-          (acc, c) -> (acc * 31 + c) % $M) AS chunk_hash
-      FROM a ORDER BY doc_id, chunk_idx""",
+      WITH $cdcChunkCtes
+      SELECT doc_id, chunk_idx, n_tokens, chunk_hash
+      FROM cdcch ORDER BY doc_id, chunk_idx""",
+
+    "q159_cdc_neardup" -> s"""
+      WITH $cdcChunkCtes,
+      sets AS (SELECT DISTINCT doc_id, chunk_hash FROM cdcch),
+      dfreq AS (
+        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS nd
+        FROM sets GROUP BY chunk_hash),
+      perdoc AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM sets s JOIN dfreq USING (chunk_hash)
+        WHERE dfreq.nd <= 10 GROUP BY s.doc_id),
+      rare AS (
+        SELECT s.doc_id, s.chunk_hash
+        FROM sets s JOIN dfreq USING (chunk_hash)
+        WHERE dfreq.nd > 1 AND dfreq.nd <= 10),
+      shr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS shared_chunks
+        FROM rare a JOIN rare b ON a.chunk_hash = b.chunk_hash
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, shared_chunks, pa.n AS n_a, pb.n AS n_b,
+        (1000000 * shared_chunks) // (pa.n + pb.n - shared_chunks) AS jac_ppm
+      FROM shr
+      JOIN perdoc pa ON pa.doc_id = id_a
+      JOIN perdoc pb ON pb.doc_id = id_b
+      WHERE (1000000 * shared_chunks) // (pa.n + pb.n - shared_chunks) >= 300000
+      ORDER BY id_a, id_b""",
 
     "q126_curation_pipeline" -> s"""
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
@@ -817,6 +829,43 @@ object DedupQueries extends QueryGroup {
     * `cdocs(doc_id, cleaned_text, n_kept, n_removed)` — shared by the
     * q135 oracle and compositions that train on the cut corpus (q136).
     */
+  /** q128's CDC chunk replay, ending in
+    * `cdcch (doc_id, chunk_idx, n_tokens, chunk_hash)` — shared with
+    * q159's resemblance pairs.
+    */
+  private def cdcChunkCtes: String = s"""toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      p AS (
+        SELECT doc_id, l, unnest(l) AS tok,
+          CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
+        FROM toks),
+      f AS (
+        SELECT doc_id, tok, pos,
+          CASE WHEN pos >= 3 AND
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(
+                l[pos - 2] || ' ' || l[pos - 1] || ' ' || l[pos], ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+              (acc, c) -> (acc * 31 + c) % $M) % 8 = 0
+          THEN 1 ELSE 0 END AS b
+        FROM p),
+      x AS (
+        SELECT doc_id, tok, pos,
+          CAST(coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS chunk_idx
+        FROM f),
+      a AS (
+        SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_tokens,
+          string_agg(tok, ' ' ORDER BY pos) AS chunk
+        FROM x GROUP BY doc_id, chunk_idx),
+      cdcch AS (
+        SELECT doc_id, chunk_idx, n_tokens,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(chunk, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS chunk_hash
+        FROM a)"""
+
   private[queries] def exactSubstringCutCtes: String = s"""t AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       sh AS (

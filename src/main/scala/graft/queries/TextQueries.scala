@@ -177,6 +177,60 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q160_corpus_datasheet" -> { (s, d) =>
+      // One-row corpus datasheet (the "data card" numbers a release
+      // ships with): doc/token totals, distinct tokens, exact-dup rate,
+      // Gopher-gate pass rate (q144's rule), language/source counts —
+      // all exact integers + ppm divisions. Shape: ONE corpus scan into
+      // the (lang, source, text-hash) pre-aggregate that four bounded
+      // sub-aggregates consume (exchange reuse — the q141 pattern), plus
+      // one token-distinct pass. No corpus-sized EXPAND: every distinct
+      // count runs on its own pre-collapsed table.
+      val docs = Tables.documents(s, d)
+      val gs = gopherStats(col("text"), WebQueries.StopWords)
+      val passes = {
+        val nW = col("__g.n_words")
+        nW.between(20L, 400L) &&
+          (col("__g.char_sum").cast("double") / nW).between(3.0, 8.0) &&
+          col("__g.n_stop") >= 2L &&
+          (col("__g.n_types").cast("double") / nW) >= 0.3
+      }
+      val g = docs
+        .select(col("lang"), col("source"),
+          Dedup.polyHash(col("text")).as("th"),
+          size(split(col("text"), " ")).cast("long").as("__nt"),
+          gs.as("__g"))
+        .select(col("lang"), col("source"), col("th"), col("__nt"),
+          when(passes, 1L).otherwise(0L).as("__gp"))
+        .groupBy(col("lang"), col("source"), col("th"))
+        .agg(count(lit(1)).as("n"), sum(col("__nt")).as("nt"),
+          sum(col("__gp")).as("gp"))
+        // Aggregate-output barrier (the q141 pattern): referencing every
+        // aggregate column keeps all four consumer subtrees identical,
+        // so column pruning can't specialize them into four separate
+        // corpus scans and the pre-aggregate's exchange is reused.
+        .filter(col("n") >= 0L && col("nt") >= 0L && col("gp") >= 0L)
+      val a = g.agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(col("nt")).cast("long").as("n_tokens"),
+        sum(col("gp")).cast("long").as("__gop"))
+      val b = g.select(col("th")).distinct()
+        .agg(count(lit(1)).as("n_distinct_texts"))
+      val c = g.select(col("lang")).distinct().agg(count(lit(1)).as("n_langs"))
+      val e = g.select(col("source")).distinct()
+        .agg(count(lit(1)).as("n_sources"))
+      val tk = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .distinct().agg(count(lit(1)).as("n_distinct_tokens"))
+      a.crossJoin(broadcast(b)).crossJoin(broadcast(c))
+        .crossJoin(broadcast(e)).crossJoin(broadcast(tk))
+        .select(col("n_docs"), col("n_tokens"), col("n_distinct_tokens"),
+          col("n_distinct_texts"),
+          expr("(1000000L * (n_docs - n_distinct_texts)) div n_docs")
+            .as("dup_doc_ppm"),
+          expr("(1000000L * __gop) div n_docs").as("gopher_pass_ppm"),
+          col("n_langs"), col("n_sources"))
+    },
+
     "q32_token_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
@@ -991,6 +1045,48 @@ object TextQueries extends QueryGroup {
           AS chars_per_sym
       FROM wl JOIN enc USING (word)
       GROUP BY lang ORDER BY lang""",
+
+    "q160_corpus_datasheet" -> s"""
+      WITH w0x AS (
+        SELECT lang, source, text, string_split(text, ' ') AS ws
+        FROM documents),
+      rowsx AS (
+        SELECT lang, source,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) AS th,
+          CAST(len(ws) AS BIGINT) AS nt,
+          CASE WHEN (CAST(len(ws) AS BIGINT) BETWEEN 20 AND 400)
+            AND (CAST(CAST(length(text) AS BIGINT)
+                 - (CAST(len(ws) AS BIGINT) - 1) AS DOUBLE)
+                 / CAST(len(ws) AS BIGINT) BETWEEN 3.0 AND 8.0)
+            AND CAST(len(list_filter(ws, x -> x IN (${WebQueries.StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT) >= 2
+            AND (CAST(len(list_distinct(ws)) AS DOUBLE)
+                 / CAST(len(ws) AS BIGINT) >= 0.3)
+          THEN 1 ELSE 0 END AS gp
+        FROM w0x),
+      g AS (
+        SELECT lang, source, th, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(nt) AS BIGINT) AS nt, CAST(sum(gp) AS BIGINT) AS gp
+        FROM rowsx GROUP BY 1, 2, 3),
+      a AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens,
+          CAST(sum(gp) AS BIGINT) AS gop
+        FROM g),
+      b AS (SELECT CAST(count(DISTINCT th) AS BIGINT) AS n_texts FROM g),
+      cc AS (SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM g),
+      dd AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources FROM g),
+      tk AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents))
+      SELECT a.n_docs, a.n_tokens, tk.n_distinct_tokens,
+        b.n_texts AS n_distinct_texts,
+        (1000000 * (a.n_docs - b.n_texts)) // a.n_docs AS dup_doc_ppm,
+        (1000000 * a.gop) // a.n_docs AS gopher_pass_ppm,
+        cc.n_langs, dd.n_sources
+      FROM a CROSS JOIN b CROSS JOIN cc CROSS JOIN dd CROSS JOIN tk""",
 
     "q122_lm_score" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

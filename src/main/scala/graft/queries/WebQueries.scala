@@ -50,8 +50,10 @@ object WebQueries extends QueryGroup {
      CASE WHEN doc_id % 6 = 0 THEN '?utm=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END ||
      CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END)"""
 
-  /** Gopher-style stopword list (subset that appears in the corpus). */
-  private val StopWords = Seq("the", "a", "of", "to", "in")
+  /** Gopher-style stopword list (subset that appears in the corpus).
+    * Shared with q160's datasheet gate so both report the same rule.
+    */
+  private[queries] val StopWords = Seq("the", "a", "of", "to", "in")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -166,8 +166,11 @@ class PlanSpec extends SparkSpec {
     // scanned once.
     // q158: the movers cut and the L1 sum both read the same per-token
     // aggregate — the tagged union must be scanned once.
+    // q160: four bounded sub-aggregates all read the same
+    // (lang, source, text-hash) pre-aggregate — one corpus scan.
     for ((q, minReuse) <- Seq("q38_lsh_pairs" -> 1, "q40_ngram_jaccard" -> 2,
-        "q141_dsir_importance" -> 1, "q158_token_drift" -> 1)) {
+        "q141_dsir_importance" -> 1, "q158_token_drift" -> 1,
+        "q160_corpus_datasheet" -> 2)) {
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
       val p = df.queryExecution.executedPlan.treeString
@@ -555,6 +558,25 @@ class PlanSpec extends SparkSpec {
     assert(wins.nonEmpty && wins.forall(_.toString.contains("doc_id")),
       s"run-id windows must partition by the document id:\n$p")
     assert(countShuffles(p) <= 4, s"explode + doc window + agg + sort:\n$p")
+  }
+
+  test("cdc neardup (q159): pairs form only in posting lists, no cartesian") {
+    val p = plan("q159_cdc_neardup")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"),
+      s"pairs must come from the chunk-hash equi-join:\n$s")
+    // the only windows are cdcChunks' per-document boundary cumsums
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.forall(_.toString.contains("doc_id")),
+      s"no non-document window in the pair path:\n$s")
+  }
+
+  test("datasheet (q160): no corpus-sized EXPAND for the distinct counts") {
+    val p = plan("q160_corpus_datasheet")
+    assert(!collectAll(p).map(_.getClass.getSimpleName).exists(_.contains("Expand")),
+      s"each distinct count must run on its pre-collapsed table:\n$p")
   }
 
   test("line repetition (q155): combinable aggregates, no window") {

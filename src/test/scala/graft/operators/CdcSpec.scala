@@ -40,4 +40,36 @@ class CdcSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getAs[Long]("chunk_idx") == 0L
       && out.head.getAs[Long]("n_tokens") == 2L)
   }
+
+  test("cdcNearDupPairs finds the insertion-edited near-dup, not the stranger") {
+    val docs = Seq(
+      (0L, base),
+      (1L, "inserted " + base), // shares all post-boundary chunks with 0
+      (2L, "completely different words about unrelated topics entirely " +
+        "spark query engine optimizer shuffles partitions and executors run")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcNearDupPairs(docs, "doc_id", "text",
+        w = 3, divisor = 4L, maxDf = 10L, minJacPpm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)),
+      s"only the edited pair should surface: ${pairs.toSeq}")
+    assert(pairs.head._3 >= 500000L,
+      s"insertion-robust chunks should give high Jaccard: ${pairs.head._3}")
+  }
+
+  test("cdcNearDupPairs excludes chunks above maxDf from signal and set size") {
+    // The shared chunk "x y z" appears in all 4 docs -> df 4 > maxDf 3;
+    // docs 0/1 additionally share a rare tail.
+    val docs = Seq(
+      (0L, "x y z p q r s t u"),
+      (1L, "x y z p q r s t u"),
+      (2L, "x y z m n o j k l"),
+      (3L, "x y z g h i d e f")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.cdcNearDupPairs(docs, "doc_id", "text",
+        w = 3, divisor = 2L, maxDf = 3L, minJacPpm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall(p => p == ((0L, 1L))),
+      s"the boilerplate head must not pair 2/3 with anyone: ${pairs.toSeq}")
+  }
 }
