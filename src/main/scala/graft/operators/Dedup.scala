@@ -898,6 +898,51 @@ object Dedup {
         col("n_a"), col("n_b"), col("jac_ppm"))
   }
 
+  /** Incremental [[cdcNearDupPairs]] — the recurring-ingest form: every
+    * pair involves at least one `batch` document; history×history pairs
+    * are NEVER generated (the q97/q130 incremental contract at the CDC
+    * granularity). Chunk document frequencies and per-document set
+    * sizes are computed over history ∪ batch, so a chunk that becomes
+    * boilerplate only once the batch lands is already excluded.
+    *
+    * Output adds `other_in_history`; batch×batch pairs keep the
+    * `id_a < id_b` orientation, batch×history pairs put the batch
+    * document first.
+    */
+  def cdcNearDupPairsIncremental(history: DataFrame, batch: DataFrame,
+                                 idCol: String, textCol: String,
+                                 w: Int = 3, divisor: Long = 8L,
+                                 maxDf: Long = 10L,
+                                 minJacPpm: Long = 500000L): DataFrame = {
+    def sets(df: DataFrame, h: Boolean) =
+      cdcChunks(df, idCol, textCol, w, divisor)
+        .select(col(idCol), col("chunk_hash")).distinct()
+        .withColumn("__h", lit(h))
+    val all = sets(history, h = true).unionAll(sets(batch, h = false))
+    val dfreq = all.groupBy(col("chunk_hash")).agg(count(lit(1)).as("__df"))
+    val kept = all.join(dfreq.filter(col("__df") <= maxDf)
+      .select(col("chunk_hash"), col("__df")), "chunk_hash")
+    val perDoc = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val rare = kept.filter(col("__df") > 1L)
+    val a = rare.filter(!col("__h"))
+      .select(col("chunk_hash"), col(idCol).as("id_a"))
+    val b = rare.select(col("chunk_hash"), col(idCol).as("id_b"), col("__h"))
+    val shared = a.join(b, "chunk_hash")
+      .filter(col("id_a") =!= col("id_b") &&
+        (col("__h") || col("id_a") < col("id_b")))
+      .groupBy(col("id_a"), col("id_b"), col("__h"))
+      .agg(count(lit(1)).as("shared_chunks"))
+    shared
+      .join(perDoc.select(col(idCol).as("id_a"), col("__n").as("n_a")), "id_a")
+      .join(perDoc.select(col(idCol).as("id_b"), col("__n").as("n_b")), "id_b")
+      .withColumn("jac_ppm", expr(
+        "(1000000L * shared_chunks) div (n_a + n_b - shared_chunks)"))
+      .filter(col("jac_ppm") >= minJacPpm)
+      .select(col("id_a"), col("id_b"), col("shared_chunks"),
+        col("n_a"), col("n_b"), col("jac_ppm"),
+        col("__h").as("other_in_history"))
+  }
+
   /** Corpus-boilerplate phrase statistics — the line-dedup analogue for
     * newline-free corpora (RefinedWeb/CCNet drop lines repeated across
     * many pages; here the repeated unit is the k-token phrase). A phrase

@@ -348,6 +348,23 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q161_incremental_cdc" -> { (s, d) =>
+      // q159's resemblance pairs in the recurring-ingest shape: docs
+      // with doc_id % 3 == 0 arrive as the new batch against the rest
+      // as history. Every output pair involves a batch doc;
+      // history x history is never generated (the q97/q130 incremental
+      // contract at CDC granularity). Chunk df and set sizes are
+      // computed over the union, so batch-induced boilerplate is
+      // excluded immediately.
+      val docs = Tables.documents(s, d)
+      Dedup.cdcNearDupPairsIncremental(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", w = 3, divisor = 8L, maxDf = 10L,
+          minJacPpm = 300000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q128_cdc_chunks" -> { (s, d) =>
       // Content-defined chunking: boundaries where the 3-token rolling
       // polyHash ≡ 0 mod 8 (expected chunk ~8 tokens) — the
@@ -723,6 +740,38 @@ object DedupQueries extends QueryGroup {
       WITH $cdcChunkCtes
       SELECT doc_id, chunk_idx, n_tokens, chunk_hash
       FROM cdcch ORDER BY doc_id, chunk_idx""",
+
+    "q161_incremental_cdc" -> s"""
+      WITH $cdcChunkCtes,
+      sets AS (SELECT DISTINCT doc_id, chunk_hash FROM cdcch),
+      dfreq AS (
+        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS nd
+        FROM sets GROUP BY chunk_hash),
+      kept AS (
+        SELECT s.doc_id, s.chunk_hash, dfreq.nd
+        FROM sets s JOIN dfreq USING (chunk_hash)
+        WHERE dfreq.nd <= 10),
+      perdoc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM kept GROUP BY doc_id),
+      rare AS (SELECT doc_id, chunk_hash FROM kept WHERE nd > 1),
+      shr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          (b.doc_id % 3 <> 0) AS other_in_history,
+          CAST(count(*) AS BIGINT) AS shared_chunks
+        FROM rare a JOIN rare b ON a.chunk_hash = b.chunk_hash
+          AND a.doc_id <> b.doc_id
+          AND (b.doc_id % 3 <> 0 OR a.doc_id < b.doc_id)
+        WHERE a.doc_id % 3 = 0
+        GROUP BY 1, 2, 3)
+      SELECT id_a, id_b, shared_chunks, pa.n AS n_a, pb.n AS n_b,
+        (1000000 * shared_chunks) // (pa.n + pb.n - shared_chunks) AS jac_ppm,
+        other_in_history
+      FROM shr
+      JOIN perdoc pa ON pa.doc_id = id_a
+      JOIN perdoc pb ON pb.doc_id = id_b
+      WHERE (1000000 * shared_chunks) // (pa.n + pb.n - shared_chunks) >= 300000
+      ORDER BY id_a, id_b""",
 
     "q159_cdc_neardup" -> s"""
       WITH $cdcChunkCtes,

@@ -57,6 +57,20 @@ class CdcSpec extends SparkSpec {
       s"insertion-robust chunks should give high Jaccard: ${pairs.head._3}")
   }
 
+  test("cdcNearDupPairsIncremental never pairs history with history") {
+    val hist = Seq((0L, base), (1L, "inserted " + base)).toDF("doc_id", "text")
+    val batch = Seq((10L, "prefix " + base)).toDF("doc_id", "text")
+    val pairs = Dedup.cdcNearDupPairsIncremental(hist, batch,
+        "doc_id", "text", w = 3, divisor = 4L, maxDf = 10L, minJacPpm = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(6)))
+    // history docs 0 and 1 are near-dups of each other, but only the
+    // batch doc may appear on the left; every pair flags the other side.
+    assert(pairs.nonEmpty && pairs.forall(_._1 == 10L), s"got ${pairs.toSeq}")
+    assert(pairs.map(p => (p._2, p._3)).toSet == Set((0L, true), (1L, true)),
+      s"batch doc must pair with both history near-dups: ${pairs.toSeq}")
+  }
+
   test("cdcNearDupPairs excludes chunks above maxDf from signal and set size") {
     // The shared chunk "x y z" appears in all 4 docs -> df 4 > maxDf 3;
     // docs 0/1 additionally share a rare tail.
