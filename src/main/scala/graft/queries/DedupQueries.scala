@@ -348,6 +348,28 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q163_dedup_threshold_curve" -> { (s, d) =>
+      // Threshold-tuning curve for q159's resemblance pairs: pair count
+      // at each 10%-Jaccard threshold, from one pass over the pair
+      // table. Buckets first (combinable aggregate, 11 rows), then the
+      // cumulative >= threshold counts via a window over the BOUNDED
+      // bucket rows — the documented bounded-single-partition class,
+      // never over pairs.
+      val pairs = Dedup.cdcNearDupPairs(Tables.documents(s, d),
+        "doc_id", "text", w = 3, divisor = 8L, maxDf = 10L, minJacPpm = 1L)
+      val bucketed = pairs
+        .select(least(expr("jac_ppm div 100000L"), lit(10L)).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_in_bucket"))
+      val cum = Window.orderBy(col("bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bucketed
+        .withColumn("threshold_ppm", col("bucket") * 100000L)
+        .withColumn("n_pairs_at_least", sum(col("n_in_bucket")).over(cum))
+        .select(col("threshold_ppm"), col("n_in_bucket"),
+          col("n_pairs_at_least"))
+        .orderBy(col("threshold_ppm"))
+    },
+
     "q161_incremental_cdc" -> { (s, d) =>
       // q159's resemblance pairs in the recurring-ingest shape: docs
       // with doc_id % 3 == 0 arrive as the new batch against the rest
@@ -740,6 +762,43 @@ object DedupQueries extends QueryGroup {
       WITH $cdcChunkCtes
       SELECT doc_id, chunk_idx, n_tokens, chunk_hash
       FROM cdcch ORDER BY doc_id, chunk_idx""",
+
+    "q163_dedup_threshold_curve" -> s"""
+      WITH $cdcChunkCtes,
+      sets AS (SELECT DISTINCT doc_id, chunk_hash FROM cdcch),
+      dfreq AS (
+        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS nd
+        FROM sets GROUP BY chunk_hash),
+      perdoc AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM sets s JOIN dfreq USING (chunk_hash)
+        WHERE dfreq.nd <= 10 GROUP BY s.doc_id),
+      rare AS (
+        SELECT s.doc_id, s.chunk_hash
+        FROM sets s JOIN dfreq USING (chunk_hash)
+        WHERE dfreq.nd > 1 AND dfreq.nd <= 10),
+      shr AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS shared_chunks
+        FROM rare a JOIN rare b ON a.chunk_hash = b.chunk_hash
+          AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      jp AS (
+        SELECT (1000000 * shared_chunks) // (pa.n + pb.n - shared_chunks)
+          AS jac
+        FROM shr
+        JOIN perdoc pa ON pa.doc_id = id_a
+        JOIN perdoc pb ON pb.doc_id = id_b
+        WHERE (1000000 * shared_chunks) // (pa.n + pb.n - shared_chunks) >= 1),
+      bk AS (
+        SELECT least(jac // 100000, 10) AS bucket,
+          CAST(count(*) AS BIGINT) AS n_in_bucket
+        FROM jp GROUP BY 1)
+      SELECT CAST(bucket * 100000 AS BIGINT) AS threshold_ppm, n_in_bucket,
+        CAST(sum(n_in_bucket) OVER (ORDER BY bucket DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_pairs_at_least
+      FROM bk ORDER BY threshold_ppm""",
 
     "q161_incremental_cdc" -> s"""
       WITH $cdcChunkCtes,

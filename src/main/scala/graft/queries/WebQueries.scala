@@ -181,6 +181,33 @@ object WebQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q162_gate_ablation" -> { (s, d) =>
+      // Gopher-gate ablation cube: how many documents pass/fail each
+      // COMBINATION of the four q144 gates — the table that tells a
+      // pipeline owner which rule does the killing and which are
+      // redundant. Flags are non-null strings so CUBE's nulls are
+      // unambiguous sentinels; one narrow pass + a 3^4-cell cube (the
+      // B7 machinery on the curation story). Counts are exact.
+      val g = Tables.documents(s, d)
+        .select(TextFunctions.gopherStats(col("text"), StopWords).as("g"))
+      val nW = col("g.n_words")
+      def flag(c: org.apache.spark.sql.Column) =
+        when(c, lit("pass")).otherwise(lit("fail"))
+      g.select(
+          flag(nW.between(20L, 400L)).as("f_words"),
+          flag((col("g.char_sum").cast("double") / nW).between(3.0, 8.0))
+            .as("f_wlen"),
+          flag(col("g.n_stop") >= 2L).as("f_stop"),
+          flag((col("g.n_types").cast("double") / nW) >= 0.3).as("f_ttr"))
+        .cube(col("f_words"), col("f_wlen"), col("f_stop"), col("f_ttr"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(coalesce(col("f_words"), lit("ALL")).as("f_words"),
+          coalesce(col("f_wlen"), lit("ALL")).as("f_wlen"),
+          coalesce(col("f_stop"), lit("ALL")).as("f_stop"),
+          coalesce(col("f_ttr"), lit("ALL")).as("f_ttr"), col("n_docs"))
+        .orderBy(col("f_words"), col("f_wlen"), col("f_stop"), col("f_ttr"))
+    },
+
     "q158_token_drift" -> { (s, d) =>
       // Token-distribution drift between q149's two snapshots: top-20
       // per-token ppm movers + the corpus L1 drift (over ALL tokens)
@@ -364,6 +391,32 @@ object WebQueries extends QueryGroup {
         CAST(n_dup_lines AS DOUBLE) / CAST(n_lines AS DOUBLE) AS dup_line_frac,
         CAST(dupch AS DOUBLE) / CAST(ch AS DOUBLE) AS dup_char_frac
       FROM a ORDER BY doc_id""",
+
+    "q162_gate_ablation" -> s"""
+      WITH w AS (
+        SELECT string_split(text, ' ') AS ws,
+          CAST(length(text) AS BIGINT) AS len
+        FROM documents),
+      f AS (
+        SELECT
+          CASE WHEN CAST(len(ws) AS BIGINT) BETWEEN 20 AND 400
+            THEN 'pass' ELSE 'fail' END AS f_words,
+          CASE WHEN CAST(len - (CAST(len(ws) AS BIGINT) - 1) AS DOUBLE)
+              / CAST(len(ws) AS BIGINT) BETWEEN 3.0 AND 8.0
+            THEN 'pass' ELSE 'fail' END AS f_wlen,
+          CASE WHEN CAST(len(list_filter(ws, x -> x IN (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT) >= 2
+            THEN 'pass' ELSE 'fail' END AS f_stop,
+          CASE WHEN CAST(len(list_distinct(ws)) AS DOUBLE)
+              / CAST(len(ws) AS BIGINT) >= 0.3
+            THEN 'pass' ELSE 'fail' END AS f_ttr
+        FROM w)
+      SELECT coalesce(f_words, 'ALL') AS f_words,
+        coalesce(f_wlen, 'ALL') AS f_wlen,
+        coalesce(f_stop, 'ALL') AS f_stop,
+        coalesce(f_ttr, 'ALL') AS f_ttr,
+        CAST(count(*) AS BIGINT) AS n_docs
+      FROM f GROUP BY CUBE (f_words, f_wlen, f_stop, f_ttr)
+      ORDER BY 1, 2, 3, 4""",
 
     "q158_token_drift" -> """
       WITH a AS (

@@ -40,7 +40,7 @@ class EntrySpec extends SparkSpec {
       "perdoc", "rep", "orded", "bx", "xx", // q156 replicate+pack
       "rr", "ss", "pieces", // q157 span corruption
       "tagged", "counts", "tt", "pd", "l1", // q158 token drift
-      "cdcch", "sets", "dfreq", "rare", "shr", // q159 CDC resemblance
+      "cdcch", "sets", "dfreq", "rare", "shr", "jp", "bk", // q159/q161/q163 CDC
       "w0x", "rowsx", "cc", "dd", "tk", // q160 datasheet
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
