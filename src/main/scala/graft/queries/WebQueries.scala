@@ -55,6 +55,76 @@ object WebQueries extends QueryGroup {
     */
   private[queries] val StopWords = Seq("the", "a", "of", "to", "in")
 
+  /** q147's six-stage oracle chain (url keep-first -> PII scrub ->
+    * common-chunk removal -> Gopher gate -> scoring -> budget cumsum),
+    * ending in `p` (gate-passed docs) and `b` (budget cumulative) —
+    * shared with q164's drop-reason report.
+    */
+  private def pipelineV2Ctes: String = s"""u AS (
+        SELECT doc_id, text, ${UrlFunctions.Sql.normalizedExpr} AS norm
+        FROM (SELECT doc_id, text, $urlSql AS url FROM documents)),
+      keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY norm),
+      raw AS (
+        SELECT doc_id, ${TextQueries.piiRawExpr("VARCHAR")} AS raw
+        FROM (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id))),
+      sc AS (
+        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS stext
+        FROM raw),
+      t AS (SELECT doc_id, string_split(stext, ' ') AS ts FROM sc),
+      c AS (
+        SELECT doc_id, CAST(g AS INT) AS cpos,
+          array_to_string(ts[g*8+1 : g*8+8], ' ') AS chunk
+        FROM t, unnest(generate_series(0,
+          CAST(ceil(len(ts) / 8.0) AS INT) - 1)) AS un(g)),
+      dup AS (
+        SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM c)
+        GROUP BY chunk HAVING count(*) > 1),
+      keptc AS (
+        SELECT c.doc_id, c.cpos, c.chunk FROM c
+        WHERE c.chunk NOT IN (SELECT chunk FROM dup)),
+      reb AS (
+        SELECT t.doc_id, coalesce(r.ct, '') AS ct
+        FROM t LEFT JOIN (
+          SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS ct
+          FROM keptc GROUP BY doc_id) r ON t.doc_id = r.doc_id),
+      g AS (
+        SELECT doc_id, ct, string_split(ct, ' ') AS ws,
+          CAST(length(ct) AS BIGINT) AS len
+        FROM reb),
+      f AS (
+        SELECT doc_id, ct,
+          CAST(len(ws) AS BIGINT) AS n_words,
+          len - (CAST(len(ws) AS BIGINT) - 1) AS char_sum,
+          CAST(len(list_filter(ws, x -> x IN (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT) AS n_stop,
+          CAST(len(list_distinct(ws)) AS BIGINT) AS n_types
+        FROM g),
+      p AS (
+        SELECT doc_id, ct, n_words FROM f
+        WHERE (n_words BETWEEN 20 AND 400)
+          AND (CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 8.0)
+          AND n_stop >= 2
+          AND (CAST(n_types AS DOUBLE) / n_words >= 0.3)),
+      scored AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(ct, ' '), tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, ch) -> (acc * 31 + ch) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score,
+          n_words AS n_tokens
+        FROM p),
+      b AS (
+        SELECT doc_id, score, n_tokens,
+          sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+        FROM scored)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q143_url_dedup_domains" -> { (s, d) =>
@@ -144,6 +214,53 @@ object WebQueries extends QueryGroup {
       Budget.takeByBudget(scored, "doc_id", "score", "n_tokens",
           budget = 15000L)
         .orderBy(col("doc_id"))
+    },
+
+    "q164_drop_reasons" -> { (s, d) =>
+      // "Why was my document dropped" over the q147 pipeline: the FIRST
+      // stage that eliminates each document (url_dup -> gopher_fail ->
+      // budget_cut -> kept), as a histogram. Each stage keeps its q147
+      // scale shape; the attribution is three left semi-style joins on
+      // doc ids — no stage is recomputed per reason.
+      val docs = Tables.documents(s, d)
+      val withUrl = docs
+        .select(col("doc_id"), col("text"),
+          UrlFunctions.normalizeUrl(syntheticUrl(s)).as("norm"))
+      val keepIds = withUrl.groupBy(col("norm"))
+        .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+      val scrubbed = withUrl.join(keepIds, "doc_id")
+        .withColumn("raw", expr(TextQueries.piiRawExpr("STRING")))
+        .select(col("doc_id"), piiScrub(col("raw")).as("stext"))
+      val rebuilt = Dedup.removeCommonChunks(scrubbed, "doc_id", "stext",
+        chunkTokens = 8, maxDf = 1L)
+      val gated = rebuilt
+        .select(col("doc_id"), col("cleaned_text"),
+          TextFunctions.gopherStats(col("cleaned_text"), StopWords).as("g"))
+        .select(col("doc_id"), col("cleaned_text"),
+          col("g.n_words").as("n_words"), col("g.char_sum").as("char_sum"),
+          col("g.n_stop").as("n_stop"), col("g.n_types").as("n_types"))
+        .filter(col("n_words").between(20L, 400L) &&
+          (col("char_sum").cast("double") / col("n_words")).between(3.0, 8.0) &&
+          col("n_stop") >= 2L &&
+          (col("n_types").cast("double") / col("n_words")) >= 0.3)
+      val toks = split(col("cleaned_text"), " ")
+      val scored = gated.select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc: Column, t: Column) =>
+          acc + ((Dedup.polyHash(t) % 1024L)
+            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        col("n_words").as("n_tokens"))
+      val kept = Budget.takeByBudget(scored, "doc_id", "score", "n_tokens",
+        budget = 15000L)
+      docs.select(col("doc_id"))
+        .join(keepIds.withColumn("__u", lit(1L)), Seq("doc_id"), "left")
+        .join(gated.select(col("doc_id"), lit(1L).as("__g")), Seq("doc_id"), "left")
+        .join(kept.select(col("doc_id"), lit(1L).as("__b")), Seq("doc_id"), "left")
+        .select(when(col("__u").isNull, lit("url_dup"))
+          .when(col("__g").isNull, lit("gopher_fail"))
+          .when(col("__b").isNull, lit("budget_cut"))
+          .otherwise(lit("kept")).as("reason"))
+        .groupBy(col("reason")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("reason"))
     },
 
     "q148_domain_quota" -> { (s, d) =>
@@ -284,72 +401,25 @@ object WebQueries extends QueryGroup {
       FROM f ORDER BY doc_id""",
 
     "q147_curation_pipeline_v2" -> s"""
-      WITH u AS (
-        SELECT doc_id, text, ${UrlFunctions.Sql.normalizedExpr} AS norm
-        FROM (SELECT doc_id, text, $urlSql AS url FROM documents)),
-      keep AS (SELECT min(doc_id) AS doc_id FROM u GROUP BY norm),
-      raw AS (
-        SELECT doc_id, ${TextQueries.piiRawExpr("VARCHAR")} AS raw
-        FROM (SELECT u.doc_id, u.text FROM u JOIN keep USING (doc_id))),
-      sc AS (
-        SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(raw,
-          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
-          '[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}', '<IP>', 'g'),
-          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS stext
-        FROM raw),
-      t AS (SELECT doc_id, string_split(stext, ' ') AS ts FROM sc),
-      c AS (
-        SELECT doc_id, CAST(g AS INT) AS cpos,
-          array_to_string(ts[g*8+1 : g*8+8], ' ') AS chunk
-        FROM t, unnest(generate_series(0,
-          CAST(ceil(len(ts) / 8.0) AS INT) - 1)) AS un(g)),
-      dup AS (
-        SELECT chunk FROM (SELECT DISTINCT chunk, doc_id FROM c)
-        GROUP BY chunk HAVING count(*) > 1),
-      keptc AS (
-        SELECT c.doc_id, c.cpos, c.chunk FROM c
-        WHERE c.chunk NOT IN (SELECT chunk FROM dup)),
-      reb AS (
-        SELECT t.doc_id, coalesce(r.ct, '') AS ct
-        FROM t LEFT JOIN (
-          SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS ct
-          FROM keptc GROUP BY doc_id) r ON t.doc_id = r.doc_id),
-      g AS (
-        SELECT doc_id, ct, string_split(ct, ' ') AS ws,
-          CAST(length(ct) AS BIGINT) AS len
-        FROM reb),
-      f AS (
-        SELECT doc_id, ct,
-          CAST(len(ws) AS BIGINT) AS n_words,
-          len - (CAST(len(ws) AS BIGINT) - 1) AS char_sum,
-          CAST(len(list_filter(ws, x -> x IN (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT) AS n_stop,
-          CAST(len(list_distinct(ws)) AS BIGINT) AS n_types
-        FROM g),
-      p AS (
-        SELECT doc_id, ct, n_words FROM f
-        WHERE (n_words BETWEEN 20 AND 400)
-          AND (CAST(char_sum AS DOUBLE) / n_words BETWEEN 3.0 AND 8.0)
-          AND n_stop >= 2
-          AND (CAST(n_types AS DOUBLE) / n_words >= 0.3)),
-      scored AS (
-        SELECT doc_id,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(string_split(ct, ' '), tok ->
-              (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                 list_transform(string_split(tok, ''),
-                   x -> CAST(unicode(x) AS BIGINT))),
-                 (acc, ch) -> (acc * 31 + ch) % ${graft.operators.Dedup.M}) % 1024)
-                * 2654435761 % 1000 - 500)),
-            (a, w) -> a + w) AS score,
-          n_words AS n_tokens
-        FROM p),
-      b AS (
-        SELECT doc_id, score, n_tokens,
-          sum(n_tokens) OVER (ORDER BY score DESC, doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
-        FROM scored)
+      WITH $pipelineV2Ctes
       SELECT doc_id, score, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
       FROM b WHERE cum_cost <= 15000 ORDER BY doc_id""",
+
+    "q164_drop_reasons" -> s"""
+      WITH $pipelineV2Ctes,
+      reasons AS (
+        SELECT d.doc_id,
+          CASE WHEN k.doc_id IS NULL THEN 'url_dup'
+               WHEN pz.doc_id IS NULL THEN 'gopher_fail'
+               WHEN bb.doc_id IS NULL THEN 'budget_cut'
+               ELSE 'kept' END AS reason
+        FROM documents d
+        LEFT JOIN keep k ON k.doc_id = d.doc_id
+        LEFT JOIN p pz ON pz.doc_id = d.doc_id
+        LEFT JOIN (SELECT doc_id FROM b WHERE cum_cost <= 15000) bb
+          ON bb.doc_id = d.doc_id)
+      SELECT reason, CAST(count(*) AS BIGINT) AS n_docs
+      FROM reasons GROUP BY reason ORDER BY reason""",
 
     "q148_domain_quota" -> s"""
       WITH u AS (
