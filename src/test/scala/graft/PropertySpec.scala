@@ -345,4 +345,67 @@ class PropertySpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(a == b)
   }
+
+  test("property: span corruption partitions every random document exactly") {
+    // Non-sentinel tokens of input ++ target reconstruct the original
+    // document's token multiset, and sentinels come out 0..n_spans-1 in
+    // both sequences.
+    val docGen = Gen.listOfN(40, Gen.oneOf("a", "b", "cc", "ddd", "e"))
+      .map(_.mkString(" "))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val out = graft.operators.SpanCorrupt
+      .corrupt(docs.toDF("doc_id", "text"), "doc_id", "text", maskPct = 35)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val sentinel = "<extra_id_(\\d+)>".r
+    docs.foreach { case (id, text) =>
+      val r = out(id)
+      val inT = r.getString(4).split(" ").filter(_.nonEmpty)
+      val tgT = r.getString(5).split(" ").filter(_.nonEmpty)
+      val plain = (inT ++ tgT).filterNot(t => sentinel.matches(t))
+      assert(plain.sorted.toSeq == text.split(" ").sorted.toSeq,
+        s"doc $id tokens not partitioned")
+      def sentinelIds(ts: Array[String]) =
+        ts.collect { case sentinel(k) => k.toLong }.toSeq
+      val n = r.getLong(3)
+      assert(sentinelIds(inT) == (0L until n) && sentinelIds(tgT) == (0L until n),
+        s"doc $id sentinels not sequential")
+    }
+  }
+
+  test("property: line repetition fractions are consistent bounds on random docs") {
+    val docGen = Gen.listOfN(25, Gen.oneOf("x", "y", "z"))
+      .map(_.mkString(" "))
+    val docs = samples(docGen, 30).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val rows = graft.operators.Repetition
+      .lineStats(docs.toDF("doc_id", "text"), "doc_id", "text", lineTokens = 4)
+      .collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val (nl, nd, lf, cf) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(nl >= 1 && nd < nl, s"dup lines must leave a first occurrence: $r")
+      assert(lf >= 0.0 && lf < 1.0 && cf >= 0.0 && cf <= 1.0, s"fractions: $r")
+      assert(lf == nd.toDouble / nl, s"dup_line_frac definition: $r")
+    }
+  }
+
+  test("property: cdc resemblance is symmetric-free and bounded by 1e6 ppm") {
+    val docGen = Gen.listOfN(30, Gen.oneOf("p", "q", "r", "s", "t", "u"))
+      .map(_.mkString(" "))
+    val docs = samples(docGen, 25).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val pairs = graft.operators.Dedup
+      .cdcNearDupPairs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        w = 3, divisor = 4L, maxDf = 25L, minJacPpm = 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5)))
+    pairs.foreach { case (a, b, jac) =>
+      assert(a < b, s"orientation must be canonical: ($a, $b)")
+      assert(jac >= 1L && jac <= 1000000L, s"jac_ppm out of range: $jac")
+    }
+    assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
+      "no duplicate pairs")
+  }
 }
