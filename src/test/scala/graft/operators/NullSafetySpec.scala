@@ -53,4 +53,37 @@ class NullSafetySpec extends SparkSpec {
     assert(!out(0).isNullAt(1) && !out(1).isNullAt(1))
     assert(out(2).isNullAt(1))
   }
+
+  test("lineStats: null text drops the document, others unaffected") {
+    val out = Repetition.lineStats(docs, "doc_id", "text", lineTokens = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.head.getAs[Long]("n_lines") == 3L)
+  }
+
+  test("spanCorrupt: null text drops the document, others unaffected") {
+    val out = SpanCorrupt.corrupt(docs, "doc_id", "text", maskPct = 15)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L))
+    assert(out.head.getAs[Long]("n_tokens") == 6L)
+  }
+
+  test("cdcNearDupPairs: null text produces no pairs, no exception") {
+    val three = Seq((0L, Some("a b c d e f")), (1L, Some("a b c d e f")),
+      (2L, None)).toDF("doc_id", "text")
+    val pairs = Dedup.cdcNearDupPairs(three, "doc_id", "text",
+        w = 3, divisor = 2L, maxDf = 5L, minJacPpm = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("domainWeights: a domain of null texts takes the max-loss path") {
+    val d = Seq((0L, Some("a b a b"), "ref"), (1L, None, "broken"))
+      .toDF("doc_id", "text", "source")
+    val out = Doremi.domainWeights(d, d.filter(col("source") === "ref"),
+        "doc_id", "text", "source", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // null text -> zero bigrams -> loss 0 via the greatest(nb, 1) guard
+    assert(out("broken") == 0L && out("ref") == 0L)
+  }
 }
