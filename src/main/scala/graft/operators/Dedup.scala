@@ -851,6 +851,45 @@ object Dedup {
         polyHash(col("__chunk")).as("chunk_hash"))
   }
 
+  /** Per-ROW form of [[cdcChunks]]: the document's CDC chunk hashes as
+    * one array column, computed entirely narrowly (HOF fold over the
+    * token list — no explode, no window, no aggregation). This is the
+    * projection form streaming needs: it composes with Append-mode
+    * pipelines the way [[minhashSignatureCol]] does for MinHash.
+    * Chunk-hash parity with the relational [[cdcChunks]] is spec-pinned
+    * (CdcSpec). Null text yields null (callers filter), matching the
+    * batch drop-null convention.
+    *
+    * The fold accumulates the current chunk with a leading-space
+    * sentinel (the [[graft.operators.Bpe]] pieces-string trick) so an
+    * empty token is distinguishable from "no chunk open".
+    */
+  def cdcChunkHashesCol(text: Column, w: Int = 3, divisor: Long = 8L): Column = {
+    require(w >= 1 && divisor >= 2, s"need w >= 1, divisor >= 2; got $w, $divisor")
+    val ts = split(text, " ")
+    // Boundary AT position p (1-based): the rolling w-gram ending at p
+    // hashes to 0 mod divisor — identical to cdcChunks' flag.
+    val flags = transform(sequence(lit(1), size(ts)), p =>
+      when(p >= w,
+        polyHash(array_join(slice(ts, p - w + 1, lit(w)), " ")) % divisor === 0L)
+        .otherwise(lit(false)))
+    val zipped = zip_with(ts, flags, (t, f) => struct(t.as("t"), f.as("f")))
+    val chunkOf = (cur: Column) => polyHash(cur.substr(lit(2), length(cur)))
+    aggregate(zipped,
+      struct(array().cast("array<bigint>").as("hs"), lit("").as("cur")),
+      (acc, x) => {
+        val cur2 = concat(acc.getField("cur"), lit(" "), x.getField("t"))
+        struct(
+          when(x.getField("f"),
+            concat(acc.getField("hs"), array(chunkOf(cur2))))
+            .otherwise(acc.getField("hs")).as("hs"),
+          when(x.getField("f"), lit("")).otherwise(cur2).as("cur"))
+      },
+      acc => when(length(acc.getField("cur")) > 0,
+        concat(acc.getField("hs"), array(chunkOf(acc.getField("cur")))))
+        .otherwise(acc.getField("hs")))
+  }
+
   /** Near-duplicate document pairs via content-defined chunk
     * fingerprints — the backup-dedup resemblance measure (Jaccard over
     * [[cdcChunks]] hash sets) applied to corpus near-dup detection.

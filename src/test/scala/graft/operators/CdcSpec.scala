@@ -57,6 +57,27 @@ class CdcSpec extends SparkSpec {
       s"insertion-robust chunks should give high Jaccard: ${pairs.head._3}")
   }
 
+  test("cdcChunkHashesCol matches cdcChunks hash-for-hash in order") {
+    val texts = Seq(
+      (0L, base),
+      (1L, "inserted " + base),
+      (2L, "a b"),            // shorter than w
+      (3L, "solo"),
+      (4L, "x x x x x x x x x x x x")
+    ).toDF("doc_id", "text")
+    val narrow = texts
+      .select(col("doc_id"),
+        Dedup.cdcChunkHashesCol(col("text"), w = 3, divisor = 4L).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val relational = Dedup.cdcChunks(texts, "doc_id", "text", w = 3, divisor = 4L)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getAs[Long]("chunk_hash")).toSeq).toMap
+    texts.collect().map(_.getLong(0)).foreach { id =>
+      assert(narrow(id) == relational(id), s"doc $id: ${narrow(id)} vs ${relational(id)}")
+    }
+  }
+
   test("cdcNearDupPairsIncremental never pairs history with history") {
     val hist = Seq((0L, base), (1L, "inserted " + base)).toDF("doc_id", "text")
     val batch = Seq((10L, "prefix " + base)).toDF("doc_id", "text")

@@ -842,6 +842,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC resemblance: chunk-bucket state pairs cross-batch near-dups") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      implicit val sc = spark.sqlContext
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "rain falls softly on the quiet village roofs tonight and nobody minds"
+      val input = MemoryStream[(Long, String)]
+      val cands = graft.streaming.CdcDedupStream.candidates(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        w = 3, divisor = 4L)
+      val q = cands.writeStream.format("memory").queryName("cdc_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(
+          (1L, base),
+          (2L, "completely different words about spark execution engines here"))
+        q.processAllAvailable()
+        assert(spark.table("cdc_stream").count() == 0)
+        // An insertion-edited near-copy arrives later: CDC boundaries
+        // survive the edit, so it must pair with doc 1 via chunk state.
+        input.addData((3L, "inserted " + base))
+        q.processAllAvailable()
+        val pairs = spark.table("cdc_stream")
+          .select("idA", "idB").distinct()
+          .as[(Long, Long)].collect().toSet
+        assert(pairs == Set((1L, 3L)), s"got $pairs")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
   test("streaming span corruption: per-document op composes in foreachBatch, batch == stream") {
     implicit val sc = spark.sqlContext
     val docs = Seq((0L, "a b c d e f g h"), (7L, "p q r s t u v w x y z"))
