@@ -842,6 +842,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: windowed counts vs static reference, exact rollup") {
+    implicit val sc = spark.sqlContext
+    val ref = Seq("a a a b").toDF("text") // a=750000ppm, b=250000ppm
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val mon = graft.streaming.DriftStream.monitor(
+      input.toDF().toDF("ts", "text"), "ts", "text", ref, "text",
+      windowDur = "1 minute", watermark = "0 seconds", topVocab = 10)
+    val q = mon.writeStream.format("memory").queryName("drift_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:10")
+      // window 1: distribution flips (a once, b twice, c unseen-in-ref)
+      input.addData((t0, "a b b c"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close window 1
+      input.addData((java.sql.Timestamp.valueOf("2026-01-01 00:05:00"), "a"))
+      q.processAllAvailable()
+      val rows = spark.table("drift_stream")
+        .filter(col("win_start") === lit(t0.toInstant.truncatedTo(
+          java.time.temporal.ChronoUnit.MINUTES).toString.replace("T", " ")
+          .replace("Z", "")).cast("timestamp"))
+      val got = rows.collect()
+        .map(r => r.getAs[String]("tok") ->
+          (r.getAs[Long]("obs_cnt"),
+            Option(r.getAs[java.lang.Long]("ref_ppm")).map(_.longValue))).toMap
+      assert(got == Map(
+        "a" -> (1L, Some(750000L)),
+        "b" -> (2L, Some(250000L)),
+        "c" -> (1L, None)), s"got $got")
+      val s = graft.streaming.DriftStream.summarize(rows).collect()(0)
+      // obs ppm: a 250000, b 500000, c 250000 (4 tokens)
+      // L1 = |250000-750000| + |500000-250000| + 250000(oov) = 1000000
+      assert(s.getAs[Long]("n_tokens") == 4L)
+      assert(s.getAs[Long]("l1_drift_ppm") == 1000000L, s"got $s")
+      assert(s.getAs[Long]("oov_tokens") == 1L)
+    } finally q.stop()
+  }
+
   test("streaming CDC resemblance: chunk-bucket state pairs cross-batch near-dups") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
