@@ -34,8 +34,11 @@ def normalize(rows, cols):
     return [c for c in sorted(cols)], out
 
 
-def main(sf_dir, out_dir):
+def connect(sf_dir):
     con = duckdb.connect()
+    # big-scale sweeps (sf0.1/sf1) need explicit spill space; per-query
+    # buffers otherwise fail with "bad allocation" despite free RAM
+    con.execute("SET temp_directory='/tmp/duckdb_swap'")
     for t in TABLES:
         # driver testdata ships single files; Spark-generated scale dirs
         # (tools/GenData) are directories of part files — glob those
@@ -55,9 +58,23 @@ def main(sf_dir, out_dir):
                     "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
                     f"(make_timestamp(ts // 1000) AS ts) "
                     f"FROM read_parquet('{src}')")
+    return con
+
+
+def main(sf_dir, out_dir):
+    con = connect(sf_dir)
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
     failed = []
+    done = 0
     for name in sorted(oracle):
+        # fresh connection periodically: one long-lived connection
+        # accumulates buffer/fd state across 150+ heavy queries and
+        # starts failing spuriously at sf0.1+ (observed: bad-allocation
+        # errors with >100 GB host RAM free)
+        done += 1
+        if done % 25 == 0:
+            con.close()
+            con = connect(sf_dir)
         sql = oracle[name]
         spark_dir = Path(out_dir, name)
         if not spark_dir.exists():

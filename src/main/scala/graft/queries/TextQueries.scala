@@ -755,11 +755,15 @@ object TextQueries extends QueryGroup {
     */
   private[queries] def bpeStagesSql(n: Int, src: String = "documents",
                                     textCol: String = "text"): String = {
+    // Every p{i} is referenced twice (by pc{i+1} and p{i+1}); without
+    // MATERIALIZED DuckDB inlines each reference, re-evaluating the
+    // whole chain — exponential in n (OOM at sf0.1 for the q136
+    // composition). Same results, linear evaluation.
     val head = s"""w0 AS (
         SELECT word, CAST(count(*) AS BIGINT) AS cnt
         FROM (SELECT unnest(string_split($textCol, ' ')) AS word FROM $src)
         WHERE word <> '' GROUP BY word),
-      p0 AS (SELECT word, cnt,
+      p0 AS MATERIALIZED (SELECT word, cnt,
         ' ' || array_to_string(string_split(word, ''), ' ') AS s FROM w0)"""
     val stages = (1 to n).map { i =>
       s"""pc$i AS (
@@ -768,7 +772,7 @@ object TextQueries extends QueryGroup {
              unnest(generate_series(1, greatest(len(l) - 1, 0))) AS u(j)
         GROUP BY 1),
       b$i AS (SELECT pair, c FROM pc$i ORDER BY c DESC, pair ASC LIMIT 1),
-      p$i AS (
+      p$i AS MATERIALIZED (
         SELECT word, cnt,
           list_reduce(list_prepend('', string_split(substr(s, 2), ' ')),
             (acc, x) -> CASE
