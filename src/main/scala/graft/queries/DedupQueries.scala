@@ -40,6 +40,28 @@ object DedupQueries extends QueryGroup {
         FROM sh)"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_typo_pairs" -> { (s, d) =>
+      // Exact edit-distance<=1 similarity self-join over the customer
+      // name dictionary (FastSS deletion neighborhoods — no cross join;
+      // the oracle IS the cross join, so the hash compare proves the
+      // neighborhood filter loses nothing). Digit-position variants of
+      // the Customer#... keys give a dense, non-trivial pair set.
+      graft.operators.EditDistance.pairs(
+          Tables.customer(s, d).select(col("c_name")), "c_name", tau = 1)
+        .orderBy(col("s_a"), col("s_b"))
+    },
+
+    "q166_typo_pairs_tau2" -> { (s, d) =>
+      // tau=2 path of q165 over the part-name dictionary: short
+      // multi-word keys where 2-deletion neighborhoods collapse heavily
+      // (worst-case regime from the operator scaladoc) — the verify
+      // step must discard nearly all candidates and still hash-match
+      // the exact cross-join oracle.
+      graft.operators.EditDistance.pairs(
+          Tables.part(s, d).select(col("p_name")), "p_name", tau = 2)
+        .orderBy(col("s_a"), col("s_b"))
+    },
+
     "q36_exact_dedup" -> { (s, d) =>
       // Corpus-level stats: hash full text to md5, count collision groups.
       // The exchange moves 16-byte digests, not documents.
@@ -454,6 +476,26 @@ object DedupQueries extends QueryGroup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q165_typo_pairs" -> """
+      WITH d AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS s
+                 FROM customer WHERE c_name IS NOT NULL)
+      SELECT a.s AS s_a, b.s AS s_b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
+       AND levenshtein(a.s, b.s) <= 1
+      ORDER BY s_a, s_b""",
+
+    "q166_typo_pairs_tau2" -> """
+      WITH d AS (SELECT DISTINCT CAST(p_name AS VARCHAR) AS s
+                 FROM part WHERE p_name IS NOT NULL)
+      SELECT a.s AS s_a, b.s AS s_b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM d a JOIN d b
+        ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 2
+       AND levenshtein(a.s, b.s) <= 2
+      ORDER BY s_a, s_b""",
+
     "q118_corpus_pipeline" -> s"""
       WITH t0 AS (
         SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),

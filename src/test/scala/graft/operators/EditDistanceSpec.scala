@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** EditDistance.pairs — FastSS deletion-neighborhood join.
+  *
+  * The oracle queries (q165/q166) prove completeness against DuckDB's
+  * cross join on the driver's tables; this spec pins the same property
+  * on adversarial in-process dictionaries (short strings, duplicates,
+  * nulls, empties, unicode) against an in-process brute force, and pins
+  * the plan shape: candidates form only through the variant equi-join —
+  * no cartesian, no broadcast nested loop.
+  */
+class EditDistanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference unit-cost Levenshtein (full DP, no banding). */
+  private def lev(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    val dp = Array.tabulate(n + 1)(i => i)
+    var j = 1
+    while (j <= m) {
+      var prev = dp(0); dp(0) = j
+      var i = 1
+      while (i <= n) {
+        val t = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+        prev = t
+        i += 1
+      }
+      j += 1
+    }
+    dp(n)
+  }
+
+  private def brute(strs: Seq[String], tau: Int): Set[(String, String, Long)] = {
+    val d = strs.filter(_ != null).distinct
+    (for {
+      a <- d; b <- d if a < b
+      dist = lev(a, b) if dist <= tau
+    } yield (a, b, dist.toLong)).toSet
+  }
+
+  private val dict: Seq[String] = Seq(
+    "gear", "gears", "fear", "year", "years", "ear", "e", "", null,
+    "gear", // duplicate — must not duplicate pairs
+    "red bolt", "red bolts", "rod bolt", "old bolt",
+    "naïve", "naive", "navie", // unicode + transposition (= 2 substitutions)
+    "a", "b", "ab", "ba", "abc")
+
+  test("tau=1 matches brute force on the adversarial dictionary") {
+    val got = EditDistance.pairs(dict.toDF("s"), "s", tau = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === brute(dict, 1))
+  }
+
+  test("tau=2 matches brute force on the adversarial dictionary") {
+    val got = EditDistance.pairs(dict.toDF("s"), "s", tau = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === brute(dict, 2))
+  }
+
+  test("tau=2 matches brute force on a seeded random dictionary") {
+    val rnd = new scala.util.Random(42)
+    val strs = Seq.fill(300)(
+      (0 until (3 + rnd.nextInt(8))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString) // 3-letter alphabet: dense near-pair space
+    val got = EditDistance.pairs(strs.toDF("s"), "s", tau = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === brute(strs, 2))
+    assert(got.nonEmpty) // the fixture must actually exercise the join
+  }
+
+  test("no cartesian or broadcast-nested-loop in the candidate plan") {
+    val plan = EditDistance.pairs(dict.toDF("s"), "s", tau = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("all-null and empty inputs yield empty output, not an error") {
+    assert(EditDistance.pairs(Seq[String](null, null).toDF("s"), "s", 1)
+      .count() === 0L)
+    assert(EditDistance.pairs(spark.emptyDataset[String].toDF("s"), "s", 2)
+      .count() === 0L)
+  }
+
+  test("tau outside {1, 2} fails loudly") {
+    intercept[IllegalArgumentException] {
+      EditDistance.pairs(dict.toDF("s"), "s", tau = 3)
+    }
+  }
+}
