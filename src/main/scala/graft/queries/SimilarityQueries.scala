@@ -20,6 +20,20 @@ object SimilarityQueries extends QueryGroup {
        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q167_isotropy_proj" -> { (s, d) =>
+      // All-but-the-Top (Mu & Viswanath 2018): per-vector projection on
+      // the corpus top principal component, all fixed-point — two
+      // combinable corpus aggregates (per-dim sums, mean-centered
+      // scatter), a driver-side power iteration over the d×d longs, one
+      // narrow projection pass. The oracle replays every step: rounding,
+      // truncating divisions, both iterations, the final fold.
+      graft.operators.Isotropy.topComponentProjections(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          scale = 1000L, iters = 2, vScale = 1000000L)
+        .select(col("vec_id").cast("long").as("vec_id"), col("proj"))
+        .orderBy(col("vec_id"))
+    },
+
     "q41_ann_bruteforce" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
@@ -277,6 +291,42 @@ object SimilarityQueries extends QueryGroup {
   private val KmeansCte = kmeansCte("TRUE")
 
   val oracle: Map[String, String] = Map(
+    "q167_isotropy_proj" -> """
+      WITH v AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS sv
+        FROM embeddings),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      dimsums AS (
+        SELECT dim, CAST(sum(x) AS BIGINT) AS s FROM (
+          SELECT CAST(generate_subscripts(sv, 1) AS BIGINT) AS dim,
+            unnest(sv) AS x
+          FROM v) t
+        GROUP BY 1),
+      ml AS (SELECT list(s // (SELECT n FROM nn) ORDER BY dim) AS m
+             FROM dimsums),
+      cv AS (
+        SELECT id, list_transform(generate_series(1, len(sv)),
+          i -> sv[i] - m[i]) AS c
+        FROM v, ml),
+      ds AS (SELECT dim AS j FROM dimsums),
+      mat AS (
+        SELECT dj.j AS j, dk.j AS k, CAST(sum(c[dj.j] * c[dk.j]) AS BIGINT) AS m
+        FROM cv, ds dj, ds dk GROUP BY 1, 2),
+      w1 AS (SELECT j, CAST(sum(m) AS BIGINT) AS w FROM mat GROUP BY j),
+      v1 AS (SELECT j, w // CAST(greatest(1,
+               (SELECT max(abs(w)) FROM w1) // 1000000) AS BIGINT) AS v
+             FROM w1),
+      w2 AS (
+        SELECT mat.j AS j, CAST(sum(mat.m * v1.v) AS BIGINT) AS w
+        FROM mat JOIN v1 ON mat.k = v1.j GROUP BY 1),
+      v2 AS (SELECT j, w // CAST(greatest(1,
+               (SELECT max(abs(w)) FROM w2) // 1000000) AS BIGINT) AS v
+             FROM w2)
+      SELECT cv.id AS vec_id, CAST(sum(cv.c[v2.j] * v2.v) AS BIGINT) AS proj
+      FROM cv, v2 GROUP BY 1 ORDER BY vec_id""",
+
     "q130_semdedup_incremental" -> s"""${kmeansCte("id % 10 <> 0")},
       f AS (SELECT id, cell FROM i2 WHERE id % 10 = 0),
       h AS (SELECT id, cell FROM i2 WHERE id % 10 <> 0),

@@ -43,6 +43,8 @@ class EntrySpec extends SparkSpec {
       "cdcch", "sets", "dfreq", "rare", "shr", "jp", "bk", // q159/q161/q163 CDC
       "w0x", "rowsx", "cc", "dd", "tk", // q160 datasheet
       "reasons", // q164 drop-reason report
+      "nn", "dimsums", "ml", "cv", "dj", "dk", "mat",
+      "w1", "w2", "v1", "v2", // q167 isotropy power-iteration replay
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
