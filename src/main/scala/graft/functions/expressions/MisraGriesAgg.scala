@@ -39,28 +39,8 @@ case class MisraGriesAgg(
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty
 
-  private def offer(buf: mutable.HashMap[String, Long], item: String, w: Long): Unit = {
-    buf.get(item) match {
-      case Some(c) => buf.update(item, c + w)
-      case None if buf.size < k => buf.update(item, w)
-      case None =>
-        // Decrement-all by the offered weight (capped at the min counter
-        // so no counter goes negative in one step; loop for the rest).
-        var remaining = w
-        while (remaining > 0 && buf.get(item).isEmpty) {
-          if (buf.size < k) { buf.update(item, remaining); remaining = 0 }
-          else {
-            val dec = math.min(remaining, buf.valuesIterator.min)
-            remaining -= dec
-            val dead = mutable.ArrayBuffer.empty[String]
-            buf.mapValuesInPlace((_, c) => c - dec)
-            buf.foreach { case (key, c) => if (c == 0) dead += key }
-            dead.foreach(buf.remove)
-            if (dec == 0) remaining = 0 // all counters already > remaining
-          }
-        }
-    }
-  }
+  private def offer(buf: mutable.HashMap[String, Long], item: String, w: Long): Unit =
+    MisraGriesAgg.offer(buf, item, w, k)
 
   override def update(buf: mutable.HashMap[String, Long], input: InternalRow)
       : mutable.HashMap[String, Long] = {
@@ -135,4 +115,34 @@ case class MisraGriesAgg(
     copy(child = newChildren(0))
 
   override def prettyName: String = "misra_gries"
+}
+
+object MisraGriesAgg {
+  /** The MG offer step, shared between this aggregate and the streaming
+    * twin ([[graft.streaming.HeavyHittersStream]]) so both paths apply
+    * the identical decrement rule to the identical sequence.
+    */
+  def offer(buf: mutable.HashMap[String, Long], item: String, w: Long,
+      k: Int): Unit = {
+    buf.get(item) match {
+      case Some(c) => buf.update(item, c + w)
+      case None if buf.size < k => buf.update(item, w)
+      case None =>
+        // Decrement-all by the offered weight (capped at the min counter
+        // so no counter goes negative in one step; loop for the rest).
+        var remaining = w
+        while (remaining > 0 && buf.get(item).isEmpty) {
+          if (buf.size < k) { buf.update(item, remaining); remaining = 0 }
+          else {
+            val dec = math.min(remaining, buf.valuesIterator.min)
+            remaining -= dec
+            val dead = mutable.ArrayBuffer.empty[String]
+            buf.mapValuesInPlace((_, c) => c - dec)
+            buf.foreach { case (key, c) => if (c == 0) dead += key }
+            dead.foreach(buf.remove)
+            if (dec == 0) remaining = 0 // all counters already > remaining
+          }
+        }
+    }
+  }
 }

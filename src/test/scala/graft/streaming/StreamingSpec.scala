@@ -945,4 +945,86 @@ class StreamingSpec extends SparkSpec {
       assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
     } finally q.stop()
   }
+
+  test("streaming heavy hitters: state carries across batches, batch == stream in the exact regime") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { heavyHittersBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def heavyHittersBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // With distinct items <= k the MG summary IS the exact count map
+    // (no decrements fire), so the final emitted summary must equal the
+    // batch aggregate over the concatenation regardless of offer order —
+    // this pins the state carry + re-emit plumbing exactly.
+    val b1 = Seq("a", "b", "a", "c", "a", "b")
+    val b2 = Seq("c", "c", "c", "b", "a")
+    val input = MemoryStream[(Long, String)]
+    val q = HeavyHittersStream(input.toDS(), k = 4)
+      .toDF("shard", "item", "mg_count")
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.map(0L -> _): _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("hh_stream")
+        .as[(Long, String, Long)].collect().toSet
+      assert(afterB1 == Set((0L, "a", 3L), (0L, "b", 2L), (0L, "c", 1L)),
+        s"batch-1 summary: $afterB1")
+      input.addData(b2.map(0L -> _): _*)
+      q.processAllAvailable()
+      val finalSummary = spark.table("hh_stream")
+        .as[(Long, String, Long)].collect().toSet -- afterB1
+      val batch = graft.operators.TopK.frequentItems(
+          (b1 ++ b2).toDF("item"), org.apache.spark.sql.functions.col("item"), 4)
+        .as[(String, Long)].collect().map { case (i, c) => (0L, i, c) }.toSet
+      assert(finalSummary == batch, s"stream $finalSummary vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming heavy hitters: the MG guarantee holds across batches under decrements") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { heavyHittersGuaranteeBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def heavyHittersGuaranteeBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
+    // n/(k+1) = 13.3, so it MUST be in the final summary no matter how
+    // the k=2 counters churn on the 22 distinct noise tokens.
+    val noise = (0 until 22).map(i => s"noise$i")
+    val b1 = (noise.take(11) ++ Seq.fill(9)("hot"))
+    val b2 = (noise.drop(11) ++ Seq.fill(9)("hot"))
+    val input = MemoryStream[(Long, String)]
+    val q = HeavyHittersStream(input.toDS(), k = 2)
+      .toDF("shard", "item", "mg_count")
+      .writeStream.format("memory").queryName("hh_guarantee_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1.map(0L -> _): _*)
+      q.processAllAvailable()
+      val n1 = spark.table("hh_guarantee_stream").count()
+      input.addData(b2.map(0L -> _): _*)
+      q.processAllAvailable()
+      val finals = spark.table("hh_guarantee_stream")
+        .as[(Long, String, Long)].collect().drop(n1.toInt)
+      assert(finals.length <= 2, s"state must stay k-bounded: $finals")
+      assert(finals.exists(_._2 == "hot"),
+        s"true-heavy item missing from final summary: ${finals.toSeq}")
+    } finally q.stop()
+  }
 }
