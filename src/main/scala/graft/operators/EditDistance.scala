@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.expressions.{DeletionVariants, LevenshteinWithin}
 
 /** Exact edit-distance similarity self-join via deletion neighborhoods
   * (FastSS — Bocek et al., "Fast Similarity Search in Large Dictionaries",
@@ -12,8 +15,8 @@ import org.apache.spark.sql.functions._
   * most tau deletions) yields a COMMON subsequence, so the <=tau-deletion
   * neighborhoods of r and s intersect — candidates are an equi-join on
   * the shared variant string, then each candidate pair is verified once
-  * with Spark's banded `levenshtein(l, r, threshold)` (codegen, O(tau·n)
-  * per pair thanks to the threshold cutoff).
+  * with the native banded [[LevenshteinWithin]] kernel (codegen,
+  * O(tau·n) per pair after common-affix stripping).
   *
   * `/root/reference` has no analytics surface; this is part of the
   * training-data-pipeline inventory (SURVEY.md §2) — typo/variant
@@ -44,10 +47,12 @@ import org.apache.spark.sql.functions._
 object EditDistance {
 
   /** All strings obtainable from `s` by deleting at most `tau`
-    * characters, deduplicated, as an expression-only array column
-    * (interpreted HOFs — dictionary-sized input, not corpus-sized).
+    * characters, deduplicated — the HOF reference formulation of the
+    * native [[DeletionVariants]] kernel (EditDistanceSpec pins set
+    * equality between the two; the native kernel is what [[pairs]]
+    * runs: one byte pass per variant vs nested interpreted lambdas).
     */
-  private def deletionVariants(colName: String, tau: Int) = {
+  private[graft] def deletionVariantsHof(colName: String, tau: Int): Column = {
     val s = colName
     val d0 = s"array($s)"
     // Delete position i (1-based): prefix [1, i-1] ++ suffix [i+1, L].
@@ -78,13 +83,31 @@ object EditDistance {
     require(tau == 1 || tau == 2, s"tau must be 1 or 2, got $tau")
     val strs = df.select(col(strCol).cast("string").as("s"))
       .where(col("s").isNotNull).distinct()
-    val vars = strs.select(col("s"), explode(deletionVariants("s", tau)).as("v"))
+    // Join on the 64-bit hash of the variant, not the variant string:
+    // the candidate shuffle moves 8-byte keys instead of near-full-length
+    // substrings. A hash collision only ADDS a candidate (the verify step
+    // discards it) — never loses one, so exactness is preserved.
+    val variantsCol = ColumnBridge.column(
+      DeletionVariants(ColumnBridge.expression(col("s")), tau))
+    val vars = strs
+      .select(col("s"), explode(variantsCol).as("v"))
+      .select(col("s"), xxhash64(col("v")).as("h"))
     val cand = vars.as("a")
-      .join(vars.as("b"), col("a.v") === col("b.v") && col("a.s") < col("b.s"))
+      .join(vars.as("b"), col("a.h") === col("b.h") && col("a.s") < col("b.s"))
       .select(col("a.s").as("s_a"), col("b.s").as("s_b"))
-      .distinct()
+    // Verify BEFORE deduplicating: the banded DP is a narrow filter while
+    // distinct is a full shuffle, and near-threshold dictionaries (the
+    // dense digit-neighborhood case) carry ~1.02 duplicates per pair but
+    // several non-pairs per true pair — dedup is cheapest on survivors.
+    // The native banded kernel replaces Spark's built-in threshold
+    // levenshtein (~76 µs/call on 18-char keys — it dominated the whole
+    // join at sf1) with the same contract: distance if <= tau, else -1.
+    val distCol = ColumnBridge.column(LevenshteinWithin(
+      ColumnBridge.expression(col("s_a")),
+      ColumnBridge.expression(col("s_b")), tau))
     cand
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), tau).cast("long"))
+      .withColumn("dist", distCol.cast("long"))
       .where(col("dist") >= 0)
+      .distinct()
   }
 }

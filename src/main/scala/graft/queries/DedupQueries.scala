@@ -46,8 +46,13 @@ object DedupQueries extends QueryGroup {
       // the oracle IS the cross join, so the hash compare proves the
       // neighborhood filter loses nothing). Digit-position variants of
       // the Customer#... keys give a dense, non-trivial pair set.
+      // localCheckpoint before the oracle sort: the range partitioner's
+      // sampling pass would otherwise recompute the whole join+verify
+      // pipeline (measured 2x at sf1 — pairs are ~3.3M rows there, the
+      // join feed ~15M).
       graft.operators.EditDistance.pairs(
           Tables.customer(s, d).select(col("c_name")), "c_name", tau = 1)
+        .localCheckpoint()
         .orderBy(col("s_a"), col("s_b"))
     },
 

@@ -588,4 +588,24 @@ class PlanSpec extends SparkSpec {
         .exists(_.contains("Join")), s"no join:\n$p")
     assert(countShuffles(p) <= 3, s"two aggregates + sort only:\n$p")
   }
+
+  test("typo pairs (q165/q166): candidates via variant equi-join, no cartesian") {
+    for (q <- Seq("q165_typo_pairs", "q166_typo_pairs_tau2")) {
+      val p = plan(q)
+      val s = p.toString
+      assert(!s.contains("CartesianProduct"), s"$q all-pairs leak:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q all-pairs leak:\n$s")
+    }
+  }
+
+  test("isotropy (q167): projection pass is narrow — no join, no Expand") {
+    // passes 1-2 are separate bounded-collect jobs; the RETURNED plan is
+    // the per-row projection fold: scan → project → (oracle sort) only.
+    val p = plan("q167_isotropy_proj")
+    val s = p.toString
+    assert(!collectAll(p).map(_.getClass.getSimpleName)
+        .exists(_.contains("Join")), s"no join in the projection pass:\n$s")
+    assert(!s.contains("Expand"), s"no Expand:\n$s")
+    assert(countShuffles(p) <= 1, s"only the oracle sort exchanges:\n$s")
+  }
 }

@@ -92,4 +92,37 @@ class EditDistanceSpec extends SparkSpec {
       EditDistance.pairs(dict.toDF("s"), "s", tau = 3)
     }
   }
+
+  test("native LevenshteinWithin matches Spark's threshold levenshtein") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdeé日ß" // multi-byte code points included
+    val strs = Seq("", "a", "é", "日本語") ++ Seq.fill(400)(
+      (0 until rnd.nextInt(12)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+    val pairs = strs.zip(rnd.shuffle(strs)).toDF("a", "b")
+    for (tau <- Seq(0, 1, 2, 3, 5)) {
+      val nativeCol = ColumnBridge.column(
+        graft.functions.expressions.LevenshteinWithin(
+          ColumnBridge.expression(col("a")), ColumnBridge.expression(col("b")), tau))
+      val mism = pairs
+        .select(nativeCol.as("n"), levenshtein(col("a"), col("b"), tau).as("s"))
+        .where(col("n") =!= col("s")).count()
+      assert(mism === 0L, s"tau=$tau")
+    }
+  }
+
+  test("native DeletionVariants matches the HOF reference as a set") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val strs = (dict.filter(_ != null) ++ Seq("日本語abc", "ééé")).toDF("s")
+    for (tau <- Seq(1, 2)) {
+      val nativeCol = ColumnBridge.column(
+        graft.functions.expressions.DeletionVariants(
+          ColumnBridge.expression(col("s")), tau))
+      val mism = strs
+        .select(array_sort(nativeCol).as("n"),
+          array_sort(EditDistance.deletionVariantsHof("s", tau)).as("h"))
+        .where(col("n") =!= col("h")).count()
+      assert(mism === 0L, s"tau=$tau")
+    }
+  }
 }
