@@ -184,6 +184,65 @@ object Clustering {
         col("id").as("dst"), col("value").as("cos"))
   }
 
+  /** Hard-negative mining for contrastive/metric training (the
+    * "hardest negatives" recipe of the retrieval literature, e.g.
+    * Xiong et al. 2021, ANCE, arXiv): per anchor, the `kNegatives`
+    * highest-cosine neighbors with a DIFFERENT label — semantically
+    * close but wrongly-matching examples, the ones worth training on.
+    *
+    * Same scale shape as [[knnGraph]]: the pair space is k-means
+    * cell-bounded (no cartesian; a hard negative outside the anchor's
+    * cell is by construction not among the closest), the label filter
+    * runs before the cosine kernel, and the per-anchor cut is the
+    * k-bounded heap. Null-label rows participate on neither side.
+    * Output: (src, rn, dst, cos).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, kCells: Int, kNegatives: Int,
+                    iters: Int = 2, scale: Long = 1000L): DataFrame = {
+    val withCell = df.join(kmeansFixed(df, idCol, vecCol, kCells, iters, scale), idCol)
+    val l = withCell.select(col("cell"), col(idCol).as("src"),
+      col(vecCol).as("va"), col(labelCol).as("la"))
+    val r = withCell.select(col("cell"), col(idCol).as("dst"),
+      col(vecCol).as("vb"), col(labelCol).as("lb"))
+    val pairs = l.join(r, "cell")
+      .filter(col("src") =!= col("dst") &&
+        col("la").isNotNull && col("lb").isNotNull && col("la") =!= col("lb"))
+      .select(col("src"), col("dst"),
+        graft.functions.VectorFunctions.cosine(col("va"), col("vb")).as("cos"))
+      .filter(!isnan(col("cos")))
+    TopK.perGroupAgg(pairs, Seq("src"), col("cos"), col("dst"), kNegatives)
+      .select(col("src"), col("rn").cast("long").as("rn"),
+        col("id").as("dst"), col("value").as("cos"))
+  }
+
+  /** kNN label-disagreement — the mislabel detector of the label-noise
+    * literature (Bahri et al., "Deep k-NN for Noisy Labels", ICML 2020;
+    * the kNN filter inside Confident Learning, Northcutt et al. 2021):
+    * for each row, how many of its k nearest in-cell neighbors carry a
+    * different label, and whether the neighborhood MAJORITY disagrees —
+    * the standard prune/re-audit flag for curated classification data.
+    *
+    * Built on [[knnGraph]] (cell-bounded pairs, heap cut), plus two
+    * label equi-joins and one combinable per-anchor aggregate — no
+    * window, no extra corpus pass. Output:
+    * (idCol, label, n_neighbors, n_disagree, flagged).
+    */
+  def labelDisagreement(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, kCells: Int, kNeighbors: Int,
+                        iters: Int = 2, scale: Long = 1000L): DataFrame = {
+    val knn = knnGraph(df, idCol, vecCol, kCells, kNeighbors, iters, scale)
+    val lab = df.select(col(idCol), col(labelCol))
+    knn
+      .join(lab.select(col(idCol).as("src"), col(labelCol).as("__la")), "src")
+      .join(lab.select(col(idCol).as("dst"), col(labelCol).as("__lb")), "dst")
+      .groupBy(col("src").as(idCol), col("__la").as("label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(!(col("__lb") <=> col("__la")), 1L).otherwise(0L))
+          .as("n_disagree"))
+      .withColumn("flagged", col("n_disagree") * 2 > col("n_neighbors"))
+  }
+
   /** SSL-prototypes diversity pruning (Sorscher et al. 2022, public
     * arXiv "Beyond neural scaling laws"): rank every row by its
     * integer L2 distance to its assigned k-means centroid and keep the

@@ -34,6 +34,30 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q168_hard_negatives" -> { (s, d) =>
+      // Contrastive-training hard negatives: per anchor, the 4
+      // highest-cosine DIFFERENT-label neighbors inside its k-means
+      // cell (q123's exact fixture). Cell-bounded pair space, label
+      // filter below the cosine kernel, k-bounded heap cut.
+      Clustering.hardNegatives(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", kCells = 8, kNegatives = 4,
+          iters = 2, scale = 1000L)
+        .orderBy(col("src"), col("rn"))
+    },
+
+    "q169_label_noise" -> { (s, d) =>
+      // kNN label-disagreement mislabel flags: among each vector's 5
+      // nearest in-cell neighbors (q150's graph), how many carry a
+      // different label, flagged when the majority disagrees. One
+      // combinable aggregate over the kNN edges — no window.
+      Clustering.labelDisagreement(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", kCells = 8, kNeighbors = 5,
+          iters = 2, scale = 1000L)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("n_neighbors"), col("n_disagree"), col("flagged"))
+        .orderBy(col("vec_id"))
+    },
+
     "q41_ann_bruteforce" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
@@ -366,6 +390,53 @@ object SimilarityQueries extends QueryGroup {
       SELECT id AS vec_id, cell FROM i2
       WHERE id NOT IN (SELECT id_b FROM losers)
       ORDER BY vec_id""",
+
+    "q168_hard_negatives" -> s"""$KmeansCte,
+      lab AS (SELECT CAST(vec_id AS BIGINT) AS id, label FROM embeddings),
+      pairs AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va.rv, vb.rv)
+            / (sqrt(list_dot_product(va.rv, va.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN lab la2 ON la2.id = ia.id
+        JOIN lab lb2 ON lb2.id = ib.id
+        JOIN v va ON va.id = ia.id
+        JOIN v vb ON vb.id = ib.id
+        WHERE la2.label IS NOT NULL AND lb2.label IS NOT NULL
+          AND la2.label <> lb2.label),
+      ranked AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM pairs WHERE NOT isnan(cos))
+      SELECT src, CAST(rn AS BIGINT) AS rn, dst, cos
+      FROM ranked WHERE rn <= 4 ORDER BY src, rn""",
+
+    "q169_label_noise" -> s"""$KmeansCte,
+      lab AS (SELECT CAST(vec_id AS BIGINT) AS id, label FROM embeddings),
+      pairs AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va.rv, vb.rv)
+            / (sqrt(list_dot_product(va.rv, va.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN v va ON va.id = ia.id
+        JOIN v vb ON vb.id = ib.id),
+      ranked AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM pairs WHERE NOT isnan(cos))
+      SELECT src AS vec_id, CAST(la2.label AS BIGINT) AS label,
+        CAST(count(*) AS BIGINT) AS n_neighbors,
+        CAST(sum(CASE WHEN lb2.label IS DISTINCT FROM la2.label
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+        (2 * sum(CASE WHEN lb2.label IS DISTINCT FROM la2.label
+                 THEN 1 ELSE 0 END) > count(*)) AS flagged
+      FROM ranked
+      JOIN lab la2 ON la2.id = src
+      JOIN lab lb2 ON lb2.id = dst
+      WHERE rn <= 5
+      GROUP BY src, la2.label ORDER BY vec_id""",
 
     "q150_knn_graph" -> s"""$KmeansCte,
       pairs AS (

@@ -144,4 +144,44 @@ class ClusteringSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(v == Seq(1L, -1L, 1L))
   }
+
+  private val labeled = Seq(
+    // far blob: labels mixed -> cross-label pairs exist in-cell
+    (0L, Seq(0.0f, 1.0f), 0), (2L, Seq(0.1f, 1.0f), 0),
+    (3L, Seq(0.0f, 0.9f), 1),
+    (1L, Seq(10.0f, 10.0f), 2), (4L, Seq(9.9f, 10.0f), 2),
+    (5L, Seq(10.0f, 9.8f), 2)).toDF("id", "vec", "label")
+
+  test("hardNegatives: only different-label in-cell pairs, ranked by cosine") {
+    val g = Clustering.hardNegatives(labeled, "id", "vec", "label",
+        kCells = 2, kNegatives = 2)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    // cell {0,2,3}: label 1 vs label 0 pairs both ways; cell {1,4,5}:
+    // all label 2 -> NO negatives at all
+    assert(g === Set((0L, 3L), (2L, 3L), (3L, 0L), (3L, 2L)), s"got $g")
+  }
+
+  test("hardNegatives: null-label rows are on neither side") {
+    val withNull = Seq((0L, Seq(0.0f, 1.0f), Integer.valueOf(0)),
+      (2L, Seq(0.1f, 1.0f), null.asInstanceOf[Integer]),
+      (3L, Seq(0.0f, 0.9f), Integer.valueOf(1))).toDF("id", "vec", "label")
+    val g = Clustering.hardNegatives(withNull, "id", "vec", "label",
+        kCells = 1, kNegatives = 3)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(g === Set((0L, 3L), (3L, 0L)), s"got $g")
+  }
+
+  test("labelDisagreement: majority flag matches a hand count") {
+    val d = Clustering.labelDisagreement(labeled, "id", "vec", "label",
+        kCells = 2, kNeighbors = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_disagree"), r.getAs[Boolean]("flagged")))).toMap
+    // cell {0,2,3}: 0 and 2 each see {the other (same label), 3 (diff)}
+    // -> 1 of 2 disagree, not flagged; 3 sees {0, 2} -> 2 of 2, flagged
+    assert(d(0L) === ((1L, false)))
+    assert(d(2L) === ((1L, false)))
+    assert(d(3L) === ((2L, true)))
+    // far cell: all label 2, nobody disagrees, nobody flagged
+    assert(Seq(1L, 4L, 5L).forall(i => d(i) === ((0L, false))))
+  }
 }
