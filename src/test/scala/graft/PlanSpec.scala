@@ -598,6 +598,17 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("label-aware embedding ops (q168/q169): cell equi-join, heap cut, no cartesian") {
+    for (q <- Seq("q168_hard_negatives", "q169_label_noise")) {
+      val p = plan(q)
+      val s = p.toString
+      assert(!s.contains("CartesianProduct"), s"$q pair-space leak:\n$s")
+      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q pair-space leak:\n$s")
+      assert(!s.contains("Window"),
+        s"$q rank cut must be the k-bounded heap, not a window:\n$s")
+    }
+  }
+
   test("isotropy (q167): projection pass is narrow — no join, no Expand") {
     // passes 1-2 are separate bounded-collect jobs; the RETURNED plan is
     // the per-row projection fold: scan → project → (oracle sort) only.
