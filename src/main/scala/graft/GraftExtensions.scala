@@ -161,6 +161,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "fixed_point_vector_sum(vec, scale) takes a vector column and an integer literal scale")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("levenshtein_within"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.LevenshteinWithin].getName,
+        "levenshtein_within"),
+      (children: Seq[Expression]) => children match {
+        case Seq(l, r, Literal(tau: Int, _)) =>
+          graft.functions.expressions.LevenshteinWithin(l, r, tau)
+        case _ => throw new IllegalArgumentException(
+          "levenshtein_within(l, r, tau) takes two strings and an int literal tau")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("deletion_variants"),
+      new ExpressionInfo(
+        classOf[graft.functions.expressions.DeletionVariants].getName,
+        "deletion_variants"),
+      (children: Seq[Expression]) => children match {
+        case Seq(s, Literal(tau: Int, _)) =>
+          graft.functions.expressions.DeletionVariants(s, tau)
+        case _ => throw new IllegalArgumentException(
+          "deletion_variants(s, tau) takes a string and an int literal tau in {1, 2}")
+      }))
   }
 }
 

@@ -110,4 +110,39 @@ object EditDistance {
       .where(col("dist") >= 0)
       .distinct()
   }
+
+  /** The recurring-ingest form (the q97/q130/q161 incremental
+    * contract at string granularity): every ED<=tau pair involving at
+    * least one BATCH string, with history × history never generated —
+    * the batch side's variants probe the union's variants, so the
+    * candidate volume is |batch|-proportional regardless of how large
+    * the accumulated dictionary grows. Output: (s_a, s_b, dist) with
+    * s_a < s_b, each unordered pair once, every pair containing at
+    * least one batch string (batch-batch pairs included).
+    */
+  def pairsIncremental(batch: DataFrame, history: DataFrame, strCol: String,
+      tau: Int): DataFrame = {
+    require(tau == 1 || tau == 2, s"tau must be 1 or 2, got $tau")
+    def strsOf(df: DataFrame) = df.select(col(strCol).cast("string").as("s"))
+      .where(col("s").isNotNull).distinct()
+    val variantsCol = ColumnBridge.column(
+      DeletionVariants(ColumnBridge.expression(col("s")), tau))
+    def varsOf(df: DataFrame) = df
+      .select(col("s"), explode(variantsCol).as("v"))
+      .select(col("s"), xxhash64(col("v")).as("h"))
+    val b = strsOf(batch)
+    val u = strsOf(history).union(b).distinct()
+    val cand = varsOf(b).as("a")
+      .join(varsOf(u).as("b"),
+        col("a.h") === col("b.h") && col("a.s") =!= col("b.s"))
+      .select(least(col("a.s"), col("b.s")).as("s_a"),
+        greatest(col("a.s"), col("b.s")).as("s_b"))
+    val distCol = ColumnBridge.column(LevenshteinWithin(
+      ColumnBridge.expression(col("s_a")),
+      ColumnBridge.expression(col("s_b")), tau))
+    cand
+      .withColumn("dist", distCol.cast("long"))
+      .where(col("dist") >= 0)
+      .distinct()
+  }
 }

@@ -82,4 +82,43 @@ object Packing {
         sum(least(col("start_off") + col("n_tokens"), (col("bin") + 1) * capacity)
           - greatest(col("start_off"), col("bin") * capacity)).as("n_tokens"))
   }
+
+  /** Capacity-tuning report: for each candidate bin capacity, the bin
+    * count, stream fill fraction and the number of documents straddling
+    * a bin boundary (the ones a causal-masking loader truncates or
+    * re-splits) — the table one reads before choosing a sequence
+    * length. ONE [[packPositions]] pass feeds every capacity: start
+    * offsets are capacity-independent, so the per-capacity bins are a
+    * narrow integer-div derivation and the report is a single
+    * combinable aggregate over rows × |capacities|. All ppm arithmetic
+    * is exact integer division.
+    *
+    * Output: (capacity, n_docs, total_tokens, n_bins, fill_ppm,
+    * straddling_docs), one row per capacity.
+    */
+  def efficiencyReport(df: DataFrame, orderCol: String, nTokensCol: String,
+      capacities: Seq[Long], bucketWidth: Long = 100000L): DataFrame = {
+    require(capacities.nonEmpty && capacities.forall(_ > 0),
+      s"capacities must be positive, got $capacities")
+    val pos = packPositions(df, orderCol, nTokensCol, capacities.max, bucketWidth)
+      .select(col("start_off"), col("n_tokens"))
+    val caps = capacities.distinct.sorted.mkString("array(", "L, ", "L)")
+    pos
+      .select(col("start_off"), col("n_tokens"),
+        explode(expr(caps)).as("capacity"))
+      .groupBy(col("capacity"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(expr("start_off div capacity") =!=
+            expr("(start_off + greatest(n_tokens, 1L) - 1L) div capacity"),
+          1L).otherwise(0L)).as("straddling_docs"))
+      .withColumn("n_bins", expr(
+        "CASE WHEN total_tokens > 0 THEN (total_tokens - 1) div capacity + 1 " +
+          "ELSE 0L END"))
+      .withColumn("fill_ppm", expr(
+        "CASE WHEN n_bins > 0 THEN (1000000 * total_tokens) div (n_bins * capacity) " +
+          "ELSE 0L END"))
+      .select(col("capacity"), col("n_docs"), col("total_tokens"),
+        col("n_bins"), col("fill_ppm"), col("straddling_docs"))
+  }
 }

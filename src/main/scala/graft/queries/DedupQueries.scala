@@ -56,6 +56,21 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("s_a"), col("s_b"))
     },
 
+    "q170_typo_pairs_incremental" -> { (s, d) =>
+      // q165 in the recurring-ingest shape: customers with
+      // c_custkey % 10 == 0 arrive as the new batch against the rest as
+      // history. Batch variants probe the union's variants — candidate
+      // volume stays |batch|-proportional, history x history is never
+      // generated (the q97/q130/q161 incremental contract).
+      val cust = Tables.customer(s, d)
+      graft.operators.EditDistance.pairsIncremental(
+          cust.where(col("c_custkey") % 10 === 0).select(col("c_name")),
+          cust.where(col("c_custkey") % 10 =!= 0).select(col("c_name")),
+          "c_name", tau = 1)
+        .localCheckpoint()
+        .orderBy(col("s_a"), col("s_b"))
+    },
+
     "q166_typo_pairs_tau2" -> { (s, d) =>
       // tau=2 path of q165 over the part-name dictionary: short
       // multi-word keys where 2-deletion neighborhoods collapse heavily
@@ -488,6 +503,19 @@ object DedupQueries extends QueryGroup {
         CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
       FROM d a JOIN d b
         ON a.s < b.s AND abs(len(a.s) - len(b.s)) <= 1
+       AND levenshtein(a.s, b.s) <= 1
+      ORDER BY s_a, s_b""",
+
+    "q170_typo_pairs_incremental" -> """
+      WITH db AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS s
+                  FROM customer WHERE c_custkey % 10 = 0
+                    AND c_name IS NOT NULL),
+      du AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS s
+             FROM customer WHERE c_name IS NOT NULL)
+      SELECT DISTINCT least(a.s, b.s) AS s_a, greatest(a.s, b.s) AS s_b,
+        CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+      FROM db a JOIN du b
+        ON a.s <> b.s AND abs(len(a.s) - len(b.s)) <= 1
        AND levenshtein(a.s, b.s) <= 1
       ORDER BY s_a, s_b""",
 

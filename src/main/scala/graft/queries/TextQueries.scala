@@ -664,6 +664,19 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q171_packing_efficiency" -> { (s, d) =>
+      // Capacity-tuning report over q121's token stream: bins, fill
+      // fraction, and boundary-straddling documents for three candidate
+      // sequence lengths, all derived from ONE packPositions pass
+      // (start offsets are capacity-independent).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      Packing.efficiencyReport(docs, "doc_id", "n_toks",
+          Seq(128L, 256L, 512L), bucketWidth = 100L)
+        .orderBy(col("capacity"))
+    },
+
     "q121_seq_pack" -> { (s, d) =>
       // Sequence packing ("concat and chunk", the padding-free LM batch
       // prep): documents concatenated in doc_id order, the token stream
@@ -1120,6 +1133,33 @@ object TextQueries extends QueryGroup {
         coalesce(score_sum, CAST(0 AS BIGINT)) AS score_sum,
         coalesce(score_sum // n_bigrams, CAST(0 AS BIGINT)) AS avg_score
       FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
+
+    "q171_packing_efficiency" -> """
+      WITH toks AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n,
+          CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS so
+        FROM toks),
+      caps AS (SELECT CAST(unnest([128, 256, 512]) AS BIGINT) AS capacity),
+      agg AS (
+        SELECT capacity, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS total_tokens,
+          CAST(sum(CASE WHEN so // capacity
+                   <> (so + greatest(n, 1) - 1) // capacity
+                   THEN 1 ELSE 0 END) AS BIGINT) AS straddling_docs
+        FROM cum, caps GROUP BY capacity)
+      SELECT capacity, n_docs, total_tokens,
+        CAST(CASE WHEN total_tokens > 0
+             THEN (total_tokens - 1) // capacity + 1 ELSE 0 END
+          AS BIGINT) AS n_bins,
+        CAST(CASE WHEN total_tokens > 0
+             THEN (1000000 * total_tokens)
+               // (((total_tokens - 1) // capacity + 1) * capacity)
+             ELSE 0 END AS BIGINT) AS fill_ppm,
+        straddling_docs
+      FROM agg ORDER BY capacity""",
 
     "q121_seq_pack" -> """
       WITH t AS (

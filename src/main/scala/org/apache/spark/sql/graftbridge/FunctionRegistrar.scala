@@ -152,5 +152,23 @@ object FunctionRegistrar {
           "fixed_point_vector_sum(vec, scale) takes a vector column and an integer literal scale")
       },
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "levenshtein_within",
+      {
+        case Seq(l, r, Literal(tau: Int, _)) =>
+          graft.functions.expressions.LevenshteinWithin(l, r, tau)
+        case _ => throw new IllegalArgumentException(
+          "levenshtein_within(l, r, tau) takes two strings and an int literal tau")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deletion_variants",
+      {
+        case Seq(s, Literal(tau: Int, _)) =>
+          graft.functions.expressions.DeletionVariants(s, tau)
+        case _ => throw new IllegalArgumentException(
+          "deletion_variants(s, tau) takes a string and an int literal tau in {1, 2}")
+      },
+      "built-in")
   }
 }

@@ -93,6 +93,26 @@ class EditDistanceSpec extends SparkSpec {
     }
   }
 
+  test("pairsIncremental: batch-involved pairs only, equal to the filtered full join") {
+    val rnd = new scala.util.Random(11)
+    val strs = Seq.fill(200)(
+      (0 until (3 + rnd.nextInt(6))).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString).distinct
+    val (batch, history) = strs.partition(s => s.hashCode % 4 == 0)
+    val inc = EditDistance.pairsIncremental(
+        batch.toDF("s"), history.toDF("s"), "s", tau = 1)
+      .as[(String, String, Long)].collect().toSet
+    val bset = batch.toSet
+    val full: Set[(String, String, Long)] =
+      EditDistance.pairs(strs.toDF("s"), "s", tau = 1)
+        .as[(String, String, Long)].collect().toSet
+    val expected = full.filter(t => bset.contains(t._1) || bset.contains(t._2))
+    assert(inc === expected)
+    assert(inc.nonEmpty)
+    // the fixture must exercise the batch-batch case too
+    assert(inc.exists(t => bset.contains(t._1) && bset.contains(t._2)))
+  }
+
   test("native LevenshteinWithin matches Spark's threshold levenshtein") {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val rnd = new scala.util.Random(7)

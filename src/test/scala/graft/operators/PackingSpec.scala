@@ -76,4 +76,21 @@ class PackingSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(pos.map(_.getAs[Long]("start_off")).toSeq == Seq(0L, 3L, 5L, 10L))
   }
+
+  test("efficiencyReport: hand-checked stats per capacity from one pass") {
+    import spark.implicits._
+    // stream: 6 + 4 + 10 = 20 tokens in id order
+    val docs = Seq((1L, 6L), (2L, 4L), (3L, 10L)).toDF("doc_id", "n")
+    val r = Packing.efficiencyReport(docs, "doc_id", "n", Seq(8L, 16L))
+      .orderBy("capacity")
+      .collect().map(x => (x.getAs[Long]("capacity"), x.getAs[Long]("n_docs"),
+        x.getAs[Long]("total_tokens"), x.getAs[Long]("n_bins"),
+        x.getAs[Long]("fill_ppm"), x.getAs[Long]("straddling_docs")))
+    // cap 8: bins [0,8),[8,16),[16,24); starts 0,6,10 -> doc2 spans 6..9
+    //   (straddles), doc3 spans 10..19 (straddles) -> 2; fill 20/24
+    // cap 16: bins [0,16),[16,32); doc3 spans 10..19 straddles -> 1;
+    //   fill 20/32
+    assert(r(0) === ((8L, 3L, 20L, 3L, 1000000L * 20 / 24, 2L)))
+    assert(r(1) === ((16L, 3L, 20L, 2L, 1000000L * 20 / 32, 1L)))
+  }
 }

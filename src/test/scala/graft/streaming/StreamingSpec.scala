@@ -157,6 +157,17 @@ class StreamingSpec extends SparkSpec {
     assert(custom == ((((('a'.toLong % 97) * 31 + 'b') % 97) * 31 + 'c') % 97))
   }
 
+  test("levenshtein_within and deletion_variants register as SQL functions") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val r = spark.sql(
+      """SELECT levenshtein_within('gear', 'fear', 1) AS a,
+        levenshtein_within('gear', 'spark', 1) AS b,
+        size(deletion_variants('ab', 2)) AS nv""").collect()(0)
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == -1) // above tau -> -1, the threshold contract
+    assert(r.getInt(2) == 4)  // {"ab", "a", "b", ""}
+  }
+
   test("clean_tokens and clean_tokens_count register as SQL functions") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     val r = spark.sql(
