@@ -1012,6 +1012,79 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming typo pairs: cross-batch detection matches the batch join") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { typoStreamBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def typoStreamBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    val b1 = Seq("gear", "fear", "spark", "spars")
+    val b2 = Seq("gears", "year", "spark") // "spark" re-arrives: no self-pair
+    val input = MemoryStream[String]
+    val q = TypoStream.pairs(input.toDF().toDF("s"), "s", tau = 1)
+      .toDF("s_a", "s_b", "dist")
+      .writeStream.format("memory").queryName("typo_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("typo_stream")
+        .as[(String, String, Int)].collect()
+        .map(t => (t._1, t._2, t._3.toLong)).toSet // dedup shared-variant repeats
+      val batch = graft.operators.EditDistance.pairs(
+          (b1 ++ b2).toDF("s"), "s", tau = 1)
+        .as[(String, String, Long)].collect().toSet
+      assert(got === batch, s"stream $got vs batch $batch")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming typo pairs: bucket cap bounds state, survivors still verify") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { typoCapBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def typoCapBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // all singles of a 2-char alphabet: every string within 1 edit of
+    // every other -> hot variant buckets; cap 1 means only the first
+    // arrival per bucket is stored, later ones emit vs the sample only
+    val input = MemoryStream[String]
+    val q = TypoStream.pairs(input.toDF().toDF("s"), "s", tau = 1,
+        maxPerBucket = 1)
+      .toDF("s_a", "s_b", "dist")
+      .writeStream.format("memory").queryName("typo_cap_stream")
+      .outputMode("append").start()
+    try {
+      input.addData("a")
+      q.processAllAvailable() // "a" fills the shared "" bucket (cap 1)
+      input.addData("b", "c")
+      q.processAllAvailable()
+      val got = spark.table("typo_cap_stream")
+        .as[(String, String, Int)].collect().toSet
+      // "b" and "c" each verify against the stored sample {"a"};
+      // (b,c) is lost to the cap — the documented sampling trade-off
+      assert(got === Set(("a", "b", 1), ("a", "c", 1)), s"got $got")
+    } finally q.stop()
+  }
+
   private def heavyHittersGuaranteeBody(): Unit = {
     implicit val sc = spark.sqlContext
     // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
