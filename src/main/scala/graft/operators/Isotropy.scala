@@ -47,24 +47,28 @@ import graft.functions.VectorFunctions
   */
 object Isotropy {
 
-  /** Per-row fixed-point projection onto the corpus top principal
-    * direction: (idCol, proj). See object scaladoc for semantics.
+  /** The fitted direction: fixed-point means + (unnormalized) top
+    * principal direction + the row count it was fitted on. A bounded
+    * driver-side value (2·d longs) — reusable across batches, epochs,
+    * and streams (the fit-on-history / apply-on-arrival contract).
     */
-  def topComponentProjections(df: DataFrame, idCol: String, vecCol: String,
-      scale: Long = 1000L, iters: Int = 2, vScale: Long = 1000000L): DataFrame = {
+  case class Model(means: Array[Long], v: Array[Long], n: Long, scale: Long)
+
+  /** Fit the top-component model on `df` (two combinable corpus
+    * aggregates + the driver power iteration). n == 0 yields a model
+    * with empty means — [[project]] on it returns an empty frame.
+    */
+  def fit(df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L, iters: Int = 2, vScale: Long = 1000000L): Model = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(vScale > 0, s"vScale must be positive, got $vScale")
-    val spark = df.sparkSession
 
     // Pass 1: fixed-point per-dim sums + count (one combinable aggregate).
     val p1 = df.agg(VectorFunctions.vectorSumFixed(col(vecCol), scale).as("sn"))
       .selectExpr("sn.sums AS sums", "sn.n AS n")
       .collect()(0)
     val n = p1.getLong(1)
-    if (n == 0L) {
-      return df.sparkSession.emptyDataFrame
-        .select(lit(0L).as(idCol), lit(0L).as("proj")).where(lit(false))
-    }
+    if (n == 0L) return Model(Array.empty, Array.empty, 0L, scale)
     val sums = p1.getSeq[Long](0).toArray
     val d = sums.length
     val means = sums.map(_ / n) // truncating, matches DuckDB // and Spark div
@@ -109,17 +113,37 @@ object Isotropy {
       v = w.map(_ / q) // truncating
       t += 1
     }
+    Model(means, v, n, scale)
+  }
 
-    // Pass 3: narrow per-row projection (X_ij − m_j) · v_j.
-    val mLit = means.mkString("array(", "L, ", "L)")
-    val vLit = v.mkString("array(", "L, ", "L)")
+  /** The narrow projection pass: p_i = Σ_j (X_ij − m_j)·v_j under
+    * `model`. A pure per-row fold (no shuffle, no state), so it applies
+    * unchanged to a STREAMING frame — the fit-on-history /
+    * project-on-arrival ingest twin (StreamingSpec pins batch==stream).
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+      model: Model): DataFrame = {
+    if (model.n == 0L) {
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("proj")).where(lit(false))
+    }
+    val d = model.means.length
+    val mLit = model.means.mkString("array(", "L, ", "L)")
+    val vLit = model.v.mkString("array(", "L, ", "L)")
     df.select(col(idCol), col(vecCol).as("__x"))
       .withColumn("proj", expr(
         s"""aggregate(sequence(1, ${d}), 0L, (acc, i) ->
             acc + (CASE WHEN element_at(__x, i) >= 0
-                   THEN CAST(floor(CAST(element_at(__x, i) AS DOUBLE) * $scale + 0.5) AS BIGINT)
-                   ELSE CAST(ceil(CAST(element_at(__x, i) AS DOUBLE) * $scale - 0.5) AS BIGINT)
+                   THEN CAST(floor(CAST(element_at(__x, i) AS DOUBLE) * ${model.scale} + 0.5) AS BIGINT)
+                   ELSE CAST(ceil(CAST(element_at(__x, i) AS DOUBLE) * ${model.scale} - 0.5) AS BIGINT)
                    END - element_at($mLit, i)) * element_at($vLit, i))"""))
       .select(col(idCol), col("proj"))
   }
+
+  /** Per-row fixed-point projection onto the corpus top principal
+    * direction: (idCol, proj) — [[fit]] + [[project]] in one call.
+    */
+  def topComponentProjections(df: DataFrame, idCol: String, vecCol: String,
+      scale: Long = 1000L, iters: Int = 2, vScale: Long = 1000000L): DataFrame =
+    project(df, idCol, vecCol, fit(df, idCol, vecCol, scale, iters, vScale))
 }

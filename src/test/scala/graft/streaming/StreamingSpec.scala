@@ -1012,6 +1012,30 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming isotropy projection: history-fit model, batch == stream") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.Isotropy
+    val history = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(3.0f, 0.2f)),
+      (2L, Seq(2.0f, -0.1f))).toDF("id", "vec")
+    val fresh = Seq((10L, Seq(0.5f, 0.5f)), (11L, Seq(4.0f, -0.2f)))
+    val model = Isotropy.fit(history, "id", "vec")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Isotropy.project(input.toDF().toDF("id", "vec"), "id", "vec", model)
+      .writeStream.format("memory").queryName("iso_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(fresh.head)
+      q.processAllAvailable()
+      input.addData(fresh(1))
+      q.processAllAvailable()
+      val got = spark.table("iso_stream").as[(Long, Long)].collect().toMap
+      val batch = Isotropy.project(fresh.toDF("id", "vec"), "id", "vec", model)
+        .as[(Long, Long)].collect().toMap
+      assert(got === batch)
+      assert(batch.values.exists(_ != 0L))
+    } finally q.stop()
+  }
+
   test("streaming typo pairs: cross-batch detection matches the batch join") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
