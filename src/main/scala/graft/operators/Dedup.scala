@@ -1125,10 +1125,16 @@ object Dedup {
     val dup = occ.groupBy(col("tid")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("tid"))
     val dupOcc = occ.join(dup, "tid").select(col(idCol), col("pos"))
-    // Fixed-length spans sorted by start have monotone ends, so the
-    // running-max-end islands test collapses to one lag: a new island
-    // starts when the gap to the previous start exceeds minLen
-    // (pos == prev + minLen is adjacency — still one contiguous run).
+    mergeSpans(dupOcc, idCol, minLen)
+  }
+
+  /** Merge flagged fixed-length gram positions into maximal per-document
+    * spans. Fixed-length spans sorted by start have monotone ends, so
+    * the running-max-end islands test collapses to one lag: a new island
+    * starts when the gap to the previous start exceeds minLen
+    * (pos == prev + minLen is adjacency — still one contiguous run).
+    */
+  private def mergeSpans(dupOcc: DataFrame, idCol: String, minLen: Int): DataFrame = {
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val islands = dupOcc
       .withColumn("__new",
@@ -1140,6 +1146,38 @@ object Dedup {
         (max(col("pos")) + (minLen - 1)).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_tokens"))
+  }
+
+  /** Span-level benchmark decontamination — [[exactSubstringSpans]]
+    * across corpora (Lee et al. 2021 applied train-vs-test): every
+    * maximal corpus token run of >= minLen tokens that ALSO occurs in
+    * the held-out bench set, as merged per-document spans — the unit a
+    * decontamination cut removes. Where [[contaminationStats]] counts
+    * shared shingles per document (the gate), this reports WHERE the
+    * contamination sits (the surgery).
+    *
+    * Scale shape: corpus work is the same one narrow positional-gram
+    * pass as exactSubstringSpans; the bench gram ids are a distinct
+    * aggregate of the (small) bench side, broadcast into the flag join —
+    * the corpus never exchanges before the per-document islands window
+    * (partitioned by doc, bounded by the document's own flagged grams).
+    */
+  def crossCorpusSpans(corpus: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String,
+                       minLen: Int = 8): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    def occOf(df: DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol),
+        posexplode(TextFunctions.shinglesOfTokens(col("__toks"), minLen))
+          .as(Seq("__p0", "__sh")))
+      .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"),
+        polyHash(col("__sh")).as("tid"))
+    val benchTids = occOf(bench).select(col("tid")).distinct()
+    val dupOcc = occOf(corpus)
+      .join(broadcast(benchTids), "tid")
+      .select(col(idCol), col("pos"))
+    mergeSpans(dupOcc, idCol, minLen)
   }
 
   /** The CUT step of ExactSubstr dedup: remove every

@@ -255,6 +255,20 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q172_span_decontamination" -> { (s, d) =>
+      // Span-level decontamination: q116's bench slice (every 50th doc)
+      // held out, and every corpus token run of >= 5 tokens that also
+      // occurs in the bench set reported as merged per-document spans —
+      // the n-gram gate's surgical counterpart (where q116 counts, this
+      // locates). Bench gram ids broadcast; corpus one narrow pass.
+      val docs = Tables.documents(s, d)
+      Dedup.crossCorpusSpans(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", minLen = 4)
+        .orderBy(col("doc_id"), col("span_start"))
+    },
+
     "q132_exact_substring_spans" -> { (s, d) =>
       // ExactSubstr dedup (Lee et al. 2021): every maximal token run of
       // >= 5 tokens that also occurs elsewhere in the corpus, reported
@@ -601,6 +615,37 @@ object DedupQueries extends QueryGroup {
     // exact verify, so the answer is identical — the hash match is the
     // end-to-end no-false-negatives proof.
     "q131_bloom_decontamination" -> decontaminationSql,
+
+    "q172_span_decontamination" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT doc_id, i, array_to_string(l[i:i+3], ' ') AS shingle
+        FROM t, unnest(generate_series(1, greatest(len(l) - 3, 0))) AS u(i)),
+      ids AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      bt AS (SELECT DISTINCT tid FROM ids WHERE doc_id % 50 = 0),
+      occ AS (
+        SELECT doc_id, pos FROM ids JOIN bt USING (tid)
+        WHERE doc_id % 50 <> 0),
+      marked AS (
+        SELECT doc_id, pos,
+          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+            THEN 1 ELSE 0 END AS new_isl
+        FROM occ),
+      isl AS (
+        SELECT doc_id, pos,
+          sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM marked)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        CAST(max(pos) + 3 AS BIGINT) AS span_end,
+        CAST(max(pos) + 3 - min(pos) + 1 AS BIGINT) AS span_tokens
+      FROM isl GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""",
 
     "q132_exact_substring_spans" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -48,6 +48,7 @@ class EntrySpec extends SparkSpec {
       "lab", "la2", "lb2", // q168/q169 label joins
       "db", "du", // q170 incremental typo join
       "caps", "agg", // q171 packing-efficiency report
+      "bt", // q172 bench gram ids
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern

@@ -484,6 +484,25 @@ class DedupSimilaritySpec extends SparkSpec {
     ), s"got $spans")
   }
 
+  test("cross-corpus spans flag only bench-shared runs, in corpus docs only") {
+    val corpus = Seq(
+      (10L, "a1 a2 a3 a4 a5 a6 t1 t2 t3 t4"),  // "a1..a6" also in bench
+      (12L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w0"),  // clean
+      (13L, "x1 x2 b1 b2 b3 b4 b5 x3 x4 x5")   // "b1..b5" also in bench
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "z1 a1 a2 a3 a4 a5 a6 z2"),
+      (101L, "b1 b2 b3 b4 b5 z3 z4 z5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.crossCorpusSpans(corpus, bench, "doc_id", "text",
+        minLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // corpus-internal duplication does NOT flag (none here), bench docs
+    // never appear in the output, and overlapping shared grams merge
+    assert(spans == Set((10L, 1L, 6L, 6L), (13L, 3L, 7L, 5L)), s"got $spans")
+  }
+
   test("exact substring cut removes spans token-precisely, keeps the rest") {
     val corpus = Seq(
       (10L, "a1 a2 a3 a4 a5 a6 t1 t2 t3 t4"),
