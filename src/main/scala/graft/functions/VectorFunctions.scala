@@ -97,6 +97,17 @@ object VectorFunctions {
     * exact IEEE scalar op both engines compute identically.
     */
   def int8Quantize(v: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.Int8Quantize(
+      ColumnBridge.expression(v)))
+  }
+
+  /** The HOF reference formulation of [[int8Quantize]] — kept as the
+    * spec-pinned parity twin. Quadratic per row once Catalyst collapses
+    * projects (array_max inlines into the per-element lambda); never use
+    * it on a hot path.
+    */
+  def int8QuantizeViaHof(v: Column): Column = {
     val d = toDouble(v)
     val m = array_max(transform(d, x => abs(x)))
     struct(m.as("qscale"),

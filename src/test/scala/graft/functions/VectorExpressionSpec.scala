@@ -121,4 +121,17 @@ class VectorExpressionSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("m") == 0.0)
     assert(rows(1).getSeq[Long](1) == Seq(0L, 0L, 0L))
   }
+
+  test("native Int8Quantize matches the HOF reference bitwise") {
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(200)(Array.fill(16)((rnd.nextFloat() - 0.5f) * 4f)) ++
+      Seq(Array.fill(16)(0.0f), Array[Float](), Array(-1e-8f, 1e-8f))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val mism = df.select(
+        VectorFunctions.int8Quantize(col("v")).as("n"),
+        VectorFunctions.int8QuantizeViaHof(col("v")).as("h"))
+      .where(col("n.qscale") =!= col("h.qscale") || col("n.q") =!= col("h.q"))
+      .count()
+    assert(mism === 0L)
+  }
 }
