@@ -46,6 +46,21 @@ object UrlFunctions {
     */
   def registeredDomain(url: Column,
       twoPartSuffixes: Seq[String] = DefaultTwoPartSuffixes): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.RegisteredDomain(
+      ColumnBridge.expression(url), twoPartSuffixes))
+  }
+
+  /** The built-in-composition reference of [[registeredDomain]] — kept
+    * as the spec-pinned parity twin (UrlKernelSpec). The Column DSL
+    * copies `h`'s whole subtree into each of its nine uses at
+    * construction time, so through a couple of composition layers the
+    * expression tree multiplies ~40x per use (q148 measured 9.4 s cold
+    * on a 5 k-row input, almost all of it analysis + codegen of a
+    * 100 KB+ tree) — never use this form on a real pipeline.
+    */
+  def registeredDomainViaExprs(url: Column,
+      twoPartSuffixes: Seq[String] = DefaultTwoPartSuffixes): Column = {
     val h = hostNoWww(url)
     val isTwoPart = twoPartSuffixes.map(s => h.endsWith("." + s))
       .reduce(_ || _)
@@ -63,6 +78,15 @@ object UrlFunctions {
     * parameters, case, or a trailing slash collapse to one key.
     */
   def normalizeUrl(url: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.NormalizeUrl(
+      ColumnBridge.expression(url)))
+  }
+
+  /** Built-in-composition reference of [[normalizeUrl]] — parity twin
+    * only; see [[registeredDomainViaExprs]] for why.
+    */
+  def normalizeUrlViaExprs(url: Column): Column = {
     val scheme = lower(when(instr(url, "://") > 0,
       split_part(url, lit("://"), lit(1))).otherwise(lit("https")))
     val rest = afterScheme(url)
