@@ -57,6 +57,99 @@ object LmScore {
     * unbounded driver broadcast. The vocabulary-size scalar (one row)
     * is always broadcast.
     */
+  /** Consecutive token triples of `textCol`, one row per position:
+    * (idCol, w1, w2, w3). Empty for documents with fewer than three
+    * tokens.
+    */
+  private def trigramTriples(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), split(col(textCol), " ").as("__l"))
+    toks.select(col(idCol), col("__l"),
+        explode(when(size(col("__l")) < 3, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__l")) - 2))).as("__i"))
+      .select(col(idCol),
+        element_at(col("__l"), col("__i")).as("w1"),
+        element_at(col("__l"), col("__i") + 1).as("w2"),
+        element_at(col("__l"), col("__i") + 2).as("w3"))
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the backoff scheme DESIGNED for
+    * distributed MapReduce-trained LMs: no discount normalization, so
+    * every level is a plain count ratio and the whole model stays
+    * embarrassingly mergeable). Per trigram position (w1, w2, w3):
+    *
+    *   - trigram hit:   S = (c3(w1,w2,w3) · scale)      div c2(w1,w2)
+    *   - bigram backoff: S = (4 · c2(w2,w3) · scale)    div (10 · c1(w2))
+    *   - unigram backoff:S = (16 · c1(w3) · scale)      div (100 · N)
+    *   - OOV (w3 unseen): S = 0, counted in `n_oov`
+    *
+    * with the paper's α = 0.4 folded into exact integer numerators
+    * (α → ·4 div 10, α² → ·16 div 100) — no floats anywhere, so both
+    * engines agree bit-for-bit and partial sums merge in any order.
+    * Overflow bound: 16 · c2 · scale must stay under 2⁶³ — at the
+    * default scale=10⁶ that allows ~5.7·10¹¹ occurrences of a single
+    * bigram, comfortably past a 100 TB corpus; shrink `scale` if the
+    * train slice ever approaches it.
+    *
+    * Same scale shape as [[bigramScores]]: the corpus side is ONE narrow
+    * position-explode; all model tables (trigram/bigram/unigram counts)
+    * broadcast when the trigram table — the largest — fits under
+    * `maxBroadcastModelRows`, and every join falls back to shuffle-hash
+    * above it (same answer, no driver-OOM broadcast). The token-total
+    * scalar is always broadcast.
+    */
+  def stupidBackoffScores(corpus: DataFrame, train: DataFrame, idCol: String,
+                          textCol: String, scale: Long = 1000000L,
+                          maxBroadcastModelRows: Long = 2000000L): DataFrame = {
+    val c3 = trigramTriples(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+    val small = c3.count() <= maxBroadcastModelRows
+    val toks = train.select(explode(split(col(textCol), " ")).as("__t"))
+    val c1 = toks.groupBy(col("__t")).agg(count(lit(1)).as("c1"))
+    val c2 = bigramPairs(train, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val n = toks.agg(count(lit(1)).as("nn"))
+    val triples = trigramTriples(corpus, idCol, textCol)
+    def maybeB(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df.hint("shuffle_hash")
+    def j(l: DataFrame, r: DataFrame, keys: Seq[String]): DataFrame =
+      if (small) l.join(broadcast(r), keys, "left")
+      else l.join(r.hint("shuffle_hash"), keys, "left")
+    val modeled = j(triples, c3, Seq("w1", "w2", "w3"))
+      .join(maybeB(c2.withColumnRenamed("c2", "c2ctx")), Seq("w1", "w2"), "left")
+      .join(maybeB(c2.toDF("w2", "w3", "c2bo")), Seq("w2", "w3"), "left")
+      .join(maybeB(c1.toDF("w2", "c1mid")), Seq("w2"), "left")
+      .join(maybeB(c1.toDF("w3", "c1last")), Seq("w3"), "left")
+      .crossJoin(broadcast(n))
+    val scored = modeled.select(col(idCol),
+      when(col("c3").isNotNull, 0L)
+        .when(col("c2bo").isNotNull, 1L)
+        .when(col("c1last").isNotNull, 2L)
+        .otherwise(3L).as("__lvl"),
+      when(col("c3").isNotNull,
+          expr(s"(c3 * ${scale}L) div c2ctx"))
+        .when(col("c2bo").isNotNull,
+          expr(s"(4L * c2bo * ${scale}L) div (10L * c1mid)"))
+        .when(col("c1last").isNotNull,
+          expr(s"(16L * c1last * ${scale}L) div (100L * nn)"))
+        .otherwise(0L).as("__sc"))
+    val agg = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("__lvl") === 0L, 1L).otherwise(0L)).as("n_hit3"),
+        sum(when(col("__lvl") === 1L || col("__lvl") === 2L, 1L).otherwise(0L))
+          .as("n_backoff"),
+        sum(when(col("__lvl") === 3L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("__sc")).as("score_sum"))
+    corpus.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_hit3"), lit(0L)).as("n_hit3"),
+        coalesce(col("n_backoff"), lit(0L)).as("n_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("score_sum"), lit(0L)).as("score_sum"),
+        coalesce(expr("score_sum div n_trigrams"), lit(0L)).as("avg_score"))
+  }
+
   def bigramScores(corpus: DataFrame, train: DataFrame, idCol: String,
                    textCol: String, scale: Long = 1000000L,
                    maxBroadcastModelRows: Long = 2000000L): DataFrame = {

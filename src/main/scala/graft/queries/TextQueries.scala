@@ -705,6 +705,20 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q173_backoff_lm" -> { (s, d) =>
+      // Stupid Backoff trigram scoring (Brants et al. 2007 — the backoff
+      // scheme built FOR distributed count-based LMs: plain count ratios,
+      // no discount normalization, so the model is mergeable and every
+      // level replays as exact integer arithmetic). Train on the held-in
+      // src0 slice; per-document trigram-hit / backoff / OOV counts plus
+      // the summed integer score separate fluent from novel text with a
+      // longer context than q122's bigram filter.
+      val docs = Tables.documents(s, d)
+      LmScore.stupidBackoffScores(docs, docs.filter(col("source") === "src0"),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
     "q127_vocab_coverage" -> { (s, d) =>
       // Tokenizer vocabulary construction: top-50 tokens with document
       // frequency and cumulative stream coverage. One corpus explode +
@@ -1104,6 +1118,59 @@ object TextQueries extends QueryGroup {
         (1000000 * a.gop) // a.n_docs AS gopher_pass_ppm,
         cc.n_langs, dd.n_sources
       FROM a CROSS JOIN b CROSS JOIN cc CROSS JOIN dd CROSS JOIN tk""",
+
+    "q173_backoff_lm" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      t3 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3,
+          CAST(count(*) AS BIGINT) AS c3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2, 3),
+      t2 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      t1 AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t
+        GROUP BY tok),
+      nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN t3.c3 IS NOT NULL THEN 0
+               WHEN b.c2 IS NOT NULL THEN 1
+               WHEN lu.c1 IS NOT NULL THEN 2 ELSE 3 END AS lvl,
+          CASE WHEN t3.c3 IS NOT NULL THEN (t3.c3 * 1000000) // ctx.c2
+               WHEN b.c2 IS NOT NULL THEN (4 * b.c2 * 1000000) // (10 * mu.c1)
+               WHEN lu.c1 IS NOT NULL THEN (16 * lu.c1 * 1000000) // (100 * nt.nn)
+               ELSE 0 END AS sc
+        FROM c
+        LEFT JOIN t3 USING (w1, w2, w3)
+        LEFT JOIN t2 ctx ON ctx.w1 = c.w1 AND ctx.w2 = c.w2
+        LEFT JOIN t2 b ON b.w1 = c.w2 AND b.w2 = c.w3
+        LEFT JOIN t1 mu ON mu.tok = c.w2
+        LEFT JOIN t1 lu ON lu.tok = c.w3
+        CROSS JOIN nt),
+      t AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit3,
+          CAST(sum(CASE WHEN lvl IN (1, 2) THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+          CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+          CAST(sum(sc) AS BIGINT) AS score_sum
+        FROM scored GROUP BY doc_id)
+      SELECT doc_id,
+        coalesce(n_trigrams, CAST(0 AS BIGINT)) AS n_trigrams,
+        coalesce(n_hit3, CAST(0 AS BIGINT)) AS n_hit3,
+        coalesce(n_backoff, CAST(0 AS BIGINT)) AS n_backoff,
+        coalesce(n_oov, CAST(0 AS BIGINT)) AS n_oov,
+        coalesce(score_sum, CAST(0 AS BIGINT)) AS score_sum,
+        coalesce(score_sum // n_trigrams, CAST(0 AS BIGINT)) AS avg_score
+      FROM documents LEFT JOIN t USING (doc_id) ORDER BY doc_id""",
 
     "q122_lm_score" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

@@ -48,6 +48,46 @@ class LmScoreSpec extends SparkSpec {
     assert(r.getAs[Long]("score_sum") == 200000L)
   }
 
+  test("stupid backoff: hand-computed level selection and scores") {
+    // Train: "a b c a b d" -> N=6; c1: a=2,b=2,c=1,d=1
+    //   c2: (a,b)=2 (b,c)=1 (c,a)=1 (b,d)=1
+    //   c3: (a,b,c)=1 (b,c,a)=1 (c,a,b)=1 (a,b,d)=1
+    val train = Seq((100L, "a b c a b d")).toDF("id", "text")
+    val corpus = Seq(
+      (0L, "a b c"), // trigram hit: 1e6 div c2(a,b)=2 -> 500000
+      (1L, "b c d"), // unigram backoff on d: 16*1*1e6 div (100*6) = 26666
+      (2L, "a b x"), // x unseen everywhere -> OOV, 0
+      (3L, "d a b"), // bigram backoff (a,b): 4*2*1e6 div (10*c1(a)=20) = 400000
+      (4L, "x y")    // < 3 tokens -> zeros
+    ).toDF("id", "text")
+    val out = LmScore.stupidBackoffScores(corpus, train, "id", "text")
+      .orderBy("id").collect()
+    assert(out(0).getAs[Long]("n_hit3") == 1L &&
+      out(0).getAs[Long]("score_sum") == 500000L)
+    assert(out(1).getAs[Long]("n_backoff") == 1L &&
+      out(1).getAs[Long]("score_sum") == 26666L)
+    assert(out(2).getAs[Long]("n_oov") == 1L &&
+      out(2).getAs[Long]("score_sum") == 0L)
+    assert(out(3).getAs[Long]("n_backoff") == 1L &&
+      out(3).getAs[Long]("score_sum") == 400000L)
+    assert(out(4).getAs[Long]("n_trigrams") == 0L &&
+      out(4).getAs[Long]("avg_score") == 0L)
+  }
+
+  test("stupid backoff: oversized model falls back to shuffle joins") {
+    val train = Seq((100L, "a b c a b d"), (101L, "c d e a b")).toDF("id", "text")
+    val corpus = Seq((0L, "a b c d"), (1L, "e a b"), (2L, "x")).toDF("id", "text")
+    val guarded = LmScore.stupidBackoffScores(corpus, train, "id", "text",
+      maxBroadcastModelRows = 0L)
+    val bhj = guarded.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.isEmpty, s"model broadcast despite guard: $bhj")
+    val expected = LmScore.stupidBackoffScores(corpus, train, "id", "text")
+      .orderBy("id").collect().toSeq
+    assert(guarded.orderBy("id").collect().toSeq == expected)
+  }
+
   test("oversized model falls back to shuffle joins with identical scores") {
     val train = Seq((100L, "a b a b c"), (101L, "c d e a b")).toDF("id", "text")
     val corpus = Seq((0L, "a b c d"), (1L, "e a"), (2L, "x")).toDF("id", "text")
