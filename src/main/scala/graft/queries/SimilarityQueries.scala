@@ -34,6 +34,22 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q174_sign_projection" -> { (s, d) =>
+      // Johnson–Lindenstrauss sign projection (Achlioptas 2001): 64-dim
+      // embeddings down to 16 pseudo-random ±1 directions, all
+      // fixed-point — the table-shrink step before pairwise dedup or
+      // sketching at 100 TB. One narrow per-row fold over a literal
+      // dOut×dim sign matrix (no shuffle, no join); the oracle replays
+      // the sign hash symbolically, so an engine-side matrix drift
+      // hash-fails. Exported exploded for the compare.
+      graft.operators.Projection.signProject(Tables.embeddings(s, d),
+          "vec_id", "embedding", dim = 64, dOut = 16)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("dim_out", "val")))
+        .select(col("vec_id"), col("dim_out").cast("long").as("dim_out"),
+          col("val"))
+        .orderBy(col("vec_id"), col("dim_out"))
+    },
+
     "q168_hard_negatives" -> { (s, d) =>
       // Contrastive-training hard negatives: per anchor, the 4
       // highest-cosine DIFFERENT-label neighbors inside its k-means
@@ -315,6 +331,18 @@ object SimilarityQueries extends QueryGroup {
   private val KmeansCte = kmeansCte("TRUE")
 
   val oracle: Map[String, String] = Map(
+    "q174_sign_projection" -> s"""
+      WITH q AS (
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings)
+      SELECT vec_id, CAST(j AS BIGINT) AS dim_out,
+        CAST(sum(qv[i + 1] * ${graft.operators.Projection.signSql("j * 64 + i + 42")}) AS BIGINT) AS val
+      FROM q, unnest(generate_series(0, 15)) AS gj(j),
+           unnest(generate_series(0, 63)) AS gi(i)
+      GROUP BY 1, 2 ORDER BY vec_id, dim_out""",
+
     "q167_isotropy_proj" -> """
       WITH v AS (
         SELECT CAST(vec_id AS BIGINT) AS id,
