@@ -172,6 +172,66 @@ object WebQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q175_blocklist_gate" -> { (s, d) =>
+      // C4-style blocklist filter (Raffel et al. 2020 §2.2: drop any
+      // page containing a banned word — the bluntest and most universal
+      // web-corpus gate). Expression-only and WHOLLY NARROW: occurrence
+      // count via a token filter fold, distinct offending terms via
+      // array_intersect on the deduped token list (sorted so both
+      // engines agree on order), pass = zero hits. No shuffle at any
+      // corpus size — the same scan-speed class as q144. The fixture
+      // list exercises all three edges: a rare term ("dup"), a common
+      // term ("slow"), and one absent from the corpus ("forbidden").
+      val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(col("doc_id"),
+          size(filter(toks, t => array_contains(bl, t))).cast("long")
+            .as("n_blocked"),
+          array_sort(array_intersect(array_distinct(toks), bl))
+            .as("blocked_terms"))
+        .select(col("doc_id"), col("n_blocked"),
+          size(col("blocked_terms")).cast("long").as("n_distinct_blocked"),
+          col("blocked_terms"),
+          (col("n_blocked") === 0L).as("passes"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q176_score_calibration" -> { (s, d) =>
+      // Reliability table for the model-based quality scorer (the
+      // calibration check a pipeline runs before trusting a filter
+      // threshold — Guo et al. 2017's reliability diagram, in exact
+      // integers): bin q140's hashed-feature score by its shifted
+      // per-token mean, label each document with q144's Gopher gate,
+      // and report per-bin document counts, gate-pass counts, pass rate
+      // (ppm) and mean score. The shift (+500/token) makes every
+      // operand non-negative so truncating and floor division agree
+      // across engines. One narrow per-row pass (both the scorer fold
+      // and the gate kernel are per-row) into one bounded aggregate —
+      // at most 11 bins regardless of corpus size.
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + ((Dedup.polyHash(t) % 1024L)
+            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        size(toks).cast("long").as("n_tokens"),
+        TextFunctions.gopherStats(col("text"), StopWords).as("g"))
+      val gate = col("g.n_words").between(20L, 400L) &&
+        (col("g.char_sum").cast("double") / col("g.n_words")).between(3.0, 8.0) &&
+        col("g.n_stop") >= 2L &&
+        (col("g.n_types").cast("double") / col("g.n_words")) >= 0.3
+      base.select(
+          expr("((score + 500 * n_tokens) * 1000) div n_tokens").as("sm"),
+          gate.as("pass"))
+        .groupBy(expr("sm div 100000").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("sm")).as("__sms"))
+        .select(col("bin"), col("n_docs"), col("n_pass"),
+          expr("(n_pass * 1000000) div n_docs").as("pass_ppm"),
+          expr("__sms div n_docs").as("mean_score_millis"))
+        .orderBy(col("bin"))
+    },
+
     "q147_curation_pipeline_v2" -> { (s, d) =>
       // The round-5 front-door chain in one oracle-checked query, each
       // stage keeping its standalone scale shape: URL keep-first dedup
@@ -365,6 +425,58 @@ object WebQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+
+    "q175_blocklist_gate" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      g AS (
+        SELECT doc_id,
+          CAST(len(list_filter(l,
+            x -> list_contains(['dup', 'slow', 'forbidden'], x))) AS BIGINT)
+            AS n_blocked,
+          list_sort(list_intersect(list_distinct(l),
+            ['dup', 'slow', 'forbidden'])) AS blocked_terms
+        FROM t)
+      SELECT doc_id, n_blocked,
+        CAST(len(blocked_terms) AS BIGINT) AS n_distinct_blocked,
+        blocked_terms, n_blocked = 0 AS passes
+      FROM g ORDER BY doc_id""",
+
+    "q176_score_calibration" -> s"""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) - (CAST(len(toks) AS BIGINT) - 1)
+            AS char_sum,
+          CAST(len(list_filter(toks, x -> x IN
+            (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT)
+            AS n_stop,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        FROM t),
+      g AS (
+        SELECT ((score + 500 * n_tokens) * 1000) // n_tokens AS sm,
+          (n_tokens BETWEEN 20 AND 400)
+            AND (CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 8.0)
+            AND n_stop >= 2
+            AND (CAST(n_types AS DOUBLE) / n_tokens >= 0.3) AS pass
+        FROM s)
+      SELECT sm // 100000 AS bin,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        (CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(count(*) AS BIGINT) AS pass_ppm,
+        CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT)
+          AS mean_score_millis
+      FROM g GROUP BY 1 ORDER BY bin""",
 
     "q143_url_dedup_domains" -> s"""
       WITH u AS (

@@ -49,6 +49,7 @@ class EntrySpec extends SparkSpec {
       "db", "du", // q170 incremental typo join
       "caps", "agg", // q171 packing-efficiency report
       "bt", // q172 bench gram ids
+      "nt", // q173 train token total
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
