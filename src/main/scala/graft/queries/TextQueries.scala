@@ -719,6 +719,41 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q178_ngram_diversity" -> { (s, d) =>
+      // Corpus n-gram diversity ("distinct-n", Li et al. 2016 — the
+      // standard memorization/templatedness health metric: a synthetic
+      // or over-deduplicated corpus shows it immediately): for n = 1..3,
+      // total vs distinct n-grams and the distinct rate in ppm. ONE
+      // corpus scan — positions explode once and each position emits its
+      // 1/2/3-gram rows inline (no per-n re-scan); the distinct count is
+      // the house two-phase form (groupBy(n, gram) then groupBy(n)) so
+      // there is no COUNT-DISTINCT EXPAND and hot grams collapse
+      // map-side. Output: 3 rows regardless of corpus size.
+      val base = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("l"))
+        .select(col("l"), explode(sequence(lit(1), size(col("l")))).as("i"))
+      val g2 = when(col("i") + 1 <= size(col("l")),
+        concat_ws(" ", element_at(col("l"), col("i")),
+          element_at(col("l"), col("i") + 1)))
+      val g3 = when(col("i") + 2 <= size(col("l")),
+        concat_ws(" ", element_at(col("l"), col("i")),
+          element_at(col("l"), col("i") + 1),
+          element_at(col("l"), col("i") + 2)))
+      base.select(explode(array(
+          struct(lit(1L).as("n"), element_at(col("l"), col("i")).as("gram")),
+          struct(lit(2L).as("n"), g2.as("gram")),
+          struct(lit(3L).as("n"), g3.as("gram")))).as("g"))
+        .select(col("g.n").as("n"), col("g.gram").as("gram"))
+        .filter(col("gram").isNotNull)
+        .groupBy(col("n"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("n"))
+        .agg(sum(col("cnt")).as("total_grams"),
+          count(lit(1)).as("distinct_grams"))
+        .select(col("n"), col("total_grams"), col("distinct_grams"),
+          expr("(distinct_grams * 1000000) div total_grams").as("distinct_ppm"))
+        .orderBy(col("n"))
+    },
+
     "q127_vocab_coverage" -> { (s, d) =>
       // Tokenizer vocabulary construction: top-50 tokens with document
       // frequency and cumulative stream coverage. One corpus explode +
@@ -1118,6 +1153,27 @@ object TextQueries extends QueryGroup {
         (1000000 * a.gop) // a.n_docs AS gopher_pass_ppm,
         cc.n_langs, dd.n_sources
       FROM a CROSS JOIN b CROSS JOIN cc CROSS JOIN dd CROSS JOIN tk""",
+
+    "q178_ngram_diversity" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+      g AS (
+        SELECT CAST(n AS BIGINT) AS n,
+          CASE WHEN n = 1 THEN l[i]
+               WHEN n = 2 AND i + 1 <= len(l)
+                 THEN l[i] || ' ' || l[i+1]
+               WHEN n = 3 AND i + 2 <= len(l)
+                 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+          END AS gram
+        FROM t, unnest(generate_series(1, len(l))) AS gi(i),
+             unnest([1, 2, 3]) AS gn(n)),
+      c AS (
+        SELECT n, gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM g WHERE gram IS NOT NULL GROUP BY 1, 2)
+      SELECT n, CAST(sum(cnt) AS BIGINT) AS total_grams,
+        CAST(count(*) AS BIGINT) AS distinct_grams,
+        (CAST(count(*) AS BIGINT) * 1000000) // CAST(sum(cnt) AS BIGINT)
+          AS distinct_ppm
+      FROM c GROUP BY n ORDER BY n""",
 
     "q173_backoff_lm" -> """
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),

@@ -232,6 +232,41 @@ object WebQueries extends QueryGroup {
         .orderBy(col("bin"))
     },
 
+    "q177_quality_signals" -> { (s, d) =>
+      // Per-document quality-signal export (the Dolma pattern — Soldaini
+      // et al. 2024 ship per-doc attribute files so every downstream
+      // mixture can re-threshold without re-scanning raw text): ALL
+      // signals computed in ONE narrow per-row pass — the Gopher counter
+      // kernel, the q140 hashed-feature score fold, the q175 blocklist
+      // probe, and the duplicate-token fraction, each an exact integer
+      // or a single int/int division. No shuffle at any corpus size;
+      // at 100 TB this runs at scan speed and writes doc_id + 9 columns.
+      val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFunctions.gopherStats(col("text"), StopWords).as("g"),
+          aggregate(toks, lit(0L), (acc, t) =>
+            acc + ((Dedup.polyHash(t) % 1024L)
+              * lit(2654435761L) % 1000L - 500L)).as("score"),
+          exists(toks, t => array_contains(bl, t)).as("blocked"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_tokens"),
+          col("g.n_types").as("n_types"),
+          col("g.n_stop").as("n_stop"),
+          (col("g.char_sum").cast("double") / col("g.n_words")).as("mean_wlen"),
+          (col("g.n_types").cast("double") / col("g.n_words")).as("ttr"),
+          ((col("g.n_words") - col("g.n_types")).cast("double") /
+            col("g.n_words")).as("frac_dup_tokens"),
+          col("score"), col("blocked"),
+          (col("g.n_words").between(20L, 400L) &&
+            (col("g.char_sum").cast("double") / col("g.n_words"))
+              .between(3.0, 8.0) &&
+            col("g.n_stop") >= 2L &&
+            (col("g.n_types").cast("double") / col("g.n_words")) >= 0.3)
+            .as("gopher_pass"))
+        .orderBy(col("doc_id"))
+    },
+
     "q147_curation_pipeline_v2" -> { (s, d) =>
       // The round-5 front-door chain in one oracle-checked query, each
       // stage keeping its standalone scale shape: URL keep-first dedup
@@ -477,6 +512,41 @@ object WebQueries extends QueryGroup {
         CAST(sum(sm) AS BIGINT) // CAST(count(*) AS BIGINT)
           AS mean_score_millis
       FROM g GROUP BY 1 ORDER BY bin""",
+
+    "q177_quality_signals" -> s"""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+          CAST(len(list_filter(toks, x -> x IN
+            (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT)
+            AS n_stop,
+          CAST(length(text) AS BIGINT) - (CAST(len(toks) AS BIGINT) - 1)
+            AS char_sum,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score,
+          len(list_filter(toks,
+            x -> list_contains(['dup', 'slow', 'forbidden'], x))) > 0
+            AS blocked
+        FROM t)
+      SELECT doc_id, n_tokens, n_types, n_stop,
+        CAST(char_sum AS DOUBLE) / n_tokens AS mean_wlen,
+        CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        CAST(n_tokens - n_types AS DOUBLE) / n_tokens AS frac_dup_tokens,
+        score, blocked,
+        (n_tokens BETWEEN 20 AND 400)
+          AND (CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 8.0)
+          AND n_stop >= 2
+          AND (CAST(n_types AS DOUBLE) / n_tokens >= 0.3) AS gopher_pass
+      FROM s ORDER BY doc_id""",
 
     "q143_url_dedup_domains" -> s"""
       WITH u AS (

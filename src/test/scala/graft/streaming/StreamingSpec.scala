@@ -736,6 +736,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming Stupid Backoff scoring: batch == stream per micro-batch") {
+    implicit val sc = spark.sqlContext
+    val train = Seq((100L, "a b c a b d")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b c"), (1L, "b c d"), (2L, "d a b"), (3L, "x y"))
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // same static-model argument as the bigram test: per-document
+        // scoring on a micro-batch IS the batch op on that slice
+        results ++= graft.operators.LmScore
+          .stupidBackoffScores(batch, train, "doc_id", "text")
+          .collect()
+          .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit3"),
+            r.getAs[Long]("n_oov"), r.getAs[Long]("score_sum")))
+        ()
+      }.start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2), docs(3))
+      q.processAllAvailable()
+      val batchRun = graft.operators.LmScore
+        .stupidBackoffScores(docs.toDF("doc_id", "text"), train, "doc_id", "text")
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit3"),
+          r.getAs[Long]("n_oov"), r.getAs[Long]("score_sum"))).toSet
+      assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
+      assert(results.size == 4)
+    } finally q.stop()
+  }
+
   test("streaming BM25: queries stream against the static corpus, batch == stream") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(
