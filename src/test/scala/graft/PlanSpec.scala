@@ -619,6 +619,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("backoff LM (q173): model tables broadcast, corpus explodes once") {
+    val p = plan("q173_backoff_lm")
+    // at the fixture size every model table rides a broadcast — the
+    // corpus trigram stream must never shuffle for a model lookup
+    val joins = collectAll(p).map(_.getClass.getSimpleName)
+    assert(!joins.exists(_.contains("SortMergeJoin")),
+      s"model lookups must broadcast (or shuffle-hash over the guard):\n$p")
+    assert(countBroadcasts(p) >= 5,
+      s"c3/c2x2/c1x2/N must all broadcast at this size:\n$p")
+  }
+
+  test("sign projection / blocklist / signals (q174/q175/q177): wholly narrow") {
+    for (q <- Seq("q174_sign_projection", "q175_blocklist_gate",
+        "q177_quality_signals")) {
+      val p = plan(q)
+      assert(!collectAll(p).map(_.getClass.getSimpleName)
+          .exists(_.contains("Join")), s"$q must not join:\n$p")
+      assert(countShuffles(p) <= 1, s"$q: only the oracle sort exchanges:\n$p")
+    }
+  }
+
+  test("ngram diversity (q178): two-phase distinct, no Expand, one scan") {
+    val p = plan("q178_ngram_diversity")
+    val s = p.toString
+    assert(!s.contains("Expand"), s"count-distinct Expand leaked in:\n$s")
+    // (n, gram) agg + n agg + oracle sort — and a single corpus scan
+    assert(countShuffles(p) <= 3, s"two agg phases + sort only:\n$p")
+    val scans = collectAll(p).count(_.getClass.getSimpleName.contains("FileSourceScan"))
+    assert(scans == 1, s"per-n re-scans crept in ($scans scans):\n$p")
+  }
+
+  test("calibration (q176): narrow signals into a bounded aggregate") {
+    val p = plan("q176_score_calibration")
+    assert(!collectAll(p).map(_.getClass.getSimpleName)
+        .exists(_.contains("Join")), s"q176 must not join:\n$p")
+    assert(!p.toString.contains("Window"), s"no window:\n$p")
+    assert(countShuffles(p) <= 2, s"bin aggregate + oracle sort only:\n$p")
+  }
+
   test("isotropy (q167): projection pass is narrow — no join, no Expand") {
     // passes 1-2 are separate bounded-collect jobs; the RETURNED plan is
     // the per-row projection fold: scan → project → (oracle sort) only.
