@@ -67,9 +67,26 @@ object Projection {
   /** Project `vecCol` (array<float/double>, fixed length `dim`) to
     * `dOut` coordinates: out_j = Σ_i floor(x_i·scale + 0.5) · S_ji.
     * Output: (idCol, proj array<long> of length dOut). Wholly narrow.
+    * Hot path: the native codegen'd
+    * [[graft.functions.expressions.SignProject]] kernel (one primitive
+    * loop per row; the HOF form pays dOut·dim interpreted lambda evals
+    * per row and is kept below as the spec-pinned parity reference).
     */
   def signProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                   dOut: Int, scale: Long = 1000L, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    df.select(col(idCol),
+      ColumnBridge.column(graft.functions.expressions.SignProject(
+        ColumnBridge.expression(col(vecCol)), dOut, dim, seed, scale))
+        .as("proj"))
+  }
+
+  /** HOF formulation of [[signProject]] — the interpreted parity
+    * reference (ProjectionSpec pins bitwise equality with the native
+    * kernel), not the hot path.
+    */
+  def signProjectViaHof(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                        dOut: Int, scale: Long = 1000L, seed: Long = 42L): DataFrame = {
     val m = typedlit(signMatrix(dOut, dim, seed))
     val q = Clustering.scaleVector(col(vecCol), scale)
     df.select(col(idCol), q.as("__q"))

@@ -162,6 +162,21 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sign_project",
+      {
+        case Seq(v, Literal(o: Int, _), Literal(d: Int, _)) =>
+          graft.functions.expressions.SignProject(v, o, d, 42L, 1000L)
+        case Seq(v, Literal(o: Int, _), Literal(d: Int, _), Literal(s: Int, _)) =>
+          graft.functions.expressions.SignProject(v, o, d, s.toLong, 1000L)
+        case Seq(v, Literal(o: Int, _), Literal(d: Int, _), Literal(s: Int, _),
+            Literal(sc: Int, _)) =>
+          graft.functions.expressions.SignProject(v, o, d, s.toLong, sc.toLong)
+        case _ => throw new IllegalArgumentException(
+          "sign_project(vec, dOut, dim[, seed[, scale]]) takes a vector " +
+            "column and int literals")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deletion_variants",
       {
         case Seq(s, Literal(tau: Int, _)) =>

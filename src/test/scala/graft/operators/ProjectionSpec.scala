@@ -61,6 +61,33 @@ class ProjectionSpec extends SparkSpec {
     assert(exchanges.isEmpty, s"projection shuffled: $exchanges")
   }
 
+  test("native kernel matches the HOF reference bitwise") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i => (i, randVec(rng, 24)))
+    val df = vecs.toDF("id", "v")
+    def dump(out: org.apache.spark.sql.DataFrame) =
+      out.orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val native = dump(Projection.signProject(df, "id", "v", 24, 8,
+      scale = 777L, seed = 7L))
+    val hof = dump(Projection.signProjectViaHof(df, "id", "v", 24, 8,
+      scale = 777L, seed = 7L))
+    assert(native == hof)
+  }
+
+  test("sign_project is SQL-registered with identical results") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val rng = new scala.util.Random(13)
+    val df = (0L until 10L).map(i => (i, randVec(rng, 16))).toDF("id", "v")
+    df.createOrReplaceTempView("sp_probe")
+    val viaSql = spark.sql(
+      "SELECT id, sign_project(v, 4, 16, 7, 777) AS proj FROM sp_probe")
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    val viaApi = Projection.signProject(df, "id", "v", 16, 4,
+      scale = 777L, seed = 7L)
+      .orderBy("id").collect().map(_.getSeq[Long](1)).toSeq
+    assert(viaSql == viaApi)
+  }
+
   test("signOf matches the oracle SQL formula shape on edge cells") {
     // replicate signSql arithmetic in plain Scala for a few cells
     val p = 1000000007L; val a = 618033988L; val b = 13L
