@@ -150,6 +150,35 @@ object Clustering {
       .select(col(idCol), col("cell"))
   }
 
+  /** SemDeDup with the clustering run in JL-PROJECTED space
+    * ([[Projection.signProject]], Achlioptas 2001): cells come from
+    * k-means over the dOut-dim sign projections (distance work shrinks
+    * by dim/dOut — the point of B41 as a scale path), while the
+    * pairwise verify inside each cell stays EXACT cosine over the
+    * original vectors, so a projection-induced near-miss can only move
+    * a pair to different cells (the same approximation class as the
+    * IVF cell boundary in [[semanticDedup]] itself), never fake a
+    * duplicate. Same keep-first contract and Σ|cell|² pair bound.
+    */
+  def semanticDedupProjected(df: DataFrame, idCol: String, vecCol: String,
+                             dim: Int, dOut: Int, k: Int, iters: Int = 2,
+                             projScale: Long = 1000L, seed: Long = 42L,
+                             threshold: Double = 0.3): DataFrame = {
+    val proj = Projection.signProject(df, idCol, vecCol, dim, dOut,
+      projScale, seed)
+    // already-long coordinates: scale=1 makes scaleVector the identity
+    val cells = kmeansFixed(proj, idCol, "proj", k, iters, scale = 1L)
+    val withCell = df.join(cells, idCol)
+    val l = withCell.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = withCell.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val losers = l.join(r, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorFunctions.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    withCell.join(losers, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cell"))
+  }
+
   /** Cell-bounded kNN graph: for every row, its `kNeighbors` nearest
     * in-cell neighbors by cosine — the graph construction behind
     * SemDeDup-style cluster analysis, diversity sampling and

@@ -194,6 +194,21 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q179_semdedup_projected" -> { (s, d) =>
+      // SemDeDup with the CLUSTERING run in JL-projected space (q174's
+      // 16-dim sign projections — distance work per assignment shrinks
+      // 4x) and the in-cell verify still exact cosine on the original
+      // 64-dim vectors: the B41 projection integrated as a scale path,
+      // not a standalone transform. Keep-first semantics and the
+      // Σ|cell|² pair bound are q124's; only the cell boundary moves,
+      // and the oracle replays projection + both k-means iterations +
+      // the exact verify bit-for-bit.
+      Clustering.semanticDedupProjected(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, dOut = 16, k = 8, iters = 2,
+          projScale = 1000L, seed = 42L, threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+
     "q130_semdedup_incremental" -> { (s, d) =>
       // Daily-ingest semantic dedup: every 10th vector is "today's
       // batch" (q97's convention); centroids are trained on HISTORY
@@ -402,6 +417,63 @@ object SimilarityQueries extends QueryGroup {
     "q123_kmeans" -> s"""$KmeansCte
       SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum
       FROM i2 GROUP BY cell ORDER BY cell""",
+
+    "q179_semdedup_projected" -> s"""
+      WITH e AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          CAST(embedding AS DOUBLE[]) AS rv,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      v AS (
+        SELECT id, rv,
+          list_transform(generate_series(0, 15), j ->
+            CAST(list_sum(list_transform(generate_series(0, 63), i ->
+              qv[i + 1] *
+                ${graft.operators.Projection.signSql("j * 64 + i + 42")}))
+              AS BIGINT)) AS sv
+        FROM e),
+      c AS (
+        SELECT cell, cv FROM (
+          SELECT row_number() OVER (ORDER BY id) - 1 AS cell, sv AS cv FROM v) t
+        WHERE cell < 8),
+      a AS (
+        SELECT id, sv, cell,
+          row_number() OVER (PARTITION BY id ORDER BY
+            list_sum(list_transform(generate_series(1, len(sv)),
+              i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), cell) AS rn
+        FROM v CROSS JOIN c),
+      i1 AS (SELECT id, sv, cell FROM a WHERE rn = 1),
+      g AS (
+        SELECT cell, dim, CAST(sum(x) AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT cell, CAST(generate_subscripts(sv, 1) AS BIGINT) AS dim,
+                unnest(sv) AS x FROM i1) t
+        GROUP BY cell, dim),
+      ct AS (
+        SELECT cell,
+          list(CAST(floor(CAST(sm AS DOUBLE) / n) AS BIGINT) ORDER BY dim) AS cv
+        FROM g GROUP BY cell),
+      b AS (
+        SELECT id, cell,
+          row_number() OVER (PARTITION BY id ORDER BY
+            list_sum(list_transform(generate_series(1, len(sv)),
+              i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), cell) AS rn
+        FROM v CROSS JOIN ct),
+      i2 AS (SELECT id, cell FROM b WHERE rn = 1),
+      pairs AS (
+        SELECT ia.id AS id_a, ib.id AS id_b
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id < ib.id),
+      losers AS (
+        SELECT DISTINCT p.id_b
+        FROM pairs p
+        JOIN v va ON va.id = p.id_a
+        JOIN v vb ON vb.id = p.id_b
+        WHERE list_dot_product(va.rv, vb.rv)
+          / (sqrt(list_dot_product(va.rv, va.rv))
+             * sqrt(list_dot_product(vb.rv, vb.rv))) >= 0.3)
+      SELECT id AS vec_id, cell FROM i2
+      WHERE id NOT IN (SELECT id_b FROM losers)
+      ORDER BY vec_id""",
 
     "q124_semdedup" -> s"""$KmeansCte,
       pairs AS (

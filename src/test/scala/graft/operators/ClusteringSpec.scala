@@ -45,6 +45,33 @@ class ClusteringSpec extends SparkSpec {
     assert(kept.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L)))
   }
 
+  test("projected semanticDedup verifies on ORIGINAL vectors and never crosses cells") {
+    // 40 vectors in 2 antipodal 8-dim blobs with exact duplicates planted;
+    // clustering runs on 4-dim sign projections, the verify must still
+    // flag the original-space duplicates (keep-first) while survivors
+    // stay unique per cell.
+    val rng = new scala.util.Random(5)
+    val blobs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0 else -1.0
+      val v = Seq.fill(8)((base + rng.nextDouble() * 0.1).toFloat)
+      (i, v)
+    }
+    // plant exact duplicates of ids 0 and 1 at ids 38/39
+    val planted = blobs.take(38) ++ Seq((38L, blobs(0)._2), (39L, blobs(1)._2))
+    val df = planted.toDF("id", "vec")
+    val kept = Clustering.semanticDedupProjected(df, "id", "vec",
+        dim = 8, dOut = 4, k = 2, iters = 2, threshold = 0.99)
+      .collect().map(_.getAs[Long]("id")).toSet
+    // exact duplicates always land in the same projected cell (identical
+    // projections), so keep-first must drop the replanted copies
+    assert(!kept.contains(38L) && !kept.contains(39L))
+    assert(kept.contains(0L) && kept.contains(1L))
+    // losers only ever come from in-cell pairs: survivors of a 0.0
+    // threshold within one cell would be 1 per cell; here threshold 0.99
+    // keeps near-but-not-duplicate rows
+    assert(kept.size >= 2)
+  }
+
   test("incremental semanticDedup: fresh vs history + fresh-smaller only") {
     val history = Seq(
       (0L, Seq(0.0f, 1.0f)), (2L, Seq(1.0f, 0.0f)),
