@@ -719,6 +719,51 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q180_source_datacard" -> { (s, d) =>
+      // Per-source data card (the per-source table a mixture decision
+      // actually reads — RedPajama/Dolma release exactly this rollup):
+      // document/token counts, Gopher-gate pass rate, blocklist hit
+      // rate, and the held-in backoff-LM fluency stats (OOV ppm + mean
+      // integer score over ALL of the source's trigrams — sums of sums,
+      // not means of means). One narrow signal pass + the q173 scoring
+      // pipeline, joined on doc_id and collapsed to one row per source;
+      // every rate is an exact integer ppm.
+      val docs = Tables.documents(s, d)
+      val scores = LmScore.stupidBackoffScores(docs,
+        docs.filter(col("source") === "src0"), "doc_id", "text")
+      val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
+      val toks = split(col("text"), " ")
+      val sig = docs.select(col("doc_id"), col("source"),
+          gopherStats(col("text"), WebQueries.StopWords).as("g"),
+          exists(toks, t => array_contains(bl, t)).as("blocked"))
+        .select(col("doc_id"), col("source"),
+          col("g.n_words").as("n_tokens"),
+          (col("g.n_words").between(20L, 400L) &&
+            (col("g.char_sum").cast("double") / col("g.n_words"))
+              .between(3.0, 8.0) &&
+            col("g.n_stop") >= 2L &&
+            (col("g.n_types").cast("double") / col("g.n_words")) >= 0.3)
+            .as("gopher_pass"),
+          col("blocked"))
+      sig.join(scores, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("__gp"),
+          sum(when(col("blocked"), 1L).otherwise(0L)).as("__bl"),
+          sum(col("n_trigrams")).as("__tri"),
+          sum(col("n_oov")).as("__oov"),
+          sum(col("score_sum")).as("__ss"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("(__gp * 1000000) div n_docs").as("gopher_pass_ppm"),
+          expr("(__bl * 1000000) div n_docs").as("blocked_ppm"),
+          coalesce(expr("(__oov * 1000000) div nullif(__tri, 0)"), lit(0L))
+            .as("oov_ppm"),
+          coalesce(expr("__ss div nullif(__tri, 0)"), lit(0L))
+            .as("mean_lm_score"))
+        .orderBy(col("source"))
+    },
+
     "q178_ngram_diversity" -> { (s, d) =>
       // Corpus n-gram diversity ("distinct-n", Li et al. 2016 — the
       // standard memorization/templatedness health metric: a synthetic
@@ -1153,6 +1198,78 @@ object TextQueries extends QueryGroup {
         (1000000 * a.gop) // a.n_docs AS gopher_pass_ppm,
         cc.n_langs, dd.n_sources
       FROM a CROSS JOIN b CROSS JOIN cc CROSS JOIN dd CROSS JOIN tk""",
+
+    "q180_source_datacard" -> s"""
+      WITH toks AS (SELECT doc_id, source, text, string_split(text, ' ') AS l FROM documents),
+      t3 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3,
+          CAST(count(*) AS BIGINT) AS c3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2, 3),
+      t2 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      t1 AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t
+        GROUP BY tok),
+      nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN t3.c3 IS NULL AND b.c2 IS NULL AND lu.c1 IS NULL
+               THEN 1 ELSE 0 END AS oov,
+          CASE WHEN t3.c3 IS NOT NULL THEN (t3.c3 * 1000000) // ctx.c2
+               WHEN b.c2 IS NOT NULL THEN (4 * b.c2 * 1000000) // (10 * mu.c1)
+               WHEN lu.c1 IS NOT NULL THEN (16 * lu.c1 * 1000000) // (100 * nt.nn)
+               ELSE 0 END AS sc
+        FROM c
+        LEFT JOIN t3 USING (w1, w2, w3)
+        LEFT JOIN t2 ctx ON ctx.w1 = c.w1 AND ctx.w2 = c.w2
+        LEFT JOIN t2 b ON b.w1 = c.w2 AND b.w2 = c.w3
+        LEFT JOIN t1 mu ON mu.tok = c.w2
+        LEFT JOIN t1 lu ON lu.tok = c.w3
+        CROSS JOIN nt),
+      lm AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS tri,
+          CAST(sum(oov) AS BIGINT) AS oov, CAST(sum(sc) AS BIGINT) AS ss
+        FROM scored GROUP BY doc_id),
+      sig AS (
+        SELECT doc_id, source,
+          CAST(len(l) AS BIGINT) AS n_tokens,
+          (CAST(len(l) AS BIGINT) BETWEEN 20 AND 400)
+            AND (CAST(CAST(length(text) AS BIGINT)
+                   - (CAST(len(l) AS BIGINT) - 1) AS DOUBLE)
+                 / CAST(len(l) AS BIGINT) BETWEEN 3.0 AND 8.0)
+            AND CAST(len(list_filter(l, x -> x IN
+                (${WebQueries.StopWords.map(sw => s"'$sw'").mkString(", ")})))
+              AS BIGINT) >= 2
+            AND (CAST(CAST(len(list_distinct(l)) AS BIGINT) AS DOUBLE)
+                 / CAST(len(l) AS BIGINT) >= 0.3) AS gopher_pass,
+          len(list_filter(l,
+            x -> list_contains(['dup', 'slow', 'forbidden'], x))) > 0 AS blocked
+        FROM toks),
+      j AS (
+        SELECT sig.source, sig.n_tokens, sig.gopher_pass, sig.blocked,
+          coalesce(lm.tri, 0) AS tri, coalesce(lm.oov, 0) AS oov,
+          coalesce(lm.ss, 0) AS ss
+        FROM sig LEFT JOIN lm USING (doc_id))
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        (CAST(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(count(*) AS BIGINT) AS gopher_pass_ppm,
+        (CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+          // CAST(count(*) AS BIGINT) AS blocked_ppm,
+        coalesce((CAST(sum(oov) AS BIGINT) * 1000000)
+          // nullif(CAST(sum(tri) AS BIGINT), 0), 0) AS oov_ppm,
+        coalesce(CAST(sum(ss) AS BIGINT)
+          // nullif(CAST(sum(tri) AS BIGINT), 0), 0) AS mean_lm_score
+      FROM j GROUP BY source ORDER BY source""",
 
     "q178_ngram_diversity" -> """
       WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
