@@ -31,6 +31,36 @@ class NullSafetySpec extends SparkSpec {
     assert(out(1).getAs[Long]("avg_score") == 0L)
   }
 
+  test("stupidBackoffScores: null text yields a zero-score row") {
+    val out = LmScore.stupidBackoffScores(docs,
+        docs.filter(col("doc_id") === 0L), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    assert(out(1).getAs[Long]("n_trigrams") == 0L)
+    assert(out(1).getAs[Long]("n_oov") == 0L)
+    assert(out(1).getAs[Long]("avg_score") == 0L)
+  }
+
+  test("signProject: a null vector projects to null, not an exception") {
+    val vecs = Seq((0L, Some(Seq(1.0f, 2.0f))), (1L, None)).toDF("id", "vec")
+    val out = Projection.signProject(vecs, "id", "vec", dim = 2, dOut = 3)
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(!out(0).isNullAt(1) && out(0).getSeq[Long](1).size == 3)
+    assert(out(1).isNullAt(1))
+  }
+
+  test("semanticDedupProjected: null vectors join into a null cell, survivors intact") {
+    val vecs = Seq((0L, Some(Seq(1.0f, 1.0f))), (1L, Some(Seq(1.0f, 1.0f))),
+      (2L, None)).toDF("id", "vec")
+    val out = Clustering.semanticDedupProjected(vecs, "id", "vec",
+        dim = 2, dOut = 2, k = 2, iters = 1, threshold = 0.99)
+      .orderBy("id").collect()
+    // id 1 is an exact dup of 0 -> dropped; the null row's cosine is
+    // null (never >= threshold) so it survives with a null cell
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L))
+  }
+
   test("cdcChunks: null text drops the document, others unaffected") {
     val out = Dedup.cdcChunks(docs, "doc_id", "text", w = 3, divisor = 4L)
       .collect()
