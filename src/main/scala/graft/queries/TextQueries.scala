@@ -764,6 +764,44 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"))
     },
 
+    "q181_ngram_sketch" -> { (s, d) =>
+      // The SCALE PATH for q178: distinct-n via HLL++ sketches
+      // (approx_count_distinct, rsd 0.05 — mergeable, no (n, gram)
+      // exchange carrying every distinct gram) with the exact two-phase
+      // count kept IN-PLAN as the tolerance anchor (the q47 contract:
+      // the boolean bound hash-matches, the sketch never leaves the
+      // plan unchecked). At 100 TB the production form drops the
+      // anchor aggregate and the sketch pass is the only wide edge —
+      // partials are 2^14 registers per (n,) group instead of the full
+      // gram dictionary.
+      val base = Tables.documents(s, d)
+        .select(split(col("text"), " ").as("l"))
+        .select(col("l"), explode(sequence(lit(1), size(col("l")))).as("i"))
+      val g2 = when(col("i") + 1 <= size(col("l")),
+        concat_ws(" ", element_at(col("l"), col("i")),
+          element_at(col("l"), col("i") + 1)))
+      val g3 = when(col("i") + 2 <= size(col("l")),
+        concat_ws(" ", element_at(col("l"), col("i")),
+          element_at(col("l"), col("i") + 1),
+          element_at(col("l"), col("i") + 2)))
+      val grams = base.select(explode(array(
+          struct(lit(1L).as("n"), element_at(col("l"), col("i")).as("gram")),
+          struct(lit(2L).as("n"), g2.as("gram")),
+          struct(lit(3L).as("n"), g3.as("gram")))).as("g"))
+        .select(col("g.n").as("n"), col("g.gram").as("gram"))
+        .filter(col("gram").isNotNull)
+      val sk = grams.groupBy(col("n"))
+        .agg(approx_count_distinct(col("gram")).as("__est"),
+          count(lit(1)).as("total_grams"))
+      val exact = grams.select(col("n"), col("gram")).distinct()
+        .groupBy(col("n")).agg(count(lit(1)).as("exact_distinct"))
+      sk.join(exact, "n")
+        .select(col("n"), col("total_grams"), col("exact_distinct"),
+          (abs(col("__est") - col("exact_distinct")) <=
+            col("exact_distinct") * 0.15).as("est_ok"))
+        .orderBy(col("n"))
+    },
+
     "q178_ngram_diversity" -> { (s, d) =>
       // Corpus n-gram diversity ("distinct-n", Li et al. 2016 — the
       // standard memorization/templatedness health metric: a synthetic
@@ -1270,6 +1308,23 @@ object TextQueries extends QueryGroup {
         coalesce(CAST(sum(ss) AS BIGINT)
           // nullif(CAST(sum(tri) AS BIGINT), 0), 0) AS mean_lm_score
       FROM j GROUP BY source ORDER BY source""",
+
+    "q181_ngram_sketch" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+      g AS (
+        SELECT CAST(n AS BIGINT) AS n,
+          CASE WHEN n = 1 THEN l[i]
+               WHEN n = 2 AND i + 1 <= len(l)
+                 THEN l[i] || ' ' || l[i+1]
+               WHEN n = 3 AND i + 2 <= len(l)
+                 THEN l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+          END AS gram
+        FROM t, unnest(generate_series(1, len(l))) AS gi(i),
+             unnest([1, 2, 3]) AS gn(n))
+      SELECT n, CAST(count(*) AS BIGINT) AS total_grams,
+        CAST(count(DISTINCT gram) AS BIGINT) AS exact_distinct,
+        TRUE AS est_ok
+      FROM g WHERE gram IS NOT NULL GROUP BY n ORDER BY n""",
 
     "q178_ngram_diversity" -> """
       WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),

@@ -125,6 +125,36 @@ object WebQueries extends QueryGroup {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
         FROM scored)"""
 
+  /** The q177 signal projection — one narrow per-row pass over (doc_id,
+    * text); stateless, so it applies unchanged to a streaming frame
+    * (Append mode, no watermark needed).
+    */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+        TextFunctions.gopherStats(col("text"), StopWords).as("g"),
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + ((Dedup.polyHash(t) % 1024L)
+            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        exists(toks, t => array_contains(bl, t)).as("blocked"))
+      .select(col("doc_id"),
+        col("g.n_words").as("n_tokens"),
+        col("g.n_types").as("n_types"),
+        col("g.n_stop").as("n_stop"),
+        (col("g.char_sum").cast("double") / col("g.n_words")).as("mean_wlen"),
+        (col("g.n_types").cast("double") / col("g.n_words")).as("ttr"),
+        ((col("g.n_words") - col("g.n_types")).cast("double") /
+          col("g.n_words")).as("frac_dup_tokens"),
+        col("score"), col("blocked"),
+        (col("g.n_words").between(20L, 400L) &&
+          (col("g.char_sum").cast("double") / col("g.n_words"))
+            .between(3.0, 8.0) &&
+          col("g.n_stop") >= 2L &&
+          (col("g.n_types").cast("double") / col("g.n_words")) >= 0.3)
+          .as("gopher_pass"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q143_url_dedup_domains" -> { (s, d) =>
@@ -241,30 +271,9 @@ object WebQueries extends QueryGroup {
       // probe, and the duplicate-token fraction, each an exact integer
       // or a single int/int division. No shuffle at any corpus size;
       // at 100 TB this runs at scan speed and writes doc_id + 9 columns.
-      val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
-      val toks = split(col("text"), " ")
-      Tables.documents(s, d).select(col("doc_id"),
-          TextFunctions.gopherStats(col("text"), StopWords).as("g"),
-          aggregate(toks, lit(0L), (acc, t) =>
-            acc + ((Dedup.polyHash(t) % 1024L)
-              * lit(2654435761L) % 1000L - 500L)).as("score"),
-          exists(toks, t => array_contains(bl, t)).as("blocked"))
-        .select(col("doc_id"),
-          col("g.n_words").as("n_tokens"),
-          col("g.n_types").as("n_types"),
-          col("g.n_stop").as("n_stop"),
-          (col("g.char_sum").cast("double") / col("g.n_words")).as("mean_wlen"),
-          (col("g.n_types").cast("double") / col("g.n_words")).as("ttr"),
-          ((col("g.n_words") - col("g.n_types")).cast("double") /
-            col("g.n_words")).as("frac_dup_tokens"),
-          col("score"), col("blocked"),
-          (col("g.n_words").between(20L, 400L) &&
-            (col("g.char_sum").cast("double") / col("g.n_words"))
-              .between(3.0, 8.0) &&
-            col("g.n_stop") >= 2L &&
-            (col("g.n_types").cast("double") / col("g.n_words")) >= 0.3)
-            .as("gopher_pass"))
-        .orderBy(col("doc_id"))
+      // Stateless by construction, so the SAME projection runs on an
+      // ingest stream in Append mode (StreamingSpec pins the parity).
+      qualitySignals(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
     "q147_curation_pipeline_v2" -> { (s, d) =>

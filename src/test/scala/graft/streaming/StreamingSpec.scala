@@ -768,6 +768,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality signals: stateless Append projection, batch == stream") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      (0L, "the a of key value " + Seq.fill(20)("table scan").mkString(" ")),
+      (1L, "dup slow row"),
+      (2L, "x"))
+    val input = MemoryStream[(Long, String)]
+    // the q177 projection runs UNCHANGED on the stream — no foreachBatch,
+    // no state: Append mode accepts it because it is narrow per-row
+    val q = graft.queries.WebQueries
+      .qualitySignals(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sig_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2))
+      q.processAllAvailable()
+      val stream = spark.table("sig_stream").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("score"), r.getAs[Boolean]("blocked"),
+          r.getAs[Boolean]("gopher_pass"))).toSet
+      val batch = graft.queries.WebQueries
+        .qualitySignals(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("score"), r.getAs[Boolean]("blocked"),
+          r.getAs[Boolean]("gopher_pass"))).toSet
+      assert(stream == batch)
+      assert(stream.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming BM25: queries stream against the static corpus, batch == stream") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(
