@@ -764,6 +764,83 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"))
     },
 
+    "q183_shard_manifest" -> { (s, d) =>
+      // Release/export manifest over q129's deterministic epoch shards —
+      // the reproducibility record a 100 TB dataset release ships
+      // alongside its shards (counts + totals + a content checksum per
+      // shard, so a re-run or a consumer can verify integrity without
+      // re-reading text): per shard, document count, token total,
+      // min/max shuffle position, and an ORDER-FREE checksum (sum of
+      // portable doc-content hashes mod P — summing makes it
+      // reduction-order-proof, the house rule for cross-row digests).
+      // One corpus pass + the q129 two-phase rank; 16 rows out.
+      val h = (col("doc_id") * 1000003L + 17L) % 1000000007L
+      val docs = Tables.documents(s, d)
+      val hashed = docs.select(col("doc_id"), h.as("h"))
+      val sharded = Packing.packPositions(hashed.withColumn("one", lit(1L)),
+          "h", "one", capacity = 1L, bucketWidth = 10000000L)
+        .join(hashed, "h")
+        .select(col("doc_id"), col("start_off").as("pos"),
+          (col("start_off") % 16).as("shard"))
+      val content = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"),
+        ((Dedup.polyHash(col("text")) * 31L + col("doc_id")) % 1000000007L)
+          .as("chash"))
+      sharded.join(content, "doc_id")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          sum(col("chash")).as("checksum"))
+        .orderBy(col("shard"))
+    },
+
+    "q182_chunk_lm_filter" -> { (s, d) =>
+      // CCNet-style SEGMENT-level LM filtering (Wenzek et al. 2020 score
+      // and filter per paragraph, not per document — one spammy block
+      // shouldn't sink a good page, and good boilerplate shouldn't save
+      // a bad one): non-overlapping 16-token chunks, each scored under
+      // the q122 bigram model (integer ratios), kept iff its mean score
+      // clears the gate, and the document REBUILT from surviving chunks
+      // in order. Chunking is narrow; scoring is the guarded-broadcast
+      // model join; the rebuild is one per-doc aggregate (collect_list
+      // drops null = dropped chunks, array_sort restores chunk order).
+      val C = 16
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      // localCheckpoint: BOTH consumers below (the scorer's bigram
+      // explode and the rebuild join) read the chunk table — without it
+      // the narrow chunk-construction subtree is recomputed per
+      // consumer (no exchange for Catalyst to reuse), measured 5.6x at
+      // 10x data; with it 3.3x and 1.3x faster at sf0.1 too (the
+      // q165/q119/q153 pattern)
+      val chunks = docs.select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), ((size(toks) - 1) / C).cast("int")),
+            i => concat_ws(" ", slice(toks, i * C + 1, lit(C)))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select((col("doc_id") * 100L + col("chunk_idx")).as("cid"),
+          col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .localCheckpoint()
+      val scored = LmScore.bigramScores(
+        chunks.select(col("cid"), col("chunk").as("text")),
+        docs.filter(col("source") === "src0")
+          .select(col("doc_id").as("cid"), col("text")),
+        "cid", "text")
+      chunks.join(scored.select(col("cid"), col("avg_score")), "cid")
+        .withColumn("keep", col("avg_score") >= 30000L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(
+              when(col("keep"), struct(col("chunk_idx"), col("chunk"))))),
+            x => x.getField("chunk"))).as("rebuilt"))
+        .orderBy(col("doc_id"))
+    },
+
     "q181_ngram_sketch" -> { (s, d) =>
       // The SCALE PATH for q178: distinct-n via HLL++ sketches
       // (approx_count_distinct, rsd 0.05 — mergeable, no (n, gram)
@@ -1308,6 +1385,65 @@ object TextQueries extends QueryGroup {
         coalesce(CAST(sum(ss) AS BIGINT)
           // nullif(CAST(sum(tri) AS BIGINT), 0), 0) AS mean_lm_score
       FROM j GROUP BY source ORDER BY source""",
+
+    "q183_shard_manifest" -> s"""
+      WITH t AS (
+        SELECT doc_id,
+          (doc_id * 1000003 + 17) % 1000000007 AS h,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+          (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(text, ''),
+               x -> CAST(unicode(x) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M})
+            * 31 + doc_id) % 1000000007 AS chash
+        FROM documents),
+      r AS (
+        SELECT doc_id, h, n_toks, chash,
+          row_number() OVER (ORDER BY h) - 1 AS pos
+        FROM t)
+      SELECT CAST(pos % 16 AS BIGINT) AS shard,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        CAST(min(pos) AS BIGINT) AS min_pos,
+        CAST(max(pos) AS BIGINT) AS max_pos,
+        CAST(sum(chash) AS BIGINT) AS checksum
+      FROM r GROUP BY 1 ORDER BY shard""",
+
+    "q182_chunk_lm_filter" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      ch AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          doc_id * 100 + i AS cid,
+          array_to_string(l[i*16+1 : i*16+16], ' ') AS chunk
+        FROM toks, unnest(generate_series(0, (len(l) - 1) // 16)) AS gi(i)),
+      cb AS (
+        SELECT cid, sl[i] AS w1, sl[i+1] AS w2
+        FROM (SELECT cid, string_split(chunk, ' ') AS sl FROM ch) x,
+             unnest(generate_series(1, greatest(len(sl) - 1, 0))) AS g(i)),
+      scored AS (
+        SELECT cid,
+          ((coalesce(b.cb, 0) + 1) * 1000000) // (coalesce(u.cu, 0) + v.vs) AS sc
+        FROM cb LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      agg AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS nb, CAST(sum(sc) AS BIGINT) AS ss
+        FROM scored GROUP BY cid),
+      k AS (
+        SELECT ch.doc_id, ch.chunk_idx, ch.chunk,
+          coalesce(ss // nb, 0) >= 30000 AS keep
+        FROM ch LEFT JOIN agg USING (cid))
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+          FILTER (WHERE keep), '') AS rebuilt
+      FROM k GROUP BY doc_id ORDER BY doc_id""",
 
     "q181_ngram_sketch" -> """
       WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),

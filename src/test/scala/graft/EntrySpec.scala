@@ -50,6 +50,8 @@ class EntrySpec extends SparkSpec {
       "caps", "agg", // q171 packing-efficiency report
       "bt", // q172 bench gram ids
       "nt", // q173 train token total
+      "ch", // q182 chunk table
+      "sig", "lm", // q180 per-source rollup
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
