@@ -658,6 +658,44 @@ class PlanSpec extends SparkSpec {
     assert(countShuffles(p) <= 2, s"bin aggregate + oracle sort only:\n$p")
   }
 
+  test("projected semdedup (q179): pairs only via cell equi-join, no cartesian") {
+    val p = plan("q179_semdedup_projected")
+    val names = collectAll(p).map(_.getClass.getSimpleName)
+    assert(!names.exists(_.contains("CartesianProduct")), s"cartesian:\n$p")
+    // the centroid fold rides broadcasts; the pair join must be a hash or
+    // sort-merge join keyed on the cell
+    assert(names.exists(_.contains("Join")), s"expected the cell join:\n$p")
+  }
+
+  test("source datacard (q180) / calibration inputs stay un-windowed") {
+    val p = plan("q180_source_datacard")
+    assert(!p.toString.contains("Window"), s"no window in the rollup:\n$p")
+  }
+
+  test("ngram sketch (q181): no Expand; sketch and anchor are separate aggregates") {
+    val p = plan("q181_ngram_sketch")
+    assert(!p.toString.contains("Expand"),
+      s"approx+exact in one Aggregate would Expand:\n$p")
+  }
+
+  test("chunk LM filter (q182): model joins broadcast at fixture size") {
+    val p = plan("q182_chunk_lm_filter")
+    assert(!collectAll(p).map(_.getClass.getSimpleName)
+        .exists(_.contains("SortMergeJoin")),
+      s"model lookups must broadcast (guard covers the large case):\n$p")
+  }
+
+  test("shard manifest (q183): two-phase rank — corpus window only by bucket") {
+    val p = plan("q183_shard_manifest")
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.forall(w =>
+        collectAll(w.child).exists(_.toString.contains("HashAggregate"))),
+      s"unpartitioned window must sit above bucket totals only:\n$p")
+  }
+
   test("isotropy (q167): projection pass is narrow — no join, no Expand") {
     // passes 1-2 are separate bounded-collect jobs; the RETURNED plan is
     // the per-row projection fold: scan → project → (oracle sort) only.
