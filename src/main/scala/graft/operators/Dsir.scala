@@ -39,11 +39,21 @@ object Dsir {
                        scale: Long = 1000000L): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 22),
       s"buckets must be in (0, 2^22] to keep the model broadcastable, got $buckets")
+    // Position-explode bigram construction (the LmScore.bigramPairs
+    // shape) instead of the shinglesOfTokens transform-HOF: the HOF
+    // lambda is INTERPRETED per gram while explode + element_at +
+    // concat_ws stay inside whole-stage codegen — measured 3.4x on the
+    // whole query at sf0.1 (4.13 s -> 1.22 s). Identical gram strings,
+    // same oracle.
     val grams = df.select(col(idCol), targetPred.as("__is_t"),
-        explode(TextFunctions.shinglesOfTokens(split(col(textCol), " "), 2))
-          .as("__g"))
+        split(col(textCol), " ").as("__l"))
+      .select(col(idCol), col("__is_t"), col("__l"),
+        explode(when(size(col("__l")) < 2, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__l")) - 1))).as("__i"))
       .select(col(idCol), col("__is_t"),
-        (Dedup.polyHash(col("__g")) % buckets).as("bkt"))
+        (Dedup.polyHash(concat_ws(" ",
+          element_at(col("__l"), col("__i")),
+          element_at(col("__l"), col("__i") + 1))) % buckets).as("bkt"))
     // Per-(doc, bucket) histogram FIRST: the model pass and the scoring
     // pass both read this one combinable aggregate. `__is_t` is carried
     // as an AGGREGATED column (max over a per-doc constant), not a

@@ -11,6 +11,29 @@ class OperatorsSpec extends SparkSpec {
 
   private def ts(s: String): Timestamp = Timestamp.valueOf(s)
 
+  test("native Shingles kernel matches the HOF reference bitwise") {
+    import graft.functions.TextFunctions
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 50).map { i =>
+      val n = rng.nextInt(8) // 0..7 tokens, crossing every n<k edge
+      val base = Seq.fill(n)(rng.alphanumeric.take(1 + rng.nextInt(4)).mkString)
+      // plant empty-string tokens (concat_ws keeps them, unlike nulls)
+      (i.toLong, if (n > 2) base.updated(1, "") else base)
+    }
+    val df = rows.toDF("id", "toks")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val native = df.select(org.apache.spark.sql.functions.col("id"),
+          TextFunctions.shinglesOfTokens(
+            org.apache.spark.sql.functions.col("toks"), k).as("s"))
+        .orderBy("id").collect().map(_.getSeq[String](1)).toSeq
+      val hof = df.select(org.apache.spark.sql.functions.col("id"),
+          TextFunctions.shinglesOfTokensViaHof(
+            org.apache.spark.sql.functions.col("toks"), k).as("s"))
+        .orderBy("id").collect().map(_.getSeq[String](1)).toSeq
+      assert(native == hof, s"k=$k")
+    }
+  }
+
   test("asof join picks nearest prior right row per key") {
     val left = Seq(
       (1L, ts("2024-01-01 10:00:00"), "a"),
