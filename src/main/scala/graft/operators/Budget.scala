@@ -53,4 +53,59 @@ object Budget {
       .select(col(idCol), col("__s").as(scoreCol), col("__c").as(costCol),
         col("cum_cost"))
   }
+
+  /** Water-filling per-domain quota: the UNIFORM cap C such that
+    * Σ min(nᵢ, C) uses up a global token budget — "2T tokens total,
+    * balance the sources": small sources keep everything, large sources
+    * are cut to the same waterline (the max-min-fair allocation;
+    * LLaMA-class data recipes cap per-source contributions exactly this
+    * way, with the cap today usually hand-tuned — this computes it).
+    *
+    * `df` is ALREADY domain-level (one row per domain — a bounded
+    * table, the [[graft.operators.Doremi]] contract), so every window
+    * here runs over k rows, never the corpus. All arithmetic is exact
+    * longs: C = (B - P(uncapped)) div (#capped) at the unique boundary
+    * where C ≥ every uncapped size and C < every capped size; the
+    * integer-division remainder (< #capped) is reported per row rather
+    * than smeared. A budget covering everything yields cap = null,
+    * allocation = nᵢ, remainder = B - Σnᵢ.
+    *
+    * Output: (keyCol, n_tokens, cap, allocated, remainder), one row per
+    * domain.
+    */
+  def waterFillCaps(df: DataFrame, keyCol: String, nCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val ord = Window.orderBy(col("__n").asc, col(keyCol).asc)
+    val ranked = df.select(col(keyCol), col(nCol).cast("long").as("__n"))
+      .withColumn("__i", row_number().over(ord).cast("long"))
+      .withColumn("__p", sum(col("__n"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = ranked.agg(max(col("__i")).as("__k"), max(col("__p")).as("__tot"))
+    // Candidate boundary per row i: rows 1..i-1 uncapped, cap spread
+    // over the k-i+1 remaining. Valid iff cap < n_i (row i really is
+    // capped); the smallest valid i is THE boundary.
+    val cand = ranked.crossJoin(broadcast(tot))
+      .withColumn("__cap",
+        expr(s"(${budget}L - (__p - __n)) div (__k - __i + 1)"))
+    val boundary = cand.filter(col("__cap") < col("__n"))
+      .agg(min(col("__i")).as("__bi"))
+    val capRow = cand.join(broadcast(boundary), col("__i") === col("__bi"),
+        "inner")
+      .select(col("__cap").as("__C"),
+        expr(s"${budget}L - ((__p - __n) + (__k - __i + 1) * __cap)")
+          .as("__rem"))
+    // No boundary (budget >= total): cap null, remainder = B - total.
+    val fallback = tot.select(lit(null).cast("long").as("__C"),
+      (lit(budget) - col("__tot")).as("__rem"))
+    val chosen = capRow.unionAll(
+      fallback.join(broadcast(boundary), col("__bi").isNull, "inner")
+        .select(col("__C"), col("__rem")))
+    ranked.crossJoin(broadcast(chosen))
+      .select(col(keyCol), col("__n").as("n_tokens"),
+        col("__C").as("cap"),
+        when(col("__C").isNull || col("__n") <= col("__C"), col("__n"))
+          .otherwise(col("__C")).as("allocated"),
+        col("__rem").as("remainder"))
+  }
 }

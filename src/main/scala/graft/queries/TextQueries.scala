@@ -764,6 +764,20 @@ object TextQueries extends QueryGroup {
         .orderBy(col("source"))
     },
 
+    "q184_token_waterfill" -> { (s, d) =>
+      // Water-filling source quota: given a global token budget, the
+      // uniform per-source cap (max-min-fair waterline) — small sources
+      // keep everything, big ones are cut to the same level. The cap a
+      // LLaMA-class recipe hand-tunes, computed exactly: all windows run
+      // over the SOURCE-level table (bounded k rows), never the corpus;
+      // the corpus contributes one combinable token-count aggregate.
+      val perSrc = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n"))
+      graft.operators.Budget.waterFillCaps(perSrc, "source", "n",
+          budget = 27000L)
+        .orderBy(col("source"))
+    },
+
     "q183_shard_manifest" -> { (s, d) =>
       // Release/export manifest over q129's deterministic epoch shards —
       // the reproducibility record a 100 TB dataset release ships
@@ -1385,6 +1399,36 @@ object TextQueries extends QueryGroup {
         coalesce(CAST(sum(ss) AS BIGINT)
           // nullif(CAST(sum(tri) AS BIGINT), 0), 0) AS mean_lm_score
       FROM j GROUP BY source ORDER BY source""",
+
+    "q184_token_waterfill" -> """
+      WITH per AS (
+        SELECT source,
+          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n
+        FROM documents GROUP BY source),
+      r AS (
+        SELECT source, n,
+          CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i,
+          CAST(sum(n) OVER (ORDER BY n, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        FROM per),
+      t AS (SELECT CAST(max(i) AS BIGINT) AS k,
+              CAST(max(p) AS BIGINT) AS tot FROM r),
+      cand AS (
+        SELECT r.source, r.n, r.i, r.p, t.k,
+          (27000 - (p - n)) // (k - i + 1) AS cap
+        FROM r CROSS JOIN t),
+      bd AS (SELECT min(i) AS bi FROM cand WHERE cap < n),
+      ch AS (
+        SELECT cap AS c, 27000 - ((p - n) + (k - i + 1) * cap) AS rem
+        FROM cand JOIN bd ON i = bi
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT), 27000 - tot
+        FROM t, bd WHERE bi IS NULL)
+      SELECT source, n AS n_tokens, CAST(c AS BIGINT) AS cap,
+        CAST(CASE WHEN c IS NULL OR n <= c THEN n ELSE c END AS BIGINT)
+          AS allocated,
+        CAST(rem AS BIGINT) AS remainder
+      FROM r CROSS JOIN ch ORDER BY source""",
 
     "q183_shard_manifest" -> s"""
       WITH t AS (
