@@ -276,6 +276,58 @@ object WebQueries extends QueryGroup {
       qualitySignals(Tables.documents(s, d)).orderBy(col("doc_id"))
     },
 
+    "q185_curation_pipeline_v3" -> { (s, d) =>
+      // The round-5 additions chained end-to-end under one oracle, each
+      // stage keeping its standalone scale shape: C4 blocklist gate
+      // (q175, narrow filter) -> chunk-level LM filtering (q182: score
+      // 16-token chunks under the src0 bigram model, drop low-fluency
+      // chunks, doc survives with its kept-token count) -> water-filling
+      // source quota (q184: max-min-fair caps from a global budget over
+      // the SURVIVING corpus) -> deterministic cap application via the
+      // q98/q117 portable hash gate (realized mixture converges to the
+      // cap with no RNG; stable under re-runs and repartitioning).
+      // Corpus-sized data is never globally ordered or windowed; the
+      // quota math runs on the bounded source table.
+      val C = 16
+      val docs = Tables.documents(s, d)
+      val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
+      val clean = docs.filter(
+        !exists(split(col("text"), " "), t => array_contains(bl, t)))
+      val toks = split(col("text"), " ")
+      val chunks = clean.select(col("doc_id"), col("source"),
+          posexplode(transform(
+            sequence(lit(0), ((size(toks) - 1) / C).cast("int")),
+            i => concat_ws(" ", slice(toks, i * C + 1, lit(C)))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select((col("doc_id") * 100L + col("chunk_idx")).as("cid"),
+          col("doc_id"), col("source"), col("chunk"))
+        .localCheckpoint() // two consumers of the narrow subtree (q182)
+      val scored = graft.operators.LmScore.bigramScores(
+        chunks.select(col("cid"), col("chunk").as("text")),
+        docs.filter(col("source") === "src0")
+          .select(col("doc_id").as("cid"), col("text")),
+        "cid", "text")
+      val rebuilt = chunks
+        .join(scored.select(col("cid"), col("avg_score")), "cid")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(sum(when(col("avg_score") >= 30000L,
+          size(split(col("chunk"), " ")).cast("long")).otherwise(0L))
+          .as("n_toks"))
+        .filter(col("n_toks") > 0L)
+      val perSrc = rebuilt.groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("n"))
+      val caps = Budget.waterFillCaps(perSrc, "source", "n", budget = 2000L)
+        .select(col("source"), col("n_tokens").as("src_tokens"),
+          col("allocated"))
+      rebuilt.join(broadcast(caps), "source")
+        .withColumn("keep_ppm",
+          expr("(allocated * 1000000L) div src_tokens"))
+        .filter((col("doc_id") * 1000003L + 17L) % 1000000007L % 1000000L
+          < col("keep_ppm"))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("keep_ppm"))
+        .orderBy(col("doc_id"))
+    },
+
     "q147_curation_pipeline_v2" -> { (s, d) =>
       // The round-5 front-door chain in one oracle-checked query, each
       // stage keeping its standalone scale shape: URL keep-first dedup
@@ -484,6 +536,73 @@ object WebQueries extends QueryGroup {
         CAST(len(blocked_terms) AS BIGINT) AS n_distinct_blocked,
         blocked_terms, n_blocked = 0 AS passes
       FROM g ORDER BY doc_id""",
+
+    "q185_curation_pipeline_v3" -> """
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      b AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS cb
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      u AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM b GROUP BY w1),
+      v AS (
+        SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vs
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      cl AS (
+        SELECT * FROM toks
+        WHERE len(list_filter(l,
+          x -> list_contains(['dup', 'slow', 'forbidden'], x))) = 0),
+      ch AS (
+        SELECT doc_id, source, doc_id * 100 + i AS cid,
+          array_to_string(l[i*16+1 : i*16+16], ' ') AS chunk
+        FROM cl, unnest(generate_series(0, (len(l) - 1) // 16)) AS gi(i)),
+      cb AS (
+        SELECT cid, sl[i] AS w1, sl[i+1] AS w2
+        FROM (SELECT cid, string_split(chunk, ' ') AS sl FROM ch) x,
+             unnest(generate_series(1, greatest(len(sl) - 1, 0))) AS g(i)),
+      scored AS (
+        SELECT cid,
+          ((coalesce(b.cb, 0) + 1) * 1000000) // (coalesce(u.cu, 0) + v.vs) AS sc
+        FROM cb LEFT JOIN b USING (w1, w2) LEFT JOIN u USING (w1) CROSS JOIN v),
+      agg AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS nb, CAST(sum(sc) AS BIGINT) AS ss
+        FROM scored GROUP BY cid),
+      reb AS (
+        SELECT ch.doc_id, ch.source,
+          CAST(sum(CASE WHEN coalesce(ss // nb, 0) >= 30000
+            THEN len(string_split(chunk, ' ')) ELSE 0 END) AS BIGINT) AS n_toks
+        FROM ch LEFT JOIN agg USING (cid)
+        GROUP BY 1, 2),
+      sur AS (SELECT * FROM reb WHERE n_toks > 0),
+      per AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS n
+              FROM sur GROUP BY source),
+      r AS (
+        SELECT source, n,
+          CAST(row_number() OVER (ORDER BY n, source) AS BIGINT) AS i,
+          CAST(sum(n) OVER (ORDER BY n, source
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        FROM per),
+      t AS (SELECT CAST(max(i) AS BIGINT) AS k,
+              CAST(max(p) AS BIGINT) AS tot FROM r),
+      cand AS (
+        SELECT r.source, r.n, r.i, r.p, t.k,
+          (2000 - (p - n)) // (k - i + 1) AS cap
+        FROM r CROSS JOIN t),
+      bd AS (SELECT min(i) AS bi FROM cand WHERE cap < n),
+      wt AS (
+        SELECT cap AS c FROM cand JOIN bd ON i = bi
+        UNION ALL
+        SELECT CAST(NULL AS BIGINT) FROM t, bd WHERE bi IS NULL),
+      caps AS (
+        SELECT source, n AS src_tokens,
+          CAST(CASE WHEN c IS NULL OR n <= c THEN n ELSE c END AS BIGINT)
+            AS allocated
+        FROM r CROSS JOIN wt)
+      SELECT sur.doc_id, sur.source, sur.n_toks,
+        (allocated * 1000000) // src_tokens AS keep_ppm
+      FROM sur JOIN caps USING (source)
+      WHERE (doc_id * 1000003 + 17) % 1000000007 % 1000000
+        < (allocated * 1000000) // src_tokens
+      ORDER BY doc_id""",
 
     "q176_score_calibration" -> s"""
       WITH t AS (
