@@ -696,6 +696,19 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window must sit above bucket totals only:\n$p")
   }
 
+  test("waterfill (q184/q185): unpartitioned windows only above aggregates") {
+    for (q <- Seq("q184_token_waterfill", "q185_curation_pipeline_v3")) {
+      val p = plan(q)
+      val wins = collectAll(p).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+      assert(unpartitioned.forall(w =>
+          collectAll(w.child).exists(_.toString.contains("HashAggregate"))),
+        s"$q: quota windows must run over the bounded domain table only:\n$p")
+    }
+  }
+
   test("isotropy (q167): projection pass is narrow — no join, no Expand") {
     // passes 1-2 are separate bounded-collect jobs; the RETURNED plan is
     // the per-row projection fold: scan → project → (oracle sort) only.
