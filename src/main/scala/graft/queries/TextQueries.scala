@@ -834,7 +834,10 @@ object TextQueries extends QueryGroup {
             sequence(lit(0), ((size(toks) - 1) / C).cast("int")),
             i => concat_ws(" ", slice(toks, i * C + 1, lit(C)))))
             .as(Seq("chunk_idx", "chunk")))
-        .select((col("doc_id") * 100L + col("chunk_idx")).as("cid"),
+        // synthetic chunk id: collision-free for docs under 10^6 chunks
+        // (16M tokens) and ids under ~9.2·10^12 — far past any real
+        // corpus id space; both engines compute it identically
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("cid"),
           col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           col("chunk"))
         .localCheckpoint()
@@ -1465,7 +1468,7 @@ object TextQueries extends QueryGroup {
         FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
       ch AS (
         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
-          doc_id * 100 + i AS cid,
+          doc_id * 1000000 + i AS cid,
           array_to_string(l[i*16+1 : i*16+16], ' ') AS chunk
         FROM toks, unnest(generate_series(0, (len(l) - 1) // 16)) AS gi(i)),
       cb AS (

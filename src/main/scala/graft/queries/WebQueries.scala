@@ -299,7 +299,7 @@ object WebQueries extends QueryGroup {
             sequence(lit(0), ((size(toks) - 1) / C).cast("int")),
             i => concat_ws(" ", slice(toks, i * C + 1, lit(C)))))
             .as(Seq("chunk_idx", "chunk")))
-        .select((col("doc_id") * 100L + col("chunk_idx")).as("cid"),
+        .select((col("doc_id") * 1000000L + col("chunk_idx")).as("cid"),
           col("doc_id"), col("source"), col("chunk"))
         .localCheckpoint() // two consumers of the narrow subtree (q182)
       val scored = graft.operators.LmScore.bigramScores(
@@ -552,7 +552,7 @@ object WebQueries extends QueryGroup {
         WHERE len(list_filter(l,
           x -> list_contains(['dup', 'slow', 'forbidden'], x))) = 0),
       ch AS (
-        SELECT doc_id, source, doc_id * 100 + i AS cid,
+        SELECT doc_id, source, doc_id * 1000000 + i AS cid,
           array_to_string(l[i*16+1 : i*16+16], ' ') AS chunk
         FROM cl, unnest(generate_series(0, (len(l) - 1) // 16)) AS gi(i)),
       cb AS (
