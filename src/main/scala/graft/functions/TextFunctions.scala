@@ -51,6 +51,22 @@ object TextFunctions {
         sequence(lit(1), size(toks) - lit(k - 1)),
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + lit(j))): _*)))
 
+  /** The q140 hashed-feature linear quality score — native one-pass
+    * kernel ([[graft.functions.expressions.HashedFeatureScore]]); the
+    * HOF fold below is the spec-pinned parity reference.
+    */
+  def hashedFeatureScore(text: Column, buckets: Int = 1024): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.HashedFeatureScore(
+      ColumnBridge.expression(text), buckets, graft.operators.Dedup.M))
+  }
+
+  /** HOF formulation of [[hashedFeatureScore]] — parity reference only. */
+  def hashedFeatureScoreViaHof(text: Column, buckets: Int = 1024): Column =
+    aggregate(split(text, " "), lit(0L), (acc, t) =>
+      acc + ((graft.operators.Dedup.polyHash(t) % buckets.toLong)
+        * lit(2654435761L) % 1000L - 500L))
+
   /** Number of whitespace tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

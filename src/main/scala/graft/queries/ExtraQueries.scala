@@ -389,6 +389,32 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q187_cluster_keep_best" -> { (s, d) =>
+      // Quality-aware dedup representative: per near-dup cluster (q71's
+      // closure), keep the HIGHEST-quality document (q140's hashed-
+      // feature score; ties to the lowest id) instead of the blind
+      // lowest-id keep-first — what a production pipeline actually
+      // ships when near-dups differ in cleanliness. Selection is two
+      // map-side-combinable aggregates + a join-back (no window over a
+      // possibly-huge cluster).
+      val docs = Tables.documents(s, d)
+      val clusters = graft.operators.Dedup.nearDupClusters(
+        docs, "doc_id", "text", threshold = 0.4)
+      val scored = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.hashedFeatureScore(col("text"))
+          .as("score"))
+      val cj = clusters.join(scored, "doc_id")
+      val mxs = cj.groupBy(col("cluster_id"))
+        .agg(max(col("score")).as("__mx"), count(lit(1)).as("cluster_size"))
+      cj.join(mxs, "cluster_id")
+        .filter(col("score") === col("__mx"))
+        .groupBy(col("cluster_id"), col("__mx"), col("cluster_size"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), col("__mx").as("score"),
+          col("cluster_size"))
+        .orderBy(col("doc_id"))
+    },
+
     "q99_cluster_split" -> { (s, d) =>
       // Leakage-safe train/eval split: hash the near-dup CLUSTER id, not
       // the document id, so near-duplicates always land in the same split
@@ -496,7 +522,36 @@ object ExtraQueries extends QueryGroup {
       "FROM reach GROUP BY n ORDER BY doc_id")
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** q187: keep the best-scoring doc per cluster (ties to lowest id). */
+  private val KeepBestOracle: String =
+    DedupQueries.minhashSql(ClustersCteBody + s""",
+        cls AS (
+          SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY n),
+        qs AS (
+          SELECT doc_id,
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(text, ' '), tok ->
+                (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(tok, ''),
+                     x -> CAST(unicode(x) AS BIGINT))),
+                   (acc, ch) -> (acc * 31 + ch) % ${graft.operators.Dedup.M}) % 1024)
+                  * 2654435761 % 1000 - 500)),
+              (a, w) -> a + w) AS score
+          FROM documents),
+        cj AS (SELECT c.doc_id, c.cluster_id, q.score
+               FROM cls c JOIN qs q USING (doc_id)),
+        mxs AS (SELECT cluster_id, CAST(max(score) AS BIGINT) AS mx,
+                  CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cj GROUP BY cluster_id)""",
+      """CAST(min(cj.doc_id) AS BIGINT) AS doc_id, cj.cluster_id,
+         mxs.mx AS score, mxs.cluster_size""",
+      """FROM cj JOIN mxs ON mxs.cluster_id = cj.cluster_id AND cj.score = mxs.mx
+         GROUP BY cj.cluster_id, mxs.mx, mxs.cluster_size ORDER BY doc_id""")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val oracle: Map[String, String] = Map(
+    "q187_cluster_keep_best" -> KeepBestOracle,
     "q85_corr_regression" -> """
       WITH s AS (
         SELECT l_returnflag,

@@ -514,9 +514,7 @@ object TextQueries extends QueryGroup {
       // outer) via list_reduce.
       val toks = split(col("text"), " ")
       Tables.documents(s, d).select(col("doc_id"),
-          aggregate(toks, lit(0L), (acc, t) =>
-            acc + ((graft.operators.Dedup.polyHash(t) % 1024L)
-              * lit(2654435761L) % 1000L - 500L)).as("quality_score"),
+          hashedFeatureScore(col("text")).as("quality_score"),
           size(toks).cast("long").as("n_tokens"))
         .withColumn("q_logit",
           col("quality_score").cast("double") / col("n_tokens"))
@@ -568,9 +566,7 @@ object TextQueries extends QueryGroup {
       // decomposition is lossless.
       val toks = split(col("text"), " ")
       val scored = Tables.documents(s, d).select(col("doc_id"),
-        aggregate(toks, lit(0L), (acc, t) =>
-          acc + ((graft.operators.Dedup.polyHash(t) % 1024L)
-            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        hashedFeatureScore(col("text")).as("score"),
         size(toks).cast("long").as("n_tokens"))
       graft.operators.Budget.takeByBudget(scored, "doc_id", "score",
           "n_tokens", budget = 10000L)
@@ -691,6 +687,31 @@ object TextQueries extends QueryGroup {
           capacity = 256L, bucketWidth = 100L)
         .select(col("bin"), col("n_docs"), col("n_starting"), col("n_tokens"))
         .orderBy(col("bin"))
+    },
+
+    "q186_packing_spans" -> { (s, d) =>
+      // The packed batch's ATTENTION-MASK metadata: per bin, the ordered
+      // (doc, start, len) spans — what a trainer needs to build the
+      // block-diagonal mask so packed documents don't attend across
+      // boundaries (the detail q121's fill stats abstract away; every
+      // packing consumer re-derives exactly this table). Same two-phase
+      // cumsum; the span explode is narrow (a doc emits one row per bin
+      // it touches, ≥ 1, bounded by ceil(n/capacity) + 1).
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      Packing.packPositions(docs, "doc_id", "n_toks",
+          capacity = 256L, bucketWidth = 100L)
+        .filter(col("n_tokens") > 0L)
+        .select(col("doc_id"), col("n_tokens"), col("start_off"),
+          explode(sequence(expr("start_off div 256"),
+            expr("(start_off + n_tokens - 1) div 256"))).as("bin"))
+        .select(col("bin"), col("doc_id"),
+          greatest(col("start_off") - col("bin") * 256L, lit(0L))
+            .as("start_in_bin"),
+          (least(col("start_off") + col("n_tokens"), (col("bin") + 1L) * 256L)
+            - greatest(col("start_off"), col("bin") * 256L)).as("len_in_bin"))
+        .orderBy(col("bin"), col("start_in_bin"))
     },
 
     "q122_lm_score" -> { (s, d) =>
@@ -1638,6 +1659,28 @@ object TextQueries extends QueryGroup {
              ELSE 0 END AS BIGINT) AS fill_ppm,
         straddling_docs
       FROM agg ORDER BY capacity""",
+
+    "q186_packing_spans" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      cum AS (
+        SELECT doc_id, n,
+          CAST(sum(n) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS s
+        FROM t),
+      b AS (
+        SELECT doc_id, n, s, s // 256 AS fb, (s + n - 1) // 256 AS lb
+        FROM cum WHERE n > 0),
+      x AS (
+        SELECT doc_id, n, s, fb, lb, unnest(generate_series(fb, lb)) AS bin
+        FROM b)
+      SELECT CAST(bin AS BIGINT) AS bin, doc_id,
+        CAST(greatest(s - bin * 256, 0) AS BIGINT) AS start_in_bin,
+        CAST(least(s + n, (bin + 1) * 256) - greatest(s, bin * 256) AS BIGINT)
+          AS len_in_bin
+      FROM x ORDER BY bin, start_in_bin""",
 
     "q121_seq_pack" -> """
       WITH t AS (

@@ -134,9 +134,7 @@ object WebQueries extends QueryGroup {
     val toks = split(col("text"), " ")
     docs.select(col("doc_id"),
         TextFunctions.gopherStats(col("text"), StopWords).as("g"),
-        aggregate(toks, lit(0L), (acc, t) =>
-          acc + ((Dedup.polyHash(t) % 1024L)
-            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        TextFunctions.hashedFeatureScore(col("text")).as("score"),
         exists(toks, t => array_contains(bl, t)).as("blocked"))
       .select(col("doc_id"),
         col("g.n_words").as("n_tokens"),
@@ -240,9 +238,7 @@ object WebQueries extends QueryGroup {
       // at most 11 bins regardless of corpus size.
       val toks = split(col("text"), " ")
       val base = Tables.documents(s, d).select(col("doc_id"),
-        aggregate(toks, lit(0L), (acc, t) =>
-          acc + ((Dedup.polyHash(t) % 1024L)
-            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        TextFunctions.hashedFeatureScore(col("text")).as("score"),
         size(toks).cast("long").as("n_tokens"),
         TextFunctions.gopherStats(col("text"), StopWords).as("g"))
       val gate = col("g.n_words").between(20L, 400L) &&
@@ -361,11 +357,8 @@ object WebQueries extends QueryGroup {
           (col("char_sum").cast("double") / col("n_words")).between(3.0, 8.0) &&
           col("n_stop") >= 2L &&
           (col("n_types").cast("double") / col("n_words")) >= 0.3)
-      val toks = split(col("cleaned_text"), " ")
       val scored = gated.select(col("doc_id"),
-        aggregate(toks, lit(0L), (acc: Column, t: Column) =>
-          acc + ((Dedup.polyHash(t) % 1024L)
-            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        TextFunctions.hashedFeatureScore(col("cleaned_text")).as("score"),
         col("n_words").as("n_tokens"))
       Budget.takeByBudget(scored, "doc_id", "score", "n_tokens",
           budget = 15000L)
@@ -399,11 +392,8 @@ object WebQueries extends QueryGroup {
           (col("char_sum").cast("double") / col("n_words")).between(3.0, 8.0) &&
           col("n_stop") >= 2L &&
           (col("n_types").cast("double") / col("n_words")) >= 0.3)
-      val toks = split(col("cleaned_text"), " ")
       val scored = gated.select(col("doc_id"),
-        aggregate(toks, lit(0L), (acc: Column, t: Column) =>
-          acc + ((Dedup.polyHash(t) % 1024L)
-            * lit(2654435761L) % 1000L - 500L)).as("score"),
+        TextFunctions.hashedFeatureScore(col("cleaned_text")).as("score"),
         col("n_words").as("n_tokens"))
       val kept = Budget.takeByBudget(scored, "doc_id", "score", "n_tokens",
         budget = 15000L)

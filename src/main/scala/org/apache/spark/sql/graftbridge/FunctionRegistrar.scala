@@ -162,6 +162,19 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_feature_score",
+      {
+        case Seq(s) => graft.functions.expressions.HashedFeatureScore(
+          s, 1024, graft.operators.Dedup.M)
+        case Seq(s, Literal(b: Int, _)) =>
+          graft.functions.expressions.HashedFeatureScore(
+            s, b, graft.operators.Dedup.M)
+        case _ => throw new IllegalArgumentException(
+          "hashed_feature_score(text[, buckets]) takes a string column " +
+            "and an optional int literal bucket count")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sign_project",
       {
         case Seq(v, Literal(o: Int, _), Literal(d: Int, _)) =>

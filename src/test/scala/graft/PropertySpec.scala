@@ -408,4 +408,31 @@ class PropertySpec extends SparkSpec {
     assert(pairs.map(p => (p._1, p._2)).distinct.length == pairs.length,
       "no duplicate pairs")
   }
+
+  test("property: waterFillCaps conserves the budget exactly") {
+    // random domain tables + budgets: sum(allocated) + remainder ==
+    // min(budget, total); allocations never exceed the size; capped
+    // domains all sit at the same waterline
+    val sizes = samples(Gen.listOfN(7, Gen.chooseNum(0L, 500L)), 12)
+    val budgets = samples(Gen.chooseNum(0L, 3000L), 12)
+    sizes.zip(budgets).foreach { case (ns, b) =>
+      val per = ns.zipWithIndex.map { case (n, i) => (s"d$i", n) }
+        .toDF("src", "n")
+      val out = graft.operators.Budget.waterFillCaps(per, "src", "n", b)
+        .collect()
+      val total = ns.sum
+      val allocated = out.map(_.getAs[Long]("allocated")).sum
+      val rem = out.head.getAs[Long]("remainder")
+      assert(allocated + rem == math.min(b, total) ||
+        (b >= total && allocated == total && rem == b - total),
+        s"budget not conserved: ns=$ns b=$b alloc=$allocated rem=$rem")
+      out.foreach { r =>
+        assert(r.getAs[Long]("allocated") <= r.getAs[Long]("n_tokens"))
+        if (!r.isNullAt(r.fieldIndex("cap")))
+          assert(r.getAs[Long]("allocated") <=
+            math.max(r.getAs[Long]("cap"), 0L) ||
+            r.getAs[Long]("n_tokens") <= r.getAs[Long]("cap"))
+      }
+    }
+  }
 }

@@ -6,6 +6,23 @@ import org.apache.spark.sql.functions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("native hashedFeatureScore matches the HOF fold, empty-token edges included") {
+    val rng = new scala.util.Random(23)
+    val texts = Seq("", " ", "a", "a b", "a  b", " a b ", "tab le",
+      "日本 語 text") ++
+      (0 until 40).map(_ => Seq.fill(1 + rng.nextInt(20))(
+        rng.alphanumeric.take(1 + rng.nextInt(6)).mkString).mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val native = df.select(
+        TextFunctions.hashedFeatureScore(col("text")).as("s"))
+      .orderBy(col("s")).collect().map(_.getLong(0)).toSeq
+    val hof = df.select(
+        TextFunctions.hashedFeatureScoreViaHof(col("text")).as("s"))
+      .orderBy(col("s")).collect().map(_.getLong(0)).toSeq
+    assert(native == hof)
+  }
+
   test("langId identifies real sentences by char-ngram profiles") {
     val samples = Seq(
       ("the cat sat on the mat and it is warm", "en"),
