@@ -709,6 +709,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("packing spans (q186): corpus window only by bucket; keep-best (q187) window-free") {
+    val p = plan("q186_packing_spans")
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val unpartitioned = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.forall(w =>
+        collectAll(w.child).exists(_.toString.contains("HashAggregate"))),
+      s"q186: unpartitioned window must sit above bucket totals only:\n$p")
+    val kb = plan("q187_cluster_keep_best")
+    // the representative cut is aggregates + join-back — a window over
+    // cluster_id would buffer a mega-cluster in one task
+    val kbWins = collectAll(kb).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(kbWins.isEmpty, s"q187 must not window:\n$kb")
+  }
+
   test("isotropy (q167): projection pass is narrow — no join, no Expand") {
     // passes 1-2 are separate bounded-collect jobs; the RETURNED plan is
     // the per-row projection fold: scan → project → (oracle sort) only.
