@@ -77,7 +77,11 @@ object Budget {
                     budget: Long): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
     val ord = Window.orderBy(col("__n").asc, col(keyCol).asc)
+    // null-sized domains are dropped up front: they could never receive
+    // an allocation and a null inside the prefix sums would poison the
+    // waterline arithmetic (NullSafetySpec pins the behavior)
     val ranked = df.select(col(keyCol), col(nCol).cast("long").as("__n"))
+      .filter(col("__n").isNotNull)
       .withColumn("__i", row_number().over(ord).cast("long"))
       .withColumn("__p", sum(col("__n"))
         .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

@@ -61,6 +61,16 @@ class NullSafetySpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L))
   }
 
+  test("waterFillCaps: null-sized domains are dropped, waterline unpoisoned") {
+    val per = Seq(("a", Some(5L)), ("b", None), ("c", Some(100L)))
+      .toDF("src", "n")
+    val out = Budget.waterFillCaps(per, "src", "n", budget = 30L)
+      .orderBy("src").collect()
+    // b contributes nothing; [5, 100] at B=30 -> cap (30-5)/1 = 25
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "c"))
+    assert(out.map(_.getAs[Long]("allocated")).toSeq == Seq(5L, 25L))
+  }
+
   test("cdcChunks: null text drops the document, others unaffected") {
     val out = Dedup.cdcChunks(docs, "doc_id", "text", w = 3, divisor = 4L)
       .collect()
