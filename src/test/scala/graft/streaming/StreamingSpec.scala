@@ -1173,6 +1173,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming image near-dup: cross-batch pairs match the batch LSH join") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { imageStreamBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def imageStreamBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    import graft.functions.MediaCodecs
+    def img(base: Int, noise: Int) = Array.tabulate(64)(i =>
+      if (i == 0) noise else if (i % 2 == 0) 220 else 30 + base)
+    val b1 = Seq(
+      (0L, MediaCodecs.encodeBmpGray8(img(0, 250))),
+      (2L, MediaCodecs.encodeBmpGray8(Array.tabulate(64)(i =>
+        if (i % 2 == 0) 30 else 220))), // inverted: far from 0/1
+      (3L, "notabmp".getBytes("US-ASCII"))) // null hash must drop out
+    val b2 = Seq(
+      (1L, MediaCodecs.encodeBmpGray8(img(0, 240)))) // near-dup of 0, cross-batch
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = ImageDedupStream.pairs(
+        input.toDF().toDF("media_id", "payload"), "media_id", "payload",
+        maxHamming = 4)
+      .toDF("id_a", "id_b", "hamming")
+      .writeStream.format("memory").queryName("img_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("img_stream")
+        .as[(Long, Long, Long)].collect().toSet // dedup shared-band repeats
+      val batch = graft.operators.Multimodal.imageNearDupPairs(
+          (b1 ++ b2).toDF("media_id", "payload"), "media_id", "payload",
+          maxHamming = 4)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got vs batch $batch")
+      assert(got.map(p => (p._1, p._2)) === Set((0L, 1L)))
+    } finally q.stop()
+  }
+
   private def heavyHittersGuaranteeBody(): Unit = {
     implicit val sc = spark.sqlContext
     // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
