@@ -80,4 +80,52 @@ object Dsir {
       .withColumn("imp_per_gram",
         col("imp_score").cast("double") / col("n_grams"))
   }
+
+  /** The (bkt, contrib) bucket-model table alone — fit once on a
+    * reference corpus + target slice, then score ARRIVING documents
+    * against the frozen model with [[scoreAgainst]] (the recurring-
+    * ingest shape: refitting on every batch would let the batch shift
+    * its own ratios). Bounded at `buckets` rows by construction.
+    */
+  def fitModel(df: DataFrame, idCol: String, textCol: String,
+               targetPred: Column, buckets: Int = 4096,
+               scale: Long = 1000000L): DataFrame =
+    gramBuckets(df.select(col(idCol), col(textCol),
+        targetPred.as("__is_t0")), idCol, textCol, buckets)
+      .groupBy(col("bkt")).agg(
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("tcnt"),
+        sum(when(!col("__is_t"), 1L).otherwise(0L)).as("rcnt"))
+      .select(col("bkt"),
+        expr(s"($scale * (tcnt + 1)) div (rcnt + 1)").as("contrib"))
+
+  /** Score `docs` against a FROZEN model from [[fitModel]]. Per-row
+    * narrow gram explode + broadcast model join + per-doc aggregate —
+    * stateless given the model, so foreachBatch on a stream scores each
+    * micro-batch exactly like the batch op (StreamingSpec parity).
+    */
+  def scoreAgainst(model: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String, buckets: Int = 4096,
+                   scale: Long = 1000000L): DataFrame =
+    gramBuckets(docs.select(col(idCol), col(textCol),
+        lit(false).as("__is_t0")), idCol, textCol, buckets)
+      .join(broadcast(model), Seq("bkt"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        // a bucket the model never saw smooths to (scale·1) div 1 —
+        // the fit formula's own add-1 value at tcnt = rcnt = 0
+        sum(coalesce(col("contrib"), lit(scale))).as("imp_score"))
+      .withColumn("imp_per_gram",
+        col("imp_score").cast("double") / col("n_grams"))
+
+  /** Shared narrow bigram-bucket explode (codegen position form). */
+  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame =
+    df.select(col(idCol), col("__is_t0"), split(col(textCol), " ").as("__l"))
+      .select(col(idCol), col("__is_t0"), col("__l"),
+        explode(when(size(col("__l")) < 2, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("__l")) - 1))).as("__i"))
+      .select(col(idCol), col("__is_t0").as("__is_t"),
+        (Dedup.polyHash(concat_ws(" ",
+          element_at(col("__l"), col("__i")),
+          element_at(col("__l"), col("__i") + 1))) % buckets).as("bkt"))
 }

@@ -36,4 +36,30 @@ class DsirSpec extends SparkSpec {
     assert(row.getLong(1) == 3L)
     assert(row.getLong(2) == 2L * 666666L + 500000L)
   }
+
+  test("fitModel + scoreAgainst reproduces the fused op exactly") {
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha beta"),
+      (1L, "alpha beta alpha beta"),
+      (2L, "gamma delta gamma delta"),
+      (3L, "alpha gamma beta delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val pred = col("doc_id") === 0L
+    val fused = Dsir.importanceScores(docs, "doc_id", "text", pred)
+      .orderBy("doc_id").collect().toSeq
+    val model = Dsir.fitModel(docs, "doc_id", "text", pred)
+    val split = Dsir.scoreAgainst(model, docs.filter(!pred), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(split == fused)
+  }
+
+  test("scoreAgainst: model-unseen buckets smooth to the add-1 value") {
+    // model fit on a/b only; "zz yy" grams hit no model bucket -> each
+    // gram contributes scale = 1e6
+    val hist = Seq((0L, "a b"), (1L, "a b")).toDF("doc_id", "text")
+    val model = Dsir.fitModel(hist, "doc_id", "text", col("doc_id") === 0L)
+    val fresh = Seq((10L, "zz yy xx")).toDF("doc_id", "text")
+    val row = Dsir.scoreAgainst(model, fresh, "doc_id", "text").collect()(0)
+    assert(row.getLong(1) == 2L && row.getLong(2) == 2000000L)
+  }
 }

@@ -800,6 +800,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DSIR scoring: frozen model in foreachBatch, batch == stream") {
+    implicit val sc = spark.sqlContext
+    // model fit ONCE on history (the recurring-ingest contract —
+    // refitting per micro-batch would let a batch shift its own ratios)
+    val hist = Seq(
+      (100L, "alpha beta alpha beta"), // target
+      (101L, "gamma delta gamma")).toDF("doc_id", "text")
+    val model = graft.operators.Dsir
+      .fitModel(hist, "doc_id", "text", col("doc_id") === 100L)
+      .localCheckpoint()
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "zz yy"), (2L, "gamma delta"))
+    val input = MemoryStream[(Long, String)]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        results ++= graft.operators.Dsir
+          .scoreAgainst(model, batch, "doc_id", "text")
+          .collect()
+          .map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+            r.getAs[Long]("imp_score")))
+        ()
+      }.start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2))
+      q.processAllAvailable()
+      val batchRun = graft.operators.Dsir
+        .scoreAgainst(model, docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("n_grams"),
+          r.getAs[Long]("imp_score"))).toSet
+      assert(results.toSet == batchRun, s"stream ${results.toSet} vs batch $batchRun")
+      assert(results.size == 3)
+    } finally q.stop()
+  }
+
   test("streaming BM25: queries stream against the static corpus, batch == stream") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(
