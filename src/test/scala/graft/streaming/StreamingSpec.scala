@@ -837,6 +837,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("composed ingest gate: stateless filters feed the near-dup state in ONE query") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { composedGateBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def composedGateBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // the streaming q185 shape: blocklist (narrow filter) composes
+    // UPSTREAM of the stateful near-dup op inside one streaming query —
+    // a blocked near-duplicate must never reach (or pollute) the
+    // LSH state store
+    val nearDupA = "alpha beta gamma delta epsilon zeta eta theta"
+    val nearDupB = "alpha beta gamma delta epsilon zeta eta iota"
+    val blockedC = "alpha beta gamma delta epsilon zeta eta theta slow"
+    val docs = Seq((0L, nearDupA), (1L, blockedC), (2L, nearDupB))
+    val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
+    val input = MemoryStream[(Long, String)]
+    val gated = input.toDF().toDF("doc_id", "text")
+      .filter(!exists(split(col("text"), " "), t => array_contains(bl, t)))
+    val q = NearDupStream.candidates(gated, "doc_id", "text")
+      .toDF("id_a", "id_b", "band", "est")
+      .writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(docs(0), docs(1))
+      q.processAllAvailable()
+      input.addData(docs(2))
+      q.processAllAvailable()
+      val pairs = spark.table("gate_stream")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // 0 and 2 pair across batches; the blocked doc 1 (a near-dup of 0
+      // but carrying "slow") appears in NO pair — it never entered state
+      assert(pairs == Set((0L, 2L)), s"got $pairs")
+    } finally q.stop()
+  }
+
   test("streaming BM25: queries stream against the static corpus, batch == stream") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(
