@@ -330,4 +330,44 @@ object Clustering {
     fAss.join(losers, Seq(idCol), "left_anti")
       .select(col(idCol), col("cell"))
   }
+
+  /** SEMANTIC benchmark decontamination — the embedding-space
+    * counterpart of the n-gram gate (`Dedup.contaminationStats`) and the
+    * span gate (`Dedup.crossCorpusSpans`): flag corpus rows whose
+    * embedding is near-duplicate (cosine >= `threshold`) to ANY held-out
+    * benchmark vector — paraphrased eval leakage that shares no n-grams.
+    *
+    * Scale shape: k-means cells are fit on the BENCH side (bounded —
+    * eval sets are thousands of rows, so the fit is cheap and the
+    * centroid table broadcasts); both sides get the narrow broadcast-fold
+    * assignment, and the compare join is bench-side-broadcast keyed on
+    * the cell — the corpus never shuffles, and each corpus row is
+    * compared only against the bench vectors of ITS cell (the IVF
+    * approximation contract of [[semanticDedup]]: a cross-cell near-miss
+    * is the documented recall trade, never a false positive). The
+    * per-row hit count is a map-side-combinable aggregate.
+    *
+    * Output: one row per corpus row — (idCol, n_bench_hits,
+    * contaminated).
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            k: Int, iters: Int = 2, scale: Long = 1000L,
+                            threshold: Double = 0.3): DataFrame = {
+    val cents = kmeansCentroids(bench, idCol, vecCol, k, iters, scale)
+    val bSide = bench.join(assignCells(bench, cents, idCol, vecCol, scale), idCol)
+      .select(col("cell"), col(vecCol).as("__bv"))
+    val cAss = corpus.join(assignCells(corpus, cents, idCol, vecCol, scale), idCol)
+      .select(col(idCol), col("cell"), col(vecCol))
+    val hits = cAss
+      .join(broadcast(bSide), "cell")
+      .filter(graft.functions.VectorFunctions.cosine(col(vecCol), col("__bv"))
+        >= threshold)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bench_hits"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        (coalesce(col("n_bench_hits"), lit(0L)) > 0L).as("contaminated"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling without replacement — the "pick k
+  * representative documents per source, preferring the heavy ones" step
+  * of a corpus audit or a scaling-law pilot run. Inspired by the
+  * weighted-reservoir priority scheme of Efraimidis & Spirakis 2006
+  * (Inf. Process. Lett. 97(5), "Weighted random sampling with a
+  * reservoir"): every row gets a priority from a uniform hash and its
+  * weight, and the sample is the k smallest priorities per group.
+  *
+  * The textbook scheme uses u^(1/w) — a transcendental float whose
+  * cross-engine last-bit differences would flip selections near ties, so
+  * this uses the RATIONAL priority `h div w` (h = the house portable
+  * affine hash, uniform on [0, P)): exactly replayable in any engine,
+  * re-run/repartition stable, monotone in w (heavier rows draw smaller
+  * priorities on average — approximately weight-proportional, a
+  * documented deviation from the exact E-S inclusion probabilities,
+  * which are not expressible in portable integer arithmetic).
+  *
+  * Scale shape: the priority is narrow per-row arithmetic; the per-group
+  * cut is the k-bounded heap ([[TopK.perGroupAgg]]), which ships at most
+  * k (priority, id) pairs per group per map partition — a mega-group
+  * collapses map-side instead of buffering in one window task. The
+  * weight join-back touches only the broadcast k·|groups|-row sample.
+  * Priorities stay below P < 2^30, so the heap's double ordering is
+  * exact.
+  */
+object Sampling {
+
+  /** k rows per group, smallest priority first; priority =
+    * ((id·1000003 + 17) mod 1e9+7) div max(w, 1), ties broken by id.
+    * `idCol` must be integral and unique across the whole frame (it
+    * addresses rows); null ids/weights are excluded up front (they
+    * cannot be addressed deterministically). Weights are clamped to
+    * >= 1 so zero/negative weights behave like weight 1 instead of
+    * dividing by zero.
+    *
+    * Output: groupCols ++ (rn [1..k], idCol, weight, priority).
+    */
+  def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val pri = ((col(idCol).cast("long") * 1000003L + 17L) % 1000000007L)
+      .divide(greatest(col(weightCol).cast("long"), lit(1L))).cast("long")
+    val base = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull)
+      .select((groupCols.map(col) :+ col(idCol).cast("long").as("__id") :+
+        col(weightCol).cast("long").as("__w") :+ pri.as("__p")): _*)
+    // BoundedTopKAgg orders (value DESC, id ASC); negate the priority so
+    // "largest value" = "smallest priority".
+    val top = TopK
+      .perGroupAgg(base, groupCols, -col("__p"), col("__id"), k)
+      .select((groupCols.map(col) :+ col("rn").cast("long").as("rn") :+
+        col("id").as("__id") :+ (-col("value")).cast("long").as("priority")): _*)
+    base.select(col("__id"), col("__w"))
+      .join(broadcast(top), Seq("__id"))
+      .select((groupCols.map(col) :+ col("rn") :+ col("__id").as(idCol) :+
+        col("__w").as("weight") :+ col("priority")): _*)
+  }
+}

@@ -224,6 +224,23 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q188_semantic_decontamination" -> { (s, d) =>
+      // SEMANTIC benchmark decontamination — the embedding-space member
+      // of the decontamination family (q116 n-grams, q172 spans): flag
+      // corpus vectors cosine-near ANY held-out bench vector (every 10th
+      // id, q130's convention) — paraphrased eval leakage that shares no
+      // n-grams. Cells are fit on the BOUNDED bench side, both sides get
+      // the narrow assignment, and the compare join broadcasts the bench
+      // — the corpus never shuffles; per-row hit counts are combinable.
+      val emb = Tables.embeddings(s, d)
+      Clustering.semanticContamination(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 8, iters = 2, scale = 1000L,
+          threshold = 0.3)
+        .orderBy(col("vec_id"))
+    },
+
     "q150_knn_graph" -> { (s, d) =>
       // Cell-bounded kNN graph over the corpus embeddings (q123's exact
       // k-means fixture): 3 nearest in-cell neighbors by cosine per
@@ -412,6 +429,24 @@ object SimilarityQueries extends QueryGroup {
              * sqrt(list_dot_product(ib.rv, ib.rv))) >= 0.3)
       SELECT id AS vec_id, cell FROM f
       WHERE id NOT IN (SELECT id_b FROM losers)
+      ORDER BY vec_id""",
+
+    "q188_semantic_decontamination" -> s"""${kmeansCte("id % 10 = 0")},
+      bch AS (SELECT id, cell FROM i2 WHERE id % 10 = 0),
+      cor AS (SELECT id, cell FROM i2 WHERE id % 10 <> 0),
+      hits AS (
+        SELECT cor.id AS id, CAST(count(*) AS BIGINT) AS nh
+        FROM cor JOIN bch USING (cell)
+        JOIN v vc ON vc.id = cor.id
+        JOIN v vb ON vb.id = bch.id
+        WHERE list_dot_product(vc.rv, vb.rv)
+          / (sqrt(list_dot_product(vc.rv, vc.rv))
+             * sqrt(list_dot_product(vb.rv, vb.rv))) >= 0.3
+        GROUP BY cor.id)
+      SELECT cor.id AS vec_id,
+        CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_bench_hits,
+        coalesce(hits.nh, 0) > 0 AS contaminated
+      FROM cor LEFT JOIN hits ON cor.id = hits.id
       ORDER BY vec_id""",
 
     "q123_kmeans" -> s"""$KmeansCte

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LmScore, Packing, Percentiles, Retrieval, Vocab}
+import graft.operators.{Dedup, LmScore, Packing, Percentiles, RankFusion, Retrieval, Sampling, Vocab}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -714,6 +714,68 @@ object TextQueries extends QueryGroup {
         .orderBy(col("bin"), col("start_in_bin"))
     },
 
+    "q189_weighted_sample" -> { (s, d) =>
+      // Deterministic weighted sampling per source (the E-S reservoir
+      // scheme with the portable RATIONAL priority h div w): 5 docs per
+      // source, weighted by token count — the audit/pilot sample that is
+      // re-run and repartition stable. The per-group cut is the
+      // k-bounded heap, so a mega-source collapses map-side; the weight
+      // join-back touches only the broadcast sample.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      Sampling.weightedSample(docs, Seq("source"), "doc_id", "n_toks", k = 5)
+        .orderBy(col("source"), col("rn"))
+    },
+
+    "q190_pack_whole_docs" -> { (s, d) =>
+      // Document-preserving packing (no doc ever splits across bins —
+      // the SFT/instruction-tuning packing mode): harmonic size classes,
+      // k docs per bin in class k, cumsum chunking for the small-doc
+      // tail. Every bin total <= 64 by construction; assignment is pure
+      // parallel arithmetic (two-phase per class), unlike the inherently
+      // sequential first-fit-decreasing heuristic it approximates.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      Packing.packWhole(docs, "doc_id", "n_toks", capacity = 64L, m = 4,
+          bucketWidth = 100L)
+        .orderBy(col("doc_id"))
+    },
+
+    "q191_borda_fusion" -> { (s, d) =>
+      // Rank-fusion quality ensembling (Borda): the hashed-feature
+      // classifier score (q140) and the backoff-LM integer score sum
+      // (q173) fused by summing GLOBAL ranks — scale-free, outlier
+      // robust. Each global rank is the two-phase bucket cumsum (only
+      // bucket totals cross one partition), never a global-order window.
+      val docs = Tables.documents(s, d)
+      val lm = LmScore.stupidBackoffScores(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("score_sum"))
+      val scored = docs
+        .select(col("doc_id"),
+          hashedFeatureScore(col("text")).as("feat_score"))
+        .join(lm, "doc_id")
+      RankFusion.borda(scored, "doc_id", Seq("feat_score", "score_sum"),
+          bucketWidth = 1000L)
+        .orderBy(col("doc_id"))
+    },
+
+    "q192_padding_report" -> { (s, d) =>
+      // Length-bucketed batching padding report (the inference/SFT
+      // serving mode where docs pad to a power-of-two bucket length):
+      // per bucket, doc/token/batch counts and padding overhead ppm.
+      // Exact integer next-pow2 (shiftleft by binary-string length — a
+      // float ceil(log2) misbuckets exact powers on last-bit error);
+      // one narrow pass into a <= ~40-row aggregate.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      Packing.paddingReport(docs, "n_toks", batchSize = 8L)
+        .orderBy(col("bucket_len"))
+    },
+
     "q122_lm_score" -> { (s, d) =>
       // Bigram LM scoring (the CCNet/KenLM perplexity-filter analogue):
       // train on the held-in src0 slice, score every document with
@@ -1423,6 +1485,131 @@ object TextQueries extends QueryGroup {
         coalesce(CAST(sum(ss) AS BIGINT)
           // nullif(CAST(sum(tri) AS BIGINT), 0), 0) AS mean_lm_score
       FROM j GROUP BY source ORDER BY source""",
+
+    "q189_weighted_sample" -> """
+      WITH t AS (
+        SELECT doc_id, source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        FROM documents),
+      p AS (
+        SELECT doc_id, source, w,
+          ((doc_id * 1000003 + 17) % 1000000007) // greatest(w, 1) AS pri
+        FROM t),
+      r AS (
+        SELECT source, doc_id, w, pri,
+          row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rn
+        FROM p)
+      SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, w AS weight,
+        CAST(pri AS BIGINT) AS priority
+      FROM r WHERE rn <= 5 ORDER BY source, rn""",
+
+    "q190_pack_whole_docs" -> """
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      c AS (
+        SELECT doc_id, n,
+          CASE WHEN n > 64 THEN 0 WHEN n <= 0 THEN 4
+               ELSE least(64 // n, 4) END AS sc
+        FROM t),
+      w AS (
+        SELECT doc_id, n, sc,
+          CASE WHEN sc = 4 THEN greatest(n, 0) ELSE 1 END AS w
+        FROM c),
+      cm AS (
+        SELECT doc_id, n, sc, w,
+          sum(w) OVER (PARTITION BY sc ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM w)
+      SELECT doc_id, n AS n_tokens, CAST(sc AS BIGINT) AS size_class,
+        CAST(CASE WHEN sc = 0 THEN cum - 1
+                  WHEN sc = 4 THEN (cum - w) // 48
+                  ELSE (cum - 1) // sc END AS BIGINT) AS bin
+      FROM cm ORDER BY doc_id""",
+
+    "q191_borda_fusion" -> s"""
+      WITH ft AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      fs AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS qs
+        FROM ft),
+      toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      t3 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3,
+          CAST(count(*) AS BIGINT) AS c3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2, 3),
+      t2 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      t1 AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t
+        GROUP BY tok),
+      nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN t3.c3 IS NOT NULL THEN (t3.c3 * 1000000) // ctx.c2
+               WHEN b.c2 IS NOT NULL THEN (4 * b.c2 * 1000000) // (10 * mu.c1)
+               WHEN lu.c1 IS NOT NULL THEN (16 * lu.c1 * 1000000) // (100 * nt.nn)
+               ELSE 0 END AS sc
+        FROM c
+        LEFT JOIN t3 USING (w1, w2, w3)
+        LEFT JOIN t2 ctx ON ctx.w1 = c.w1 AND ctx.w2 = c.w2
+        LEFT JOIN t2 b ON b.w1 = c.w2 AND b.w2 = c.w3
+        LEFT JOIN t1 mu ON mu.tok = c.w2
+        LEFT JOIN t1 lu ON lu.tok = c.w3
+        CROSS JOIN nt),
+      lm AS (
+        SELECT doc_id, CAST(sum(sc) AS BIGINT) AS ss
+        FROM scored GROUP BY doc_id),
+      j AS (
+        SELECT fs.doc_id, fs.qs, coalesce(lm.ss, 0) AS ss
+        FROM fs LEFT JOIN lm ON fs.doc_id = lm.doc_id),
+      r AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY qs DESC, doc_id) AS rf,
+          row_number() OVER (ORDER BY ss DESC, doc_id) AS rl
+        FROM j),
+      bo AS (SELECT doc_id, rf, rl, rf + rl AS borda FROM r)
+      SELECT doc_id, CAST(rf AS BIGINT) AS rank_feat_score,
+        CAST(rl AS BIGINT) AS rank_score_sum,
+        CAST(borda AS BIGINT) AS borda,
+        CAST(row_number() OVER (ORDER BY borda, doc_id) AS BIGINT)
+          AS fused_rank
+      FROM bo ORDER BY doc_id""",
+
+    "q192_padding_report" -> """
+      WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      b AS (
+        SELECT CASE WHEN n <= 1 THEN 1
+                    ELSE 1 << length(bin(n - 1)) END AS bl, n
+        FROM t),
+      g AS (
+        SELECT bl, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM b GROUP BY 1)
+      SELECT CAST(bl AS BIGINT) AS bucket_len, n_docs, n_tokens,
+        CAST((n_docs + 7) // 8 AS BIGINT) AS n_batches,
+        CAST(((n_docs * bl - n_tokens) * 1000000) // (n_docs * bl) AS BIGINT)
+          AS pad_ppm
+      FROM g ORDER BY bucket_len""",
 
     "q184_token_waterfill" -> """
       WITH per AS (

@@ -737,4 +737,62 @@ class PlanSpec extends SparkSpec {
     assert(!s.contains("Expand"), s"no Expand:\n$s")
     assert(countShuffles(p) <= 1, s"only the oracle sort exchanges:\n$s")
   }
+
+  test("semantic decontamination (q188): broadcast folds + bench-broadcast compare, no window") {
+    val p = plan("q188_semantic_decontamination")
+    val s = p.toString
+    // centroid-array assignment folds ride broadcast NLJs; the in-cell
+    // compare join broadcasts the BOUNDED bench side — the corpus never
+    // shuffles for either
+    val bnlj = collectAll(p)
+      .count(_.getClass.getSimpleName == "BroadcastNestedLoopJoinExec")
+    assert(bnlj >= 1, s"centroid folds must broadcast:\n$p")
+    assert(countBroadcasts(p) >= 2, s"bench side must broadcast:\n$p")
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    // the only window is the k-row centroid seeding (above a Limit);
+    // hit counting must aggregate, never window over corpus rows
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.forall(w => collectAll(w.child).exists(c =>
+        c.getClass.getSimpleName.contains("Limit") ||
+          c.getClass.getSimpleName.contains("TakeOrdered"))),
+      s"only the bounded seed window may appear:\n$p")
+  }
+
+  test("weighted sample (q189): k-bounded heap cut, no window, sample join-back broadcast") {
+    val p = plan("q189_weighted_sample")
+    val s = p.toString
+    assert(s.contains("topk_agg"), s"bounded heap aggregate missing:\n$s")
+    assert(!collectAll(p).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"the per-group cut must be the heap, not a window:\n$p")
+    assert(countBroadcasts(p) >= 1, s"sample join-back must broadcast:\n$p")
+  }
+
+  test("whole-doc packing (q190) + borda (q191): unpartitioned windows over totals only") {
+    for (q <- Seq("q190_pack_whole_docs", "q191_borda_fusion")) {
+      val p = plan(q)
+      val wins = collectAll(p).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$q: two-phase prefix expected:\n$p")
+      // any window without a partition key (q191's bucket prefix; q190's
+      // is class-partitioned) must run over aggregated TOTALS only
+      assert(wins.filter(_.partitionSpec.isEmpty).forall(w =>
+          collectAll(w.child).exists(_.toString.contains("HashAggregate"))),
+        s"$q: unpartitioned windows must sit above bucket TOTALS only:\n$p")
+      assert(countBroadcasts(p) >= 1, s"$q: prefixes must broadcast:\n$p")
+    }
+  }
+
+  test("padding report (q192): one narrow pass — no join, no window, bounded agg") {
+    val p = plan("q192_padding_report")
+    assert(!collectAll(p).map(_.getClass.getSimpleName)
+        .exists(_.contains("Join")), s"no join:\n$p")
+    assert(!collectAll(p).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"no window:\n$p")
+    assert(countShuffles(p) <= 2, s"agg + oracle sort only:\n$p")
+  }
 }

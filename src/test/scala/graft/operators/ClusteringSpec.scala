@@ -211,4 +211,40 @@ class ClusteringSpec extends SparkSpec {
     // far cell: all label 2, nobody disagrees, nobody flagged
     assert(Seq(1L, 4L, 5L).forall(i => d(i) === ((0L, false))))
   }
+
+  test("semanticContamination flags corpus rows near a bench vector") {
+    // bench: two anchors in separate blobs; corpus: a near-copy of each
+    // anchor, plus an orthogonal row nothing in the bench resembles
+    val bench = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f)), (101L, Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val corpus = Seq(
+      (0L, Seq(0.99f, 0.01f, 0.0f)),  // ~anchor 100
+      (1L, Seq(0.01f, 0.98f, 0.0f)),  // ~anchor 101
+      (2L, Seq(0.0f, 0.0f, 1.0f)))    // orthogonal to both
+      .toDF("id", "vec")
+    val got = Clustering.semanticContamination(corpus, bench, "id", "vec",
+        k = 2, iters = 2, threshold = 0.8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_bench_hits"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(got(0L) === ((1L, true)))
+    assert(got(1L) === ((1L, true)))
+    assert(got(2L) === ((0L, false)))
+    assert(got.size == 3) // every corpus row gets a verdict
+  }
+
+  test("semanticContamination: corpus in an empty bench cell gets 0 hits") {
+    // one bench point -> every corpus row assigns to its single cell,
+    // but with k=2 the dead seed cell can also appear; either way rows
+    // below threshold report 0 hits rather than dropping out
+    val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val corpus = Seq((0L, Seq(-1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)))
+      .toDF("id", "vec")
+    val got = Clustering.semanticContamination(corpus, bench, "id", "vec",
+        k = 2, iters = 2, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("n_bench_hits")).toMap
+    assert(got(0L) == 0L && got(1L) == 1L)
+  }
 }

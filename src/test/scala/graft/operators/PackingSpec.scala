@@ -93,4 +93,86 @@ class PackingSpec extends SparkSpec {
     assert(r(0) === ((8L, 3L, 20L, 3L, 1000000L * 20 / 24, 2L)))
     assert(r(1) === ((16L, 3L, 20L, 2L, 1000000L * 20 / 32, 1L)))
   }
+
+  test("packWhole: no bin exceeds capacity; class-k bins hold <= k docs") {
+    import spark.implicits._
+    // capacity 64, m 4: class 0 n>64, class 1 (32,64], class 2 [22,32],
+    // class 3 [17,21], class 4 tail n<=16 (threshold T = 48)
+    val docs = (0L until 60L).map(i => (i, (i * 13L) % 90L + 1L))
+      .toDF("doc_id", "n")
+    val got = Packing.packWhole(docs, "doc_id", "n", capacity = 64L, m = 4,
+        bucketWidth = 7L).collect()
+    val byBin = got.groupBy(r =>
+      (r.getAs[Long]("size_class"), r.getAs[Long]("bin")))
+    byBin.foreach { case ((sc, bin), rows) =>
+      if (sc > 0) { // oversize bins legitimately exceed capacity (flagged)
+        val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+        assert(tot <= 64L, s"bin ($sc, $bin) overflows: $tot")
+      }
+      if (sc >= 1 && sc < 4)
+        assert(rows.length <= sc, s"class-$sc bin $bin has ${rows.length} docs")
+      if (sc == 0) assert(rows.length == 1, "oversize docs pack alone")
+    }
+    // every doc appears exactly once
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == (0L until 60L).toSet)
+    // classing is correct
+    got.foreach { r =>
+      val (n, sc) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("size_class"))
+      val expected = if (n > 64) 0L else math.min(64L / n, 4L)
+      assert(sc == expected, s"n=$n sc=$sc")
+    }
+  }
+
+  test("packWhole: full rank-class bins are > k/(k+1) full; tail bins chunk at T") {
+    import spark.implicits._
+    // all class-2 docs (n in [22, 32]): bins of exactly 2, fill > 2/3*64
+    val c2 = (0L until 9L).map(i => (i, 22L + i)).toDF("doc_id", "n")
+    val got2 = Packing.packWhole(c2, "doc_id", "n", 64L, m = 4, bucketWidth = 4L)
+      .collect()
+    val bins2 = got2.groupBy(_.getAs[Long]("bin")).view
+      .mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    // 9 docs -> bins 0..3 of 2 docs + bin 4 with the leftover
+    assert(bins2.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    bins2.filter(_._1 < 4L).values.foreach(t => assert(t > 64L * 2 / 3))
+    // tail docs chunk on running offset div T (T = 48): 10 docs of 12
+    // tokens -> starts 0,12,... bin = start div 48 -> 4 docs per bin
+    val tail = (0L until 10L).map(i => (i, 12L)).toDF("doc_id", "n")
+    val gotT = Packing.packWhole(tail, "doc_id", "n", 64L, m = 4, bucketWidth = 3L)
+      .orderBy($"doc_id").collect()
+    assert(gotT.map(_.getAs[Long]("bin")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 1L, 1L, 1L, 1L, 2L, 2L))
+    val binTotals = gotT.groupBy(_.getAs[Long]("bin")).view
+      .mapValues(_.map(_.getAs[Long]("n_tokens")).sum)
+    binTotals.values.foreach(t => assert(t <= 64L))
+  }
+
+  test("packWhole: bucketWidth is a pure decomposition knob") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, (i * 31L) % 80L)).toDF("doc_id", "n")
+    val a = Packing.packWhole(docs, "doc_id", "n", 64L, m = 4, bucketWidth = 3L)
+      .orderBy($"doc_id").collect().toSeq
+    val b = Packing.packWhole(docs.repartition(6), "doc_id", "n", 64L, m = 4,
+        bucketWidth = 1000L)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("paddingReport: exact power-of-two buckets and hand-checked waste") {
+    import spark.implicits._
+    // boundary lengths: 1->1, 2->2, 3->4, 4->4, 5->8, 64->64, 65->128, 0->1
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 64L, 65L, 0L).zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("doc_id", "n")
+    val got = Packing.paddingReport(docs, "n", batchSize = 2L)
+      .orderBy($"bucket_len").collect()
+      .map(r => (r.getAs[Long]("bucket_len"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_batches"),
+        r.getAs[Long]("pad_ppm"))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 1L, 500000L),          // lens 0,1
+      (2L, 1L, 2L, 1L, 0L),               // len 2
+      (4L, 2L, 7L, 1L, 1000000L * 1 / 8), // lens 3,4
+      (8L, 1L, 5L, 1L, 1000000L * 3 / 8), // len 5
+      (64L, 1L, 64L, 1L, 0L),             // len 64 exact power stays
+      (128L, 1L, 65L, 1L, 1000000L * 63 / 128))) // len 65
+  }
 }
