@@ -1144,6 +1144,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted sample: reservoir state carries, batch == stream") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { weightedSampleBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def weightedSampleBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // priorities (w=1) are id-ordered for small ids; id 5 carries w=2 so
+    // its priority halves and it must displace id 4 from the k=3 sample
+    val b1 = Seq(("g", 3L, 1L), ("g", 4L, 1L))
+    val b2 = Seq(("g", 1L, 1L), ("g", 5L, 2L))
+    val input = MemoryStream[(String, Long, Long)]
+    val q = SamplingStream(input.toDS(), k = 3)
+      .toDF("grp", "rn", "id", "weight", "priority")
+      .writeStream.format("memory").queryName("ws_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("ws_stream")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val batch1 = graft.operators.Sampling.weightedSample(
+          b1.toDF("grp", "id", "w"), Seq("grp"), "id", "w", 3)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(afterB1 == batch1, s"stream $afterB1 vs batch $batch1")
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val finalSample = spark.table("ws_stream")
+        .as[(String, Long, Long, Long, Long)].collect().toSet -- afterB1
+      val batch = graft.operators.Sampling.weightedSample(
+          (b1 ++ b2).toDF("grp", "id", "w"), Seq("grp"), "id", "w", 3)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(finalSample == batch, s"stream $finalSample vs batch $batch")
+      // the displaced id is gone, the heavy id is in, state stayed <= k
+      assert(finalSample.map(_._3) == Set(1L, 5L, 3L))
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: the MG guarantee holds across batches under decrements") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
