@@ -762,6 +762,38 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q193_select_pack_pipeline" -> { (s, d) =>
+      // Selection-to-batch pipeline: Borda-fuse two scorers (q191) ->
+      // keep the best documents under a 12k-token budget in fused order
+      // (q145's two-phase running cost, no global window) -> pack the
+      // SURVIVORS whole into 64-token bins (q190's harmonic classes).
+      // The "score, pick the best B tokens, lay out batches" flow end to
+      // end, every stage the scale shape its standalone query pins.
+      val docs = Tables.documents(s, d)
+      val lm = LmScore.stupidBackoffScores(docs,
+          docs.filter(col("source") === "src0"), "doc_id", "text")
+        .select(col("doc_id"), col("score_sum"))
+      val scored = docs
+        .select(col("doc_id"),
+          hashedFeatureScore(col("text")).as("feat_score"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+        .join(lm, "doc_id")
+      val fused = RankFusion.borda(
+        scored.select(col("doc_id"), col("feat_score"), col("score_sum")),
+        "doc_id", Seq("feat_score", "score_sum"), bucketWidth = 1000L)
+      val sel = graft.operators.Budget.takeByBudget(
+        fused.join(scored.select(col("doc_id"), col("n_toks")), "doc_id")
+          .withColumn("__neg", -col("fused_rank")),
+        "doc_id", "__neg", "n_toks", budget = 12000L, bucketWidth = 100L)
+      Packing.packWhole(sel, "doc_id", "n_toks", capacity = 64L, m = 4,
+          bucketWidth = 100L)
+        .join(sel.select(col("doc_id"), (-col("__neg")).as("fused_rank"),
+          col("cum_cost")), "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("fused_rank"),
+          col("cum_cost"), col("size_class"), col("bin"))
+        .orderBy(col("doc_id"))
+    },
+
     "q192_padding_report" -> { (s, d) =>
       // Length-bucketed batching padding report (the inference/SFT
       // serving mode where docs pad to a power-of-two bucket length):
@@ -1592,6 +1624,99 @@ object TextQueries extends QueryGroup {
         CAST(row_number() OVER (ORDER BY borda, doc_id) AS BIGINT)
           AS fused_rank
       FROM bo ORDER BY doc_id""",
+
+    "q193_select_pack_pipeline" -> s"""
+      WITH ft AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      fs AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS qs
+        FROM ft),
+      toks AS (SELECT doc_id, source, string_split(text, ' ') AS l FROM documents),
+      t3 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3,
+          CAST(count(*) AS BIGINT) AS c3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2, 3),
+      t2 AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS BIGINT) AS c2
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        WHERE source = 'src0' GROUP BY 1, 2),
+      t1 AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t
+        GROUP BY tok),
+      nt AS (
+        SELECT CAST(count(*) AS BIGINT) AS nn
+        FROM (SELECT unnest(l) AS tok FROM toks WHERE source = 'src0') t),
+      c AS (
+        SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        FROM toks, unnest(generate_series(1, greatest(len(l) - 2, 0))) AS g(i)),
+      scored AS (
+        SELECT c.doc_id,
+          CASE WHEN t3.c3 IS NOT NULL THEN (t3.c3 * 1000000) // ctx.c2
+               WHEN b.c2 IS NOT NULL THEN (4 * b.c2 * 1000000) // (10 * mu.c1)
+               WHEN lu.c1 IS NOT NULL THEN (16 * lu.c1 * 1000000) // (100 * nt.nn)
+               ELSE 0 END AS sc
+        FROM c
+        LEFT JOIN t3 USING (w1, w2, w3)
+        LEFT JOIN t2 ctx ON ctx.w1 = c.w1 AND ctx.w2 = c.w2
+        LEFT JOIN t2 b ON b.w1 = c.w2 AND b.w2 = c.w3
+        LEFT JOIN t1 mu ON mu.tok = c.w2
+        LEFT JOIN t1 lu ON lu.tok = c.w3
+        CROSS JOIN nt),
+      lm AS (
+        SELECT doc_id, CAST(sum(sc) AS BIGINT) AS ss
+        FROM scored GROUP BY doc_id),
+      j AS (
+        SELECT fs.doc_id, fs.qs, coalesce(lm.ss, 0) AS ss
+        FROM fs LEFT JOIN lm ON fs.doc_id = lm.doc_id),
+      r AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY qs DESC, doc_id) AS rf,
+          row_number() OVER (ORDER BY ss DESC, doc_id) AS rl
+        FROM j),
+      f AS (
+        SELECT doc_id,
+          row_number() OVER (ORDER BY rf + rl, doc_id) AS fr
+        FROM r),
+      nn AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      sel AS (
+        SELECT f.doc_id, f.fr, nn.n,
+          sum(nn.n) OVER (ORDER BY f.fr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM f JOIN nn USING (doc_id)),
+      kept AS (SELECT doc_id, fr, n, cum FROM sel WHERE cum <= 12000),
+      cls AS (
+        SELECT doc_id, fr, n, cum,
+          CASE WHEN n > 64 THEN 0 WHEN n <= 0 THEN 4
+               ELSE least(64 // n, 4) END AS sc
+        FROM kept),
+      w AS (
+        SELECT doc_id, fr, n, cum, sc,
+          CASE WHEN sc = 4 THEN greatest(n, 0) ELSE 1 END AS w
+        FROM cls),
+      cm AS (
+        SELECT doc_id, fr, n, cum, sc, w,
+          sum(w) OVER (PARTITION BY sc ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM w)
+      SELECT doc_id, n AS n_tokens, CAST(fr AS BIGINT) AS fused_rank,
+        CAST(cum AS BIGINT) AS cum_cost,
+        CAST(sc AS BIGINT) AS size_class,
+        CAST(CASE WHEN sc = 0 THEN cum2 - 1
+                  WHEN sc = 4 THEN (cum2 - w) // 48
+                  ELSE (cum2 - 1) // sc END AS BIGINT) AS bin
+      FROM cm ORDER BY doc_id""",
 
     "q192_padding_report" -> """
       WITH t AS (

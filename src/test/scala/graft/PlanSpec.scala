@@ -786,6 +786,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("select-pack pipeline (q193): every unpartitioned window sits over totals") {
+    // three chained two-phase stages (borda ranks, budget cut, packing):
+    // any window without a partition key must run over aggregated bucket
+    // TOTALS, never corpus rows
+    val p = plan("q193_select_pack_pipeline")
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, s"two-phase prefixes expected:\n$p")
+    assert(wins.filter(_.partitionSpec.isEmpty).forall(w =>
+        collectAll(w.child).exists(_.toString.contains("HashAggregate"))),
+      s"unpartitioned windows must sit above bucket TOTALS only:\n$p")
+    assert(!p.toString.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
   test("padding report (q192): one narrow pass — no join, no window, bounded agg") {
     val p = plan("q192_padding_report")
     assert(!collectAll(p).map(_.getClass.getSimpleName)
