@@ -347,8 +347,13 @@ object Clustering {
     * is the documented recall trade, never a false positive). The
     * per-row hit count is a map-side-combinable aggregate.
     *
-    * Output: one row per corpus row — (idCol, n_bench_hits,
-    * contaminated).
+    * Output: one row per corpus row — (idCol, n_bench_hits, max_cos,
+    * contaminated). `max_cos` (the strongest in-cell bench similarity;
+    * null when the cell holds no bench vector, NaN-free because
+    * zero-norm cosines never win a max against any real value — both
+    * engines drop NaN from max) carries the per-row EVIDENCE the flag
+    * thresholds, so a scale check stays discriminative even where the
+    * flag saturates (a tight corpus is all-true at any fixed τ).
     */
   def semanticContamination(corpus: DataFrame, bench: DataFrame,
                             idCol: String, vecCol: String,
@@ -359,15 +364,21 @@ object Clustering {
       .select(col("cell"), col(vecCol).as("__bv"))
     val cAss = corpus.join(assignCells(corpus, cents, idCol, vecCol, scale), idCol)
       .select(col(idCol), col("cell"), col(vecCol))
+    val cos = graft.functions.VectorFunctions.cosine(col(vecCol), col("__bv"))
     val hits = cAss
       .join(broadcast(bSide), "cell")
-      .filter(graft.functions.VectorFunctions.cosine(col(vecCol), col("__bv"))
-        >= threshold)
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_bench_hits"))
+      // zero-norm cosines are NaN; Spark orders NaN above every double
+      // while engines disagree on NaN in comparisons/max — exclude them
+      // explicitly (the knnGraph portability rule)
+      .filter(!isnan(cos))
+      .groupBy(col(idCol))
+      .agg(sum(when(cos >= threshold, 1L).otherwise(0L)).as("n_bench_hits"),
+        max(cos).as("max_cos"))
     corpus.select(col(idCol))
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
+        col("max_cos"),
         (coalesce(col("n_bench_hits"), lit(0L)) > 0L).as("contaminated"))
   }
 }

@@ -434,17 +434,22 @@ object SimilarityQueries extends QueryGroup {
     "q188_semantic_decontamination" -> s"""${kmeansCte("id % 10 = 0")},
       bch AS (SELECT id, cell FROM i2 WHERE id % 10 = 0),
       cor AS (SELECT id, cell FROM i2 WHERE id % 10 <> 0),
-      hits AS (
-        SELECT cor.id AS id, CAST(count(*) AS BIGINT) AS nh
+      cosv AS (
+        SELECT cor.id AS id,
+          list_dot_product(vc.rv, vb.rv)
+            / (sqrt(list_dot_product(vc.rv, vc.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cs
         FROM cor JOIN bch USING (cell)
         JOIN v vc ON vc.id = cor.id
-        JOIN v vb ON vb.id = bch.id
-        WHERE list_dot_product(vc.rv, vb.rv)
-          / (sqrt(list_dot_product(vc.rv, vc.rv))
-             * sqrt(list_dot_product(vb.rv, vb.rv))) >= 0.3
-        GROUP BY cor.id)
+        JOIN v vb ON vb.id = bch.id),
+      hits AS (
+        SELECT id,
+          CAST(sum(CASE WHEN cs >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS nh,
+          max(cs) AS mc
+        FROM cosv WHERE NOT isnan(cs) GROUP BY id)
       SELECT cor.id AS vec_id,
         CAST(coalesce(hits.nh, 0) AS BIGINT) AS n_bench_hits,
+        hits.mc AS max_cos,
         coalesce(hits.nh, 0) > 0 AS contaminated
       FROM cor LEFT JOIN hits ON cor.id = hits.id
       ORDER BY vec_id""",

@@ -753,10 +753,15 @@ object TextQueries extends QueryGroup {
       val lm = LmScore.stupidBackoffScores(docs,
           docs.filter(col("source") === "src0"), "doc_id", "text")
         .select(col("doc_id"), col("score_sum"))
+      // borda's two rank stages each consume the scored frame twice
+      // (in-bucket window + bucket totals) — localCheckpoint the NARROW
+      // (doc_id, 2 scores) table so the LM fit runs once, not 4x (the
+      // q182 twice-consumed-subtree rule; measured 3.2 -> ~1.9 s)
       val scored = docs
         .select(col("doc_id"),
           hashedFeatureScore(col("text")).as("feat_score"))
         .join(lm, "doc_id")
+        .localCheckpoint()
       RankFusion.borda(scored, "doc_id", Seq("feat_score", "score_sum"),
           bucketWidth = 1000L)
         .orderBy(col("doc_id"))
@@ -773,17 +778,25 @@ object TextQueries extends QueryGroup {
       val lm = LmScore.stupidBackoffScores(docs,
           docs.filter(col("source") === "src0"), "doc_id", "text")
         .select(col("doc_id"), col("score_sum"))
+      // the scored frame feeds borda's four two-phase branches AND the
+      // n_toks cost join; the budget stage consumes ITS input twice
+      // more. localCheckpoint the narrow seams (scored: 4 longs/row;
+      // sel: the budget-bounded keep set) so the LM fit and the fusion
+      // each run once — the q182 twice-consumed-subtree rule (measured
+      // 9.8 -> ~3 s at sf0.1)
       val scored = docs
         .select(col("doc_id"),
           hashedFeatureScore(col("text")).as("feat_score"),
           size(split(col("text"), " ")).cast("long").as("n_toks"))
         .join(lm, "doc_id")
+        .localCheckpoint()
       val fused = RankFusion.borda(
         scored.select(col("doc_id"), col("feat_score"), col("score_sum")),
         "doc_id", Seq("feat_score", "score_sum"), bucketWidth = 1000L)
       val sel = graft.operators.Budget.takeByBudget(
         fused.join(scored.select(col("doc_id"), col("n_toks")), "doc_id")
-          .withColumn("__neg", -col("fused_rank")),
+          .withColumn("__neg", -col("fused_rank"))
+          .localCheckpoint(),
         "doc_id", "__neg", "n_toks", budget = 12000L, bucketWidth = 100L)
       Packing.packWhole(sel, "doc_id", "n_toks", capacity = 64L, m = 4,
           bucketWidth = 100L)
