@@ -265,6 +265,100 @@ object MediaCodecs {
     * oracle replays it bit-for-bit. Null (boxed) for non-BMP payloads or
     * images smaller than 8x8 — the codegen wrapper maps it to SQL NULL.
     */
+  /** Mono 8-bit PCM RIFF/WAVE payload from raw samples (values clamped
+    * 0..255 — the unsigned 8-bit PCM convention). Round-trips through
+    * [[decodeWav]]. Null (not an exception) on empty/absent samples or a
+    * non-positive rate, so the expression wrapper can surface SQL NULL.
+    */
+  def encodeWavPcm8(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    if (samples == null || samples.length == 0 || sampleRate <= 0) return null
+    val n = samples.length
+    val size = 44 + n + (n & 1) // data chunk padded to even
+    val out = new Array[Byte](size)
+    val buf = le(out)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    buf.putInt(4, size - 8)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    buf.putInt(16, 16) // fmt chunk size
+    buf.putShort(20, 1.toShort) // PCM
+    buf.putShort(22, 1.toShort) // mono
+    buf.putInt(24, sampleRate)
+    buf.putInt(28, sampleRate) // byte rate = rate * 1 ch * 1 byte
+    buf.putShort(32, 1.toShort) // block align
+    buf.putShort(34, 8.toShort) // bits per sample
+    out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+    buf.putInt(40, n)
+    var i = 0
+    while (i < n) {
+      out(44 + i) = math.max(0, math.min(255, samples(i))).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Frame-energy hash (the audio analogue of [[aHash64]]): decode a
+    * PCM WAV, split the interleaved sample stream into 64 equal frames
+    * (integer boundaries j·n div 64), per-frame energy = Σ v² over
+    * CENTERED integer samples (8-bit: (b&0xff)−128; 16-bit: the raw
+    * short div 256, so both widths land on the same ±128 scale), and
+    * bit j is set iff `64 · e_j > Σ e` — the aHash mean threshold, no
+    * division, replayable bit-for-bit by the oracle. Loudness contour
+    * is what survives re-encoding and small edits, which is exactly the
+    * jingle/silence/duplicate-clip signal an audio ingest gate needs.
+    * Null for undecodable payloads or clips shorter than 64 samples
+    * (a frame would be empty).
+    */
+  def energyHash64(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || decodeWav(bytes).isEmpty) return null
+    // re-walk the verified chunks for the raw samples
+    val buf = le(bytes)
+    var pos = 12
+    var bits = 0; var channels = 0
+    var dataOff = -1; var dataLen = 0
+    while (pos + 8 <= bytes.length && (dataOff < 0 || channels == 0)) {
+      val id = ascii(bytes, pos, 4)
+      val size = buf.getInt(pos + 4)
+      id match {
+        case "fmt " =>
+          channels = buf.getShort(pos + 10) & 0xffff
+          bits = buf.getShort(pos + 22) & 0xffff
+        case "data" => dataOff = pos + 8; dataLen = size
+        case _ => ()
+      }
+      pos += 8 + size + (size & 1)
+    }
+    val bytesPerSample = bits / 8
+    val n = dataLen / bytesPerSample // interleaved sample count
+    if (n < 64) return null
+    val e = new Array[Long](64)
+    var s = 0L
+    var j = 0
+    while (j < 64) {
+      val from = (j.toLong * n / 64).toInt
+      val to = ((j + 1).toLong * n / 64).toInt
+      var i = from
+      var acc = 0L
+      while (i < to) {
+        val v: Long =
+          if (bits == 16) (buf.getShort(dataOff + i * 2) / 256).toLong
+          else ((bytes(dataOff + i) & 0xff) - 128).toLong
+        acc += v * v
+        i += 1
+      }
+      e(j) = acc
+      s += acc
+      j += 1
+    }
+    var h = 0L
+    j = 0
+    while (j < 64) {
+      if (64L * e(j) > s) h |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
   def aHash64(bytes: Array[Byte]): java.lang.Long = {
     if (bytes == null) return null
     bmpThumbnail(bytes, 8) match {

@@ -43,6 +43,76 @@ case class EncodeBmpGray8(child: Expression) extends UnaryExpression {
   override def prettyName: String = "encode_bmp_gray8"
 }
 
+/** `encode_wav_pcm8(array<int>)` — raw samples to a real mono 8-bit PCM
+  * RIFF/WAVE payload at 8 kHz ([[MediaCodecs.encodeWavPcm8]]). Same
+  * rationale as [[EncodeBmpGray8]]: staging ACTUAL format bytes makes
+  * downstream consumers exercise the production decode path, so a
+  * decoder regression breaks the q194 oracle hash. NULL on an empty
+  * array.
+  */
+case class EncodeWavPcm8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"encode_wav_pcm8 expects array<int>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecs.encodeWavPcm8(input.asInstanceOf[ArrayData].toIntArray(), 8000)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("wavBytes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      byte[] $r = graft.functions.MediaCodecs.encodeWavPcm8($c.toIntArray(), 8000);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EncodeWavPcm8 =
+    copy(child = newChild)
+
+  override def prettyName: String = "encode_wav_pcm8"
+}
+
+/** `wav_energy_hash(binary)` — 64-bit frame-energy fingerprint of a PCM
+  * WAV payload ([[MediaCodecs.energyHash64]]: real decode + 64 equal
+  * frames + integer mean threshold on Σv² per frame). NULL for
+  * non-WAV bytes or clips shorter than 64 samples. Decode work stays
+  * inside whole-stage codegen via a static call.
+  */
+case class WavEnergyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"wav_energy_hash expects binary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = MediaCodecs.energyHash64(input.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("eHash")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $r = graft.functions.MediaCodecs.energyHash64($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WavEnergyHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "wav_energy_hash"
+}
+
 /** `bmp_ahash(binary)` — average-hash of a BMP payload as a 64-bit
   * fingerprint ([[MediaCodecs.aHash64]]: real decode + 8x8 thumbnail +
   * integer mean threshold). NULL for non-BMP bytes or sub-8x8 images.

@@ -152,9 +152,49 @@ object Multimodal {
     */
   def imageNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
                         maxHamming: Int = 10,
-                        maxPerBucket: Int = 0): DataFrame = {
-    val hashed = df.select(col(idCol), bmpAHash(col(payloadCol)).as("__h"))
-      .filter(col("__h").isNotNull)
+                        maxPerBucket: Int = 0): DataFrame =
+    hashNearDupPairs(
+      df.select(col(idCol), bmpAHash(col(payloadCol)).as("__h")),
+      idCol, maxHamming, maxPerBucket)
+
+  /** Column wrapper: samples array<int> -> real mono 8-bit PCM WAV bytes. */
+  def encodeWavPcm8(samples: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.EncodeWavPcm8(
+      ColumnBridge.expression(samples)))
+  }
+
+  /** Column wrapper: WAV payload -> 64-bit frame-energy hash (NULL if
+    * undecodable or shorter than 64 samples).
+    */
+  def wavEnergyHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.WavEnergyHash(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** Perceptual AUDIO near-dup pairs — [[imageNearDupPairs]] for sound:
+    * each payload goes through the real PCM WAV decode into a 64-bit
+    * frame-energy fingerprint (loudness contour, the signal that
+    * survives re-encoding and trims), and the identical 4-band Hamming
+    * LSH + XOR-popcount machinery finds pairs within `maxHamming` bits —
+    * the jingle/silence/duplicate-clip gate of an audio ingest pipeline.
+    * Same cap contract and scale shape as the image path.
+    */
+  def audioNearDupPairs(df: DataFrame, idCol: String, payloadCol: String,
+                        maxHamming: Int = 10,
+                        maxPerBucket: Int = 0): DataFrame =
+    hashNearDupPairs(
+      df.select(col(idCol), wavEnergyHash(col(payloadCol)).as("__h")),
+      idCol, maxHamming, maxPerBucket)
+
+  /** Shared 4-band 16-bit Hamming-LSH pair join over a (idCol, __h)
+    * frame — the banding/cap/verify stage both perceptual-dedup paths
+    * (and any future 64-bit fingerprint) share. Null hashes drop out.
+    */
+  private def hashNearDupPairs(hashedIn: DataFrame, idCol: String,
+                               maxHamming: Int, maxPerBucket: Int): DataFrame = {
+    val hashed = hashedIn.filter(col("__h").isNotNull)
     val banded0 = hashed.select(col(idCol), col("__h"),
       explode(array((0 until 4).map(b => struct(
         lit(b).as("__band"),

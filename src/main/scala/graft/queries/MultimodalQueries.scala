@@ -39,6 +39,45 @@ object MultimodalQueries extends QueryGroup {
         .orderBy(col("media_id"))
     },
 
+    "q194_audio_neardup" -> { (s, d) =>
+      // Perceptual AUDIO dedup over REAL format bytes — q142's twin for
+      // sound: a deterministic 256-sample mono 8-bit PCM WAV is
+      // synthesized per document (docs in the same doc_id%97 class share
+      // all but their first eight samples), pushed through the
+      // production encode -> RIFF/WAVE decode -> 64-frame integer
+      // energy fingerprint path (a decoder regression breaks this
+      // oracle, not just a unit test), and near-dup pairs come from the
+      // shared 4-band 16-bit LSH + XOR popcount. The oracle replays
+      // samples, frame energies, and banding arithmetically.
+      // class-keyed loud/quiet frame envelope (the signal the energy
+      // hash is built to capture): frame j of class c is loud by the
+      // square-recombine parity hash (a purely affine chain leaves a
+      // quasi-alternating parity sequence — every mask collapses toward
+      // 0xAAAA…, the B41 projection lesson — the modular square
+      // decorrelates it); samples alternate ±amp around 128, with a
+      // per-doc tweak on the first 8 samples that the energy threshold
+      // provably absorbs (classmates hash identically, hamming 0). The
+      // per-bucket cap is ON here (the q73 capped-LSH contract at the
+      // audio level): a viral jingle fills its band buckets once, and
+      // the oracle replays the same n-smallest-ids rule.
+      def loudBit(i: org.apache.spark.sql.Column) = {
+        val x = (((col("doc_id") % 97) * 64L + floor(i / 4).cast("long") + 1L)
+          * 2654435761L) % 1000000007L
+        (x * x % 1000000007L) % 2L === 0L
+      }
+      val smp = transform(sequence(lit(0), lit(255)), i =>
+        (lit(128L) +
+          when(loudBit(i), 96L).otherwise(lit(8L)) *
+            when(i % 2 === 0, 1L).otherwise(lit(-1L)) +
+          when(i < 8, col("doc_id") % 16).otherwise(lit(0L))).cast("int"))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.encodeWavPcm8(smp).as("payload"))
+      Multimodal.audioNearDupPairs(media, "media_id", "payload",
+          maxHamming = 10, maxPerBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q142_image_neardup" -> { (s, d) =>
       // Perceptual image dedup over REAL format bytes: a deterministic
       // 8x8 grayscale BMP is synthesized per document (docs in the same
@@ -83,6 +122,54 @@ object MultimodalQueries extends QueryGroup {
         CAST(len(frames) AS BIGINT) AS n_sampled,
         array_to_string(list_transform(frames, x -> CAST(x AS VARCHAR)), ',') AS frame_list
       FROM s ORDER BY media_id""",
+
+    "q194_audio_neardup" -> """
+      WITH smp AS (
+        SELECT doc_id, list_transform(range(0, 256), i ->
+          128 + (CASE WHEN
+                   (((doc_id % 97) * 64 + (i // 4) + 1) * 2654435761 % 1000000007)
+                   * (((doc_id % 97) * 64 + (i // 4) + 1) * 2654435761 % 1000000007)
+                   % 1000000007 % 2 = 0
+                 THEN 96 ELSE 8 END)
+              * (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END)
+            + CASE WHEN i < 8 THEN doc_id % 16 ELSE 0 END) AS v
+        FROM documents),
+      en AS (
+        SELECT doc_id, list_transform(range(0, 64), j ->
+          CAST(list_sum(list_transform(range(j*4, j*4 + 4), i ->
+            (v[i+1] - 128) * (v[i+1] - 128))) AS BIGINT)) AS e
+        FROM smp),
+      hb AS (SELECT doc_id, e, CAST(list_sum(e) AS BIGINT) AS se FROM en),
+      h AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), j ->
+            CASE WHEN 64 * e[j+1] > se THEN CAST(1 AS BIGINT) << j
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_lo,
+          CAST(list_sum(list_transform(range(0, 32), j ->
+            CASE WHEN 64 * e[j+33] > se THEN CAST(1 AS BIGINT) << j
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_hi
+        FROM hb),
+      bands AS (
+        SELECT doc_id, h_lo, h_hi,
+          unnest([h_lo % 65536, h_lo // 65536, h_hi % 65536, h_hi // 65536]) AS key,
+          unnest([0, 1, 2, 3]) AS band
+        FROM h),
+      capped AS (
+        SELECT doc_id, h_lo, h_hi, key, band FROM (
+          SELECT bands.*, row_number() OVER (
+            PARTITION BY band, key ORDER BY doc_id) AS rn
+          FROM bands) t
+        WHERE rn <= 8),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.h_lo AS alo, a.h_hi AS ahi, b.h_lo AS blo, b.h_hi AS bhi
+        FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 10
+      ORDER BY id_a, id_b""",
 
     "q142_image_neardup" -> """
       WITH px AS (

@@ -76,13 +76,35 @@ object ImageDedupStream {
     */
   def pairs(images: DataFrame, idCol: String, payloadCol: String,
             maxHamming: Int = 10, maxPerBucket: Int = 64,
-            ttl: TTLConfig = TTLConfig.NONE): Dataset[ImagePair] = {
-    import images.sparkSession.implicits._
-    val hashed = images
-      .select(col(idCol).cast("long").as("id"),
-        Multimodal.bmpAHash(col(payloadCol)).as("h"))
-      .filter(col("h").isNotNull)
+            ttl: TTLConfig = TTLConfig.NONE): Dataset[ImagePair] =
+    pairsFromHashes(
+      images.select(col(idCol).cast("long").as("id"),
+        Multimodal.bmpAHash(col(payloadCol)).as("h")),
+      maxHamming, maxPerBucket, ttl)
+
+  /** [[pairs]] for AUDIO payloads: the 64-bit frame-energy fingerprint
+    * ([[Multimodal.wavEnergyHash]], real PCM WAV decode) through the
+    * same band-bucket processor — "is this incoming clip a near-copy of
+    * a recent one?" at arrival time.
+    */
+  def audioPairs(clips: DataFrame, idCol: String, payloadCol: String,
+                 maxHamming: Int = 10, maxPerBucket: Int = 64,
+                 ttl: TTLConfig = TTLConfig.NONE): Dataset[ImagePair] =
+    pairsFromHashes(
+      clips.select(col(idCol).cast("long").as("id"),
+        Multimodal.wavEnergyHash(col(payloadCol)).as("h")),
+      maxHamming, maxPerBucket, ttl)
+
+  /** Hash-generic entry: wire the band-bucket processor onto any
+    * (id long, h long) frame of 64-bit fingerprints — the stage every
+    * perceptual modality shares once its narrow hash kernel has run.
+    * Null hashes (undecodable payloads) drop out.
+    */
+  def pairsFromHashes(hashed: DataFrame, maxHamming: Int, maxPerBucket: Int,
+                      ttl: TTLConfig): Dataset[ImagePair] = {
+    import hashed.sparkSession.implicits._
     hashed
+      .filter(col("h").isNotNull)
       .select(col("id"), col("h"),
         explode(array((0 until 4).map(b =>
           lit(b.toLong * 65536L) +

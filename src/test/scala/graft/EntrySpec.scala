@@ -54,6 +54,9 @@ class EntrySpec extends SparkSpec {
       "sig", "lm", // q180 per-source rollup
       "cl", "sur", "wt", "bd", // q185 pipeline v3 / q184 waterfill
       "cls", "qs", "cj", "mxs", // q187 keep-best representative
+      "bch", "cor", "cosv", // q188 semantic decontamination
+      "ft", "fs", "bo", "sel", "cm", // q189-q193 sampling/packing/fusion
+      "smp", "en", // q194 audio energy hash
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern

@@ -233,6 +233,104 @@ class MediaCodecsSpec extends SparkSpec {
     assert(capped == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("encodeWavPcm8 round-trips through decodeWav with exact features") {
+    // 8-bit unsigned: 128 = silence; 0/255 = full scale
+    val samples = Array(128, 128, 255, 0, 192, 64, 128, 128)
+    val bytes = MediaCodecs.encodeWavPcm8(samples, 8000)
+    val m = MediaCodecs.decodeWav(bytes).get
+    assert(m.channels == 1 && m.sampleRate == 8000 && m.bitsPerSample == 8)
+    assert(m.nSamples == 8L)
+    assert(m.peak == 1.0) // sample 0 -> (0-128)/128 = -1, abs
+    assert(MediaCodecs.decodeWav(MediaCodecs.encodeWavPcm8(
+      Array(128, 255), 8000)).get.peak == 127.0 / 128.0)
+    // invalid inputs -> null, not exceptions
+    assert(MediaCodecs.encodeWavPcm8(Array.emptyIntArray, 8000) == null)
+    assert(MediaCodecs.encodeWavPcm8(null, 8000) == null)
+    assert(MediaCodecs.encodeWavPcm8(Array(1), 0) == null)
+    // odd-length data chunk pads to even and still decodes
+    assert(MediaCodecs.decodeWav(
+      MediaCodecs.encodeWavPcm8(Array(1, 2, 3), 8000)).get.nSamples == 3L)
+  }
+
+  test("energyHash64: bit j set iff frame j strictly above the mean energy") {
+    // 128 samples -> 64 frames of 2; loud frames (j % 3 == 0) carry
+    // +/-100, quiet ones +/-2: the hand-computed mask is exact
+    val samples = Array.tabulate(128) { i =>
+      val j = i / 2
+      val amp = if (j % 3 == 0) 100 else 2
+      128 + (if (i % 2 == 0) amp else -amp)
+    }
+    val h = MediaCodecs.energyHash64(MediaCodecs.encodeWavPcm8(samples, 8000))
+    assert(h != null)
+    var expected = 0L
+    val e = Array.tabulate(64)(j => if (j % 3 == 0) 2L * 100 * 100 else 2L * 4)
+    val s = e.sum
+    (0 until 64).foreach(j => if (64L * e(j) > s) expected |= 1L << j)
+    assert(h.longValue() == expected)
+    // the loud mask is exactly the j % 3 == 0 frames
+    assert(java.lang.Long.bitCount(expected) == 22)
+  }
+
+  test("energyHash64: 16-bit path centers on short div 256, same scale as 8-bit") {
+    // 16-bit samples chosen so v/256 reproduces the 8-bit centered values
+    val centered8 = Array.tabulate(128) { i =>
+      val amp = if ((i / 2) % 5 == 0) 90 else 3
+      if (i % 2 == 0) amp else -amp
+    }
+    val bytes16 = wavBytes(centered8.map(v => (v * 256).toShort), 8000)
+    val bytes8 = MediaCodecs.encodeWavPcm8(centered8.map(_ + 128), 8000)
+    val h16 = MediaCodecs.energyHash64(bytes16)
+    val h8 = MediaCodecs.energyHash64(bytes8)
+    assert(h16 != null && h8 != null && h16.longValue() == h8.longValue())
+  }
+
+  test("energyHash64 rejects garbage, short clips, and non-PCM payloads") {
+    assert(MediaCodecs.energyHash64(null) == null)
+    assert(MediaCodecs.energyHash64(Array.fill[Byte](100)(7)) == null)
+    // 63 samples -> an empty frame -> null
+    assert(MediaCodecs.energyHash64(
+      MediaCodecs.encodeWavPcm8(Array.fill(63)(130), 8000)) == null)
+    // 64 samples is the minimum
+    assert(MediaCodecs.energyHash64(
+      MediaCodecs.encodeWavPcm8(Array.tabulate(64)(i => 120 + i % 16), 8000)) != null)
+    // a BMP is not a WAV
+    assert(MediaCodecs.energyHash64(bmpBytes(4, 2, 9, 8, 7)) == null)
+  }
+
+  test("wavEnergyHash expression equals the codec on the Spark path") {
+    val df = Seq(
+      (1L, Array.tabulate(256)(i => 128 + (if ((i / 4) % 2 == 0) 90 else -3))),
+      (2L, Array.tabulate(16)(_ => 128)), // too short -> null hash
+      (3L, null.asInstanceOf[Array[Int]])) // null samples -> null payload
+      .toDF("id", "samples")
+    val out = df.select($"id",
+        Multimodal.wavEnergyHash(Multimodal.encodeWavPcm8($"samples")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = MediaCodecs.energyHash64(MediaCodecs.encodeWavPcm8(
+      Array.tabulate(256)(i => 128 + (if ((i / 4) % 2 == 0) 90 else -3)), 8000))
+    assert(out(1L).contains(expected.longValue()))
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
+  test("audioNearDupPairs: same-envelope clips pair, different envelopes don't") {
+    def clip(loudMask: Int => Boolean, tweak: Int): Array[Int] =
+      Array.tabulate(256) { i =>
+        val amp = if (loudMask(i / 4)) 96 else 8
+        128 + (if (i % 2 == 0) amp else -amp) + (if (i < 4) tweak else 0)
+      }
+    val a = (j: Int) => j % 2 == 0
+    val b = (j: Int) => j % 5 < 2 // a genuinely different contour
+    val media = Seq(
+      (0L, clip(a, 0)), (1L, clip(a, 7)), (2L, clip(a, 13)), (3L, clip(b, 0)))
+      .toDF("media_id", "samples")
+      .select($"media_id", Multimodal.encodeWavPcm8($"samples").as("payload"))
+    val got = Multimodal.audioNearDupPairs(media, "media_id", "payload",
+        maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("decodeMedia dispatches on magic bytes with stub fallback (Spark path)") {
     val recs = Seq(
       Multimodal.MediaRecord(1L, "audio", wavBytes(Array.fill[Short](100)(1000), 8000)),

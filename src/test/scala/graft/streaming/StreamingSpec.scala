@@ -1345,6 +1345,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audio near-dup: cross-batch pairs match the batch LSH join") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { audioStreamBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def audioStreamBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    import graft.functions.MediaCodecs
+    // loudness-contour clips: 0 and 1 share an envelope (tweaked first
+    // frame — the energy threshold absorbs it), 2's contour is far
+    def clip(loudMask: Int => Boolean, tweak: Int) = Array.tabulate(256) { i =>
+      val amp = if (loudMask(i / 4)) 96 else 8
+      128 + (if (i % 2 == 0) amp else -amp) + (if (i < 4) tweak else 0)
+    }
+    val b1 = Seq(
+      (0L, MediaCodecs.encodeWavPcm8(clip(_ % 2 == 0, 0), 8000)),
+      (2L, MediaCodecs.encodeWavPcm8(clip(_ % 5 < 2, 0), 8000)),
+      (3L, "notawav".getBytes("US-ASCII"))) // null hash must drop out
+    val b2 = Seq(
+      (1L, MediaCodecs.encodeWavPcm8(clip(_ % 2 == 0, 9), 8000))) // near-dup of 0
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = ImageDedupStream.audioPairs(
+        input.toDF().toDF("media_id", "payload"), "media_id", "payload",
+        maxHamming = 10)
+      .toDF("id_a", "id_b", "hamming")
+      .writeStream.format("memory").queryName("audio_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("audio_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.operators.Multimodal.audioNearDupPairs(
+          (b1 ++ b2).toDF("media_id", "payload"), "media_id", "payload",
+          maxHamming = 10)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got vs batch $batch")
+      assert(got.map(p => (p._1, p._2)) === Set((0L, 1L)))
+    } finally q.stop()
+  }
+
   private def heavyHittersGuaranteeBody(): Unit = {
     implicit val sc = spark.sqlContext
     // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
