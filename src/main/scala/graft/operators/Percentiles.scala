@@ -74,6 +74,35 @@ object Percentiles {
     percentileContLong(df, keyCol, Seq(valueCol -> ps), disc = true)
       .drop("column")
 
+  /** Sketched quantiles via the deterministic-compaction mergeable
+    * summary ([[graft.functions.expressions.QuantileSketchAgg]]) — the
+    * monitoring-scale form: one ≤ k·levels-double summary per group per
+    * partition, map-side combined; values never range-partition (the
+    * [[percentileDisc]] machinery's one shuffle of the full column). The
+    * summary content is merge-order-dependent (all sketches but HLL
+    * are), so oracle-checked consumers pair the estimates with exact
+    * anchors (q195). Estimates follow the PERCENTILE_DISC rank rule.
+    *
+    * Output: (keyCol, p, est, n, n_levels), one row per (group, p).
+    */
+  def sketchQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                      ps: Seq[Double], k: Int = 512): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val agg = ColumnBridge.column(
+      graft.functions.expressions.QuantileSketchAgg(
+        ColumnBridge.expression(col(valueCol).cast("double")), k, ps)
+        .toAggregateExpression())
+    // the D suffix: bare 0.5 parses as DECIMAL in Spark SQL text
+    val pArr = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.groupBy(col(keyCol)).agg(agg.as("__sk"))
+      .filter(col("__sk").isNotNull)
+      .select(col(keyCol), col("__sk.n").as("n"),
+        col("__sk.n_levels").as("n_levels"),
+        posexplode(col("__sk.ests")).as(Seq("__pi", "est")))
+      .withColumn("p", element_at(expr(pArr), col("__pi") + 1))
+      .select(col(keyCol), col("p"), col("est"), col("n"), col("n_levels"))
+  }
+
   /** Multi-column wide PERCENTILE_DISC — one table pass, like
     * [[percentileContMultiWide]].
     */

@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
 object ApproxQueries extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_quantile_sketch" -> { (s, d) =>
+      // Mergeable quantile summary with the DETERMINISTIC compactor
+      // (QuantileSketchAgg — KLL levels, odd-index-keep instead of the
+      // randomized coin): one bounded summary per group per partition,
+      // map-side combined, values never range-partitioned. Summary
+      // content is merge-order-dependent (every sketch's is), so the
+      // output carries exact PERCENTILE_DISC anchors plus a boolean
+      // asserting the estimate's RANK INTERVAL intersects the target
+      // +- the worst-case guarantee 2·(levels+1)·n/k — the q48 anchor
+      // pattern with the bound computed from the summary's own shape.
+      val li = Tables.lineitem(s, d).select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      val sk = graft.operators.Percentiles.sketchQuantiles(
+        li, "g", "v", Seq(0.5, 0.95, 0.99), k = 512)
+      val ranks = sk.join(li, "g")
+        .groupBy(col("g"), col("p"), col("est"), col("n"), col("n_levels"))
+        .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("__lt"),
+          sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("__le"))
+      val exact = graft.operators.Percentiles
+        .percentileDisc(li, "g", "v", Seq(0.5, 0.95, 0.99))
+        .withColumnRenamed("value", "exact_disc")
+      ranks.join(exact, Seq("g", "p"))
+        .withColumn("__target",
+          greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .withColumn("__bound",
+          (lit(2.0) * (col("n_levels") + 1) * col("n") / 512.0).cast("long") + 1L)
+        .select(col("g"), col("p"), col("n"), col("exact_disc"),
+          (col("__lt") + 1L <= col("__target") + col("__bound") &&
+            col("__le") >= col("__target") - col("__bound")).as("within_bound"))
+        .orderBy(col("g"), col("p"))
+    },
+
     "q47_approx_distinct" -> { (s, d) =>
       // approx_count_distinct is HLL++ at rsd = 0.05 (default); the bound
       // below is 3 sigma (15% relative) — bias-corrected HLL++ lands
@@ -95,6 +127,21 @@ object ApproxQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+    "q195_quantile_sketch" -> """
+      WITH s AS (
+        SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v
+        FROM lineitem),
+      nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY g),
+      d AS (
+        SELECT g, CAST(0.5 AS DOUBLE) AS p,
+          quantile_disc(v, 0.5) AS exact_disc FROM s GROUP BY g
+        UNION ALL
+        SELECT g, CAST(0.95 AS DOUBLE), quantile_disc(v, 0.95) FROM s GROUP BY g
+        UNION ALL
+        SELECT g, CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM s GROUP BY g)
+      SELECT d.g, d.p, nn.n, d.exact_disc, TRUE AS within_bound
+      FROM d JOIN nn USING (g) ORDER BY g, p""",
+
     "q47_approx_distinct" ->
       """SELECT l_returnflag, count(*) AS n,
         |  count(DISTINCT l_partkey) AS exact_parts,

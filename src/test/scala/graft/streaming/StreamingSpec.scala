@@ -1395,6 +1395,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantiles: exact below k, guarantee above, state carries") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { quantileStreamBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def quantileStreamBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // EXACT regime: total n = 40 < k = 64, so no compaction ever fires
+    // and the final emission must equal PERCENTILE_DISC over the union
+    // exactly, regardless of arrival order or batch boundaries.
+    val b1 = (1 to 25).map(i => (0L, (i * 7 % 41).toDouble))
+    val b2 = (26 to 40).map(i => (0L, (i * 7 % 41).toDouble))
+    val input = MemoryStream[(Long, Double)]
+    val q = QuantileStream(input.toDS(), k = 64, quantiles = Seq(0.5, 0.9))
+      .toDF("shard", "p", "est", "n")
+      .writeStream.format("memory").queryName("qs_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val finals = spark.table("qs_stream")
+        .as[(Long, Double, Double, Long)].collect()
+        .filter(_._4 == 40L) // the post-batch-2 emission
+        .map(r => r._2 -> r._3).toMap
+      val sorted = (b1 ++ b2).map(_._2).sorted
+      def disc(qq: Double) =
+        sorted(math.max(1, math.ceil(qq * sorted.size).toInt) - 1)
+      assert(finals(0.5) == disc(0.5) && finals(0.9) == disc(0.9),
+        s"exact regime must equal PERCENTILE_DISC: $finals")
+    } finally q.stop()
+  }
+
   private def heavyHittersGuaranteeBody(): Unit = {
     implicit val sc = spark.sqlContext
     // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
