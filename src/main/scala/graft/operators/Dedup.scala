@@ -909,9 +909,17 @@ object Dedup {
     * `jac_ppm = (1e6 * shared) div (n_a + n_b - shared)` (integer —
     * engine-portable), filtered to `jac_ppm >= minJacPpm`.
     */
-  def cdcNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                      w: Int = 3, divisor: Long = 8L, maxDf: Long = 10L,
-                      minJacPpm: Long = 500000L): DataFrame = {
+  /** The rare-chunk machinery shared by [[cdcNearDupPairs]] and the
+    * cross-signal consistency report
+    * ([[Similarity.crossSignalPairs]]): `rare` = distinct (id,
+    * chunk_hash) rows whose chunk document frequency is in (1, maxDf]
+    * (the pair-generating postings), `perDoc` = (idCol, __n) rare-
+    * eligible set sizes (df <= maxDf — singletons count toward size,
+    * boilerplate counts toward neither).
+    */
+  private[operators] def cdcRareSets(df: DataFrame, idCol: String,
+      textCol: String, w: Int, divisor: Long, maxDf: Long)
+      : (DataFrame, DataFrame) = {
     val sets = cdcChunks(df, idCol, textCol, w, divisor)
       .select(col(idCol), col("chunk_hash")).distinct()
     val dfreq = sets.groupBy(col("chunk_hash"))
@@ -921,6 +929,13 @@ object Dedup {
     val perDoc = sets.join(dfreq.filter(col("__df") <= maxDf)
         .select(col("chunk_hash")), "chunk_hash")
       .groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    (rare, perDoc)
+  }
+
+  def cdcNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3, divisor: Long = 8L, maxDf: Long = 10L,
+                      minJacPpm: Long = 500000L): DataFrame = {
+    val (rare, perDoc) = cdcRareSets(df, idCol, textCol, w, divisor, maxDf)
     val a = rare.select(col("chunk_hash"), col(idCol).as("id_a"))
     val b = rare.select(col("chunk_hash"), col(idCol).as("id_b"))
     val shared = a.join(b, "chunk_hash")

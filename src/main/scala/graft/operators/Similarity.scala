@@ -200,4 +200,90 @@ object Similarity {
     pairs.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cosine"))
   }
+
+  /** Cross-signal dedup consistency report — the pipeline-health check
+    * that compares the TEXTUAL near-dup signal (exact Jaccard over
+    * content-defined chunk fingerprints, [[Dedup.cdcNearDupPairs]]'s
+    * machinery) against the SEMANTIC one (in-cell embedding cosine, the
+    * q124 pair space) over the same corpus: `text_only` pairs are
+    * near-identical text whose embeddings disagree (an embedding-
+    * pipeline glitch, or templated text with divergent content),
+    * `semantic_only` pairs are paraphrases sharing no chunks (what
+    * n-gram dedup structurally misses), `both` is the agreement mass.
+    *
+    * The semantic side is the K-BOUNDED kNN edge set
+    * ([[Clustering.knnGraph]]: top-`kNeighbors` in-cell neighbors above
+    * the threshold), not every in-cell pair above it — on a tight
+    * embedding distribution the all-pairs form emits Σ|cell|² rows
+    * (measured: 19M at sf1) while a paraphrase is almost surely a top-k
+    * neighbor; the edge set is ≤ kNeighbors·n at any scale.
+    *
+    * Every reported pair carries BOTH exact scores: the missing side is
+    * backfilled from the BOUNDED pair set (a broadcast join against the
+    * vectors for text-only pairs; the pre-threshold Jaccard table for
+    * semantic-only pairs — the rare-chunk sets are computed ONCE and
+    * shared, so the backfill costs no extra corpus pass). A pair
+    * sharing no rare chunk has Jaccard 0 by definition; a pair with a
+    * missing/zero-norm embedding keeps cos null. Cross-cell semantic
+    * near-misses are the documented IVF recall trade (they can surface
+    * as text_only — the cell boundary, not the embedding, disagreed).
+    *
+    * Output: (id_a, id_b, jac_ppm, cos, verdict), id_a < id_b.
+    */
+  def crossSignalPairs(docs: DataFrame, emb: DataFrame, idCol: String,
+                       textCol: String, vecCol: String,
+                       w: Int = 3, divisor: Long = 8L, maxDf: Long = 10L,
+                       minJacPpm: Long = 300000L,
+                       kCells: Int = 8, kNeighbors: Int = 3, iters: Int = 2,
+                       scale: Long = 1000L,
+                       cosThreshold: Double = 0.3): DataFrame = {
+    val (rare, perDoc) = Dedup.cdcRareSets(docs, idCol, textCol, w, divisor, maxDf)
+    val a = rare.select(col("chunk_hash"), col(idCol).as("id_a"))
+    val b = rare.select(col("chunk_hash"), col(idCol).as("id_b"))
+    // exact Jaccard for EVERY rare-chunk-sharing pair (pre-threshold —
+    // doubles as the semantic-only backfill table)
+    val sizes = a.join(b, "chunk_hash")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__sh"))
+      .join(perDoc.select(col(idCol).as("id_a"), col("__n").as("__na")), "id_a")
+      .join(perDoc.select(col(idCol).as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("__jacAll",
+        expr("(1000000L * __sh) div (__na + __nb - __sh)"))
+      .select(col("id_a"), col("id_b"), col("__jacAll"))
+    // NOTE: sizes has two consumers (threshold cut + backfill join); a
+    // localCheckpoint here MEASURED slower at sf0.1 (3.7 -> 5.4 s) and
+    // a wash at sf1 — the kNN side dominates and the chunk subtree is
+    // comparatively cheap, so the q182 rule does not pay here. Measured,
+    // not assumed; revisit if the text side ever dominates.
+    val textPairs = sizes.filter(col("__jacAll") >= minJacPpm)
+      .select(col("id_a"), col("id_b"), col("__jacAll").as("__jacT"))
+    val semPairs = Clustering
+      .knnGraph(emb, idCol, vecCol, kCells, kNeighbors, iters, scale)
+      .filter(col("cos") >= cosThreshold)
+      // symmetric edges collapse to one unordered pair: the house cosine
+      // is a zip-fold, so cos(a,b) and cos(b,a) are bitwise identical
+      .select(least(col("src"), col("dst")).as("id_a"),
+        greatest(col("src"), col("dst")).as("id_b"), col("cos").as("__cosS"))
+      .distinct()
+    val pairsAll = textPairs.join(semPairs, Seq("id_a", "id_b"), "full_outer")
+    // exact backfills over the bounded pair set
+    val ea = emb.select(col(idCol).as("id_a"), col(vecCol).as("__ba"))
+    val eb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__bb"))
+    val backCos = cosine(col("__ba"), col("__bb"))
+    pairsAll
+      .join(ea, Seq("id_a"), "left")
+      .join(eb, Seq("id_b"), "left")
+      .withColumn("cos", coalesce(col("__cosS"),
+        when(!isnan(backCos), backCos)))
+      .join(sizes, Seq("id_a", "id_b"), "left")
+      .withColumn("jac_ppm", coalesce(col("__jacT"), col("__jacAll"), lit(0L)))
+      .withColumn("verdict",
+        when(col("jac_ppm") >= minJacPpm &&
+          col("cos").isNotNull && col("cos") >= cosThreshold, "both")
+          .when(col("jac_ppm") >= minJacPpm, "text_only")
+          .otherwise("semantic_only"))
+      .select(col("id_a"), col("id_b"), col("jac_ppm"), col("cos"),
+        col("verdict"))
+  }
 }

@@ -801,6 +801,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
 
+  test("cross-signal report (q196): heap-cut kNN semantic side, no cartesian") {
+    val p = plan("q196_cross_signal")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    // the semantic candidates are the k-bounded kNN edges (topk_agg),
+    // never the full in-cell pair set filtered by a threshold
+    assert(s.contains("topk_agg"), s"kNN heap cut missing:\n$s")
+  }
+
   test("padding report (q192): one narrow pass — no join, no window, bounded agg") {
     val p = plan("q192_padding_report")
     assert(!collectAll(p).map(_.getClass.getSimpleName)

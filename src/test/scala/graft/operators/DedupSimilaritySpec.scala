@@ -590,4 +590,38 @@ class DedupSimilaritySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(!p1.contains((0L, 3L)))
   }
+
+  test("crossSignalPairs: planted text/semantic/both disagreements classify") {
+    import org.apache.spark.sql.functions.col
+    // long repeated token runs so the CDC chunker emits shared chunks
+    val base = (1 to 60).map(i => s"tok${i % 17}w").mkString(" ")
+    val other = (1 to 60).map(i => s"alt${i % 13}q").mkString(" ")
+    val third = (1 to 60).map(i => s"thr${i % 11}z").mkString(" ")
+    val docs = Seq(
+      (0L, base + " tail0"), (1L, base + " tail1"), // textual near-dups
+      (2L, other + " x"), (3L, third + " y"),       // unrelated text
+      (4L, other + " z"))                           // near-dup of 2
+      .toDF("doc_id", "text")
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),  // 0 vs 1: text dup, orthogonal emb
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f)),  // 2 vs 3: paraphrase-class (emb near)
+      (3L, Seq(0.01f, 0.0f, 0.99f)),
+      (4L, Seq(0.0f, 0.05f, 1.0f))) // 4: text-dup of 2 AND emb-near -> both
+      .toDF("doc_id", "embedding")
+    val got = Similarity.crossSignalPairs(docs, e, "doc_id", "text",
+        "embedding", kCells = 2, cosThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[String]("verdict")).toMap
+    assert(got((0L, 1L)) == "text_only", s"got $got")
+    assert(got((2L, 3L)) == "semantic_only")
+    assert(got((2L, 4L)) == "both")
+    // every pair carries both exact scores
+    val rows = Similarity.crossSignalPairs(docs, e, "doc_id", "text",
+        "embedding", kCells = 2, cosThreshold = 0.8).collect()
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("jac_ppm")))
+      assert(!r.isNullAt(r.fieldIndex("cos")))
+    }
+  }
 }
