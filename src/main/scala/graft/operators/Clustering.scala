@@ -96,7 +96,13 @@ object Clustering {
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 2, scale: Long = 1000L): DataFrame = {
     require(k > 0 && iters > 0, s"need k > 0 and iters > 0, got k=$k iters=$iters")
+    // TRAINING ignores null vectors: a null among the k smallest ids
+    // would otherwise become a null seed centroid (NearestCellFixed
+    // rejects null cv at runtime — found by the crossSignalPairs
+    // null-safety spec). Assignment still maps null vectors to a null
+    // cell (assignCells is a separate pass over the unfiltered frame).
     val scaled = scaledDf(df, idCol, vecCol, scale)
+      .filter(col("__v").isNotNull)
     // Seeds: the k smallest ids (TakeOrdered on k rows, then a k-row window).
     var cent: DataFrame = scaled.orderBy(col(idCol)).limit(k)
       .select((row_number().over(Window.orderBy(col(idCol))) - 1)

@@ -124,7 +124,10 @@ object Packing {
     require(m >= 2, s"need at least 2 size classes, got $m")
     val tailMax = capacity / m
     val t = capacity - tailMax // tail-class chunking threshold
-    val base = df.select(col(idCol), col(nTokensCol).cast("long").as("__n"))
+    // null token counts behave as 0 (tail class, weight 0) — a null
+    // would otherwise fall through every class predicate
+    val base = df.select(col(idCol),
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("__n"))
       .withColumn("__sc",
         when(col("__n") > capacity, 0L)
           .when(col("__n") <= 0L, m.toLong)

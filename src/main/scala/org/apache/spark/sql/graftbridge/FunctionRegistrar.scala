@@ -198,5 +198,38 @@ object FunctionRegistrar {
           "deletion_variants(s, tau) takes a string and an int literal tau in {1, 2}")
       },
       "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "encode_wav_pcm8",
+      {
+        case Seq(s) => graft.functions.expressions.EncodeWavPcm8(s)
+        case _ => throw new IllegalArgumentException(
+          "encode_wav_pcm8(samples) takes one array<int> column")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "wav_energy_hash",
+      {
+        case Seq(b) => graft.functions.expressions.WavEnergyHash(b)
+        case _ => throw new IllegalArgumentException(
+          "wav_energy_hash(payload) takes one binary column")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantile_sketch",
+      {
+        case Seq(v, Literal(k: Int, _), qs @ _*) if qs.nonEmpty =>
+          graft.functions.expressions.QuantileSketchAgg(v, k,
+            qs.map {
+              case Literal(q: Double, _) => q
+              // bare 0.5 parses as a DECIMAL literal in SQL text
+              case Literal(q: org.apache.spark.sql.types.Decimal, _) => q.toDouble
+              case other => throw new IllegalArgumentException(
+                s"quantile_sketch: quantiles must be numeric literals, got $other")
+            })
+        case _ => throw new IllegalArgumentException(
+          "quantile_sketch(value, k, q1[, q2...]) takes a column, an int " +
+            "literal k, and one or more numeric literal quantiles")
+      },
+      "built-in")
   }
 }

@@ -55,8 +55,10 @@ class EntrySpec extends SparkSpec {
       "cl", "sur", "wt", "bd", // q185 pipeline v3 / q184 waterfill
       "cls", "qs", "cj", "mxs", // q187 keep-best representative
       "bch", "cor", "cosv", // q188 semantic decontamination
+      "ctoks", "cpp", "cff", "cxx", "caa", "cch", "dfq2", "szs", "jall",
+      "tp", "spc", "srk", "sp", "fo", "bcf", "fin", // q196 cross-signal
       "ft", "fs", "bo", "sel", "cm", // q189-q193 sampling/packing/fusion
-      "smp", "en", // q194 audio energy hash
+      "smp", "en", "capped", // q194 audio energy hash
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern

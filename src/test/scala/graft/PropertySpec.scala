@@ -435,4 +435,79 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: packWhole never overflows a bin and never splits a doc") {
+    import graft.operators.Packing
+    val lens = samples(Gen.chooseNum(0L, 150L), 300)
+    val docs = lens.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("doc_id", "n")
+    for (capacity <- Seq(64L, 100L); m <- Seq(2, 4, 8)) {
+      val got = Packing.packWhole(docs, "doc_id", "n", capacity, m,
+          bucketWidth = 17L).collect()
+      // total function: every doc exactly once
+      assert(got.map(_.getAs[Long]("doc_id")).toSet == lens.indices.map(_.toLong).toSet)
+      got.groupBy(r => (r.getAs[Long]("size_class"), r.getAs[Long]("bin")))
+        .foreach { case ((sc, bin), rows) =>
+          val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+          if (sc > 0)
+            assert(tot <= capacity, s"cap=$capacity m=$m bin($sc,$bin)=$tot")
+          else rows.foreach(r =>
+            assert(r.getAs[Long]("n_tokens") > capacity, "class 0 = oversize only"))
+        }
+    }
+  }
+
+  test("property: weightedSample is stable under row order and partitioning") {
+    import graft.operators.Sampling
+    val rows = samples(Gen.zip(Gen.chooseNum(0L, 100000L),
+      Gen.chooseNum(-5L, 500L)), 200).distinctBy(_._1)
+      .map { case (id, w) => (id, s"g${id % 4}", w) }
+    val base = rows.toDF("id", "grp", "w")
+    val expected = Sampling.weightedSample(base, Seq("grp"), "id", "w", 4)
+      .orderBy($"grp", $"rn").collect().toSeq
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    for (variant <- Seq(shuffled.toDF("id", "grp", "w"),
+        base.repartition(13, $"w"))) {
+      val got = Sampling.weightedSample(variant, Seq("grp"), "id", "w", 4)
+        .orderBy($"grp", $"rn").collect().toSeq
+      assert(got == expected)
+    }
+  }
+
+  test("property: quantile sketch guarantee holds on random data and merge trees") {
+    import graft.functions.expressions.QuantileSketchAgg
+    val k = 32
+    val vals = samples(Gen.chooseNum(-1e6, 1e6), 20000)
+    def fromSeq(s: Seq[Double]): QuantileSketchAgg.Sketch = {
+      val sk = new QuantileSketchAgg.Sketch(k)
+      s.foreach(sk.add)
+      sk
+    }
+    // random balanced-ish and lopsided merge trees over random shards
+    // (mergeIn MUTATES, so each tree gets its own fresh shard sketches)
+    def shards() = vals.grouped(700).map(fromSeq).toSeq
+    val lopsided = {
+      val s = shards(); val acc = s.head; s.tail.foreach(acc.mergeIn); acc
+    }
+    val paired = {
+      var layer = shards()
+      while (layer.length > 1)
+        layer = layer.grouped(2).map { g =>
+          if (g.length == 2) { g.head.mergeIn(g(1)); g.head } else g.head
+        }.toSeq
+      layer.head
+    }
+    val sorted = vals.sorted
+    for (sk <- Seq(fromSeq(vals), lopsided, paired); q <- Seq(0.05, 0.5, 0.95)) {
+      assert(sk.n == vals.size.toLong)
+      val bound = 2L * (sk.levels.length + 1) * vals.size / k + 1
+      val est = sk.quantile(q)
+      val lt = sorted.count(_ < est).toLong
+      val le = sorted.count(_ <= est).toLong
+      val target = math.max(1L, math.ceil(q * vals.size).toLong)
+      val err = if (target < lt + 1) lt + 1 - target
+                else if (target > le) target - le else 0L
+      assert(err <= bound, s"q=$q err=$err bound=$bound")
+    }
+  }
 }

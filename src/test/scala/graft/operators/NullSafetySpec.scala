@@ -126,4 +126,42 @@ class NullSafetySpec extends SparkSpec {
     // null text -> zero bigrams -> loss 0 via the greatest(nb, 1) guard
     assert(out("broken") == 0L && out("ref") == 0L)
   }
+
+  test("packWhole: null token counts class as zero-length, not an exception") {
+    val d = Seq((0L, Some(40L)), (1L, None), (2L, Some(10L)))
+      .toDF("doc_id", "n")
+    val got = graft.operators.Packing.packWhole(d, "doc_id", "n", 64L, m = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("size_class")).toMap
+    // null coalesces to 0 tokens -> tail class, weight 0, deterministic
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(1L) == 4L)
+  }
+
+  test("semanticContamination: corpus rows with null vectors report 0 hits") {
+    val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("id", "vec")
+    val corpus = Seq((0L, Some(Seq(0.9f, 0.1f))), (1L, None))
+      .toDF("id", "vec")
+    val got = graft.operators.Clustering.semanticContamination(
+        corpus, bench, "id", "vec", k = 1, iters = 1, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        r.getAs[Long]("n_bench_hits")).toMap
+    assert(got(0L) == 1L && got(1L) == 0L)
+  }
+
+  test("crossSignalPairs: null text and null vectors drop silently") {
+    val base = (1 to 60).map(i => s"tok${i % 17}w").mkString(" ")
+    val docs = Seq((0L, Some(base + " t0")), (1L, Some(base + " t1")),
+      (2L, None)).toDF("doc_id", "text")
+    val e = Seq((0L, Some(Seq(1.0f, 0.0f))), (1L, None),
+      (2L, Some(Seq(0.0f, 1.0f)))).toDF("doc_id", "embedding")
+    val got = graft.operators.Similarity.crossSignalPairs(docs, e, "doc_id",
+        "text", "embedding", kCells = 2, cosThreshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[String]("verdict"), r.isNullAt(r.fieldIndex("cos"))))
+    // the text pair (0,1) survives; its cos is null (doc 1 has no
+    // usable vector) and the verdict stays text_only
+    val p01 = got.find(_._1 == ((0L, 1L)))
+    assert(p01.exists(x => x._2 == "text_only" && x._3))
+  }
 }

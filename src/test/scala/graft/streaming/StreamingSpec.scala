@@ -128,6 +128,31 @@ class StreamingSpec extends SparkSpec {
     assert(fx.getLong(1) == 2L)
   }
 
+  test("wav and quantile kernels register as SQL functions") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    // encode -> decode-hash round trip entirely in SQL
+    val h = spark.sql(
+      """SELECT wav_energy_hash(encode_wav_pcm8(
+           transform(sequence(0, 255),
+             i -> CAST(128 + CASE WHEN (i div 4) % 2 = 0 THEN 90
+                                  ELSE -3 END AS INT)))) AS h""")
+      .collect()(0)
+    assert(!h.isNullAt(0))
+    val expected = graft.functions.MediaCodecs.energyHash64(
+      graft.functions.MediaCodecs.encodeWavPcm8(
+        Array.tabulate(256)(i => 128 + (if ((i / 4) % 2 == 0) 90 else -3)), 8000))
+    assert(h.getLong(0) == expected.longValue())
+    // quantile_sketch: exact regime (n < k) equals PERCENTILE_DISC
+    (1 to 40).map(i => (i * 7 % 41).toDouble).toDF("v")
+      .createOrReplaceTempView("qsk")
+    val r = spark.sql(
+      "SELECT quantile_sketch(v, 64, 0.5, 0.9) AS s FROM qsk")
+      .select($"s.ests").collect()(0).getSeq[Double](0)
+    val sorted = (1 to 40).map(i => (i * 7 % 41).toDouble).sorted
+    def disc(q: Double) = sorted(math.max(1, math.ceil(q * 40).toInt) - 1)
+    assert(r == Seq(disc(0.5), disc(0.9)))
+  }
+
   test("nearest_cell_fixed registers as a SQL function") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     val cell = spark.sql(
