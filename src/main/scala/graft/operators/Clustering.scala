@@ -29,8 +29,23 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
-  /** Scaled copy of the vector column: `floor(x·scale + 0.5)` per element. */
-  def scaleVector(vecCol: Column, scale: Long): Column =
+  /** Scaled copy of the vector column: `floor(x·scale + 0.5)` per
+    * element. Hot path: the native codegen'd
+    * [[graft.functions.expressions.ScaleVector]] (the HOF transform was
+    * interpreted per element on the quantization pass every fixed-point
+    * embedding operator runs first).
+    */
+  def scaleVector(vecCol: Column, scale: Long): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.ScaleVector(
+      ColumnBridge.expression(vecCol), scale))
+  }
+
+  /** HOF formulation of [[scaleVector]] — the interpreted parity
+    * reference (spec-pinned equal to the native kernel), not the hot
+    * path.
+    */
+  def scaleVectorViaHof(vecCol: Column, scale: Long): Column =
     transform(vecCol, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
 
   /** Integer argmin over a broadcast centroid list — (dist, cell)

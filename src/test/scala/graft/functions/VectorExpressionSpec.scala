@@ -134,4 +134,31 @@ class VectorExpressionSpec extends SparkSpec {
       .count()
     assert(mism === 0L)
   }
+
+  test("native ScaleVector matches the HOF transform bitwise") {
+    import graft.operators.Clustering
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(200)(Array.fill(16)((rnd.nextFloat() - 0.5f) * 8f)) ++
+      Seq(Array.fill(16)(0.0f), Array[Float](), Array(-0.0005f, 0.0005f))
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    for (scale <- Seq(1L, 1000L, 1L << 30)) {
+      val mism = df.select(
+          Clustering.scaleVector(col("v"), scale).as("n"),
+          Clustering.scaleVectorViaHof(col("v"), scale).as("h"))
+        .where(col("n") =!= col("h")).count()
+      assert(mism === 0L, s"scale=$scale")
+    }
+    // long arrays (the projected-space scale=1 path) and null elements
+    val lv = Seq(Tuple1(Array(1L, -7L, 1L << 55)),
+      Tuple1(Array[Long]())).toDF("v")
+    val lm = lv.select(Clustering.scaleVector(col("v"), 1L).as("n"),
+        Clustering.scaleVectorViaHof(col("v"), 1L).as("h"))
+      .where(col("n") =!= col("h")).count()
+    assert(lm === 0L)
+    val withNull = Seq(Tuple1(Seq[Option[Double]](Some(1.5), None, Some(-2.5))))
+      .toDF("v")
+    val r = withNull.select(Clustering.scaleVector(col("v"), 1000L).as("n"))
+      .collect()(0).getSeq[Any](0)
+    assert(r == Seq(1500L, null, -2500L))
+  }
 }
