@@ -825,6 +825,29 @@ object Dedup {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
                 w: Int = 3, divisor: Long = 8L): DataFrame = {
     require(w >= 1 && divisor >= 2, s"need w >= 1, divisor >= 2; got $w, $divisor")
+    // One narrow kernel call per row, then a posexplode — no per-token
+    // explode, no per-document window, no reassembly aggregate (the
+    // relational formulation below stays as the CdcSpec parity
+    // reference). chunk_idx = array position, identical to the window
+    // cumsum by construction.
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val chunksCol = ColumnBridge.column(
+      graft.functions.expressions.CdcChunks(
+        ColumnBridge.expression(col(textCol)), w, divisor, M))
+    df.select(col(idCol), posexplode(chunksCol).as(Seq("__ci", "__st")))
+      .select(col(idCol), col("__ci").cast("long").as("chunk_idx"),
+        col("__st.n_tokens").as("n_tokens"),
+        col("__st.chunk_hash").as("chunk_hash"))
+  }
+
+  /** The exploded relational formulation of [[cdcChunks]] — the
+    * CdcSpec-pinned parity reference (per-token explode + per-document
+    * window + reassembly aggregate), not the hot path.
+    */
+  private[operators] def cdcChunksRelational(
+      df: DataFrame, idCol: String, textCol: String,
+      w: Int = 3, divisor: Long = 8L): DataFrame = {
+    require(w >= 1 && divisor >= 2, s"need w >= 1, divisor >= 2; got $w, $divisor")
     val toks = df.select(col(idCol), split(col(textCol), " ").as("__l"))
     val pos = toks
       .select(col(idCol), col("__l"),
@@ -865,6 +888,22 @@ object Dedup {
     * empty token is distinguishable from "no chunk open".
     */
   def cdcChunkHashesCol(text: Column, w: Int = 3, divisor: Long = 8L): Column = {
+    require(w >= 1 && divisor >= 2, s"need w >= 1, divisor >= 2; got $w, $divisor")
+    // native kernel per row; the hash projection iterates CHUNKS (a few
+    // per document), not tokens — the old per-token HOF fold (kept
+    // below as the parity reference) also built O(len²) intermediate
+    // strings
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    transform(ColumnBridge.column(graft.functions.expressions.CdcChunks(
+        ColumnBridge.expression(text), w, divisor, M)),
+      st => st.getField("chunk_hash"))
+  }
+
+  /** The per-token HOF fold formulation of [[cdcChunkHashesCol]] — the
+    * CdcSpec-pinned parity reference, not the hot path.
+    */
+  private[operators] def cdcChunkHashesColViaHof(
+      text: Column, w: Int = 3, divisor: Long = 8L): Column = {
     require(w >= 1 && divisor >= 2, s"need w >= 1, divisor >= 2; got $w, $divisor")
     val ts = split(text, " ")
     // Boundary AT position p (1-based): the rolling w-gram ending at p

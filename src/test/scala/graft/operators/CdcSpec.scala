@@ -107,4 +107,35 @@ class CdcSpec extends SparkSpec {
     assert(pairs.forall(p => p == ((0L, 1L))),
       s"the boilerplate head must not pair 2/3 with anyone: ${pairs.toSeq}")
   }
+
+  test("native kernel == relational formulation == per-token HOF fold") {
+    // all three paths, including the retired formulations kept as parity
+    // references, on edge-heavy inputs: empty text, empty tokens (double
+    // spaces), trailing space, multi-byte UTF-8, boundary-at-last-token
+    val texts = (Seq(
+      (0L, base), (1L, "inserted " + base), (2L, ""), (3L, "a  b  c d"),
+      (4L, "trailing space "), (5L, "héllo wörld κόσμος tokens here okay"),
+      (6L, "solo")) ++
+      (7L until 30L).map(i => i -> (1 to 40).map(j =>
+        s"w${(i * 31 + j * 7) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    for ((w, div) <- Seq((3, 4L), (3, 8L), (1, 2L), (5, 4L))) {
+      val native = Dedup.cdcChunks(texts, "doc_id", "text", w, div)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_hash"))).toSeq
+      val relational = Dedup.cdcChunksRelational(texts, "doc_id", "text", w, div)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("chunk_idx"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("chunk_hash"))).toSeq
+      assert(native == relational, s"w=$w div=$div")
+      val hofHashes = texts.select(col("doc_id"),
+          Dedup.cdcChunkHashesColViaHof(col("text"), w, div).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val nativeHashes = texts.select(col("doc_id"),
+          Dedup.cdcChunkHashesCol(col("text"), w, div).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(nativeHashes == hofHashes, s"w=$w div=$div")
+    }
+  }
 }
