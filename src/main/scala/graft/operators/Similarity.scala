@@ -286,4 +286,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("jac_ppm"), col("cos"),
         col("verdict"))
   }
+
+  /** Cross-signal dedup CLUSTERS — the natural completion of
+    * [[crossSignalPairs]]: connected components over the UNION of the
+    * textual and semantic near-dup edges, so a cluster transitively
+    * captures both the near-copy text chain and its paraphrases (what
+    * a leakage-safe split or a keep-one dedup actually needs; either
+    * signal alone under-merges). Components via
+    * [[Dedup.connectedComponentsAuto]] (min-label with the star
+    * fallback); cluster_id = the component's smallest id, sizes by
+    * aggregate + join-back (never a window over a possibly-huge
+    * cluster). Singletons are their own cluster of size 1.
+    *
+    * Output: (idCol, cluster_id, cluster_size), one row per document.
+    */
+  def crossSignalClusters(docs: DataFrame, emb: DataFrame, idCol: String,
+                          textCol: String, vecCol: String,
+                          w: Int = 3, divisor: Long = 8L, maxDf: Long = 10L,
+                          minJacPpm: Long = 300000L,
+                          kCells: Int = 8, kNeighbors: Int = 3,
+                          iters: Int = 2, scale: Long = 1000L,
+                          cosThreshold: Double = 0.3): DataFrame = {
+    val edges = crossSignalPairs(docs, emb, idCol, textCol, vecCol,
+        w, divisor, maxDf, minJacPpm, kCells, kNeighbors, iters, scale,
+        cosThreshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = Dedup.connectedComponentsAuto(
+      docs.select(col(idCol)), edges, idCol)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    clusters.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"))
+  }
 }

@@ -241,6 +241,26 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q197_cross_signal_clusters" -> { (s, d) =>
+      // Cross-signal dedup clusters: connected components over the UNION
+      // of q196's textual and semantic edges, so one cluster captures a
+      // near-copy chain AND its paraphrases transitively (either signal
+      // alone under-merges a leakage-safe split). Min-label/star CC,
+      // sizes by aggregate + join-back — never a window over a cluster.
+      // The cosine gate is TIGHTER than q196's report threshold (0.5 vs
+      // 0.3): transitive closure percolates a loose threshold graph into
+      // a mega-component (measured: tau=0.3 chained 41% of the sf0.1
+      // corpus into ONE cluster) — the known failure mode that makes
+      // SemDeDup-class pipelines keep clustering local; a closure gate
+      // must be a dup-grade threshold.
+      Similarity.crossSignalClusters(
+          Tables.documents(s, d),
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id", "text", "embedding", cosThreshold = 0.5)
+        .orderBy(col("doc_id"))
+    },
+
     "q196_cross_signal" -> { (s, d) =>
       // Cross-signal dedup consistency: exact CDC-chunk Jaccard (q159's
       // machinery) vs in-cell embedding cosine (q124's pair space) over
@@ -379,6 +399,92 @@ object SimilarityQueries extends QueryGroup {
 
   private val KmeansCte = kmeansCte("TRUE")
 
+  /** Shared q196/q197 oracle prefix: the CDC rare-chunk Jaccard table
+    * (renamed copies of the q159 CTEs — the shared fragment clashes on
+    * the kmeans CTE's `a`), the k-bounded kNN semantic pairs, and their
+    * full-outer union `fo` — the cross-signal edge set.
+    */
+  private def CrossSignalCte(cosTau: String): String = s"""${kmeansCte("TRUE")},
+      ctoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      cpp AS (
+        SELECT doc_id, l, unnest(l) AS tok,
+          CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
+        FROM ctoks),
+      cff AS (
+        SELECT doc_id, tok, pos,
+          CASE WHEN pos >= 3 AND
+            list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(
+                l[pos - 2] || ' ' || l[pos - 1] || ' ' || l[pos], ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+              (acc, c2) -> (acc * 31 + c2) % ${graft.operators.Dedup.M}) % 8 = 0
+          THEN 1 ELSE 0 END AS bflag
+        FROM cpp),
+      cxx AS (
+        SELECT doc_id, tok, pos,
+          CAST(coalesce(sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            AS chunk_idx
+        FROM cff),
+      caa AS (
+        SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY pos) AS chunk
+        FROM cxx GROUP BY doc_id, chunk_idx),
+      cch AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(chunk, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c2) -> (acc * 31 + c2) % ${graft.operators.Dedup.M}) AS chunk_hash
+        FROM caa),
+      sets AS (SELECT DISTINCT doc_id, chunk_hash FROM cch),
+      dfq2 AS (
+        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS nd
+        FROM sets GROUP BY chunk_hash),
+      perdoc AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
+        FROM sets s JOIN dfq2 USING (chunk_hash)
+        WHERE nd <= 10 GROUP BY s.doc_id),
+      rare AS (
+        SELECT s.doc_id, s.chunk_hash
+        FROM sets s JOIN dfq2 USING (chunk_hash)
+        WHERE nd > 1 AND nd <= 10),
+      szs AS (
+        SELECT ra.doc_id AS id_a, rb.doc_id AS id_b,
+          CAST(count(*) AS BIGINT) AS sh
+        FROM rare ra JOIN rare rb ON ra.chunk_hash = rb.chunk_hash
+          AND ra.doc_id < rb.doc_id
+        GROUP BY 1, 2),
+      jall AS (
+        SELECT szs.id_a, szs.id_b,
+          (1000000 * sh) // (pa.n + pb.n - sh) AS jac_all
+        FROM szs JOIN perdoc pa ON pa.doc_id = szs.id_a
+                 JOIN perdoc pb ON pb.doc_id = szs.id_b),
+      tp AS (SELECT id_a, id_b, jac_all FROM jall WHERE jac_all >= 300000),
+      spc AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va2.rv, vb2.rv)
+            / (sqrt(list_dot_product(va2.rv, va2.rv))
+               * sqrt(list_dot_product(vb2.rv, vb2.rv))) AS coss
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN v va2 ON va2.id = ia.id
+        JOIN v vb2 ON vb2.id = ib.id),
+      srk AS (
+        SELECT src, dst, coss FROM (
+          SELECT src, dst, coss,
+            row_number() OVER (PARTITION BY src ORDER BY coss DESC, dst) AS rn
+          FROM spc WHERE NOT isnan(coss)) t
+        WHERE rn <= 3),
+      sp AS (
+        SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b,
+          coss
+        FROM srk WHERE coss >= $cosTau),
+      fo AS (
+        SELECT coalesce(tp.id_a, sp.id_a) AS id_a,
+          coalesce(tp.id_b, sp.id_b) AS id_b,
+          tp.jac_all AS jac_t, sp.coss
+        FROM tp FULL OUTER JOIN sp
+          ON tp.id_a = sp.id_a AND tp.id_b = sp.id_b)"""
+
   val oracle: Map[String, String] = Map(
     "q174_sign_projection" -> s"""
       WITH q AS (
@@ -471,86 +577,7 @@ object SimilarityQueries extends QueryGroup {
       FROM cor LEFT JOIN hits ON cor.id = hits.id
       ORDER BY vec_id""",
 
-    "q196_cross_signal" -> s"""${kmeansCte("TRUE")},
-      ctoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
-      cpp AS (
-        SELECT doc_id, l, unnest(l) AS tok,
-          CAST(generate_subscripts(l, 1) AS BIGINT) AS pos
-        FROM ctoks),
-      cff AS (
-        SELECT doc_id, tok, pos,
-          CASE WHEN pos >= 3 AND
-            list_reduce(list_prepend(CAST(0 AS BIGINT),
-              list_transform(string_split(
-                l[pos - 2] || ' ' || l[pos - 1] || ' ' || l[pos], ''),
-                x -> CAST(unicode(x) AS BIGINT))),
-              (acc, c2) -> (acc * 31 + c2) % ${graft.operators.Dedup.M}) % 8 = 0
-          THEN 1 ELSE 0 END AS bflag
-        FROM cpp),
-      cxx AS (
-        SELECT doc_id, tok, pos,
-          CAST(coalesce(sum(bflag) OVER (PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-            AS chunk_idx
-        FROM cff),
-      caa AS (
-        SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY pos) AS chunk
-        FROM cxx GROUP BY doc_id, chunk_idx),
-      cch AS (
-        SELECT doc_id,
-          list_reduce(list_prepend(CAST(0 AS BIGINT),
-            list_transform(string_split(chunk, ''),
-              x -> CAST(unicode(x) AS BIGINT))),
-            (acc, c2) -> (acc * 31 + c2) % ${graft.operators.Dedup.M}) AS chunk_hash
-        FROM caa),
-      sets AS (SELECT DISTINCT doc_id, chunk_hash FROM cch),
-      dfq2 AS (
-        SELECT chunk_hash, CAST(count(*) AS BIGINT) AS nd
-        FROM sets GROUP BY chunk_hash),
-      perdoc AS (
-        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n
-        FROM sets s JOIN dfq2 USING (chunk_hash)
-        WHERE nd <= 10 GROUP BY s.doc_id),
-      rare AS (
-        SELECT s.doc_id, s.chunk_hash
-        FROM sets s JOIN dfq2 USING (chunk_hash)
-        WHERE nd > 1 AND nd <= 10),
-      szs AS (
-        SELECT ra.doc_id AS id_a, rb.doc_id AS id_b,
-          CAST(count(*) AS BIGINT) AS sh
-        FROM rare ra JOIN rare rb ON ra.chunk_hash = rb.chunk_hash
-          AND ra.doc_id < rb.doc_id
-        GROUP BY 1, 2),
-      jall AS (
-        SELECT szs.id_a, szs.id_b,
-          (1000000 * sh) // (pa.n + pb.n - sh) AS jac_all
-        FROM szs JOIN perdoc pa ON pa.doc_id = szs.id_a
-                 JOIN perdoc pb ON pb.doc_id = szs.id_b),
-      tp AS (SELECT id_a, id_b, jac_all FROM jall WHERE jac_all >= 300000),
-      spc AS (
-        SELECT ia.id AS src, ib.id AS dst,
-          list_dot_product(va2.rv, vb2.rv)
-            / (sqrt(list_dot_product(va2.rv, va2.rv))
-               * sqrt(list_dot_product(vb2.rv, vb2.rv))) AS coss
-        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
-        JOIN v va2 ON va2.id = ia.id
-        JOIN v vb2 ON vb2.id = ib.id),
-      srk AS (
-        SELECT src, dst, coss FROM (
-          SELECT src, dst, coss,
-            row_number() OVER (PARTITION BY src ORDER BY coss DESC, dst) AS rn
-          FROM spc WHERE NOT isnan(coss)) t
-        WHERE rn <= 3),
-      sp AS (
-        SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b,
-          coss
-        FROM srk WHERE coss >= 0.3),
-      fo AS (
-        SELECT coalesce(tp.id_a, sp.id_a) AS id_a,
-          coalesce(tp.id_b, sp.id_b) AS id_b,
-          tp.jac_all AS jac_t, sp.coss
-        FROM tp FULL OUTER JOIN sp
-          ON tp.id_a = sp.id_a AND tp.id_b = sp.id_b),
+    "q196_cross_signal" -> s"""${CrossSignalCte("0.3")},
       bcf AS (
         SELECT fo.id_a, fo.id_b, fo.jac_t, fo.coss,
           list_dot_product(ea.rv, eb.rv)
@@ -571,6 +598,25 @@ object SimilarityQueries extends QueryGroup {
              WHEN jac_ppm >= 300000 THEN 'text_only'
              ELSE 'semantic_only' END AS verdict
       FROM fin ORDER BY id_a, id_b""",
+
+    "q197_cross_signal_clusters" -> s"""${CrossSignalCte("0.5")},
+      und AS (
+        SELECT id_a AS src, id_b AS dst FROM fo
+        UNION ALL SELECT id_b, id_a FROM fo),
+      reach AS (
+        SELECT doc_id AS n, doc_id AS l FROM documents
+        UNION
+        SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n),
+      cls AS (
+        SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n),
+      szs2 AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cls GROUP BY cluster_id)
+      SELECT cls.doc_id, cls.cluster_id, szs2.cluster_size
+      FROM cls JOIN szs2 USING (cluster_id)
+      ORDER BY doc_id""".replaceFirst("WITH ", "WITH RECURSIVE "),
+
 
     "q123_kmeans" -> s"""$KmeansCte
       SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum

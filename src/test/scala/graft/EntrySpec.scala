@@ -56,7 +56,7 @@ class EntrySpec extends SparkSpec {
       "cls", "qs", "cj", "mxs", // q187 keep-best representative
       "bch", "cor", "cosv", // q188 semantic decontamination
       "ctoks", "cpp", "cff", "cxx", "caa", "cch", "dfq2", "szs", "jall",
-      "tp", "spc", "srk", "sp", "fo", "bcf", "fin", // q196 cross-signal
+      "tp", "spc", "srk", "sp", "fo", "bcf", "fin", "szs2", // q196/q197 cross-signal
       "ft", "fs", "bo", "sel", "cm", // q189-q193 sampling/packing/fusion
       "smp", "en", "capped", // q194 audio energy hash
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)

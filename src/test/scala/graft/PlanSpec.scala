@@ -810,6 +810,20 @@ class PlanSpec extends SparkSpec {
     assert(s.contains("topk_agg"), s"kNN heap cut missing:\n$s")
   }
 
+  test("cross-signal clusters (q197): sizes by aggregate, no cluster window") {
+    val p = plan("q197_cross_signal_clusters")
+    val s = p.toString
+    assert(!s.contains("CartesianProduct"), s"no cartesian:\n$s")
+    // cluster sizes come from aggregate + join-back; a window over
+    // cluster_id would buffer a mega-cluster in one task
+    val wins = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(!wins.exists(_.partitionSpec.exists(
+        _.toString.contains("cluster_id"))),
+      s"no window over cluster_id:\n$p")
+  }
+
   test("padding report (q192): one narrow pass — no join, no window, bounded agg") {
     val p = plan("q192_padding_report")
     assert(!collectAll(p).map(_.getClass.getSimpleName)

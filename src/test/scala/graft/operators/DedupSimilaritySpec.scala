@@ -623,5 +623,14 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(!r.isNullAt(r.fieldIndex("jac_ppm")))
       assert(!r.isNullAt(r.fieldIndex("cos")))
     }
+    // clusters merge transitively across the two signals: 2-3 (semantic)
+    // and 2-4 (both) chain into one component even though 3 and 4 share
+    // neither text nor a strong enough pair of their own
+    val cl = Similarity.crossSignalClusters(docs, e, "doc_id", "text",
+        "embedding", kCells = 2, cosThreshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(cl(0L) == ((0L, 2L)) && cl(1L) == ((0L, 2L)))
+    assert(cl(2L) == ((2L, 3L)) && cl(3L) == ((2L, 3L)) && cl(4L) == ((2L, 3L)))
   }
 }
