@@ -101,6 +101,33 @@ final case class AvroSerde(avroSchemaJson: String,
 
 object AvroSerde {
 
+  /** Spark struct type for a declared Avro schema JSON. */
+  def sparkTypeOf(avroSchemaJson: String): StructType =
+    toSparkType(new AvroSchema.Parser().parse(avroSchemaJson))
+      .asInstanceOf[StructType]
+
+  /** All records of an Avro object-container FILE as Rows under the
+    * declared READER schema — the file's embedded writer schema is
+    * resolved against it (standard Avro schema evolution: renamed-away
+    * fields drop, defaulted additions fill). Backs
+    * [[graft.sources.Readers.avroContainer]]; the reader closes with
+    * the iterator.
+    */
+  def containerRecords(bytes: Array[Byte], readerSchemaJson: String): Iterator[Row] = {
+    val readerSchema = new AvroSchema.Parser().parse(readerSchemaJson)
+    val r = new DataFileReader[GenericRecord](
+      new SeekableByteArrayInput(bytes),
+      new GenericDatumReader[GenericRecord](null, readerSchema))
+    new Iterator[Row] {
+      override def hasNext: Boolean = {
+        val h = r.hasNext
+        if (!h) r.close()
+        h
+      }
+      override def next(): Row = toRow(r.next(), readerSchema)
+    }
+  }
+
   /** Avro schema → Spark type (the subset kaflow payloads use). */
   def toSparkType(s: AvroSchema): DataType = s.getType match {
     case AvroSchema.Type.RECORD =>

@@ -136,6 +136,37 @@ object Readers {
       bad = df.filter(col("length") > maxBytes).drop("content"))
   }
 
+  /** Avro object-container FILES under a declared reader schema — the
+    * batch-file shape of the reference's `include_schema=True` Avro mode
+    * (SURVEY A9: container mode ≡ `spark.read.format("avro")`, which
+    * this image lacks a jar for — implemented on avro-1.12 directly,
+    * like the serde). One binaryFile scan; each file's records decode in
+    * a flatMap under the DECLARED schema with standard Avro resolution
+    * against the file's embedded writer schema (defaulted additions
+    * fill, removed fields drop), so readers keep working across producer
+    * schema evolution.
+    *
+    * Scale shape: files are the parallelism unit (container files are
+    * block-compressed multi-MB objects — the normal case); the binary
+    * scan's `maxBytes` guard from [[binaryFiles]] applies upstream if
+    * needed. A corrupt file fails the task loudly (FAILFAST semantics —
+    * batch container ingest wants a hard stop, unlike per-record Kafka
+    * payloads, which route to the DLQ via the serde's null path).
+    */
+  def avroContainer(spark: SparkSession, path: String,
+                    avroSchemaJson: String,
+                    pathGlob: String = "*"): DataFrame = {
+    import graft.serde.AvroSerde
+    val st = AvroSerde.sparkTypeOf(avroSchemaJson)
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(path)
+      .select(col("content"))
+      .as(org.apache.spark.sql.Encoders.BINARY)
+    files.flatMap(bytes => AvroSerde.containerRecords(bytes, avroSchemaJson))(
+      org.apache.spark.sql.Encoders.row(st))
+  }
+
   /** Text lines (one row per line) — the raw-document ingest shape. */
   def textLines(spark: SparkSession, path: String,
                 wholeFile: Boolean = false): DataFrame =

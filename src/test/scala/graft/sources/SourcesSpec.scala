@@ -111,4 +111,40 @@ class SourcesSpec extends SparkSpec {
     val rows = conf.collect().map(r => (r.isNullAt(0), r.getBoolean(2)))
     assert(rows.toSet == Set((false, true), (true, false)))
   }
+
+  test("avroContainer: multi-record container files decode under the declared schema") {
+    import org.apache.avro.{Schema => AvroSchema}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val writerJson =
+      """{"type":"record","name":"t","fields":[
+         {"name":"s","type":"string"},{"name":"n","type":"long"},
+         {"name":"extra","type":"double"}]}"""
+    val readerJson =
+      """{"type":"record","name":"t","fields":[
+         {"name":"s","type":"string"},{"name":"n","type":"long"},
+         {"name":"added","type":"long","default":7}]}"""
+    val ws = new AvroSchema.Parser().parse(writerJson)
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro").toFile
+    for (f <- 0 until 2) {
+      val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](ws))
+      w.create(ws, new java.io.File(dir, s"part$f.avro"))
+      for (i <- 0 until 3) {
+        val rec = new GenericData.Record(ws)
+        rec.put("s", s"r${f}_$i"); rec.put("n", (f * 10 + i).toLong)
+        rec.put("extra", i * 0.5)
+        w.append(rec)
+      }
+      w.close()
+    }
+    // declared READER schema: drops `extra`, fills defaulted `added` —
+    // standard Avro resolution across producer schema evolution
+    val got = Readers.avroContainer(spark, dir.getAbsolutePath, readerJson,
+        pathGlob = "*.avro")
+      .collect().map(r => (r.getAs[String]("s"), r.getAs[Long]("n"),
+        r.getAs[Long]("added"))).toSet
+    assert(got == (for (f <- 0 until 2; i <- 0 until 3)
+      yield (s"r${f}_$i", (f * 10 + i).toLong, 7L)).toSet)
+    assert(got.size == 6)
+  }
 }
