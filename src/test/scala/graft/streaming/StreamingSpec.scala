@@ -1461,6 +1461,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted sample: state survives a query restart from checkpoint") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { restartBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def restartBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // b1 fills the reservoir; the query STOPS; a new query resumes from
+    // the same checkpoint and sees only b2. Its emission must equal the
+    // batch sample over b1 ∪ b2 (state RESTORED) — a reset would emit
+    // the b2-only sample {5}, which differs by construction.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val input = MemoryStream[(String, Long, Long)]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // fault-tolerant collector
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long)] // (rn, id)
+    def start() = SamplingStream(input.toDS(), k = 3)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long)],
+         _: Long) =>
+        collected.synchronized {
+          collected ++= df.collect().map(r => (r._2, r._3))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(("g", 3L, 1L), ("g", 4L, 1L))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    collected.synchronized(collected.clear())
+    val q2 = start()
+    try {
+      input.addData(("g", 5L, 1L))
+      q2.processAllAvailable()
+      val got = collected.synchronized(collected.toMap)
+      // restored reservoir = {3, 4, 5} in priority (= id) order; a state
+      // RESET would emit the b2-only sample {(1, 5)}
+      assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 5L),
+        s"state must survive the restart: $got")
+    } finally q2.stop()
+  }
+
   private def heavyHittersGuaranteeBody(): Unit = {
     implicit val sc = spark.sqlContext
     // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
