@@ -191,6 +191,41 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"))
     },
 
+    "q198_overlap_sketch" -> { (s, d) =>
+      // q103's cross-source vocabulary overlap at SKETCH scale — the
+      // q181 pattern applied to set INTERSECTION: per-source HLL
+      // sketches of the shingle-id sets (one combinable aggregate, no
+      // pairwise id exchange), intersection estimated by
+      // inclusion-exclusion est(A) + est(B) − est(A∪B) over merged
+      // sketches. At 100 TB the exact anchors drop and each source
+      // ships one 2^12-register sketch instead of its vocabulary; here
+      // the exact inter/union stay in-plan (q47-style) and the output
+      // asserts the estimate within the compounded 3-sketch bound
+      // (~3σ ≈ 10% of the union at lgK=12, + a small-set floor).
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "source", "text")
+      val srcs = docs.select(col("source")).distinct()
+      val pairs = srcs.select(col("source").as("id_a"))
+        .crossJoin(srcs.select(col("source").as("id_b")))
+        .filter(col("id_a") < col("id_b"))
+      val exact = Dedup.overlapStats(ids, "source", pairs)
+        .withColumn("uni", col("sz_a") + col("sz_b") - col("inter"))
+      val sks = ids.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("tid")).as("sk"))
+      val est = exact
+        .join(sks.select(col("source").as("id_a"), col("sk").as("__ska")), "id_a")
+        .join(sks.select(col("source").as("id_b"), col("sk").as("__skb")), "id_b")
+        .withColumn("__ea", hll_sketch_estimate(col("__ska")))
+        .withColumn("__eb", hll_sketch_estimate(col("__skb")))
+        .withColumn("__eu",
+          hll_sketch_estimate(hll_union(col("__ska"), col("__skb"))))
+        .withColumn("__ei", col("__ea") + col("__eb") - col("__eu"))
+      est.select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          (abs(col("__ei") - col("inter")) <=
+            greatest(col("uni") * 0.1, lit(50.0))).as("est_ok"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q103_source_overlap" -> { (s, d) =>
       // Corpus-level vocabulary overlap BETWEEN ingest feeds: Jaccard of
       // each source's distinct shingle-id set — the cross-feed duplication
@@ -807,6 +842,42 @@ object DedupQueries extends QueryGroup {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b
       ORDER BY p.id_a""",
+
+    "q198_overlap_sketch" -> s"""
+      WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
+      sh AS (
+        SELECT source,
+          unnest(list_transform(generate_series(1, greatest(len(l) - 2, 0)),
+            i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS shingle
+        FROM toks),
+      ids AS (
+        SELECT DISTINCT source,
+          list_reduce(
+            list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(shingle, ''),
+                x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $M) AS tid
+        FROM sh),
+      pairs AS (
+        SELECT a.source AS id_a, b.source AS id_b
+        FROM (SELECT DISTINCT source FROM documents) a
+        JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source),
+      inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM pairs p
+        JOIN ids ia ON ia.source = p.id_a
+        JOIN ids ib ON ib.source = p.id_b AND ib.tid = ia.tid
+        GROUP BY 1, 2),
+      sizes AS (SELECT source, count(*) AS sz FROM ids GROUP BY 1)
+      SELECT p.id_a, p.id_b,
+        CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+        CAST(sa.sz + sb.sz - coalesce(i.inter, 0) AS BIGINT) AS uni,
+        TRUE AS est_ok
+      FROM pairs p
+      LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+      JOIN sizes sa ON sa.source = p.id_a
+      JOIN sizes sb ON sb.source = p.id_b
+      ORDER BY p.id_a, p.id_b""",
 
     "q103_source_overlap" -> s"""
       WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),
