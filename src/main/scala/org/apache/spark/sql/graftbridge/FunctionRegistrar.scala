@@ -215,6 +215,28 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "scale_vector",
+      {
+        case Seq(v, Literal(s: Long, _)) =>
+          graft.functions.expressions.ScaleVector(v, s)
+        case Seq(v, Literal(s: Int, _)) =>
+          graft.functions.expressions.ScaleVector(v, s.toLong)
+        case _ => throw new IllegalArgumentException(
+          "scale_vector(vec, scale) takes a numeric-array column and an integer literal scale")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cdc_chunks",
+      {
+        case Seq(s, Literal(w: Int, _), Literal(d: Long, _)) =>
+          graft.functions.expressions.CdcChunks(s, w, d, graft.operators.Dedup.M)
+        case Seq(s, Literal(w: Int, _), Literal(d: Int, _)) =>
+          graft.functions.expressions.CdcChunks(s, w, d.toLong, graft.operators.Dedup.M)
+        case _ => throw new IllegalArgumentException(
+          "cdc_chunks(text, w, divisor) takes a string column and two integer literals")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quantile_sketch",
       {
         case Seq(v, Literal(k: Int, _), qs @ _*) if qs.nonEmpty =>

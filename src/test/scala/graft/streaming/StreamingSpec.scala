@@ -153,6 +153,25 @@ class StreamingSpec extends SparkSpec {
     assert(r == Seq(disc(0.5), disc(0.9)))
   }
 
+  test("scale_vector and cdc_chunks register as SQL functions") {
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    val sv = spark.sql(
+      "SELECT scale_vector(array(CAST(1.5 AS FLOAT), CAST(-0.0005 AS FLOAT)), 1000) AS v")
+      .collect()(0).getSeq[Long](0)
+    // float -0.0005f is -0.00050000002...: *1000 + 0.5 lands a hair
+    // below zero, so floor = -1 (identical to the HOF reference)
+    assert(sv == Seq(1500L, -1L))
+    val ch = spark.sql(
+      "SELECT cdc_chunks('a b c d e f g h', 3, 2) AS c")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    // parity with the operator column on the same input
+    import spark.implicits._
+    val expected = Seq("a b c d e f g h").toDF("t")
+      .select(graft.operators.Dedup.cdcChunkHashesCol($"t", 3, 2L).as("hs"))
+      .collect()(0).getSeq[Long](0)
+    assert(ch.map(_.getLong(0)) == expected)
+  }
+
   test("nearest_cell_fixed registers as a SQL function") {
     org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
     val cell = spark.sql(
