@@ -824,6 +824,17 @@ class PlanSpec extends SparkSpec {
       s"no window over cluster_id:\n$p")
   }
 
+  test("quantile sketch (q195) + overlap sketch (q198): sketch aggregates in-plan") {
+    val p = plan("q195_quantile_sketch")
+    assert(p.toString.contains("quantile_sketch"),
+      s"the mergeable summary must be the estimation path:\n$p")
+    val p2 = plan("q198_overlap_sketch")
+    val s2 = p2.toString
+    assert(s2.contains("hll_sketch_agg"), s"per-source HLL missing:\n$s2")
+    assert(!s2.contains("Expand"),
+      s"no COUNT-DISTINCT EXPAND — sizes come from the distinct id table:\n$s2")
+  }
+
   test("padding report (q192): one narrow pass — no join, no window, bounded agg") {
     val p = plan("q192_padding_report")
     assert(!collectAll(p).map(_.getClass.getSimpleName)

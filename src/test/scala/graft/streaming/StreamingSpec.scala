@@ -1533,6 +1533,53 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming quantiles: summary state survives a query restart") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { quantileRestartBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def quantileRestartBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    // exact regime (n < k): after the restart the emission must equal
+    // PERCENTILE_DISC over b1 ∪ b2 — a state reset would answer over b2
+    // alone (disjoint value ranges make the two answers differ)
+    val b1 = (1 to 20).map(i => (0L, i.toDouble))        // 1..20
+    val b2 = (1 to 10).map(i => (0L, 100.0 + i))         // 101..110
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_qckpt").toString
+    val input = MemoryStream[(Long, Double)]
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Long)]
+    def start() = QuantileStream(input.toDS(), k = 64, quantiles = Seq(0.5))
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[(Long, Double, Double, Long)],
+         _: Long) =>
+        collected.synchronized {
+          collected ++= df.collect().map(r => (r._2, r._3, r._4))
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try { input.addData(b1: _*); q1.processAllAvailable() } finally q1.stop()
+    collected.synchronized(collected.clear())
+    val q2 = start()
+    try {
+      input.addData(b2: _*)
+      q2.processAllAvailable()
+      val got = collected.synchronized(collected.toList)
+      // 30 values total; PERCENTILE_DISC(0.5) over 1..20,101..110 = 15
+      assert(got == List((0.5, 15.0, 30L)),
+        s"summary must survive the restart: $got")
+    } finally q2.stop()
+  }
+
   private def heavyHittersGuaranteeBody(): Unit = {
     implicit val sc = spark.sqlContext
     // 40 tokens over 2 batches, k=2: "hot" has true frequency 18 >
