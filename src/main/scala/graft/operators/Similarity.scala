@@ -267,7 +267,14 @@ object Similarity {
         greatest(col("src"), col("dst")).as("id_b"), col("cos").as("__cosS"))
       .distinct()
     val pairsAll = textPairs.join(semPairs, Seq("id_a", "id_b"), "full_outer")
-    // exact backfills over the bounded pair set
+    // exact backfills over the bounded pair set. NOTE: a broadcast
+    // semi-filter of the embeddings down to pair-referenced ids (to
+    // spare the id-shuffle of the embedding table) MEASURED ~1.6-2.3x
+    // SLOWER at sf0.1 — deriving the id broadcast from pairsAll
+    // re-evaluates the whole chunking+kNN subtree two more times,
+    // which costs far more than the joins it saves. Measured, not
+    // assumed; at a scale where the embedding shuffle dominated, the
+    // semi-filter would want a materialized pair table first.
     val ea = emb.select(col(idCol).as("id_a"), col(vecCol).as("__ba"))
     val eb = emb.select(col(idCol).as("id_b"), col(vecCol).as("__bb"))
     val backCos = cosine(col("__ba"), col("__bb"))
