@@ -153,13 +153,52 @@ object AnalyticQueries extends QueryGroup {
     "q95_decile_stats" -> { (s, d) =>
       // Global quantile binning (feature-bucketing shape): ntile(10) over
       // the whole table, then per-decile stats. A global ORDER BY window
-      // centralizes the sort — acceptable for the built-in's coverage
-      // here; the 100 TB path for this output is percentileDisc boundary
-      // computation + broadcast binning (graft.operators.Percentiles),
-      // which range-partitions instead of single-partitioning.
+      // centralizes the sort — kept deliberately as the BUILT-IN
+      // cross-check (the q93/q50 convention); q199 computes the same
+      // answer from the two-phase rank under this same oracle, and the
+      // global plan audit names this query as the known exception.
       val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
       Tables.orders(s, d)
         .select(col("o_totalprice"), ntile(10).over(w).cast("long").as("decile"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("decile"))
+    },
+
+    "q199_decile_stats_scaled" -> { (s, d) =>
+      // q95's answer WITHOUT the global-sort window — the q111 move at
+      // the ntile level: the global (price, orderkey) rank comes from
+      // the two-phase bucket cumsum (price-range buckets ride a
+      // partitioned window; only bucket TOTALS see a single partition),
+      // and ntile's exact bucket arithmetic is applied to the rank
+      // directly: with n rows, the first n mod 10 deciles take
+      // floor(n/10)+1 rows. Same oracle as q95, bit for bit.
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .withColumn("__b",
+          floor(col("o_totalprice") / 10000.0).cast("long"))
+      val inB = Window.partitionBy(col("__b"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      val local = orders.withColumn("__rin",
+        row_number().over(inB).cast("long"))
+      val totals = orders.groupBy(col("__b")).agg(count(lit(1)).as("__bt"))
+      val prefW = Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prefixes = totals
+        .withColumn("__pre", sum(col("__bt")).over(prefW) - col("__bt"))
+        .select(col("__b"), col("__pre"))
+      val nTot = orders.agg(count(lit(1)).as("__n"))
+      local.join(broadcast(prefixes), "__b")
+        .crossJoin(broadcast(nTot))
+        .withColumn("__r0", col("__pre") + col("__rin") - 1L)
+        .withColumn("__q", expr("__n div 10"))
+        .withColumn("__m", expr("__n % 10"))
+        .withColumn("decile",
+          when(col("__r0") < col("__m") * (col("__q") + 1L),
+            expr("__r0 div (__q + 1)"))
+            .otherwise(expr("__m + (__r0 - __m * (__q + 1)) div greatest(__q, 1)"))
+            + 1L)
         .groupBy(col("decile"))
         .agg(count(lit(1)).as("n"), min(col("o_totalprice")).as("lo"),
           max(col("o_totalprice")).as("hi"), dsum(col("o_totalprice")).as("total"))
@@ -283,6 +322,15 @@ object AnalyticQueries extends QueryGroup {
         CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         '{"t":"' || event_type || '","k":' || json_extract_string(props, '$.k') || '}' AS repacked
       FROM events ORDER BY event_id""",
+
+    "q199_decile_stats_scaled" -> s"""
+      WITH t AS (
+        SELECT o_orderkey, o_totalprice,
+          ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+        FROM orders)
+      SELECT decile, count(*) AS n, min(o_totalprice) AS lo,
+        max(o_totalprice) AS hi, ${sqlSum("o_totalprice")} AS total
+      FROM t GROUP BY decile ORDER BY decile""",
 
     "q95_decile_stats" -> s"""
       WITH t AS (
