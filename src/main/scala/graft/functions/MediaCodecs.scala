@@ -257,6 +257,118 @@ object MediaCodecs {
   def encodeBmpGray8(gray: Array[Int]): Array[Byte] =
     if (gray == null || gray.length != 64) null else encodeBmpGray(8, 8, gray)
 
+  /** Encode a grayscale image as a REAL PNG (8-bit grayscale, color type
+    * 0): signature + IHDR + one zlib-deflated IDAT of filter-0 scanlines
+    * + IEND, CRCs included — decodes with any compliant codec (pinned
+    * against the JDK's in MediaCodecsSpec). PNG is lossless, so the
+    * decoded raster equals `gray` EXACTLY — which is what lets the q200
+    * oracle replay the downstream hash arithmetically. `gray` is
+    * row-major top-down, values clamped 0..255. Null (not an exception)
+    * on a size mismatch so the expression wrapper can surface SQL NULL.
+    */
+  def encodePngGray(w: Int, h: Int, gray: Array[Int]): Array[Byte] = {
+    if (gray == null || w <= 0 || h <= 0 || gray.length != w * h) return null
+    // raw image stream: per scanline, filter byte 0 + w samples
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raw(y * (w + 1) + 1 + x) =
+          math.max(0, math.min(255, gray(y * w + x))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zBuf = new Array[Byte](raw.length + 64)
+    var zLen = 0
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+      zLen += n
+      if (zLen == zBuf.length && !deflater.finished())
+        return null // filter-0 gray can't exceed raw+64; defensive
+    }
+    deflater.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val be = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      out.write(be.putInt(0, data.length).array(), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+        .putInt(0, crc.getValue.toInt).array(), 0, 4)
+    }
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte)  // bit depth
+    ihdr.put(0.toByte)  // color type 0 = grayscale
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+    chunk("IHDR", ihdr.array())
+    chunk("IDAT", java.util.Arrays.copyOf(zBuf, zLen))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** 64 entries -> an 8x8 grayscale PNG; null otherwise. */
+  def encodePngGray8(gray: Array[Int]): Array[Byte] =
+    if (gray == null || gray.length != 64) null else encodePngGray(8, 8, gray)
+
+  /** Average-hash of a COMPRESSED image payload (JPEG/PNG via the JDK
+    * codec) — [[aHash64]]'s twin for the formats a web crawl actually
+    * contains. Reads RAW raster samples (no getRGB: that route applies
+    * gray→sRGB color management, which would make the bits
+    * JDK-color-profile-dependent): per pixel the channel sum over the
+    * first 3 bands (1-band gray counts ×3 — the same r=g=b scale as the
+    * BMP path, and the mean threshold is scale-invariant anyway), then
+    * nearest-neighbor to 8x8 with the [[bmpThumbnail]] index map and the
+    * same `64·g_i > Σg` bit rule. For a LOSSLESS 8x8 gray PNG this is
+    * exactly the aHash of the encoded pixels — arithmetically replayable
+    * by the q200 oracle. Null for undecodable payloads or images smaller
+    * than 8x8.
+    */
+  def imgAHash64(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || !(looksJpeg(bytes) || looksPng(bytes))) return null
+    headless
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) return null
+      val raster = img.getRaster
+      val nb = math.min(raster.getNumBands, 3)
+      val g = new Array[Long](64)
+      var s = 0L
+      var oy = 0
+      while (oy < 8) {
+        val sy = (oy.toLong * img.getHeight / 8).toInt
+        var ox = 0
+        while (ox < 8) {
+          val sx = (ox.toLong * img.getWidth / 8).toInt
+          var acc = 0L
+          var b = 0
+          while (b < nb) { acc += raster.getSample(sx, sy, b); b += 1 }
+          if (nb == 1) acc *= 3 // gray on the r+g+b scale
+          g(oy * 8 + ox) = acc
+          s += acc
+          ox += 1
+        }
+        oy += 1
+      }
+      var h = 0L
+      var i = 0
+      while (i < 64) {
+        if (64L * g(i) > s) h |= 1L << i
+        i += 1
+      }
+      java.lang.Long.valueOf(h)
+    } catch { case _: Exception => null }
+  }
+
   /** Average-hash (aHash) of a BMP payload: decode, nearest-neighbor to
     * 8x8 (via [[bmpThumbnail]] — identity for 8x8 inputs), then bit i
     * (row-major top-down, i = y*8+x) is set iff pixel i's channel sum is

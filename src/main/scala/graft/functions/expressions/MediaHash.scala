@@ -113,6 +113,76 @@ case class WavEnergyHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "wav_energy_hash"
 }
 
+/** `encode_png_gray8(array<int>)` — 64 gray values (row-major top-down)
+  * to a real zlib-deflated 8x8 grayscale PNG payload
+  * ([[MediaCodecs.encodePngGray8]]). Same rationale as
+  * [[EncodeBmpGray8]], now for a COMPRESSED format: downstream
+  * consumers exercise the JDK `javax.imageio` decode path, so a codec
+  * regression breaks the q200 oracle hash. NULL on a wrong-sized array.
+  */
+case class EncodePngGray8(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"encode_png_gray8 expects array<int>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaCodecs.encodePngGray8(input.asInstanceOf[ArrayData].toIntArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("pngBytes")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      byte[] $r = graft.functions.MediaCodecs.encodePngGray8($c.toIntArray());
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): EncodePngGray8 =
+    copy(child = newChild)
+
+  override def prettyName: String = "encode_png_gray8"
+}
+
+/** `img_ahash(binary)` — average-hash of a COMPRESSED image payload
+  * (JPEG/PNG through the JDK codec, raw raster samples — see
+  * [[MediaCodecs.imgAHash64]]) as a 64-bit fingerprint. NULL for
+  * non-JPEG/PNG bytes, corrupt streams, or sub-8x8 images. Decode work
+  * stays inside whole-stage codegen via a static call.
+  */
+case class ImgAHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"img_ahash expects binary, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = MediaCodecs.imgAHash64(input.asInstanceOf[Array[Byte]])
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r = ctx.freshName("imgHash")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $r = graft.functions.MediaCodecs.imgAHash64($c);
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ImgAHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "img_ahash"
+}
+
 /** `bmp_ahash(binary)` — average-hash of a BMP payload as a 64-bit
   * fingerprint ([[MediaCodecs.aHash64]]: real decode + 8x8 thumbnail +
   * integer mean threshold). NULL for non-BMP bytes or sub-8x8 images.

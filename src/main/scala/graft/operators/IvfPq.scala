@@ -98,23 +98,41 @@ object IvfPq {
   /** Approximate top-k by IVFADC: probe `nprobe` cells per query, score
     * PQ codes against per-(query, cell) residual distance tables.
     *
+    * BOUNDED-QUERY-SET CONTRACT (enforced, not assumed — the q173
+    * broadcast-guard house rule): probe selection and the residual
+    * distance tables are built DRIVER-side, nQueries × nprobe × m ×
+    * nCodes doubles, so the query frame must be small. The operator
+    * counts it first and FAILS with the measured size when it exceeds
+    * `maxQueryRows` — the honest outcome versus silently OOM-ing the
+    * driver; chunk the query set (probe tables are per-query
+    * independent, so chunked unions are exact) or raise the bound
+    * knowingly. A future large-query path would assign probes
+    * distributedly instead; no current caller needs it.
+    *
     * @return (query_id, rank, neighbor_id, adist) — approximate squared
     *         L2 ascending, ties by neighbor id.
     */
   def topK(encoded: DataFrame, queries: DataFrame,
            idCol: String, vecCol: String,
-           model: IvfPqModel, k: Int, nprobe: Int): DataFrame = {
+           model: IvfPqModel, k: Int, nprobe: Int,
+           maxQueryRows: Long = 100000L): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val m = model.pq.m
     val nCodes = model.pq.nCodes
     val dsub = model.pq.dsub
 
+    val nQ = queries.count()
+    require(nQ <= maxQueryRows,
+      s"IvfPq.topK builds per-query probe tables driver-side: got $nQ " +
+        s"query rows (bound $maxQueryRows). Chunk the query set or raise " +
+        s"the bound explicitly.")
+
     // Driver-side probe + table build: for each query, its nprobe nearest
     // cells; for each probed cell, the exact sub-distance table of the
     // query RESIDUAL (q − centroid) against every codebook entry.
     // nQueries × nlist distance computations + nQueries × nprobe tables —
-    // all bounded by the small-query-set contract (same as Pq.topK).
+    // all bounded by the guard above.
     val qRows: Seq[(Long, Seq[Double])] = queries
       .select(col(idCol).cast("long"), toDouble(col(vecCol)))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -167,8 +185,10 @@ object IvfPq {
   def topKReranked(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String,
                    model: IvfPqModel, k: Int, nprobe: Int,
-                   shortlistK: Int): DataFrame = {
-    val shortlist = topK(encoded, queries, idCol, vecCol, model, shortlistK, nprobe)
+                   shortlistK: Int,
+                   maxQueryRows: Long = 100000L): DataFrame = {
+    val shortlist = topK(encoded, queries, idCol, vecCol, model, shortlistK,
+        nprobe, maxQueryRows)
       .select(col("query_id"), col("neighbor_id"))
     val scored = shortlist
       .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),

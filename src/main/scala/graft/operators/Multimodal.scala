@@ -157,6 +157,37 @@ object Multimodal {
       df.select(col(idCol), bmpAHash(col(payloadCol)).as("__h")),
       idCol, maxHamming, maxPerBucket)
 
+  /** Column wrapper: gray array<int> -> real zlib-deflated 8x8 grayscale
+    * PNG payload bytes. */
+  def encodePngGray8(gray: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.EncodePngGray8(
+      ColumnBridge.expression(gray)))
+  }
+
+  /** Column wrapper: JPEG/PNG payload -> 64-bit average-hash over the raw
+    * raster (NULL if undecodable or smaller than 8x8). */
+  def imgAHash(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.ImgAHash(
+      ColumnBridge.expression(payload)))
+  }
+
+  /** Perceptual near-dup pairs over COMPRESSED image payloads (JPEG/PNG
+    * through the JDK `javax.imageio` codec) — [[imageNearDupPairs]] with
+    * the [[graft.functions.MediaCodecs.imgAHash64]] fingerprint instead
+    * of the BMP one: real decode of the formats a web crawl actually
+    * contains, then the shared 4-band Hamming LSH + XOR-popcount pair
+    * join. Same cap contract and scale shape; undecodable payloads drop
+    * out (hash NULL).
+    */
+  def compressedImageNearDupPairs(df: DataFrame, idCol: String,
+                                  payloadCol: String, maxHamming: Int = 10,
+                                  maxPerBucket: Int = 0): DataFrame =
+    hashNearDupPairs(
+      df.select(col(idCol), imgAHash(col(payloadCol)).as("__h")),
+      idCol, maxHamming, maxPerBucket)
+
   /** Column wrapper: samples array<int> -> real mono 8-bit PCM WAV bytes. */
   def encodeWavPcm8(samples: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

@@ -180,7 +180,10 @@ object Packing {
   def paddingReport(df: DataFrame, nTokensCol: String,
                     batchSize: Long): DataFrame = {
     require(batchSize > 0, s"batchSize must be positive, got $batchSize")
-    df.select(col(nTokensCol).cast("long").as("__n"))
+    // null token counts behave as 0 (bucket_len 1) — same contract as
+    // packWhole; a null would otherwise fall through the <= 1 predicate
+    // into a NULL shiftleft bucket
+    df.select(coalesce(col(nTokensCol).cast("long"), lit(0L)).as("__n"))
       .withColumn("bucket_len",
         when(col("__n") <= 1L, 1L)
           .otherwise(expr("shiftleft(1L, length(bin(__n - 1L)))")))

@@ -31,19 +31,21 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** k rows per group, smallest priority first; priority =
-    * ((id·1000003 + 17) mod 1e9+7) div max(w, 1), ties broken by id.
-    * `idCol` must be integral and unique across the whole frame (it
-    * addresses rows); null ids/weights are excluded up front (they
-    * cannot be addressed deterministically). Weights are clamped to
-    * >= 1 so zero/negative weights behave like weight 1 instead of
-    * dividing by zero.
+    * pmod(id·1000003 + 17, 1e9+7) div max(w, 1), ties broken by id.
+    * pmod (not `%`, which keeps the dividend's sign) so NEGATIVE ids
+    * still land uniformly on [0, P) and the monotone-in-weight property
+    * holds for them too. `idCol` must be integral and unique across the
+    * whole frame (it addresses rows); null ids/weights are excluded up
+    * front (they cannot be addressed deterministically). Weights are
+    * clamped to >= 1 so zero/negative weights behave like weight 1
+    * instead of dividing by zero.
     *
     * Output: groupCols ++ (rn [1..k], idCol, weight, priority).
     */
   def weightedSample(df: DataFrame, groupCols: Seq[String], idCol: String,
                      weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val pri = ((col(idCol).cast("long") * 1000003L + 17L) % 1000000007L)
+    val pri = pmod(col(idCol).cast("long") * 1000003L + 17L, lit(1000000007L))
       .divide(greatest(col(weightCol).cast("long"), lit(1L))).cast("long")
     val base = df
       .filter(col(idCol).isNotNull && col(weightCol).isNotNull)

@@ -305,6 +305,21 @@ object Similarity {
     * aggregate + join-back (never a window over a possibly-huge
     * cluster). Singletons are their own cluster of size 1.
     *
+    * PERCOLATION GUARD: transitive closure over a union edge set can
+    * silently merge a large share of the corpus into one mega-component
+    * when the threshold sits below the distribution's percolation point
+    * (measured here: at sf1, dup-grade τ=0.5 semantic closure captured
+    * 40% of GenData's vectors in a single component). That failure mode
+    * is an OPERATIONAL hazard — a keep-one dedup downstream would then
+    * drop almost everything — so the operator enforces the bound
+    * in-band rather than leaving it to scaladoc: with
+    * `maxComponentSize > 0`, the component sizes (a bounded aggregate
+    * over the already-materialized label table; the check costs one
+    * k-row action, never a corpus recompute) are verified and the call
+    * FAILS with the offending size when any component exceeds the
+    * bound. `0` keeps the unguarded semantics (the oracle mode, used by
+    * q197 whose fixture thresholds sit above percolation).
+    *
     * Output: (idCol, cluster_id, cluster_size), one row per document.
     */
   def crossSignalClusters(docs: DataFrame, emb: DataFrame, idCol: String,
@@ -313,15 +328,29 @@ object Similarity {
                           minJacPpm: Long = 300000L,
                           kCells: Int = 8, kNeighbors: Int = 3,
                           iters: Int = 2, scale: Long = 1000L,
-                          cosThreshold: Double = 0.3): DataFrame = {
+                          cosThreshold: Double = 0.3,
+                          maxComponentSize: Long = 0L): DataFrame = {
     val edges = crossSignalPairs(docs, emb, idCol, textCol, vecCol,
         w, divisor, maxDf, minJacPpm, kCells, kNeighbors, iters, scale,
         cosThreshold)
       .select(col("id_a"), col("id_b"))
-    val clusters = Dedup.connectedComponentsAuto(
+    val clusters0 = Dedup.connectedComponentsAuto(
       docs.select(col(idCol)), edges, idCol)
+    // guard mode materializes the labels once so the size check and the
+    // output read the same computation instead of re-running the DAG
+    val clusters =
+      if (maxComponentSize > 0) clusters0.localCheckpoint() else clusters0
     val sizes = clusters.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
+    if (maxComponentSize > 0) {
+      val worstRow = sizes.agg(max(col("cluster_size"))).head()
+      val worst = if (worstRow.isNullAt(0)) 0L else worstRow.getLong(0)
+      if (worst > maxComponentSize) throw new IllegalStateException(
+        s"crossSignalClusters: closure percolated — largest component has " +
+          s"$worst members (bound $maxComponentSize). Raise the thresholds " +
+          s"(minJacPpm/cosThreshold) or the bound before trusting a " +
+          s"keep-one dedup on these clusters.")
+    }
     clusters.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"))
   }

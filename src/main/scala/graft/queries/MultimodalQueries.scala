@@ -78,6 +78,27 @@ object MultimodalQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q200_png_neardup" -> { (s, d) =>
+      // q142's twin for COMPRESSED image bytes: a deterministic 8x8
+      // grayscale PNG (real zlib-deflated IDAT, CRC'd chunks) is
+      // synthesized per document, pushed through the production JDK
+      // `javax.imageio` decode -> raw-raster aHash path (a codec or
+      // color-management regression breaks this oracle, not just a unit
+      // test — the raster read is what keeps the bits exact, PNG being
+      // lossless), and near-dup pairs come from the shared 4-band LSH.
+      // The pixel recipe mirrors q142's class structure under different
+      // mixing constants so the two fixtures stay independent.
+      val gray = transform(sequence(lit(0), lit(63)), i =>
+        (((col("doc_id") % 97) * 7919L + i * 104729L +
+          when(i < 4, col("doc_id")).otherwise(lit(0L))) % 256L).cast("int"))
+      val media = Tables.documents(s, d)
+        .select(col("doc_id").as("media_id"),
+          Multimodal.encodePngGray8(gray).as("payload"))
+      Multimodal.compressedImageNearDupPairs(media, "media_id", "payload",
+          maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q142_image_neardup" -> { (s, d) =>
       // Perceptual image dedup over REAL format bytes: a deterministic
       // 8x8 grayscale BMP is synthesized per document (docs in the same
@@ -164,6 +185,38 @@ object MultimodalQueries extends QueryGroup {
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
           a.h_lo AS alo, a.h_hi AS ahi, b.h_lo AS blo, b.h_hi AS bhi
         FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+          AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b,
+        CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming
+      FROM pairs
+      WHERE bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) <= 10
+      ORDER BY id_a, id_b""",
+
+    "q200_png_neardup" -> """
+      WITH px AS (
+        SELECT doc_id, list_transform(range(0, 64), i ->
+          ((doc_id % 97) * 7919 + i * 104729 +
+           CASE WHEN i < 4 THEN doc_id ELSE 0 END) % 256) AS g
+        FROM documents),
+      hb AS (SELECT doc_id, g, CAST(list_sum(g) AS BIGINT) AS sg FROM px),
+      h AS (
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN 64 * g[i+1] > sg THEN CAST(1 AS BIGINT) << i
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_lo,
+          CAST(list_sum(list_transform(range(0, 32), i ->
+            CASE WHEN 64 * g[i+33] > sg THEN CAST(1 AS BIGINT) << i
+                 ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_hi
+        FROM hb),
+      bands AS (
+        SELECT doc_id, h_lo, h_hi,
+          unnest([h_lo % 65536, h_lo // 65536, h_hi % 65536, h_hi // 65536]) AS key,
+          unnest([0, 1, 2, 3]) AS band
+        FROM h),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.h_lo AS alo, a.h_hi AS ahi, b.h_lo AS blo, b.h_hi AS bhi
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
           AND a.doc_id < b.doc_id)
       SELECT id_a, id_b,
         CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming

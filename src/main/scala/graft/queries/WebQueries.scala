@@ -206,20 +206,23 @@ object WebQueries extends QueryGroup {
       // web-corpus gate). Expression-only and WHOLLY NARROW: occurrence
       // count via a token filter fold, distinct offending terms via
       // array_intersect on the deduped token list (sorted so both
-      // engines agree on order), pass = zero hits. No shuffle at any
-      // corpus size — the same scan-speed class as q144. The fixture
-      // list exercises all three edges: a rare term ("dup"), a common
-      // term ("slow"), and one absent from the corpus ("forbidden").
+      // engines agree on order, then joined to a single string — the
+      // q49 house rule: the driver harness sorts result columns with
+      // pandas, which cannot factorize raw array cells), pass = zero
+      // hits. No shuffle at any corpus size — the same scan-speed
+      // class as q144. The fixture list exercises all three edges: a
+      // rare term ("dup"), a common term ("slow"), and one absent
+      // from the corpus ("forbidden").
       val bl = array(lit("dup"), lit("slow"), lit("forbidden"))
       val toks = split(col("text"), " ")
       Tables.documents(s, d).select(col("doc_id"),
           size(filter(toks, t => array_contains(bl, t))).cast("long")
             .as("n_blocked"),
           array_sort(array_intersect(array_distinct(toks), bl))
-            .as("blocked_terms"))
+            .as("bt"))
         .select(col("doc_id"), col("n_blocked"),
-          size(col("blocked_terms")).cast("long").as("n_distinct_blocked"),
-          col("blocked_terms"),
+          size(col("bt")).cast("long").as("n_distinct_blocked"),
+          array_join(col("bt"), " ").as("blocked_terms"),
           (col("n_blocked") === 0L).as("passes"))
         .orderBy(col("doc_id"))
     },
@@ -524,7 +527,8 @@ object WebQueries extends QueryGroup {
         FROM t)
       SELECT doc_id, n_blocked,
         CAST(len(blocked_terms) AS BIGINT) AS n_distinct_blocked,
-        blocked_terms, n_blocked = 0 AS passes
+        coalesce(array_to_string(blocked_terms, ' '), '') AS blocked_terms,
+        n_blocked = 0 AS passes
       FROM g ORDER BY doc_id""",
 
     "q185_curation_pipeline_v3" -> """

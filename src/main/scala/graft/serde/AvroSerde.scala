@@ -27,9 +27,11 @@ import org.apache.spark.sql.types._
   *    (`serializers.py:97-99`).
   *
   * Implemented directly on avro-1.12 (this container has no spark-avro
-  * module) as UDF codecs. The UDF sits only at the ingestion edge — one
-  * narrow map per record, no shuffle implications; at 100 TB this is
-  * byte-stream-bound either way.
+  * module). DESERIALIZE is a native Catalyst expression
+  * ([[graft.functions.expressions.AvroDecode]] — codegen-resident,
+  * decoder reuse, no external-Row conversion); the original UDF codec
+  * remains as [[deserializeUdf]], the parity reference. SERIALIZE stays
+  * UDF-backed (it feeds a Kafka sink write, not an analytic hot path).
   *
   * Supported Avro types: record (nested), string, int, long, float,
   * double, boolean, bytes, array, map<string,_>, and 2-branch null unions
@@ -46,7 +48,26 @@ final case class AvroSerde(avroSchemaJson: String,
 
   private def structType: StructType = dataType.asInstanceOf[StructType]
 
+  /** PRODUCTION decode path: the native Catalyst expression
+    * ([[graft.functions.expressions.AvroDecode]]) — stays inside
+    * whole-stage codegen, reuses the Avro decoder across records, and
+    * skips the external-Row round trip a UDF pays per record. Same
+    * null-on-failure DLQ contract; byte-for-byte parity with the UDF
+    * reference codec is pinned in AvroSerdeSpec on the reference's own
+    * golden fixtures.
+    */
   def deserialize(bytes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.AvroDecode(
+      ColumnBridge.expression(bytes), avroSchemaJson, includeSchema, seekOffset))
+  }
+
+  /** UDF-backed REFERENCE codec (the original decode path, retained as
+    * the parity twin of the native expression — the house pattern:
+    * every native kernel keeps its interpreted reference form as a
+    * cross-check).
+    */
+  def deserializeUdf(bytes: Column): Column = {
     val schemaJson = avroSchemaJson
     val incl = includeSchema
     val seek = seekOffset
@@ -118,6 +139,13 @@ object AvroSerde {
     val r = new DataFileReader[GenericRecord](
       new SeekableByteArrayInput(bytes),
       new GenericDatumReader[GenericRecord](null, readerSchema))
+    // hasNext closes on a fully-drained iterator, but a limit/take in
+    // the consuming flatMap terminates early and never reaches it —
+    // close on task completion too (double-close is a no-op; the
+    // driver-side/test path with no TaskContext still closes via the
+    // drained-iterator branch, its input being an in-memory buffer).
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
     new Iterator[Row] {
       override def hasNext: Boolean = {
         val h = r.hasNext

@@ -42,7 +42,21 @@ final case class ProtobufSerde(fields: Seq[PbField]) extends Serde {
 
   val dataType: DataType = ProtobufSerde.toSparkType(PbMessage(fields))
 
+  /** PRODUCTION decode path: the native Catalyst expression
+    * ([[graft.functions.expressions.PbDecode]]) — codegen-resident,
+    * zero per-record UDF dispatch. Parity with the UDF reference codec
+    * below is pinned in SerdeSpec on the reference's golden fixtures.
+    */
   def deserialize(bytes: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.PbDecode(
+      ColumnBridge.expression(bytes), fields))
+  }
+
+  /** UDF-backed REFERENCE codec (the parity twin of the native
+    * expression — the house pattern).
+    */
+  def deserializeUdf(bytes: Column): Column = {
     val fs = fields
     val dt = dataType
     val fn = new UDF1[Array[Byte], Row] {

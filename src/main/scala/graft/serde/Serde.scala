@@ -10,9 +10,12 @@ import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType
   * `deserialize` maps a BINARY column to a typed column (struct for
   * schema'd formats); `serialize` maps a typed column back to BINARY.
   * JSON/String are pure Catalyst expressions (codegen'd, pushdown-safe).
-  * Avro/Protobuf are UDF-backed codecs over public wire formats (this
-  * container ships no spark-avro/spark-protobuf modules) — still
-  * per-record, executor-side, and schema-checked.
+  * Avro/Protobuf implement the public wire formats directly (this
+  * container ships no spark-avro/spark-protobuf modules): DECODE is a
+  * native Catalyst expression per format (AvroDecode/PbDecode —
+  * codegen-resident hot path) with the original UDF codecs retained as
+  * `deserializeUdf` parity references; SERIALIZE stays UDF-backed (it
+  * feeds sink writes, not the analytic hot path).
   */
 trait Serde extends Serializable {
   /** Spark type produced by deserialize. */

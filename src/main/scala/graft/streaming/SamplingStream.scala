@@ -34,11 +34,17 @@ class WeightedSampleProcessor(k: Int)
       : Iterator[(String, Long, Long, Long, Long)] = {
     var buf = entries.get().map(e => (e.priority, e.id, e.weight)).toVector
     rows.foreach { case (_, id, w) =>
-      val pri = ((id * 1000003L + 17L) % 1000000007L) / math.max(w, 1L)
-      // keep the k smallest (priority, id); a duplicate id re-offer is
-      // idempotent (same priority, dropped by the distinct)
-      buf = ((pri, id, w) +: buf).distinct.sortBy(e => (e._1, e._2)).take(k)
+      // floorMod (not %) so negative ids still hash onto [0, P) — the
+      // batch operator's pmod, kept in lockstep
+      val pri = math.floorMod(id * 1000003L + 17L, 1000000007L) / math.max(w, 1L)
+      buf = (pri, id, w) +: buf
     }
+    // dedup BY ID keeping the smallest priority: a re-offered id with a
+    // changed weight must never occupy two reservoir slots (the batch
+    // operator emits one row per unique id); then keep the k smallest.
+    buf = buf.groupBy(_._2).valuesIterator
+      .map(_.minBy(e => (e._1, e._3))).toVector
+      .sortBy(e => (e._1, e._2)).take(k)
     entries.put(buf.map { case (p, id, w) =>
       SamplingStream.SampleEntry(p, id, w) }.toArray)
     buf.iterator.zipWithIndex.map { case ((p, id, w), i) =>

@@ -228,10 +228,17 @@ object FunctionRegistrar {
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cdc_chunks",
       {
+        // w accepts Int OR Long literals (`cdc_chunks(t, 3L, 8)` is
+        // valid SQL) — widen/narrow rather than fall to the generic
+        // error; an out-of-Int-range w still gets the clear message.
         case Seq(s, Literal(w: Int, _), Literal(d: Long, _)) =>
           graft.functions.expressions.CdcChunks(s, w, d, graft.operators.Dedup.M)
         case Seq(s, Literal(w: Int, _), Literal(d: Int, _)) =>
           graft.functions.expressions.CdcChunks(s, w, d.toLong, graft.operators.Dedup.M)
+        case Seq(s, Literal(w: Long, _), Literal(d: Long, _)) if w.isValidInt =>
+          graft.functions.expressions.CdcChunks(s, w.toInt, d, graft.operators.Dedup.M)
+        case Seq(s, Literal(w: Long, _), Literal(d: Int, _)) if w.isValidInt =>
+          graft.functions.expressions.CdcChunks(s, w.toInt, d.toLong, graft.operators.Dedup.M)
         case _ => throw new IllegalArgumentException(
           "cdc_chunks(text, w, divisor) takes a string column and two integer literals")
       },

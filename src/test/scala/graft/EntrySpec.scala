@@ -17,6 +17,26 @@ class EntrySpec extends SparkSpec {
     assert(q == o, s"queries without oracle: ${q -- o}")
   }
 
+  test("driver-harness shape: every query output column is atomic-typed") {
+    // The driver's comparison sorts results with pandas, which cannot
+    // factorize array/map/struct cells (the exact failure that turned
+    // q175 red in round 5). House rule: any collected list ships as
+    // array_join(…, ' ') — this guard makes the rule structural for the
+    // whole surface. Schema construction only; nothing executes.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val dir = "/root/testdata/sf0.001"
+    val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      f(spark, dir).schema.fields.collect {
+        case fld if fld.dataType.isInstanceOf[ArrayType] ||
+            fld.dataType.isInstanceOf[MapType] ||
+            fld.dataType.isInstanceOf[StructType] =>
+          s"$name.${fld.name}: ${fld.dataType.simpleString}"
+      }
+    }
+    assert(bad.isEmpty,
+      s"non-atomic output columns (driver pandas sort would fail):\n${bad.mkString("\n")}")
+  }
+
   test("oracle SQL references only the driver's table names") {
     val known = Tables.names.toSet
     val tablePattern = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r

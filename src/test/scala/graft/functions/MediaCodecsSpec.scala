@@ -233,6 +233,68 @@ class MediaCodecsSpec extends SparkSpec {
     assert(capped == Set((0L, 1L), (0L, 2L), (1L, 2L)))
   }
 
+  test("encodePngGray: real PNG, losslessly decoded by the JDK codec") {
+    val gray = Array.tabulate(64)(i => (i * 37 + 5) % 256)
+    val bytes = MediaCodecs.encodePngGray8(gray)
+    // valid signature + decodes with the standard codec
+    assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // RAW raster samples equal the encoded pixels exactly (losslessness
+    // is what makes the q200 oracle replayable)
+    val raster = img.getRaster
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert(raster.getSample(x, y, 0) == gray(y * 8 + x), s"pixel ($x,$y)")
+    // non-square variant + clamping
+    val wide = MediaCodecs.encodePngGray(3, 2, Array(300, -5, 0, 255, 17, 128))
+    val img2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wide))
+    assert(img2.getWidth == 3 && img2.getHeight == 2)
+    assert(img2.getRaster.getSample(0, 0, 0) == 255) // clamped
+    assert(img2.getRaster.getSample(1, 0, 0) == 0)   // clamped
+    assert(img2.getRaster.getSample(1, 1, 0) == 17)
+    // invalid sizes -> null, not exceptions
+    assert(MediaCodecs.encodePngGray8(Array.fill(63)(0)) == null)
+    assert(MediaCodecs.encodePngGray(2, 2, Array(1, 2, 3)) == null)
+  }
+
+  test("imgAHash64: same bits as the BMP aHash on identical gray pixels") {
+    val gray = Array.tabulate(64)(i => (i * 41 + 3) % 256)
+    val png = MediaCodecs.imgAHash64(MediaCodecs.encodePngGray8(gray))
+    val bmp = MediaCodecs.aHash64(MediaCodecs.encodeBmpGray8(gray))
+    // PNG is lossless and the raster read skips color management, so the
+    // two production paths agree bit-for-bit on the same image
+    assert(png != null && bmp != null && png.longValue() == bmp.longValue())
+    // and both match the plain arithmetic the oracle replays
+    val s = gray.map(_.toLong).sum
+    var expected = 0L
+    (0 until 64).foreach(i => if (64L * gray(i) > s) expected |= 1L << i)
+    assert(png.longValue() == expected)
+    // rejects: BMP bytes (wrong magic), corrupt PNG, sub-8x8, null
+    assert(MediaCodecs.imgAHash64(MediaCodecs.encodeBmpGray8(gray)) == null)
+    assert(MediaCodecs.imgAHash64(
+      MediaCodecs.encodePngGray8(gray).take(30)) == null)
+    assert(MediaCodecs.imgAHash64(
+      MediaCodecs.encodePngGray(4, 4, Array.fill(16)(9))) == null)
+    assert(MediaCodecs.imgAHash64(null) == null)
+  }
+
+  test("compressedImageNearDupPairs: near PNGs pair, far and undecodable don't") {
+    def img(base: Int, noise: Int) = Array.tabulate(64)(i =>
+      if (i == 0) noise else if (i % 2 == 0) 220 else 30 + base)
+    val media = Seq(
+      (0L, MediaCodecs.encodePngGray8(img(0, 250))),
+      (1L, MediaCodecs.encodePngGray8(img(0, 240))),
+      (2L, MediaCodecs.encodePngGray8(Array.tabulate(64)(i =>
+        if (i % 2 == 0) 30 else 220))),
+      (3L, "notapng".getBytes("US-ASCII")) // hash NULL: must drop out
+    ).toDF("media_id", "payload")
+    val pairs = Multimodal.compressedImageNearDupPairs(
+        media, "media_id", "payload", maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+    assert(pairs.head._3 <= 1L)
+  }
+
   test("encodeWavPcm8 round-trips through decodeWav with exact features") {
     // 8-bit unsigned: 128 = silence; 0/255 = full scale
     val samples = Array(128, 128, 255, 0, 192, 64, 128, 128)

@@ -632,5 +632,19 @@ class DedupSimilaritySpec extends SparkSpec {
         ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
     assert(cl(0L) == ((0L, 2L)) && cl(1L) == ((0L, 2L)))
     assert(cl(2L) == ((2L, 3L)) && cl(3L) == ((2L, 3L)) && cl(4L) == ((2L, 3L)))
+    // PERCOLATION GUARD: the same fixture under a bound the 3-member
+    // component violates must FAIL IN-BAND (the mega-component hazard is
+    // enforced by the operator, not scaladoc)...
+    val ex = intercept[IllegalStateException] {
+      Similarity.crossSignalClusters(docs, e, "doc_id", "text",
+        "embedding", kCells = 2, cosThreshold = 0.8, maxComponentSize = 2L)
+    }
+    assert(ex.getMessage.contains("percolated") && ex.getMessage.contains("3"))
+    // ...while a bound the components respect changes nothing
+    val guarded = Similarity.crossSignalClusters(docs, e, "doc_id", "text",
+        "embedding", kCells = 2, cosThreshold = 0.8, maxComponentSize = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
+    assert(guarded == cl)
   }
 }

@@ -51,6 +51,26 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.9, s"shortlist+rerank recall@10 was $recall")
   }
 
+  test("bounded-query-set contract: oversized query frames fail fast, not OOM") {
+    val model = IvfPq.fit(corpus, "embedding", cents, m = 16, nCodes = 32)
+    val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)
+    // driver-side probe tables are per-query — the guard counts the
+    // query frame BEFORE collecting it and names the measured size
+    val ex = intercept[IllegalArgumentException] {
+      IvfPq.topK(encoded, queries, "vec_id", "embedding",
+        model, k = 2, nprobe = 2, maxQueryRows = 3L)
+    }
+    assert(ex.getMessage.contains("driver-side") && ex.getMessage.contains("5"))
+    // within the bound, results are identical to the default path
+    val bounded = IvfPq.topK(encoded, queries, "vec_id", "embedding",
+        model, k = 2, nprobe = 2, maxQueryRows = 5L)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val default = IvfPq.topK(encoded, queries, "vec_id", "embedding",
+        model, k = 2, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(bounded == default)
+  }
+
   test("residual encoding beats raw-vector PQ at equal bit budget") {
     // The point of IVFADC: per-cell residuals are tighter than the raw
     // distribution, so the same m x nCodes budget quantizes finer.

@@ -138,6 +138,28 @@ class NullSafetySpec extends SparkSpec {
     assert(got(1L) == 4L)
   }
 
+  test("paddingReport: null token counts land in bucket_len 1, not a NULL bucket") {
+    val d = Seq(Some(5L), None, Some(1L), None).toDF("n")
+    val got = graft.operators.Packing.paddingReport(d, "n", batchSize = 2L)
+      .collect().map(r => r.getAs[Long]("bucket_len") ->
+        r.getAs[Long]("n_docs")).toMap
+    // nulls coalesce to 0 tokens -> bucket 1 with the 1-token doc
+    assert(got == Map(1L -> 3L, 8L -> 1L))
+  }
+
+  test("weightedSample: negative ids hash onto [0,P) — monotone in weight") {
+    val d = Seq((-5L, 100L, "g"), (-6L, 1L, "g"), (7L, 1L, "g"))
+      .toDF("id", "w", "grp")
+    val got = graft.operators.Sampling.weightedSample(
+        d, Seq("grp"), "id", "w", k = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("priority"))
+      .toMap
+    // pmod keeps every priority non-negative even for negative ids, and
+    // the heavy negative id draws a smaller priority than the light one
+    assert(got.values.forall(_ >= 0L), s"negative priority leaked: $got")
+    assert(got(-5L) < got(-6L))
+  }
+
   test("semanticContamination: corpus rows with null vectors report 0 hits") {
     val bench = Seq((100L, Seq(1.0f, 0.0f))).toDF("id", "vec")
     val corpus = Seq((0L, Some(Seq(0.9f, 0.1f))), (1L, None))

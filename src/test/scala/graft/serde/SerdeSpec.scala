@@ -115,6 +115,71 @@ class SerdeSpec extends SparkSpec {
     assert(firstRow(df.select(serde.deserialize(col("raw")).as("v"))).isNullAt(0))
   }
 
+  test("AvroSerde: native expression == UDF reference codec on every fixture") {
+    // the house parity rule: the codegen path must agree with the
+    // interpreted reference on golden bytes, nested values, prefixes,
+    // container framing, and the malformed-payload DLQ null
+    val nested =
+      """{"type":"record","name":"outer","fields":[
+         {"name":"tag","type":"string"},
+         {"name":"inner","type":{"type":"record","name":"inner_t","fields":[
+            {"name":"n","type":"long"},
+            {"name":"opt","type":["null","string"],"default":null}]}},
+         {"name":"nums","type":{"type":"array","items":"long"}},
+         {"name":"attrs","type":{"type":"map","values":"string"}}]}"""
+    val nestedSerde = AvroSerde(nested)
+    val nestedWire = firstRow(Seq(Tuple1("x")).toDF("ignore").select(
+      nestedSerde.serialize(struct(
+        lit("t1").as("tag"),
+        struct(lit(42L).as("n"), lit(null).cast("string").as("opt")).as("inner"),
+        array(lit(1L), lit(2L), lit(3L)).as("nums"),
+        map_from_entries(array(struct(lit("k").as("key"), lit("v").as("value")))).as("attrs")
+      )).as("w"))).getAs[Array[Byte]]("w")
+    val cases: Seq[(AvroSerde, Array[Byte])] = Seq(
+      (AvroSerde(avroSchema), avroGolden),
+      (AvroSerde(avroSchema, seekOffset = 5),
+        Array[Byte](0x00, 0x00, 0x00, 0x00, 0x07) ++ avroGolden),
+      (AvroSerde(avroSchema), Array[Byte](0x7f, 0x00)), // malformed -> null
+      (nestedSerde, nestedWire))
+    cases.foreach { case (serde, bytes) =>
+      val df = Seq(Tuple1(bytes)).toDF("raw")
+      val native = firstRow(df.select(serde.deserialize(col("raw")).as("v")))
+      val udf = firstRow(df.select(serde.deserializeUdf(col("raw")).as("v")))
+      assert(native == udf, s"native $native vs udf $udf")
+    }
+    // container framing parity
+    val container = AvroSerde(avroSchema, includeSchema = true)
+    val containerBytes = firstRow(Seq(Tuple1(avroGolden)).toDF("raw").select(
+      container.serialize(AvroSerde(avroSchema).deserialize(col("raw"))).as("b")))
+      .getAs[Array[Byte]]("b")
+    val cdf = Seq(Tuple1(containerBytes)).toDF("raw")
+    assert(firstRow(cdf.select(container.deserialize(col("raw")).as("v"))) ==
+      firstRow(cdf.select(container.deserializeUdf(col("raw")).as("v"))))
+  }
+
+  test("AvroSerde decode plans natively: no UDF, inside WholeStageCodegen") {
+    val serde = AvroSerde(avroSchema)
+    // data-DEPENDENT payload (a pure literal would be constant-folded:
+    // the optimizer evaluates avro_decode at plan time — itself a proof
+    // the expression works interpreted — and hides it from the plan)
+    val df = spark.range(2)
+      .select(when(col("id") >= 0, lit(avroGolden)).as("raw"))
+      .select(serde.deserialize(col("raw")).as("v"))
+      .select(col("v.key").as("key"))
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("ScalaUDF") && !s.contains("BatchEvalPython"),
+      s"decode stage must not dispatch a UDF:\n$s")
+    assert(s.contains("avro_decode"), s"native expression missing:\n$s")
+    val wscg = plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wscg.exists(_.collect {
+      case n if n.toString.contains("avro_decode") => n
+    }.nonEmpty), s"avro_decode must fuse into codegen:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("unit_test_key", "unit_test_key"))
+  }
+
   private val pbFields = Seq(
     PbField(1, "key", PbType.PbString), PbField(2, "value", PbType.PbString))
   private val pbGolden: Array[Byte] =
@@ -146,6 +211,52 @@ class SerdeSpec extends SparkSpec {
       .getAs[Row]("v")
     assert(decoded.getAs[Long]("n") == 300L)
     assert(!decoded.getAs[Boolean]("flag")) // proto3 default
+  }
+
+  test("ProtobufSerde: native expression == UDF reference codec; codegen plan") {
+    val richFields = Seq(
+      PbField(1, "key", PbType.PbString),
+      PbField(2, "n", PbType.PbInt64),
+      PbField(3, "sub", PbType.PbMessage(Seq(
+        PbField(1, "d", PbType.PbDouble), PbField(2, "b", PbType.PbBytes)))),
+      PbField(4, "ids", PbType.PbInt32, repeated = true),
+      PbField(5, "f", PbType.PbFloat))
+    val serde = ProtobufSerde(richFields)
+    // build wire bytes through the (independently golden-tested) encoder
+    val wire = firstRow(Seq(Tuple1("x")).toDF("ignore").select(
+      serde.serialize(struct(
+        lit("k1").as("key"), lit(300L).as("n"),
+        struct(lit(2.5d).as("d"), lit(Array[Byte](9, 8)).as("b")).as("sub"),
+        array(lit(1), lit(2), lit(300)).as("ids"),
+        lit(1.5f).as("f"))).as("w"))).getAs[Array[Byte]]("w")
+    val cases = Seq(
+      wire,
+      pbGolden,
+      Array[Byte](0x08, 0x01), // wrong wire layout for field 1 -> null (DLQ)
+      Array.emptyByteArray)    // empty message -> all proto3 defaults
+    cases.foreach { bytes =>
+      val df = Seq(Tuple1(bytes)).toDF("raw")
+      val native = firstRow(df.select(serde.deserialize(col("raw")).as("v")))
+      val udf = firstRow(df.select(serde.deserializeUdf(col("raw")).as("v")))
+      assert(native == udf, s"native $native vs udf $udf on ${bytes.toSeq}")
+    }
+    // and the decode stage plans natively, inside WholeStageCodegen
+    // (data-dependent payload — a pure literal would constant-fold)
+    val df = spark.range(1)
+      .select(when(col("id") >= 0, lit(wire)).as("raw"))
+      .select(serde.deserialize(col("raw")).as("v"))
+      .select(col("v.key").as("key"), col("v.ids").as("ids"))
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("ScalaUDF"),
+      s"decode stage must not dispatch a UDF:\n$plan")
+    assert(plan.toString.contains("pb_decode"), s"native expression missing:\n$plan")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.collect { case n if n.toString.contains("pb_decode") => n }.nonEmpty),
+      s"pb_decode must fuse into codegen:\n$plan")
+    val got = df.collect()(0)
+    assert(got.getString(0) == "k1" &&
+      got.getSeq[Int](1) == Seq(1, 2, 300))
   }
 
   test("VariantSerde: schemaless path extraction, round trip, DLQ on malformed") {

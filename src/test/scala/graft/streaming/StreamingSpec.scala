@@ -170,6 +170,11 @@ class StreamingSpec extends SparkSpec {
       .select(graft.operators.Dedup.cdcChunkHashesCol($"t", 3, 2L).as("hs"))
       .collect()(0).getSeq[Long](0)
     assert(ch.map(_.getLong(0)) == expected)
+    // Long literals for w are valid too (`3L`), not just plain ints
+    val chL = spark.sql(
+      "SELECT cdc_chunks('a b c d e f g h', 3L, 2) AS c")
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(chL.map(_.getLong(0)) == expected)
   }
 
   test("nearest_cell_fixed registers as a SQL function") {
@@ -1233,6 +1238,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted sample: a re-offered id with a changed weight keeps ONE slot") {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try { reofferBody() }
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  private def reofferBody(): Unit = {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long, Long)]
+    val q = SamplingStream(input.toDS(), k = 3)
+      .toDF("grp", "rn", "id", "weight", "priority")
+      .writeStream.format("memory").queryName("ws_reoffer")
+      .outputMode("append").start()
+    try {
+      input.addData(("g", 5L, 2L), ("g", 3L, 1L))
+      q.processAllAvailable()
+      val before = spark.table("ws_reoffer")
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      input.addData(("g", 5L, 50L)) // same id, heavier re-offer
+      q.processAllAvailable()
+      val sample = spark.table("ws_reoffer")
+        .as[(String, Long, Long, Long, Long)].collect().toSet -- before
+      val ids = sample.toSeq.map(_._3)
+      // one reservoir slot per unique id — the batch operator's contract
+      assert(ids.distinct.size == ids.size, s"id occupies two slots: $sample")
+      // and the surviving entry carries the SMALLEST priority (w=50)
+      val p5 = sample.find(_._3 == 5L).get._5
+      assert(p5 == math.floorMod(5L * 1000003L + 17L, 1000000007L) / 50L)
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: the MG guarantee holds across batches under decrements") {
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(provKey)
@@ -1531,6 +1573,183 @@ class StreamingSpec extends SparkSpec {
       assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 5L),
         s"state must survive the restart: $got")
     } finally q2.stop()
+  }
+
+  // Shared RocksDB wrapper for the restart suite below — checkpoint
+  // recovery is THE ingest-resilience claim at 100 TB, so every
+  // stateful twin gets a stop-the-query/resume-from-checkpoint test
+  // whose expected output differs by construction from a state reset.
+  private def withRocksDb(body: => Unit): Unit = {
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(provKey, v)
+      case None => spark.conf.unset(provKey)
+    }
+  }
+
+  test("streaming CDC dedup: chunk-bucket state survives a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val base = "the quick brown fox jumps over the lazy dog while " +
+        "rain falls softly on the quiet village roofs tonight and nobody minds"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_cdcr").toString
+      val input = MemoryStream[(Long, String)]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def start() = graft.streaming.CdcDedupStream.candidates(
+          input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          w = 3, divisor = 4L)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.CdcDedupStream.ChunkPair],
+           _: Long) =>
+          collected.synchronized { collected ++= ds.collect().map(p => (p.idA, p.idB)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try { input.addData((1L, base)); q1.processAllAvailable() }
+      finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // the near-copy arrives only AFTER the restart: the pair exists
+        // iff doc 1's chunk posting lists were RESTORED from checkpoint
+        input.addData((3L, "inserted " + base))
+        q2.processAllAvailable()
+        assert(collected.synchronized(collected.toSet) == Set((1L, 3L)),
+          s"chunk state must survive the restart: $collected")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming typo pairs: variant-bucket state survives a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_typor").toString
+      val input = MemoryStream[String]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
+      def start() = graft.streaming.TypoStream.pairs(
+          input.toDF().toDF("s"), "s", tau = 1)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.TypoStream.TypoPair],
+           _: Long) =>
+          collected.synchronized { collected ++= ds.collect().map(p => (p.sA, p.sB, p.dist)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try { input.addData("hello", "spark"); q1.processAllAvailable() }
+      finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData("helo") // ED 1 from "hello", seen before the restart
+        q2.processAllAvailable()
+        // lexical pair order: "hello" < "helo" ('l' < 'o' at index 3)
+        assert(collected.synchronized(collected.toSet) == Set(("hello", "helo", 1)),
+          s"variant state must survive the restart: $collected")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming image dedup: band-bucket state survives a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      def img(noise: Int) = graft.functions.MediaCodecs.encodeBmpGray8(
+        Array.tabulate(64)(i => if (i == 0) noise else if (i % 2 == 0) 220 else 30))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_imgr").toString
+      val input = MemoryStream[(Long, Array[Byte])]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def start() = graft.streaming.ImageDedupStream.pairs(
+          input.toDF().toDF("media_id", "payload"), "media_id", "payload",
+          maxHamming = 4)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[graft.streaming.ImageDedupStream.ImagePair],
+           _: Long) =>
+          collected.synchronized { collected ++= ds.collect().map(p => (p.idA, p.idB)) }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try { input.addData((1L, img(250))); q1.processAllAvailable() }
+      finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData((2L, img(240))) // near-dup of the pre-restart image
+        q2.processAllAvailable()
+        assert(collected.synchronized(collected.toSet) == Set((1L, 2L)),
+          s"band state must survive the restart: $collected")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming domain quota: admission counts survive a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_dqr").toString
+      val input = MemoryStream[(String, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      def start() = DomainQuotaProcessor(input.toDS(), k = 2)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) =>
+          collected.synchronized { collected ++= ds.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try { input.addData(("x", 10L), ("x", 11L)); q1.processAllAvailable() }
+      finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // x's quota filled BEFORE the restart: 12/13 must be rejected
+        // (a reset would re-admit both with rn 1,2); y starts fresh
+        input.addData(("x", 12L), ("x", 13L), ("y", 20L))
+        q2.processAllAvailable()
+        assert(collected.synchronized(collected.toSet) == Set(("y", 20L, 1L)),
+          s"quota counts must survive the restart: $collected")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming heavy hitters: MG counters survive a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_hhr").toString
+      val input = MemoryStream[(Long, String)]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      def start() = HeavyHittersStream(input.toDS(), k = 2)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[(Long, String, Long)], _: Long) =>
+          collected.synchronized { collected ++= ds.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData((0L, "a"), (0L, "a"), (0L, "a"), (0L, "b"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // restored MG state {a:3, b:1} + "c" at full capacity decrements
+        // everything -> {a:2}; a reset would emit {c:1} instead
+        input.addData((0L, "c"))
+        q2.processAllAvailable()
+        assert(collected.synchronized(collected.toSet) == Set((0L, "a", 2L)),
+          s"MG counters must survive the restart: $collected")
+      } finally q2.stop()
+    }
   }
 
   test("streaming quantiles: summary state survives a query restart") {
