@@ -85,9 +85,13 @@ object MultimodalQueries extends QueryGroup {
       // `javax.imageio` decode -> raw-raster aHash path (a codec or
       // color-management regression breaks this oracle, not just a unit
       // test — the raster read is what keeps the bits exact, PNG being
-      // lossless), and near-dup pairs come from the shared 4-band LSH.
-      // The pixel recipe mirrors q142's class structure under different
-      // mixing constants so the two fixtures stay independent.
+      // lossless), and near-dup pairs come from the shared 4-band LSH
+      // with the per-bucket cap ON (the q73/q194 contract — a shared
+      // class fills its band buckets once, so output is bounded by
+      // bucket occupancy at any corpus size; the oracle replays the
+      // same n-smallest-ids rule). The pixel recipe mirrors q142's
+      // class structure under different mixing constants so the two
+      // fixtures stay independent.
       val gray = transform(sequence(lit(0), lit(63)), i =>
         (((col("doc_id") % 97) * 7919L + i * 104729L +
           when(i < 4, col("doc_id")).otherwise(lit(0L))) % 256L).cast("int"))
@@ -95,7 +99,7 @@ object MultimodalQueries extends QueryGroup {
         .select(col("doc_id").as("media_id"),
           Multimodal.encodePngGray8(gray).as("payload"))
       Multimodal.compressedImageNearDupPairs(media, "media_id", "payload",
-          maxHamming = 10)
+          maxHamming = 10, maxPerBucket = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -213,10 +217,16 @@ object MultimodalQueries extends QueryGroup {
           unnest([h_lo % 65536, h_lo // 65536, h_hi % 65536, h_hi // 65536]) AS key,
           unnest([0, 1, 2, 3]) AS band
         FROM h),
+      capped AS (
+        SELECT doc_id, h_lo, h_hi, key, band FROM (
+          SELECT bands.*, row_number() OVER (
+            PARTITION BY band, key ORDER BY doc_id) AS rn
+          FROM bands) t
+        WHERE rn <= 8),
       pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
           a.h_lo AS alo, a.h_hi AS ahi, b.h_lo AS blo, b.h_hi AS bhi
-        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
           AND a.doc_id < b.doc_id)
       SELECT id_a, id_b,
         CAST(bit_count(xor(alo, blo)) + bit_count(xor(ahi, bhi)) AS BIGINT) AS hamming
