@@ -306,6 +306,42 @@ object EventQueries extends QueryGroup {
         .select(col("offset"), col("partition"),
           to_json(struct((col("k") * 2).as("k2"))).as("value"))
         .orderBy(col("offset"))
+    },
+
+    "q201_avro_ingest" -> { (s, d) =>
+      // Avro-wire twin of q31 — the A9 hot path under the driver oracle:
+      // per document the schemaless Avro wire bytes of
+      // {key: 'doc-<id>', value: <source>} are synthesized with plain
+      // byte arithmetic (an ASCII string under 64 chars encodes as the
+      // one-byte varint 2*len followed by its UTF-8 bytes, so chr+concat
+      // builds REAL wire payloads), pushed through the PRODUCTION native
+      // decode (AvroDecode — a decoder or varint regression breaks this
+      // oracle, not just the SerdeSpec golden bytes), and rolled up per
+      // source. Every 10th payload is truncated to 3 bytes and must
+      // decode to NULL (the DLQ contract): its key/value matches count
+      // zero and its dlq count one — all replayed arithmetically by the
+      // oracle without any Avro on the DuckDB side. Wholly narrow until
+      // the bounded per-source aggregate.
+      val serde = graft.serde.AvroSerde(
+        """{"type":"record","name":"rec","fields":[
+           {"name":"key","type":"string"},{"name":"value","type":"string"}]}""")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat(lit("doc-"), col("doc_id").cast("string")).as("k"))
+        .withColumn("wire", expr(
+          "cast(concat(chr(length(k)*2), k, chr(length(source)*2), source) as binary)"))
+        .withColumn("payload",
+          when(col("doc_id") % 10 === 0, expr("substring(wire, 1, 3)"))
+            .otherwise(col("wire")))
+      base.select(col("doc_id"), col("source"), col("k"),
+          serde.deserialize(col("payload")).as("v"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_dlq"),
+          sum(when(col("v.key") === col("k"), 1L).otherwise(0L)).as("n_key_ok"),
+          sum(when(col("v.value") === col("source"), 1L).otherwise(0L))
+            .as("n_value_ok"))
+        .orderBy(col("source"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -552,5 +588,13 @@ object EventQueries extends QueryGroup {
         '{"k2":' || (2 * CAST(json_extract_string(props, '$.k') AS BIGINT)) || '}' AS value
       FROM events
       WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
-      ORDER BY "offset"""")
+      ORDER BY "offset"""",
+
+    "q201_avro_ingest" -> """
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+        CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_key_ok,
+        CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_value_ok
+      FROM documents GROUP BY source ORDER BY source""")
 }
