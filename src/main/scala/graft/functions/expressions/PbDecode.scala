@@ -29,10 +29,14 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
 
   private def decodeInternal(buf: Array[Byte], from: Int, to: Int,
                              fs: Seq[PbField]): InternalRow = {
+    // bounds-checked against the enclosing message limit `to`, exactly
+    // as the reference Cursor: truncated fields FAIL (-> null -> DLQ)
+    // instead of zero-padding, nested messages never read parent bytes
     var pos = from
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
       while (true) {
+        require(pos < to, "truncated varint")
         val b = buf(pos); pos += 1
         acc |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return acc
@@ -42,16 +46,19 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
       acc
     }
     def readFixed64(): Long = {
+      require(pos + 8 <= to, "truncated fixed64")
       var v = 0L; var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def readFixed32(): Int = {
+      require(pos + 4 <= to, "truncated fixed32")
       var v = 0; var i = 0
       while (i < 4) { v |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
       pos += 4; v
     }
     def readBytes(n: Int): Array[Byte] = {
+      require(n >= 0 && pos + n <= to, "truncated length-delimited field")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
     }
     val byNumber = fs.map(f => f.number -> f).toMap
@@ -69,6 +76,7 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
             case (PbBytes, 2) => readBytes(readVarint().toInt)
             case (PbMessage(sub), 2) =>
               val len = readVarint().toInt
+              require(len >= 0 && pos + len <= to, "truncated submessage")
               val r = decodeInternal(buf, pos, pos + len, sub); pos += len; r
             case (PbInt64, 0) => readVarint()
             case (PbInt32, 0) => readVarint().toInt
@@ -96,7 +104,10 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
           wire match {
             case 0 => readVarint()
             case 1 => readFixed64()
-            case 2 => val n = readVarint().toInt; pos += n
+            case 2 =>
+              val n = readVarint().toInt
+              require(n >= 0 && pos + n <= to, "truncated unknown field")
+              pos += n
             case 5 => readFixed32()
             case other => throw new IllegalArgumentException(s"bad wire type $other")
           }

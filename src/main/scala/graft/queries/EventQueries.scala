@@ -342,6 +342,45 @@ object EventQueries extends QueryGroup {
           sum(when(col("v.value") === col("source"), 1L).otherwise(0L))
             .as("n_value_ok"))
         .orderBy(col("source"))
+    },
+
+    "q202_pb_ingest" -> { (s, d) =>
+      // q201's twin for PROTOBUF (A10 under the driver oracle): proto3
+      // wire bytes of {1: key, 2: value} built with byte arithmetic —
+      // tag 0x0a (field 1, length-delimited), one-byte varint length,
+      // UTF-8 bytes; tag 0x12 for field 2 — decoded through the native
+      // PbDecode expression and rolled up per source. The corrupt leg
+      // differs from Avro's: a 2-byte truncation leaves tag 0x0a + a
+      // length varint promising more bytes than remain -> decode NULL.
+      // Also exercises proto3 defaults: every 7th record omits field 2
+      // entirely (drop the second tag), which must decode to "" (the
+      // canonical proto3 default), NOT null — a semantics the Avro
+      // format cannot express.
+      val serde = graft.serde.ProtobufSerde(Seq(
+        graft.serde.PbField(1, "key", graft.serde.PbType.PbString),
+        graft.serde.PbField(2, "value", graft.serde.PbType.PbString)))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          concat(lit("doc-"), col("doc_id").cast("string")).as("k"))
+        .withColumn("wire1", expr(
+          "cast(concat(chr(10), chr(length(k)), k) as binary)"))
+        .withColumn("wire", when(col("doc_id") % 7 === 0, col("wire1"))
+          .otherwise(expr(
+            "cast(concat(wire1, chr(18), chr(length(source)), source) as binary)")))
+        .withColumn("payload",
+          when(col("doc_id") % 10 === 0, expr("substring(wire, 1, 2)"))
+            .otherwise(col("wire")))
+      base.select(col("doc_id"), col("source"), col("k"),
+          serde.deserialize(col("payload")).as("v"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_records"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_dlq"),
+          sum(when(col("v.key") === col("k"), 1L).otherwise(0L)).as("n_key_ok"),
+          sum(when(col("v.value") === col("source"), 1L).otherwise(0L))
+            .as("n_value_ok"),
+          sum(when(col("v.value") === "", 1L).otherwise(0L))
+            .as("n_defaulted"))
+        .orderBy(col("source"))
     })
 
   val oracle: Map[String, String] = Map(
@@ -596,5 +635,16 @@ object EventQueries extends QueryGroup {
         CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
         CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_key_ok,
         CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_value_ok
+      FROM documents GROUP BY source ORDER BY source""",
+
+    "q202_pb_ingest" -> """
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_records,
+        CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+        CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_key_ok,
+        CAST(sum(CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 <> 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_value_ok,
+        CAST(sum(CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_defaulted
       FROM documents GROUP BY source ORDER BY source""")
 }

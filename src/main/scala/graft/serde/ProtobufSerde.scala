@@ -98,11 +98,17 @@ object ProtobufSerde {
 
   // ---- decoding ----
 
+  // Every read is bounds-checked against `end` (the enclosing message
+  // limit, not just the buffer): a truncated length-delimited field must
+  // FAIL (-> null -> DLQ), not zero-pad via copyOfRange's padding
+  // semantics, and a nested message must never read its parent's
+  // trailing bytes.
   private final class Cursor(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
       while (true) {
+        require(pos < end, "truncated varint")
         val b = buf(pos); pos += 1
         acc |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return acc
@@ -112,18 +118,21 @@ object ProtobufSerde {
       acc
     }
     def readFixed64(): Long = {
+      require(pos + 8 <= end, "truncated fixed64")
       var v = 0L
       var i = 0
       while (i < 8) { v |= (buf(pos + i) & 0xffL) << (8 * i); i += 1 }
       pos += 8; v
     }
     def readFixed32(): Int = {
+      require(pos + 4 <= end, "truncated fixed32")
       var v = 0
       var i = 0
       while (i < 4) { v |= (buf(pos + i) & 0xff) << (8 * i); i += 1 }
       pos += 4; v
     }
     def readBytes(n: Int): Array[Byte] = {
+      require(n >= 0 && pos + n <= end, "truncated length-delimited field")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
     }
   }
@@ -145,6 +154,7 @@ object ProtobufSerde {
             case (PbBytes, 2) => c.readBytes(c.readVarint().toInt)
             case (PbMessage(sub), 2) =>
               val len = c.readVarint().toInt
+              require(len >= 0 && c.pos + len <= c.end, "truncated submessage")
               val r = decodeMessage(buf, c.pos, c.pos + len, sub); c.pos += len; r
             case (PbInt64, 0) => c.readVarint()
             case (PbInt32, 0) => c.readVarint().toInt
@@ -173,7 +183,10 @@ object ProtobufSerde {
           wire match {
             case 0 => c.readVarint()
             case 1 => c.readFixed64()
-            case 2 => val n = c.readVarint().toInt; c.pos += n
+            case 2 =>
+              val n = c.readVarint().toInt
+              require(n >= 0 && c.pos + n <= c.end, "truncated unknown field")
+              c.pos += n
             case 5 => c.readFixed32()
             case other => throw new IllegalArgumentException(s"bad wire type $other")
           }

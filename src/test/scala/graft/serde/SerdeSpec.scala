@@ -233,6 +233,9 @@ class SerdeSpec extends SparkSpec {
       wire,
       pbGolden,
       Array[Byte](0x08, 0x01), // wrong wire layout for field 1 -> null (DLQ)
+      Array[Byte](0x0a, 0x05), // truncated length-delimited -> null, NOT
+                               // zero-padded garbage (bounds-checked reads)
+      pbGolden.take(5),        // mid-string truncation -> null
       Array.emptyByteArray)    // empty message -> all proto3 defaults
     cases.foreach { bytes =>
       val df = Seq(Tuple1(bytes)).toDF("raw")
@@ -240,6 +243,10 @@ class SerdeSpec extends SparkSpec {
       val udf = firstRow(df.select(serde.deserializeUdf(col("raw")).as("v")))
       assert(native == udf, s"native $native vs udf $udf on ${bytes.toSeq}")
     }
+    // the truncation contract itself (not just parity): both -> SQL NULL
+    val trunc = Seq(Tuple1(pbGolden.take(5))).toDF("raw")
+    assert(firstRow(trunc.select(serde.deserialize(col("raw")).as("v"))).isNullAt(0))
+    assert(firstRow(trunc.select(serde.deserializeUdf(col("raw")).as("v"))).isNullAt(0))
     // and the decode stage plans natively, inside WholeStageCodegen
     // (data-dependent payload — a pure literal would constant-fold)
     val df = spark.range(1)
