@@ -59,6 +59,35 @@ class PropertySpec extends SparkSpec {
     assert(out.length == 50)
   }
 
+  test("property: native and UDF wire decoders agree on arbitrary bytes") {
+    // fuzz parity: over random byte blobs (mostly malformed, some
+    // accidentally valid prefixes) the codegen decoders must agree with
+    // their interpreted references EXACTLY — same nulls, same values.
+    val blobs = samples(Gen.chooseNum(0, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-128, 127).map(_.toByte)).map(_.toArray)), 80)
+    val pb = ProtobufSerde(Seq(
+      PbField(1, "s", PbType.PbString),
+      PbField(2, "n", PbType.PbInt64),
+      PbField(3, "r", PbType.PbInt32, repeated = true)))
+    val avro = AvroSerde(
+      """{"type":"record","name":"t","fields":[
+         {"name":"s","type":"string"},{"name":"n","type":"long"}]}""")
+    val df = blobs.map(Tuple1(_)).toDF("raw")
+      .select(
+        pb.deserialize(col("raw")).as("pn"),
+        pb.deserializeUdf(col("raw")).as("pu"),
+        avro.deserialize(col("raw")).as("an"),
+        avro.deserializeUdf(col("raw")).as("au"))
+      .collect()
+    df.zip(blobs).foreach { case (r, blob) =>
+      assert(r.get(0) == r.get(1),
+        s"pb native ${r.get(0)} vs udf ${r.get(1)} on ${blob.toSeq}")
+      assert(r.get(2) == r.get(3),
+        s"avro native ${r.get(2)} vs udf ${r.get(3)} on ${blob.toSeq}")
+    }
+    assert(df.length == 80)
+  }
+
   test("property: keepFirst is idempotent and input-order independent") {
     val pairs = samples(Gen.zip(Gen.choose(1L, 5L), Gen.choose(1L, 10L)), 40)
     val order = Seq(col("seq").asc, col("tag").asc)
