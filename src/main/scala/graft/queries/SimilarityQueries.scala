@@ -289,6 +289,21 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("src"), col("rn"))
     },
 
+    "q203_knn_graph_scaled" -> { (s, d) =>
+      // q150's SCALE PATH under the same oracle machinery (the q199
+      // pattern): identical kNN-graph semantics at the production
+      // parameterization kCells ∝ n — in-cell pair space is quadratic
+      // in cell SIZE, so holding kCells fixed while the corpus grows
+      // (q150's oracle-pinned kCells=8) is the measured 21x-at-10x
+      // fixture, and scaling kCells with n restores near-linear cost
+      // (sf1: 24.4 s at kCells=8 vs ~9 s at kCells=80, BASELINE §8).
+      // Oracle-checked at kCells=80 so the knob itself sits inside the
+      // gate, not just in prose.
+      Clustering.knnGraph(Tables.embeddings(s, d), "vec_id", "embedding",
+          kCells = 80, kNeighbors = 3, iters = 2, scale = 1000L)
+        .orderBy(col("src"), col("rn"))
+    },
+
     "q151_proto_pruning" -> { (s, d) =>
       // SSL-prototypes diversity pruning (Sorscher et al. 2022): keep
       // the 10 LEAST prototypical (largest integer L2 to their assigned
@@ -361,7 +376,7 @@ object SimilarityQueries extends QueryGroup {
     * Clustering.assignCells(all, kmeansCentroids(train)). `v` also
     * carries the raw doubles for cosine reuse.
     */
-  private def kmeansCte(trainWhere: String): String = s"""
+  private def kmeansCte(trainWhere: String, k: Int = 8): String = s"""
       WITH v AS (
         SELECT CAST(vec_id AS BIGINT) AS id,
           CAST(embedding AS DOUBLE[]) AS rv,
@@ -372,7 +387,7 @@ object SimilarityQueries extends QueryGroup {
       c AS (
         SELECT cell, cv FROM (
           SELECT row_number() OVER (ORDER BY id) - 1 AS cell, sv AS cv FROM va) t
-        WHERE cell < 8),
+        WHERE cell < $k),
       a AS (
         SELECT id, sv, cell,
           row_number() OVER (PARTITION BY id ORDER BY
@@ -743,6 +758,22 @@ object SimilarityQueries extends QueryGroup {
       GROUP BY src, la2.label ORDER BY vec_id""",
 
     "q150_knn_graph" -> s"""$KmeansCte,
+      pairs AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va.rv, vb.rv)
+            / (sqrt(list_dot_product(va.rv, va.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN v va ON va.id = ia.id
+        JOIN v vb ON vb.id = ib.id),
+      ranked AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM pairs WHERE NOT isnan(cos))
+      SELECT src, CAST(rn AS BIGINT) AS rn, dst, cos
+      FROM ranked WHERE rn <= 3 ORDER BY src, rn""",
+
+    "q203_knn_graph_scaled" -> s"""${kmeansCte("TRUE", 80)},
       pairs AS (
         SELECT ia.id AS src, ib.id AS dst,
           list_dot_product(va.rv, vb.rv)
