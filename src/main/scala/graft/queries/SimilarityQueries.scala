@@ -278,6 +278,21 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q204_cross_signal_scaled" -> { (s, d) =>
+      // q196 at the PRODUCTION cell parameterization (kCells ∝ n, the
+      // q203 contract applied to the composition): same cross-signal
+      // semantics, semantic side at kCells=80 — oracle-checked so the
+      // knob sits inside the gate for the composed operator too, not
+      // just the bare kNN graph. The text (CDC Jaccard) side is
+      // kCells-independent; only the kNN edge set changes.
+      Similarity.crossSignalPairs(
+          Tables.documents(s, d),
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id", "text", "embedding", kCells = 80)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q150_knn_graph" -> { (s, d) =>
       // Cell-bounded kNN graph over the corpus embeddings (q123's exact
       // k-means fixture): 3 nearest in-cell neighbors by cosine per
@@ -419,7 +434,8 @@ object SimilarityQueries extends QueryGroup {
     * the kmeans CTE's `a`), the k-bounded kNN semantic pairs, and their
     * full-outer union `fo` — the cross-signal edge set.
     */
-  private def CrossSignalCte(cosTau: String): String = s"""${kmeansCte("TRUE")},
+  private def CrossSignalCte(cosTau: String, k: Int = 8): String =
+    s"""${kmeansCte("TRUE", k)},
       ctoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       cpp AS (
         SELECT doc_id, l, unnest(l) AS tok,
@@ -593,6 +609,28 @@ object SimilarityQueries extends QueryGroup {
       ORDER BY vec_id""",
 
     "q196_cross_signal" -> s"""${CrossSignalCte("0.3")},
+      bcf AS (
+        SELECT fo.id_a, fo.id_b, fo.jac_t, fo.coss,
+          list_dot_product(ea.rv, eb.rv)
+            / (sqrt(list_dot_product(ea.rv, ea.rv))
+               * sqrt(list_dot_product(eb.rv, eb.rv))) AS cosb
+        FROM fo LEFT JOIN v ea ON ea.id = fo.id_a
+                LEFT JOIN v eb ON eb.id = fo.id_b),
+      fin AS (
+        SELECT bcf.id_a, bcf.id_b,
+          CAST(coalesce(bcf.jac_t, jall.jac_all, 0) AS BIGINT) AS jac_ppm,
+          coalesce(bcf.coss,
+            CASE WHEN NOT isnan(bcf.cosb) THEN bcf.cosb END) AS cos
+        FROM bcf LEFT JOIN jall
+          ON jall.id_a = bcf.id_a AND jall.id_b = bcf.id_b)
+      SELECT id_a, id_b, jac_ppm, cos,
+        CASE WHEN jac_ppm >= 300000 AND cos IS NOT NULL AND cos >= 0.3
+               THEN 'both'
+             WHEN jac_ppm >= 300000 THEN 'text_only'
+             ELSE 'semantic_only' END AS verdict
+      FROM fin ORDER BY id_a, id_b""",
+
+    "q204_cross_signal_scaled" -> s"""${CrossSignalCte("0.3", 80)},
       bcf AS (
         SELECT fo.id_a, fo.id_b, fo.jac_t, fo.coss,
           list_dot_product(ea.rv, eb.rv)
