@@ -74,6 +74,25 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q205_hard_negatives_scaled" -> { (s, d) =>
+      // q168 at kCells=80 — the production kCells ∝ n parameterization
+      // (q203 contract), hash-verified by the k-parameterized oracle.
+      Clustering.hardNegatives(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", kCells = 80, kNegatives = 4,
+          iters = 2, scale = 1000L)
+        .orderBy(col("src"), col("rn"))
+    },
+
+    "q206_label_noise_scaled" -> { (s, d) =>
+      // q169 at kCells=80 — same contract, same oracle machinery.
+      Clustering.labelDisagreement(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", kCells = 80, kNeighbors = 5,
+          iters = 2, scale = 1000L)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("n_neighbors"), col("n_disagree"), col("flagged"))
+        .orderBy(col("vec_id"))
+    },
+
     "q41_ann_bruteforce" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
@@ -429,6 +448,58 @@ object SimilarityQueries extends QueryGroup {
 
   private val KmeansCte = kmeansCte("TRUE")
 
+  /** q168 / q205 oracle, parameterized by the cell count — the same SQL
+    * at kCells=8 (the small-SF pin) and kCells=80 (the production
+    * kCells ∝ n parameterization, the q203 contract).
+    */
+  private def hardNegativesOracle(k: Int): String = s"""${kmeansCte("TRUE", k)},
+      lab AS (SELECT CAST(vec_id AS BIGINT) AS id, label FROM embeddings),
+      pairs AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va.rv, vb.rv)
+            / (sqrt(list_dot_product(va.rv, va.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN lab la2 ON la2.id = ia.id
+        JOIN lab lb2 ON lb2.id = ib.id
+        JOIN v va ON va.id = ia.id
+        JOIN v vb ON vb.id = ib.id
+        WHERE la2.label IS NOT NULL AND lb2.label IS NOT NULL
+          AND la2.label <> lb2.label),
+      ranked AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM pairs WHERE NOT isnan(cos))
+      SELECT src, CAST(rn AS BIGINT) AS rn, dst, cos
+      FROM ranked WHERE rn <= 4 ORDER BY src, rn"""
+
+  /** q169 / q206 oracle, parameterized by the cell count. */
+  private def labelNoiseOracle(k: Int): String = s"""${kmeansCte("TRUE", k)},
+      lab AS (SELECT CAST(vec_id AS BIGINT) AS id, label FROM embeddings),
+      pairs AS (
+        SELECT ia.id AS src, ib.id AS dst,
+          list_dot_product(va.rv, vb.rv)
+            / (sqrt(list_dot_product(va.rv, va.rv))
+               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
+        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
+        JOIN v va ON va.id = ia.id
+        JOIN v vb ON vb.id = ib.id),
+      ranked AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+        FROM pairs WHERE NOT isnan(cos))
+      SELECT src AS vec_id, CAST(la2.label AS BIGINT) AS label,
+        CAST(count(*) AS BIGINT) AS n_neighbors,
+        CAST(sum(CASE WHEN lb2.label IS DISTINCT FROM la2.label
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+        (2 * sum(CASE WHEN lb2.label IS DISTINCT FROM la2.label
+                 THEN 1 ELSE 0 END) > count(*)) AS flagged
+      FROM ranked
+      JOIN lab la2 ON la2.id = src
+      JOIN lab lb2 ON lb2.id = dst
+      WHERE rn <= 5
+      GROUP BY src, la2.label ORDER BY vec_id"""
+
   /** Shared q196/q197 oracle prefix: the CDC rare-chunk Jaccard table
     * (renamed copies of the q159 CTEs — the shared fragment clashes on
     * the kmeans CTE's `a`), the k-bounded kNN semantic pairs, and their
@@ -748,52 +819,11 @@ object SimilarityQueries extends QueryGroup {
       WHERE id NOT IN (SELECT id_b FROM losers)
       ORDER BY vec_id""",
 
-    "q168_hard_negatives" -> s"""$KmeansCte,
-      lab AS (SELECT CAST(vec_id AS BIGINT) AS id, label FROM embeddings),
-      pairs AS (
-        SELECT ia.id AS src, ib.id AS dst,
-          list_dot_product(va.rv, vb.rv)
-            / (sqrt(list_dot_product(va.rv, va.rv))
-               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
-        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
-        JOIN lab la2 ON la2.id = ia.id
-        JOIN lab lb2 ON lb2.id = ib.id
-        JOIN v va ON va.id = ia.id
-        JOIN v vb ON vb.id = ib.id
-        WHERE la2.label IS NOT NULL AND lb2.label IS NOT NULL
-          AND la2.label <> lb2.label),
-      ranked AS (
-        SELECT src, dst, cos,
-          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-        FROM pairs WHERE NOT isnan(cos))
-      SELECT src, CAST(rn AS BIGINT) AS rn, dst, cos
-      FROM ranked WHERE rn <= 4 ORDER BY src, rn""",
+    "q168_hard_negatives" -> hardNegativesOracle(8),
+    "q205_hard_negatives_scaled" -> hardNegativesOracle(80),
 
-    "q169_label_noise" -> s"""$KmeansCte,
-      lab AS (SELECT CAST(vec_id AS BIGINT) AS id, label FROM embeddings),
-      pairs AS (
-        SELECT ia.id AS src, ib.id AS dst,
-          list_dot_product(va.rv, vb.rv)
-            / (sqrt(list_dot_product(va.rv, va.rv))
-               * sqrt(list_dot_product(vb.rv, vb.rv))) AS cos
-        FROM i2 ia JOIN i2 ib ON ia.cell = ib.cell AND ia.id <> ib.id
-        JOIN v va ON va.id = ia.id
-        JOIN v vb ON vb.id = ib.id),
-      ranked AS (
-        SELECT src, dst, cos,
-          row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-        FROM pairs WHERE NOT isnan(cos))
-      SELECT src AS vec_id, CAST(la2.label AS BIGINT) AS label,
-        CAST(count(*) AS BIGINT) AS n_neighbors,
-        CAST(sum(CASE WHEN lb2.label IS DISTINCT FROM la2.label
-                 THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
-        (2 * sum(CASE WHEN lb2.label IS DISTINCT FROM la2.label
-                 THEN 1 ELSE 0 END) > count(*)) AS flagged
-      FROM ranked
-      JOIN lab la2 ON la2.id = src
-      JOIN lab lb2 ON lb2.id = dst
-      WHERE rn <= 5
-      GROUP BY src, la2.label ORDER BY vec_id""",
+    "q169_label_noise" -> labelNoiseOracle(8),
+    "q206_label_noise_scaled" -> labelNoiseOracle(80),
 
     "q150_knn_graph" -> s"""$KmeansCte,
       pairs AS (
