@@ -85,7 +85,8 @@ class GraftApp {
   def decoded(spec: ConsumerSpec, records: DataFrame): DataFrame = {
     // decodeWithFailure: value and indicator come from ONE decode
     // evaluation per serde (JSON: a single corrupt-record-augmented parse;
-    // UDF codecs: one shared deterministic tree, deduped by CSE).
+    // Avro/Protobuf: one shared deterministic native-expression tree,
+    // deduped by CSE — same property the UDF parity codecs had).
     val (valueDec, valueFailed) = spec.valueSerde.decodeWithFailure(col("value_raw"))
     val (keyDec, keyFailed) = spec.keySerde match {
       case Some(s) => s.decodeWithFailure(col("key_raw"))
