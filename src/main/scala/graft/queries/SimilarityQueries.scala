@@ -280,6 +280,22 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q207_cross_signal_clusters_scaled" -> { (s, d) =>
+      // q197 at the production cell parameterization AND with the
+      // round-6 percolation guard ARMED (maxComponentSize): the full
+      // cluster path — union edges at kCells=80, CC, sizes — runs
+      // in-gate with the guard that production would carry, proving the
+      // guard changes nothing when components stay under the bound
+      // (the dup-grade tau=0.5 keeps them small by construction here).
+      Similarity.crossSignalClusters(
+          Tables.documents(s, d),
+          Tables.embeddings(s, d)
+            .select(col("vec_id").as("doc_id"), col("embedding")),
+          "doc_id", "text", "embedding", kCells = 80, cosThreshold = 0.5,
+          maxComponentSize = 1000L)
+        .orderBy(col("doc_id"))
+    },
+
     "q196_cross_signal" -> { (s, d) =>
       // Cross-signal dedup consistency: exact CDC-chunk Jaccard (q159's
       // machinery) vs in-cell embedding cosine (q124's pair space) over
@@ -722,6 +738,24 @@ object SimilarityQueries extends QueryGroup {
              WHEN jac_ppm >= 300000 THEN 'text_only'
              ELSE 'semantic_only' END AS verdict
       FROM fin ORDER BY id_a, id_b""",
+
+    "q207_cross_signal_clusters_scaled" -> s"""${CrossSignalCte("0.5", 80)},
+      und AS (
+        SELECT id_a AS src, id_b AS dst FROM fo
+        UNION ALL SELECT id_b, id_a FROM fo),
+      reach AS (
+        SELECT doc_id AS n, doc_id AS l FROM documents
+        UNION
+        SELECT u.dst, r.l FROM reach r JOIN und u ON u.src = r.n),
+      cls AS (
+        SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY n),
+      szs2 AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM cls GROUP BY cluster_id)
+      SELECT cls.doc_id, cls.cluster_id, szs2.cluster_size
+      FROM cls JOIN szs2 USING (cluster_id)
+      ORDER BY doc_id""".replaceFirst("WITH ", "WITH RECURSIVE "),
 
     "q197_cross_signal_clusters" -> s"""${CrossSignalCte("0.5")},
       und AS (
