@@ -280,17 +280,20 @@ object MediaCodecs {
       }
       y += 1
     }
+    // zlib worst case (incompressible input falls back to stored
+    // blocks): raw + 5 bytes per 64 KB block + 6 bytes framing — sized
+    // correctly so ANY raster fits, not just tiny ones
     val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val zBuf = new Array[Byte](raw.length + 64)
+    val zBuf = new Array[Byte](raw.length + (raw.length / 65535 + 1) * 5 + 16)
     var zLen = 0
-    while (!deflater.finished()) {
-      val n = deflater.deflate(zBuf, zLen, zBuf.length - zLen)
-      zLen += n
-      if (zLen == zBuf.length && !deflater.finished())
-        return null // filter-0 gray can't exceed raw+64; defensive
-    }
-    deflater.end()
+    try {
+      deflater.setInput(raw); deflater.finish()
+      while (!deflater.finished()) {
+        val n = deflater.deflate(zBuf, zLen, zBuf.length - zLen)
+        require(n > 0 || deflater.finished(), "deflate stalled")
+        zLen += n
+      }
+    } finally deflater.end() // native zlib memory must release on ANY exit
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
       .map(_.toByte), 0, 8)
@@ -340,7 +343,12 @@ object MediaCodecs {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null || img.getWidth < 8 || img.getHeight < 8) return null
       val raster = img.getRaster
-      val nb = math.min(raster.getNumBands, 3)
+      // color bands only — 1 band = gray, 2 = gray+ALPHA, 3 = RGB,
+      // 4 = RGB+alpha: alpha must never leak into the luminance hash
+      // (a transparency mask would flip bits on two visually identical
+      // images), so <3 bands reads band 0 alone and scales to the
+      // r+g+b range
+      val nb = if (raster.getNumBands >= 3) 3 else 1
       val g = new Array[Long](64)
       var s = 0L
       var oy = 0

@@ -15,23 +15,56 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted parity reference) but emitting UTF8String /
   * GenericArrayData / GenericInternalRow directly: strings never pass
   * through java.lang.String, rows never pass through the external Row
-  * converter. Same wire subset (varint/fixed64/length-delimited/fixed32,
-  * packed repeated scalars, unknown-field skip, proto3 defaults) and
-  * the same null-on-failure DLQ contract.
+  * converter, and the field-dispatch tables are COMPILED ONCE at
+  * construction (the reference rebuilds its number->field map and two
+  * mutable Maps per record — acceptable for a parity codec, not for
+  * the ingest hot path). Same wire subset (varint/fixed64/
+  * length-delimited/fixed32, packed repeated scalars, unknown-field
+  * skip, proto3 defaults) and the same null-on-failure DLQ contract;
+  * every read is bounds-checked against the enclosing message limit,
+  * including packed lengths.
   */
 final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
   import PbType._
 
+  /** One compiled message level: dense per-field metadata + a
+    * field-number dispatch array (field numbers are small in practice;
+    * a direct array beats a hash map and is immutable/thread-safe).
+    * Built once per decoder (and once per nested message TYPE, not per
+    * record).
+    */
+  private final class Msg(fs: Seq[PbField]) {
+    val arr: Array[PbField] = fs.toArray
+    val subs: Array[Msg] = arr.map {
+      case PbField(_, _, PbMessage(sub), _) => new Msg(sub)
+      case _ => null
+    }
+    val defaults: Array[Any] = arr.map(f =>
+      if (f.repeated) null else defaultOf(f.ptype))
+    // slot(number) = field index + 1, 0 = unknown; covers 1..maxNum
+    private val maxNum = if (arr.isEmpty) 0 else arr.map(_.number).max
+    val slot: Array[Int] = {
+      val s = new Array[Int](maxNum + 1)
+      arr.zipWithIndex.foreach { case (f, i) =>
+        if (f.number >= 0 && f.number <= maxNum) s(f.number) = i + 1
+      }
+      s
+    }
+    def indexOf(num: Int): Int =
+      if (num >= 0 && num < slot.length) slot(num) - 1 else -1
+  }
+
+  @transient private lazy val root = new Msg(fields)
+
   def decode(raw: Array[Byte]): InternalRow =
     if (raw == null) null
-    else try decodeInternal(raw, 0, raw.length, fields)
+    else try decodeMsg(root, raw, 0, raw.length)
     catch { case scala.util.control.NonFatal(_) => null }
 
-  private def decodeInternal(buf: Array[Byte], from: Int, to: Int,
-                             fs: Seq[PbField]): InternalRow = {
-    // bounds-checked against the enclosing message limit `to`, exactly
-    // as the reference Cursor: truncated fields FAIL (-> null -> DLQ)
-    // instead of zero-padding, nested messages never read parent bytes
+  private def decodeMsg(msg: Msg, buf: Array[Byte], from: Int, to: Int): InternalRow = {
+    // bounds-checked against the enclosing message limit `to`:
+    // truncated fields FAIL (-> null -> DLQ) instead of zero-padding,
+    // nested messages never read parent bytes
     var pos = from
     def readVarint(): Long = {
       var shift = 0; var acc = 0L
@@ -61,63 +94,85 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
       require(n >= 0 && pos + n <= to, "truncated length-delimited field")
       val out = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; out
     }
-    val byNumber = fs.map(f => f.number -> f).toMap
-    val values = scala.collection.mutable.Map[Int, Any]()
-    val repeated = scala.collection.mutable.Map[Int, Vector[Any]]()
+    val n = msg.arr.length
+    val scalars = new Array[Any](n)
+    var repeated: Array[Vector[Any]] = null // allocated only if needed
     while (pos < to) {
       val tag = readVarint()
       val num = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
-      byNumber.get(num) match {
-        case Some(f) =>
-          val v: Any = (f.ptype, wire) match {
-            case (PbString, 2) =>
-              UTF8String.fromBytes(readBytes(readVarint().toInt))
-            case (PbBytes, 2) => readBytes(readVarint().toInt)
-            case (PbMessage(sub), 2) =>
-              val len = readVarint().toInt
-              require(len >= 0 && pos + len <= to, "truncated submessage")
-              val r = decodeInternal(buf, pos, pos + len, sub); pos += len; r
-            case (PbInt64, 0) => readVarint()
-            case (PbInt32, 0) => readVarint().toInt
-            case (PbBool, 0) => readVarint() != 0
-            case (PbDouble, 1) => java.lang.Double.longBitsToDouble(readFixed64())
-            case (PbFloat, 5) => java.lang.Float.intBitsToFloat(readFixed32())
-            case (PbInt64 | PbInt32 | PbBool, 2) if f.repeated =>
-              val len = readVarint().toInt
-              val limit = pos + len
-              val acc = Vector.newBuilder[Any]
-              while (pos < limit) acc += (f.ptype match {
-                case PbInt64 => readVarint()
-                case PbInt32 => readVarint().toInt
-                case _ => readVarint() != 0
-              })
-              acc.result()
-            case _ => throw new IllegalArgumentException(
-              s"field ${f.name}: unexpected wire type $wire")
+      val idx = msg.indexOf(num)
+      if (idx >= 0) {
+        val f = msg.arr(idx)
+        val v: Any = (f.ptype, wire) match {
+          case (PbString, 2) =>
+            val len = readVarint().toInt
+            require(len >= 0 && pos + len <= to, "truncated string")
+            val s = UTF8String.fromBytes(buf, pos, len); pos += len; s
+          case (PbBytes, 2) => readBytes(readVarint().toInt)
+          case (PbMessage(_), 2) =>
+            val len = readVarint().toInt
+            require(len >= 0 && pos + len <= to, "truncated submessage")
+            val r = decodeMsg(msg.subs(idx), buf, pos, pos + len)
+            pos += len; r
+          case (PbInt64, 0) => readVarint()
+          case (PbInt32, 0) => readVarint().toInt
+          case (PbBool, 0) => readVarint() != 0
+          case (PbDouble, 1) => java.lang.Double.longBitsToDouble(readFixed64())
+          case (PbFloat, 5) => java.lang.Float.intBitsToFloat(readFixed32())
+          case (PbInt64 | PbInt32 | PbBool, 2) if f.repeated =>
+            // packed scalars: the DECLARED length is validated against
+            // the message limit up front, and the elements must consume
+            // it exactly — a packed run may neither swallow the next
+            // field's bytes nor stop short of its own length
+            val len = readVarint().toInt
+            require(len >= 0 && pos + len <= to, "truncated packed field")
+            val limit = pos + len
+            val acc = Vector.newBuilder[Any]
+            while (pos < limit) acc += (f.ptype match {
+              case PbInt64 => readVarint()
+              case PbInt32 => readVarint().toInt
+              case _ => readVarint() != 0
+            })
+            require(pos == limit, "malformed packed field")
+            acc.result()
+          case _ => throw new IllegalArgumentException(
+            s"field ${f.name}: unexpected wire type $wire")
+        }
+        if (f.repeated) {
+          if (repeated == null) repeated = new Array[Vector[Any]](n)
+          val prev = if (repeated(idx) == null) Vector.empty[Any] else repeated(idx)
+          repeated(idx) = v match {
+            case vec: Vector[_] => prev ++ vec
+            case x => prev :+ x
           }
-          if (f.repeated) {
-            val items = v match { case vec: Vector[_] => vec; case x => Vector(x) }
-            repeated(num) = repeated.getOrElse(num, Vector.empty) ++ items
-          } else values(num) = v
-        case None =>
-          wire match {
-            case 0 => readVarint()
-            case 1 => readFixed64()
-            case 2 =>
-              val n = readVarint().toInt
-              require(n >= 0 && pos + n <= to, "truncated unknown field")
-              pos += n
-            case 5 => readFixed32()
-            case other => throw new IllegalArgumentException(s"bad wire type $other")
-          }
+        } else scalars(idx) = v
+      } else {
+        wire match {
+          case 0 => readVarint()
+          case 1 => readFixed64()
+          case 2 =>
+            val skip = readVarint().toInt
+            require(skip >= 0 && pos + skip <= to, "truncated unknown field")
+            pos += skip
+          case 5 => readFixed32()
+          case other => throw new IllegalArgumentException(s"bad wire type $other")
+        }
       }
     }
-    new GenericInternalRow(fs.map { f =>
-      if (f.repeated)
-        new GenericArrayData(repeated.getOrElse(f.number, Vector.empty).toArray)
-      else values.getOrElse(f.number, defaultOf(f.ptype))
-    }.toArray[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (msg.arr(i).repeated) {
+          val vs = if (repeated == null || repeated(i) == null)
+            Vector.empty[Any] else repeated(i)
+          new GenericArrayData(vs.toArray)
+        } else if (scalars(i) != null) scalars(i)
+        else msg.defaults(i)
+      i += 1
+    }
+    new GenericInternalRow(out)
   }
 
   /** proto3 defaults for absent scalars, in INTERNAL representation. */

@@ -122,20 +122,25 @@ object IvfPq {
     val nCodes = model.pq.nCodes
     val dsub = model.pq.dsub
 
-    val nQ = queries.count()
-    require(nQ <= maxQueryRows,
-      s"IvfPq.topK builds per-query probe tables driver-side: got $nQ " +
-        s"query rows (bound $maxQueryRows). Chunk the query set or raise " +
-        s"the bound explicitly.")
-
     // Driver-side probe + table build: for each query, its nprobe nearest
     // cells; for each probed cell, the exact sub-distance table of the
     // query RESIDUAL (q − centroid) against every codebook entry.
-    // nQueries × nlist distance computations + nQueries × nprobe tables —
-    // all bounded by the guard above.
-    val qRows: Seq[(Long, Seq[Double])] = queries
+    // The guard and the collect are ONE action: limit(bound+1) caps what
+    // can ever reach the driver (a separate count() would both
+    // double-execute the query lineage and race a nondeterministic
+    // frame), and one excess row proves the violation with its size
+    // never materializing.
+    val limN = (math.min(maxQueryRows, Int.MaxValue - 2L) + 1L).toInt
+    val collected = queries
       .select(col(idCol).cast("long"), toDouble(col(vecCol)))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+      .limit(limN)
+      .collect()
+    require(collected.length <= maxQueryRows,
+      s"IvfPq.topK builds per-query probe tables driver-side: query frame " +
+        s"exceeds $maxQueryRows rows. Chunk the query set or raise the " +
+        s"bound explicitly.")
+    val qRows: Seq[(Long, Seq[Double])] =
+      collected.map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     val probeRows: Seq[(Long, Long, Seq[Double])] = qRows.flatMap { case (qid, qv) =>
       val byDist = model.cents.map { case (cellId, cv) =>
         var d = 0.0

@@ -141,15 +141,24 @@ object AvroSerde {
       new GenericDatumReader[GenericRecord](null, readerSchema))
     // hasNext closes on a fully-drained iterator, but a limit/take in
     // the consuming flatMap terminates early and never reaches it —
-    // close on task completion too (double-close is a no-op; the
-    // driver-side/test path with no TaskContext still closes via the
-    // drained-iterator branch, its input being an in-memory buffer).
+    // close on task completion too. The listener holds the reader
+    // through an AtomicReference CLEARED on close: a partition that
+    // flatMaps thousands of container blobs must not pin every blob's
+    // byte array until task end (the listener closure would otherwise
+    // keep reader -> input -> bytes reachable after a clean drain).
+    // Double-close is a no-op; the driver-side/test path with no
+    // TaskContext still closes via the drained-iterator branch.
+    val ref = new java.util.concurrent.atomic.AtomicReference(r)
+    def closeOnce(): Unit = {
+      val h = ref.getAndSet(null)
+      if (h != null) h.close()
+    }
     Option(org.apache.spark.TaskContext.get())
-      .foreach(_.addTaskCompletionListener[Unit](_ => r.close()))
+      .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
     new Iterator[Row] {
       override def hasNext: Boolean = {
-        val h = r.hasNext
-        if (!h) r.close()
+        val h = ref.get() != null && r.hasNext
+        if (!h) closeOnce()
         h
       }
       override def next(): Row = toRow(r.next(), readerSchema)

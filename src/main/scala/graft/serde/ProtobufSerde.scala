@@ -161,9 +161,12 @@ object ProtobufSerde {
             case (PbBool, 0) => c.readVarint() != 0
             case (PbDouble, 1) => java.lang.Double.longBitsToDouble(c.readFixed64())
             case (PbFloat, 5) => java.lang.Float.intBitsToFloat(c.readFixed32())
-            // packed repeated scalars
+            // packed repeated scalars: the declared length is validated
+            // up front and must be consumed exactly — a packed run may
+            // neither swallow the next field's bytes nor stop short
             case (PbInt64 | PbInt32 | PbBool, 2) if f.repeated =>
               val len = c.readVarint().toInt
+              require(len >= 0 && c.pos + len <= c.end, "truncated packed field")
               val limit = c.pos + len
               val acc = Vector.newBuilder[Any]
               while (c.pos < limit) acc += (f.ptype match {
@@ -171,6 +174,7 @@ object ProtobufSerde {
                 case PbInt32 => c.readVarint().toInt
                 case _ => c.readVarint() != 0
               })
+              require(c.pos == limit, "malformed packed field")
               acc.result()
             case _ => throw new IllegalArgumentException(
               s"field ${f.name}: unexpected wire type $wire")

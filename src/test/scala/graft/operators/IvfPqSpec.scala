@@ -54,13 +54,14 @@ class IvfPqSpec extends SparkSpec {
   test("bounded-query-set contract: oversized query frames fail fast, not OOM") {
     val model = IvfPq.fit(corpus, "embedding", cents, m = 16, nCodes = 32)
     val encoded = IvfPq.encode(corpus, "vec_id", "embedding", model)
-    // driver-side probe tables are per-query — the guard counts the
-    // query frame BEFORE collecting it and names the measured size
+    // driver-side probe tables are per-query — the guard caps the
+    // collect at bound+1 rows (one action, nothing past the bound ever
+    // reaches the driver) and fails naming the bound
     val ex = intercept[IllegalArgumentException] {
       IvfPq.topK(encoded, queries, "vec_id", "embedding",
         model, k = 2, nprobe = 2, maxQueryRows = 3L)
     }
-    assert(ex.getMessage.contains("driver-side") && ex.getMessage.contains("5"))
+    assert(ex.getMessage.contains("driver-side") && ex.getMessage.contains("3"))
     // within the bound, results are identical to the default path
     val bounded = IvfPq.topK(encoded, queries, "vec_id", "embedding",
         model, k = 2, nprobe = 2, maxQueryRows = 5L)
