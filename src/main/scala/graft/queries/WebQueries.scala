@@ -227,6 +227,23 @@ object WebQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q208_k_anonymity" -> { (s, d) =>
+      // k-anonymity release gate (Sweeney 2002) over the (source, lang)
+      // quasi-identifier with the suffix-generalization ladder: release
+      // at full QI when the group reaches k, else at (source, *) when
+      // the LEFTOVER mass does, else suppress — every published key is
+      // shared by >= k published rows. k=10 exercises all three levels
+      // on this corpus (172/319/9 docs at sf0.01). One corpus
+      // aggregate + a bounded group-table cascade + one join back.
+      graft.operators.Privacy.kAnonymize(
+          Tables.documents(s, d)
+            .select(col("doc_id"), col("source"), col("lang")),
+          Seq("source", "lang"), k = 10L)
+        .select(col("doc_id"), col("source"), col("lang"),
+          col("anon_level"), col("anon_group_size"), col("released_key"))
+        .orderBy(col("doc_id"))
+    },
+
     "q176_score_calibration" -> { (s, d) =>
       // Reliability table for the model-based quality scorer (the
       // calibration check a pipeline runs before trusting a filter
@@ -514,6 +531,28 @@ object WebQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+
+    "q208_k_anonymity" -> """
+      WITH c0 AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n0
+        FROM documents GROUP BY 1, 2),
+      c1 AS (
+        SELECT source, CAST(sum(n0) AS BIGINT) AS n1
+        FROM c0 WHERE n0 < 10 GROUP BY 1)
+      SELECT d.doc_id, d.source, d.lang,
+        CAST(CASE WHEN c0.n0 >= 10 THEN 0
+                  WHEN coalesce(c1.n1, 0) >= 10 THEN 1
+                  ELSE 2 END AS BIGINT) AS anon_level,
+        CASE WHEN c0.n0 >= 10 THEN c0.n0
+             WHEN coalesce(c1.n1, 0) >= 10 THEN c1.n1
+             ELSE NULL END AS anon_group_size,
+        CASE WHEN c0.n0 >= 10 THEN d.source || '/' || d.lang
+             WHEN coalesce(c1.n1, 0) >= 10 THEN d.source || '/*'
+             ELSE '*/*' END AS released_key
+      FROM documents d
+      JOIN c0 ON c0.source = d.source AND c0.lang = d.lang
+      LEFT JOIN c1 ON c1.source = d.source
+      ORDER BY doc_id""",
 
     "q175_blocklist_gate" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),

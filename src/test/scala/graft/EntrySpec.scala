@@ -51,6 +51,8 @@ class EntrySpec extends SparkSpec {
       "chunks", "k", "raw", "cells", "rt", "tot", "zk", "tri", "paths",
       "bench", "corpus", "hits", "cleaned", "contaminated",
       "edges", "deg", "r0", "r1", "r2", "r3", "i1", "i2", "i3",
+      "c0", "c1", // q208 k-anonymity ladder
+
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
       "sc2", "th", "keep", "keptc", "reb",
