@@ -1575,6 +1575,71 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("streaming anonymity gate: a group releases only once it reaches k, batch == stream") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long)]
+      val q = AnonymityGateStream(input.toDS(), k = 3)
+        .toDF("qi", "id", "rn")
+        .writeStream.format("memory").queryName("anon_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(("a", 1L), ("a", 2L), ("b", 10L))
+        q.processAllAvailable()
+        // nothing released: both groups are below k
+        assert(spark.table("anon_stream").count() == 0)
+        input.addData(("a", 3L), ("a", 4L), ("b", 11L))
+        q.processAllAvailable()
+        val got = spark.table("anon_stream")
+          .as[(String, Long, Long)].collect().toSet
+        // group a crossed k: the barrier flushes 1..3 together, 4 streams
+        // through; group b (2 members) still withholds everything
+        assert(got == Set(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+          ("a", 4L, 4L)), s"got $got")
+        // released ID set == the batch operator's level-0 release over
+        // the union of the two micro-batches
+        val all = Seq(("a", 1L), ("a", 2L), ("b", 10L),
+          ("a", 3L), ("a", 4L), ("b", 11L))
+        val batch = graft.operators.Privacy.kAnonymize(
+            all.toDF("qi", "id"), Seq("qi"), k = 3L)
+          .filter(col("anon_level") === 0)
+          .select("id").as[Long].collect().toSet
+        assert(got.map(_._2) == batch, s"stream ${got.map(_._2)} vs batch $batch")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming anonymity gate: held-back members survive a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_anonr").toString
+      val input = MemoryStream[(String, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      def start() = AnonymityGateStream(input.toDS(), k = 3)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[(String, Long, Long)], _: Long) =>
+          collected.synchronized { collected ++= ds.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try { input.addData(("g", 1L), ("g", 2L)); q1.processAllAvailable() }
+      finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // member 3 arrives only AFTER the restart: the barrier flushes
+        // 1 and 2 iff their buffered ids were RESTORED from checkpoint
+        input.addData(("g", 3L))
+        q2.processAllAvailable()
+        assert(collected.synchronized(collected.toSet) ==
+          Set(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L)),
+          s"buffered members must survive the restart: $collected")
+      } finally q2.stop()
+    }
+  }
+
   // Shared RocksDB wrapper for the restart suite below — checkpoint
   // recovery is THE ingest-resilience claim at 100 TB, so every
   // stateful twin gets a stop-the-query/resume-from-checkpoint test
