@@ -68,4 +68,27 @@ object Privacy {
       .withColumn("released_key", releasedKey)
       .drop("__lvl", "__gsz")
   }
+
+  /** Distinct l-diversity audit (Machanavajjhala et al. 2006,
+    * "l-diversity: privacy beyond k-anonymity") over a [[kAnonymize]]
+    * release: k-anonymity bounds re-identification but not ATTRIBUTE
+    * disclosure — a released group whose members all share one
+    * sensitive value reveals it for every member. Per released key
+    * (suppressed rows excluded — they publish nothing): group size,
+    * distinct sensitive values, and the l-diversity flag. One bounded
+    * aggregate over the anonymized frame; the report has one row per
+    * released key, so it is release-card sized at any corpus scale.
+    *
+    * Output: (released_key, n_rows, n_sensitive, diverse).
+    */
+  def lDiversityReport(anonymized: DataFrame, sensitiveCol: String,
+                       l: Long): DataFrame = {
+    require(l > 0, s"l must be positive, got $l")
+    anonymized
+      .filter(col("anon_group_size").isNotNull) // suppressed rows publish nothing
+      .groupBy(col("released_key"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+  }
 }

@@ -244,6 +244,21 @@ object WebQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q209_l_diversity" -> { (s, d) =>
+      // Distinct l-diversity audit over a k-anonymous release
+      // (Machanavajjhala 2006): QI = (source) at k=10, sensitive
+      // attribute = lang, l=5 — the flag catches released groups whose
+      // members share too few sensitive values (attribute disclosure
+      // k-anonymity alone misses). Both flag values are live on this
+      // corpus (3 of 20 sources carry only 4 of the 5 langs).
+      val anon = graft.operators.Privacy.kAnonymize(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang")),
+        Seq("source"), k = 10L)
+      graft.operators.Privacy.lDiversityReport(anon, "lang", l = 5L)
+        .orderBy(col("released_key"))
+    },
+
     "q176_score_calibration" -> { (s, d) =>
       // Reliability table for the model-based quality scorer (the
       // calibration check a pipeline runs before trusting a filter
@@ -531,6 +546,18 @@ object WebQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+
+    "q209_l_diversity" -> """
+      WITH c0 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n0
+        FROM documents GROUP BY 1)
+      SELECT d.source AS released_key,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(count(DISTINCT d.lang) AS BIGINT) AS n_sensitive,
+        count(DISTINCT d.lang) >= 5 AS diverse
+      FROM documents d JOIN c0 ON c0.source = d.source
+      WHERE c0.n0 >= 10
+      GROUP BY d.source ORDER BY released_key""",
 
     "q208_k_anonymity" -> """
       WITH c0 AS (
