@@ -28,10 +28,12 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
   import PbType._
 
   /** One compiled message level: dense per-field metadata + a
-    * field-number dispatch array (field numbers are small in practice;
-    * a direct array beats a hash map and is immutable/thread-safe).
-    * Built once per decoder (and once per nested message TYPE, not per
-    * record).
+    * field-number dispatch table. Field numbers are small in practice,
+    * so the table is a direct array — but proto field numbers are legal
+    * up to 2^29-1, so past a cap the dispatch falls back to an
+    * immutable Map instead of allocating a giant array. Built once per
+    * decoder (and once per nested message TYPE, not per record);
+    * immutable, thread-safe.
     */
   private final class Msg(fs: Seq[PbField]) {
     val arr: Array[PbField] = fs.toArray
@@ -41,18 +43,36 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
     }
     val defaults: Array[Any] = arr.map(f =>
       if (f.repeated) null else defaultOf(f.ptype))
-    // slot(number) = field index + 1, 0 = unknown; covers 1..maxNum
     private val maxNum = if (arr.isEmpty) 0 else arr.map(_.number).max
-    val slot: Array[Int] = {
-      val s = new Array[Int](maxNum + 1)
-      arr.zipWithIndex.foreach { case (f, i) =>
-        if (f.number >= 0 && f.number <= maxNum) s(f.number) = i + 1
-      }
-      s
-    }
+    // slot(number) = field index + 1, 0 = unknown; dense only while small
+    private val slot: Array[Int] =
+      if (maxNum <= 4096) {
+        val s = new Array[Int](maxNum + 1)
+        arr.zipWithIndex.foreach { case (f, i) => s(f.number) = i + 1 }
+        s
+      } else null
+    private val slotMap: Map[Int, Int] =
+      if (slot == null) arr.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+      else null
     def indexOf(num: Int): Int =
-      if (num >= 0 && num < slot.length) slot(num) - 1 else -1
+      if (slot != null) {
+        if (num >= 0 && num < slot.length) slot(num) - 1 else -1
+      } else slotMap.getOrElse(num, -1)
   }
+
+  // proto2/3 contract: field numbers are positive. Validated EAGERLY at
+  // decoder construction (the transient Msg tree builds lazily per JVM)
+  // so a bad schema fails loudly instead of null-ing every record
+  // through the decode-time catch.
+  private def validateNumbers(fs: Seq[PbField]): Unit = fs.foreach { f =>
+    require(f.number >= 1,
+      s"field ${f.name}: protobuf field numbers must be >= 1, got ${f.number}")
+    f.ptype match {
+      case PbMessage(sub) => validateNumbers(sub)
+      case _ => ()
+    }
+  }
+  validateNumbers(fields)
 
   @transient private lazy val root = new Msg(fields)
 
@@ -106,9 +126,11 @@ final class PbWireDecoder(val fields: Seq[PbField]) extends Serializable {
         val f = msg.arr(idx)
         val v: Any = (f.ptype, wire) match {
           case (PbString, 2) =>
-            val len = readVarint().toInt
-            require(len >= 0 && pos + len <= to, "truncated string")
-            val s = UTF8String.fromBytes(buf, pos, len); pos += len; s
+            // COPY the string bytes (readBytes) rather than aliasing the
+            // payload buffer: a zero-copy UTF8String view would pin the
+            // ENTIRE raw record for as long as any retained row holds
+            // one short decoded field
+            UTF8String.fromBytes(readBytes(readVarint().toInt))
           case (PbBytes, 2) => readBytes(readVarint().toInt)
           case (PbMessage(_), 2) =>
             val len = readVarint().toInt

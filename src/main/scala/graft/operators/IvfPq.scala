@@ -101,13 +101,14 @@ object IvfPq {
     * BOUNDED-QUERY-SET CONTRACT (enforced, not assumed — the q173
     * broadcast-guard house rule): probe selection and the residual
     * distance tables are built DRIVER-side, nQueries × nprobe × m ×
-    * nCodes doubles, so the query frame must be small. The operator
-    * counts it first and FAILS with the measured size when it exceeds
-    * `maxQueryRows` — the honest outcome versus silently OOM-ing the
-    * driver; chunk the query set (probe tables are per-query
-    * independent, so chunked unions are exact) or raise the bound
-    * knowingly. A future large-query path would assign probes
-    * distributedly instead; no current caller needs it.
+    * nCodes doubles, so the query frame must be small. The collect is
+    * capped at `maxQueryRows + 1` rows in ONE action and FAILS (naming
+    * the bound; the true size is never materialized) when the cap is
+    * exceeded — the honest outcome versus silently OOM-ing the driver;
+    * chunk the query set (probe tables are per-query independent, so
+    * chunked unions are exact) or raise the bound knowingly. A future
+    * large-query path would assign probes distributedly instead; no
+    * current caller needs it.
     *
     * @return (query_id, rank, neighbor_id, adist) — approximate squared
     *         L2 ascending, ties by neighbor id.

@@ -140,6 +140,6 @@ object AnnStream {
       .as[CellVec]
       .groupByKey(_.cell)
       .transformWithState(new CellProcessor(maxPerCell, minCosine, k, ttl),
-        TimeMode.None(), OutputMode.Append())
+        StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

@@ -69,6 +69,6 @@ object AnonymityGateStream {
     import ds.sparkSession.implicits._
     require(k > 0, s"k must be positive, got $k")
     ds.groupByKey(_._1).transformWithState(new AnonymityGateProcessor(k, ttl),
-      TimeMode.None(), OutputMode.Append())
+      StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

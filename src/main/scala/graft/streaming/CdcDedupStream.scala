@@ -78,6 +78,6 @@ object CdcDedupStream {
       .select(col("chunkHash"), col("docId")).as[ChunkDoc]
       .groupByKey(_.chunkHash)
       .transformWithState(new ChunkBucketProcessor(maxPerChunk, ttl),
-        TimeMode.None(), OutputMode.Append())
+        StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

@@ -114,6 +114,6 @@ object ImageDedupStream {
       .as[BandImage]
       .groupByKey(_.bk)
       .transformWithState(new BandBucketProcessor(maxHamming, maxPerBucket, ttl),
-        TimeMode.None(), OutputMode.Append())
+        StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

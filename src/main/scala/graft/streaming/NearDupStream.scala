@@ -97,7 +97,7 @@ object NearDupStream {
       .as[BandDoc]
       .groupByKey(_.band)
       .transformWithState(new BandBucketProcessor(maxPerBucket, minEstJaccard, ttl),
-        TimeMode.None(), OutputMode.Append())
+        StreamModes.forTtl(ttl), OutputMode.Append())
   }
 
   /** Streaming benchmark decontamination: per incoming document, one row

@@ -88,6 +88,6 @@ object TypoStream {
       .as[VariantStr]
       .groupByKey(_.h)
       .transformWithState(new VariantBucketProcessor(tau, maxPerBucket, ttl),
-        TimeMode.None(), OutputMode.Append())
+        StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

@@ -44,6 +44,21 @@ class PrivacySpec extends SparkSpec {
     assert(sup.filter(col("anon_group_size").isNotNull).count() == 0)
   }
 
+  test("NULL quasi-identifiers are their own category, never dropped") {
+    // a missing value still identifies: 5 null-lang rows form a group
+    // that reaches k and releases with "null" in the key; the lone
+    // (b, de) row suppresses — and EVERY input row appears in the output
+    // (the naive column-list join-back would silently drop null-QI rows)
+    val d = (1 to 5).map(i => (i.toLong, "a", null: String)) ++
+      Seq((6L, "b", "de"))
+    val out = Privacy.kAnonymize(d.toDF("id", "q1", "q2"), Seq("q1", "q2"), k = 5L)
+    assert(out.count() == 6, "one output row per input row, nulls included")
+    val got = out.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Long]("anon_level"), r.getAs[String]("released_key")))).toMap
+    (1L to 5L).foreach(i => assert(got(i) == ((0L, "a/null")), s"doc $i: ${got(i)}"))
+    assert(got(6L) == ((2L, "*/*")))
+  }
+
   test("3-column ladder: levels climb one generalization at a time") {
     // QI = (region, site, lang), k = 4:
     //  - (r1, s1, en): 4 rows -> level 0, key r1/s1/en
