@@ -259,6 +259,23 @@ object WebQueries extends QueryGroup {
         .orderBy(col("released_key"))
     },
 
+    "q210_t_closeness" -> { (s, d) =>
+      // t-closeness audit over the q209 release (Li et al. 2007): the
+      // skew l-diversity misses — per released source, the exact total
+      // variation distance between its lang distribution and the
+      // published table's, in ppm, against t = 0.15. Both flag values
+      // are live on this corpus (12 of 20 sources within 150000 ppm,
+      // range 78000-224000). Everything after the one corpus scan is
+      // release-card sized; DECIMAL(38,0) arithmetic so 1e9-row
+      // releases cannot overflow the ppm scaling.
+      val anon = graft.operators.Privacy.kAnonymize(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang")),
+        Seq("source"), k = 10L)
+      graft.operators.Privacy.tClosenessReport(anon, "lang", tPpm = 150000L)
+        .orderBy(col("released_key"))
+    },
+
     "q176_score_calibration" -> { (s, d) =>
       // Reliability table for the model-based quality scorer (the
       // calibration check a pipeline runs before trusting a filter
@@ -546,6 +563,35 @@ object WebQueries extends QueryGroup {
     })
 
   val oracle: Map[String, String] = Map(
+
+    "q210_t_closeness" -> """
+      WITH c0 AS (
+        SELECT source, count(*) AS n0 FROM documents GROUP BY 1),
+      rel AS (
+        SELECT d.source, d.lang FROM documents d
+        JOIN c0 USING (source) WHERE c0.n0 >= 10),
+      g AS (
+        SELECT lang, CAST(count(*) AS HUGEINT) AS gg FROM rel GROUP BY 1),
+      nn AS (SELECT CAST(count(*) AS HUGEINT) AS N FROM rel),
+      pg AS (
+        SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+        FROM rel GROUP BY 1, 2),
+      ks AS (
+        SELECT source, CAST(sum(c) AS HUGEINT) AS n FROM pg GROUP BY 1),
+      s AS (
+        SELECT pg.source,
+          sum(abs(pg.c * nn.N - g.gg * ks.n)) AS sumabs,
+          sum(g.gg) AS sumg
+        FROM pg JOIN g USING (lang) JOIN ks USING (source) CROSS JOIN nn
+        GROUP BY 1)
+      SELECT ks.source AS released_key,
+        CAST(ks.n AS BIGINT) AS n_rows,
+        CAST((s.sumabs + ks.n * (nn.N - s.sumg)) * 1000000
+             // (2 * ks.n * nn.N) AS BIGINT) AS tvd_ppm,
+        (s.sumabs + ks.n * (nn.N - s.sumg)) * 1000000
+          <= 2 * 150000 * ks.n * nn.N AS close
+      FROM s JOIN ks USING (source) CROSS JOIN nn
+      ORDER BY released_key""",
 
     "q209_l_diversity" -> """
       WITH c0 AS (

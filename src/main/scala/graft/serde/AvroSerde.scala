@@ -27,11 +27,12 @@ import org.apache.spark.sql.types._
   *    (`serializers.py:97-99`).
   *
   * Implemented directly on avro-1.12 (this container has no spark-avro
-  * module). DESERIALIZE is a native Catalyst expression
-  * ([[graft.functions.expressions.AvroDecode]] — codegen-resident,
-  * decoder reuse, no external-Row conversion); the original UDF codec
-  * remains as [[deserializeUdf]], the parity reference. SERIALIZE stays
-  * UDF-backed (it feeds a Kafka sink write, not an analytic hot path).
+  * module). BOTH directions are native Catalyst expressions
+  * ([[graft.functions.expressions.AvroDecode]] /
+  * [[graft.functions.expressions.AvroEncode]] — codegen-resident,
+  * codec-object reuse, no external-Row conversion); the original UDF
+  * codecs remain as [[deserializeUdf]] / [[serializeUdf]], the parity
+  * references.
   *
   * Supported Avro types: record (nested), string, int, long, float,
   * double, boolean, bytes, array, map<string,_>, and 2-branch null unions
@@ -94,7 +95,22 @@ final case class AvroSerde(avroSchemaJson: String,
     udf(fn, dataType).apply(bytes)
   }
 
+  /** PRODUCTION encode path: the native Catalyst expression
+    * ([[graft.functions.expressions.AvroEncode]]) — codegen-resident,
+    * writer/encoder/buffer reuse, no external-Row conversion. Same wire
+    * bytes as the UDF reference codec (SerdeSpec pins golden bytes and
+    * native==UDF parity).
+    */
   def serialize(value: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.AvroEncode(
+      ColumnBridge.expression(value), avroSchemaJson, includeSchema))
+  }
+
+  /** UDF-backed REFERENCE encoder (the parity twin of the native
+    * expression — the house pattern, as [[deserializeUdf]]).
+    */
+  def serializeUdf(value: Column): Column = {
     val schemaJson = avroSchemaJson
     val incl = includeSchema
     val st = structType

@@ -80,4 +80,87 @@ class PrivacySpec extends SparkSpec {
     (5L to 8L).foreach(i => assert(out(i) == ((2L, "r1/*/*")), s"doc $i: ${out(i)}"))
     (9L to 11L).foreach(i => assert(out(i) == ((3L, "*/*/*")), s"doc $i: ${out(i)}"))
   }
+
+  // ---- t-closeness -------------------------------------------------------
+
+  /** A pre-anonymized frame: released_key + anon_group_size + sensitive,
+    * exactly what [[Privacy.kAnonymize]] emits downstream.
+    */
+  private def release(rows: Seq[(String, String)]) =
+    rows.zipWithIndex
+      .map { case ((k, s), i) => (i.toLong, k, 10L, s) }
+      .toDF("id", "released_key", "anon_group_size", "sv")
+
+  test("t-closeness: hand-computed total variation, floored ppm, exact flag") {
+    // a: [x,x,y] (n=3), b: [x,y,y,z] (n=4); N=7, g = (x:3, y:3, z:1)
+    //  a: sum|c*N - g*n| = |14-9| + |7-9| = 7; missing mass n*(N-6) = 3
+    //     -> tvd = 10/42 = 0.238095... -> 238095 ppm
+    //  b: |7-12| + |14-12| + |7-4| = 10; missing 0 -> 10/56 -> 178571 ppm
+    val rows = Seq("x", "x", "y").map("a" -> _) ++
+      Seq("x", "y", "y", "z").map("b" -> _)
+    val out = Privacy.tClosenessReport(release(rows), "sv", tPpm = 200000L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("tvd_ppm"),
+          r.getAs[Boolean]("close")))).toMap
+    assert(out("a") == ((3L, 238095L, false)), s"a: ${out("a")}")
+    assert(out("b") == ((4L, 178571L, true)), s"b: ${out("b")}")
+  }
+
+  test("t-closeness: the skew l-diversity misses (2-diverse but far)") {
+    // both groups are 2-diverse, but b is heavily skewed toward the
+    // globally-rare value z: distinct-value counting can't see it, the
+    // distance can
+    val rows = Seq.fill(9)("a" -> "x") ++ Seq("a" -> "z") ++
+      Seq.fill(9)("b" -> "z") ++ Seq("b" -> "x")
+    val anon = release(rows)
+    val lDiv = Privacy.lDiversityReport(anon, "sv", l = 2L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        r.getAs[Boolean]("diverse")).toMap
+    assert(lDiv == Map("a" -> true, "b" -> true))
+    val tC = Privacy.tClosenessReport(anon, "sv", tPpm = 300000L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        r.getAs[Boolean]("close")).toMap
+    // global: x 10/20, z 10/20; each group is 0.4 away — both fail 0.3
+    assert(tC == Map("a" -> false, "b" -> false), s"got $tC")
+  }
+
+  test("t-closeness: flag compares exactly, never through the floored ppm") {
+    // a: [x,x,y] (n=3), b: [x] -> N=4, g=(x:3, y:1)
+    //  a: |8-9| + |4-3| = 2 -> tvd = 2/24 = 1/12 = 83333.33 ppm
+    // at t = 83333 ppm the FLOORED ppm equals t, but the exact distance
+    // exceeds it: 2*1e6 = 2000000 > 2*83333*12 = 1999992 -> NOT close
+    val rows = Seq("x", "x", "y").map("a" -> _) :+ ("b" -> "x")
+    val out = Privacy.tClosenessReport(release(rows), "sv", tPpm = 83333L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        ((r.getAs[Long]("tvd_ppm"), r.getAs[Boolean]("close")))).toMap
+    assert(out("a") == ((83333L, false)), s"a: ${out("a")}")
+    // and one notch up it flips
+    val out2 = Privacy.tClosenessReport(release(rows), "sv", tPpm = 83334L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        r.getAs[Boolean]("close")).toMap
+    assert(out2("a"))
+  }
+
+  test("t-closeness: suppressed rows shape neither P nor Q; null sensitive is a category") {
+    val df = Seq(
+      (1L, "a", Some(5L), Some("x")),
+      (2L, "a", Some(5L), None),        // null sensitive, counted
+      (3L, "*", None, Some("z")),       // suppressed: excluded everywhere
+      (4L, "b", Some(5L), Some("x"))
+    ).toDF("id", "released_key", "anon_group_size", "sv")
+    val out = Privacy.tClosenessReport(df, "sv", tPpm = 500000L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        r.getAs[Long]("n_rows")).toMap
+    // the suppressed row contributes no group and no global mass
+    assert(out == Map("a" -> 2L, "b" -> 1L), s"got $out")
+    // N=3, g=(x:2, null:1).
+    //  a=[x,null] (n=2): |1*3-2*2| + |1*3-1*2| = 2, missing 0
+    //    -> 2/12 = 1/6 -> 166666 ppm
+    //  b=[x] (n=1): |1*3-2*1| = 1, missing 1*(3-2) = 1
+    //    -> 2/6 = 1/3 -> 333333 ppm
+    val ppm = Privacy.tClosenessReport(df, "sv", tPpm = 500000L)
+      .collect().map(r => r.getAs[String]("released_key") ->
+        r.getAs[Long]("tvd_ppm")).toMap
+    assert(ppm == Map("a" -> 166666L, "b" -> 333333L), s"got $ppm")
+  }
 }

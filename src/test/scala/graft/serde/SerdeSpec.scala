@@ -157,6 +157,72 @@ class SerdeSpec extends SparkSpec {
       firstRow(cdf.select(container.deserializeUdf(col("raw")).as("v"))))
   }
 
+  test("AvroSerde: native ENCODE == UDF reference encoder, byte-exact") {
+    // schemaless wire bytes must be identical (the parity rule in the
+    // encode direction): golden fixture, nested record/array/map,
+    // nullable-union null, binary field
+    val nested =
+      """{"type":"record","name":"outer","fields":[
+         {"name":"tag","type":"string"},
+         {"name":"inner","type":{"type":"record","name":"inner_t","fields":[
+            {"name":"n","type":"long"},
+            {"name":"opt","type":["null","string"],"default":null}]}},
+         {"name":"nums","type":{"type":"array","items":"long"}},
+         {"name":"attrs","type":{"type":"map","values":"string"}},
+         {"name":"blob","type":"bytes"}]}"""
+    val nestedSerde = AvroSerde(nested)
+    val nestedStruct = struct(
+      lit("t1").as("tag"),
+      struct(lit(42L).as("n"), lit(null).cast("string").as("opt")).as("inner"),
+      array(lit(1L), lit(2L), lit(3L)).as("nums"),
+      map_from_entries(array(struct(lit("k").as("key"), lit("v").as("value")))).as("attrs"),
+      lit(Array[Byte](7, 0, 9)).as("blob"))
+    val flat = AvroSerde(avroSchema)
+    val flatStruct = struct(
+      lit("unit_test_key").as("key"), lit("unit_test_value").as("value"))
+    val df = Seq(Tuple1("x")).toDF("ignore")
+    Seq((flat, flatStruct), (nestedSerde, nestedStruct)).foreach {
+      case (serde, s) =>
+        val native = firstRow(df.select(serde.serialize(s).as("b")))
+          .getAs[Array[Byte]]("b")
+        val ref = firstRow(df.select(serde.serializeUdf(s).as("b")))
+          .getAs[Array[Byte]]("b")
+        assert(native.toSeq == ref.toSeq, "native encode != UDF reference")
+    }
+    // the golden fixture, through the native encoder directly
+    val wire = firstRow(df.select(flat.serialize(flatStruct).as("b")))
+      .getAs[Array[Byte]]("b")
+    assert(wire.toSeq == avroGolden.toSeq, "golden bytes")
+    // container framing: byte equality is impossible (random sync
+    // marker) — both framings must DECODE to the same record
+    val container = AvroSerde(avroSchema, includeSchema = true)
+    val viaNative = firstRow(df.select(
+      container.deserialize(container.serialize(flatStruct)).as("v"))).getAs[Row]("v")
+    val viaUdf = firstRow(df.select(
+      container.deserialize(container.serializeUdf(flatStruct)).as("v"))).getAs[Row]("v")
+    assert(viaNative == viaUdf && viaNative.getAs[String]("key") == "unit_test_key")
+  }
+
+  test("AvroSerde encode plans natively: no UDF, inside WholeStageCodegen") {
+    val serde = AvroSerde(avroSchema)
+    // data-dependent payload so the optimizer can't constant-fold it away
+    val df = spark.range(2)
+      .select(serde.serialize(struct(
+        concat(lit("k"), col("id").cast("string")).as("key"),
+        lit("v").as("value"))).as("b"))
+      .select(length(col("b")).as("n"))
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString
+    assert(!s.contains("ScalaUDF"), s"encode stage must not dispatch a UDF:\n$s")
+    assert(s.contains("avro_encode"), s"native expression missing:\n$s")
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }.exists(_.collect { case n if n.toString.contains("avro_encode") => n }.nonEmpty),
+      s"avro_encode must fuse into codegen:\n$plan")
+    // "k0"/"v": 1-byte len + 2 + 1-byte len + 1 = 5
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(5, 5))
+  }
+
   test("AvroSerde decode plans natively: no UDF, inside WholeStageCodegen") {
     val serde = AvroSerde(avroSchema)
     // data-DEPENDENT payload (a pure literal would be constant-folded:
