@@ -234,4 +234,51 @@ object Joins {
       BloomFilterMightContain(ScalarSubquery(buildPlan),
         ColumnBridge.expression(xxhash64(bigKey)))))
   }
+
+  /** Skew-safe equi-join by key salting: scatter each left row to one of
+    * `salts` sub-keys and replicate the right side once per sub-key, so a
+    * hot join key's rows spread across `salts` reducer tasks instead of
+    * hammering one. The salt is internal — the output is RESULT-IDENTICAL
+    * to `left.join(right, keys, joinType)` (spec-pinned), because every
+    * left row joins exactly one replica of each matching right row.
+    *
+    * When to reach for it at 100 TB: AQE's skew-join split
+    * (`spark.sql.adaptive.skewJoin`) already handles skew it can SEE —
+    * oversized post-shuffle partitions split across tasks. What it cannot
+    * fix is a single mega-key arriving from few map tasks, or skew hidden
+    * behind a later stage; salting moves the fix to plan time. The cost is
+    * a `salts`-way replication of the right side, so this is for the
+    * middle regime: right side too big to broadcast, small enough to ship
+    * `salts` copies (e.g. a 10 GB dimension at salts=8 on a 1000-executor
+    * cluster). For small dims, `broadcast()` already sidesteps the
+    * shuffle entirely; for two huge skewed facts, use AQE.
+    *
+    * The left row's salt is a deterministic hash of the WHOLE row, not of
+    * the key (hashing only the key would send a hot key's rows to one
+    * salt again, accomplishing nothing). Fully duplicate left rows share
+    * a salt — the multiset result is unchanged; only their spread is.
+    *
+    * Supported join types: inner / left / left_semi / left_anti — types
+    * where each left row matches against the full right key set exactly
+    * once. Right/full outer would emit each unmatched right row `salts`
+    * times; rejected loudly.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(keys.nonEmpty, "salted join requires at least one key column")
+    require(salts > 0, s"salts must be positive, got $salts")
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(allowed.contains(joinType.toLowerCase),
+      s"saltedJoin supports left-preserving joins only, got $joinType " +
+        "(right/full outer would duplicate unmatched right rows)")
+    val leftCols = left.columns.toSeq
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(struct(leftCols.map(col): _*)), lit(salts)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    val out = l.join(r, keys :+ "__salt", joinType).drop("__salt")
+    // left_semi/anti keep only left columns; others keep the join's output
+    out
+  }
 }

@@ -63,6 +63,25 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("n_name"))
     },
 
+    "q211_salted_join" -> { (s, d) =>
+      // Skew-safe salted equi-join (operators/Joins.saltedJoin): the left
+      // fact scatters across 8 sub-keys, the dimension replicates 8x, and
+      // the result is exactly the plain join — the oracle below IS the
+      // plain join. On this data no key is hot; the query pins the
+      // result-identity contract the operator's spec proves under
+      // disabled-broadcast plans with a planted mega-key.
+      val l = Tables.lineitem(s, d).select(
+        col("l_partkey").as("p_partkey"),
+        col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      graft.operators.Joins.saltedJoin(l, p, Seq("p_partkey"), salts = 8)
+        .groupBy(col("p_brand"))
+        .agg(dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
     "q04_left_join_counts" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
@@ -204,6 +223,12 @@ object RelationalQueries extends QueryGroup {
         AND o_orderdate >= TIMESTAMP '1996-01-01'
         AND o_orderdate < TIMESTAMP '1998-01-01'
       GROUP BY n_name ORDER BY n_name""",
+
+    "q211_salted_join" -> s"""
+      SELECT p_brand, ${sqlRevenue()} AS revenue,
+        ${sqlSum("l_quantity")} AS sum_qty, count(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand""",
 
     "q04_left_join_counts" -> s"""
       SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,

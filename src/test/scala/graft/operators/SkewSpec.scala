@@ -63,4 +63,56 @@ class SkewSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("boiler_frac") - 2.0 / 6.0) < 1e-15)
     }
   }
+
+  // --- Joins.saltedJoin: plan-time salting for the mega-key regime ---
+
+  private def saltFixture() = {
+    // one mega-key (id 7, 5k rows) + spread keys + null keys + exact
+    // duplicate left rows (the one case whose spread degrades, result
+    // multiset still exact)
+    val left = spark.range(5000).select(lit(7L).as("k"), (col("id") % 3).as("lv"))
+      .union(spark.range(300).select((col("id") % 50).as("k"), col("id").as("lv")))
+      .union(spark.range(5).select(lit(null).cast("long").as("k"), col("id").as("lv")))
+    val right = spark.range(40).select(col("id").as("k"), (col("id") * 100).as("rv"))
+      .union(spark.range(3).select(lit(null).cast("long").as("k"), col("id").as("rv")))
+    (left, right)
+  }
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("saltedJoin: result-identical to the plain join for every supported type") {
+    val (left, right) = saltFixture()
+    for (jt <- Seq("inner", "left", "left_semi", "left_anti")) {
+      val plain = left.join(right, Seq("k"), jt)
+      val salted = Joins.saltedJoin(left, right, Seq("k"), salts = 8, joinType = jt)
+      assert(salted.columns.toSeq == plain.columns.toSeq, s"schema drift for $jt")
+      assert(sortedRows(salted) == sortedRows(plain), s"row drift for $jt")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(left, right, Seq("k"), 8, joinType = "full_outer")
+    }
+  }
+
+  test("saltedJoin: the shuffle key includes the salt (no broadcast fallback)") {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (left, right) = saltFixture()
+      val salted = Joins.saltedJoin(left, right, Seq("k"), salts = 8)
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("__salt"),
+        s"expected the salt in the join/shuffle keys:\n$plan")
+      assert(!salted.columns.contains("__salt"), "salt must not leak to output")
+      // mega-key spread: with 8 salts the 5k-row key lands in >1 partition
+      // of the left shuffle by construction (distinct salt values observed)
+      val l = left.withColumn("__salt",
+        pmod(xxhash64(struct(left.columns.map(col): _*)), lit(8)))
+      val spread = l.filter(col("k") === 7L).select("__salt").distinct().count()
+      assert(spread > 1, s"mega-key rows all landed on one salt ($spread)")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
