@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-grid resampling with last-observation-carried-forward — the
+  * gap-fill step that turns an irregular event stream into the
+  * fixed-cadence series downstream feature pipelines and monitors
+  * expect (one row per key per tick, holding the latest observation).
+  *
+  * Scale shape: the grid is built from a BOUNDED table — one aggregate
+  * gives each key's first-observation tick and one 1-row aggregate the
+  * global last tick; `sequence` + `explode` expands ticks narrowly, so
+  * grid size is (distinct keys) x (ticks), never a function of raw event
+  * volume. The fill itself reuses the engine's as-of merge operator
+  * ([[Joins.asofMerge]], graft.plans.AsofJoinExec): each side
+  * exchanges+sorts on the key once, then a single forward merge pass —
+  * no per-key windows over the unbounded observation stream, no range
+  * join. A hot key costs a sort partition of its own observations, not
+  * a buffered cross product.
+  *
+  * Determinism: observations sharing an exact (key, ts) are collapsed
+  * to the lexicographically greatest payload struct BEFORE the merge
+  * (put a unique id first in `payload` to make that a stable "latest
+  * writer wins"), so the carried value never depends on scan order.
+  *
+  * Output: (key, grid_ts, <payload...> — null until the key's first
+  * observation tick, then carried forward — plus last_obs_ts and
+  * gap_micros = grid_ts - last_obs_ts in microseconds).
+  */
+object Resample {
+
+  def locfGrid(obs: DataFrame, keyCol: String, tsCol: String,
+               payload: Seq[String], stepSeconds: Long): DataFrame = {
+    require(payload.nonEmpty, "need at least one payload column")
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val o = obs
+      .select((Seq(col(keyCol), col(tsCol).cast("timestamp").as(tsCol)) ++
+        payload.map(col)): _*)
+      .na.drop(Seq(keyCol, tsCol))
+    // collapse exact-timestamp collisions deterministically
+    val dedup = o.groupBy(col(keyCol), col(tsCol))
+      .agg(max(struct(payload.map(col): _*)).as("__pay"))
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        payload.map(p => col(s"__pay.$p").as(p))): _*)
+
+    def tickOf(c: org.apache.spark.sql.Column) =
+      timestamp_seconds(floor(unix_timestamp(c) / stepSeconds) * stepSeconds)
+    val perKey = o.groupBy(col(keyCol))
+      .agg(tickOf(min(col(tsCol))).as("__t0"))
+    val globalEnd = o.agg(tickOf(max(col(tsCol))).as("__t1"))
+    val grid = perKey.crossJoin(broadcast(globalEnd))
+      .select(col(keyCol),
+        explode(sequence(col("__t0"), col("__t1"),
+          expr(s"interval $stepSeconds second"))).as("grid_ts"))
+
+    val merged = Joins.asofMerge(grid, dedup, Seq(keyCol), "grid_ts", tsCol)
+    merged.select((Seq(col(keyCol), col("grid_ts")) ++
+      payload.map(p => col(s"asof_$p").as(p)) :+
+      col(s"asof_$tsCol").as("last_obs_ts") :+
+      (unix_micros(col("grid_ts")) - unix_micros(col(s"asof_$tsCol")))
+        .as("gap_micros")): _*)
+  }
+}

@@ -291,6 +291,20 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q212_locf_resample" -> { (s, d) =>
+      // Gap-fill (operators/Resample.locfGrid): per-user 6-hour grid from
+      // the user's first event tick to the corpus's last, each tick
+      // holding the latest (event_id, value) observation plus its age.
+      // The fill runs through the custom as-of merge exec; the grid comes
+      // from a bounded per-key table (users x ticks), so grid volume is
+      // independent of event volume.
+      graft.operators.Resample.locfGrid(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        "user_id", "ts", Seq("event_id", "value"), stepSeconds = 21600L)
+        .orderBy(col("user_id"), col("grid_ts"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -621,6 +635,33 @@ object EventQueries extends QueryGroup {
       WHERE abs((e.value - s1/n) / sqrt(s2/n - (s1/n) * (s1/n)))
         > CAST(3 AS DOUBLE)
       ORDER BY e.event_id""",
+
+    "q212_locf_resample" -> """
+      WITH obs AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          max(event_id) AS event_id, arg_max(value, event_id) AS value
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      k AS (
+        SELECT user_id,
+          CAST(to_timestamp(floor(epoch(min(ts)) / 21600) * 21600)
+               AS TIMESTAMP) AS t0
+        FROM obs GROUP BY 1),
+      ge AS (
+        SELECT CAST(to_timestamp(floor(epoch(max(ts)) / 21600) * 21600)
+               AS TIMESTAMP) AS t1
+        FROM obs),
+      grid AS (
+        SELECT user_id,
+          unnest(generate_series(t0, t1, INTERVAL 21600 SECOND)) AS grid_ts
+        FROM k CROSS JOIN ge)
+      SELECT grid.user_id, grid.grid_ts,
+        obs.event_id AS event_id, obs.value AS value,
+        obs.ts AS last_obs_ts,
+        epoch_us(grid.grid_ts) - epoch_us(obs.ts) AS gap_micros
+      FROM grid ASOF LEFT JOIN obs
+        ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
+      ORDER BY grid.user_id, grid.grid_ts""",
 
     "q31_record_pipeline" -> """
       SELECT event_id AS "offset", user_id % 4 AS partition,

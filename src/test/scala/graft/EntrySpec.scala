@@ -53,6 +53,7 @@ class EntrySpec extends SparkSpec {
       "edges", "deg", "r0", "r1", "r2", "r3", "i1", "i2", "i3",
       "c0", "c1", // q208 k-anonymity ladder
       "rel", "pg", "ks", // q210 t-closeness released rows / group counts
+      "obs", "grid", "ge", // q212 LOCF resample grid
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
