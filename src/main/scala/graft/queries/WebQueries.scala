@@ -227,6 +227,19 @@ object WebQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q213_dp_release" -> { (s, d) =>
+      // Geometric-mechanism noised count release (Ghosh et al. 2009) —
+      // the privacy ladder's perturbation rung: per-(source, lang) doc
+      // counts released as max(0, n + X), X two-sided geometric at
+      // eps=0.5, drawn via the portable (seed, key) polyhash so the
+      // oracle replays the exact inverse-CDF ladder. Bounded group
+      // table; one corpus aggregate.
+      graft.operators.Privacy.dpNoisedCounts(
+          Tables.documents(s, d).select(col("source"), col("lang")),
+          Seq("source", "lang"), epsPpm = 500000L, seed = 42L)
+        .orderBy(col("source"), col("lang"))
+    },
+
     "q208_k_anonymity" -> { (s, d) =>
       // k-anonymity release gate (Sweeney 2002) over the (source, lang)
       // quasi-identifier with the suffix-generalization ladder: release
@@ -604,6 +617,31 @@ object WebQueries extends QueryGroup {
       FROM documents d JOIN c0 ON c0.source = d.source
       WHERE c0.n0 >= 10
       GROUP BY d.source ORDER BY released_key""",
+
+    "q213_dp_release" -> s"""
+      WITH c0 AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2),
+      h AS (
+        SELECT source, lang, n,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(
+              '42/' || coalesce(CAST(source AS VARCHAR), 'null') || '/' ||
+              coalesce(CAST(lang AS VARCHAR), 'null'), ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) AS ph
+        FROM c0),
+      hu AS (
+        SELECT source, lang, n,
+          ${graft.operators.Privacy.mixSql("ph")} AS u
+        FROM h)
+      SELECT source, lang,
+        greatest(CAST(0 AS BIGINT), n + CASE ${
+          graft.operators.Privacy.geometricThresholds(500000L, 16)
+            .zip(-16 until 16)
+            .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        } ELSE 16 END) AS released_n
+      FROM hu ORDER BY source, lang""",
 
     "q208_k_anonymity" -> """
       WITH c0 AS (

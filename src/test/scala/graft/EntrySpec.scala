@@ -54,6 +54,7 @@ class EntrySpec extends SparkSpec {
       "c0", "c1", // q208 k-anonymity ladder
       "rel", "pg", "ks", // q210 t-closeness released rows / group counts
       "obs", "grid", "ge", // q212 LOCF resample grid
+      "hu", // q213 DP release mixed-uniform stage
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
