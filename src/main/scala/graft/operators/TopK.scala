@@ -58,6 +58,36 @@ object TopK {
         :+ col("e.count").as("mg_count"): _*)
   }
 
+  /** Count–Min sketch aggregate over long item ids — the frequency-probe
+    * complement of [[frequentItems]]: MG names the heavy items, count-min
+    * answers "how often does THIS id occur" for ANY probe after one pass.
+    * Mergeable (elementwise add — the merge is exact), deterministic
+    * (fixed Carter–Wegman family), so the full grid hash-compares in the
+    * oracle (q214). Returns the aggregate Column (array<long>,
+    * depth·width row-major).
+    */
+  def countMin(item: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.expressions.CountMinAgg(
+        ColumnBridge.expression(item.cast("long")), depth, width)
+        .toAggregateExpression())
+  }
+
+  /** Point estimate from a [[countMin]] grid: min over rows of the
+    * probe's counter. Never below the true count; above by at most
+    * e·n/width with probability 1−e^−depth.
+    */
+  def countMinEstimate(cms: Column, id: Column, depth: Int, width: Int): Column = {
+    val P = graft.functions.expressions.MinHashSignature.M
+    val cells = graft.operators.Dedup.hashParams(depth).zipWithIndex.map {
+      case ((a, b), i) =>
+        element_at(cms,
+          (lit(i * width) + (lit(a) * id + lit(b)) % P % width + 1).cast("int"))
+    }
+    if (cells.length == 1) cells.head else least(cells: _*)
+  }
+
   def perGroupAgg(df: DataFrame, groupCols: Seq[String],
                   valueCol: Column, idCol: Column, k: Int): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge

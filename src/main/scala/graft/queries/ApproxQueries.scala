@@ -48,6 +48,37 @@ object ApproxQueries extends QueryGroup {
         .orderBy(col("g"), col("p"))
     },
 
+    "q214_count_min" -> { (s, d) =>
+      // Count-min frequency sketch (Cormode & Muthukrishnan 2005): one
+      // pass over the corpus tokens into a 4x2048 mergeable grid, then
+      // point estimates for a fixed probe set next to their exact
+      // counts. Unlike the KLL/HLL rows, the grid is fully
+      // DETERMINISTIC (fixed hash family, commutative adds), so the
+      // oracle replays the whole sketch and the estimates hash-compare
+      // exactly; never_under pins the one-sided guarantee.
+      val probes = Seq("join", "hash", "row", "scan", "filter", "spark",
+        "the", "sort")
+      val depth = 4; val width = 2048
+      val toks = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .withColumn("tid", graft.operators.Dedup.polyHash(col("tok")))
+      val cms = toks.agg(
+        graft.operators.TopK.countMin(col("tid"), depth, width).as("cms"))
+      val pr = s.range(1).select(
+          explode(array(probes.map(lit): _*)).as("token"))
+        .withColumn("tid", graft.operators.Dedup.polyHash(col("token")))
+      val exact = toks.filter(col("tok").isin(probes: _*))
+        .groupBy(col("tok").as("token"))
+        .agg(count(lit(1)).as("exact_n"))
+      pr.crossJoin(broadcast(cms))
+        .withColumn("est_n", graft.operators.TopK.countMinEstimate(
+          col("cms"), col("tid"), depth, width))
+        .join(exact, Seq("token"))
+        .select(col("token"), col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).as("never_under"))
+        .orderBy(col("token"))
+    },
+
     "q47_approx_distinct" -> { (s, d) =>
       // approx_count_distinct is HLL++ at rsd = 0.05 (default); the bound
       // below is 3 sigma (15% relative) — bias-corrected HLL++ lands
@@ -141,6 +172,50 @@ object ApproxQueries extends QueryGroup {
         SELECT g, CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM s GROUP BY g)
       SELECT d.g, d.p, nn.n, d.exact_disc, TRUE AS within_bound
       FROM d JOIN nn USING (g) ORDER BY g, p""",
+
+    "q214_count_min" -> {
+      val m = graft.operators.Dedup.M
+      val params = graft.operators.Dedup.hashParams(4).zipWithIndex
+        .map { case ((a, b), i) => s"($i, CAST($a AS BIGINT), CAST($b AS BIGINT))" }
+        .mkString(", ")
+      val probeVals = Seq("join", "hash", "row", "scan", "filter", "spark",
+        "the", "sort").map(p => s"('$p')").mkString(", ")
+      s"""
+      WITH toks AS (
+        SELECT t AS tok,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $m) AS tid
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)),
+      params AS (SELECT * FROM (VALUES $params) t(i, a, b)),
+      grid AS (
+        SELECT p.i, ((p.a * t.tid + p.b) % $m) % 2048 AS bkt,
+          CAST(count(*) AS BIGINT) AS n
+        FROM toks t CROSS JOIN params p GROUP BY 1, 2),
+      probes AS (
+        SELECT t AS token,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(t, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % $m) AS tid
+        FROM (VALUES $probeVals) v(t)),
+      est AS (
+        SELECT pr.token, CAST(min(coalesce(g.n, 0)) AS BIGINT) AS est_n
+        FROM probes pr CROSS JOIN params p
+        LEFT JOIN grid g
+          ON g.i = p.i AND g.bkt = ((p.a * pr.tid + p.b) % $m) % 2048
+        GROUP BY 1),
+      exact AS (
+        SELECT tok AS token, CAST(count(*) AS BIGINT) AS exact_n
+        FROM toks
+        WHERE tok IN ('join', 'hash', 'row', 'scan', 'filter', 'spark',
+          'the', 'sort')
+        GROUP BY 1)
+      SELECT e.token, exact_n, est_n, est_n >= exact_n AS never_under
+      FROM est e JOIN exact USING (token)
+      ORDER BY token"""
+    },
 
     "q47_approx_distinct" ->
       """SELECT l_returnflag, count(*) AS n,

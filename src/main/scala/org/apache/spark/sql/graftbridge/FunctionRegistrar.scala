@@ -113,6 +113,15 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_min",
+      {
+        case Seq(v, Literal(d: Int, _), Literal(w: Int, _)) =>
+          graft.functions.expressions.CountMinAgg(v, d, w)
+        case _ => throw new IllegalArgumentException(
+          "count_min(id, depth, width) takes a long column and two int literals")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build",
       {
         case Seq(v, Literal(logBits: Int, _), Literal(k: Int, _)) =>

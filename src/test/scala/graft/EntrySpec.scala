@@ -55,6 +55,7 @@ class EntrySpec extends SparkSpec {
       "rel", "pg", "ks", // q210 t-closeness released rows / group counts
       "obs", "grid", "ge", // q212 LOCF resample grid
       "hu", // q213 DP release mixed-uniform stage
+      "params", "probes", "est", "exact", // q214 count-min grid replay
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
