@@ -17,6 +17,42 @@ import Det._
 object ExtraQueries extends QueryGroup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_record_linkage" -> { (s, d) =>
+      // Fellegi-Sunter record linkage (operators/Linkage): customers vs
+      // suppliers as two key-less registries. Blocking on (nation,
+      // balance-millibucket) keeps the pair space linear (the documented
+      // single-pass recall trade); rules: entity-number edit distance
+      // <= 1 through the banded native kernel (+2500/-400 milli-bits)
+      // and balance within $100 in EXACT cents (+1200/-300). Two
+      // thresholds -> match/possible; non-matches never materialize.
+      // All four agreement patterns are live at sf0.01 (2/11/94/432).
+      val cents = (c: org.apache.spark.sql.Column) =>
+        (c.cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 2))
+          * 100).cast("long")
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), substring(col("c_name"), 10, 20).as("c_num"),
+        col("c_nationkey").as("c_nk"),
+        floor(col("c_acctbal") / 1000).as("c_bk"),
+        cents(col("c_acctbal")).as("c_cents"))
+      val sup = Tables.supplier(s, d).select(
+        col("s_suppkey"), substring(col("s_name"), 10, 20).as("s_num"),
+        col("s_nationkey").as("s_nk"),
+        floor(col("s_acctbal") / 1000).as("s_bk"),
+        cents(col("s_acctbal")).as("s_cents"))
+      graft.operators.Linkage.fellegiSunter(
+          c, sup,
+          blockKeys = Seq("c_nk" -> "s_nk", "c_bk" -> "s_bk"),
+          idCols = Seq("c_custkey", "s_suppkey"),
+          rules = Seq(
+            graft.operators.Linkage.LinkRule("name",
+              graft.operators.Linkage.levWithin(col("c_num"), col("s_num"), 1),
+              2500L, -400L),
+            graft.operators.Linkage.LinkRule("bal",
+              abs(col("c_cents") - col("s_cents")) <= 10000L, 1200L, -300L)),
+          tLo = 500L, tHi = 2000L)
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+
     "q49_collect_sorted" -> { (s, d) =>
       // collect_list is order-nondeterministic; sort_array makes it a
       // deterministic set-valued aggregation (matching DuckDB's ORDER BY).
@@ -705,6 +741,34 @@ object ExtraQueries extends QueryGroup {
         FROM lineitem l JOIN m USING (l_returnflag))
       SELECT l_returnflag, max(med) AS med, quantile_cont(ad, 0.5) AS mad
       FROM d GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q215_record_linkage" -> """
+      WITH c AS (
+        SELECT c_custkey, substr(c_name, 10) AS c_num, c_nationkey AS nk,
+          floor(c_acctbal / 1000) AS bk,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS c_cents
+        FROM customer),
+      s AS (
+        SELECT s_suppkey, substr(s_name, 10) AS s_num, s_nationkey AS nk,
+          floor(s_acctbal / 1000) AS bk,
+          CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS s_cents
+        FROM supplier),
+      p AS (
+        SELECT c.c_custkey, s.s_suppkey,
+          levenshtein(c.c_num, s.s_num) <= 1 AS agree_name,
+          abs(c.c_cents - s.s_cents) <= 10000 AS agree_bal
+        FROM c JOIN s ON c.nk = s.nk AND c.bk = s.bk),
+      sc AS (
+        SELECT c_custkey, s_suppkey, agree_name, agree_bal,
+          (CASE WHEN agree_name THEN 2500 ELSE -400 END
+           + CASE WHEN agree_bal THEN 1200 ELSE -300 END) AS score
+        FROM p)
+      SELECT c_custkey, s_suppkey, agree_name, agree_bal,
+        CAST(score AS BIGINT) AS score,
+        CASE WHEN score >= 2000 THEN 'match'
+             WHEN score >= 500 THEN 'possible' END AS verdict
+      FROM sc WHERE score >= 500
+      ORDER BY c_custkey, s_suppkey""",
 
     "q49_collect_sorted" -> """
       SELECT o_orderstatus,
