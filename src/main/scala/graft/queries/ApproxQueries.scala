@@ -79,6 +79,41 @@ object ApproxQueries extends QueryGroup {
         .orderBy(col("token"))
     },
 
+    "q216_sliding_distinct" -> { (s, d) =>
+      // Sliding distinct-count series via MERGEABLE hourly partials:
+      // distinct users per trailing 6-hour window at hourly ticks. The
+      // scale path is per-hour HLL sketches (one combinable corpus
+      // aggregate -> a BOUNDED hours table) unioned per tick with
+      // hll_union_agg — re-aggregating sketches, never rows, so the
+      // trailing window costs 6 KB-sized partials per tick instead of a
+      // second (tick, user) shuffle of the corpus. The exact two-phase
+      // series stays in-plan as the q47-style anchor (at 100 TB it
+      // drops); the output asserts the estimate within the HLL bound.
+      val pe = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+        .distinct()
+      val hourly = pe.groupBy(col("h"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val ticks = hourly.select(col("h").as("wstart"))
+      def spread(df: DataFrame) = df
+        .withColumn("o", explode(sequence(lit(0), lit(5))))
+        .withColumn("wstart",
+          timestamp_seconds(unix_timestamp(col("h")) + col("o") * 3600L))
+      val est = spread(hourly)
+        .join(ticks, "wstart") // only observed hours become ticks
+        .groupBy(col("wstart"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("__est"))
+      val exact = spread(pe)
+        .join(ticks, "wstart")
+        .groupBy(col("wstart"))
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      est.join(exact, "wstart")
+        .select(col("wstart"), col("n_exact"),
+          (abs(col("__est") - col("n_exact")) <=
+            greatest(lit(5L), (col("n_exact") * 5L) / 100L)).as("within_bound"))
+        .orderBy(col("wstart"))
+    },
+
     "q47_approx_distinct" -> { (s, d) =>
       // approx_count_distinct is HLL++ at rsd = 0.05 (default); the bound
       // below is 3 sigma (15% relative) — bias-corrected HLL++ lands
@@ -172,6 +207,21 @@ object ApproxQueries extends QueryGroup {
         SELECT g, CAST(0.99 AS DOUBLE), quantile_disc(v, 0.99) FROM s GROUP BY g)
       SELECT d.g, d.p, nn.n, d.exact_disc, TRUE AS within_bound
       FROM d JOIN nn USING (g) ORDER BY g, p""",
+
+    "q216_sliding_distinct" -> """
+      WITH pe AS (
+        SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+          user_id
+        FROM events),
+      ticks AS (SELECT DISTINCT h AS wstart FROM pe),
+      sp AS (
+        SELECT CAST(to_timestamp(epoch(h) + o * 3600) AS TIMESTAMP) AS wstart,
+          user_id
+        FROM pe CROSS JOIN (SELECT unnest([0,1,2,3,4,5]) AS o) os)
+      SELECT sp.wstart, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        TRUE AS within_bound
+      FROM sp JOIN ticks ON sp.wstart = ticks.wstart
+      GROUP BY sp.wstart ORDER BY sp.wstart""",
 
     "q214_count_min" -> {
       val m = graft.operators.Dedup.M

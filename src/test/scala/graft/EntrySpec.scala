@@ -56,6 +56,7 @@ class EntrySpec extends SparkSpec {
       "obs", "grid", "ge", // q212 LOCF resample grid
       "hu", // q213 DP release mixed-uniform stage
       "params", "probes", "est", "exact", // q214 count-min grid replay
+      "pe", "ticks", "os", // q216 sliding distinct series
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
