@@ -402,4 +402,65 @@ object Clustering {
         col("max_cos"),
         (coalesce(col("n_bench_hits"), lit(0L)) > 0L).as("contaminated"))
   }
+
+  /** Greedy k-center (farthest-point) selection — Gonzalez 1985,
+    * "Clustering to minimize the maximum intercluster distance"; the
+    * 2-approximation of the k-center objective and the standard
+    * coverage/coreset picker for data curation (select the k most
+    * mutually distant exemplars, e.g. seeding diverse eval sets or
+    * prototype-based pruning). Fixed-point integer distances, the
+    * k-means house rules: seed = the SMALLEST id, each round adds the
+    * point maximizing the min distance to the selected set, ties to the
+    * smallest id — fully deterministic, so the DuckDB oracle replays
+    * every round (q217).
+    *
+    * Scale shape: k driver-coordinated rounds (the BPE/k-means
+    * iteration pattern), each ONE narrow corpus pass — the selected set
+    * ships as a plan literal (≤ k scaled vectors), the per-row min
+    * distance is the codegen'd [[graft.functions.expressions.MinCellDistFixed]]
+    * kernel, and the round's winner comes back via a 1-row
+    * max(struct(dist, -id, vec)) aggregate (combine-safe; no sort, no
+    * window). Null vectors are ignored; ids must be non-negative (the
+    * -id tiebreak trick; loudly checked).
+    *
+    * Output: (rank [1..k], idCol, d2_sel — the squared fixed-point
+    * distance to the set when selected, null for the seed; the sequence
+    * is the classic non-increasing coverage-radius curve).
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    scale: Long = 1000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val scaled = scaledDf(df, idCol, vecCol, scale)
+      .filter(col("__v").isNotNull && col(idCol).isNotNull)
+    // seed: smallest id (1-row TakeOrdered) — also the loud negative-id
+    // check (the -id tiebreak needs non-negative ids)
+    val seedRow = scaled.orderBy(col(idCol)).limit(1).collect()
+    require(seedRow.nonEmpty, "kCenterSelect needs at least one non-null vector")
+    require(seedRow(0).getAs[Number](0).longValue() >= 0L,
+      s"kCenterSelect requires non-negative ids, found ${seedRow(0).get(0)}")
+    val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long], Option[Long])](
+      (1L, seedRow(0).getAs[Number](0).longValue(), seedRow(0).getSeq[Long](1), None))
+    for (rank <- 2 to k) {
+      val centsLit = array(selected.map { case (r, _, v, _) =>
+        struct(lit(r).as("cell"), array(v.map(lit): _*).cast("array<long>").as("cv"))
+      }.toSeq: _*)
+      val mind = ColumnBridge.column(
+        graft.functions.expressions.MinCellDistFixed(
+          ColumnBridge.expression(col("__v")),
+          ColumnBridge.expression(centsLit)))
+      val win = scaled
+        .select(struct(mind.as("d"), (-col(idCol).cast("long")).as("nid"),
+          col("__v").as("v")).as("s"))
+        .agg(max(col("s")).as("s"))
+        .select(col("s.d"), (-col("s.nid")).as("id"), col("s.v"))
+        .collect()(0)
+      selected += ((rank.toLong, win.getLong(1), win.getSeq[Long](2),
+        Some(win.getLong(0))))
+    }
+    import spark.implicits._
+    selected.toSeq.map { case (r, id, _, d) => (r, id, d) }
+      .toDF("rank", idCol, "d2_sel")
+  }
 }

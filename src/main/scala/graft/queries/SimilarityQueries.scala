@@ -20,6 +20,31 @@ object SimilarityQueries extends QueryGroup {
        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"""
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_kcenter_select" -> { (s, d) =>
+      // Greedy k-center coverage selection (Gonzalez 1985): the 6 most
+      // mutually distant exemplars in fixed-point L2, seeded at the
+      // smallest id — the coreset/diverse-subset picker. k driver
+      // rounds of ONE narrow pass each (selected set ships as a plan
+      // literal, per-row min distance is the codegen'd MinCellDistFixed
+      // kernel, winner via a 1-row combine-safe struct max); then one
+      // assignment pass reports each center's basin size. The oracle
+      // unrolls all six rounds.
+      val emb = Tables.embeddings(s, d)
+      val sel = graft.operators.Clustering.kCenterSelect(
+        emb, "vec_id", "embedding", k = 6)
+      val cents = sel.join(emb, "vec_id")
+        .select(col("rank").as("cell"),
+          graft.operators.Clustering.scaleVector(col("embedding"), 1000L).as("cv"))
+      val counts = graft.operators.Clustering
+        .assignCells(emb, cents, "vec_id", "embedding")
+        .groupBy(col("cell").as("rank"))
+        .agg(count(lit(1)).as("n_assigned"))
+      sel.join(counts, "rank")
+        .select(col("rank"), col("vec_id").cast("long").as("vec_id"),
+          col("d2_sel"), col("n_assigned"))
+        .orderBy(col("rank"))
+    },
+
     "q167_isotropy_proj" -> { (s, d) =>
       // All-but-the-Top (Mu & Viswanath 2018): per-vector projection on
       // the corpus top principal component, all fixed-point — two
@@ -603,7 +628,49 @@ object SimilarityQueries extends QueryGroup {
         FROM tp FULL OUTER JOIN sp
           ON tp.id_a = sp.id_a AND tp.id_b = sp.id_b)"""
 
+  /** q217 oracle: the six greedy rounds unrolled as chained CTEs (the
+    * BPE-oracle pattern — the oracle replays every iteration, so a
+    * drift in any round's argmax or tiebreak hash-fails).
+    */
+  private def kCenterSql(k: Int): String = {
+    val d2 = (a: String, b: String) =>
+      s"list_sum(list_transform(generate_series(1, len($a)), " +
+        s"j -> ($a[j] - $b[j]) * ($a[j] - $b[j])))"
+    val stages = (2 to k).map { r =>
+      s"""s$r AS (
+        SELECT id, sv, mind AS d2 FROM (
+          SELECT v.id, v.sv, min(${d2("v.sv", "c.sv")}) AS mind
+          FROM v CROSS JOIN c${r - 1} c GROUP BY v.id, v.sv) t
+        ORDER BY mind DESC, id LIMIT 1),
+      c$r AS (SELECT * FROM c${r - 1}
+        UNION ALL SELECT CAST($r AS BIGINT), id, sv, d2 FROM s$r)"""
+    }.mkString(",\n      ")
+    s"""
+      WITH v AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS sv
+        FROM embeddings),
+      s1 AS (SELECT id, sv, CAST(NULL AS BIGINT) AS d2
+        FROM v ORDER BY id LIMIT 1),
+      c1 AS (SELECT CAST(1 AS BIGINT) AS rank, id, sv, d2 FROM s1),
+      $stages,
+      assign AS (
+        SELECT id, rank FROM (
+          SELECT v.id, c.rank,
+            row_number() OVER (PARTITION BY v.id
+              ORDER BY ${d2("v.sv", "c.sv")}, c.rank) AS rn
+          FROM v CROSS JOIN c$k c) t
+        WHERE rn = 1),
+      cnt AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_assigned
+        FROM assign GROUP BY 1)
+      SELECT c.rank, c.id AS vec_id, c.d2 AS d2_sel, cnt.n_assigned
+      FROM c$k c JOIN cnt USING (rank) ORDER BY c.rank"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q217_kcenter_select" -> kCenterSql(6),
+
     "q174_sign_projection" -> s"""
       WITH q AS (
         SELECT CAST(vec_id AS BIGINT) AS vec_id,

@@ -57,6 +57,8 @@ class EntrySpec extends SparkSpec {
       "hu", // q213 DP release mixed-uniform stage
       "params", "probes", "est", "exact", // q214 count-min grid replay
       "pe", "ticks", "os", // q216 sliding distinct series
+      "s4", "s5", "s6", "c2", "c3", "c4", "c5", "c6",
+      "assign", "cnt", // q217 k-center rounds
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",

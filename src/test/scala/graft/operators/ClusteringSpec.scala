@@ -247,4 +247,60 @@ class ClusteringSpec extends SparkSpec {
         r.getAs[Long]("n_bench_hits")).toMap
     assert(got(0L) == 0L && got(1L) == 1L)
   }
+
+  test("kCenterSelect: greedy farthest-point picks the extremes, hand-checked") {
+    // points on a line: 0.0, 0.1, 0.5, 0.9, 1.0 (ids 0..4)
+    val df = Seq(
+      (0L, Seq(0.0f)), (1L, Seq(0.1f)), (2L, Seq(0.5f)),
+      (3L, Seq(0.9f)), (4L, Seq(1.0f)))
+      .toDF("id", "vec")
+    val sel = Clustering.kCenterSelect(df, "id", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long])))
+    // seed = id 0 (value 0.0); round 2 = farthest = id 4 (1000^2);
+    // round 3: min-dists to {0, 1000}: id1=100^2, id2=500^2, id3=100^2
+    //   -> id 2 wins at 250000
+    assert(sel.toSeq == Seq((1L, 0L, None), (2L, 4L, Some(1000000L)),
+      (3L, 2L, Some(250000L))))
+  }
+
+  test("kCenterSelect: coverage radii never increase; null vectors skipped; negative ids loud") {
+    val df = (0L until 40L).map(i => (i, Seq((i * 37 % 17).toFloat, (i * 11 % 13).toFloat)))
+      .toDF("id", "vec")
+      .union(Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec"))
+    val radii = Clustering.kCenterSelect(df, "id", "vec", k = 5)
+      .collect().flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Long]))
+    assert(radii.length == 4)
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii must be non-increasing: ${radii.toSeq}")
+    val neg = Seq((-1L, Seq(1.0f))).toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      Clustering.kCenterSelect(neg, "id", "vec", k = 1)
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
+  test("MinCellDistFixed: parity with a scalar reference incl. padding and empty list") {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.functions._
+    val vecs = Seq((1L, Seq(3L, 4L)), (2L, Seq(0L, 0L, 5L))).toDF("id", "v")
+    val cents = array(
+      struct(lit(1L).as("cell"), array(lit(0L), lit(0L)).cast("array<long>").as("cv")),
+      struct(lit(2L).as("cell"), array(lit(3L)).cast("array<long>").as("cv")))
+    val dists = vecs.select(col("id"), ColumnBridge.column(
+        graft.functions.expressions.MinCellDistFixed(
+          ColumnBridge.expression(col("v")),
+          ColumnBridge.expression(cents))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id1: d to (0,0)=25; to (3,)→pad (3,0)=16 -> 16
+    // id2: d to (0,0)→pad len3 =25; to (3,0,0)=9+25=34 -> 25
+    assert(dists == Map(1L -> 16L, 2L -> 25L))
+    val empty = vecs.select(ColumnBridge.column(
+        graft.functions.expressions.MinCellDistFixed(
+          ColumnBridge.expression(col("v")),
+          ColumnBridge.expression(array().cast(
+            "array<struct<cell:bigint,cv:array<bigint>>>")))).as("d"))
+      .collect().map(_.getLong(0))
+    assert(empty.forall(_ == Long.MaxValue))
+  }
 }
