@@ -305,6 +305,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q218_cusum_changepoint" -> { (s, d) =>
+      // One-sided CUSUM level-shift monitor (Page 1954) over per-type
+      // hourly event rates: S_t via the prefix-sum closed form (two
+      // windows over the CALENDAR-bounded tick series — no sequential
+      // recurrence), exact DECIMAL deviations in ppm-of-mean units,
+      // slack k = 10% of mean, alarm after 2 mean-ticks of cumulative
+      // excess. Both alarm states live on this corpus (86-169 alarm
+      // ticks of ~680 per type).
+      val series = graft.operators.Changepoint.tickCounts(
+        Tables.events(s, d), Seq("event_type"), "ts", 3600L)
+      graft.operators.Changepoint.cusumShift(series, Seq("event_type"),
+          "tick", "n", slackPpm = 100000L, hMeanTicksPpm = 2000000L)
+        .orderBy(col("event_type"), col("tick"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -662,6 +677,37 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q218_cusum_changepoint" -> """
+      WITH x AS (
+        SELECT event_type,
+          CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600)
+            AS TIMESTAMP) AS tick,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2),
+      st AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS nt,
+          CAST(sum(n) AS HUGEINT) AS tot
+        FROM x GROUP BY 1),
+      d AS (
+        SELECT x.event_type, tick, n, tot,
+          (n * nt * 1000000 - tot * 1100000) AS dd
+        FROM x JOIN st USING (event_type)),
+      p AS (
+        SELECT event_type, tick, n, tot,
+          sum(dd) OVER (PARTITION BY event_type ORDER BY tick
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+        FROM d),
+      s AS (
+        SELECT event_type, tick, n, tot,
+          pp - least(CAST(0 AS HUGEINT),
+            min(pp) OVER (PARTITION BY event_type ORDER BY tick
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS ss
+        FROM p)
+      SELECT event_type, tick, n,
+        CAST(ss // tot AS BIGINT) AS cusum_ppm,
+        ss > 2000000 * tot AS alarm
+      FROM s ORDER BY event_type, tick""",
 
     "q31_record_pipeline" -> """
       SELECT event_id AS "offset", user_id % 4 AS partition,
