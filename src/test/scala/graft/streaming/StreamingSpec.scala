@@ -1932,6 +1932,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming CUSUM: incremental recurrence matches the reference; state survives restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_cusum").toString
+      val input = MemoryStream[(String, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Boolean)] // (key, tick, cusum, alarm)
+      // mu = 5, k = 1, h = 6 (micro-units x 1e6)
+      def start() = CusumStream.monitor(input.toDS(),
+          muMicro = 5000000L, slackMicro = 1000000L, hMicro = 6000000L)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)],
+           _: Long) =>
+          collected.synchronized {
+            collected ++= df.collect().map(r => (r._1, r._2, r._4, r._5))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      // reference: x = 5,9,9 -> S: max(0,-1)=0, then 3e6, then 6e6 (no
+      // alarm: 6e6 is not > 6e6); next batch x=9 -> 9e6 -> ALARM
+      val q1 = start()
+      try {
+        input.addData(("a", 2L, 9L), ("a", 1L, 5L), ("a", 3L, 9L)) // out of order
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val firstRun = collected.synchronized(collected.toList)
+      assert(firstRun == List(("a", 1L, 0L, false), ("a", 2L, 3000000L, false),
+        ("a", 3L, 6000000L, false)), s"got $firstRun")
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData(("a", 4L, 9L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        // restored S = 6e6 -> 9e6 alarm; a reset would give 3e6, no alarm
+        assert(got == List(("a", 4L, 9000000L, true)),
+          s"state must survive the restart: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming LOCF enrichment: held observation survives a query restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
