@@ -320,6 +320,35 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_type"), col("tick"))
     },
 
+    "q219_last_touch_attribution" -> { (s, d) =>
+      // Last-touch attribution: each purchase credited to the user's
+      // latest prior click/view within 24h, else 'direct' — the
+      // composition the as-of merge exec exists for (purchases as the
+      // probe side, touches pre-collapsed at exact-ts collisions by max
+      // event_id, one exchange+sort per side, no windows over the raw
+      // stream). Report: per-channel conversions + exact-decimal
+      // revenue.
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("__m"))
+        .select(col("user_id"), col("ts").as("tts"),
+          col("__m.event_type").as("touch_type"))
+      val attributed = graft.operators.Joins.asofMerge(
+          purchases, touches, Seq("user_id"), "ts", "tts")
+        .withColumn("channel",
+          when(col("asof_touch_type").isNotNull &&
+            unix_micros(col("ts")) - unix_micros(col("asof_tts")) <=
+              86400L * 1000000L,
+            col("asof_touch_type")).otherwise(lit("direct")))
+      attributed.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("revenue"))
+        .orderBy(col("channel"))
+    },
+
     "q31_record_pipeline" -> { (s, d) =>
       // kaflow-style per-record pipeline (reference surface §2 A4/A13-A16):
       // value-deserialize JSON → validate/filter → transform → serialize.
@@ -708,6 +737,24 @@ object EventQueries extends QueryGroup {
         CAST(ss // tot AS BIGINT) AS cusum_ppm,
         ss > 2000000 * tot AS alarm
       FROM s ORDER BY event_type, tick""",
+
+    "q219_last_touch_attribution" -> s"""
+      WITH purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+        WHERE event_type = 'purchase'),
+      touches AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+          arg_max(event_type, event_id) AS touch_type
+        FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      a AS (
+        SELECT p.value, t.touch_type, p.ts AS pts, t.ts AS tts
+        FROM purchases p ASOF LEFT JOIN touches t
+          ON p.user_id = t.user_id AND p.ts >= t.ts)
+      SELECT CASE WHEN touch_type IS NOT NULL
+          AND epoch_us(pts) - epoch_us(tts) <= 86400000000
+        THEN touch_type ELSE 'direct' END AS channel,
+        count(*) AS n_purchases, ${sqlSum("value")} AS revenue
+      FROM a GROUP BY 1 ORDER BY 1""",
 
     "q31_record_pipeline" -> """
       SELECT event_id AS "offset", user_id % 4 AS partition,

@@ -57,6 +57,15 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "min_cell_dist_fixed",
+      {
+        case Seq(v, c) => graft.functions.expressions.MinCellDistFixed(v, c)
+        case _ => throw new IllegalArgumentException(
+          "min_cell_dist_fixed(vec, cents) takes a long-array vector and a " +
+            "array<struct<cell, cv>> center list")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "clean_tokens",
       {
         case Seq(s, arr) => graft.functions.expressions.CleanTokens(

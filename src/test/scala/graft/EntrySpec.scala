@@ -59,6 +59,7 @@ class EntrySpec extends SparkSpec {
       "pe", "ticks", "os", // q216 sliding distinct series
       "s4", "s5", "s6", "c2", "c3", "c4", "c5", "c6",
       "assign", "cnt", // q217 k-center rounds
+      "touches", // q219 attribution
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",

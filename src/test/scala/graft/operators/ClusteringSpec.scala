@@ -302,5 +302,15 @@ class ClusteringSpec extends SparkSpec {
             "array<struct<cell:bigint,cv:array<bigint>>>")))).as("d"))
       .collect().map(_.getLong(0))
     assert(empty.forall(_ == Long.MaxValue))
+    // SQL registration (the every-kernel house rule)
+    org.apache.spark.sql.graftbridge.FunctionRegistrar.registerAll(spark)
+    vecs.createOrReplaceTempView("mcd_in")
+    val viaSql = spark.sql(
+      """SELECT id, min_cell_dist_fixed(v, array(
+        |  named_struct('cell', 1L, 'cv', array(0L, 0L)),
+        |  named_struct('cell', 2L, 'cv', array(3L)))) AS d
+        |FROM mcd_in""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == Map(1L -> 16L, 2L -> 25L))
   }
 }
