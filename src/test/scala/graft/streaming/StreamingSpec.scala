@@ -1932,6 +1932,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel: one verdict per completed user, batch q83 semantics") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(Long, Long, String)]
+      val q = FunnelStream.conversions(input.toDS(),
+          windowMicros = 7L * 86400L * 1000000L)
+        .writeStream.format("memory").queryName("funnel_stream")
+        .outputMode("append").start()
+      val day = 86400L * 1000000L
+      try {
+        // u1: signup then purchase on day 2 -> converted
+        // u2: purchase BEFORE signup -> decided, not converted (q83 rule)
+        // u3: signup then purchase on day 9 -> after but outside window
+        // u4: signup only -> never emits
+        input.addData((1L, 1L * day, "signup"), (2L, 1L * day, "purchase"),
+          (3L, 1L * day, "signup"), (4L, 1L * day, "signup"))
+        q.processAllAvailable()
+        assert(spark.table("funnel_stream").count() == 0)
+        input.addData((1L, 2L * day, "purchase"), (2L, 3L * day, "signup"),
+          (3L, 10L * day, "purchase"))
+        q.processAllAvailable()
+        val got = spark.table("funnel_stream")
+          .as[(Long, Long, Long, Boolean, Boolean)].collect()
+          .map(r => r._1 -> ((r._4, r._5))).toMap
+        assert(got == Map(1L -> ((true, true)), 2L -> ((false, false)),
+          3L -> ((true, false))), s"got $got")
+        // a second purchase must not re-emit or flip anything
+        input.addData((2L, 4L * day, "purchase"), (1L, 3L * day, "purchase"))
+        q.processAllAvailable()
+        assert(spark.table("funnel_stream").count() == 3)
+        // aggregate parity with the q83 batch rollup over the same events
+        val n = spark.table("funnel_stream")
+          .as[(Long, Long, Long, Boolean, Boolean)].collect()
+        assert(n.count(_._4) == 2 && n.count(_._5) == 1)
+      } finally q.stop()
+    }
+  }
+
   test("streaming CUSUM: incremental recurrence matches the reference; state survives restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
