@@ -61,6 +61,10 @@ object Linkage {
     require(blockKeys.nonEmpty, "blocking keys are mandatory (no cross join)")
     require(rules.nonEmpty, "need at least one field rule")
     require(tLo <= tHi, s"thresholds out of order: $tLo > $tHi")
+    val overlap = a.columns.toSet.intersect(b.columns.toSet)
+    require(overlap.isEmpty,
+      s"registries must use disjoint column names (rules and idCols reference " +
+        s"them unqualified); shared: ${overlap.mkString(", ")}")
     val cond = blockKeys.map { case (ka, kb) => a(ka) === b(kb) }.reduce(_ && _)
     val pairs = a.join(b, cond)
     val withAgree = rules.foldLeft(pairs) { (df, r) =>
@@ -79,5 +83,25 @@ object Linkage {
     cut.select(idCols.map(col) ++
       rules.map(r => col(s"agree_${r.name}")) ++
       Seq(col("score"), col("verdict")): _*)
+  }
+
+  /** Multi-pass blocking (Newcombe's classic recall fix for the
+    * single-pass trade): run [[fellegiSunter]] once per blocking-key
+    * set and union the results deduplicated on the id pair — a true
+    * match missed by one pass (e.g. a typo'd surname block) is caught
+    * by another (e.g. the birth-year block). Scores are identical
+    * across passes (same rules), so dedup is a plain distinct on the
+    * full row. Pair space = Σ over passes of Σ_b |A_b|·|B_b|.
+    */
+  def fellegiSunterMultiBlock(a: DataFrame, b: DataFrame,
+                              blockPasses: Seq[Seq[(String, String)]],
+                              idCols: Seq[String],
+                              rules: Seq[LinkRule],
+                              tLo: Long, tHi: Long): DataFrame = {
+    require(blockPasses.nonEmpty, "need at least one blocking pass")
+    blockPasses.map(bk =>
+        fellegiSunter(a, b, bk, idCols, rules, tLo, tHi))
+      .reduce(_ unionByName _)
+      .distinct()
   }
 }

@@ -60,8 +60,31 @@ class LinkageSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Linkage.fellegiSunter(a, b, Seq.empty, Seq("a_id"), rules, 0L, 0L)
     }
+    // shared column names would make every rule reference ambiguous
+    val e2 = intercept[IllegalArgumentException] {
+      Linkage.fellegiSunter(a, a, Seq("a_blk" -> "a_blk"), Seq("a_id"),
+        rules, 0L, 0L)
+    }
+    assert(e2.getMessage.contains("disjoint"))
     intercept[IllegalArgumentException] {
       LinkRule("bad", lit(true), -100L, 100L) // agree weight below disagree
     }
+  }
+
+  test("multi-pass blocking recovers matches a single pass misses, no dup pairs") {
+    val a = Seq((1L, "anna", 10, 7L), (2L, "bob", 20, 8L))
+      .toDF("a_id", "a_name", "a_blk", "a_blk2")
+    val b = Seq((7L, "annA", 99, 7L), (8L, "bob", 20, 8L))
+      .toDF("b_id", "b_name", "b_blk", "b_blk2")
+    // pass 1 (a_blk): only (2,8) pairs; pass 2 (a_blk2): (1,7) AND (2,8)
+    val out = Linkage.fellegiSunterMultiBlock(a, b,
+        Seq(Seq("a_blk" -> "b_blk"), Seq("a_blk2" -> "b_blk2")),
+        Seq("a_id", "b_id"),
+        Seq(Linkage.LinkRule("name",
+          Linkage.levWithin(col("a_name"), col("b_name"), 1), 2000L, -500L)),
+        tLo = 1000L, tHi = 1500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // (1,7) found only by pass 2; (2,8) found by both but emitted once
+    assert(out.sorted.toSeq == Seq((1L, 7L), (2L, 8L)))
   }
 }
