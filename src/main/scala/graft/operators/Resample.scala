@@ -30,8 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** @param perKeyEnd false (default): every key grids to the GLOBAL
+    *   last tick — monitoring semantics, a series keeps reporting after
+    *   its source goes quiet. true: each key grids only to ITS OWN last
+    *   observation tick — churn semantics; at 100 TB with high key
+    *   churn this is the knob that keeps grid volume proportional to
+    *   live spans instead of (all keys) x (full calendar).
+    */
   def locfGrid(obs: DataFrame, keyCol: String, tsCol: String,
-               payload: Seq[String], stepSeconds: Long): DataFrame = {
+               payload: Seq[String], stepSeconds: Long,
+               perKeyEnd: Boolean = false): DataFrame = {
     require(payload.nonEmpty, "need at least one payload column")
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
     val o = obs
@@ -47,9 +55,15 @@ object Resample {
     def tickOf(c: org.apache.spark.sql.Column) =
       timestamp_seconds(floor(unix_timestamp(c) / stepSeconds) * stepSeconds)
     val perKey = o.groupBy(col(keyCol))
-      .agg(tickOf(min(col(tsCol))).as("__t0"))
-    val globalEnd = o.agg(tickOf(max(col(tsCol))).as("__t1"))
-    val grid = perKey.crossJoin(broadcast(globalEnd))
+      .agg(tickOf(min(col(tsCol))).as("__t0"),
+        tickOf(max(col(tsCol))).as("__tk"))
+    val spanned =
+      if (perKeyEnd) perKey.withColumn("__t1", col("__tk"))
+      else {
+        val globalEnd = o.agg(tickOf(max(col(tsCol))).as("__t1"))
+        perKey.crossJoin(broadcast(globalEnd))
+      }
+    val grid = spanned
       .select(col(keyCol),
         explode(sequence(col("__t0"), col("__t1"),
           expr(s"interval $stepSeconds second"))).as("grid_ts"))

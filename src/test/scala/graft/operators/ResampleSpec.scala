@@ -61,6 +61,19 @@ class ResampleSpec extends SparkSpec {
     assert(out.map(_.getAs[String]("k")).distinct.toSeq == Seq("a"))
   }
 
+  test("locfGrid: perKeyEnd grids each key only to its own last tick") {
+    val obs = Seq(
+      ("a", ts("2024-01-01 00:05:00"), 1L),
+      ("a", ts("2024-01-01 07:00:00"), 2L),
+      ("b", ts("2024-01-01 13:00:00"), 3L)) // global end would be 12:00+
+      .toDF("k", "ts", "event_id")
+    val out = Resample.locfGrid(obs, "k", "ts", Seq("event_id"), 21600L,
+        perKeyEnd = true)
+      .collect().groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    // a: ticks 00:00 and 06:00 (its own last tick; NOT 12:00); b: 12:00
+    assert(out == Map("a" -> 2, "b" -> 1))
+  }
+
   test("locfGrid: plan has no window over the observation stream") {
     val obs = Seq(("a", ts("2024-01-01 00:30:00"), 1L)).toDF("k", "ts", "event_id")
     val plan = Resample.locfGrid(obs, "k", "ts", Seq("event_id"), 3600L)
