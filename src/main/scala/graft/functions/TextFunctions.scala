@@ -145,6 +145,38 @@ object TextFunctions {
       ColumnBridge.expression(text), stopwords))
   }
 
+  /** Unicode-script composition counters (multilingual front-door
+    * signal) — one native byte pass; see
+    * [[graft.functions.expressions.ScriptMix]].
+    */
+  def scriptMix(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(graft.functions.expressions.ScriptMix(
+      ColumnBridge.expression(text)))
+  }
+
+  /** Interpreted parity reference for [[scriptMix]]: split per
+    * character, classify code points via HOF folds. Spec-pinned equal;
+    * not the hot path.
+    */
+  def scriptMixViaHof(text: Column): Column = {
+    // split("", "") yields [""] (ascii 0) — guard the empty string
+    val cps = when(length(text) === 0, array().cast("array<int>"))
+      .otherwise(transform(split(text, ""), c => ascii(c)))
+    def cnt(pred: Column => Column) =
+      size(filter(cps, pred)).cast("long")
+    val latin = cnt(cp => (cp >= 65 && cp <= 90) || (cp >= 97 && cp <= 122) ||
+      (cp >= 0xC0 && cp <= 0x24F))
+    val cyr = cnt(cp => cp >= 0x400 && cp <= 0x4FF)
+    val cjk = cnt(cp => (cp >= 0x4E00 && cp <= 0x9FFF) ||
+      (cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0xAC00 && cp <= 0xD7AF))
+    val dig = cnt(cp => cp >= 48 && cp <= 57)
+    val spc = cnt(cp => cp === 32 || cp === 9 || cp === 10 || cp === 13)
+    struct(latin.as("n_latin"), cyr.as("n_cyrillic"), cjk.as("n_cjk"),
+      dig.as("n_digit"), spc.as("n_space"),
+      (size(cps).cast("long") - latin - cyr - cjk - dig - spc).as("n_other"))
+  }
+
   /** Per-occurrence ratio of tokens that appear in a fixed stopword list. */
   def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
     val toks = tokens(text)

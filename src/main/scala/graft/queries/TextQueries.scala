@@ -38,6 +38,31 @@ object TextQueries extends QueryGroup {
       s"CAST((doc_id * 11) % 256 AS $cast))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_script_mix" -> { (s, d) =>
+      // Unicode-script composition per language (multilingual corpus
+      // front door: a lang label contradicted by its script histogram
+      // is mislabeled or boilerplate). One native byte pass per doc
+      // (ScriptMix kernel), one bounded per-lang aggregate; latin_ppm
+      // in exact integer division. This corpus is ASCII, so the
+      // cyrillic/cjk columns pin the ZERO side of the ranges while the
+      // kernel's multibyte decode is spec-pinned (ScriptMixSpec fuzz).
+      val m = graft.functions.TextFunctions.scriptMix(col("text"))
+      Tables.documents(s, d)
+        .select(col("lang"), m.as("m"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("m.n_latin")).as("n_latin"),
+          sum(col("m.n_cyrillic")).as("n_cyrillic"),
+          sum(col("m.n_cjk")).as("n_cjk"),
+          sum(col("m.n_digit")).as("n_digit"),
+          sum(col("m.n_space")).as("n_space"),
+          sum(col("m.n_other")).as("n_other"))
+        .withColumn("latin_ppm",
+          expr("n_latin * 1000000 div (n_latin + n_cyrillic + n_cjk + " +
+            "n_digit + n_space + n_other)"))
+        .orderBy(col("lang"))
+    },
+
     "q133_bm25_topk" -> { (s, d) =>
       // BM25 lexical retrieval: every 97th document donates tokens 5..7
       // as a 3-term query; top-10 documents per query over the whole
@@ -1222,6 +1247,42 @@ object TextQueries extends QueryGroup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q220_script_mix" -> """
+      WITH cps AS (
+        SELECT lang,
+          unnest(list_transform(string_split(text, ''),
+            x -> unicode(x))) AS cp
+        FROM documents),
+      cls AS (
+        SELECT lang,
+          CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+                 OR (cp BETWEEN 192 AND 591) THEN 0
+               WHEN cp BETWEEN 1024 AND 1279 THEN 1
+               WHEN (cp BETWEEN 19968 AND 40959)
+                 OR (cp BETWEEN 12352 AND 12543)
+                 OR (cp BETWEEN 44032 AND 55215) THEN 2
+               WHEN cp BETWEEN 48 AND 57 THEN 3
+               WHEN cp IN (32, 9, 10, 13) THEN 4
+               ELSE 5 END AS c
+        FROM cps),
+      agg AS (
+        SELECT lang,
+          CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_latin,
+          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cyrillic,
+          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cjk,
+          CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_digit,
+          CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_space,
+          CAST(sum(CASE WHEN c = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+        FROM cls GROUP BY lang),
+      nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang)
+      SELECT nd.lang, n_docs, n_latin, n_cyrillic, n_cjk, n_digit,
+        n_space, n_other,
+        n_latin * 1000000 // (n_latin + n_cyrillic + n_cjk + n_digit
+          + n_space + n_other) AS latin_ppm
+      FROM agg JOIN nd USING (lang)
+      ORDER BY lang""",
+
     "q134_bpe_merges" -> bpeOracleSql(10),
 
     // Train on the ExactSubstr-cut corpus: the q135 CTE chain feeds the

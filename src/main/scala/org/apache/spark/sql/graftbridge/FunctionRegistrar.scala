@@ -57,6 +57,14 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "script_mix",
+      {
+        case Seq(t) => graft.functions.expressions.ScriptMix(t)
+        case _ => throw new IllegalArgumentException(
+          "script_mix(text) takes one string column")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "min_cell_dist_fixed",
       {
         case Seq(v, c) => graft.functions.expressions.MinCellDistFixed(v, c)

@@ -60,6 +60,7 @@ class EntrySpec extends SparkSpec {
       "s4", "s5", "s6", "c2", "c3", "c4", "c5", "c6",
       "assign", "cnt", // q217 k-center rounds
       "touches", // q219 attribution
+      "cps", "nd", // q220 script mix
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
