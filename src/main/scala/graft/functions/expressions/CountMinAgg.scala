@@ -43,6 +43,12 @@ case class CountMinAgg(
     s"depth must be in [1, ${MinHashSignature.AS.length}]")
   require(width >= 2, s"width must be >= 2, got $width")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"count_min expects a bigint id column, got ${child.dataType.catalogString}")
+
   private val P = MinHashSignature.M
 
   override def createAggregationBuffer(): Array[Long] =

@@ -52,7 +52,15 @@ object Changepoint {
     val st = series.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).cast(dec).as("__nt"),
         sum(col(valueCol)).cast(dec).as("__tot"))
-    val d = series.join(st, keyCols)
+    // ppm-of-mean units presuppose a positive per-key mean: a zero or
+    // negative total would null the ppm division and invert the alarm
+    // threshold's sign — fail loudly in-plan instead (the bounded key
+    // table pays the check, not the corpus)
+    val stChecked = st.withColumn("__tot",
+      when(col("__tot") > 0, col("__tot")).otherwise(raise_error(concat(
+        lit("cusumShift needs a positive per-key value total, got "),
+        col("__tot").cast("string")))))
+    val d = series.join(stChecked, keyCols)
       .withColumn("__d",
         (col(valueCol).cast(dec) * col("__nt") * lit(1000000L).cast(dec) -
           col("__tot") * lit(1000000L + slackPpm).cast(dec)).cast(dec))

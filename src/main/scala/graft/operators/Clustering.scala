@@ -425,7 +425,10 @@ object Clustering {
     *
     * Output: (rank [1..k], idCol, d2_sel — the squared fixed-point
     * distance to the set when selected, null for the seed; the sequence
-    * is the classic non-increasing coverage-radius curve).
+    * is the classic non-increasing coverage-radius curve). Fewer than k
+    * rows come back when coverage completes early (k exceeds the number
+    * of distinct vectors) — the degenerate rounds would only re-pick
+    * existing centers at distance 0.
     */
   def kCenterSelect(df: DataFrame, idCol: String, vecCol: String, k: Int,
                     scale: Long = 1000L): DataFrame = {
@@ -442,7 +445,8 @@ object Clustering {
       s"kCenterSelect requires non-negative ids, found ${seedRow(0).get(0)}")
     val selected = scala.collection.mutable.ArrayBuffer[(Long, Long, Seq[Long], Option[Long])](
       (1L, seedRow(0).getAs[Number](0).longValue(), seedRow(0).getSeq[Long](1), None))
-    for (rank <- 2 to k) {
+    var covered = false
+    for (rank <- 2 to k if !covered) {
       val centsLit = array(selected.map { case (r, _, v, _) =>
         struct(lit(r).as("cell"), array(v.map(lit): _*).cast("array<long>").as("cv"))
       }.toSeq: _*)
@@ -456,7 +460,12 @@ object Clustering {
         .agg(max(col("s")).as("s"))
         .select(col("s.d"), (-col("s.nid")).as("id"), col("s.v"))
         .collect()(0)
-      selected += ((rank.toLong, win.getLong(1), win.getSeq[Long](2),
+      // coverage complete: every remaining point is AT a selected
+      // center (fewer distinct vectors than k, or k > row count) — the
+      // argmax would re-pick an already-selected id with d2 = 0, so
+      // stop and return fewer than k rows rather than fake exemplars
+      if (win.getLong(0) == 0L) covered = true
+      else selected += ((rank.toLong, win.getLong(1), win.getSeq[Long](2),
         Some(win.getLong(0))))
     }
     import spark.implicits._

@@ -272,6 +272,8 @@ object Joins {
     require(allowed.contains(joinType.toLowerCase),
       s"saltedJoin supports left-preserving joins only, got $joinType " +
         "(right/full outer would duplicate unmatched right rows)")
+    require(!left.columns.contains("__salt") && !right.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column name; rename it on the inputs")
     val leftCols = left.columns.toSeq
     val l = left.withColumn("__salt",
       pmod(xxhash64(struct(leftCols.map(col): _*)), lit(salts)).cast("int"))

@@ -60,7 +60,10 @@ object Resample {
     val spanned =
       if (perKeyEnd) perKey.withColumn("__t1", col("__tk"))
       else {
-        val globalEnd = o.agg(tickOf(max(col(tsCol))).as("__t1"))
+        // global end from the BOUNDED keys table (tickOf is monotone, so
+        // max of per-key last ticks == tick of the global max) — not a
+        // third corpus pass
+        val globalEnd = perKey.agg(max(col("__tk")).as("__t1"))
         perKey.crossJoin(broadcast(globalEnd))
       }
     val grid = spanned

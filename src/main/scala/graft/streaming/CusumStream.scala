@@ -58,6 +58,6 @@ object CusumStream {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1).transformWithState(
       new CusumProcessor(muMicro, slackMicro, hMicro, ttl),
-      TimeMode.None(), OutputMode.Append())
+      StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

@@ -10,9 +10,13 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   * user's FIRST purchase (global min — a purchase before signup means
   * never-converted) against the FIRST signup, within `windowMicros`.
   *
-  * State is one (firstSignup, firstPurchase, emitted) triple per user
-  * (RocksDB point read+write per row; TTL reclaims one-legged users who
-  * never complete the funnel). Within a micro-batch rows apply in
+  * State is one (firstSignup, firstPurchase) pair per user (RocksDB
+  * point read+write per row; TTL reclaims one-legged users who never
+  * complete the funnel). TTL CAVEAT: expiry applies to completed
+  * users' state equally — a late duplicate arriving after expiry
+  * re-opens the funnel and can emit a second verdict, so set the TTL
+  * beyond the duplicate/late-data horizon (the exactly-once contract
+  * holds while state lives). Within a micro-batch rows apply in
   * (tsMicros, isPurchase) order; arrival is assumed in event order
   * across batches (the ingest-twin contract) — the firsts are fixed at
   * first sighting, so a later duplicate cannot flip a verdict.
@@ -64,6 +68,6 @@ object FunnelStream {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1).transformWithState(
       new FunnelProcessor(windowMicros, ttl),
-      TimeMode.None(), OutputMode.Append())
+      StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

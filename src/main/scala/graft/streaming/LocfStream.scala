@@ -61,6 +61,6 @@ object LocfStream {
       Dataset[(String, Long, Long, Double, Option[(Long, Long, Double)], Option[Long])] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1).transformWithState(new LocfProcessor(ttl),
-      TimeMode.None(), OutputMode.Append())
+      StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftbridge
 
 import graft.functions.expressions.{CosineSimilarity, L2DistanceSq, MinHashSignature, PolyHash, SimHash}
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
 import org.apache.spark.sql.classic.{SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.SparkSession
 
@@ -133,7 +133,8 @@ object FunctionRegistrar {
       "count_min",
       {
         case Seq(v, Literal(d: Int, _), Literal(w: Int, _)) =>
-          graft.functions.expressions.CountMinAgg(v, d, w)
+          graft.functions.expressions.CountMinAgg(
+            Cast(v, org.apache.spark.sql.types.LongType), d, w)
         case _ => throw new IllegalArgumentException(
           "count_min(id, depth, width) takes a long column and two int literals")
       },

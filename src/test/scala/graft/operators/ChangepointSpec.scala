@@ -50,6 +50,16 @@ class ChangepointSpec extends SparkSpec {
     assert(out("flat").forall(_.getAs[Long]("cusum_ppm") == 0L))
   }
 
+  test("cusumShift fails loudly on a non-positive per-key total") {
+    val df = Seq(("a", 0L, 3L), ("a", 1L, -3L)).toDF("k", "tick", "n")
+    val e = intercept[Exception] {
+      Changepoint.cusumShift(df, Seq("k"), "tick", "n", 100000L, 1000000L)
+        .collect()
+    }
+    assert(e.getMessage.contains("positive per-key value total") ||
+      Option(e.getCause).exists(_.getMessage.contains("positive per-key value total")))
+  }
+
   test("tickCounts buckets on the step boundary") {
     val df = Seq(
       ("a", java.sql.Timestamp.valueOf("2024-01-01 00:59:59")),

@@ -278,6 +278,13 @@ class ClusteringSpec extends SparkSpec {
       Clustering.kCenterSelect(neg, "id", "vec", k = 1)
     }
     assert(e.getMessage.contains("non-negative"))
+    // k beyond the distinct-vector count: coverage completes early and
+    // FEWER rows come back — never duplicate exemplars at d2 = 0
+    val tiny = Seq((0L, Seq(0.0f)), (1L, Seq(1.0f)), (2L, Seq(1.0f)))
+      .toDF("id", "vec")
+    val sel = Clustering.kCenterSelect(tiny, "id", "vec", k = 5).collect()
+    assert(sel.length == 2, s"expected early stop, got ${sel.toSeq}")
+    assert(sel.map(_.getLong(1)).distinct.length == sel.length)
   }
 
   test("MinCellDistFixed: parity with a scalar reference incl. padding and empty list") {
