@@ -235,6 +235,63 @@ object Joins {
         ColumnBridge.expression(xxhash64(bigKey)))))
   }
 
+  /** Broadcast interval-lookup join — the IP-geolocation / price-bracket
+    * / time-zone enrichment shape: probe each fact row's long value
+    * against a bounded table of sorted, non-overlapping [lo, hi)
+    * intervals. The naive plan is a broadcast nested-loop theta join
+    * (O(intervals) tests per row — 10¹² rows x 10⁶ intervals never
+    * finishes); this operator collects the dimension ONCE (size-capped,
+    * validated: lo < hi, sorted, non-overlapping — loud on violation),
+    * ships the bounds as plan reference objects (the bloom-filter
+    * pattern), resolves each row to an interval index with an O(log m)
+    * codegen'd binary search ([[graft.functions.expressions.IntervalLookup]]),
+    * and attaches the dimension payload with an ordinary broadcast
+    * equi-join on that index. Rows outside every interval keep null
+    * payload (left join).
+    *
+    * Output: fact columns + `interval_idx` (null when unmatched) + the
+    * dimension's non-bound columns.
+    */
+  def intervalLookup(fact: DataFrame, value: Column, dim: DataFrame,
+                     loCol: String, hiCol: String,
+                     maxIntervals: Int = 2000000): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val rows = dim.select((col(loCol).cast("long").as("__lo") +:
+        col(hiCol).cast("long").as("__hi") +:
+        dim.columns.filterNot(c => c == loCol || c == hiCol).map(col).toSeq): _*)
+      .collect()
+    require(rows.length <= maxIntervals,
+      s"interval dimension has ${rows.length} rows, cap is $maxIntervals " +
+        "(raise maxIntervals if the driver can hold it)")
+    val sorted = rows.sortBy(_.getLong(0))
+    sorted.foreach { r =>
+      require(r.getLong(0) < r.getLong(1),
+        s"empty/inverted interval [${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    sorted.sliding(2).foreach {
+      case Array(a, b) =>
+        require(a.getLong(1) <= b.getLong(0),
+          s"overlapping intervals at lo=${a.getLong(0)} and lo=${b.getLong(0)}")
+      case _ =>
+    }
+    val los = sorted.map(_.getLong(0))
+    val his = sorted.map(_.getLong(1))
+    val idx = ColumnBridge.column(graft.functions.expressions.IntervalLookup(
+      ColumnBridge.expression(value.cast("long")), los, his))
+    val spark = fact.sparkSession
+    val payloadCols = dim.columns.filterNot(c => c == loCol || c == hiCol).toSeq
+    val dimIdx = spark.createDataFrame(
+      spark.sparkContext.parallelize(sorted.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(i +: r.toSeq.drop(2))
+      }.toSeq, 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("interval_idx",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+          payloadCols.map(c => dim.schema(c))))
+    fact.withColumn("interval_idx", when(idx >= 0, idx))
+      .join(broadcast(dimIdx), Seq("interval_idx"), "left")
+  }
+
   /** Skew-safe equi-join by key salting: scatter each left row to one of
     * `salts` sub-keys and replicate the right side once per sub-key, so a
     * hot join key's rows spread across `salts` reducer tasks instead of

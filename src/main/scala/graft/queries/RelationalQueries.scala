@@ -82,6 +82,39 @@ object RelationalQueries extends QueryGroup {
         .orderBy(col("p_brand"))
     },
 
+    "q221_interval_lookup" -> { (s, d) =>
+      // Broadcast interval-lookup join (Joins.intervalLookup — the
+      // IP-geo / price-bracket enrichment shape): lineitem prices in
+      // exact cents bracketed by their own PERCENTILE_DISC deciles.
+      // The dimension is ten [lo, hi) intervals; the probe is an
+      // O(log m) codegen'd binary search per row instead of a
+      // broadcast nested-loop theta join. The oracle rebuilds the same
+      // thresholds with quantile_disc and maps brackets by threshold
+      // counting — the identical monotone index.
+      import org.apache.spark.sql.types.DataTypes
+      val cents = (c: org.apache.spark.sql.Column) =>
+        (c.cast(DataTypes.createDecimalType(18, 2)) * 100).cast("long")
+      val li = Tables.lineitem(s, d).select(
+        cents(col("l_extendedprice")).as("pc"),
+        col("l_extendedprice"), col("l_discount"))
+      val bounds = graft.operators.Percentiles.percentileDisc(
+          li.select(lit(0).as("g"), col("pc").as("v")), "g", "v",
+          (1 to 9).map(_ / 10.0))
+        .orderBy(col("p")).collect()
+        .map(_.getAs[Number]("value").longValue()).distinct
+      val los = (Long.MinValue + 1L) +: bounds
+      val his = bounds :+ Long.MaxValue
+      import s.implicits._
+      val dim = los.zip(his).zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, i.toLong) }
+        .toSeq.toDF("lo", "hi", "bracket")
+      graft.operators.Joins.intervalLookup(li, col("pc"), dim, "lo", "hi")
+        .groupBy(col("bracket"))
+        .agg(count(lit(1)).as("n_items"),
+          dsumRevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("bracket"))
+    },
+
     "q04_left_join_counts" -> { (s, d) =>
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
@@ -229,6 +262,23 @@ object RelationalQueries extends QueryGroup {
         ${sqlSum("l_quantity")} AS sum_qty, count(*) AS n_items
       FROM lineitem JOIN part ON l_partkey = p_partkey
       GROUP BY p_brand ORDER BY p_brand""",
+
+    "q221_interval_lookup" -> {
+      val ds = (1 to 9).map(i =>
+        s"CAST(quantile_disc(pc, 0.$i) AS BIGINT) AS d$i").mkString(", ")
+      val cases = (1 to 9).map(i =>
+        s"(CASE WHEN pc >= d$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""
+      WITH li AS (
+        SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+          AS pc, l_extendedprice, l_discount
+        FROM lineitem),
+      th AS (SELECT $ds FROM li)
+      SELECT CAST($cases AS BIGINT) AS bracket,
+        count(*) AS n_items, ${sqlRevenue()} AS revenue
+      FROM li CROSS JOIN th
+      GROUP BY 1 ORDER BY 1"""
+    },
 
     "q04_left_join_counts" -> s"""
       SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,

@@ -61,6 +61,7 @@ class EntrySpec extends SparkSpec {
       "assign", "cnt", // q217 k-center rounds
       "touches", // q219 attribution
       "cps", "nd", // q220 script mix
+      "li", // q221 interval lookup cents table
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
