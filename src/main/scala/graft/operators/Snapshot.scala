@@ -74,4 +74,65 @@ object Snapshot {
     ppm.orderBy(abs(col("ppm_diff")).desc, col("tok").asc).limit(topK)
       .crossJoin(broadcast(l1))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the NUMERIC drift
+    * check next to [[tokenDrift]]'s categorical one: the largest ECDF
+    * gap between two groups' integral signal distributions (score
+    * drift between sources/languages/snapshots; the classic trigger
+    * for "retrain/recalibrate the quality scorer"). All arithmetic is
+    * exact: D = max_v |cumA(v)·nB − cumB(v)·nA| / (nA·nB), computed by
+    * cross-multiplication in DECIMAL(38,0) (at 10¹² rows the products
+    * pass a long) and reported as floored ppm; the argmax value comes
+    * back too (smallest v on ties — deterministic).
+    *
+    * Scale shape: one pass to the distinct-value table (bounded by the
+    * signal's cardinality, with both groups' counts in the same row),
+    * then the house two-phase cumsum — in-bucket prefix sums under a
+    * window PARTITIONED by value-range bucket, plus one bucket-offset
+    * pass over the bounded bucket table. No global-order window over
+    * an unbounded input.
+    *
+    * Output (1 row): (n_a, n_b, ks_ppm, at_value).
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              ga: String, gb: String, bucketWidth: Long = 1000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val dec = "decimal(38,0)"
+    val v = df
+      .filter(col(groupCol).isin(ga, gb) && col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"), col(groupCol).as("__g"))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__g") === ga, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__g") === gb, 1L).otherwise(0L)).as("__cb"))
+      .withColumn("__bkt", floor(col("__v").cast("double") / bucketWidth)
+        .cast("long"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val inCum = v
+      .withColumn("__ia", sum(col("__ca")).over(wIn))
+      .withColumn("__ib", sum(col("__cb")).over(wIn))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = v.groupBy(col("__bkt"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+      .withColumn("__oa", coalesce(sum(col("__ta")).over(wOff), lit(0L)))
+      .withColumn("__ob", coalesce(sum(col("__tb")).over(wOff), lit(0L)))
+      .select(col("__bkt"), col("__oa"), col("__ob"))
+    val tot = v.agg(sum(col("__ca")).cast(dec).as("__na"),
+      sum(col("__cb")).cast(dec).as("__nb"))
+    inCum.join(offsets, "__bkt")
+      .crossJoin(broadcast(tot))
+      .withColumn("__diff",
+        abs((col("__ia") + col("__oa")).cast(dec) * col("__nb") -
+          (col("__ib") + col("__ob")).cast(dec) * col("__na")))
+      .agg(max(struct(col("__diff").as("d"), (-col("__v")).as("nv"),
+        col("__na").as("na"), col("__nb").as("nb"))).as("s"))
+      .select(col("s.na").cast("long").as("n_a"),
+        col("s.nb").cast("long").as("n_b"),
+        expr("(s.d * CAST(1000000 AS DECIMAL(38,0))) div (s.na * s.nb)")
+          .cast("long").as("ks_ppm"),
+        (-col("s.nv")).as("at_value"))
+  }
 }

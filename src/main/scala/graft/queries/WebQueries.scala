@@ -240,6 +240,19 @@ object WebQueries extends QueryGroup {
         .orderBy(col("source"), col("lang"))
     },
 
+    "q222_ks_drift" -> { (s, d) =>
+      // Exact two-sample Kolmogorov-Smirnov drift (Snapshot.ksDrift):
+      // the largest ECDF gap between the en and de token-count
+      // distributions, cross-multiplied in DECIMAL so the ppm is exact
+      // — the numeric retrain-trigger next to q158's categorical token
+      // drift. Distinct-value table + the house two-phase bucket
+      // cumsum; no global-order window over raw rows.
+      graft.operators.Snapshot.ksDrift(
+        Tables.documents(s, d).select(col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_toks")),
+        "n_toks", "lang", "en", "de", bucketWidth = 16L)
+    },
+
     "q208_k_anonymity" -> { (s, d) =>
       // k-anonymity release gate (Sweeney 2002) over the (source, lang)
       // quasi-identifier with the suffix-generalization ladder: release
@@ -617,6 +630,32 @@ object WebQueries extends QueryGroup {
       FROM documents d JOIN c0 ON c0.source = d.source
       WHERE c0.n0 >= 10
       GROUP BY d.source ORDER BY released_key""",
+
+    "q222_ks_drift" -> """
+      WITH d0 AS (
+        SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        FROM documents WHERE lang IN ('en', 'de')),
+      vt AS (
+        SELECT v,
+          CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+          CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+        FROM d0 GROUP BY v),
+      c AS (
+        SELECT v,
+          sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cuma,
+          sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS cumb
+        FROM vt),
+      t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+        CAST(sum(cb) AS HUGEINT) AS nb FROM vt),
+      dd AS (SELECT v, abs(cuma * nb - cumb * na) AS diff
+        FROM c CROSS JOIN t),
+      sel AS (SELECT diff, v FROM dd ORDER BY diff DESC, v LIMIT 1)
+      SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(diff * 1000000 // (na * nb) AS BIGINT) AS ks_ppm,
+        v AS at_value
+      FROM sel CROSS JOIN t""",
 
     "q213_dp_release" -> s"""
       WITH c0 AS (

@@ -57,4 +57,45 @@ class SnapshotSpec extends SparkSpec {
       .collect().map(_.getAs[String]("tok")).toSet
     assert(toks == Set("x", "y"), s"got $toks") // z is the zero-mover
   }
+
+  private def refKs(as: Seq[Long], bs: Seq[Long]): (BigInt, Long) = {
+    val vs = (as ++ bs).distinct.sorted
+    val (na, nb) = (BigInt(as.length), BigInt(bs.length))
+    vs.map { v =>
+      val ca = BigInt(as.count(_ <= v))
+      val cb = BigInt(bs.count(_ <= v))
+      ((ca * nb - cb * na).abs, v)
+    }.maxBy { case (d, v) => (d, -v) } // max diff, tie to the SMALLEST v
+  }
+
+  test("ksDrift: hand-computed statistic, argmax value, exact ppm") {
+    import spark.implicits._
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 (cumA=2, cumB=0)
+    val df = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++
+      Seq(3L, 4L, 5L, 6L).map(("b", _)) ++
+      Seq(("c", 99L))) // third group must be ignored
+      .toDF("g", "v")
+    val r = Snapshot.ksDrift(df, "v", "g", "a", "b", bucketWidth = 2L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    // D = |2*4 - 0*4| / 16 = 0.5 -> 500000 ppm, at v = 2
+    assert(r.getAs[Long]("ks_ppm") == 500000L)
+    assert(r.getAs[Long]("at_value") == 2L)
+  }
+
+  test("ksDrift: random parity with the scalar reference across bucket widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val as = Seq.fill(300)(rnd.nextInt(50).toLong)
+    val bs = Seq.fill(200)((rnd.nextInt(50) + rnd.nextInt(10)).toLong)
+    val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("g", "v")
+    val (refD, refV) = refKs(as, bs)
+    val refPpm = (refD * 1000000 / (BigInt(300) * 200)).toLong
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val r = Snapshot.ksDrift(df, "v", "g", "a", "b", bucketWidth = w)
+        .collect()(0)
+      assert(r.getAs[Long]("ks_ppm") == refPpm, s"width $w")
+      assert(r.getAs[Long]("at_value") == refV, s"width $w")
+    }
+  }
 }
