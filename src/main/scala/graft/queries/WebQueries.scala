@@ -253,6 +253,24 @@ object WebQueries extends QueryGroup {
         "n_toks", "lang", "en", "de", bucketWidth = 16L)
     },
 
+    "q223_private_release_pipeline" -> { (s, d) =>
+      // The privacy ladder end-to-end as ONE pipeline: k-anonymize the
+      // (source, lang) quasi-identifier (q208's gate), drop suppressed
+      // rows, and publish the release card as GEOMETRIC-MECHANISM
+      // noised counts per released key (q213's rung) — true group
+      // sizes never leave the pipeline. One corpus aggregate + the
+      // bounded ladder cascade + a release-card-sized noise pass.
+      val anon = graft.operators.Privacy.kAnonymize(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang")),
+        Seq("source", "lang"), k = 10L)
+      graft.operators.Privacy.dpNoisedCounts(
+          anon.filter(col("anon_group_size").isNotNull)
+            .select(col("released_key")),
+          Seq("released_key"), epsPpm = 500000L, seed = 7L)
+        .orderBy(col("released_key"))
+    },
+
     "q208_k_anonymity" -> { (s, d) =>
       // k-anonymity release gate (Sweeney 2002) over the (source, lang)
       // quasi-identifier with the suffix-generalization ladder: release
@@ -656,6 +674,42 @@ object WebQueries extends QueryGroup {
         CAST(diff * 1000000 // (na * nb) AS BIGINT) AS ks_ppm,
         v AS at_value
       FROM sel CROSS JOIN t""",
+
+    "q223_private_release_pipeline" -> s"""
+      WITH c0 AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS n0
+        FROM documents GROUP BY 1, 2),
+      c1 AS (
+        SELECT source, CAST(sum(n0) AS BIGINT) AS n1
+        FROM c0 WHERE n0 < 10 GROUP BY 1),
+      rel AS (
+        SELECT CASE WHEN c0.n0 >= 10 THEN d.source || '/' || d.lang
+               ELSE d.source || '/*' END AS released_key
+        FROM documents d
+        JOIN c0 ON c0.source = d.source AND c0.lang = d.lang
+        LEFT JOIN c1 ON c1.source = d.source
+        WHERE c0.n0 >= 10 OR coalesce(c1.n1, 0) >= 10),
+      kc AS (
+        SELECT released_key, CAST(count(*) AS BIGINT) AS n
+        FROM rel GROUP BY 1),
+      h AS (
+        SELECT released_key, n,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split('7/' || released_key, ''),
+              x -> CAST(unicode(x) AS BIGINT))),
+            (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) AS ph
+        FROM kc),
+      hu AS (
+        SELECT released_key, n,
+          ${graft.operators.Privacy.mixSql("ph")} AS u
+        FROM h)
+      SELECT released_key,
+        greatest(CAST(0 AS BIGINT), n + CASE ${
+          graft.operators.Privacy.geometricThresholds(500000L, 16)
+            .zip(-16 until 16)
+            .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ")
+        } ELSE 16 END) AS released_n
+      FROM hu ORDER BY released_key""",
 
     "q213_dp_release" -> s"""
       WITH c0 AS (

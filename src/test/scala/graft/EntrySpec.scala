@@ -63,6 +63,7 @@ class EntrySpec extends SparkSpec {
       "cps", "nd", // q220 script mix
       "li", // q221 interval lookup cents table
       "d0", "vt", "sel", // q222 KS drift
+      "kc", // q223 private release pipeline key counts
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
