@@ -17,7 +17,7 @@ object SparkEntry {
     RelationalQueries, AnalyticQueries, EventQueries,
     TextQueries, DedupQueries, SimilarityQueries,
     MultimodalQueries, ApproxQueries, ExtraQueries, VariantQueries,
-    WebQueries)
+    WebQueries, StatsQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact classifier-evaluation statistics over unbounded corpora.
+  *
+  * Completes the corpus-health family: q176 ships the reliability table
+  * (calibration — is the score's CONFIDENCE honest?), this module ships the
+  * exact ROC AUC (discrimination — does the score RANK positives above
+  * negatives?). A pipeline trusts a filter threshold only when both hold.
+  */
+object Evaluation {
+
+  /** Exact ROC AUC per group via the rank-sum identity (Mann–Whitney U;
+    * the AUC equivalence is Hanley & McNeil 1982) with midrank tie
+    * handling, in exact integer arithmetic both engines replay:
+    *
+    *   AUC = Σ_v p_v · (negBelow_v + q_v / 2) / (n1 · n0)
+    *
+    * summed over distinct score values v with p_v positives and q_v
+    * negatives at v, negBelow_v = negatives at strictly smaller scores.
+    * The half from midranks is cleared by doubling: u2 = Σ p_v ·
+    * (2·negBelow_v + q_v), auc_ppm = (1e6 · u2) div (2 · n1 · n0) —
+    * every operand non-negative, so truncating (Spark `div`) and floor
+    * (DuckDB `//`) division agree. Products run in DECIMAL(38,0): u2 is
+    * bounded by n1·n0, so the ppm numerator stays inside 38 digits up to
+    * ~1e15 labeled rows per group.
+    *
+    * Scale shape: one corpus aggregate to the per-group distinct-score
+    * table (bounded by score cardinality, the q222 distinct-value class —
+    * NOT corpus-sized for any integer score), then the house two-phase
+    * bucket cumsum for the negatives-below prefix: in-bucket exclusive
+    * prefix under a window partitioned by (group, score-range bucket),
+    * plus one offset pass over the bounded per-group bucket table. No
+    * global-order window over raw rows; the corpus is never rejoined.
+    *
+    * Output per group: (groupCol, n_pos, n_neg, auc_ppm), auc_ppm null
+    * when either class is empty (AUC undefined). Null scores/labels are
+    * excluded (no label ≠ negative label).
+    */
+  def aucByGroup(df: DataFrame, scoreCol: String, labelCol: String,
+                 groupCol: String, bucketWidth: Long = 1000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val dec = "decimal(38,0)"
+    val vt = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(scoreCol).cast("long").as("__v"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("__p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("__q"))
+      .withColumn("__bkt",
+        floor(col("__v").cast("double") / bucketWidth).cast("long"))
+    // In-bucket EXCLUSIVE prefix of negatives (strictly-below semantics).
+    val wIn = Window.partitionBy(col("__g"), col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inCum = vt.withColumn("__iq", coalesce(sum(col("__q")).over(wIn), lit(0L)))
+    // Bucket offsets over the bounded per-group bucket table.
+    val wOff = Window.partitionBy(col("__g")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = vt.groupBy(col("__g"), col("__bkt"))
+      .agg(sum(col("__q")).as("__tq"))
+      .withColumn("__oq", coalesce(sum(col("__tq")).over(wOff), lit(0L)))
+      .select(col("__g"), col("__bkt"), col("__oq"))
+    val perGroup = inCum.join(offsets, Seq("__g", "__bkt"))
+      .withColumn("__nb", (col("__iq") + col("__oq")).cast(dec))
+      .groupBy(col("__g"))
+      .agg(
+        sum(col("__p").cast(dec) *
+          (col("__nb") * lit(2) + col("__q").cast(dec))).as("__u2"),
+        sum(col("__p")).cast(dec).as("__n1"),
+        sum(col("__q")).cast(dec).as("__n0"))
+    perGroup.select(
+      col("__g").as(groupCol),
+      col("__n1").cast("long").as("n_pos"),
+      col("__n0").cast("long").as("n_neg"),
+      when(col("__n1") > 0 && col("__n0") > 0,
+        expr("(__u2 * CAST(1000000 AS DECIMAL(38,0))) div " +
+          "(CAST(2 AS DECIMAL(38,0)) * __n1 * __n0)").cast("long"))
+        .as("auc_ppm"))
+  }
+}

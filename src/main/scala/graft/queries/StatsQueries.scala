@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Statistical-audit continuation families: exact classifier evaluation,
+  * robust outlier statistics, association measures, changelog compaction,
+  * data-layout clustering, and multi-objective selection. Every query is
+  * deterministic and DuckDB-replayed exactly (the house integer/DECIMAL
+  * discipline).
+  */
+object StatsQueries extends QueryGroup {
+
+  import WebQueries.StopWords
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q224_score_auc" -> { (s, d) =>
+      // Exact ROC AUC of the q140 hashed-feature quality scorer against
+      // the q144 Gopher gate label, per language — the discrimination
+      // check next to q176's calibration table (a scorer can be
+      // well-calibrated yet rank no better than chance; AUC is the
+      // threshold-free answer). Mann-Whitney rank-sum with midrank
+      // ties in exact integers; one corpus pass to the per-language
+      // distinct-score table + the house two-phase bucket cumsum.
+      val toks = split(col("text"), " ")
+      val base = Tables.documents(s, d).select(col("lang"),
+        TextFunctions.hashedFeatureScore(col("text")).as("score"),
+        size(toks).cast("long").as("n_tokens"),
+        TextFunctions.gopherStats(col("text"), StopWords).as("g"))
+      val gate = col("g.n_words").between(20L, 400L) &&
+        (col("g.char_sum").cast("double") / col("g.n_words")).between(3.0, 8.0) &&
+        col("g.n_stop") >= 2L &&
+        (col("g.n_types").cast("double") / col("g.n_words")) >= 0.3
+      graft.operators.Evaluation.aucByGroup(
+        base.select(col("lang"),
+          expr("((score + 500 * n_tokens) * 1000) div n_tokens").as("sm"),
+          gate.as("pass")),
+        "sm", "pass", "lang", bucketWidth = 10000L)
+        .orderBy(col("lang"))
+    })
+
+  override def oracle: Map[String, String] = Map(
+
+    "q224_score_auc" -> s"""
+      WITH t AS (
+        SELECT lang, text, string_split(text, ' ') AS toks FROM documents),
+      s AS (
+        SELECT lang,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score,
+          CAST(len(toks) AS BIGINT) AS n_tokens,
+          CAST(length(text) AS BIGINT) - (CAST(len(toks) AS BIGINT) - 1)
+            AS char_sum,
+          CAST(len(list_filter(toks, x -> x IN
+            (${StopWords.map(sw => s"'$sw'").mkString(", ")}))) AS BIGINT)
+            AS n_stop,
+          CAST(len(list_distinct(toks)) AS BIGINT) AS n_types
+        FROM t),
+      g AS (
+        SELECT lang, ((score + 500 * n_tokens) * 1000) // n_tokens AS v,
+          (n_tokens BETWEEN 20 AND 400)
+            AND (CAST(char_sum AS DOUBLE) / n_tokens BETWEEN 3.0 AND 8.0)
+            AND n_stop >= 2
+            AND (CAST(n_types AS DOUBLE) / n_tokens >= 0.3) AS y
+        FROM s),
+      vt AS (
+        SELECT lang, v,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS HUGEINT) AS p,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS HUGEINT) AS q
+        FROM g GROUP BY 1, 2),
+      c AS (
+        SELECT lang, v, p, q,
+          coalesce(sum(q) OVER (PARTITION BY lang ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        FROM vt),
+      tt AS (SELECT lang, sum(p) AS n1, sum(q) AS n0 FROM vt GROUP BY 1),
+      u AS (SELECT lang, sum(p * (2 * nb + q)) AS u2 FROM c GROUP BY 1)
+      SELECT u.lang AS lang,
+        CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        CASE WHEN n1 > 0 AND n0 > 0
+          THEN CAST(u2 * 1000000 // (2 * n1 * n0) AS BIGINT) END AS auc_ppm
+      FROM u JOIN tt ON u.lang = tt.lang ORDER BY lang""")
+}
