@@ -40,6 +40,21 @@ object StatsQueries extends QueryGroup {
           gate.as("pass")),
         "sm", "pass", "lang", bucketWidth = 10000L)
         .orderBy(col("lang"))
+    },
+
+    "q225_mad_outliers" -> { (s, d) =>
+      // Robust per-type outlier fence over event values (Hampel's
+      // |x - med| > 5*MAD rule): the row-level anomaly flag next to
+      // q218's series-level CUSUM — a corrupted feed inflates a mean/
+      // stddev fence until it hides itself; the median/MAD pair holds
+      // to a 50% breakdown point. Values become exact cents through
+      // DECIMAL(18,2); both medians are the distributed exact
+      // PERCENTILE_DISC (q65 parity), fences pure integer.
+      graft.operators.Robust.madOutliers(
+        Tables.events(s, d).select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
+        "event_type", "cents", k = 5L)
+        .orderBy(col("event_type"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -88,5 +103,29 @@ object StatsQueries extends QueryGroup {
         CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
         CASE WHEN n1 > 0 AND n0 > 0
           THEN CAST(u2 * 1000000 // (2 * n1 * n0) AS BIGINT) END AS auc_ppm
-      FROM u JOIN tt ON u.lang = tt.lang ORDER BY lang""")
+      FROM u JOIN tt ON u.lang = tt.lang ORDER BY lang""",
+
+    "q225_mad_outliers" -> """
+      WITH b AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL),
+      m AS (
+        SELECT event_type, quantile_disc(cents, 0.5) AS med
+        FROM b GROUP BY 1),
+      dv AS (
+        SELECT b.event_type, abs(cents - med) AS dev, med
+        FROM b JOIN m ON b.event_type = m.event_type),
+      md AS (
+        SELECT event_type, quantile_disc(dev, 0.5) AS mad
+        FROM dv GROUP BY 1)
+      SELECT dv.event_type AS event_type,
+        CAST(count(*) AS BIGINT) AS n,
+        max(med) AS median, max(mad) AS mad,
+        CAST(sum(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_outliers,
+        (CAST(sum(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000) // CAST(count(*) AS BIGINT) AS out_ppm
+      FROM dv JOIN md ON dv.event_type = md.event_type
+      GROUP BY 1 ORDER BY event_type""")
 }

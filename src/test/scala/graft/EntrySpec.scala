@@ -64,6 +64,7 @@ class EntrySpec extends SparkSpec {
       "li", // q221 interval lookup cents table
       "d0", "vt", "sel", // q222 KS drift
       "kc", // q223 private release pipeline key counts
+      "dv", "md", // q225 MAD deviations / MAD table
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
