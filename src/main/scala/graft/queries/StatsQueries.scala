@@ -55,6 +55,27 @@ object StatsQueries extends QueryGroup {
           (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents")),
         "event_type", "cents", k = 5L)
         .orderBy(col("event_type"))
+    },
+
+    "q226_chi2_association" -> { (s, d) =>
+      // Chi-square independence audit of the lang x source contingency
+      // (are per-source quotas silently reshaping the language mix?),
+      // decomposed per language so the offending category is visible.
+      // O^2-form in exact DECIMAL so empty cells never materialize; one
+      // corpus aggregate to the bounded cell table.
+      graft.operators.Association.chiSquare(
+        Tables.documents(s, d), "lang", "source")
+        .orderBy(col("lang"))
+    },
+
+    "q227_pmi_collocations" -> { (s, d) =>
+      // Top-20 collocations by PMI lift (Church & Hanks 1990) with
+      // min-support 5: the multiword-unit surfacing pass (raw bigram
+      // counts rank "of the" first; lift ranks the genuinely
+      // associated pairs). Log-free exact ppm lift; vocabulary-table
+      // joins only, corpus scanned twice (unigrams + bigrams).
+      graft.operators.Association.pmiTopBigrams(
+        Tables.documents(s, d), "text", minCount = 5L, k = 20)
     })
 
   override def oracle: Map[String, String] = Map(
@@ -127,5 +148,43 @@ object StatsQueries extends QueryGroup {
         (CAST(sum(CASE WHEN dev > mad * 5 THEN 1 ELSE 0 END) AS BIGINT)
           * 1000000) // CAST(count(*) AS BIGINT) AS out_ppm
       FROM dv JOIN md ON dv.event_type = md.event_type
-      GROUP BY 1 ORDER BY event_type""")
+      GROUP BY 1 ORDER BY event_type""",
+
+    "q226_chi2_association" -> """
+      WITH cells AS (
+        SELECT lang AS a, source AS b, CAST(count(*) AS HUGEINT) AS o
+        FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        GROUP BY 1, 2),
+      rt AS (SELECT a, sum(o) AS r FROM cells GROUP BY 1),
+      ct AS (SELECT b, sum(o) AS c FROM cells GROUP BY 1),
+      tot AS (SELECT sum(o) AS n,
+        CAST(count(DISTINCT a) AS BIGINT) AS ka,
+        CAST(count(DISTINCT b) AS BIGINT) AS kb FROM cells),
+      terms AS (
+        SELECT a, r, ka, kb, (o * o * n * 1000000) // (r * c) AS term
+        FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot)
+      SELECT a AS lang, CAST(max(r) AS BIGINT) AS n,
+        max((ka - 1) * (kb - 1)) AS dof,
+        CAST(sum(term) - max(r) * 1000000 AS BIGINT) AS chi2_ppm
+      FROM terms GROUP BY 1 ORDER BY lang""",
+
+    "q227_pmi_collocations" -> """
+      WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+      uni AS (
+        SELECT w, CAST(count(*) AS HUGEINT) AS cw
+        FROM t, unnest(l) AS uw(w) GROUP BY 1),
+      bi AS (
+        SELECT l[i] AS w1, l[i+1] AS w2, CAST(count(*) AS HUGEINT) AS cxy
+        FROM t, unnest(generate_series(1, greatest(len(l) - 1, 0))) AS g(i)
+        GROUP BY 1, 2 HAVING count(*) >= 5),
+      tot AS (
+        SELECT (SELECT CAST(sum(cw) AS HUGEINT) FROM uni) AS n,
+          (SELECT CAST(sum(greatest(len(l) - 1, 0)) AS HUGEINT) FROM t) AS m)
+      SELECT w1 || ' ' || w2 AS bigram, CAST(cxy AS BIGINT) AS n_pair,
+        CAST(u1.cw AS BIGINT) AS n_left, CAST(u2.cw AS BIGINT) AS n_right,
+        CAST((cxy * n * n * 1000000) // (m * u1.cw * u2.cw) AS BIGINT)
+          AS lift_ppm
+      FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
+      CROSS JOIN tot
+      ORDER BY lift_ppm DESC, bigram LIMIT 20""")
 }
