@@ -76,6 +76,23 @@ object StatsQueries extends QueryGroup {
       // joins only, corpus scanned twice (unigrams + bigrams).
       graft.operators.Association.pmiTopBigrams(
         Tables.documents(s, d), "text", minCount = 5L, k = 20)
+    },
+
+    "q228_changelog_compact" -> { (s, d) =>
+      // Lakehouse changelog compaction (latest-wins MERGE apply): the
+      // events stream read as a per-user change log — error records act
+      // as tombstones, everything else upserts the value — collapsed to
+      // the live snapshot in ONE combinable aggregate (struct-max +
+      // count; a hot key never buffers history). Tombstoned users stay
+      // as live=false rows (the incremental re-compaction contract).
+      graft.operators.Changelog.compact(
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        "user_id", "ts", "event_id", "op", Seq("cents"))
+        .orderBy(col("user_id"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -186,5 +203,21 @@ object StatsQueries extends QueryGroup {
           AS lift_ppm
       FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w
       CROSS JOIN tot
-      ORDER BY lift_ppm DESC, bigram LIMIT 20""")
+      ORDER BY lift_ppm DESC, bigram LIMIT 20""",
+
+    "q228_changelog_compact" -> """
+      WITH ch AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      r AS (
+        SELECT *,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn,
+          CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+        FROM ch)
+      SELECT user_id, cents, ts AS last_ts, event_id AS last_seq,
+        op <> 'D' AS live, n_changes
+      FROM r WHERE rn = 1 ORDER BY user_id""")
 }

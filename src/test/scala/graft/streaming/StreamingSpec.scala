@@ -2049,4 +2049,80 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("streaming upsert compaction: batch == stream under out-of-order arrival") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long, String, Long)]
+      val q = UpsertStream.compact(input.toDS())
+        .writeStream.format("memory").queryName("upsert_stream")
+        .outputMode("append").start()
+      try {
+        // batch 1: a upserted twice OUT OF ORDER, b inserted
+        input.addData(("a", 200L, 2L, "U", 20L), ("a", 100L, 1L, "U", 10L),
+          ("b", 100L, 3L, "U", 30L))
+        q.processAllAvailable()
+        // batch 2: b tombstoned; a gets a STALE change (counts, no regress);
+        // c delete-then-reinsert within one batch
+        input.addData(("b", 200L, 4L, "D", 0L), ("a", 50L, 0L, "U", 5L),
+          ("c", 100L, 5L, "D", 0L), ("c", 200L, 6L, "U", 60L))
+        q.processAllAvailable()
+        val rows = spark.table("upsert_stream")
+          .as[(String, Long, Long, Long, Boolean, Long)].collect()
+        // latest emission per key == the batch compact over the union
+        val last = rows.groupBy(_._1).map { case (k, rs) =>
+          k -> rs.maxBy(_._6)
+        }
+        assert(last("a") == (("a", 200L, 2L, 20L, true, 3L)))
+        assert(last("b") == (("b", 200L, 4L, 0L, false, 2L)))
+        assert(last("c") == (("c", 200L, 6L, 60L, true, 2L)))
+        val batch = graft.operators.Changelog.compact(
+          Seq(("a", 200L, 2L, "U", 20L), ("a", 100L, 1L, "U", 10L),
+            ("b", 100L, 3L, "U", 30L), ("b", 200L, 4L, "D", 0L),
+            ("a", 50L, 0L, "U", 5L), ("c", 100L, 5L, "D", 0L),
+            ("c", 200L, 6L, "U", 60L)).toDF("k", "ts", "seq", "op", "v"),
+          "k", "ts", "seq", "op", Seq("v"))
+          .collect().map(r => r.getAs[String]("k") ->
+            ((r.getAs[String]("k"), r.getAs[Long]("last_ts"),
+              r.getAs[Long]("last_seq"), r.getAs[Long]("v"),
+              r.getAs[Boolean]("live"), r.getAs[Long]("n_changes")))).toMap
+        assert(last.toMap == batch, "stream final emissions must equal batch compact")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming upsert compaction: winner and count survive a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_upsert").toString
+      val input = MemoryStream[(String, Long, Long, String, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Boolean, Long)]
+      def start() = UpsertStream.compact(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("a", 300L, 1L, "U", 30L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // stale post-restart row: must bump the RESTORED count to 2 and
+        // keep the pre-restart winner — a reset would emit (100, 10, n=1)
+        input.addData(("a", 100L, 0L, "U", 10L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("a", 300L, 1L, 30L, true, 2L)),
+          s"restored winner/count expected: $got")
+      } finally q2.stop()
+    }
+  }
 }
