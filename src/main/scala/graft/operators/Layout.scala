@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Write-side data-layout audit — the file-skipping half of the 100 TB
+  * story, completing q106's zone-map view. A skipping reader prunes a
+  * file when the probe range misses the file's per-column [min, max];
+  * how much it prunes is decided by the ORDER rows were written in.
+  * q106 reports bounding boxes per Z-KEY-SPACE bucket; this operator
+  * reports them per EQUAL-ROW chunk — the actual files a writer emits —
+  * and sets the Z-order layout against the lexicographic baseline on
+  * the same rows, making the pruning win measurable.
+  */
+object LayoutAudit {
+
+  /** Per-chunk bounding-box report: Z-order vs lexicographic (x, y)
+    * layout. Both layouts assign every row a deterministic global
+    * position, cut the order into `nChunks` equal chunks, and report
+    * each chunk's row count, per-key [min, max] and bbox area — the
+    * statistics zone maps store. The linear layout collapses the x
+    * range per chunk and leaves y covering its full domain; Z-order
+    * keeps both small.
+    *
+    * Determinism without a unique row id: rows are ranked by
+    * (sort key, pid) where pid = x·(max_y+1)+y packs the coordinates —
+    * rows tied on (key, pid) are IDENTICAL in every aggregated
+    * attribute, so whichever side of a chunk boundary each lands on,
+    * the per-chunk count/min/max/area are engine-independent (the
+    * oracle replays with row_number over the same order). Positions
+    * come from the house two-phase bucket cumsum
+    * ([[Budget.takeByBudget]] with unit costs — no global-order window
+    * over raw rows); coordinates are recovered from pid by integer
+    * div/mod, so the corpus is never rejoined. Keys bucketize into
+    * [0, 2^bits) by exact integer scaling off one bounded max-aggregate.
+    *
+    * Contracts: keys non-negative (nulls/negatives filtered, the q212
+    * rule); x·(max_y+1)+y must fit a long (true for any real key pair).
+    *
+    * Output (2·nChunks rows): (layout, chunk, n, min_x, max_x, min_y,
+    * max_y, bbox_area).
+    */
+  def zOrderReport(df: DataFrame, xCol: String, yCol: String,
+                   bits: Int = 8, nChunks: Int = 64,
+                   bucketWidth: Long = 1024L): DataFrame = {
+    require(bits >= 1 && bits <= 20, s"bits must be in [1,20], got $bits")
+    require(nChunks >= 1, s"nChunks must be positive, got $nChunks")
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(xCol) >= 0 && col(yCol) >= 0)
+      .select(col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val mx = base.agg(max(col("__x")).as("__mx"), max(col("__y")).as("__my"),
+      count(lit(1)).as("__n"))
+    val b = base.crossJoin(broadcast(mx))
+      .withColumn("__xb", expr(s"(__x * ${1L << bits}L) div (__mx + 1L)"))
+      .withColumn("__yb", expr(s"(__y * ${1L << bits}L) div (__my + 1L)"))
+      .withColumn("__pid", col("__x") * (col("__my") + 1L) + col("__y"))
+      .withColumn("__zkey",
+        graft.functions.Layout.interleaveBits(col("__xb"), col("__yb"), bits))
+    def chunks(keyCol: String, label: String): DataFrame = {
+      val ranked = Budget.takeByBudget(
+        b.select(col("__pid"), (-col(keyCol)).as("__neg"), lit(1L).as("__one")),
+        "__pid", "__neg", "__one", budget = Long.MaxValue, bucketWidth)
+      ranked.crossJoin(broadcast(mx))
+        .withColumn("__cx", expr("__pid div (__my + 1L)"))
+        .withColumn("__cy", expr("pmod(__pid, __my + 1L)"))
+        .withColumn("__csize", expr(s"(__n + ${nChunks}L - 1L) div ${nChunks}L"))
+        .groupBy(lit(label).as("layout"),
+          expr("(cum_cost - 1L) div __csize").as("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min(col("__cx")).as("min_x"), max(col("__cx")).as("max_x"),
+          min(col("__cy")).as("min_y"), max(col("__cy")).as("max_y"))
+        .withColumn("bbox_area",
+          (col("max_x") - col("min_x") + 1L) * (col("max_y") - col("min_y") + 1L))
+    }
+    // the lexicographic baseline sorts by pid itself — exactly (x, y)
+    chunks("__zkey", "zorder").unionByName(chunks("__pid", "linear"))
+  }
+}

@@ -93,6 +93,22 @@ object StatsQueries extends QueryGroup {
             .as("cents")),
         "user_id", "ts", "event_id", "op", Seq("cents"))
         .orderBy(col("user_id"))
+    },
+
+    "q229_zorder_layout" -> { (s, d) =>
+      // Write-side layout audit: Z-order vs lexicographic clustering of
+      // lineitem on (l_partkey, l_suppkey), reported as the per-chunk
+      // [min,max] bounding boxes a skipping reader prunes on — q106
+      // shows zone maps per KEY-SPACE bucket; this cuts EQUAL-ROW
+      // chunks (the files a writer actually emits) and sets the two
+      // layouts side by side. The linear layout collapses the x range
+      // and leaves y covering the full domain; Z-order keeps both
+      // small. Exact integer bucketization, positions via the
+      // two-phase cumsum (no global-order window), 128 bounded rows.
+      graft.operators.LayoutAudit.zOrderReport(
+        Tables.lineitem(s, d),
+        "l_partkey", "l_suppkey", bits = 8, nChunks = 64)
+        .orderBy(col("layout"), col("chunk"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -219,5 +235,41 @@ object StatsQueries extends QueryGroup {
         FROM ch)
       SELECT user_id, cents, ts AS last_ts, event_id AS last_seq,
         op <> 'D' AS live, n_changes
-      FROM r WHERE rn = 1 ORDER BY user_id""")
+      FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "q229_zorder_layout" -> s"""
+      WITH b AS (
+        SELECT CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y
+        FROM lineitem WHERE l_partkey >= 0 AND l_suppkey >= 0),
+      mx AS (SELECT max(x) AS mxx, max(y) AS mxy,
+        CAST(count(*) AS BIGINT) AS n FROM b),
+      kb AS (
+        SELECT x, y, x * (mxy + 1) + y AS pid,
+          (x * 256) // (mxx + 1) AS xb, (y * 256) // (mxy + 1) AS yb,
+          (n + 63) // 64 AS csize
+        FROM b CROSS JOIN mx),
+      keys AS (
+        SELECT x, y, pid, csize,
+          ${graft.functions.Layout.interleaveBitsSql("xb", "yb", 8)} AS zkey
+        FROM kb),
+      rz AS (SELECT x, y, csize,
+        row_number() OVER (ORDER BY zkey, pid) AS rk FROM keys),
+      rl AS (SELECT x, y, csize,
+        row_number() OVER (ORDER BY pid) AS rk FROM keys),
+      cz AS (
+        SELECT 'zorder' AS layout, (rk - 1) // csize AS chunk,
+          CAST(count(*) AS BIGINT) AS n,
+          min(x) AS min_x, max(x) AS max_x,
+          min(y) AS min_y, max(y) AS max_y
+        FROM rz GROUP BY 1, 2),
+      cl AS (
+        SELECT 'linear' AS layout, (rk - 1) // csize AS chunk,
+          CAST(count(*) AS BIGINT) AS n,
+          min(x) AS min_x, max(x) AS max_x,
+          min(y) AS min_y, max(y) AS max_y
+        FROM rl GROUP BY 1, 2)
+      SELECT layout, chunk, n, min_x, max_x, min_y, max_y,
+        (max_x - min_x + 1) * (max_y - min_y + 1) AS bbox_area
+      FROM (SELECT * FROM cz UNION ALL SELECT * FROM cl)
+      ORDER BY layout, chunk""")
 }

@@ -66,6 +66,7 @@ class EntrySpec extends SparkSpec {
       "kc", // q223 private release pipeline key counts
       "dv", "md", // q225 MAD deviations / MAD table
       "uni", "bi", "uw", "u1", "u2", // q227 PMI vocab tables
+      "mx", "kb", "keys", "rz", "rl", "cz", "cl", // q229 layout audit
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",

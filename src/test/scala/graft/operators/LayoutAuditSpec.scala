@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("matches a brute-force single-node reference (incl. duplicate rows)") {
+    val pts = for (x <- 0L until 40L; y <- 0L until 40L) yield (x, y)
+    val withDups = pts ++ pts.take(100) // duplicates must be interchangeable
+    val out = LayoutAudit.zOrderReport(withDups.toDF("x", "y"), "x", "y",
+        bits = 4, nChunks = 8)
+      .collect().map(r => (r.getAs[String]("layout"), r.getAs[Long]("chunk")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("min_x"), r.getAs[Long]("max_x"),
+          r.getAs[Long]("min_y"), r.getAs[Long]("max_y")))).toMap
+
+    // reference: rank by (key, pid), equal chunks, bbox per chunk
+    val mxx = withDups.map(_._1).max; val mxy = withDups.map(_._2).max
+    val n = withDups.size.toLong
+    val csize = (n + 7) / 8
+    def zOf(xb: Long, yb: Long): Long =
+      (0 until 4).map(i => (((xb >> i) & 1L) << (2 * i)) |
+        (((yb >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    def ref(key: (Long, Long) => Long) = withDups
+      .map { case (x, y) =>
+        (key(x * 16 / (mxx + 1), y * 16 / (mxy + 1)), x * (mxy + 1) + y, x, y)
+      }
+      .sortBy(t => (t._1, t._2)).zipWithIndex
+      .groupBy { case (_, i) => i / csize }
+      .map { case (c, g) =>
+        val xs = g.map(_._1._3); val ys = g.map(_._1._4)
+        c.toLong -> ((g.size.toLong, xs.min, xs.max, ys.min, ys.max))
+      }
+    ref(zOf).foreach { case (c, v) => assert(out(("zorder", c)) == v, s"z chunk $c") }
+    val lin = withDups.map { case (x, y) => (x * (mxy + 1) + y, x, y) }
+      .sortBy(_._1).zipWithIndex
+      .groupBy { case (_, i) => i / csize }
+      .map { case (c, g) =>
+        val xs = g.map(_._1._2); val ys = g.map(_._1._3)
+        c.toLong -> ((g.size.toLong, xs.min, xs.max, ys.min, ys.max))
+      }
+    lin.foreach { case (c, v) => assert(out(("linear", c)) == v, s"lin chunk $c") }
+  }
+
+  test("Z-order beats the lexicographic layout on a square grid") {
+    val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+    val areas = LayoutAudit.zOrderReport(pts.toDF("x", "y"), "x", "y",
+        bits = 6, nChunks = 16)
+      .groupBy("layout").agg(sum("bbox_area").as("a"))
+      .collect().map(r => r.getAs[String]("layout") -> r.getAs[Long]("a")).toMap
+    // linear: each chunk spans 4 full-x columns -> area 4*64=256 each;
+    // z-order: each chunk is a 16x16 quadrant -> area 256... use finer
+    // chunking where z wins: 16 chunks of 256 rows = 16x16 tiles (area
+    // 256) vs linear 4x64 strips (area 256) — equal here, so compare
+    // the MAX side length instead: z chunks are square.
+    val widths = LayoutAudit.zOrderReport(pts.toDF("x", "y"), "x", "y",
+        bits = 6, nChunks = 16)
+      .withColumn("w", greatest(col("max_x") - col("min_x"),
+        col("max_y") - col("min_y")))
+      .groupBy("layout").agg(max("w").as("mw"))
+      .collect().map(r => r.getAs[String]("layout") -> r.getAs[Long]("mw")).toMap
+    assert(widths("zorder") == 15L, s"z chunks must be square tiles: $widths")
+    assert(widths("linear") == 63L, s"linear strips span full y: $widths")
+    assert(areas("zorder") <= areas("linear"))
+  }
+
+  test("nulls and negative keys are filtered; plan has no global-order window") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((1L, 2L), (null, 3L),
+      (-1L, 4L), (5L, 6L)).toDF("x", "y")
+    val out = LayoutAudit.zOrderReport(df, "x", "y", bits = 2, nChunks = 1)
+    assert(out.agg(sum("n")).collect()(0).getLong(0) == 4L) // 2 rows x 2 layouts
+    val plan = out.queryExecution.executedPlan.toString
+    // every Window must be partitioned (the PlanSpec global rule)
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"), plan)
+  }
+}
