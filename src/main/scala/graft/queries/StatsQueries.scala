@@ -109,6 +109,24 @@ object StatsQueries extends QueryGroup {
         Tables.lineitem(s, d),
         "l_partkey", "l_suppkey", bits = 8, nChunks = 64)
         .orderBy(col("layout"), col("chunk"))
+    },
+
+    "q230_pareto_frontier" -> { (s, d) =>
+      // Quality-length Pareto frontier over documents (skyline,
+      // Börzsönyi et al. 2001): the docs no other doc beats on BOTH the
+      // q140 quality score and raw length — the trade-off curve a
+      // curation run consults before scalarizing. 2-D skyline as a
+      // suffix max over the per-score value table: no dominance join
+      // at any scale, corpus scanned once.
+      val toks = split(col("text"), " ")
+      graft.operators.Skyline.frontier2D(
+        Tables.documents(s, d).select(
+            TextFunctions.hashedFeatureScore(col("text")).as("score"),
+            size(toks).cast("long").as("n_tokens"), col("n_chars"))
+          .select(expr("((score + 500 * n_tokens) * 1000) div n_tokens")
+            .as("score_millis"), col("n_chars")),
+        "score_millis", "n_chars", bucketWidth = 10000L)
+        .orderBy(col("score_millis"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -271,5 +289,36 @@ object StatsQueries extends QueryGroup {
       SELECT layout, chunk, n, min_x, max_x, min_y, max_y,
         (max_x - min_x + 1) * (max_y - min_y + 1) AS bbox_area
       FROM (SELECT * FROM cz UNION ALL SELECT * FROM cl)
-      ORDER BY layout, chunk""")
+      ORDER BY layout, chunk""",
+
+    "q230_pareto_frontier" -> s"""
+      WITH t AS (
+        SELECT n_chars, text, string_split(text, ' ') AS toks
+        FROM documents),
+      s AS (
+        SELECT n_chars,
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(toks, tok ->
+              (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(tok, ''),
+                   x -> CAST(unicode(x) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % ${graft.operators.Dedup.M}) % 1024)
+                * 2654435761 % 1000 - 500)),
+            (a, w) -> a + w) AS score,
+          CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM t),
+      p AS (
+        SELECT ((score + 500 * n_tokens) * 1000) // n_tokens AS x,
+          n_chars AS y, CAST(count(*) AS BIGINT) AS n
+        FROM s GROUP BY 1, 2),
+      px AS (
+        SELECT x, max(y) AS yb FROM p GROUP BY 1),
+      sf AS (
+        SELECT x, yb, max(yb) OVER (ORDER BY x DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sm
+        FROM px)
+      SELECT sf.x AS score_millis, sf.yb AS n_chars, p.n AS n_points
+      FROM sf JOIN p ON p.x = sf.x AND p.y = sf.yb
+      WHERE sm IS NULL OR yb > sm
+      ORDER BY score_millis""")
 }

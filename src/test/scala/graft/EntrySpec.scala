@@ -67,6 +67,7 @@ class EntrySpec extends SparkSpec {
       "dv", "md", // q225 MAD deviations / MAD table
       "uni", "bi", "uw", "u1", "u2", // q227 PMI vocab tables
       "mx", "kb", "keys", "rz", "rl", "cz", "cl", // q229 layout audit
+      "sf", // q230 skyline suffix-max stage
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
