@@ -57,6 +57,9 @@ object LayoutAudit {
       .withColumn("__pid", col("__x") * (col("__my") + 1L) + col("__y"))
       .withColumn("__zkey",
         graft.functions.Layout.interleaveBits(col("__xb"), col("__yb"), bits))
+      // both layout rankings consume this narrow subtree — the house
+      // twice-consumed-seam rule (q191/q193): 6.38 -> 1.65 s at sf0.1
+      .localCheckpoint(eager = false)
     def chunks(keyCol: String, label: String): DataFrame = {
       val ranked = Budget.takeByBudget(
         b.select(col("__pid"), (-col(keyCol)).as("__neg"), lit(1L).as("__one")),
