@@ -62,6 +62,40 @@ object Changelog {
     compactShaped(b.unionByName(d), keyCol, valueCols, deleteOp)
   }
 
+  /** SCD2 validity-interval history from the same changelog: every
+    * non-delete change becomes a version row valid [its ts, the next
+    * change's ts), the last open version has valid_to null, and a
+    * delete CLOSES the prior version without emitting one (its ts is
+    * visible as that version's valid_to). `version` numbers ALL of a
+    * key's changes in (ts, seq) order — deletes included, so version
+    * numbers are stable under later filtering (both engines replay the
+    * same rule).
+    *
+    * Scale shape: one window per key ordered by (ts, seq) — partitioned
+    * by the key, so the only assumption is the standard SCD2 one: a
+    * single key's change HISTORY fits a task (violating that means
+    * millions of changes to one row — a changelog pathology, not a
+    * corpus-size function). No global-order step.
+    *
+    * Output: (keyCol, valueCols*, valid_from, valid_to, version,
+    * is_current).
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+           opCol: String, valueCols: Seq[String],
+           deleteOp: String = "D"): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    df.select(col(keyCol) +: col(tsCol) +: col(seqCol) +: col(opCol) +:
+        valueCols.map(col): _*)
+      .withColumn("__vto", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .filter(col(opCol) =!= lit(deleteOp))
+      .select(col(keyCol) +: valueCols.map(col) :+
+        col(tsCol).as("valid_from") :+ col("__vto").as("valid_to") :+
+        col("version") :+ col("__vto").isNull.as("is_current"): _*)
+  }
+
   private def compactShaped(shaped: DataFrame, keyCol: String,
                             valueCols: Seq[String],
                             deleteOp: String): DataFrame = {

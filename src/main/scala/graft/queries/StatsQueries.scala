@@ -127,6 +127,23 @@ object StatsQueries extends QueryGroup {
             .as("score_millis"), col("n_chars")),
         "score_millis", "n_chars", bucketWidth = 10000L)
         .orderBy(col("score_millis"))
+    },
+
+    "q231_scd2_history" -> { (s, d) =>
+      // SCD2 validity intervals from the q228 changelog: every change
+      // becomes a version row valid [its ts, the next change's ts);
+      // deletes close the prior version without emitting one. The
+      // dimension-table history a warehouse join uses for as-of lookups
+      // (q221's interval table, built instead of assumed). One
+      // per-key-partitioned window — no global order.
+      graft.operators.Changelog.scd2(
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        "user_id", "ts", "event_id", "op", Seq("cents"))
+        .orderBy(col("user_id"), col("version"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -320,5 +337,22 @@ object StatsQueries extends QueryGroup {
       SELECT sf.x AS score_millis, sf.yb AS n_chars, p.n AS n_points
       FROM sf JOIN p ON p.x = sf.x AND p.y = sf.yb
       WHERE sm IS NULL OR yb > sm
-      ORDER BY score_millis""")
+      ORDER BY score_millis""",
+
+    "q231_scd2_history" -> """
+      WITH ch AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      v AS (
+        SELECT user_id, ts, event_id, op, cents,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS vto,
+          CAST(row_number() OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS BIGINT) AS version
+        FROM ch)
+      SELECT user_id, cents, ts AS valid_from, vto AS valid_to,
+        version, vto IS NULL AS is_current
+      FROM v WHERE op <> 'D' ORDER BY user_id, version""")
 }

@@ -55,6 +55,39 @@ class ChangelogSpec extends SparkSpec {
     assert(out("a") == ((99L, 500L, 9L, true, 3L)))
   }
 
+  test("scd2: intervals chain, deletes close without emitting, versions stable") {
+    val out = Changelog.scd2(log.toDF("k", "ts", "seq", "op", "v"),
+        "k", "ts", "seq", "op", Seq("v"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("version")) ->
+        ((r.getAs[Long]("v"), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_current")))).toMap
+    // a: three chained versions, last open
+    assert(out(("a", 1L)) == ((10L, 100L, Some(200L), false)))
+    assert(out(("a", 2L)) == ((20L, 200L, Some(300L), false)))
+    assert(out(("a", 3L)) == ((30L, 300L, None, true)))
+    // b: one version CLOSED by the delete at ts 200; no current row
+    assert(out(("b", 1L)) == ((40L, 100L, Some(200L), false)))
+    assert(!out.contains(("b", 2L)))
+    // c: delete-then-reinsert — version numbers count the delete (2)
+    assert(out(("c", 1L)) == ((60L, 100L, Some(200L), false)))
+    assert(out(("c", 3L)) == ((66L, 300L, None, true)))
+    // d: same-ts versions ordered by seq
+    assert(out(("d", 1L)) == ((90L, 100L, Some(100L), false)))
+    assert(out(("d", 2L)) == ((91L, 100L, None, true)))
+  }
+
+  test("scd2: current rows equal the compact snapshot's live rows") {
+    val df = log.toDF("k", "ts", "seq", "op", "v")
+    val current = Changelog.scd2(df, "k", "ts", "seq", "op", Seq("v"))
+      .filter(col("is_current"))
+      .select("k", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val live = Changelog.compact(df, "k", "ts", "seq", "op", Seq("v"))
+      .filter(col("live"))
+      .select("k", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(current == live)
+  }
+
   test("plan shape: one aggregate, no window, no join") {
     val plan = Changelog.compact(log.toDF("k", "ts", "seq", "op", "v"),
       "k", "ts", "seq", "op", Seq("v"))
