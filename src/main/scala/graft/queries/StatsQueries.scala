@@ -144,6 +144,20 @@ object StatsQueries extends QueryGroup {
             .as("cents")),
         "user_id", "ts", "event_id", "op", Seq("cents"))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    "q232_cohort_retention" -> { (s, d) =>
+      // Weekly cohort-retention triangle (growth accounting): users
+      // bucketed by the week of their first signup, counted active in
+      // every later week they produce ANY event — q83 answers "did a
+      // user convert once", this answers "did week-W's signups still
+      // show up in week W+N". One user-cohort aggregate, one
+      // co-partitioned join, one distinct matrix aggregate; exact
+      // integer epoch-week grid (no calendar arithmetic).
+      graft.operators.Cohort.retention(
+        Tables.events(s, d), "user_id", "ts", "event_type", "signup",
+        periodDays = 7)
+        .orderBy(col("cohort_period"), col("period_offset"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -354,5 +368,25 @@ object StatsQueries extends QueryGroup {
         FROM ch)
       SELECT user_id, cents, ts AS valid_from, vto AS valid_to,
         version, vto IS NULL AS is_current
-      FROM v WHERE op <> 'D' ORDER BY user_id, version""")
+      FROM v WHERE op <> 'D' ORDER BY user_id, version""",
+
+    "q232_cohort_retention" -> """
+      WITH ch AS (
+        SELECT user_id, min(ts) AS c0
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      act AS (
+        SELECT DISTINCT e.user_id,
+          epoch_us(c0) // 604800000000 AS cp,
+          epoch_us(e.ts) // 604800000000 - epoch_us(c0) // 604800000000
+            AS yo
+        FROM events e JOIN ch ON e.user_id = ch.user_id
+        WHERE e.ts >= c0),
+      m AS (
+        SELECT cp, yo, CAST(count(*) AS BIGINT) AS n_active
+        FROM act GROUP BY 1, 2),
+      sz AS (SELECT cp, n_active AS cohort_size FROM m WHERE yo = 0)
+      SELECT m.cp AS cohort_period, m.yo AS period_offset, n_active,
+        cohort_size, (n_active * 1000000) // cohort_size AS retention_ppm
+      FROM m JOIN sz ON m.cp = sz.cp
+      ORDER BY cohort_period, period_offset""")
 }
