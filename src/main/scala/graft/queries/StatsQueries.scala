@@ -158,6 +158,21 @@ object StatsQueries extends QueryGroup {
         Tables.events(s, d), "user_id", "ts", "event_type", "signup",
         periodDays = 7)
         .orderBy(col("cohort_period"), col("period_offset"))
+    },
+
+    "q233_triangle_census" -> { (s, d) =>
+      // Triangle census of the co-purchase graph (parts sharing an
+      // order): exact triangle count + global clustering coefficient
+      // via degree-ordered orientation (Suri & Vassilvitskii 2011) — a
+      // hub part never enumerates its d^2 neighbor pairs. The density
+      // audit CC (q119) can't give: cliques vs chains.
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.triangleStats(edges, "src", "dst")
     })
 
   override def oracle: Map[String, String] = Map(
@@ -388,5 +403,30 @@ object StatsQueries extends QueryGroup {
       SELECT m.cp AS cohort_period, m.yo AS period_offset, n_active,
         cohort_size, (n_active * 1000000) // cohort_size AS retention_ppm
       FROM m JOIN sz ON m.cp = sz.cp
-      ORDER BY cohort_period, period_offset""")
+      ORDER BY cohort_period, period_offset""",
+
+    "q233_triangle_census" -> """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      dg AS (
+        SELECT v, CAST(count(*) AS HUGEINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1),
+      tri AS (
+        SELECT CAST(count(*) AS HUGEINT) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      dtot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+          sum((d * (d - 1)) // 2) AS wed FROM dg)
+      SELECT n_vertices, n_edges, CAST(wed AS BIGINT) AS n_wedges,
+        CAST(t AS BIGINT) AS n_triangles,
+        CASE WHEN wed > 0 THEN CAST((3 * t * 1000000) // wed AS BIGINT)
+          END AS global_cc_ppm
+      FROM dtot CROSS JOIN tot CROSS JOIN tri""")
 }

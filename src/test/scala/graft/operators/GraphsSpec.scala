@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class GraphsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(edges: Seq[(Long, Long)]) = {
+    val r = Graphs.triangleStats(edges.toDF("s", "t"), "s", "t").collect()(0)
+    (r.getAs[Long]("n_vertices"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"),
+      Option(r.getAs[Any]("global_cc_ppm")).map(_.asInstanceOf[Long]))
+  }
+
+  test("clique K4: 4 triangles, cc = 1; chain: 0 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    // wedges: each vertex deg 3 -> 4 * 3 = 12; cc = 3*4/12 = 1
+    assert(run(k4) == ((4L, 6L, 12L, 4L, Some(1000000L))))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(run(chain) == ((4L, 3L, 2L, 0L, Some(0L))))
+  }
+
+  test("star graph: hub never enumerates pairs — wedges counted, 0 triangles") {
+    val star = (2L to 30L).map(v => (1L, v))
+    val (nv, ne, nw, nt, cc) = run(star)
+    assert((nv, ne, nt) == ((30L, 29L, 0L)))
+    assert(nw == 29L * 28L / 2)
+    assert(cc == Some(0L))
+  }
+
+  test("duplicate / reversed / self-loop edges canonicalize away") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L),
+      (2L, 3L), (3L, 1L))
+    assert(run(messy) == ((3L, 3L, 3L, 1L, Some(1000000L))))
+  }
+
+  test("single edge: no wedges -> null cc") {
+    assert(run(Seq((1L, 2L))) == ((2L, 1L, 0L, 0L, None)))
+  }
+
+  test("property: matches brute-force triple enumeration on random graphs") {
+    val gen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    val cases = (0 until 6).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(7L + i)))
+    cases.foreach { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (es.nonEmpty) {
+        val vs = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val set = es.toSet
+        val triRef = vs.combinations(3).count { c =>
+          val Seq(a, b, cc0) = c.sorted
+          set((a, b)) && set((b, cc0)) && set((a, cc0))
+        }
+        val (_, _, _, nt, _) = run(es)
+        assert(nt == triRef.toLong, s"edges: $es")
+      }
+    }
+  }
+}
