@@ -173,6 +173,19 @@ object StatsQueries extends QueryGroup {
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graphs.triangleStats(edges, "src", "dst")
+    },
+
+    "q234_gini_concentration" -> { (s, d) =>
+      // Per-source token-count Gini: is a source many same-sized docs
+      // (G~0) or a few mega-docs and dust (G->1)? Packing efficiency,
+      // dedup pair volume and quota design all depend on this shape,
+      // not just the totals q180 reports. Exact Lorenz-rank form over
+      // the per-source distinct-value table + two-phase cumsum.
+      graft.operators.Inequality.giniByGroup(
+        Tables.documents(s, d).select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks")),
+        "source", "n_toks", bucketWidth = 16L)
+        .orderBy(col("source"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -428,5 +441,29 @@ object StatsQueries extends QueryGroup {
         CAST(t AS BIGINT) AS n_triangles,
         CASE WHEN wed > 0 THEN CAST((3 * t * 1000000) // wed AS BIGINT)
           END AS global_cc_ppm
-      FROM dtot CROSS JOIN tot CROSS JOIN tri""")
+      FROM dtot CROSS JOIN tot CROSS JOIN tri""",
+
+    "q234_gini_concentration" -> """
+      WITH b AS (
+        SELECT source,
+          CAST(len(string_split(text, ' ')) AS HUGEINT) AS v
+        FROM documents),
+      vt AS (
+        SELECT source, v, CAST(count(*) AS HUGEINT) AS c
+        FROM b GROUP BY 1, 2),
+      cm AS (
+        SELECT source, v, c,
+          coalesce(sum(c) OVER (PARTITION BY source ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp
+        FROM vt),
+      r AS (
+        SELECT source,
+          sum(v * (2 * c * cp + c * (c + 1))) AS s2,
+          sum(c) AS n, sum(c * v) AS t
+        FROM cm GROUP BY 1)
+      SELECT source, CAST(n AS BIGINT) AS n, CAST(t AS BIGINT) AS total,
+        CASE WHEN n > 0 AND t > 0
+          THEN CAST(((s2 - (n + 1) * t) * 1000000) // (n * t) AS BIGINT)
+          END AS gini_ppm
+      FROM r ORDER BY source""")
 }
