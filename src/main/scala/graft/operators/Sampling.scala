@@ -62,4 +62,70 @@ object Sampling {
       .select((groupCols.map(col) :+ col("rn") :+ col("__id").as(idCol) :+
         col("__w").as("weight") :+ col("priority")): _*)
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split exactly `k` slots
+    * across strata proportionally to a non-negative integer weight, in
+    * exact integer arithmetic. base_i = (k·w_i) div W; the L = k − Σbase
+    * leftover slots go to the largest remainders (k·w_i) mod W, ties to
+    * the smaller key — the deterministic total order both engines
+    * replay. Σ alloc = k exactly whenever W > 0 (the property float
+    * rounding cannot give); W = 0 allocates nothing.
+    *
+    * `weights` is already stratum-level — a BOUNDED table (the
+    * [[Doremi]] contract), so the remainder-rank window runs over k
+    * rows, never a corpus. Output: (keyCol, weightCol, alloc).
+    */
+  def apportion(weights: DataFrame, keyCol: String, weightCol: String,
+                k: Long): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__r").desc, col(keyCol).asc)
+    val q = weights
+      .filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+      .select(col(keyCol), col(weightCol).cast("long").as("__w"))
+      .crossJoin(broadcast(weights
+        .filter(col(weightCol).isNotNull && col(weightCol) >= 0)
+        .agg(sum(col(weightCol).cast("long")).as("__tw"))))
+      .withColumn("__base", when(col("__tw") > 0,
+        expr(s"(__w * ${k}L) div __tw")).otherwise(lit(0L)))
+      .withColumn("__r", when(col("__tw") > 0,
+        expr(s"(__w * ${k}L) % __tw")).otherwise(lit(0L)))
+    q.crossJoin(broadcast(q.agg(
+        (lit(k) - coalesce(sum(col("__base")), lit(0L))).as("__l"))))
+      .withColumn("__rk", row_number().over(w))
+      .select(col(keyCol), col("__w").as(weightCol),
+        (col("__base") + when(col("__rk") <= col("__l") && col("__tw") > 0,
+          1L).otherwise(0L)).as("alloc"))
+  }
+
+  /** Stratified exact-allocation sample: `k` rows total, split across
+    * strata by [[apportion]] on the stratum COUNTS (proportional
+    * allocation), each stratum's quota filled by the smallest portable
+    * hash priorities (uniform within stratum, re-run/repartition
+    * stable). The per-stratum cut is the k-bounded heap — a mega-stratum
+    * collapses map-side (its heap is ≤ k entries, the global sample
+    * size, since no stratum can be allocated more).
+    *
+    * `idCol` integral and unique (the [[weightedSample]] contract).
+    * Output: (stratumCol, idCol, rn, alloc) — rn ∈ [1, alloc].
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val base = df.filter(col(idCol).isNotNull && col(stratumCol).isNotNull)
+      .select(col(stratumCol), col(idCol).cast("long").as("__id"))
+      .withColumn("__p",
+        pmod(col("__id") * 1000003L + 17L, lit(1000000007L)))
+    val alloc = apportion(
+      base.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n")),
+      stratumCol, "__n", k)
+    val top = TopK.perGroupAgg(base, Seq(stratumCol), -col("__p"),
+        col("__id"), k)
+      .select(col(stratumCol), col("rn").cast("long").as("rn"),
+        col("id").as(idCol))
+    top.join(broadcast(alloc.select(col(stratumCol), col("alloc"))),
+        stratumCol)
+      .filter(col("rn") <= col("alloc"))
+      .select(col(stratumCol), col(idCol), col("rn"), col("alloc"))
+  }
 }

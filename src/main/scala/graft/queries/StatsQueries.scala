@@ -186,6 +186,19 @@ object StatsQueries extends QueryGroup {
           size(split(col("text"), " ")).cast("long").as("n_toks")),
         "source", "n_toks", bucketWidth = 16L)
         .orderBy(col("source"))
+    },
+
+    "q235_stratified_sample" -> { (s, d) =>
+      // Stratified exact-allocation pilot sample: 500 documents split
+      // across languages by largest-remainder (Hamilton) apportionment
+      // on the stratum counts — Σ alloc = 500 EXACTLY (float-rounded
+      // quotas can't promise that), each stratum filled by the
+      // smallest portable-hash priorities (q98's gate gives a RATE per
+      // stratum; this gives a COUNT). Bounded allocation table +
+      // k-bounded heap cut; re-run/repartition stable.
+      graft.operators.Sampling.stratifiedSample(
+        Tables.documents(s, d), "lang", "doc_id", k = 500)
+        .orderBy(col("lang"), col("rn"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -465,5 +478,30 @@ object StatsQueries extends QueryGroup {
         CASE WHEN n > 0 AND t > 0
           THEN CAST(((s2 - (n + 1) * t) * 1000000) // (n * t) AS BIGINT)
           END AS gini_ppm
-      FROM r ORDER BY source""")
+      FROM r ORDER BY source""",
+
+    "q235_stratified_sample" -> """
+      WITH b AS (
+        SELECT lang, doc_id,
+          (doc_id * 1000003 + 17) % 1000000007 AS p
+        FROM documents),
+      cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      tw AS (SELECT sum(n) AS w FROM cnt),
+      qa AS (
+        SELECT lang, n, (n * 500) // w AS base, (n * 500) % w AS r
+        FROM cnt CROSS JOIN tw),
+      lv AS (SELECT 500 - sum(base) AS l FROM qa),
+      al AS (
+        SELECT lang, base + CASE WHEN
+            row_number() OVER (ORDER BY r DESC, lang) <= l
+          THEN 1 ELSE 0 END AS alloc
+        FROM qa CROSS JOIN lv),
+      rk AS (
+        SELECT lang, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY p, doc_id) AS BIGINT) AS rn
+        FROM b)
+      SELECT rk.lang AS lang, doc_id, rn, alloc
+      FROM rk JOIN al ON rk.lang = al.lang
+      WHERE rn <= alloc ORDER BY lang, rn""")
 }

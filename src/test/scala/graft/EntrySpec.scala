@@ -68,6 +68,9 @@ class EntrySpec extends SparkSpec {
       "uni", "bi", "uw", "u1", "u2", // q227 PMI vocab tables
       "mx", "kb", "keys", "rz", "rl", "cz", "cl", // q229 layout audit
       "sf", // q230 skyline suffix-max stage
+      "act", "sz", // q232 cohort activity / cohort sizes
+      "op", "dg", "dtot", // q233 triangle census stages
+      "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",

@@ -68,4 +68,45 @@ class SamplingSpec extends SparkSpec {
     val r4 = got.find(_.getAs[Long]("id") == 4L).get
     assert(r4.getAs[Long]("priority") == pri(4L, 1L)) // clamped divisor
   }
+
+  test("apportion: Hamilton hand fixture — sum exact, largest remainders win") {
+    // k=10 over weights 5,3,2,1 (W=11): quotas 4.54, 2.72, 1.81, 0.90
+    // bases 4,2,1,0 (sum 7) -> 3 leftover slots to remainders 6,8,9,10
+    // -> b (8), c (9), d (10) each +1
+    val out = Sampling.apportion(
+        Seq(("a", 5L), ("b", 3L), ("c", 2L), ("d", 1L)).toDF("k", "w"),
+        "k", "w", k = 10L)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("alloc")).toMap
+    assert(out == Map("a" -> 4L, "b" -> 3L, "c" -> 2L, "d" -> 1L))
+    assert(out.values.sum == 10L)
+  }
+
+  test("apportion: remainder ties break to the smaller key; zero total allocates nothing") {
+    // equal weights, k=3 over 4 strata: bases 0 (3//4=0 each... quotas
+    // 0.75) -> remainders equal -> first three keys by name get +1
+    val out = Sampling.apportion(
+        Seq(("w", 1L), ("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w"),
+        "k", "w", k = 3L)
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[Long]("alloc")).toMap
+    assert(out == Map("w" -> 1L, "x" -> 1L, "y" -> 1L, "z" -> 0L))
+    val zero = Sampling.apportion(
+        Seq(("a", 0L), ("b", 0L)).toDF("k", "w"), "k", "w", k = 5L)
+      .collect().map(_.getAs[Long]("alloc"))
+    assert(zero.forall(_ == 0L))
+  }
+
+  test("stratifiedSample: exact total, per-stratum proportional, stable ranks") {
+    val rows = (1L to 80L).map(i => ("big", i)) ++
+      (101L to 120L).map(i => ("small", i))
+    val out = Sampling.stratifiedSample(rows.toDF("g", "id"), "g", "id", k = 10)
+      .collect()
+    val byG = out.groupBy(_.getAs[String]("g"))
+    assert(out.length == 10)
+    assert(byG("big").length == 8 && byG("small").length == 2)
+    // selected = the 8 smallest priorities of the big stratum
+    val want = (1L to 80L).sortBy(id => (pri(id, 1L), id)).take(8).toSet
+    assert(byG("big").map(_.getAs[Long]("id")).toSet == want)
+    // rn is 1..alloc within each stratum
+    assert(byG("big").map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 8L))
+  }
 }
