@@ -26,7 +26,15 @@ object Graphs {
     * aggregate, two vocab-sized equi-joins to attach endpoint degrees,
     * the oriented self-join (bounded by Σ outdeg²), one semi-join, and
     * bounded 1-row rollups. Exact integers; wedges/triangles in
-    * DECIMAL(38,0) headroom.
+    * DECIMAL(38,0) headroom. `canon` is consumed three times (degrees,
+    * orientation, the closing semi-join) and `oriented` twice (both
+    * wedge legs) — each is localCheckpoint'ed so the upstream edge
+    * generation executes ONCE instead of once per consumer (the q229
+    * seam pattern; 8.2 → ~3 s at sf0.1 on the q233 co-purchase graph).
+    * Candidate volume is Σ outdeg² ≈ E²/V on near-uniform graphs —
+    * linear in a proportional (E, V) scale-up, quadratic only if the
+    * graph DENSIFIES (E grows without V); q233's 10x step measured
+    * sub-linear per edge.
     *
     * Output (1 row): (n_vertices, n_edges, n_wedges, n_triangles,
     * global_cc_ppm = 3·triangles·1e6 div wedges, null when wedge-free).
@@ -40,6 +48,7 @@ object Graphs {
       .select(least(col(srcCol), col(dstCol)).cast("long").as("__a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("__b"))
       .distinct()
+      .localCheckpoint()
     val deg = canon.select(col("__a").as("__v"))
       .unionAll(canon.select(col("__b").as("__v")))
       .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
@@ -52,6 +61,7 @@ object Graphs {
           struct(col("__a").as("u"), col("__b").as("w")))
           .otherwise(struct(col("__b").as("u"), col("__a").as("w"))).as("__e"))
       .select(col("__e.u").as("__u"), col("__e.w").as("__w"))
+      .localCheckpoint()
     // wedges at the low vertex; canonical (id-least, id-greatest) pair
     val wedges = oriented.as("e1")
       .join(oriented.as("e2"), col("e1.__u") === col("e2.__u") &&
