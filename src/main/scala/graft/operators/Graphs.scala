@@ -12,43 +12,23 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Exact triangle count + global clustering coefficient via
-    * degree-ordered edge orientation (the MapReduce-era scalable
-    * formulation, Suri & Vassilvitskii 2011): each undirected edge is
-    * directed from its lower (degree, id) endpoint to the higher, every
-    * wedge is then generated at its LOWEST-degree vertex — candidate
-    * volume Σ outdeg², with outdeg bounded by O(√E) instead of the max
-    * degree — and a triangle is a wedge whose closing edge exists (one
-    * semi-join). A hub of degree d never enumerates its d² neighbor
-    * pairs; the star graph produces zero candidates.
-    *
-    * Scale shape: edge canonicalization (distinct), one degree
-    * aggregate, two vocab-sized equi-joins to attach endpoint degrees,
-    * the oriented self-join (bounded by Σ outdeg²), one semi-join, and
-    * bounded 1-row rollups. Exact integers; wedges/triangles in
-    * DECIMAL(38,0) headroom. `canon` is consumed three times (degrees,
-    * orientation, the closing semi-join) and `oriented` twice (both
-    * wedge legs) — each is localCheckpoint'ed so the upstream edge
-    * generation executes ONCE instead of once per consumer (the q229
-    * seam pattern; 8.2 → ~3 s at sf0.1 on the q233 co-purchase graph).
-    * Candidate volume is Σ outdeg² ≈ E²/V on near-uniform graphs —
-    * linear in a proportional (E, V) scale-up, quadratic only if the
-    * graph DENSIFIES (E grows without V); q233's 10x step measured
-    * sub-linear per edge.
-    *
-    * Output (1 row): (n_vertices, n_edges, n_wedges, n_triangles,
-    * global_cc_ppm = 3·triangles·1e6 div wedges, null when wedge-free).
-    */
-  def triangleStats(edges: DataFrame, srcCol: String,
-                    dstCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
-    val canon = edges
-      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
-        col(srcCol) =!= col(dstCol))
-      .select(least(col(srcCol), col(dstCol)).cast("long").as("__a"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("__b"))
-      .distinct()
-      .localCheckpoint()
+  private val dec = "decimal(38,0)"
+
+  /** Canonical simple-graph edges: nulls and self-loops dropped,
+    * endpoints ordered (a < b), duplicates and reversals collapsed.
+    * localCheckpoint'ed — every census consumes it 3+ times. */
+  private def canonical(edges: DataFrame, srcCol: String,
+                        dstCol: String): DataFrame = edges
+    .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+      col(srcCol) =!= col(dstCol))
+    .select(least(col(srcCol), col(dstCol)).cast("long").as("__a"),
+      greatest(col(srcCol), col(dstCol)).cast("long").as("__b"))
+    .distinct()
+    .localCheckpoint()
+
+  /** Census core over canonical edges: one row
+    * (n_vertices, n_edges, __wed DECIMAL, __tri DECIMAL). */
+  private def census(canon: DataFrame): DataFrame = {
     val deg = canon.select(col("__a").as("__v"))
       .unionAll(canon.select(col("__b").as("__v")))
       .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
@@ -70,15 +50,89 @@ object Graphs {
         greatest(col("e1.__w"), col("e2.__w")).as("__b"))
     val triangles = wedges.join(canon, Seq("__a", "__b"), "left_semi")
       .agg(count(lit(1)).cast(dec).as("__tri"))
-    val totals = canon.agg(count(lit(1)).as("n_edges"))
+    canon.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),
         sum(expr(s"(CAST(__d AS $dec) * (__d - 1)) div 2")).as("__wed")))
-    totals.crossJoin(triangles)
+      .crossJoin(triangles)
+  }
+
+  /** Exact triangle count + global clustering coefficient via
+    * degree-ordered edge orientation (the MapReduce-era scalable
+    * formulation, Suri & Vassilvitskii 2011): each undirected edge is
+    * directed from its lower (degree, id) endpoint to the higher, every
+    * wedge is then generated at its LOWEST-degree vertex — candidate
+    * volume Σ outdeg², with outdeg bounded by O(√E) instead of the max
+    * degree — and a triangle is a wedge whose closing edge exists (one
+    * semi-join). A hub of degree d never enumerates its d² neighbor
+    * pairs; the star graph produces zero candidates.
+    *
+    * Scale shape: edge canonicalization (distinct), one degree
+    * aggregate, two vocab-sized equi-joins to attach endpoint degrees,
+    * the oriented self-join (bounded by Σ outdeg²), one semi-join, and
+    * bounded 1-row rollups. Exact integers; wedges/triangles in
+    * DECIMAL(38,0) headroom. `canon` is consumed three times (degrees,
+    * orientation, the closing semi-join) and `oriented` twice (both
+    * wedge legs) — each is localCheckpoint'ed so the upstream edge
+    * generation executes ONCE instead of once per consumer (the q229
+    * seam pattern; 8.2 → 7.6 s at sf0.1 on the q233 co-purchase graph).
+    * Candidate volume is Σ outdeg² ≈ E²/V on near-uniform graphs — the
+    * cost driver is WEDGES, not rows (q233's wedge count grows ×108
+    * for ×100 data as the degree tail thickens; runtime stayed
+    * sub-linear per wedge). When exact counting outgrows the budget,
+    * [[triangleEstimate]] is the sampled scale path.
+    *
+    * Output (1 row): (n_vertices, n_edges, n_wedges, n_triangles,
+    * global_cc_ppm = 3·triangles·1e6 div wedges, null when wedge-free).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame =
+    census(canonical(edges, srcCol, dstCol))
       .select(col("n_vertices"), col("n_edges"),
         col("__wed").cast("long").as("n_wedges"),
         col("__tri").cast("long").as("n_triangles"),
         when(col("__wed") > 0,
           expr(s"(CAST(3 AS $dec) * __tri * 1000000) div __wed")
             .cast("long")).as("global_cc_ppm"))
+
+  /** Sampled triangle estimate — DOULION (Tsourakakis, Kang & Faloutsos
+    * 2009): keep each canonical edge with probability 1/pInv, count
+    * triangles EXACTLY on the sparsified graph, scale by pInv³ (a
+    * triangle needs all three edges to survive). Here the coin is a
+    * DETERMINISTIC portable hash of the endpoint pair — the q98
+    * hash-gate house rule — so re-runs, repartitioning, and the DuckDB
+    * oracle all sample the identical subgraph, and the estimator's
+    * "toss per edge, independent of degree" property is preserved (the
+    * hash never sees the vertex alone).
+    *
+    * This is the scale path for [[triangleStats]]: exact-census cost
+    * tracks wedge volume ≈ E²/V, so sparsifying edges by pInv cuts the
+    * wedge join by ≈ pInv² while the estimate's relative error decays
+    * with the (huge) surviving triangle count at corpus scale. Same
+    * plan shape as the exact census, on 1/pInv of the edges.
+    *
+    * Output (1 row): (n_edges — exact canonical count, kept_edges,
+    * sampled_wedges, sampled_triangles — both on the sparsified graph,
+    * est_triangles = sampled·pInv³, est_cc_ppm = 3·sampled_tri·pInv·1e6
+    * div sampled_wedges — the pInv² wedge scale cancels; null when the
+    * sample is wedge-free).
+    */
+  def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,
+                       pInv: Int): DataFrame = {
+    require(pInv >= 1, s"pInv must be >= 1, got $pInv")
+    val canon = canonical(edges, srcCol, dstCol)
+    val kept = canon.filter(
+      pmod(col("__a") * 1000003L + col("__b") * 7919L + 17L,
+        lit(1000000007L)) % pInv === 0).localCheckpoint()
+    census(kept)
+      .select(col("n_edges").as("kept_edges"), col("__wed"), col("__tri"))
+      .crossJoin(canon.agg(count(lit(1)).as("n_edges")))
+      .select(col("n_edges"), col("kept_edges"),
+        coalesce(col("__wed"), lit(0)).cast("long").as("sampled_wedges"),
+        col("__tri").cast("long").as("sampled_triangles"),
+        expr(s"CAST(__tri * ${pInv}L * ${pInv}L * ${pInv}L AS $dec)")
+          .cast("long").as("est_triangles"),
+        when(col("__wed") > 0,
+          expr(s"(CAST(3 AS $dec) * __tri * ${pInv}L * 1000000) div __wed")
+            .cast("long")).as("est_cc_ppm"))
   }
 }

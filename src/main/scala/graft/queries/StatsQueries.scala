@@ -199,6 +199,24 @@ object StatsQueries extends QueryGroup {
       graft.operators.Sampling.stratifiedSample(
         Tables.documents(s, d), "lang", "doc_id", k = 500)
         .orderBy(col("lang"), col("rn"))
+    },
+
+    "q236_sampled_triangles" -> { (s, d) =>
+      // DOULION sampled triangle estimate over the same co-purchase
+      // graph as q233 — the scale path when the exact census's wedge
+      // join (cost ~ E²/V) outgrows the budget: keep 1/4 of the edges
+      // by deterministic pair hash, census the sparsified graph
+      // (wedge join ~16x cheaper), scale triangles by 4³. The hash
+      // coin makes the estimate REPLAYABLE — both engines sample the
+      // identical subgraph, so the oracle is a hash match, not a
+      // tolerance band.
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.triangleEstimate(edges, "src", "dst", pInv = 4)
     })
 
   override def oracle: Map[String, String] = Map(
@@ -503,5 +521,36 @@ object StatsQueries extends QueryGroup {
         FROM b)
       SELECT rk.lang AS lang, doc_id, rn, alloc
       FROM rk JOIN al ON rk.lang = al.lang
-      WHERE rn <= alloc ORDER BY lang, rn""")
+      WHERE rn <= alloc ORDER BY lang, rn""",
+
+    "q236_sampled_triangles" -> """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      ek AS (
+        SELECT a, b FROM e
+        WHERE (a * 1000003 + b * 7919 + 17) % 1000000007 % 4 = 0),
+      dg AS (
+        SELECT v, CAST(count(*) AS HUGEINT) AS d FROM (
+          SELECT a AS v FROM ek UNION ALL SELECT b AS v FROM ek)
+        GROUP BY 1),
+      tri AS (
+        SELECT CAST(count(*) AS HUGEINT) AS t
+        FROM ek e1 JOIN ek e2 ON e2.a = e1.b
+          JOIN ek e3 ON e3.a = e1.a AND e3.b = e2.b),
+      tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+      ktot AS (
+        SELECT CAST(count(*) AS BIGINT) AS kept_edges FROM ek),
+      dtot AS (
+        SELECT sum((d * (d - 1)) // 2) AS wed FROM dg)
+      SELECT n_edges, kept_edges,
+        CAST(coalesce(wed, 0) AS BIGINT) AS sampled_wedges,
+        CAST(t AS BIGINT) AS sampled_triangles,
+        CAST(t * 64 AS BIGINT) AS est_triangles,
+        CASE WHEN wed > 0 THEN CAST((3 * t * 4 * 1000000) // wed AS BIGINT)
+          END AS est_cc_ppm
+      FROM dtot CROSS JOIN tot CROSS JOIN ktot CROSS JOIN tri""")
 }

@@ -70,6 +70,7 @@ class EntrySpec extends SparkSpec {
       "sf", // q230 skyline suffix-max stage
       "act", "sz", // q232 cohort activity / cohort sizes
       "op", "dg", "dtot", // q233 triangle census stages
+      "ek", "ktot", // q236 DOULION sparsified edges / kept count
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",

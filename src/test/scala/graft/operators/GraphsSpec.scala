@@ -40,6 +40,41 @@ class GraphsSpec extends SparkSpec {
     assert(run(Seq((1L, 2L))) == ((2L, 1L, 0L, 0L, None)))
   }
 
+  test("triangleEstimate pInv=1 reduces to the exact census") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (1L, 5L))
+    val exact = Graphs.triangleStats(es.toDF("s", "t"), "s", "t").collect()(0)
+    val est = Graphs.triangleEstimate(es.toDF("s", "t"), "s", "t", pInv = 1)
+      .collect()(0)
+    assert(est.getAs[Long]("n_edges") == exact.getAs[Long]("n_edges"))
+    assert(est.getAs[Long]("kept_edges") == exact.getAs[Long]("n_edges"))
+    assert(est.getAs[Long]("sampled_wedges") == exact.getAs[Long]("n_wedges"))
+    assert(est.getAs[Long]("sampled_triangles") ==
+      exact.getAs[Long]("n_triangles"))
+    assert(est.getAs[Long]("est_triangles") == exact.getAs[Long]("n_triangles"))
+    assert(est.getAs[Long]("est_cc_ppm") == exact.getAs[Long]("global_cc_ppm"))
+  }
+
+  test("triangleEstimate: deterministic hash coin — census of the kept subgraph, scaled") {
+    // K6: 20 triangles, 15 edges. Replay the hash gate in Scala and
+    // census the kept subgraph with the EXACT operator; the estimate
+    // row must equal that census scaled by pInv^3 (and the pInv wedge
+    // cancellation for cc).
+    val p = 3
+    val k6 = for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)
+    val kept = k6.filter(e =>
+      Math.floorMod(e._1 * 1000003L + e._2 * 7919L + 17L, 1000000007L) % p == 0)
+    val ref = Graphs.triangleStats(kept.toDF("s", "t"), "s", "t").collect()(0)
+    val est = Graphs.triangleEstimate(k6.toDF("s", "t"), "s", "t", pInv = p)
+      .collect()(0)
+    assert(est.getAs[Long]("n_edges") == 15L)
+    assert(est.getAs[Long]("kept_edges") == kept.size.toLong)
+    assert(est.getAs[Long]("sampled_triangles") ==
+      ref.getAs[Long]("n_triangles"))
+    assert(est.getAs[Long]("est_triangles") ==
+      ref.getAs[Long]("n_triangles") * p * p * p)
+  }
+
   test("property: matches brute-force triple enumeration on random graphs") {
     val gen = Gen.listOfN(40,
       Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
