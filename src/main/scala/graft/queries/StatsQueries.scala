@@ -217,6 +217,24 @@ object StatsQueries extends QueryGroup {
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graphs.triangleEstimate(edges, "src", "dst", pInv = 4)
+    },
+
+    "q237_kcore" -> { (s, d) =>
+      // 80-core of the co-purchase graph: parts that keep >= 80
+      // co-purchase partners AFTER all weaker parts are peeled away —
+      // the dense-community extraction CC can't give (CC keeps any
+      // chain). Iterative peel to fixpoint (3/5/10 rounds measured at
+      // sf0.001/0.1/1); the oracle unrolls 16 rounds, idempotent past
+      // convergence (the q217 unrolled-rounds pattern).
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.kCore(edges, "src", "dst", k = 80)
+        .select(col("vertex").as("part"), col("core_deg"))
+        .orderBy(col("part"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -552,5 +570,36 @@ object StatsQueries extends QueryGroup {
         CAST(t * 64 AS BIGINT) AS est_triangles,
         CASE WHEN wed > 0 THEN CAST((3 * t * 4 * 1000000) // wed AS BIGINT)
           END AS est_cc_ppm
-      FROM dtot CROSS JOIN tot CROSS JOIN ktot CROSS JOIN tri""")
+      FROM dtot CROSS JOIN tot CROSS JOIN ktot CROSS JOIN tri""",
+
+    "q237_kcore" -> KCoreOracle)
+
+  /** 16 unrolled peel rounds — idempotent once the core stabilizes
+    * (measured convergence: 3/5/5/10 rounds at sf0.001/0.01/0.1/1), so
+    * the extra rounds are no-ops, never a divergence. AS MATERIALIZED
+    * is load-bearing: every e_i is consumed 4× (two degree legs + two
+    * NOT IN probes via e_{i+1}), so an inlined chain expands 4^16
+    * scans — DuckDB literally runs out of file handles. */
+  private val KCoreOracle: String = {
+    val rounds = (1 to 16).map { i =>
+      s"""w$i AS MATERIALIZED (
+        SELECT v FROM (
+          SELECT a AS v FROM e${i - 1} UNION ALL SELECT b AS v FROM e${i - 1})
+        GROUP BY 1 HAVING count(*) < 80),
+      e$i AS MATERIALIZED (
+        SELECT a, b FROM e${i - 1}
+        WHERE a NOT IN (SELECT v FROM w$i)
+          AND b NOT IN (SELECT v FROM w$i))"""
+    }.mkString(",\n      ")
+    s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e0 AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      $rounds
+      SELECT v AS part, CAST(count(*) AS BIGINT) AS core_deg
+      FROM (SELECT a AS v FROM e16 UNION ALL SELECT b AS v FROM e16)
+      GROUP BY 1 ORDER BY part"""
+  }
 }

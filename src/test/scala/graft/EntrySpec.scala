@@ -102,7 +102,9 @@ class EntrySpec extends SparkSpec {
       "ft", "fs", "bo", "sel", "cm", // q189-q193 sampling/packing/fusion
       "smp", "en", "capped", // q194 audio energy hash
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
-      (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++ Set(
+      (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
+      (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds
+      Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>

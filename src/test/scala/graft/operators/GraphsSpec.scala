@@ -75,6 +75,65 @@ class GraphsSpec extends SparkSpec {
       ref.getAs[Long]("n_triangles") * p * p * p)
   }
 
+  test("kCore: peels to the unique maximal subgraph; cascades handled") {
+    // K4 on 1-4 plus a pendant chain 4-5-6: 2-core = the K4 (5 peels
+    // first, then 6... actually 6 peels first, then 5 — cascade).
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val out = Graphs.kCore(es.toDF("s", "t"), "s", "t", k = 2)
+      .collect().map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("core_deg"))
+      .toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=4 collapses everything (max degree in any surviving subgraph < 4)
+    assert(Graphs.kCore(es.toDF("s", "t"), "s", "t", k = 4).isEmpty)
+    // k=1 keeps the whole graph with original degrees
+    val all = Graphs.kCore(es.toDF("s", "t"), "s", "t", k = 1)
+      .collect().map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("core_deg"))
+      .toMap
+    assert(all == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L, 5L -> 2L,
+      6L -> 1L))
+  }
+
+  test("kCore: maxRounds guards the O(V)-round pathology") {
+    val chain = (1L to 9L).map(v => (v, v + 1))
+    val e = intercept[IllegalArgumentException] {
+      Graphs.kCore(chain.toDF("s", "t"), "s", "t", k = 2, maxRounds = 2)
+        .collect()
+    }
+    assert(e.getMessage.contains("maxRounds"))
+    // with budget it converges: a pure chain has no 2-core
+    assert(Graphs.kCore(chain.toDF("s", "t"), "s", "t", k = 2).isEmpty)
+  }
+
+  test("kCore property: matches sequential peel simulation") {
+    val gen = Gen.listOfN(50,
+      Gen.zip(Gen.choose(1L, 14L), Gen.choose(1L, 14L)))
+    val cases = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(31L + i)))
+    cases.foreach { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (es.nonEmpty) {
+        var cur = es
+        var changed = true
+        while (changed) {
+          val deg = cur.flatMap(e => Seq(e._1, e._2))
+            .groupBy(identity).map { case (v, o) => v -> o.size }
+          val weak = deg.filter(_._2 < 3).keySet
+          changed = weak.nonEmpty
+          cur = cur.filter(e => !weak(e._1) && !weak(e._2))
+        }
+        val ref = cur.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+        val got = Graphs.kCore(es.toDF("s", "t"), "s", "t", k = 3)
+          .collect()
+          .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("core_deg"))
+          .toMap
+        assert(got == ref, s"edges: $es")
+      }
+    }
+  }
+
   test("property: matches brute-force triple enumeration on random graphs") {
     val gen = Gen.listOfN(40,
       Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
