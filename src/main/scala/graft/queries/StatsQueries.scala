@@ -235,6 +235,23 @@ object StatsQueries extends QueryGroup {
       graft.operators.Graphs.kCore(edges, "src", "dst", k = 80)
         .select(col("vertex").as("part"), col("core_deg"))
         .orderBy(col("part"))
+    },
+
+    "q238_fd_audit" -> { (s, d) =>
+      // Functional-dependency STRENGTH audit (TANE's g3): how many
+      // rows must be deleted for each candidate FD to hold exactly —
+      // the data-quality number binary FD discovery can't give (one
+      // bad row kills every exact FD). Four candidates across two
+      // tables; each is two value-table aggregates, corpus scanned
+      // once and never rejoined.
+      val docs = graft.operators.Profile.fdStrength(
+        Tables.documents(s, d),
+        Seq(Seq("lang") -> "source", Seq("source") -> "lang"))
+      val li = graft.operators.Profile.fdStrength(
+        Tables.lineitem(s, d),
+        Seq(Seq("l_partkey") -> "l_suppkey",
+          Seq("l_orderkey") -> "l_returnflag"))
+      docs.unionAll(li).orderBy(col("fd"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -572,7 +589,31 @@ object StatsQueries extends QueryGroup {
           END AS est_cc_ppm
       FROM dtot CROSS JOIN tot CROSS JOIN ktot CROSS JOIN tri""",
 
-    "q237_kcore" -> KCoreOracle)
+    "q237_kcore" -> KCoreOracle,
+
+    "q238_fd_audit" -> (Seq(
+      ("documents", "lang", "source"), ("documents", "source", "lang"),
+      ("lineitem", "l_partkey", "l_suppkey"),
+      ("lineitem", "l_orderkey", "l_returnflag")).map { case (t, x, y) =>
+      s"""
+      SELECT '$x->$y' AS fd,
+        CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(coalesce(sum(CASE WHEN vals > 1 THEN 1 END), 0) AS BIGINT)
+          AS n_violating_groups,
+        CAST(coalesce(sum(n - keep), 0) AS BIGINT) AS rows_to_remove,
+        CASE WHEN coalesce(sum(n), 0) > 0 THEN
+          CAST((CAST(sum(n - keep) AS HUGEINT) * 1000000) // sum(n)
+            AS BIGINT) END AS g3_ppm,
+        coalesce(sum(n - keep), 0) = 0 AS holds
+      FROM (
+        SELECT $x, CAST(sum(c) AS BIGINT) AS n,
+          CAST(max(c) AS BIGINT) AS keep, count(*) AS vals
+        FROM (
+          SELECT $x, $y, count(*) AS c FROM $t
+          WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1, 2)
+        GROUP BY 1)"""
+    }.mkString(" UNION ALL ") + " ORDER BY fd"))
 
   /** 16 unrolled peel rounds — idempotent once the core stabilizes
     * (measured convergence: 3/5/5/10 rounds at sf0.001/0.01/0.1/1), so

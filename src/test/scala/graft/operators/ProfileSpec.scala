@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def audit(rows: Seq[(String, String)],
+                    fd: (Seq[String], String)) = {
+    val r = Profile.fdStrength(rows.toDF("x", "y"), Seq(fd)).collect()(0)
+    (r.getAs[Long]("n_rows"), r.getAs[Long]("n_groups"),
+      r.getAs[Long]("n_violating_groups"), r.getAs[Long]("rows_to_remove"),
+      Option(r.getAs[Any]("g3_ppm")).map(_.asInstanceOf[Long]),
+      r.getAs[Boolean]("holds"))
+  }
+
+  test("fdStrength: exact FD holds with zero removals") {
+    val rows = Seq("a" -> "1", "a" -> "1", "b" -> "2", "c" -> "1")
+    assert(audit(rows, Seq("x") -> "y") ==
+      ((4L, 3L, 0L, 0L, Some(0L), true)))
+  }
+
+  test("fdStrength: g3 keeps the plurality value per group") {
+    // group a: y values 1,1,2 -> keep 2 rows, remove 1
+    // group b: y values 3    -> keep all
+    val rows = Seq("a" -> "1", "a" -> "1", "a" -> "2", "b" -> "3")
+    assert(audit(rows, Seq("x") -> "y") ==
+      ((4L, 2L, 1L, 1L, Some(250000L), false)))
+  }
+
+  test("fdStrength: null on either side excluded; empty input holds vacuously") {
+    val rows = Seq(("a", "1"), ("a", null), (null, "2"), ("a", "9"))
+      .asInstanceOf[Seq[(String, String)]]
+    // only ("a","1") and ("a","9") survive the null filter
+    assert(audit(rows, Seq("x") -> "y") ==
+      ((2L, 1L, 1L, 1L, Some(500000L), false)))
+    val empty = Seq(("a", null)).asInstanceOf[Seq[(String, String)]]
+    assert(audit(empty, Seq("x") -> "y") ==
+      ((0L, 0L, 0L, 0L, None, true)))
+  }
+
+  test("fdStrength: composite determinant and multiple candidates") {
+    val df = Seq(("a", "p", "1"), ("a", "q", "2"), ("a", "p", "1"),
+      ("b", "p", "3")).toDF("x1", "x2", "y")
+    val out = Profile.fdStrength(df,
+        Seq(Seq("x1", "x2") -> "y", Seq("x1") -> "y"))
+      .collect().map(r => r.getAs[String]("fd") ->
+        (r.getAs[Long]("rows_to_remove"), r.getAs[Boolean]("holds"))).toMap
+    assert(out("x1,x2->y") == ((0L, true)))  // (a,p)->1, (a,q)->2, (b,p)->3
+    assert(out("x1->y") == ((1L, false)))    // a has values {1,1,2}
+  }
+
+  test("fdStrength: degenerate candidates rejected") {
+    val df = Seq(("a", "1")).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Profile.fdStrength(df, Seq(Seq("y") -> "y"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.fdStrength(df, Seq.empty)
+    }
+  }
+}
