@@ -26,13 +26,15 @@ object Graphs {
     .distinct()
     .localCheckpoint()
 
-  /** Census core over canonical edges: one row
-    * (n_vertices, n_edges, __wed DECIMAL, __tri DECIMAL). */
-  private def census(canon: DataFrame): DataFrame = {
-    val deg = canon.select(col("__a").as("__v"))
+  /** Vertex degrees of a canonical edge set: (__v, __d). */
+  private def degrees(canon: DataFrame): DataFrame =
+    canon.select(col("__a").as("__v"))
       .unionAll(canon.select(col("__b").as("__v")))
       .groupBy(col("__v")).agg(count(lit(1)).as("__d"))
-    // orient: lower (deg, id) -> higher (deg, id)
+
+  /** Wedge candidates at each edge's lower (degree, id) endpoint:
+    * (__u — the wedge center, __a < __b — the closing pair). */
+  private def wedgeRows(canon: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = canon
       .join(deg.select(col("__v").as("__a"), col("__d").as("__da")), "__a")
       .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
@@ -42,13 +44,20 @@ object Graphs {
           .otherwise(struct(col("__b").as("u"), col("__a").as("w"))).as("__e"))
       .select(col("__e.u").as("__u"), col("__e.w").as("__w"))
       .localCheckpoint()
-    // wedges at the low vertex; canonical (id-least, id-greatest) pair
-    val wedges = oriented.as("e1")
+    oriented.as("e1")
       .join(oriented.as("e2"), col("e1.__u") === col("e2.__u") &&
         col("e1.__w") < col("e2.__w"))
-      .select(least(col("e1.__w"), col("e2.__w")).as("__a"),
+      .select(col("e1.__u").as("__u"),
+        least(col("e1.__w"), col("e2.__w")).as("__a"),
         greatest(col("e1.__w"), col("e2.__w")).as("__b"))
-    val triangles = wedges.join(canon, Seq("__a", "__b"), "left_semi")
+  }
+
+  /** Census core over canonical edges: one row
+    * (n_vertices, n_edges, __wed DECIMAL, __tri DECIMAL). */
+  private def census(canon: DataFrame): DataFrame = {
+    val deg = degrees(canon)
+    val triangles = wedgeRows(canon, deg)
+      .join(canon, Seq("__a", "__b"), "left_semi")
       .agg(count(lit(1)).cast(dec).as("__tri"))
     canon.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_vertices"),
@@ -166,6 +175,47 @@ object Graphs {
       .unionAll(cur.select(col("__b").as("__v")))
       .groupBy(col("__v")).agg(count(lit(1)).as("core_deg"))
       .select(col("__v").as("vertex"), col("core_deg"))
+  }
+
+  /** Per-vertex (local) clustering coefficient, top-k: for each vertex
+    * the fraction of its neighbor pairs that are themselves connected —
+    * local_cc_ppm = 2·t_v·1e6 div (d_v·(d_v−1)) (Watts & Strogatz
+    * 1998). The global census (q233) scores the whole graph; this
+    * ranks the VERTICES — a near-clique's members surface at the top,
+    * a hub stitching unrelated communities sinks to the bottom, which
+    * is the per-item evidence a dedup-cluster audit wants.
+    *
+    * Scale shape: the same degree-ordered wedge enumeration as
+    * [[triangleStats]] (Σ outdeg² candidates, hub-safe), the closing
+    * check as an INNER join so each triangle row retains its three
+    * vertices, one explode(3) + count per vertex, a left join back to
+    * the degree table, and a TakeOrdered k-cut. No step beyond the
+    * census's own cost class; ties break to the smaller vertex id so
+    * the k-cut is engine-stable.
+    *
+    * Output: top `k` rows of (vertex, degree, n_triangles,
+    * local_cc_ppm) among vertices with degree ≥ `minDegree`, ordered
+    * by (local_cc_ppm desc, vertex asc).
+    */
+  def localClusteringTopK(edges: DataFrame, srcCol: String, dstCol: String,
+                          k: Int, minDegree: Long = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDegree >= 2, s"minDegree must be >= 2 (cc needs a pair), " +
+      s"got $minDegree")
+    val canon = canonical(edges, srcCol, dstCol)
+    val deg = degrees(canon)
+    val tris = wedgeRows(canon, deg).join(canon, Seq("__a", "__b"))
+    val perVertex = tris
+      .select(explode(array(col("__u"), col("__a"), col("__b"))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    deg.filter(col("__d") >= minDegree)
+      .join(perVertex, Seq("__v"), "left")
+      .select(col("__v").as("vertex"), col("__d").as("degree"),
+        coalesce(col("__t"), lit(0L)).as("n_triangles"),
+        expr(s"(CAST(coalesce(__t, 0) AS $dec) * 2000000)" +
+          " div (__d * (__d - 1))").cast("long").as("local_cc_ppm"))
+      .orderBy(col("local_cc_ppm").desc, col("vertex").asc)
+      .limit(k)
   }
 
   def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,

@@ -29,4 +29,51 @@ object Skew {
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col(key).asc)
       .limit(topN)
+
+  /** Shuffle-skew advisor: one diagnostic row per candidate join/group
+    * key, in exact integer arithmetic — the measurement that DECIDES
+    * between plain shuffle, AQE skew split, and [[saltedJoin]], closing
+    * the measure → apply loop (q211 applies what this recommends).
+    * skew_ppm = hottest key ÷ mean key (1e6 = perfectly uniform);
+    * recommended_salts = ⌈max·ndv / n⌉, the factor that levels the
+    * hottest key's partition share back to the mean — 1 when salting
+    * buys nothing. Null keys are counted separately, never in the
+    * histogram (an equi-join drops them; a groupBy gives them one
+    * group, which salting can't help).
+    *
+    * Scale shape per key: one corpus aggregate to the per-value count
+    * table (hot keys combine map-side — the histogram of a skewed key
+    * is itself skew-safe), one bounded rollup; candidates are
+    * independent jobs, the union is driver-side plan assembly (the
+    * [[Profile.fdStrength]] shape). DECIMAL(38,0) headroom on the
+    * cross products.
+    *
+    * Output: (key, n_rows, n_null, ndv, max_count, mean_count,
+    * skew_ppm, recommended_salts).
+    */
+  def advisor(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "need at least one candidate key")
+    val dec = "decimal(38,0)"
+    keys.map { k =>
+      df.select(col(k).as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+        .agg(
+          coalesce(sum(when(col("__k").isNotNull, col("__c"))), lit(0L))
+            .as("n_rows"),
+          coalesce(sum(when(col("__k").isNull, col("__c"))), lit(0L))
+            .as("n_null"),
+          count(when(col("__k").isNotNull, lit(1))).as("ndv"),
+          coalesce(max(when(col("__k").isNotNull, col("__c"))), lit(0L))
+            .as("max_count"))
+        .select(lit(k).as("key"), col("n_rows"), col("n_null"), col("ndv"),
+          col("max_count"),
+          when(col("ndv") > 0, expr("n_rows div ndv")).as("mean_count"),
+          when(col("n_rows") > 0, expr(
+            s"(CAST(max_count AS $dec) * ndv * 1000000) div n_rows"))
+            .cast("long").as("skew_ppm"),
+          when(col("n_rows") > 0, expr(
+            s"(CAST(max_count AS $dec) * ndv + n_rows - 1) div n_rows"))
+            .cast("long").as("recommended_salts"))
+    }.reduce(_.unionAll(_))
+  }
 }

@@ -252,6 +252,37 @@ object StatsQueries extends QueryGroup {
         Seq(Seq("l_partkey") -> "l_suppkey",
           Seq("l_orderkey") -> "l_returnflag"))
       docs.unionAll(li).orderBy(col("fd"))
+    },
+
+    "q239_skew_advisor" -> { (s, d) =>
+      // Shuffle-skew advisor: exact per-key histogram stats that DECIDE
+      // between plain shuffle, AQE split, and the q211 salted join —
+      // skew_ppm = hottest/mean key, recommended_salts levels the hot
+      // key back to the mean. The histogram of a skewed key is itself
+      // skew-safe (hot keys combine map-side).
+      val li = graft.operators.Skew.advisor(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      val ev = graft.operators.Skew.advisor(Tables.events(s, d),
+        Seq("user_id", "event_type"))
+      li.unionAll(ev).orderBy(col("key"))
+    },
+
+    "q240_local_clustering" -> { (s, d) =>
+      // Top-50 vertices by LOCAL clustering coefficient on the
+      // co-purchase graph — the per-item complement of q233's global
+      // census: near-clique members rank first, community-stitching
+      // hubs last (the per-item evidence a dedup-cluster audit wants).
+      // Same hub-safe wedge enumeration; inner closing join keeps all
+      // three triangle vertices; k-cut is TakeOrdered.
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.localClusteringTopK(edges, "src", "dst", k = 50)
+        .select(col("vertex").as("part"), col("degree"),
+          col("n_triangles"), col("local_cc_ppm"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -613,7 +644,58 @@ object StatsQueries extends QueryGroup {
           SELECT $x, $y, count(*) AS c FROM $t
           WHERE $x IS NOT NULL AND $y IS NOT NULL GROUP BY 1, 2)
         GROUP BY 1)"""
-    }.mkString(" UNION ALL ") + " ORDER BY fd"))
+    }.mkString(" UNION ALL ") + " ORDER BY fd"),
+
+    "q239_skew_advisor" -> (Seq(
+      ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+      ("lineitem", "l_suppkey"), ("events", "user_id"),
+      ("events", "event_type")).map { case (t, k) =>
+      s"""
+      SELECT '$k' AS key, n_rows, n_null, ndv, max_count,
+        CASE WHEN ndv > 0 THEN n_rows // ndv END AS mean_count,
+        CASE WHEN n_rows > 0 THEN CAST(
+          (CAST(max_count AS HUGEINT) * ndv * 1000000) // n_rows
+          AS BIGINT) END AS skew_ppm,
+        CASE WHEN n_rows > 0 THEN CAST(
+          (CAST(max_count AS HUGEINT) * ndv + n_rows - 1) // n_rows
+          AS BIGINT) END AS recommended_salts
+      FROM (
+        SELECT
+          CAST(coalesce(sum(CASE WHEN k IS NOT NULL THEN c END), 0)
+            AS BIGINT) AS n_rows,
+          CAST(coalesce(sum(CASE WHEN k IS NULL THEN c END), 0)
+            AS BIGINT) AS n_null,
+          CAST(count(CASE WHEN k IS NOT NULL THEN 1 END) AS BIGINT) AS ndv,
+          CAST(coalesce(max(CASE WHEN k IS NOT NULL THEN c END), 0)
+            AS BIGINT) AS max_count
+        FROM (SELECT $k AS k, count(*) AS c FROM $t GROUP BY 1))"""
+    }.mkString(" UNION ALL ") + " ORDER BY key"),
+
+    "q240_local_clustering" -> """
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      dg AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1),
+      t AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pv AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS nt FROM (
+          SELECT x AS v FROM t UNION ALL SELECT y AS v FROM t
+          UNION ALL SELECT z AS v FROM t)
+        GROUP BY 1)
+      SELECT dg.v AS part, d AS degree, coalesce(nt, 0) AS n_triangles,
+        CAST((CAST(coalesce(nt, 0) AS HUGEINT) * 2000000) // (d * (d - 1))
+          AS BIGINT) AS local_cc_ppm
+      FROM dg LEFT JOIN pv ON pv.v = dg.v
+      WHERE d >= 2
+      ORDER BY local_cc_ppm DESC, part LIMIT 50""")
 
   /** 16 unrolled peel rounds — idempotent once the core stabilizes
     * (measured convergence: 3/5/5/10 rounds at sf0.001/0.01/0.1/1), so

@@ -71,6 +71,7 @@ class EntrySpec extends SparkSpec {
       "act", "sz", // q232 cohort activity / cohort sizes
       "op", "dg", "dtot", // q233 triangle census stages
       "ek", "ktot", // q236 DOULION sparsified edges / kept count
+      "pv", // q240 per-vertex triangle counts
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",

@@ -75,6 +75,54 @@ class GraphsSpec extends SparkSpec {
       ref.getAs[Long]("n_triangles") * p * p * p)
   }
 
+  test("localClusteringTopK: hand fixture — clique members rank over the bridge") {
+    // K4 on 1-4, pendant chain 4-5-6: per-vertex triangles 3,3,3,3,0,0;
+    // cc: 1,2,3 -> 1e6; 4 (deg 4) -> 500000; 5 (deg 2) -> 0; 6 excluded
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val all = Graphs.localClusteringTopK(es.toDF("s", "t"), "s", "t", k = 10)
+      .collect().map(r => (r.getAs[Long]("vertex"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("local_cc_ppm")))
+    assert(all.toSeq == Seq((1L, 3L, 3L, 1000000L), (2L, 3L, 3L, 1000000L),
+      (3L, 3L, 3L, 1000000L), (4L, 4L, 3L, 500000L), (5L, 2L, 0L, 0L)))
+    // k-cut with ppm ties breaks to the smaller vertex
+    val top2 = Graphs.localClusteringTopK(es.toDF("s", "t"), "s", "t", k = 2)
+      .collect().map(_.getAs[Long]("vertex")).toSeq
+    assert(top2 == Seq(1L, 2L))
+  }
+
+  test("localClusteringTopK property: matches brute-force per-vertex count") {
+    val gen = Gen.listOfN(45,
+      Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    val cases = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(101L + i)))
+    cases.foreach { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (es.nonEmpty) {
+        val set = es.toSet
+        val vs = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val deg = vs.map(v => v -> es.count(e => e._1 == v || e._2 == v)).toMap
+        val triPerV = vs.map { v =>
+          val nbrs = es.collect { case (a, b) if a == v => b
+                                  case (a, b) if b == v => a }
+          v -> nbrs.combinations(2).count { case Seq(p, q) =>
+            set((p min q, p max q)) }
+        }.toMap
+        val ref = vs.filter(deg(_) >= 2).map { v =>
+          (v, deg(v).toLong, triPerV(v).toLong,
+            2000000L * triPerV(v) / (deg(v).toLong * (deg(v) - 1)))
+        }.sortBy(r => (-r._4, r._1))
+        val got = Graphs.localClusteringTopK(
+            es.toDF("s", "t"), "s", "t", k = 100)
+          .collect().map(r => (r.getAs[Long]("vertex"),
+            r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+            r.getAs[Long]("local_cc_ppm"))).toSeq
+        assert(got == ref, s"edges: $es")
+      }
+    }
+  }
+
   test("kCore: peels to the unique maximal subgraph; cascades handled") {
     // K4 on 1-4 plus a pendant chain 4-5-6: 2-core = the K4 (5 peels
     // first, then 6... actually 6 peels first, then 5 — cascade).

@@ -115,4 +115,44 @@ class SkewSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("advisor: hand histogram — skew ratio, salt factor, null ledger") {
+    // key "a": 6 rows, "b": 1, "c": 1, null: 2 -> n=8, ndv=3, max=6
+    // mean = 8 div 3 = 2; skew_ppm = 6*3*1e6 div 8 = 2_250_000
+    // salts = ceil(6*3/8) = (18+7) div 8 = 3
+    val df = (Seq.fill(6)("a") ++ Seq("b", "c") ++ Seq.fill(2)(null))
+      .map(Tuple1(_)).toDF("k")
+    val r = Skew.advisor(df, Seq("k")).collect()(0)
+    assert(r.getAs[String]("key") == "k")
+    assert(r.getAs[Long]("n_rows") == 8L && r.getAs[Long]("n_null") == 2L)
+    assert(r.getAs[Long]("ndv") == 3L && r.getAs[Long]("max_count") == 6L)
+    assert(r.getAs[Long]("mean_count") == 2L)
+    assert(r.getAs[Long]("skew_ppm") == 2250000L)
+    assert(r.getAs[Long]("recommended_salts") == 3L)
+  }
+
+  test("advisor: uniform keys recommend no salting; all-null key degenerates") {
+    val uniform = (1L to 40L).map(i => i % 8).map(Tuple1(_)).toDF("k")
+    val u = Skew.advisor(uniform, Seq("k")).collect()(0)
+    assert(u.getAs[Long]("skew_ppm") == 1000000L)
+    assert(u.getAs[Long]("recommended_salts") == 1L)
+    val nulls = Seq.fill(3)(Tuple1(null: java.lang.Long)).toDF("k")
+    val n = Skew.advisor(nulls, Seq("k")).collect()(0)
+    assert(n.getAs[Long]("n_rows") == 0L && n.getAs[Long]("n_null") == 3L)
+    assert(n.getAs[Long]("ndv") == 0L)
+    assert(Option(n.getAs[Any]("skew_ppm")).isEmpty)
+    assert(Option(n.getAs[Any]("mean_count")).isEmpty)
+  }
+
+  test("advisor: recommended factor levels the hot key to at most the mean") {
+    // hot key 1000 rows among 9 keys of ~100: factor should satisfy
+    // max/factor <= ceil(mean)
+    val rows = Seq.fill(1000)(1L) ++ (2L to 10L).flatMap(k => Seq.fill(100)(k))
+    val r = Skew.advisor(rows.map(Tuple1(_)).toDF("k"), Seq("k")).collect()(0)
+    val f = r.getAs[Long]("recommended_salts")
+    val mean = r.getAs[Long]("mean_count")
+    assert(f > 1)
+    assert(1000L / f <= mean + 1,
+      s"factor $f leaves the hot key above the mean $mean")
+  }
 }
