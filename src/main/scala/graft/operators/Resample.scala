@@ -30,6 +30,51 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** Time-weighted average per key over an irregular series — the
+    * aggregation where a value counts for HOW LONG it held, not how
+    * often it was sampled (TWAP and its ops cousins; a plain mean
+    * over-weights chatty periods). Each observation holds from its
+    * timestamp to the key's next one; the key's LAST observation
+    * closes the window (weight 0 — it has no held interval yet), so a
+    * single-observation key reports null. Same-timestamp duplicates:
+    * the tie-break LAST row holds the interval (a superseding
+    * same-instant write), the earlier ties get zero width — the
+    * `tieCol` total order makes that deterministic in both engines.
+    *
+    * Exact arithmetic: interval micros (long) × value cents
+    * (DECIMAL(18,2)·100, the house float-determinism rule), summed in
+    * DECIMAL(38,0) — headroom ≈ 1e13 key-years of microsecond
+    * intervals at 1e6-cent values. twa_cents = Σ(cents·Δt) div ΣΔt.
+    *
+    * Scale shape: one per-key window (lead) ordered by (ts, tie-break)
+    * — partitioned by the key, the SCD2 contract (a key's history fits
+    * a task) — then one combinable aggregate. No grid, no join; the
+    * corpus is scanned once.
+    *
+    * Output: (keyCol, n_obs, span_us, twa_cents) — span_us = held
+    * time, twa_cents null when nothing was ever held.
+    */
+  def timeWeightedAvg(obs: DataFrame, keyCol: String, tsCol: String,
+                      valueCol: String, tieCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    obs
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        (col(valueCol).cast("decimal(18,2)") * 100).cast("long").as("__c"))
+      .withColumn("__dt",
+        unix_micros(lead(col(tsCol), 1).over(w)) - unix_micros(col(tsCol)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        coalesce(sum(col("__dt")), lit(0L)).as("span_us"),
+        sum(expr(s"CAST(__c AS $dec) * __dt")).as("__num"))
+      .select(col(keyCol), col("n_obs"), col("span_us"),
+        when(col("span_us") > 0, expr("__num div span_us"))
+          .cast("long").as("twa_cents"))
+  }
+
   /** @param perKeyEnd false (default): every key grids to the GLOBAL
     *   last tick — monitoring semantics, a series keeps reporting after
     *   its source goes quiet. true: each key grids only to ITS OWN last

@@ -283,6 +283,16 @@ object StatsQueries extends QueryGroup {
       graft.operators.Graphs.localClusteringTopK(edges, "src", "dst", k = 50)
         .select(col("vertex").as("part"), col("degree"),
           col("n_triangles"), col("local_cc_ppm"))
+    },
+
+    "q241_time_weighted_avg" -> { (s, d) =>
+      // Per-user time-weighted average of the value signal: a value
+      // counts for HOW LONG it held, not how often it was sampled — a
+      // plain mean over-weights chatty periods (TWAP). One per-key
+      // lead window + one combinable aggregate; exact micros × cents.
+      graft.operators.Resample.timeWeightedAvg(
+        Tables.events(s, d), "user_id", "ts", "value", tieCol = "event_id")
+        .orderBy(col("user_id"))
     })
 
   override def oracle: Map[String, String] = Map(
@@ -695,7 +705,29 @@ object StatsQueries extends QueryGroup {
           AS BIGINT) AS local_cc_ppm
       FROM dg LEFT JOIN pv ON pv.v = dg.v
       WHERE d >= 2
-      ORDER BY local_cc_ppm DESC, part LIMIT 50""")
+      ORDER BY local_cc_ppm DESC, part LIMIT 50""",
+
+    "q241_time_weighted_avg" -> """
+      WITH b AS (
+        SELECT user_id, ts, event_id,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL),
+      dd AS (
+        SELECT user_id, c,
+          epoch_us(lead(ts) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id)) - epoch_us(ts) AS dt
+        FROM b),
+      ag AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,
+          CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_us,
+          sum(CAST(c AS HUGEINT) * dt) AS num
+        FROM dd GROUP BY 1)
+      SELECT user_id, n_obs, span_us,
+        CASE WHEN span_us > 0 THEN CAST(num // span_us AS BIGINT)
+          END AS twa_cents
+      FROM ag ORDER BY user_id""")
 
   /** 16 unrolled peel rounds — idempotent once the core stabilizes
     * (measured convergence: 3/5/5/10 rounds at sf0.001/0.01/0.1/1), so

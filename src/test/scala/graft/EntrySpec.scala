@@ -72,6 +72,7 @@ class EntrySpec extends SparkSpec {
       "op", "dg", "dtot", // q233 triangle census stages
       "ek", "ktot", // q236 DOULION sparsified edges / kept count
       "pv", // q240 per-vertex triangle counts
+      "ag", // q241 TWA per-key aggregate
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",

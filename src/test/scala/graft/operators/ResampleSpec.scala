@@ -81,4 +81,58 @@ class ResampleSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected window:\n$plan")
     assert(plan.contains("AsofJoin"), s"expected the as-of merge exec:\n$plan")
   }
+
+  test("timeWeightedAvg: hand fixture — held intervals weight the mean") {
+    // key a: 10.00 held 3s, 20.00 held 1s, 30.00 closes (weight 0)
+    // twa = (1000*3e6 + 2000*1e6) / 4e6 = 1250 cents
+    val obs = Seq(
+      ("a", ts("2026-01-01 00:00:00"), 1L, 10.0),
+      ("a", ts("2026-01-01 00:00:03"), 2L, 20.0),
+      ("a", ts("2026-01-01 00:00:04"), 3L, 30.0),
+      ("b", ts("2026-01-01 00:00:00"), 4L, 99.0))
+      .toDF("k", "ts", "id", "v")
+    val out = Resample.timeWeightedAvg(obs, "k", "ts", "v", "id")
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_obs"), r.getAs[Long]("span_us"),
+          Option(r.getAs[Any]("twa_cents")).map(_.asInstanceOf[Long]))))
+      .toMap
+    assert(out("a") == ((3L, 4000000L, Some(1250L))))
+    // single-observation key: nothing ever held -> null twa
+    assert(out("b") == ((1L, 0L, None)))
+  }
+
+  test("timeWeightedAvg: chatty sampling does not move the held-value answer") {
+    // value 10.00 held 4s then 20.00 held 4s — twa 1500 cents; the
+    // same signal re-sampled every second must give the same answer
+    // (this is exactly what a plain mean gets wrong under bursts)
+    val sparse = Seq(
+      ("a", ts("2026-01-01 00:00:00"), 1L, 10.0),
+      ("a", ts("2026-01-01 00:00:04"), 2L, 20.0),
+      ("a", ts("2026-01-01 00:00:08"), 3L, 20.0))
+    val chatty = (0 to 8).map(i =>
+      ("a", ts(f"2026-01-01 00:00:0$i"), i.toLong, if (i < 4) 10.0 else 20.0))
+    def twa(rows: Seq[(String, java.sql.Timestamp, Long, Double)]) =
+      Resample.timeWeightedAvg(rows.toDF("k", "ts", "id", "v"),
+        "k", "ts", "v", "id").collect()(0).getAs[Long]("twa_cents")
+    assert(twa(sparse) == 1500L)
+    assert(twa(chatty) == 1500L)
+  }
+
+  test("timeWeightedAvg: same-timestamp duplicates and nulls are harmless") {
+    val obs = Seq(
+      ("a", ts("2026-01-01 00:00:00"), 1L, 10.0), // zero-width (tied, lower id)
+      ("a", ts("2026-01-01 00:00:00"), 2L, 77.0), // tie WINNER holds 2s
+      ("a", ts("2026-01-01 00:00:02"), 3L, 10.0),
+      (null, ts("2026-01-01 00:00:00"), 4L, 5.0),
+      ("a", null, 5L, 5.0))
+      .asInstanceOf[Seq[(String, java.sql.Timestamp, Long, Double)]]
+      .toDF("k", "ts", "id", "v")
+    val r = Resample.timeWeightedAvg(obs, "k", "ts", "v", "id")
+      .collect().filter(_.getAs[String]("k") == "a")(0)
+    assert(r.getAs[Long]("n_obs") == 3L)
+    assert(r.getAs[Long]("span_us") == 2000000L)
+    // the tie-break LAST value (77.00) holds the whole 2s interval —
+    // the earlier tied 10.00 is a superseded same-instant write
+    assert(r.getAs[Long]("twa_cents") == 7700L)
+  }
 }
