@@ -477,6 +477,22 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q242_golden_record" -> { (s, d) =>
+      // MDM survivorship over near-dup clusters: each cluster's
+      // records merge ATTRIBUTE-WISE to the plurality value (ties to
+      // the smallest — the q86 mode rule), with a per-attribute
+      // conflict ledger. q187 keeps the best whole record; this builds
+      // the composite golden one — the other half of entity resolution.
+      val docs = Tables.documents(s, d)
+      val clusters = graft.operators.Dedup.nearDupClusters(
+        docs, "doc_id", "text", threshold = 0.4)
+      graft.operators.Survivorship.goldenRecord(
+        clusters.join(docs.select(col("doc_id"), col("lang"), col("source")),
+          "doc_id"),
+        "cluster_id", Seq("lang", "source"))
+        .orderBy(col("cluster_id"))
+    },
+
     "q92_bloom_join" -> { (s, d) =>
       // Manual runtime-filter join: bloom-prefilter the fact side on the
       // selective dimension subset's keys BEFORE the join shuffle — the
@@ -598,7 +614,48 @@ object ExtraQueries extends QueryGroup {
          GROUP BY cj.cluster_id, mxs.mx, mxs.cluster_size ORDER BY doc_id""")
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
+  /** q242: attribute-wise plurality merge over the q71 closure. */
+  private val GoldenRecordOracle: String =
+    DedupQueries.minhashSql(ClustersCteBody + """,
+        cls AS (
+          SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
+          FROM reach GROUP BY n),
+        cd AS (
+          SELECT c.cluster_id, d.lang, d.source
+          FROM cls c JOIN documents d USING (doc_id)),
+        nr AS (
+          SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_records
+          FROM cd GROUP BY 1),
+        cl2 AS (
+          SELECT cluster_id, lang AS v, count(*) AS c FROM cd
+          WHERE lang IS NOT NULL GROUP BY 1, 2),
+        wl AS (
+          SELECT cluster_id, v,
+            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS nv,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY c DESC, v) AS rn
+          FROM cl2),
+        cs2 AS (
+          SELECT cluster_id, source AS v, count(*) AS c FROM cd
+          WHERE source IS NOT NULL GROUP BY 1, 2),
+        ws AS (
+          SELECT cluster_id, v,
+            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS nv,
+            row_number() OVER (PARTITION BY cluster_id
+              ORDER BY c DESC, v) AS rn
+          FROM cs2)""",
+      """nr.cluster_id, nr.n_records, wl.v AS lang,
+         wl.nv AS lang_n_values, ws.v AS source, ws.nv AS source_n_values""",
+      """FROM nr
+         LEFT JOIN (SELECT * FROM wl WHERE rn = 1) wl
+           ON wl.cluster_id = nr.cluster_id
+         LEFT JOIN (SELECT * FROM ws WHERE rn = 1) ws
+           ON ws.cluster_id = nr.cluster_id
+         ORDER BY nr.cluster_id""")
+      .replaceFirst("WITH ", "WITH RECURSIVE ")
+
   val oracle: Map[String, String] = Map(
+    "q242_golden_record" -> GoldenRecordOracle,
     "q187_cluster_keep_best" -> KeepBestOracle,
     "q85_corr_regression" -> """
       WITH t AS (

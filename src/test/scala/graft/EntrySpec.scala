@@ -73,6 +73,7 @@ class EntrySpec extends SparkSpec {
       "ek", "ktot", // q236 DOULION sparsified edges / kept count
       "pv", // q240 per-vertex triangle counts
       "ag", // q241 TWA per-key aggregate
+      "cd", "nr", "cl2", "cs2", "ws", // q242 golden-record merge stages
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
