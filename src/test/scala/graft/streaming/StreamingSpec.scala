@@ -2050,6 +2050,87 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming TWA: running average == batch operator on an in-order feed") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long, Long)]
+      val q = TwaStream.runningTwa(input.toDS())
+        .writeStream.format("memory").queryName("twa_stream")
+        .outputMode("append").start()
+      try {
+        // key a: 1000c holds 3s, 2000c holds 1s (intra-batch, added out
+        // of event order — the processor sorts), batch boundary, then
+        // 3000c closes. Running twa after each row:
+        input.addData(("a", 3000000L, 2L, 2000L), ("a", 0L, 1L, 1000L))
+        q.processAllAvailable()
+        input.addData(("a", 4000000L, 3L, 3000L), ("b", 0L, 9L, 500L))
+        q.processAllAvailable()
+        val got = spark.table("twa_stream")
+          .as[(String, Long, Long, Long, Long, Option[Long])]
+          .collect().map(r => (r._1, r._2) -> ((r._5, r._6))).toMap
+        assert(got(("a", 0L)) == ((0L, None)))
+        assert(got(("a", 3000000L)) == ((3000000L, Some(1000L))))
+        // (1000*3e6 + 2000*1e6) / 4e6 = 1250
+        assert(got(("a", 4000000L)) == ((4000000L, Some(1250L))))
+        assert(got(("b", 0L)) == ((0L, None)))
+        // parity: the final running row equals the batch operator
+        val batch = graft.operators.Resample.timeWeightedAvg(
+          Seq(("a", new java.sql.Timestamp(0L), 1L, 10.0),
+            ("a", new java.sql.Timestamp(3000L), 2L, 20.0),
+            ("a", new java.sql.Timestamp(4000L), 3L, 30.0))
+            .toDF("k", "ts", "id", "v"), "k", "ts", "v", "id")
+          .collect()(0)
+        assert(batch.getAs[Long]("twa_cents") == 1250L)
+        assert(batch.getAs[Long]("span_us") == 4000000L)
+        // a LATE row (ts behind the holder): observed, nothing regresses
+        input.addData(("a", 1000000L, 8L, 9999L))
+        q.processAllAvailable()
+        val late = spark.table("twa_stream")
+          .as[(String, Long, Long, Long, Long, Option[Long])]
+          .collect().filter(r => r._2 == 1000000L)(0)
+        assert((late._5, late._6) == ((4000000L, Some(1250L))),
+          "late row must not change the running stats")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming TWA: running sums survive a query restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_twa").toString
+      val input = MemoryStream[(String, Long, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Option[Long])]
+      def start() = TwaStream.runningTwa(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long,
+            Long, Option[Long])], _: Long) =>
+          collected.synchronized {
+            collected ++= df.collect().map(r => (r._1, r._2, r._5, r._6))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("a", 0L, 1L, 1000L), ("a", 2000000L, 2L, 4000L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // 1000c held 2s pre-restart; 4000c holds 2s across the restart
+        // -> twa = (1000*2e6 + 4000*2e6) / 4e6 = 2500
+        input.addData(("a", 4000000L, 3L, 9L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("a", 4000000L, 4000000L, Some(2500L))),
+          s"running sums must survive the restart: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming upsert compaction: batch == stream under out-of-order arrival") {
     withRocksDb {
       implicit val sc = spark.sqlContext
