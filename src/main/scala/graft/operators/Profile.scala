@@ -64,6 +64,40 @@ object Profile {
     }.reduce(_.unionAll(_))
   }
 
+  /** Conditional FD strength (Bohannon et al. 2007's CFDs, measured
+    * with the same g3 error as [[fdStrength]]): the X → Y strength
+    * WITHIN each value of a condition column — the drill-down that
+    * finds "the dependency holds everywhere except partition P" (one
+    * bad source, one bad day), which the global number averages away.
+    * Same aggregation ladder with the condition column prepended to
+    * every group key, so the scale shape is unchanged: distinct
+    * (cond, X, Y) table → distinct (cond, X) table → per-cond rollup.
+    *
+    * Output, one row per observed condition value: (condCol, n_rows,
+    * n_groups, n_violating_groups, rows_to_remove, g3_ppm, holds).
+    */
+  def fdStrengthBy(df: DataFrame, condCol: String, xs: Seq[String],
+                   y: String): DataFrame = {
+    require(xs.nonEmpty && !xs.contains(y) && !xs.contains(condCol) &&
+      y != condCol, s"degenerate CFD [$condCol] ${xs.mkString(",")} -> $y")
+    val pairs = df
+      .filter((condCol +: y +: xs).map(col(_).isNotNull).reduce(_ && _))
+      .groupBy((condCol +: xs :+ y).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    pairs.groupBy((condCol +: xs).map(col): _*)
+      .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__keep"),
+        count(lit(1)).as("__vals"))
+      .groupBy(col(condCol))
+      .agg(sum(col("__n")).as("n_rows"), count(lit(1)).as("n_groups"),
+        count(when(col("__vals") > 1, lit(1))).as("n_violating_groups"),
+        sum(col("__n") - col("__keep")).as("rows_to_remove"))
+      .select(col(condCol), col("n_rows"), col("n_groups"),
+        col("n_violating_groups"), col("rows_to_remove"),
+        expr("(CAST(rows_to_remove AS DECIMAL(38,0)) * 1000000)" +
+          " div n_rows").cast("long").as("g3_ppm"),
+        (col("rows_to_remove") === 0).as("holds"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       val numeric = df.schema(c).dataType.isInstanceOf[NumericType]

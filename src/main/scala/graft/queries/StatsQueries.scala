@@ -285,6 +285,17 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q243_conditional_fd" -> { (s, d) =>
+      // Conditional-FD drill-down (Bohannon 2007): the q238 global
+      // number says partkey->suppkey is 92% violated; this splits the
+      // g3 strength BY SHIP MODE to find whether one partition carries
+      // the damage — the per-slice evidence a data-quality triage
+      // needs. Same aggregation ladder with the condition prepended.
+      graft.operators.Profile.fdStrengthBy(Tables.lineitem(s, d),
+        "l_returnflag", Seq("l_partkey"), "l_suppkey")
+        .orderBy(col("l_returnflag"))
+    },
+
     "q241_time_weighted_avg" -> { (s, d) =>
       // Per-user time-weighted average of the value signal: a value
       // counts for HOW LONG it held, not how often it was sampled — a
@@ -727,7 +738,28 @@ object StatsQueries extends QueryGroup {
       SELECT user_id, n_obs, span_us,
         CASE WHEN span_us > 0 THEN CAST(num // span_us AS BIGINT)
           END AS twa_cents
-      FROM ag ORDER BY user_id""")
+      FROM ag ORDER BY user_id""",
+
+    "q243_conditional_fd" -> """
+      WITH pr AS (
+        SELECT l_returnflag, l_partkey, l_suppkey, count(*) AS c
+        FROM lineitem
+        WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL
+          AND l_suppkey IS NOT NULL
+        GROUP BY 1, 2, 3),
+      gx AS (
+        SELECT l_returnflag, l_partkey, CAST(sum(c) AS BIGINT) AS n,
+          CAST(max(c) AS BIGINT) AS keep, count(*) AS vals
+        FROM pr GROUP BY 1, 2)
+      SELECT l_returnflag, CAST(sum(n) AS BIGINT) AS n_rows,
+        CAST(count(*) AS BIGINT) AS n_groups,
+        CAST(coalesce(sum(CASE WHEN vals > 1 THEN 1 END), 0) AS BIGINT)
+          AS n_violating_groups,
+        CAST(sum(n - keep) AS BIGINT) AS rows_to_remove,
+        CAST((CAST(sum(n - keep) AS HUGEINT) * 1000000) // sum(n)
+          AS BIGINT) AS g3_ppm,
+        sum(n - keep) = 0 AS holds
+      FROM gx GROUP BY 1 ORDER BY l_returnflag""")
 
   /** 16 unrolled peel rounds — idempotent once the core stabilizes
     * (measured convergence: 3/5/5/10 rounds at sf0.001/0.01/0.1/1), so

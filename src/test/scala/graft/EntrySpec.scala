@@ -74,6 +74,7 @@ class EntrySpec extends SparkSpec {
       "pv", // q240 per-vertex triangle counts
       "ag", // q241 TWA per-key aggregate
       "cd", "nr", "cl2", "cs2", "ws", // q242 golden-record merge stages
+      "pr", "gx", // q243 conditional-FD ladder
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",

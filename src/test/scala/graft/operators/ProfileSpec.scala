@@ -50,6 +50,24 @@ class ProfileSpec extends SparkSpec {
     assert(out("x1->y") == ((1L, false)))    // a has values {1,1,2}
   }
 
+  test("fdStrengthBy: per-condition g3 isolates the dirty partition") {
+    // partition p: FD holds; partition q: group a has values {1,1,2}
+    val df = Seq(
+      ("p", "a", "1"), ("p", "a", "1"), ("p", "b", "2"),
+      ("q", "a", "1"), ("q", "a", "1"), ("q", "a", "2"), ("q", "b", "3"))
+      .toDF("part", "x", "y")
+    val out = Profile.fdStrengthBy(df, "part", Seq("x"), "y")
+      .collect().map(r => r.getAs[String]("part") ->
+        ((r.getAs[Long]("rows_to_remove"), r.getAs[Long]("g3_ppm"),
+          r.getAs[Boolean]("holds")))).toMap
+    assert(out("p") == ((0L, 0L, true)))
+    assert(out("q") == ((1L, 250000L, false)))
+    // per-condition rows must sum to the unconditioned audit's
+    val global = Profile.fdStrength(df, Seq(Seq("part", "x") -> "y"))
+      .collect()(0)
+    assert(global.getAs[Long]("rows_to_remove") == 1L)
+  }
+
   test("fdStrength: degenerate candidates rejected") {
     val df = Seq(("a", "1")).toDF("x", "y")
     intercept[IllegalArgumentException] {
