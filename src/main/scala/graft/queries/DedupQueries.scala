@@ -180,6 +180,22 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q244_exact_jaccard_join" -> { (s, d) =>
+      // EXACT all-pairs Jaccard >= 0.4 over the shingle sets — the
+      // lossless complement of q38's banded LSH (a band can miss a
+      // true pair; a decontamination gate can't afford that). Prefix
+      // filtering (Bayardo 2007/PPJoin): candidates join on each
+      // record's RAREST shingles only, then verify exactly. The oracle
+      // is the independent brute form (any-shared-shingle pairs +
+      // exact verify), so the hash match proves losslessness, not just
+      // self-consistency.
+      val ids = graft.operators.Dedup.shingleIdsPoly(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.operators.SetJoin.jaccardJoin(ids, "doc_id", "tid",
+        tauPpm = 400000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "q40_ngram_jaccard" -> { (s, d) =>
       // Exact 3-gram Jaccard for consecutive doc pairs (a linear-size,
       // deterministic pair set; LSH pairs are checked separately in q38).
@@ -545,6 +561,26 @@ object DedupQueries extends QueryGroup {
   }
 
   val oracle: Map[String, String] = Map(
+    "q244_exact_jaccard_join" -> s"""$ShingleCte,
+      szs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+              FROM ids GROUP BY 1),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ids a JOIN ids b
+          ON a.tid = b.tid AND a.doc_id < b.doc_id),
+      iv AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS inter
+        FROM cand c
+        JOIN ids ia ON ia.doc_id = c.id_a
+        JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
+        GROUP BY 1, 2)
+      SELECT iv.id_a, iv.id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+        (inter * 1000000) // (sa.sz + sb.sz - inter) AS jaccard_ppm
+      FROM iv JOIN szs sa ON sa.doc_id = iv.id_a
+      JOIN szs sb ON sb.doc_id = iv.id_b
+      WHERE inter * 1000000 >= 400000 * (sa.sz + sb.sz - inter)
+      ORDER BY id_a, id_b""",
+
     "q165_typo_pairs" -> """
       WITH d AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS s
                  FROM customer WHERE c_name IS NOT NULL)
