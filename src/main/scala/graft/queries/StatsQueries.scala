@@ -285,6 +285,20 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q245_decayed_engagement" -> { (s, d) =>
+      // Recency-weighted per-user engagement: half-life-decayed event
+      // counts (weight = count >> whole-half-lives-old — exact integer
+      // decay both engines replay bit for bit) plus the freshness
+      // ratio. Yesterday's burst outranks last quarter's archive —
+      // the signal a crawl scheduler or trending list actually wants;
+      // anchor = the corpus's own max timestamp (1-row bounded agg).
+      val ev = Tables.events(s, d)
+      val asOf = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      graft.operators.Decay.halfLifeCounts(
+        ev, "user_id", "ts", halfLifeDays = 7, asOfMicros = asOf)
+        .orderBy(col("user_id"))
+    },
+
     "q243_conditional_fd" -> { (s, d) =>
       // Conditional-FD drill-down (Bohannon 2007): the q238 global
       // number says partkey->suppkey is 92% violated; this splits the
@@ -759,7 +773,23 @@ object StatsQueries extends QueryGroup {
         CAST((CAST(sum(n - keep) AS HUGEINT) * 1000000) // sum(n)
           AS BIGINT) AS g3_ppm,
         sum(n - keep) = 0 AS holds
-      FROM gx GROUP BY 1 ORDER BY l_returnflag""")
+      FROM gx GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q245_decayed_engagement" -> """
+      WITH mx AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+      ab AS (
+        SELECT user_id,
+          greatest(0, (anchor - epoch_us(ts)) // 604800000000) AS age
+        FROM events CROSS JOIN mx
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      bk AS (
+        SELECT user_id, age, CAST(count(*) AS BIGINT) AS c
+        FROM ab WHERE age < 63 GROUP BY 1, 2)
+      SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        CAST(sum(c >> age) AS BIGINT) AS decayed_weight,
+        CAST((CAST(sum(c >> age) AS HUGEINT) * 1000000) // sum(c)
+          AS BIGINT) AS freshness_ppm
+      FROM bk GROUP BY 1 ORDER BY user_id""")
 
   /** 16 unrolled peel rounds — idempotent once the core stabilizes
     * (measured convergence: 3/5/5/10 rounds at sf0.001/0.01/0.1/1), so

@@ -76,6 +76,7 @@ class EntrySpec extends SparkSpec {
       "cd", "nr", "cl2", "cs2", "ws", // q242 golden-record merge stages
       "pr", "gx", // q243 conditional-FD ladder
       "iv", // q244 exact-join intersection table
+      "ab", // q245 age-bucket table
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
