@@ -51,6 +51,43 @@ object Skew {
     * Output: (key, n_rows, n_null, ndv, max_count, mean_count,
     * skew_ppm, recommended_salts).
     */
+  /** Exact join-size audit: the output row count an equi-join WILL
+    * produce — Σ_k cL(k)·cR(k) over the matched key values — before
+    * anyone pays for running it, plus the largest single key's
+    * contribution and its share. [[advisor]] diagnoses one table's key
+    * histogram; this is the CROSS-TABLE number a capacity plan or a
+    * join-order decision actually needs (a 60k×60k join can emit 4B
+    * rows through one hot key, and the estimate that misses it is how
+    * clusters die). Exact, not a sketch: the value tables are already
+    * the cheapest possible summary (hot keys combine map-side), and
+    * Σ products runs on their join — value-table-sized work, DECIMAL
+    * (38,0) headroom on the products.
+    *
+    * Output (1 row): (join_name, n_left, n_right, matched_keys,
+    * out_rows, max_key_rows, max_key_share_ppm).
+    */
+  def joinSizeAudit(left: DataFrame, leftKey: String, right: DataFrame,
+                    rightKey: String, joinName: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val lc = left.filter(col(leftKey).isNotNull)
+      .groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__cl"))
+    val rc = right.filter(col(rightKey).isNotNull)
+      .groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cr"))
+    val prod = lc.join(rc, "__k")
+      .select(expr(s"CAST(__cl AS $dec) * __cr").as("__p"))
+      .agg(count(lit(1)).as("matched_keys"),
+        coalesce(sum(col("__p")), lit(0).cast(dec)).as("__out"),
+        coalesce(max(col("__p")), lit(0).cast(dec)).as("__mx"))
+    lc.agg(coalesce(sum(col("__cl")), lit(0L)).as("n_left"))
+      .crossJoin(rc.agg(coalesce(sum(col("__cr")), lit(0L)).as("n_right")))
+      .crossJoin(prod)
+      .select(lit(joinName).as("join_name"), col("n_left"), col("n_right"),
+        col("matched_keys"), col("__out").cast("long").as("out_rows"),
+        col("__mx").cast("long").as("max_key_rows"),
+        when(col("__out") > 0, expr("(__mx * 1000000) div __out"))
+          .cast("long").as("max_key_share_ppm"))
+  }
+
   def advisor(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one candidate key")
     val dec = "decimal(38,0)"

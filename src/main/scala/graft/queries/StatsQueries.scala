@@ -285,6 +285,23 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q246_join_size_audit" -> { (s, d) =>
+      // Exact equi-join output-size prediction BEFORE paying for the
+      // join — Σ cL(k)·cR(k) over matched keys plus the hottest key's
+      // share (the number a capacity plan needs; the estimate that
+      // misses one hot key is how clusters die). Cross-table
+      // complement of q239's single-table advisor; value-table-sized.
+      val li = Tables.lineitem(s, d)
+      Seq(
+        graft.operators.Skew.joinSizeAudit(li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey", "lineitem_orders"),
+        graft.operators.Skew.joinSizeAudit(li, "l_partkey",
+          Tables.part(s, d), "p_partkey", "lineitem_part"),
+        graft.operators.Skew.joinSizeAudit(li, "l_partkey",
+          li, "l_partkey", "lineitem_self_part"))
+        .reduce(_.unionAll(_)).orderBy(col("join_name"))
+    },
+
     "q245_decayed_engagement" -> { (s, d) =>
       // Recency-weighted per-user engagement: half-life-decayed event
       // counts (weight = count >> whole-half-lives-old — exact integer
@@ -774,6 +791,33 @@ object StatsQueries extends QueryGroup {
           AS BIGINT) AS g3_ppm,
         sum(n - keep) = 0 AS holds
       FROM gx GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q246_join_size_audit" -> (Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem_self_part", "lineitem", "l_partkey", "lineitem",
+        "l_partkey")).map { case (n, lt, lk, rt, rk) =>
+      s"""
+      SELECT '$n' AS join_name, n_left, n_right, matched_keys, out_rows,
+        max_key_rows,
+        CASE WHEN out_rows > 0 THEN CAST(
+          (CAST(max_key_rows AS HUGEINT) * 1000000) // out_rows AS BIGINT)
+          END AS max_key_share_ppm
+      FROM (
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM $lt
+           WHERE $lk IS NOT NULL) AS n_left,
+          (SELECT CAST(count(*) AS BIGINT) FROM $rt
+           WHERE $rk IS NOT NULL) AS n_right,
+          CAST(count(*) AS BIGINT) AS matched_keys,
+          CAST(coalesce(sum(cl * cr), 0) AS BIGINT) AS out_rows,
+          CAST(coalesce(max(cl * cr), 0) AS BIGINT) AS max_key_rows
+        FROM (SELECT $lk AS k, CAST(count(*) AS HUGEINT) AS cl
+              FROM $lt WHERE $lk IS NOT NULL GROUP BY 1) a
+        JOIN (SELECT $rk AS k, CAST(count(*) AS HUGEINT) AS cr
+              FROM $rt WHERE $rk IS NOT NULL GROUP BY 1) b
+          ON a.k = b.k)"""
+    }.mkString(" UNION ALL ") + " ORDER BY join_name"),
 
     "q245_decayed_engagement" -> """
       WITH mx AS (SELECT max(epoch_us(ts)) AS anchor FROM events),

@@ -144,6 +144,30 @@ class SkewSpec extends SparkSpec {
     assert(Option(n.getAs[Any]("mean_count")).isEmpty)
   }
 
+  test("joinSizeAudit: exact output size equals the actually-run join") {
+    val left = Seq(1L, 1L, 1L, 2L, 2L, 3L, 9L).map(Tuple1(_)).toDF("lk")
+    val right = (Seq(1L, 1L, 2L, 3L, 3L, 3L, 8L)
+      .map(java.lang.Long.valueOf) :+ null.asInstanceOf[java.lang.Long])
+      .map(Tuple1(_)).toDF("rk")
+    val r = Skew.joinSizeAudit(left, "lk", right, "rk", "t").collect()(0)
+    val actual = left.join(right, col("lk") === col("rk")).count()
+    assert(r.getAs[Long]("out_rows") == actual) // 3*2 + 2*1 + 1*3 = 11
+    assert(r.getAs[Long]("out_rows") == 11L)
+    assert(r.getAs[Long]("n_left") == 7L && r.getAs[Long]("n_right") == 7L)
+    assert(r.getAs[Long]("matched_keys") == 3L)
+    assert(r.getAs[Long]("max_key_rows") == 6L) // key 1: 3*2
+    assert(r.getAs[Long]("max_key_share_ppm") == 545454L)
+  }
+
+  test("joinSizeAudit: disjoint keys predict an empty join") {
+    val a = Seq(1L, 2L).map(Tuple1(_)).toDF("k")
+    val b = Seq(3L, 4L).map(Tuple1(_)).toDF("k")
+    val r = Skew.joinSizeAudit(a, "k", b, "k", "empty").collect()(0)
+    assert(r.getAs[Long]("out_rows") == 0L)
+    assert(r.getAs[Long]("matched_keys") == 0L)
+    assert(Option(r.getAs[Any]("max_key_share_ppm")).isEmpty)
+  }
+
   test("advisor: recommended factor levels the hot key to at most the mean") {
     // hot key 1000 rows among 9 keys of ~100: factor should satisfy
     // max/factor <= ceil(mean)
