@@ -98,6 +98,67 @@ object Profile {
         (col("rows_to_remove") === 0).as("holds"))
   }
 
+  /** Benford first-digit audit (Newcomb 1881, Benford 1938; the
+    * classic fabricated-numbers screen — organically-grown magnitudes
+    * put ~30.1% of leading digits at 1, invented ones tend uniform):
+    * per group, the observed first-digit histogram of a positive
+    * numeric column against the Benford expectation, with the maximum
+    * absolute deviation in ppm (the exact sup-norm discrepancy; the
+    * usual chi² needs nothing float-y this way). The Benford masses
+    * log10(1+1/d) ship as exact ppm constants, so the whole audit is
+    * integer arithmetic both engines replay.
+    *
+    * Scale shape: one corpus aggregate to the (group × 9)-row digit
+    * histogram, one bounded re-aggregate. Non-positive and null values
+    * are excluded (Benford is defined on positive magnitudes) but
+    * counted in n_excluded. `valueCol` must be a positive INTEGER
+    * magnitude (the house cents discipline) — a float cast would
+    * ROUND 9.97 into a leading 1 and 0.4 into a bogus digit 0; the
+    * caller owns the cents conversion. Ties on the worst digit break
+    * to the smaller digit.
+    *
+    * Output per group: (groupCol, n_values, n_excluded,
+    * max_dev_ppm, worst_digit, d1_ppm — the observed leading-1 share).
+    */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // floor(log10(1+1/d) * 1e6) for d = 1..9; off-by-one ulps matter,
+    // so these are pinned constants, not computed
+    val benfordPpm = Seq(301029L, 176091L, 124938L, 96910L, 79181L,
+      66946L, 57991L, 51152L, 45757L)
+    val digitMass = benfordPpm.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}L" }
+      .mkString("CASE __dig ", " ", " ELSE 0L END")
+    val base = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol),
+        when(col(valueCol).isNotNull && col(valueCol) > 0,
+          substring(col(valueCol).cast("long").cast("string"), 1, 1)
+            .cast("long")).as("__dig"))
+    val hist = base.groupBy(col(groupCol), col("__dig"))
+      .agg(count(lit(1)).as("__c"))
+    val totals = hist.groupBy(col(groupCol))
+      .agg(coalesce(sum(when(col("__dig").isNotNull, col("__c"))), lit(0L))
+          .as("n_values"),
+        coalesce(sum(when(col("__dig").isNull, col("__c"))), lit(0L))
+          .as("n_excluded"))
+    val dev = hist.filter(col("__dig").isNotNull)
+      .join(totals.select(col(groupCol), col("n_values")), Seq(groupCol))
+      .select(col(groupCol), col("__dig"),
+        expr("(CAST(__c AS DECIMAL(38,0)) * 1000000) div n_values")
+          .cast("long").as("__obs"),
+        expr(digitMass).as("__exp"))
+      .select(col(groupCol), col("__dig"), col("__obs"),
+        abs(col("__obs") - col("__exp")).as("__dev"))
+    val worst = dev.groupBy(col(groupCol))
+      .agg(max(struct(col("__dev"), (-col("__dig")).as("nd"))).as("__w"),
+        coalesce(sum(when(col("__dig") === 1, col("__obs"))), lit(0L))
+          .as("d1_ppm"))
+      .select(col(groupCol), col("__w.__dev").as("max_dev_ppm"),
+        (-col("__w.nd")).as("worst_digit"), col("d1_ppm"))
+    totals.join(worst, Seq(groupCol), "left")
+      .select(col(groupCol), col("n_values"), col("n_excluded"),
+        col("max_dev_ppm"), col("worst_digit"), col("d1_ppm"))
+  }
+
   def profile(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.map { c =>
       val numeric = df.schema(c).dataType.isInstanceOf[NumericType]

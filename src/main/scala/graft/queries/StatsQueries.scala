@@ -285,6 +285,20 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q247_benford_audit" -> { (s, d) =>
+      // Benford first-digit audit of extended prices per return flag —
+      // the fabricated-numbers screen (organic magnitudes lead with 1
+      // ~30% of the time; invented ones tend uniform). Exact integer
+      // ppm against pinned log10(1+1/d) constants; one aggregate to
+      // the group x 9 digit histogram.
+      graft.operators.Profile.benford(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")),
+        "l_returnflag", "cents")
+        .orderBy(col("l_returnflag"))
+    },
+
     "q246_join_size_audit" -> { (s, d) =>
       // Exact equi-join output-size prediction BEFORE paying for the
       // join — Σ cL(k)·cR(k) over matched keys plus the hottest key's
@@ -791,6 +805,45 @@ object StatsQueries extends QueryGroup {
           AS BIGINT) AS g3_ppm,
         sum(n - keep) = 0 AS holds
       FROM gx GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q247_benford_audit" -> """
+      WITH b AS (
+        SELECT l_returnflag AS g,
+          CASE WHEN l_extendedprice IS NOT NULL AND l_extendedprice > 0
+            THEN CAST(substring(CAST(CAST(CAST(l_extendedprice
+              AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) END AS dig
+        FROM lineitem WHERE l_returnflag IS NOT NULL),
+      h AS (
+        SELECT g, dig, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      tt AS (
+        SELECT g,
+          CAST(coalesce(sum(CASE WHEN dig IS NOT NULL THEN c END), 0)
+            AS BIGINT) AS n_values,
+          CAST(coalesce(sum(CASE WHEN dig IS NULL THEN c END), 0)
+            AS BIGINT) AS n_excluded
+        FROM h GROUP BY 1),
+      dv AS (
+        SELECT h.g, dig,
+          CAST((CAST(c AS HUGEINT) * 1000000) // n_values AS BIGINT)
+            AS obs,
+          CASE dig WHEN 1 THEN 301029 WHEN 2 THEN 176091 WHEN 3 THEN 124938
+            WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66946
+            WHEN 7 THEN 57991 WHEN 8 THEN 51152 WHEN 9 THEN 45757
+            ELSE 0 END AS exp
+        FROM h JOIN tt ON tt.g = h.g WHERE dig IS NOT NULL),
+      wr AS (
+        SELECT g,
+          max_by(abs(obs - exp), abs(obs - exp) * 16 + 9 - dig)
+            AS max_dev_ppm,
+          max_by(dig, abs(obs - exp) * 16 + 9 - dig) AS worst_digit,
+          CAST(coalesce(sum(CASE WHEN dig = 1 THEN obs END), 0) AS BIGINT)
+            AS d1_ppm
+        FROM dv GROUP BY 1)
+      SELECT tt.g AS l_returnflag, n_values, n_excluded,
+        max_dev_ppm, worst_digit, d1_ppm
+      FROM tt LEFT JOIN wr ON wr.g = tt.g
+      ORDER BY l_returnflag""",
 
     "q246_join_size_audit" -> (Seq(
       ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),

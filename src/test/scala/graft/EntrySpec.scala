@@ -77,6 +77,7 @@ class EntrySpec extends SparkSpec {
       "pr", "gx", // q243 conditional-FD ladder
       "iv", // q244 exact-join intersection table
       "ab", // q245 age-bucket table
+      "wr", // q247 Benford worst-digit rollup
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",

@@ -68,6 +68,35 @@ class ProfileSpec extends SparkSpec {
     assert(global.getAs[Long]("rows_to_remove") == 1L)
   }
 
+  test("benford: hand histogram — observed ppm vs pinned expectation") {
+    // group g: digits 1,1,1,2 (obs 750000 / 250000); nulls + zeros +
+    // negatives excluded but ledgered
+    val rows = Seq(("g", 100L), ("g", 1500L), ("g", 19L), ("g", 2L),
+      ("g", 0L), ("g", -7L)) ++ Seq(("g", null.asInstanceOf[Any]))
+    val df = rows.map { case (g, v) => (g, v.asInstanceOf[java.lang.Long]) }
+      .toDF("g", "v")
+    val r = Profile.benford(df, "g", "v").collect()(0)
+    assert(r.getAs[Long]("n_values") == 4L)
+    assert(r.getAs[Long]("n_excluded") == 3L)
+    assert(r.getAs[Long]("d1_ppm") == 750000L)
+    // deviations: digit 1: |750000-301029| = 448971; digit 2:
+    // |250000-176091| = 73909 -> worst is digit 1
+    assert(r.getAs[Long]("max_dev_ppm") == 448971L)
+    assert(r.getAs[Long]("worst_digit") == 1L)
+  }
+
+  test("benford: a perfectly Benford sample has near-zero deviation") {
+    // counts proportional to the pinned masses out of 1e6 draws
+    val masses = Seq(301029L, 176091L, 124938L, 96910L, 79181L, 66946L,
+      57991L, 51152L, 45757L)
+    val rows = masses.zipWithIndex.flatMap { case (m, i) =>
+      Seq.fill((m / 1000L).toInt)(("g", (i + 1).toLong * 10L)) }
+    val r = Profile.benford(rows.toDF("g", "v"), "g", "v").collect()(0)
+    // flooring the /1000 counts costs at most ~1000 ppm per digit
+    assert(r.getAs[Long]("max_dev_ppm") < 2000L,
+      s"deviation too large: ${r.getAs[Long]("max_dev_ppm")}")
+  }
+
   test("fdStrength: degenerate candidates rejected") {
     val df = Seq(("a", "1")).toDF("x", "y")
     intercept[IllegalArgumentException] {
