@@ -31,6 +31,38 @@ object Survivorship {
     * Output: (entityCol, n_records, then per attr: <attr>,
     * <attr>_n_values).
     */
+  /** OpenRefine-style key-collision clustering (the "fingerprint"
+    * method): two records belong together when their NORMALIZATION KEY
+    * — lowercased, split on non-alphanumerics, deduplicated, sorted,
+    * rejoined — collides. Catches exactly the variant class
+    * edit-distance and shingle-Jaccard handle poorly: token
+    * permutations, casing, punctuation and whitespace noise collapse
+    * to one key, while a single real word change never does. The
+    * standard first pass of an entity-cleanup pipeline, ahead of the
+    * fuzzier [[graft.operators.EditDistance]] / LSH stages.
+    *
+    * Scale shape: the key is one narrow per-row expression; one
+    * aggregate groups by its md5 (16-byte shuffle keys, not
+    * document-length strings — the exact-dedup house rule). Output is
+    * bounded by the collision count.
+    *
+    * Output: (fp_hash, n_records, n_variants — distinct raw texts,
+    * canonical_id — smallest id), collisions only (n_records > 1).
+    */
+  def fingerprintClusters(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val key = array_join(array_sort(array_distinct(
+      filter(split(lower(col(textCol)), "[^a-z0-9]+"),
+        t => length(t) > 0))), " ")
+    df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), md5(key).as("fp_hash"))
+      .groupBy(col("fp_hash"))
+      .agg(count(lit(1)).as("n_records"),
+        countDistinct(col(textCol)).as("n_variants"),
+        min(col(idCol)).as("canonical_id"))
+      .filter(col("n_records") > 1)
+  }
+
   def goldenRecord(df: DataFrame, entityCol: String,
                    attrCols: Seq[String]): DataFrame = {
     require(attrCols.nonEmpty, "need at least one attribute")

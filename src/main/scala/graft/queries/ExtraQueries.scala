@@ -493,6 +493,18 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("cluster_id"))
     },
 
+    "q248_fingerprint_clusters" -> { (s, d) =>
+      // OpenRefine-style key-collision clustering: documents whose
+      // NORMALIZATION key (lowercase, split on non-alnum, dedup, sort,
+      // rejoin) collides — token permutations and punctuation noise
+      // collapse, a real word change never does. The cheap first pass
+      // ahead of the fuzzier edit-distance/LSH stages; 16-byte md5
+      // shuffle keys, output bounded by collisions.
+      graft.operators.Survivorship.fingerprintClusters(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("fp_hash"))
+    },
+
     "q92_bloom_join" -> { (s, d) =>
       // Manual runtime-filter join: bloom-prefilter the fact side on the
       // selective dimension subset's keys BEFORE the join shuffle — the
@@ -655,6 +667,20 @@ object ExtraQueries extends QueryGroup {
       .replaceFirst("WITH ", "WITH RECURSIVE ")
 
   val oracle: Map[String, String] = Map(
+    "q248_fingerprint_clusters" -> """
+      WITH fp AS (
+        SELECT doc_id, text,
+          md5(list_aggregate(list_sort(list_distinct(list_filter(
+            string_split_regex(lower(text), '[^a-z0-9]+'),
+            x -> len(x) > 0))), 'string_agg', ' ')) AS fp_hash
+        FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+      SELECT fp_hash, CAST(count(*) AS BIGINT) AS n_records,
+        CAST(count(DISTINCT text) AS BIGINT) AS n_variants,
+        min(doc_id) AS canonical_id
+      FROM fp GROUP BY 1 HAVING count(*) > 1
+      ORDER BY fp_hash""",
+
     "q242_golden_record" -> GoldenRecordOracle,
     "q187_cluster_keep_best" -> KeepBestOracle,
     "q85_corr_regression" -> """

@@ -78,6 +78,7 @@ class EntrySpec extends SparkSpec {
       "iv", // q244 exact-join intersection table
       "ab", // q245 age-bucket table
       "wr", // q247 Benford worst-digit rollup
+      "fp", // q248 fingerprint-key table
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",

@@ -51,6 +51,29 @@ class SurvivorshipSpec extends SparkSpec {
     assert(out(0).getAs[Long]("score_n_values") == 2L)
   }
 
+  test("fingerprintClusters: permutation/case/punctuation collapse, word change splits") {
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "world ... HELLO"),   // permutation + case + punctuation
+      (3L, "hello hello world"), // duplicate token collapses
+      (4L, "hello there world"), // real extra word -> different key
+      (5L, "unique text here"))
+      .toDF("id", "t")
+    val out = Survivorship.fingerprintClusters(docs, "id", "t").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_records") == 3L)
+    assert(out(0).getAs[Long]("n_variants") == 3L)
+    assert(out(0).getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("fingerprintClusters: exact duplicates count records but one variant") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "b a")).toDF("id", "t")
+    val out = Survivorship.fingerprintClusters(docs, "id", "t").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_records") == 3L)
+    assert(out(0).getAs[Long]("n_variants") == 2L)
+  }
+
   test("goldenRecord: degenerate arguments rejected") {
     val df = Seq((1L, "a")).toDF("e", "v")
     intercept[IllegalArgumentException] {
