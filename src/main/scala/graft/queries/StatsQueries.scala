@@ -285,6 +285,23 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q249_version_occupancy" -> { (s, d) =>
+      // Sweep-line concurrency curve over the q231 SCD2 intervals: how
+      // many user versions were OPEN at each hour — capacity/occupancy
+      // without a grid join (each interval = two boundary deltas, the
+      // curve = a prefix sum over calendar-bounded change ticks).
+      val hist = graft.operators.Changelog.scd2(
+        Tables.events(s, d).select(col("user_id"), col("ts"),
+          col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents")),
+        "user_id", "ts", "event_id", "op", Seq("cents"))
+      graft.operators.Intervals.hourlyCoverage(
+        hist, "valid_from", "valid_to")
+        .orderBy(col("tick_hour"))
+    },
+
     "q247_benford_audit" -> { (s, d) =>
       // Benford first-digit audit of extended prices per return flag —
       // the fabricated-numbers screen (organic magnitudes lead with 1
@@ -805,6 +822,32 @@ object StatsQueries extends QueryGroup {
           AS BIGINT) AS g3_ppm,
         sum(n - keep) = 0 AS holds
       FROM gx GROUP BY 1 ORDER BY l_returnflag""",
+
+    "q249_version_occupancy" -> """
+      WITH ch AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events),
+      v AS (
+        SELECT user_id, ts, op,
+          lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS vto
+        FROM ch),
+      iv2 AS (SELECT ts AS vfrom, vto FROM v WHERE op <> 'D'),
+      dl AS (
+        SELECT (epoch_us(vfrom) + 3599999999) // 3600000000 AS tick,
+          1 AS d
+        FROM iv2
+        UNION ALL
+        SELECT (epoch_us(vto) + 3599999999) // 3600000000, -1
+        FROM iv2 WHERE vto IS NOT NULL),
+      bt AS (
+        SELECT tick, CAST(sum(d) AS BIGINT) AS delta
+        FROM dl GROUP BY 1 HAVING sum(d) <> 0)
+      SELECT tick AS tick_hour, delta,
+        CAST(sum(delta) OVER (ORDER BY tick) AS BIGINT) AS n_open
+      FROM bt ORDER BY tick_hour""",
 
     "q247_benford_audit" -> """
       WITH b AS (

@@ -79,6 +79,7 @@ class EntrySpec extends SparkSpec {
       "ab", // q245 age-bucket table
       "wr", // q247 Benford worst-digit rollup
       "fp", // q248 fingerprint-key table
+      "iv2", "dl", "bt", // q249 sweep-line stages
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
