@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
 object Decay {
 
   /** Per-key half-life–decayed count:
-    * decayed = Σ_b count(b) >> age_b, over buckets of `halfLifeDays`
-    * counted back from `asOfMicros` (events after the anchor are
-    * clamped into bucket 0 rather than amplified; ages ≥ 63 shift to
-    * zero and are dropped). Also reports the raw count and the
-    * freshness ratio decayed·1e6 div raw — 1e6 means everything
-    * happened within the newest half-life, →0 as the history goes
-    * stale.
+    * decayed = Σ_b count(b) >> age_b over CALENDAR buckets of
+    * `halfLifeDays` (bucket = ts div width, age = anchor's bucket −
+    * event's bucket) — grid-aligned like the day/week partitions a
+    * pipeline already writes, and the exact form the streaming twin
+    * ([[graft.streaming.DecayStream]]) can maintain incrementally: a
+    * bucket histogram re-ages under an advancing anchor by pure
+    * arithmetic, where difference-from-anchor ages would need the raw
+    * timestamp multiset. Events after the anchor clamp to age 0
+    * rather than amplify; ages ≥ 63 shift to zero and are dropped.
+    * Also reports the raw count and the freshness ratio decayed·1e6
+    * div raw — 1e6 means everything happened within the newest
+    * half-life, →0 as the history goes stale. Post-epoch timestamps
+    * (both engines' integer division truncates toward zero).
     *
     * Scale shape: one corpus aggregate to the (key, age) bucket table
     * (hot keys combine map-side; ages are calendar-bounded), one
@@ -35,10 +41,11 @@ object Decay {
                      halfLifeDays: Int, asOfMicros: Long): DataFrame = {
     require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
     val bucketUs = halfLifeDays.toLong * 24L * 3600L * 1000000L
+    val anchorBucket = Math.floorDiv(asOfMicros, bucketUs)
     // integer div, not float: a boundary timestamp must land in the
     // same bucket in every engine
     val age = greatest(lit(0L),
-      expr(s"(${asOfMicros}L - unix_micros(__ts)) div ${bucketUs}L"))
+      expr(s"${anchorBucket}L - unix_micros(__ts) div ${bucketUs}L"))
     events
       .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol).as("__ts"))

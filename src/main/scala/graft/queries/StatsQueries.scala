@@ -916,10 +916,11 @@ object StatsQueries extends QueryGroup {
     }.mkString(" UNION ALL ") + " ORDER BY join_name"),
 
     "q245_decayed_engagement" -> """
-      WITH mx AS (SELECT max(epoch_us(ts)) AS anchor FROM events),
+      WITH mx AS (
+        SELECT max(epoch_us(ts)) // 604800000000 AS anchor FROM events),
       ab AS (
         SELECT user_id,
-          greatest(0, (anchor - epoch_us(ts)) // 604800000000) AS age
+          greatest(0, anchor - epoch_us(ts) // 604800000000) AS age
         FROM events CROSS JOIN mx
         WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       bk AS (

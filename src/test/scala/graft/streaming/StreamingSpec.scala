@@ -2050,6 +2050,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming decay: trending weight == batch operator, order-free") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val day = 24L * 3600L * 1000000L
+      val input = MemoryStream[(String, Long)]
+      val q = DecayStream.trending(input.toDS(), halfLifeDays = 7)
+        .writeStream.format("memory").queryName("decay_stream")
+        .outputMode("append").start()
+      try {
+        // batch 1 arrives OUT OF EVENT ORDER — decay is a pure function
+        // of (bucket, anchor), so order cannot matter
+        input.addData(("a", 92L * day), ("a", 99L * day), ("a", 92L * day))
+        q.processAllAvailable()
+        input.addData(("a", 85L * day), ("b", 99L * day))
+        q.processAllAvailable()
+        val rows = spark.table("decay_stream")
+          .as[(String, Long, Long, Long)].collect()
+        val last = rows.filter(_._1 == "a").last
+        // buckets: 14 (1 event), 13 (2), 12 (1): 1 + 2>>1 + 1>>2 = 2
+        assert(last == (("a", 14L, 4L, 2L)))
+        // parity with the batch operator anchored at the key's max ts
+        val batch = graft.operators.Decay.halfLifeCounts(
+          Seq(("a", new java.sql.Timestamp(92L * day / 1000)),
+            ("a", new java.sql.Timestamp(99L * day / 1000)),
+            ("a", new java.sql.Timestamp(92L * day / 1000)),
+            ("a", new java.sql.Timestamp(85L * day / 1000)))
+            .toDF("k", "ts"),
+          "k", "ts", 7, asOfMicros = 99L * day).collect()(0)
+        assert(batch.getAs[Long]("n_events") == 4L)
+        assert(batch.getAs[Long]("decayed_weight") == 2L)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming decay: histogram survives a restart; anchor advances") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val day = 24L * 3600L * 1000000L
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_decay")
+        .toString
+      val input = MemoryStream[(String, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      def start() = DecayStream.trending(input.toDS(), halfLifeDays = 7)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("a", 92L * day), ("a", 92L * day), ("a", 92L * day),
+          ("a", 92L * day))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // one new event a bucket later: the restored 4-count bucket
+        // re-ages to 1 under the advanced anchor -> 4>>1 + 1 = 3
+        input.addData(("a", 99L * day))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("a", 14L, 5L, 3L)),
+          s"histogram must survive the restart and re-age: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming TWA: running average == batch operator on an in-order feed") {
     withRocksDb {
       implicit val sc = spark.sqlContext
