@@ -103,28 +103,6 @@ object Graphs {
           expr(s"(CAST(3 AS $dec) * __tri * 1000000) div __wed")
             .cast("long")).as("global_cc_ppm"))
 
-  /** Sampled triangle estimate — DOULION (Tsourakakis, Kang & Faloutsos
-    * 2009): keep each canonical edge with probability 1/pInv, count
-    * triangles EXACTLY on the sparsified graph, scale by pInv³ (a
-    * triangle needs all three edges to survive). Here the coin is a
-    * DETERMINISTIC portable hash of the endpoint pair — the q98
-    * hash-gate house rule — so re-runs, repartitioning, and the DuckDB
-    * oracle all sample the identical subgraph, and the estimator's
-    * "toss per edge, independent of degree" property is preserved (the
-    * hash never sees the vertex alone).
-    *
-    * This is the scale path for [[triangleStats]]: exact-census cost
-    * tracks wedge volume ≈ E²/V, so sparsifying edges by pInv cuts the
-    * wedge join by ≈ pInv² while the estimate's relative error decays
-    * with the (huge) surviving triangle count at corpus scale. Same
-    * plan shape as the exact census, on 1/pInv of the edges.
-    *
-    * Output (1 row): (n_edges — exact canonical count, kept_edges,
-    * sampled_wedges, sampled_triangles — both on the sparsified graph,
-    * est_triangles = sampled·pInv³, est_cc_ppm = 3·sampled_tri·pInv·1e6
-    * div sampled_wedges — the pInv² wedge scale cancels; null when the
-    * sample is wedge-free).
-    */
   /** k-core: the maximal subgraph where every vertex keeps degree ≥ k,
     * by iterative peeling (Matula & Beck 1983; the batch form of the
     * distributed algorithm in Montresor et al. 2013) — drop all
@@ -254,6 +232,28 @@ object Graphs {
       .limit(k)
   }
 
+  /** Sampled triangle estimate — DOULION (Tsourakakis, Kang & Faloutsos
+    * 2009): keep each canonical edge with probability 1/pInv, count
+    * triangles EXACTLY on the sparsified graph, scale by pInv³ (a
+    * triangle needs all three edges to survive). Here the coin is a
+    * DETERMINISTIC portable hash of the endpoint pair — the q98
+    * hash-gate house rule — so re-runs, repartitioning, and the DuckDB
+    * oracle all sample the identical subgraph, and the estimator's
+    * "toss per edge, independent of degree" property is preserved (the
+    * hash never sees the vertex alone).
+    *
+    * This is the scale path for [[triangleStats]]: exact-census cost
+    * tracks wedge volume ≈ E²/V, so sparsifying edges by pInv cuts the
+    * wedge join by ≈ pInv² while the estimate's relative error decays
+    * with the (huge) surviving triangle count at corpus scale. Same
+    * plan shape as the exact census, on 1/pInv of the edges.
+    *
+    * Output (1 row): (n_edges — exact canonical count, kept_edges,
+    * sampled_wedges, sampled_triangles — both on the sparsified graph,
+    * est_triangles = sampled·pInv³, est_cc_ppm = 3·sampled_tri·pInv·1e6
+    * div sampled_wedges — the pInv² wedge scale cancels; null when the
+    * sample is wedge-free).
+    */
   def triangleEstimate(edges: DataFrame, srcCol: String, dstCol: String,
                        pInv: Int): DataFrame = {
     require(pInv >= 1, s"pInv must be >= 1, got $pInv")

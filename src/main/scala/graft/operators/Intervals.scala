@@ -28,6 +28,11 @@ object Intervals {
     * aggregate-bounded day table). The interval table is scanned once
     * and never joined against a grid.
     *
+    * Null policy: a null `to` means open-forever (+1, no −1); a null
+    * `from` means the interval never validly opened — the whole row is
+    * dropped, INCLUDING its `to` boundary (emitting only the −1 would
+    * drive the curve negative).
+    *
     * Output: (tick_hour, delta, n_open), change ticks only, ordered
     * consumers LOCF between them.
     */
@@ -36,9 +41,15 @@ object Intervals {
     val b = 3600L * 1000000L
     def ceilTick(c: String) =
       expr(s"(unix_micros($c) + ${b - 1}L) div ${b}L")
-    val deltas = df.filter(col(fromCol).isNotNull)
+    // Both legs filter on the SAME validity predicate (fromCol
+    // non-null): a null-from/non-null-to row is malformed — it has no
+    // well-defined open point — and is dropped ENTIRELY. Filtering the
+    // -1 leg on toCol alone would emit its close delta without the
+    // matching open and skew the running sum negative.
+    val valid = df.filter(col(fromCol).isNotNull)
+    val deltas = valid
       .select(ceilTick(fromCol).as("__tick"), lit(1L).as("__d"))
-      .unionAll(df.filter(col(toCol).isNotNull)
+      .unionAll(valid.filter(col(toCol).isNotNull)
         .select(ceilTick(toCol).as("__tick"), lit(-1L).as("__d")))
     val byTick = deltas.groupBy(col("__tick"))
       .agg(sum(col("__d")).as("delta"))

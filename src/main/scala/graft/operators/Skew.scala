@@ -30,27 +30,6 @@ object Skew {
       .orderBy(col("n").desc, col(key).asc)
       .limit(topN)
 
-  /** Shuffle-skew advisor: one diagnostic row per candidate join/group
-    * key, in exact integer arithmetic — the measurement that DECIDES
-    * between plain shuffle, AQE skew split, and [[saltedJoin]], closing
-    * the measure → apply loop (q211 applies what this recommends).
-    * skew_ppm = hottest key ÷ mean key (1e6 = perfectly uniform);
-    * recommended_salts = ⌈max·ndv / n⌉, the factor that levels the
-    * hottest key's partition share back to the mean — 1 when salting
-    * buys nothing. Null keys are counted separately, never in the
-    * histogram (an equi-join drops them; a groupBy gives them one
-    * group, which salting can't help).
-    *
-    * Scale shape per key: one corpus aggregate to the per-value count
-    * table (hot keys combine map-side — the histogram of a skewed key
-    * is itself skew-safe), one bounded rollup; candidates are
-    * independent jobs, the union is driver-side plan assembly (the
-    * [[Profile.fdStrength]] shape). DECIMAL(38,0) headroom on the
-    * cross products.
-    *
-    * Output: (key, n_rows, n_null, ndv, max_count, mean_count,
-    * skew_ppm, recommended_salts).
-    */
   /** Exact join-size audit: the output row count an equi-join WILL
     * produce — Σ_k cL(k)·cR(k) over the matched key values — before
     * anyone pays for running it, plus the largest single key's
@@ -88,6 +67,27 @@ object Skew {
           .cast("long").as("max_key_share_ppm"))
   }
 
+  /** Shuffle-skew advisor: one diagnostic row per candidate join/group
+    * key, in exact integer arithmetic — the measurement that DECIDES
+    * between plain shuffle, AQE skew split, and [[saltedJoin]], closing
+    * the measure → apply loop (q211 applies what this recommends).
+    * skew_ppm = hottest key ÷ mean key (1e6 = perfectly uniform);
+    * recommended_salts = ⌈max·ndv / n⌉, the factor that levels the
+    * hottest key's partition share back to the mean — 1 when salting
+    * buys nothing. Null keys are counted separately, never in the
+    * histogram (an equi-join drops them; a groupBy gives them one
+    * group, which salting can't help).
+    *
+    * Scale shape per key: one corpus aggregate to the per-value count
+    * table (hot keys combine map-side — the histogram of a skewed key
+    * is itself skew-safe), one bounded rollup; candidates are
+    * independent jobs, the union is driver-side plan assembly (the
+    * [[Profile.fdStrength]] shape). DECIMAL(38,0) headroom on the
+    * cross products.
+    *
+    * Output: (key, n_rows, n_null, ndv, max_count, mean_count,
+    * skew_ppm, recommended_salts).
+    */
   def advisor(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "need at least one candidate key")
     val dec = "decimal(38,0)"

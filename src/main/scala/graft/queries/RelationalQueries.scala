@@ -97,16 +97,24 @@ object RelationalQueries extends QueryGroup {
       val li = Tables.lineitem(s, d).select(
         cents(col("l_extendedprice")).as("pc"),
         col("l_extendedprice"), col("l_discount"))
-      val bounds = graft.operators.Percentiles.percentileDisc(
+      // Bracket id = HOW MANY of the nine (duplicate-preserving)
+      // thresholds are <= pc — the oracle's CASE-sum semantics, so a
+      // heavy mode that collapses two deciles SKIPS a bracket id on
+      // both sides identically. Duplicated thresholds would make
+      // zero-width [t, t) intervals (rejected by intervalLookup), so
+      // the dim dedups the VALUES but keeps the counting ids.
+      val all = graft.operators.Percentiles.percentileDisc(
           li.select(lit(0).as("g"), col("pc").as("v")), "g", "v",
           (1 to 9).map(_ / 10.0))
         .orderBy(col("p")).collect()
-        .map(_.getAs[Number]("value").longValue()).distinct
+        .map(_.getAs[Number]("value").longValue())
+      val bounds = all.distinct
       val los = (Long.MinValue + 1L) +: bounds
       val his = bounds :+ Long.MaxValue
+      val ids = 0L +: bounds.map(t => all.count(_ <= t).toLong)
       import s.implicits._
-      val dim = los.zip(his).zipWithIndex
-        .map { case ((lo, hi), i) => (lo, hi, i.toLong) }
+      val dim = los.zip(his).zip(ids)
+        .map { case ((lo, hi), i) => (lo, hi, i) }
         .toSeq.toDF("lo", "hi", "bracket")
       graft.operators.Joins.intervalLookup(li, col("pc"), dim, "lo", "hi")
         .groupBy(col("bracket"))

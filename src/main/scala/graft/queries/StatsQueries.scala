@@ -650,7 +650,8 @@ object StatsQueries extends QueryGroup {
     "q235_stratified_sample" -> """
       WITH b AS (
         SELECT lang, doc_id,
-          (doc_id * 1000003 + 17) % 1000000007 AS p
+          ((CAST(doc_id AS BIGINT) * 1000003 + 17) % 1000000007
+            + 1000000007) % 1000000007 AS p
         FROM documents),
       cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
       tw AS (SELECT sum(n) AS w FROM cnt),

@@ -1599,7 +1599,8 @@ object TextQueries extends QueryGroup {
         FROM documents),
       p AS (
         SELECT doc_id, source, w,
-          ((doc_id * 1000003 + 17) % 1000000007) // greatest(w, 1) AS pri
+          (((CAST(doc_id AS BIGINT) * 1000003 + 17) % 1000000007
+            + 1000000007) % 1000000007) // greatest(w, 1) AS pri
         FROM t),
       r AS (
         SELECT source, doc_id, w, pri,

@@ -228,13 +228,16 @@ object WebQueries extends QueryGroup {
     },
 
     "q213_dp_release" -> { (s, d) =>
-      // Geometric-mechanism noised count release (Ghosh et al. 2009) —
+      // Geometric-SHAPED noised count release (Ghosh et al. 2009 noise
+      // distribution; deterministic seed-keyed draw — obfuscation, NOT
+      // differential privacy; see Privacy.geometricNoisedCounts's
+      // contract. Query key kept for baseline continuity.) —
       // the privacy ladder's perturbation rung: per-(source, lang) doc
       // counts released as max(0, n + X), X two-sided geometric at
       // eps=0.5, drawn via the portable (seed, key) polyhash so the
       // oracle replays the exact inverse-CDF ladder. Bounded group
       // table; one corpus aggregate.
-      graft.operators.Privacy.dpNoisedCounts(
+      graft.operators.Privacy.geometricNoisedCounts(
           Tables.documents(s, d).select(col("source"), col("lang")),
           Seq("source", "lang"), epsPpm = 500000L, seed = 42L)
         .orderBy(col("source"), col("lang"))
@@ -264,7 +267,7 @@ object WebQueries extends QueryGroup {
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("lang")),
         Seq("source", "lang"), k = 10L)
-      graft.operators.Privacy.dpNoisedCounts(
+      graft.operators.Privacy.geometricNoisedCounts(
           anon.filter(col("anon_group_size").isNotNull)
             .select(col("released_key")),
           Seq("released_key"), epsPpm = 500000L, seed = 7L)

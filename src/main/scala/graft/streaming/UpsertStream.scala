@@ -12,11 +12,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, 
   *
   * State is ONE (ts, seq, op, value, nChanges) record per key
   * (RocksDB-backed, never grows with change volume). Only a strictly
-  * newer (ts, seq) replaces the held winner — late/out-of-order change
-  * records still COUNT (n_changes tracks arrivals, the batch count(*)
-  * contract) but cannot regress the snapshot. Batch == stream parity
-  * under any arrival order is pinned in StreamingSpec, including
-  * delete-then-reinsert. `ttl` bounds state for keys gone quiet.
+  * greater (ts, seq, op, value) — the batch compactShaped struct-max
+  * order, exact (ts, seq) duplicates falling through to (op, value)
+  * lexicographic comparison — replaces the held winner;
+  * late/out-of-order change records still COUNT (n_changes tracks
+  * arrivals, the batch count(*) contract) but cannot regress the
+  * snapshot. Batch == stream parity under any arrival order is pinned
+  * in StreamingSpec, including delete-then-reinsert and duplicate
+  * (ts, seq) stamps. `ttl` bounds state for keys gone quiet.
   *
   * In rows: (key, tsMicros, seq, op, value).
   * Out rows: (key, tsMicros, seq, value, live, nChanges).
@@ -39,7 +42,20 @@ class UpsertProcessor(deleteOp: String, ttl: TTLConfig)
     var st: Option[(Long, Long, String, Long, Long)] =
       if (win.exists()) Some(win.get()) else None
     for ((_, ts, seq, op, v) <- rows) {
-      val newer = st.forall(w => ts > w._1 || (ts == w._1 && seq > w._2))
+      // Winner rule kept in LOCKSTEP with Changelog.compactShaped's
+      // struct-max over (ts, seq, op, value): an exact (ts, seq)
+      // duplicate falls through to (op, value) lexicographic order —
+      // op compared as UTF-8 bytes (Spark's UTF8String ordering) —
+      // instead of arrival order, so batch == stream parity holds
+      // under ANY arrival order even for degenerate duplicate stamps.
+      val newer = st.forall { w =>
+        ts > w._1 || (ts == w._1 && (seq > w._2 || (seq == w._2 && {
+          val c = java.util.Arrays.compareUnsigned(
+            op.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            w._3.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          c > 0 || (c == 0 && v > w._4)
+        })))
+      }
       val n = st.map(_._5).getOrElse(0L) + 1L
       st = if (newer) Some((ts, seq, op, v, n))
       else st.map(w => (w._1, w._2, w._3, w._4, n))

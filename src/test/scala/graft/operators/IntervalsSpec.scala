@@ -47,4 +47,18 @@ class IntervalsSpec extends SparkSpec {
     val last = out.toSeq.maxBy(_._1)
     assert(last._2 == 0L)
   }
+
+  test("hourlyCoverage: null-from rows drop ENTIRELY — their to emits no -1") {
+    // one valid interval [1h, 3h) plus a malformed (null, 2h) row: the
+    // malformed row's close boundary must NOT fire (the curve would dip
+    // to 0 at tick 2 and go -1 after tick 3 if it did)
+    val iv = Seq(
+      (Option(ts(hour)), Option(ts(3 * hour))),
+      (None, Option(ts(2 * hour))))
+      .map { case (f, t) => (f.orNull, t.orNull) }.toDF("f", "t")
+    val out = Intervals.hourlyCoverage(iv, "f", "t")
+      .collect().map(r => r.getAs[Long]("tick_hour") ->
+        ((r.getAs[Long]("delta"), r.getAs[Long]("n_open")))).toMap
+    assert(out == Map(1L -> ((1L, 1L)), 3L -> ((-1L, 0L))))
+  }
 }

@@ -164,7 +164,7 @@ class PrivacySpec extends SparkSpec {
     assert(ppm == Map("a" -> 166666L, "b" -> 333333L), s"got $ppm")
   }
 
-  // --- dpNoisedCounts: geometric mechanism ---
+  // --- geometricNoisedCounts: geometric mechanism ---
 
   private def refPolyHash(s: String): Long =
     s.foldLeft(0L)((acc, c) => (acc * 31L + c.toLong) % Dedup.M)
@@ -178,9 +178,9 @@ class PrivacySpec extends SparkSpec {
     }.getOrElse(bound.toLong)
   }
 
-  test("dpNoisedCounts: released = max(0, n + invCDF(hash)) exactly") {
+  test("geometricNoisedCounts: released = max(0, n + invCDF(hash)) exactly") {
     val d = (1 to 50).map(i => (i.toLong, s"g${i % 7}")).toDF("id", "g")
-    val out = Privacy.dpNoisedCounts(d, Seq("g"), epsPpm = 500000L, seed = 42L)
+    val out = Privacy.geometricNoisedCounts(d, Seq("g"), epsPpm = 500000L, seed = 42L)
       .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("released_n")).toMap
     val trueN = (1 to 50).groupBy(i => s"g${i % 7}").view.mapValues(_.size.toLong)
     for ((g, n) <- trueN) {
@@ -191,19 +191,19 @@ class PrivacySpec extends SparkSpec {
     assert(trueN.exists { case (g, n) => out(g) != n }, "no noise applied anywhere")
   }
 
-  test("dpNoisedCounts: clamps at zero and rotates with the seed") {
+  test("geometricNoisedCounts: clamps at zero and rotates with the seed") {
     // 40 singleton groups: at eps=0.5 roughly half draw negative noise,
     // so some released counts clamp to 0
     val d = (1 to 40).map(i => (i.toLong, s"solo$i")).toDF("id", "g")
-    val r42 = Privacy.dpNoisedCounts(d, Seq("g"), 500000L, seed = 42L)
+    val r42 = Privacy.geometricNoisedCounts(d, Seq("g"), 500000L, seed = 42L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r42.values.forall(_ >= 0L))
     assert(r42.values.exists(_ == 0L), s"expected a clamped release in $r42")
-    val r43 = Privacy.dpNoisedCounts(d, Seq("g"), 500000L, seed = 43L)
+    val r43 = Privacy.geometricNoisedCounts(d, Seq("g"), 500000L, seed = 43L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r42 != r43, "seed rotation must change the draw")
     // re-run with the same seed is bit-identical (reproducible release)
-    val r42b = Privacy.dpNoisedCounts(d, Seq("g"), 500000L, seed = 42L)
+    val r42b = Privacy.geometricNoisedCounts(d, Seq("g"), 500000L, seed = 42L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r42 == r42b)
     // the square-recombine mix decorrelates sibling keys: the bare
@@ -224,7 +224,7 @@ class PrivacySpec extends SparkSpec {
     assert(math.abs(pNeg - pPos) <= 1L, s"asymmetric tails: $pNeg vs $pPos")
     // null group values hash as 'null', not as an empty segment
     val d = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "g")
-    val out = Privacy.dpNoisedCounts(d, Seq("g"), 500000L, seed = 7L)
+    val out = Privacy.geometricNoisedCounts(d, Seq("g"), 500000L, seed = 7L)
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(out(None) == math.max(0L, 1L + refNoise("7/null", 500000L, 16)))
   }

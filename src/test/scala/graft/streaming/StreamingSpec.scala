@@ -2244,6 +2244,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming upsert compaction: duplicate (ts, seq) ties break like batch, not by arrival") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long, String, Long)]
+      val q = UpsertStream.compact(input.toDS())
+        .writeStream.format("memory").queryName("upsert_tie_stream")
+        .outputMode("append").start()
+      try {
+        // every key: two records with IDENTICAL (ts, seq) but different
+        // (op, value), offered with the struct-max WINNER arriving
+        // last — first-seen-wins (the old arrival-order rule) would
+        // keep the loser on every key.
+        // a: op tie, value decides (40 > 20); b: op decides ("U" > "D"
+        // — the tombstone LOSES the tie); c: the same op tie resolved
+        // from restored state across micro-batches.
+        input.addData(("a", 100L, 1L, "U", 20L), ("a", 100L, 1L, "U", 40L),
+          ("b", 100L, 1L, "D", 9L), ("b", 100L, 1L, "U", 7L),
+          ("c", 100L, 1L, "D", 9L))
+        q.processAllAvailable()
+        input.addData(("c", 100L, 1L, "U", 7L)) // "U" > "D": replaces held winner
+        q.processAllAvailable()
+        val rows = spark.table("upsert_tie_stream")
+          .as[(String, Long, Long, Long, Boolean, Long)].collect()
+        val last = rows.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._6) }
+        val log = Seq(("a", 100L, 1L, "U", 20L), ("a", 100L, 1L, "U", 40L),
+          ("b", 100L, 1L, "D", 9L), ("b", 100L, 1L, "U", 7L),
+          ("c", 100L, 1L, "D", 9L), ("c", 100L, 1L, "U", 7L))
+        val batch = graft.operators.Changelog.compact(
+          log.toDF("k", "ts", "seq", "op", "v"),
+          "k", "ts", "seq", "op", Seq("v"))
+          .collect().map(r => r.getAs[String]("k") ->
+            ((r.getAs[String]("k"), r.getAs[Long]("last_ts"),
+              r.getAs[Long]("last_seq"), r.getAs[Long]("v"),
+              r.getAs[Boolean]("live"), r.getAs[Long]("n_changes")))).toMap
+        assert(last.toMap == batch,
+          s"tie resolution must match batch struct order: $last vs $batch")
+        assert(last("a")._4 == 40L && last("b")._5 == true && last("c")._5 == true)
+      } finally q.stop()
+    }
+  }
+
   test("streaming upsert compaction: winner and count survive a restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
@@ -2275,6 +2316,157 @@ class StreamingSpec extends SparkSpec {
         val got = collected.synchronized(collected.toList)
         assert(got == List(("a", 300L, 1L, 30L, true, 2L)),
           s"restored winner/count expected: $got")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming SCD2: (key, version)-upserted emissions == batch scd2") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long, String, Long)]
+      val q = Scd2Stream.history(input.toDS())
+        .writeStream.format("memory").queryName("scd2_stream")
+        .outputMode("append").start()
+      try {
+        // batch 1 SHUFFLED within the batch (intra-batch sort applies
+        // them in (ts, seq) order): a's v1+v2, b's v1
+        input.addData(("a", 200L, 2L, "U", 20L), ("a", 100L, 1L, "U", 10L),
+          ("b", 100L, 3L, "U", 30L))
+        q.processAllAvailable()
+        // batch 2: a deleted then reinserted; b updated — closes its v1
+        input.addData(("a", 300L, 4L, "D", 0L), ("a", 400L, 5L, "U", 40L),
+          ("b", 500L, 6L, "U", 50L))
+        q.processAllAvailable()
+        val emissions = spark.table("scd2_stream")
+          .as[(String, Long, Long, Option[Long], Long, Boolean)].collect()
+        // a sink upserting on (key, version): the LAST emission per
+        // (key, version) wins — closes supersede their open forms
+        val applied = emissions.zipWithIndex
+          .groupBy { case (e, _) => (e._1, e._5) }
+          .map { case (_, es) => es.maxBy(_._2)._1 }.toSet
+        val batch = graft.operators.Changelog.scd2(
+          Seq(("a", 100L, 1L, "U", 10L), ("a", 200L, 2L, "U", 20L),
+            ("a", 300L, 4L, "D", 0L), ("a", 400L, 5L, "U", 40L),
+            ("b", 100L, 3L, "U", 30L), ("b", 500L, 6L, "U", 50L))
+            .toDF("k", "ts", "seq", "op", "v"),
+          "k", "ts", "seq", "op", Seq("v"))
+          .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("v"),
+            r.getAs[Long]("valid_from"),
+            Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue()),
+            r.getAs[Long]("version"), r.getAs[Boolean]("is_current"))).toSet
+        assert(applied == batch,
+          s"upserted stream table must equal batch scd2:\n$applied\nvs\n$batch")
+        // delete numbering pin: a's post-delete version is 4 (the
+        // delete consumed 3), and exactly one open version per live key
+        assert(applied.exists(e => e._1 == "a" && e._5 == 4L && e._6))
+        assert(applied.count(e => e._1 == "a" && e._6) == 1)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming SCD2: version counter and open version survive a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_scd2").toString
+      val input = MemoryStream[(String, Long, Long, String, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Option[Long], Long, Boolean)]
+      def start() = Scd2Stream.history(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long,
+            Option[Long], Long, Boolean)], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("u", 100L, 1L, "U", 10L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // post-restart change must CLOSE the restored v1 and open v2 —
+        // lost state would re-number from 1 and close nothing
+        input.addData(("u", 200L, 2L, "U", 20L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList).sortBy(_._5)
+        assert(got == List(
+          ("u", 10L, 100L, Some(200L), 1L, false),
+          ("u", 20L, 200L, None, 2L, true)),
+          s"restored open version must close across the restart: $got")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming occupancy: upserted tick deltas == batch hourlyCoverage under any order") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val hour = 3600L * 1000000L
+      def tsu(us: Long) = new java.sql.Timestamp(us / 1000L)
+      // intervals: [0.5h, 2h), [1h, 3.5h), [2h, open) — the
+      // IntervalsSpec hand fixture, fed as boundary rows SPLIT ACROSS
+      // BATCHES with closes arriving before opens (order-independence)
+      val input = MemoryStream[(Long, Long)]
+      val q = OccupancyStream.tickDeltas(input.toDS())
+        .writeStream.format("memory").queryName("occ_stream")
+        .outputMode("append").start()
+      try {
+        input.addData((2L, -1L), (4L, -1L)) // both closes first
+        q.processAllAvailable()
+        input.addData((1L, 1L), (1L, 1L), (2L, 1L)) // opens catch up
+        q.processAllAvailable()
+        val last = spark.table("occ_stream").as[(Long, Long)].collect()
+          .zipWithIndex.groupBy(_._1._1)
+          .map { case (t, es) => t -> es.maxBy(_._2)._1._2 }
+        val batch = graft.operators.Intervals.hourlyCoverage(
+          Seq((tsu(hour / 2), Option(tsu(2 * hour))),
+            (tsu(hour), Option(tsu(3 * hour + hour / 2))),
+            (tsu(2 * hour), None))
+            .map { case (f, t) => (f, t.orNull) }.toDF("f", "t"),
+          "f", "t")
+          .collect().map(r => r.getAs[Long]("tick_hour") ->
+            r.getAs[Long]("delta")).toMap
+        assert(last.filter(_._2 != 0L) == batch,
+          s"nonzero tick totals must equal the batch delta table: $last vs $batch")
+        // the curve: running sum over the upserted table == batch n_open
+        val curve = last.toSeq.sortBy(_._1)
+          .scanLeft((0L, 0L)) { case ((_, acc), (t, d)) => (t, acc + d) }
+          .drop(1).toMap
+        assert(curve(1L) == 2L && curve(2L) == 2L && curve(4L) == 1L)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming occupancy: tick totals survive a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_occ").toString
+      val input = MemoryStream[(Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      def start() = OccupancyStream.tickDeltas(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData((5L, 1L), (5L, 1L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData((5L, -1L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List((5L, 1L)),
+          s"restored total 2 minus 1 must emit 1: $got")
       } finally q2.stop()
     }
   }
