@@ -553,27 +553,32 @@ object ExtraQueries extends QueryGroup {
     * (leakage-safe split): the same verified near-dup pair set closed
     * transitively by a recursive CTE.
     */
+  // Every non-recursive CTE is AS MATERIALIZED (the q136/q237 lesson,
+  // re-learned on q242 at sf1): inlined, DuckDB re-expands the chain
+  // inside the recursive `reach` evaluation and the closure that runs
+  // in seconds materialized never finishes — measured >240 s inlined
+  // vs 7.6 s materialized on the 47k-cluster sf1 corpus.
   private val ClustersCteBody: String =
-    s""", banded AS (${DedupQueries.BandedCteBody}),
-        cand AS (
+    s""", banded AS MATERIALIZED (${DedupQueries.BandedCteBody}),
+        cand AS MATERIALIZED (
           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           FROM banded l JOIN banded r
             ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
-        inter AS (
+        inter AS MATERIALIZED (
           SELECT c.id_a, c.id_b, count(*) AS inter
           FROM cand c
           JOIN ids ia ON ia.doc_id = c.id_a
           JOIN ids ib ON ib.doc_id = c.id_b AND ib.tid = ia.tid
           GROUP BY c.id_a, c.id_b),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
-        verified AS (
+        sizes AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
+        verified AS MATERIALIZED (
           SELECT c.id_a, c.id_b FROM cand c
           LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
           JOIN sizes sa ON sa.doc_id = c.id_a
           JOIN sizes sb ON sb.doc_id = c.id_b
           WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
             / (sa.sz + sb.sz - coalesce(i.inter, 0)) >= 0.4),
-        und AS (
+        und AS MATERIALIZED (
           SELECT id_a AS src, id_b AS dst FROM verified
           UNION ALL SELECT id_b, id_a FROM verified),
         reach AS (
@@ -629,10 +634,10 @@ object ExtraQueries extends QueryGroup {
   /** q242: attribute-wise plurality merge over the q71 closure. */
   private val GoldenRecordOracle: String =
     DedupQueries.minhashSql(ClustersCteBody + """,
-        cls AS (
+        cls AS MATERIALIZED (
           SELECT n AS doc_id, CAST(min(l) AS BIGINT) AS cluster_id
           FROM reach GROUP BY n),
-        cd AS (
+        cd AS MATERIALIZED (
           SELECT c.cluster_id, d.lang, d.source
           FROM cls c JOIN documents d USING (doc_id)),
         nr AS (

@@ -257,12 +257,23 @@ object TextQueries extends QueryGroup {
     },
 
     "q32_token_stats" -> { (s, d) =>
+      // One native GopherStats pass replaces the three HOF kernels
+      // (tokenCount + distinctTokenCount + avgTokenLength) — identical
+      // semantics: n_words counts split(text, " ") spans, n_types is
+      // the array_distinct cardinality, and char_sum/n_words is the
+      // same sum-of-token-lengths / count division the HOF fold
+      // computed (the r7 HOF-audit swap; HOF forms stay in
+      // TextFunctions as parity references).
+      val gs = gopherStats(col("text"), Seq.empty)
       Tables.documents(s, d)
-        .select(col("doc_id"),
-          tokenCount(col("text")).cast("long").as("n_tokens"),
-          distinctTokenCount(col("text")).cast("long").as("n_distinct"),
-          avgTokenLength(col("text")).as("avg_token_len"),
+        .select(col("doc_id"), gs.as("g"),
           length(col("text")).cast("long").as("n_chars_computed"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_tokens"),
+          col("g.n_types").as("n_distinct"),
+          (col("g.char_sum").cast("double") / col("g.n_words"))
+            .as("avg_token_len"),
+          col("n_chars_computed"))
         .orderBy(col("doc_id"))
     },
 
