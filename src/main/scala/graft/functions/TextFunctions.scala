@@ -235,4 +235,44 @@ object TextFunctions {
     lit(0.5) * least(length(text).cast("double") / 500.0, lit(1.0)) +
       lit(0.3) * least(stopwordRatio(text, stopwords) * 3.0, lit(1.0)) +
       lit(0.2) * (lit(1.0) - punctRatio(text))
+
+  /** Readability raw counts: whitespace words, sentence terminators
+    * ([.!?] runs — "..." is ONE terminator), and the vowel-group
+    * syllable proxy (runs of [aeiouy] in the lowercased text — the
+    * classic cheap estimator; all-consonant tokens contribute 0, a
+    * documented proxy bias). Both regexes live in the portable
+    * Java-regex ∩ RE2 subset (no lookaround, no escapes-with-
+    * engine-variance), so DuckDB's regexp_extract_all counts them
+    * identically.
+    *
+    * Output: struct(n_words, n_sentences, n_syllables) — all longs.
+    */
+  def readabilityCounts(text: Column): Column = struct(
+    size(tokens(text)).cast("long").as("n_words"),
+    regexp_count(text, lit("[.!?]+")).cast("long").as("n_sentences"),
+    regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+      .as("n_syllables"))
+
+  /** Flesch reading ease in exact floored MILLI-points — both engines
+    * replay the integer arithmetic bit-for-bit:
+    *
+    *   flesch_milli = 206835 − (1015·W) div S − (84600·Y) div W
+    *
+    * with W = max(n_words, 1), S = max(n_sentences, 1) (a fragment
+    * with no terminator reads as one sentence), Y the vowel-group
+    * proxy. Scores can leave [0, 206.835] on degenerate inputs —
+    * standard for Flesch; consumers bucket, not clamp.
+    */
+  def fleschMilli(counts: Column): Column = {
+    // exact integer division for non-negative longs: subtract the
+    // remainder first, so the double divide is of an exact multiple
+    // (integer < 2^53 — exact) — Column./ alone would round-trip
+    // through an inexact quotient
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = greatest(counts.getField("n_words"), lit(1L))
+    val s = greatest(counts.getField("n_sentences"), lit(1L))
+    lit(206835L) - idiv(lit(1015L) * w, s) -
+      idiv(lit(84600L) * counts.getField("n_syllables"), w)
+  }
 }

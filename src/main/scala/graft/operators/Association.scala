@@ -112,4 +112,72 @@ object Association {
       .orderBy(col("lift_ppm").desc, col("bigram"))
       .limit(k)
   }
+
+  /** Two-itemset association rules (Agrawal, Imieliński & Swami 1993;
+    * the A-priori level-2 pass of Agrawal & Srikant 1994) over keyed
+    * baskets — the market-basket complement of [[pmiTopBigrams]]'s
+    * adjacency collocations: support counts CO-MEMBERSHIP in a basket,
+    * not adjacency in a sequence. Each unordered frequent pair {a, b}
+    * emits BOTH directed rules a→b and b→a with exact floored-ppm
+    * metrics both engines replay:
+    *
+    *   support_ppm    = n_pair·1e6 div n_baskets
+    *   confidence_ppm = n_pair·1e6 div n_antecedent
+    *   lift_ppm       = n_pair·n_baskets·1e6 div (n_ante·n_cons)
+    *
+    * `minSupport` (absolute basket count) gates BOTH levels — the
+    * A-priori downward closure: a pair can only be frequent if both
+    * items are, so the level-1 cut shrinks the posting lists before
+    * any pair is generated. Duplicate (basket, item) rows collapse
+    * first (support is basket membership, not line count); null
+    * baskets/items are excluded.
+    *
+    * Scale shape: one distinct aggregate to the (basket, item)
+    * membership table; the item-support table is vocabulary-bounded;
+    * the pair space is Σ_b f_b·(f_b−1)/2 over FREQUENT items per
+    * basket — bounded by the basket-size contract (an order, a cart, a
+    * session: tens of items, never corpus-sized; a degenerate mega-
+    * basket wants a basket-size gate upstream, same contract as the
+    * q73 bucket cap) — and pairs combine map-side. DECIMAL(38,0)
+    * headroom on the lift cross product (n_pair·N·1e6 ≤ N²·1e6, good
+    * to ~1e16 baskets).
+    *
+    * Output: (antecedent, consequent, n_pair, n_ante, n_cons,
+    * support_ppm, confidence_ppm, lift_ppm), both directions per pair.
+    */
+  def rules2(df: DataFrame, basketCol: String, itemCol: String,
+             minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val dec = "decimal(38,0)"
+    val memb = df
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val nB = memb.agg(count_distinct(col("__bk")).as("__n"))
+    val itemSupp = memb.groupBy(col("__it"))
+      .agg(count(lit(1)).as("__s"))
+      .filter(col("__s") >= minSupport)
+    val posts = memb.join(itemSupp, "__it")
+      .select(col("__bk"), col("__it"), col("__s"))
+    val pairs = posts.as("l")
+      .join(posts.as("r"), col("l.__bk") === col("r.__bk") &&
+        col("l.__it") < col("r.__it"))
+      .groupBy(col("l.__it").as("__a"), col("r.__it").as("__b"),
+        col("l.__s").as("__sa"), col("r.__s").as("__sb"))
+      .agg(count(lit(1)).as("__sab"))
+      .filter(col("__sab") >= minSupport)
+    val directed = pairs.select(col("__a").as("__ante"), col("__b").as("__cons"),
+        col("__sab"), col("__sa").as("__sante"), col("__sb").as("__scons"))
+      .unionAll(pairs.select(col("__b"), col("__a"),
+        col("__sab"), col("__sb"), col("__sa")))
+    directed.crossJoin(broadcast(nB))
+      .select(col("__ante").as("antecedent"), col("__cons").as("consequent"),
+        col("__sab").as("n_pair"), col("__sante").as("n_ante"),
+        col("__scons").as("n_cons"),
+        expr("(__sab * 1000000L) div __n").as("support_ppm"),
+        expr("(__sab * 1000000L) div __sante").as("confidence_ppm"),
+        expr(s"(CAST(__sab AS $dec) * __n * CAST(1000000 AS $dec))" +
+          s" div (CAST(__sante AS $dec) * __scons)").cast("long")
+          .as("lift_ppm"))
+  }
 }

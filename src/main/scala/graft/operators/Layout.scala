@@ -79,4 +79,73 @@ object LayoutAudit {
     // the lexicographic baseline sorts by pid itself — exactly (x, y)
     chunks("__zkey", "zorder").unionByName(chunks("__pid", "linear"))
   }
+
+  /** Sortedness audit — the WRITE-ORDER half of the skipping question
+    * [[zOrderReport]] answers for candidate layouts: how sorted is each
+    * column under the order rows are ALREADY written in? A column with
+    * few ascending runs prunes like a sort key (its per-file [min, max]
+    * ranges barely overlap — the Oracle-style clustering factor); a
+    * column in random order prunes nothing. Per candidate column:
+    * adjacent DESCENTS (value dropping between consecutive rows), runs
+    * (descents + 1), and sorted_ppm = non-descending adjacent pairs
+    * per million.
+    *
+    * Adjacency is taken in (orderCol, value) order — the value
+    * tie-break makes rows sharing an order key deterministic in both
+    * engines (and counts a tie group as sorted, which it is). Null
+    * order keys drop the row; null values drop the row FOR THAT
+    * CANDIDATE (adjacency closes over the gap, the standard zone-map
+    * reading — a null stores no min/max).
+    *
+    * Scale shape: no global-order window. Rows bucket by
+    * orderCol div bucketWidth; descents inside a bucket come from one
+    * lag window PARTITIONED BY the bucket; the cross-bucket seams come
+    * from a per-bucket (first, last) struct-min/max aggregate and a
+    * window over that BOUNDED bucket table (the house two-phase
+    * pattern). Candidates are independent jobs; the union is
+    * driver-side plan assembly (the [[Profile.fdStrength]] shape).
+    *
+    * Output (one row per candidate): (col_name, n_rows, n_desc_pairs,
+    * n_runs, sorted_ppm) — sorted_ppm null when n_rows < 2.
+    */
+  def sortednessReport(df: DataFrame, orderCol: String,
+                       valueCols: Seq[String],
+                       bucketWidth: Long = 4096L): DataFrame = {
+    require(valueCols.nonEmpty, "need at least one candidate column")
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bkt")).orderBy(col("__o"), col("__v"))
+    val wSeam = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__bkt"))
+    valueCols.map { vc =>
+      val base = df
+        .filter(col(orderCol).isNotNull && col(vc).isNotNull)
+        .select(col(orderCol).cast("long").as("__o"),
+          col(vc).cast("long").as("__v"))
+        .withColumn("__bkt", expr(s"__o div ${bucketWidth}L"))
+      val inBkt = base
+        .withColumn("__desc",
+          when(col("__v") < lag(col("__v"), 1).over(w), 1L).otherwise(0L))
+        .groupBy(col("__bkt"))
+        .agg(count(lit(1)).as("__n"), sum(col("__desc")).as("__d"),
+          min(struct(col("__o"), col("__v"))).as("__first"),
+          max(struct(col("__o"), col("__v"))).as("__last"))
+      val seams = inBkt
+        .withColumn("__prevLast",
+          lag(col("__last.__v"), 1).over(wSeam))
+        .select(col("__n"), col("__d"),
+          when(col("__first.__v") < col("__prevLast"), 1L).otherwise(0L)
+            .as("__sd"))
+      seams.agg(
+          coalesce(sum(col("__n")), lit(0L)).as("n_rows"),
+          (coalesce(sum(col("__d")), lit(0L)) +
+            coalesce(sum(col("__sd")), lit(0L))).as("n_desc_pairs"))
+        .select(lit(vc).as("col_name"), col("n_rows"), col("n_desc_pairs"),
+          when(col("n_rows") > 0, col("n_desc_pairs") + 1L)
+            .otherwise(lit(0L)).as("n_runs"),
+          when(col("n_rows") >= 2, expr(
+            "((n_rows - 1 - n_desc_pairs) * 1000000) div (n_rows - 1)"))
+            .as("sorted_ppm"))
+    }.reduce(_.unionByName(_))
+  }
 }

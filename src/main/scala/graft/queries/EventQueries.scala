@@ -305,6 +305,43 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q254_ab_conversion" -> { (s, d) =>
+      // A/B readout over a hash-gated split (the q98 deterministic
+      // assignment — variant is a pure function of user_id, so both
+      // engines and every re-run agree): per-variant conversion to
+      // 'purchase', exact-ppm rate and lift vs control A, Wilson 95%
+      // bounds floored to ppm (pinned IEEE op order, replayed verbatim
+      // by the oracle), and the conservative disjoint-interval
+      // significance call. One unit aggregate + one 2-row variant
+      // table.
+      val units = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("cv"))
+        .select(
+          when(pmod(pmod(col("user_id") * 1000003L + 17L,
+            lit(1000000007L)), lit(2L)) === 0L, "A").otherwise("B")
+            .as("variant"),
+          (col("cv") === 1L).as("converted"))
+      graft.operators.Experiment.conversionLift(
+        units, "variant", "converted", controlVariant = "A")
+        .orderBy(col("variant"))
+    },
+
+    "q253_seasonal_anomalies" -> { (s, d) =>
+      // Seasonal-baseline anomaly flags: per-type hourly counts fenced
+      // against the MEDIAN of their own hour-of-day slot (|n − med| >
+      // 3·MAD, the Hampel band per (type, hod)) — the rush-hour-aware
+      // complement of q218's level-shift CUSUM and q225's static
+      // fence. One corpus aggregate to the calendar-bounded tick
+      // table; both exact PERCENTILE_DISC passes run on it.
+      graft.operators.Seasonal.hourOfDayAnomalies(
+        Tables.events(s, d).select(col("event_type"), col("ts")),
+        "event_type", "ts", k = 3L)
+        .orderBy(col("event_type"), col("tick_hour"))
+    },
+
     "q218_cusum_changepoint" -> { (s, d) =>
       // One-sided CUSUM level-shift monitor (Page 1954) over per-type
       // hourly event rates: S_t via the prefix-sum closed form (two
@@ -706,6 +743,80 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q254_ab_conversion" -> """
+      WITH u AS (
+        SELECT user_id,
+          max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      v AS (
+        SELECT CASE WHEN ((user_id * 1000003 + 17) % 1000000007
+            + 1000000007) % 1000000007 % 2 = 0
+          THEN 'A' ELSE 'B' END AS variant, cv
+        FROM u),
+      a AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cv) AS BIGINT) AS conversions
+        FROM v GROUP BY 1),
+      w AS (
+        SELECT variant, n, conversions,
+          (conversions * 1000000) // n AS rate_ppm,
+          CAST(conversions AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+          CAST(n AS DOUBLE) AS nd
+        FROM a),
+      h AS (
+        SELECT variant, n, conversions, rate_ppm,
+          (ph + (1.96 * 1.96) / (2.0 * nd))
+            / (1.0 + (1.96 * 1.96) / nd) AS center,
+          1.96 * sqrt(ph * (1.0 - ph) / nd
+            + (1.96 * 1.96) / (4.0 * nd * nd))
+            / (1.0 + (1.96 * 1.96) / nd) AS half
+        FROM w),
+      b AS (
+        SELECT variant, n, conversions, rate_ppm,
+          CAST(floor((center - half) * 1000000.0) AS BIGINT)
+            AS wilson_lo_ppm,
+          CAST(floor((center + half) * 1000000.0) AS BIGINT)
+            AS wilson_hi_ppm
+        FROM h),
+      c AS (
+        SELECT n AS cn, conversions AS cc, wilson_lo_ppm AS clo,
+          wilson_hi_ppm AS chi
+        FROM b WHERE variant = 'A')
+      SELECT b.variant AS variant, b.n AS n, b.conversions AS conversions,
+        b.rate_ppm AS rate_ppm, b.wilson_lo_ppm AS wilson_lo_ppm,
+        b.wilson_hi_ppm AS wilson_hi_ppm,
+        CASE WHEN b.variant <> 'A' AND cc > 0 THEN
+          CAST((CAST(b.conversions AS HUGEINT) * cn * 1000000)
+            // (CAST(b.n AS HUGEINT) * cc) AS BIGINT)
+        END AS lift_vs_control_ppm,
+        CASE WHEN b.variant <> 'A' THEN
+          (b.wilson_lo_ppm > chi OR b.wilson_hi_ppm < clo)
+        END AS significant
+      FROM b CROSS JOIN c ORDER BY variant""",
+
+    "q253_seasonal_anomalies" -> """
+      WITH t AS (
+        SELECT event_type AS k,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS tk,
+          CAST(count(*) AS BIGINT) AS n
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      h AS (SELECT k, tk, n, tk % 24 AS hod FROM t),
+      m AS (
+        SELECT k, hod, CAST(quantile_disc(n, 0.5) AS BIGINT) AS med
+        FROM h GROUP BY 1, 2),
+      dv AS (
+        SELECT h.k, h.tk, h.hod, h.n, m.med, abs(h.n - m.med) AS dev
+        FROM h JOIN m ON h.k = m.k AND h.hod = m.hod),
+      md AS (
+        SELECT k, hod, CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad
+        FROM dv GROUP BY 1, 2)
+      SELECT dv.k AS event_type, dv.tk AS tick_hour, dv.hod AS hod,
+        dv.n AS n, dv.med AS med, md.mad AS mad,
+        dv.dev > md.mad * 3 AS is_anomaly
+      FROM dv JOIN md ON dv.k = md.k AND dv.hod = md.hod
+      ORDER BY event_type, tick_hour""",
 
     "q218_cusum_changepoint" -> """
       WITH x AS (

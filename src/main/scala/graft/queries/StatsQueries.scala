@@ -78,6 +78,19 @@ object StatsQueries extends QueryGroup {
         Tables.documents(s, d), "text", minCount = 5L, k = 20)
     },
 
+    "q250_assoc_rules" -> { (s, d) =>
+      // Two-itemset association rules (A-priori level 2) over orders
+      // as part baskets: support/confidence/lift in exact floored ppm.
+      // minSupport gates both levels (downward closure), so the pair
+      // join runs over frequent-item posting lists only; pair volume
+      // is bounded by the basket-size contract (an order holds ≤ 7
+      // lines), never corpus².
+      graft.operators.Association.rules2(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+        .orderBy(col("antecedent"), col("consequent"))
+    },
+
     "q228_changelog_compact" -> { (s, d) =>
       // Lakehouse changelog compaction (latest-wins MERGE apply): the
       // events stream read as a per-user change log — error records act
@@ -93,6 +106,26 @@ object StatsQueries extends QueryGroup {
             .as("cents")),
         "user_id", "ts", "event_id", "op", Seq("cents"))
         .orderBy(col("user_id"))
+    },
+
+    "q252_sortedness" -> { (s, d) =>
+      // Sortedness audit of lineitem in l_orderkey write order: how
+      // well would each candidate column prune under zone maps as the
+      // data already lies? l_orderkey itself anchors at 1e6 ppm (fully
+      // sorted); l_linenumber cycles per order (runs ≈ orders);
+      // l_partkey / price are scattered. No global-order window — the
+      // house two-phase bucket pattern (descents inside buckets + the
+      // seam check over the bounded bucket table). Cents pre-cast
+      // through DECIMAL on BOTH sides (double->long cast truncates in
+      // Spark, rounds in DuckDB).
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+        col("l_partkey"), col("l_linenumber"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"))
+      graft.operators.LayoutAudit.sortednessReport(
+        li, "l_orderkey", Seq("l_orderkey", "l_linenumber", "l_partkey",
+          "price_cents"))
+        .orderBy(col("col_name"))
     },
 
     "q229_zorder_layout" -> { (s, d) =>
@@ -458,6 +491,31 @@ object StatsQueries extends QueryGroup {
         CAST(sum(term) - max(r) * 1000000 AS BIGINT) AS chi2_ppm
       FROM terms GROUP BY 1 ORDER BY lang""",
 
+    "q250_assoc_rules" -> """
+      WITH memb AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM memb),
+      isup AS (
+        SELECT it, CAST(count(*) AS BIGINT) AS s FROM memb
+        GROUP BY 1 HAVING count(*) >= 2),
+      posts AS (SELECT m.bk, m.it, i.s FROM memb m JOIN isup i USING (it)),
+      pairs AS (
+        SELECT l.it AS a, r.it AS b, l.s AS sa, r.s AS sb,
+          CAST(count(*) AS BIGINT) AS sab
+        FROM posts l JOIN posts r ON l.bk = r.bk AND l.it < r.it
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      dir AS (
+        SELECT a AS ante, b AS cons, sab, sa AS sante, sb AS scons FROM pairs
+        UNION ALL SELECT b, a, sab, sb, sa FROM pairs)
+      SELECT ante AS antecedent, cons AS consequent, sab AS n_pair,
+        sante AS n_ante, scons AS n_cons,
+        (sab * 1000000) // n AS support_ppm,
+        (sab * 1000000) // sante AS confidence_ppm,
+        CAST((CAST(sab AS HUGEINT) * n * 1000000)
+          // (CAST(sante AS HUGEINT) * scons) AS BIGINT) AS lift_ppm
+      FROM dir CROSS JOIN tot ORDER BY antecedent, consequent""",
+
     "q227_pmi_collocations" -> """
       WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
       uni AS (
@@ -493,6 +551,28 @@ object StatsQueries extends QueryGroup {
       SELECT user_id, cents, ts AS last_ts, event_id AS last_seq,
         op <> 'D' AS live, n_changes
       FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "q252_sortedness" -> {
+      def cand(expr: String, name: String) = s"""
+        SELECT '$name' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(dsc) AS BIGINT) AS n_desc_pairs,
+          CAST(sum(dsc) + 1 AS BIGINT) AS n_runs,
+          CAST(CASE WHEN count(*) >= 2 THEN
+            ((count(*) - 1 - sum(dsc)) * 1000000) // (count(*) - 1)
+          END AS BIGINT) AS sorted_ppm
+        FROM (
+          SELECT CASE WHEN v < lag(v) OVER (ORDER BY o, v)
+            THEN 1 ELSE 0 END AS dsc
+          FROM (SELECT l_orderkey AS o, CAST($expr AS BIGINT) AS v
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL AND ($expr) IS NOT NULL) b)"""
+      Seq(
+        cand("l_orderkey", "l_orderkey"),
+        cand("l_linenumber", "l_linenumber"),
+        cand("l_partkey", "l_partkey"),
+        cand("CAST(l_extendedprice AS DECIMAL(18,2)) * 100", "price_cents"))
+        .mkString(" UNION ALL ") + " ORDER BY col_name"
+    },
 
     "q229_zorder_layout" -> s"""
       WITH b AS (

@@ -256,6 +256,35 @@ object TextQueries extends QueryGroup {
           col("n_langs"), col("n_sources"))
     },
 
+    "q251_readability" -> { (s, d) =>
+      // Per-source readability rollup: Flesch reading ease in exact
+      // floored milli-points over the vowel-group syllable proxy (runs
+      // of [aeiouy]) and [.!?]+ sentence terminators — both regexes in
+      // the portable Java∩RE2 subset. The per-source mean shifts
+      // through +1e12 before the integer div so both engines floor a
+      // NON-NEGATIVE sum (DuckDB // floors, Spark div truncates — they
+      // agree only above zero); DECIMAL(38,0) keeps the shifted sum
+      // exact to ~1e25 docs. One narrow pass + one bounded aggregate.
+      val c = graft.functions.TextFunctions.readabilityCounts(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"), c.as("c"))
+        .select(col("source"),
+          col("c.n_words").as("w"), col("c.n_sentences").as("st"),
+          col("c.n_syllables").as("y"),
+          graft.functions.TextFunctions.fleschMilli(col("c")).as("fm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("n_words"),
+          sum(col("st")).as("n_sentences"),
+          sum(col("y")).as("n_syllables"),
+          expr("(sum(CAST(fm + 1000000000000 AS DECIMAL(38,0)))" +
+            " div count(1) - 1000000000000)").cast("long")
+            .as("mean_flesch_milli"),
+          min(col("fm")).as("min_flesch_milli"),
+          max(col("fm")).as("max_flesch_milli"))
+        .orderBy(col("source"))
+    },
+
     "q32_token_stats" -> { (s, d) =>
       // One native GopherStats pass replaces the three HOF kernels
       // (tokenCount + distinctTokenCount + avgTokenLength) — identical
@@ -2101,6 +2130,29 @@ object TextQueries extends QueryGroup {
         CAST(sum(CASE WHEN fb = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
         CAST(sum(least(s + n, (bin + 1) * 256) - greatest(s, bin * 256)) AS BIGINT) AS n_tokens
       FROM x GROUP BY bin ORDER BY bin""",
+
+    "q251_readability" -> """
+      WITH c AS (
+        SELECT source,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS st,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+            AS BIGINT) AS y
+        FROM documents),
+      f AS (
+        SELECT source, w, st, y,
+          206835 - (1015 * greatest(w, 1)) // greatest(st, 1)
+                 - (84600 * y) // greatest(w, 1) AS fm
+        FROM c)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(sum(w) AS BIGINT) AS n_words,
+        CAST(sum(st) AS BIGINT) AS n_sentences,
+        CAST(sum(y) AS BIGINT) AS n_syllables,
+        CAST(sum(CAST(fm + 1000000000000 AS HUGEINT)) // count(*)
+          - 1000000000000 AS BIGINT) AS mean_flesch_milli,
+        CAST(min(fm) AS BIGINT) AS min_flesch_milli,
+        CAST(max(fm) AS BIGINT) AS max_flesch_milli
+      FROM f GROUP BY source ORDER BY source""",
 
     "q32_token_stats" -> """
       SELECT doc_id,

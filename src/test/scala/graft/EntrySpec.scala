@@ -81,6 +81,7 @@ class EntrySpec extends SparkSpec {
       "fp", // q248 fingerprint-key table
       "iv2", "dl", "bt", // q249 sweep-line stages
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
+      "memb", "isup", "posts", "dir", // q250 association-rule stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",

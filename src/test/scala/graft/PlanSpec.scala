@@ -65,7 +65,12 @@ class PlanSpec extends SparkSpec {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty &&
                 !collectAll(w.child).exists(c =>
+                  // any full aggregate bounds the window's input (hash,
+                  // sort — struct min/max buffers plan as SortAggregate —
+                  // or object-hash)
                   c.toString.contains("HashAggregate") ||
+                    c.toString.contains("SortAggregate") ||
+                    c.toString.contains("ObjectHashAggregate") ||
                     c.getClass.getSimpleName.contains("Limit") ||
                     c.getClass.getSimpleName.contains("TakeOrdered")) => w
         }

@@ -117,4 +117,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(scores(0) > 0.8)
     assert(scores(1) < 0.4)
   }
+
+  test("readabilityCounts: words, terminator runs, vowel groups") {
+    val df = Seq("The cat sat. Did it? Yes!!!").toDF("text")
+    val r = df.select(TextFunctions.readabilityCounts(col("text")).as("c"))
+      .select(col("c.n_words"), col("c.n_sentences"), col("c.n_syllables"))
+      .as[(Long, Long, Long)].head()
+    // 6 whitespace words; "." "?" "!!!" = 3 terminator RUNS;
+    // vowel groups: e,a,a,i,i,e -> 6 ("Yes" has e; "Did it" i,i)
+    assert(r == ((6L, 3L, 6L)))
+  }
+
+  test("fleschMilli: exact integer formula with floor-safe division") {
+    // W=10, S=2, Y=12: 206835 - 1015*10/2 - 84600*12/10
+    //                = 206835 - 5075 - 101520 = 100240
+    val df = Seq((10L, 2L, 12L)).toDF("w", "s", "y")
+    val fm = df.select(TextFunctions.fleschMilli(struct(
+        col("w").as("n_words"), col("s").as("n_sentences"),
+        col("y").as("n_syllables"))).as("f")).as[Long].head()
+    assert(fm == 100240L)
+    // terminator-free fragment: S clamps to 1, not a division by zero
+    val frag = Seq("no terminator here").toDF("text")
+    val f2 = frag.select(TextFunctions.fleschMilli(
+      TextFunctions.readabilityCounts(col("text"))).as("f")).as[Long].head()
+    // W=3, S=1, Y=6 (o,o,e,i,a,o,e->7? groups: n[o] termin[a]t[o]r:
+    // o,a,o; h[e]r[e]: e,e; n[o]: o -> o,e,i,a,o,e,e = count below
+    assert(f2 == 206835L - 1015L * 3L -
+      (84600L * 7L) / 3L)
+  }
 }

@@ -84,4 +84,59 @@ class AssociationSpec extends SparkSpec {
       .collect().map(_.getAs[String]("bigram")).toSeq
     assert(tied == Seq("a a", "b b")) // equal lift -> lexicographic
   }
+
+  // --- rules2: two-itemset association rules ---
+
+  private def rulesMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Long]("n_ante"),
+          r.getAs[Long]("n_cons"), r.getAs[Long]("support_ppm"),
+          r.getAs[Long]("confidence_ppm"), r.getAs[Long]("lift_ppm")))
+    }.toMap
+
+  test("rules2: textbook baskets — exact ppm support/confidence/lift, both directions") {
+    val baskets = Seq(
+      (1L, "milk"), (1L, "bread"),
+      (2L, "milk"), (2L, "bread"), (2L, "butter"),
+      (3L, "milk"), (3L, "butter"),
+      (4L, "bread"),
+      (5L, "milk"), (5L, "bread")).toDF("bk", "it")
+    val out = rulesMap(Association.rules2(baskets, "bk", "it", 2L))
+    // pair {milk, bread} = 3 baskets; {milk, butter} = 2; {bread, butter}
+    // = 1 (below minSupport, no rule)
+    assert(out.size == 4)
+    assert(out(("milk", "bread")) == ((3L, 4L, 4L, 600000L, 750000L, 937500L)))
+    assert(out(("bread", "milk")) == ((3L, 4L, 4L, 600000L, 750000L, 937500L)))
+    // butter -> milk is CERTAIN (conf 1e6) while milk -> butter is 50%,
+    // same lift both ways (lift is symmetric)
+    assert(out(("milk", "butter")) == ((2L, 4L, 2L, 400000L, 500000L, 1250000L)))
+    assert(out(("butter", "milk")) == ((2L, 2L, 4L, 400000L, 1000000L, 1250000L)))
+  }
+
+  test("rules2: minSupport gates pairs; duplicate lines and nulls collapse/drop") {
+    val baskets = Seq(
+      (1L, "milk"), (1L, "milk"), (1L, "bread"), // dup line: ONE membership
+      (2L, "milk"), (2L, "bread"),
+      (3L, "milk"), (3L, "butter"),
+      (3L, null.asInstanceOf[String])).toDF("bk", "it")
+    val out3 = rulesMap(Association.rules2(baskets, "bk", "it", 2L))
+    // {milk, bread} support 2 (the dup line cannot inflate it to 3)
+    assert(out3(("milk", "bread"))._1 == 2L)
+    assert(!out3.contains(("milk", "butter"))) // pair support 1
+    // raising minSupport above the top pair empties the output
+    assert(Association.rules2(baskets, "bk", "it", 3L).count() == 0L)
+  }
+
+  test("rules2: lift direction — complementary items score below 1e6") {
+    // x and y never co-occur except once; z co-occurs with both always
+    val baskets = (1L to 8L).flatMap { b =>
+      if (b <= 4) Seq((b, "x"), (b, "z")) else Seq((b, "y"), (b, "z"))
+    }.toDF("bk", "it")
+    val out = rulesMap(Association.rules2(baskets, "bk", "it", 2L))
+    // x,z: pair 4, sx 4, sz 8, n 8 -> lift = 4*8e6/(4*8) = 1e6 (independent of z)
+    assert(out(("x", "z"))._6 == 1000000L)
+    assert(out(("z", "x"))._5 == 500000L) // conf z->x = 4/8
+    assert(!out.contains(("x", "y"))) // never co-occur
+  }
 }

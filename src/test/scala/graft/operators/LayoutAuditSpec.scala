@@ -75,4 +75,57 @@ class LayoutAuditSpec extends SparkSpec {
     assert(!plan.contains("Window [") ||
       !plan.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"), plan)
   }
+
+  // --- sortednessReport ---
+
+  private def sortMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_desc_pairs"),
+          r.getAs[Long]("n_runs"),
+          Option(r.getAs[java.lang.Long]("sorted_ppm")).map(_.longValue())))
+    }.toMap
+
+  test("sortednessReport: hand fixture — sorted, cyclic, reversed") {
+    // order o = 1..6; a ascends (0 descents), b cycles 1,2,1,2,1,2
+    // (2 descents: 2->1 twice), c strictly descends (5 descents)
+    val df = Seq(
+      (1L, 10L, 1L, 60L), (2L, 20L, 2L, 50L), (3L, 30L, 1L, 40L),
+      (4L, 40L, 2L, 30L), (5L, 50L, 1L, 20L), (6L, 60L, 2L, 10L))
+      .toDF("o", "a", "b", "c")
+    val out = sortMap(LayoutAudit.sortednessReport(
+      df, "o", Seq("a", "b", "c"), bucketWidth = 4096L))
+    assert(out("a") == ((6L, 0L, 1L, Some(1000000L))))
+    assert(out("b") == ((6L, 2L, 3L, Some(600000L)))) // 3 of 5 pairs sorted
+    assert(out("c") == ((6L, 5L, 6L, Some(0L))))
+  }
+
+  test("sortednessReport: bucket seams cannot hide or invent descents") {
+    // 40 rows of a zig-zag; results must be IDENTICAL at bucketWidth 1
+    // (every seam crosses buckets) and 4096 (single bucket)
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 40L).map(o => (o, rng.nextInt(100).toLong)).toSeq
+    val df = rows.toDF("o", "v")
+    val wide = sortMap(LayoutAudit.sortednessReport(df, "o", Seq("v"), 4096L))
+    val narrow = sortMap(LayoutAudit.sortednessReport(df, "o", Seq("v"), 1L))
+    assert(wide == narrow, s"$wide vs $narrow")
+    // brute force
+    val vs = rows.sortBy(r => (r._1, r._2)).map(_._2)
+    val desc = vs.sliding(2).count(p => p(1) < p(0)).toLong
+    assert(wide("v")._2 == desc)
+  }
+
+  test("sortednessReport: order ties break by value (a tie group reads sorted)") {
+    val df = Seq((1L, 5L), (1L, 3L), (1L, 4L), (2L, 1L)).toDF("o", "v")
+    val out = sortMap(LayoutAudit.sortednessReport(df, "o", Seq("v"), 4096L))
+    // within o=1 the values order 3,4,5 (no descent); 5 -> 1 at o=2: one
+    assert(out("v") == ((4L, 1L, 2L, Some(666666L))))
+  }
+
+  test("sortednessReport: nulls drop per candidate; single row has null ppm") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 7L), (2L, null), (null, 9L)).toDF("o", "v")
+    val out = sortMap(LayoutAudit.sortednessReport(df, "o", Seq("v"), 4096L))
+    assert(out("v") == ((1L, 0L, 1L, None)))
+  }
 }
