@@ -38,6 +38,24 @@ object Experiment {
       floor((center + half) * lit(1000000.0)).cast("long"))
   }
 
+  /** JVM twin of the Column-level Wilson bounds — the SAME pinned op
+    * order (each step a correctly-rounded IEEE op, so the two forms
+    * are bitwise identical; ExperimentSpec pins it). Shared with the
+    * ingest-time [[graft.streaming.ExperimentStream]].
+    */
+  def wilsonPpmRef(conv: Long, n: Long): (Long, Long) = {
+    require(n > 0, s"n must be positive, got $n")
+    val nd = n.toDouble
+    val phat = conv.toDouble / nd
+    val z2 = Z * Z
+    val denom = 1.0 + z2 / nd
+    val center = (phat + z2 / (2.0 * nd)) / denom
+    val half = Z * math.sqrt(phat * (1.0 - phat) / nd +
+      z2 / (4.0 * nd * nd)) / denom
+    (math.floor((center - half) * 1000000.0).toLong,
+      math.floor((center + half) * 1000000.0).toLong)
+  }
+
   /** Per-variant conversion readout with lift vs `controlVariant`.
     *
     * Input: one row per EXPERIMENT UNIT (user/session — the caller's

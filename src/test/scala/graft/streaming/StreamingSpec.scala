@@ -2440,6 +2440,78 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming A/B readout: running counts + Wilson == batch, restart-safe") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_ab").toString
+      val input = MemoryStream[(String, Boolean)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Long)]
+      def start() = ExperimentStream.conversions(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long,
+            Long, Long)], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("A", true), ("A", false), ("B", true))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // post-restart rows must extend the RESTORED counts
+        input.addData(("A", false), ("A", false), ("B", true), ("B", false))
+        q2.processAllAvailable()
+        val last = collected.synchronized(collected.toList)
+          .groupBy(_._1).map { case (k, rs) => k -> rs.last }
+        // batch reference over the union (lift-free columns)
+        val batch = graft.operators.Experiment.conversionLift(
+          Seq(("A", true), ("A", false), ("A", false), ("A", false),
+            ("B", true), ("B", true), ("B", false))
+            .toDF("variant", "converted"), "variant", "converted", "A")
+          .collect().map(r => r.getAs[String]("variant") ->
+            ((r.getAs[String]("variant"), r.getAs[Long]("n"),
+              r.getAs[Long]("conversions"), r.getAs[Long]("rate_ppm"),
+              r.getAs[Long]("wilson_lo_ppm"),
+              r.getAs[Long]("wilson_hi_ppm")))).toMap
+        assert(last.toMap == batch,
+          s"stream final emissions must equal batch readout: $last vs $batch")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming basket pairs: each co-membership emitted once; counts == batch pair stage") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, String)]
+      val q = AssocStream.basketPairs(input.toDS())
+        .writeStream.format("memory").queryName("assoc_stream")
+        .outputMode("append").start()
+      try {
+        // basket 1 split ACROSS batches with a duplicate line; basket 2
+        // arrives in one batch out of order
+        input.addData(("1", "milk"), ("1", "bread"))
+        q.processAllAvailable()
+        input.addData(("1", "milk"), ("1", "butter"),
+          ("2", "bread"), ("2", "milk"))
+        q.processAllAvailable()
+        val got = spark.table("assoc_stream").as[(String, String)]
+          .collect().groupBy(identity).view.mapValues(_.length).toMap
+        // basket 1 {milk, bread, butter} -> 3 pairs (dup milk absorbed);
+        // basket 2 {bread, milk} -> 1 pair; every pair exactly once
+        assert(got == Map(
+          ("bread", "milk") -> 2, ("bread", "butter") -> 1,
+          ("butter", "milk") -> 1),
+          s"got $got")
+      } finally q.stop()
+    }
+  }
+
   test("streaming occupancy: tick totals survive a restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
