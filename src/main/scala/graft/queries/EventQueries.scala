@@ -305,6 +305,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q255_theil_sen_trend" -> { (s, d) =>
+      // Robust per-type rate trend: Theil-Sen slope (median of all
+      // pairwise slopes, 29% breakdown) over the DAILY event-count
+      // series — the drift monitor next to q218's shift detector. The
+      // pair space is calendar-bounded (days², independent of event
+      // volume); slopes in exact truncated ppm, median via the exact
+      // PERCENTILE_DISC ladder.
+      val series = graft.operators.Changepoint.tickCounts(
+          Tables.events(s, d), Seq("event_type"), "ts", 86400L)
+        .select(col("event_type"),
+          expr("unix_micros(tick) div 86400000000").as("day"), col("n"))
+      graft.operators.Trend.theilSen(series, "event_type", "day", "n")
+        .orderBy(col("event_type"))
+    },
+
     "q254_ab_conversion" -> { (s, d) =>
       // A/B readout over a hash-gated split (the q98 deterministic
       // assignment — variant is a pure function of user_id, so both
@@ -743,6 +758,23 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q255_theil_sen_trend" -> """
+      WITH t AS (
+        SELECT event_type AS k,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+          CAST(count(*) AS BIGINT) AS y
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      p AS (
+        SELECT a.k, ((b.y - a.y) * 1000000) // (b.x - a.x) AS s
+        FROM t a JOIN t b ON a.k = b.k AND a.x < b.x),
+      np AS (SELECT k, CAST(count(*) AS BIGINT) AS n_points FROM t GROUP BY 1),
+      cp AS (SELECT k, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(quantile_disc(s, 0.5) AS BIGINT) AS slope_ppm
+             FROM p GROUP BY 1)
+      SELECT np.k AS event_type, n_points, n_pairs, slope_ppm
+      FROM np JOIN cp ON np.k = cp.k ORDER BY event_type""",
 
     "q254_ab_conversion" -> """
       WITH u AS (
