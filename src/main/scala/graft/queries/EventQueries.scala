@@ -305,6 +305,19 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q256_markov_stationary" -> { (s, d) =>
+      // Stationary distribution of the q104 behavior chain: 8 integer
+      // power-iteration steps in exact ppm (per-term floors both
+      // engines replay; dangling states self-loop). One corpus
+      // window+aggregate to the 5x5 type matrix; iterations run on
+      // that bounded table driver-side (the centroid/BPE model-table
+      // pattern), unrolled in the oracle as 8 MATERIALIZED CTEs.
+      graft.operators.Markov.stationaryDistribution(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        iters = 8)
+        .orderBy(col("state"))
+    },
+
     "q255_theil_sen_trend" -> { (s, d) =>
       // Robust per-type rate trend: Theil-Sen slope (median of all
       // pairwise slopes, 29% breakdown) over the DAILY event-count
@@ -758,6 +771,49 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q256_markov_stationary" -> {
+      // 8 unrolled power-iteration CTEs; every multiply-used stage is
+      // AS MATERIALIZED (the q242 recursion-inlining lesson). Each
+      // step LEFT-joins from the state list so zero-mass states keep
+      // their row (Spark emits all K states).
+      val steps = (1 to 8).map { i =>
+        s"""pi$i AS MATERIALIZED (
+          SELECT s.st AS st,
+            CAST(coalesce(sum((p${i - 1}.v * pm.ppm) // 1000000), 0)
+              AS BIGINT) AS v
+          FROM sts s
+          LEFT JOIN pm ON pm.j = s.st
+          LEFT JOIN pi${i - 1} p${i - 1} ON p${i - 1}.st = pm.i
+          GROUP BY 1)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH tr AS MATERIALIZED (
+        SELECT lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS f,
+          event_type AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      cnt AS MATERIALIZED (
+        SELECT f, t, CAST(count(*) AS BIGINT) AS c
+        FROM tr WHERE f IS NOT NULL GROUP BY 1, 2),
+      sts AS MATERIALIZED (
+        SELECT DISTINCT f AS st FROM cnt
+        UNION SELECT DISTINCT t FROM cnt),
+      rt AS (SELECT f, sum(c) AS rc FROM cnt GROUP BY 1),
+      pm AS MATERIALIZED (
+        SELECT cnt.f AS i, cnt.t AS j, (c * 1000000) // rc AS ppm
+        FROM cnt JOIN rt USING (f)
+        UNION ALL
+        SELECT st, st, 1000000 FROM sts
+        WHERE st NOT IN (SELECT f FROM cnt)),
+      kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM sts),
+      pi0 AS MATERIALIZED (
+        SELECT st, 1000000 // k AS v FROM sts CROSS JOIN kk),
+      $steps
+      SELECT st AS state, v AS pi_ppm FROM pi8 ORDER BY state"""
+    },
 
     "q255_theil_sen_trend" -> """
       WITH t AS (

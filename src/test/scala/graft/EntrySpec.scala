@@ -82,6 +82,7 @@ class EntrySpec extends SparkSpec {
       "iv2", "dl", "bt", // q249 sweep-line stages
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
       "memb", "isup", "posts", "dir", // q250 association-rule stages
+      "tr", "sts", "pm", "kk", // q256 Markov stationary stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
@@ -114,6 +115,7 @@ class EntrySpec extends SparkSpec {
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds
+      (0 to 8).map(i => s"pi$i") ++ // q256 power-iteration steps
       Set(
       "null") // "IS NOT DISTINCT FROM NULL" matches the FROM pattern
     SparkEntry.oracleSql.foreach { case (name, sql) =>
