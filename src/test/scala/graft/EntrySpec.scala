@@ -83,6 +83,7 @@ class EntrySpec extends SparkSpec {
       "tw", "qa", "lv", "al", "rk", // q235 Hamilton apportionment stages
       "memb", "isup", "posts", "dir", // q250 association-rule stages
       "tr", "sts", "pm", "kk", // q256 Markov stationary stages
+      "np", "cp", // q255 Theil-Sen point/pair rollups
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
