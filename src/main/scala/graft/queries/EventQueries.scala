@@ -305,6 +305,18 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q257_ordered_funnel" -> { (s, d) =>
+      // Three-step ordered funnel view -> click -> purchase: earliest
+      // completion per user with strictly-increasing (ts, event_id)
+      // stamps, per-step reach + conversion ppm + exact median leg
+      // latency. Each step is one narrow type-filtered scan joined to
+      // the user-bounded frontier; no windows over the raw stream.
+      graft.operators.Funnel.orderedFunnel(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy(col("step_idx"))
+    },
+
     "q256_markov_stationary" -> { (s, d) =>
       // Stationary distribution of the q104 behavior chain: 8 integer
       // power-iteration steps in exact ppm (per-term floors both
@@ -771,6 +783,55 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q257_ordered_funnel" -> """
+      WITH ev AS MATERIALIZED (
+        SELECT user_id AS u, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+          event_id AS s, event_type AS ty
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_id IS NOT NULL AND event_type IS NOT NULL),
+      f1 AS MATERIALIZED (
+        SELECT u, t, s FROM (
+          SELECT u, t, s,
+            row_number() OVER (PARTITION BY u ORDER BY t, s) AS rn
+          FROM ev WHERE ty = 'view') x WHERE rn = 1),
+      f2 AS MATERIALIZED (
+        SELECT u, t, s, pt FROM (
+          SELECT e.u, e.t, e.s, f1.t AS pt,
+            row_number() OVER (PARTITION BY e.u ORDER BY e.t, e.s) AS rn
+          FROM ev e JOIN f1 ON e.u = f1.u
+          WHERE e.ty = 'click'
+            AND (e.t > f1.t OR (e.t = f1.t AND e.s > f1.s))) x
+        WHERE rn = 1),
+      f3 AS MATERIALIZED (
+        SELECT u, t, s, pt FROM (
+          SELECT e.u, e.t, e.s, f2.t AS pt,
+            row_number() OVER (PARTITION BY e.u ORDER BY e.t, e.s) AS rn
+          FROM ev e JOIN f2 ON e.u = f2.u
+          WHERE e.ty = 'purchase'
+            AND (e.t > f2.t OR (e.t = f2.t AND e.s > f2.s))) x
+        WHERE rn = 1),
+      n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f1),
+      n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f2),
+      n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f3),
+      g2 AS (SELECT 0 AS g, CAST(quantile_disc(t - pt, 0.5) AS BIGINT)
+               AS mg FROM f2 GROUP BY 1),
+      g3 AS (SELECT 0 AS g, CAST(quantile_disc(t - pt, 0.5) AS BIGINT)
+               AS mg FROM f3 GROUP BY 1)
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+        n AS n_reached, CAST(NULL AS BIGINT) AS conv_from_prev_ppm,
+        CAST(NULL AS BIGINT) AS median_gap_micros
+      FROM n1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click', n2.n,
+        CASE WHEN n1.n > 0 THEN (n2.n * 1000000) // n1.n END, g2.mg
+      FROM n2 CROSS JOIN n1 LEFT JOIN g2 ON true
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase', n3.n,
+        CASE WHEN n2.n > 0 THEN (n3.n * 1000000) // n2.n END, g3.mg
+      FROM n3 CROSS JOIN n2 LEFT JOIN g3 ON true
+      ORDER BY step_idx""",
 
     "q256_markov_stationary" -> {
       // 8 unrolled power-iteration CTEs; every multiply-used stage is

@@ -84,6 +84,7 @@ class EntrySpec extends SparkSpec {
       "memb", "isup", "posts", "dir", // q250 association-rule stages
       "tr", "sts", "pm", "kk", // q256 Markov stationary stages
       "np", "cp", // q255 Theil-Sen point/pair rollups
+      "ev", "f1", "f2", "f3", "n1", "n2", "n3", "g3", // q257 funnel stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
