@@ -171,4 +171,75 @@ object Profile {
         .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
           col("n_distinct"), col("min_val"), col("max_val"))
     }.reduce(_.union(_))
+
+  /** A declarative data-quality constraint (the Deequ-class check
+    * surface — Schelter et al. 2018, "Automating large-scale data
+    * quality verification"): each check compiles to exact integer-ppm
+    * metrics from ONE pass over its column(s).
+    */
+  sealed trait Check {
+    def name: String
+    def column: String
+    def thresholdPpm: Long
+  }
+  /** non-null rows / all rows ≥ threshold. */
+  final case class Completeness(column: String, thresholdPpm: Long = 1000000L)
+      extends Check { val name = "completeness" }
+  /** distinct non-null values / non-null rows ≥ threshold (1e6 = the
+    * column is a key). For a composite key pass a concat_ws column.
+    */
+  final case class Uniqueness(column: String, thresholdPpm: Long = 1000000L)
+      extends Check { val name = "uniqueness" }
+  /** non-null rows inside [lo, hi] / non-null rows ≥ threshold —
+    * bounds compared in exact cents (caller casts).
+    */
+  final case class BoundedBetween(column: String, lo: Long, hi: Long,
+                                  thresholdPpm: Long = 1000000L)
+      extends Check { val name = "bounded" }
+
+  /** Constraint verification report — the release gate a pipeline runs
+    * before publishing a table: every check becomes one row with its
+    * measured metric in exact floored ppm and a pass verdict
+    * (metric ≥ threshold; an EMPTY table vacuously passes completeness
+    * and uniqueness at metric 1e6 — no row violates — and so does a
+    * bounded check over all-null columns, the SQL-convention reading,
+    * documented rather than configurable).
+    *
+    * Scale shape: per check ONE combinable corpus aggregate (the
+    * uniqueness check adds that column's distinct shuffle — exact by
+    * contract; the HLL sketch is the scale relaxation when ±1% is
+    * acceptable); checks are independent jobs, the union is
+    * driver-side plan assembly (the [[fdStrength]] shape). No windows,
+    * no joins.
+    *
+    * Output (one row per check, input order): (check, column,
+    * metric_ppm, threshold_ppm, pass).
+    */
+  def constraintReport(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "need at least one check")
+    checks.map { c =>
+      val metric = c match {
+        case Completeness(colName, _) =>
+          df.agg(
+            when(count(lit(1)) === 0, 1000000L).otherwise(
+              expr(s"(count($colName) * 1000000L) div count(1)"))
+              .as("metric_ppm"))
+        case Uniqueness(colName, _) =>
+          df.agg(
+            when(count(col(colName)) === 0, 1000000L).otherwise(
+              expr(s"(count(DISTINCT $colName) * 1000000L)" +
+                s" div count($colName)")).as("metric_ppm"))
+        case BoundedBetween(colName, lo, hi, _) =>
+          df.agg(
+            when(count(col(colName)) === 0, 1000000L).otherwise(
+              expr(s"(count(CASE WHEN $colName >= ${lo}L AND" +
+                s" $colName <= ${hi}L THEN 1 END) * 1000000L)" +
+                s" div count($colName)")).as("metric_ppm"))
+      }
+      metric.select(lit(c.name).as("check"), lit(c.column).as("column_name"),
+        col("metric_ppm").cast("long").as("metric_ppm"),
+        lit(c.thresholdPpm).as("threshold_ppm"),
+        (col("metric_ppm") >= c.thresholdPpm).as("pass"))
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -108,6 +108,30 @@ object StatsQueries extends QueryGroup {
         .orderBy(col("user_id"))
     },
 
+    "q258_quality_constraints" -> { (s, d) =>
+      // Declarative data-quality release gate (the Deequ-class check
+      // suite): completeness/uniqueness/boundedness as exact-ppm
+      // metrics with pass verdicts, one combinable aggregate per
+      // check. The line-key uniqueness deliberately FAILS on this
+      // corpus (45.8k distinct (orderkey, linenumber) pairs over 60k
+      // rows at sf0.01) so both verdicts are live; prices are bounded
+      // in exact cents.
+      import graft.operators.Profile._
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey"),
+        concat_ws("/", col("l_orderkey"), col("l_linenumber"))
+          .as("line_key"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_cents"),
+        col("l_returnflag"))
+      graft.operators.Profile.constraintReport(li, Seq(
+        Completeness("l_orderkey"),
+        Completeness("l_returnflag", 990000L),
+        Uniqueness("line_key", 800000L),
+        BoundedBetween("price_cents", 1L, 20000000L)))
+        .orderBy(col("check"), col("column_name"))
+    },
+
     "q252_sortedness" -> { (s, d) =>
       // Sortedness audit of lineitem in l_orderkey write order: how
       // well would each candidate column prune under zone maps as the
@@ -551,6 +575,46 @@ object StatsQueries extends QueryGroup {
       SELECT user_id, cents, ts AS last_ts, event_id AS last_seq,
         op <> 'D' AS live, n_changes
       FROM r WHERE rn = 1 ORDER BY user_id""",
+
+    "q258_quality_constraints" -> """
+      WITH li AS (
+        SELECT l_orderkey,
+          CAST(l_orderkey AS VARCHAR) || '/' ||
+            CAST(l_linenumber AS VARCHAR) AS line_key,
+          CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+            AS price_cents,
+          l_returnflag
+        FROM lineitem),
+      checks AS (
+        SELECT 'completeness' AS chk, 'l_orderkey' AS col_n,
+          CASE WHEN count(*) = 0 THEN 1000000
+            ELSE (count(l_orderkey) * 1000000) // count(*) END AS m,
+          CAST(1000000 AS BIGINT) AS th
+        FROM li
+        UNION ALL
+        SELECT 'completeness', 'l_returnflag',
+          CASE WHEN count(*) = 0 THEN 1000000
+            ELSE (count(l_returnflag) * 1000000) // count(*) END,
+          990000
+        FROM li
+        UNION ALL
+        SELECT 'uniqueness', 'line_key',
+          CASE WHEN count(line_key) = 0 THEN 1000000
+            ELSE (count(DISTINCT line_key) * 1000000)
+              // count(line_key) END,
+          800000
+        FROM li
+        UNION ALL
+        SELECT 'bounded', 'price_cents',
+          CASE WHEN count(price_cents) = 0 THEN 1000000
+            ELSE (count(CASE WHEN price_cents >= 1
+                AND price_cents <= 20000000 THEN 1 END) * 1000000)
+              // count(price_cents) END,
+          1000000
+        FROM li)
+      SELECT chk AS "check", col_n AS column_name, CAST(m AS BIGINT)
+        AS metric_ppm, th AS threshold_ppm, m >= th AS pass
+      FROM checks ORDER BY chk, col_n""",
 
     "q252_sortedness" -> {
       def cand(expr: String, name: String) = s"""

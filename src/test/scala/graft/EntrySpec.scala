@@ -85,6 +85,7 @@ class EntrySpec extends SparkSpec {
       "tr", "sts", "pm", "kk", // q256 Markov stationary stages
       "np", "cp", // q255 Theil-Sen point/pair rollups
       "ev", "f1", "f2", "f3", "n1", "n2", "n3", "g3", // q257 funnel stages
+      "checks", // q258 quality-constraint rows
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
