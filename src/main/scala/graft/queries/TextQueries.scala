@@ -256,6 +256,17 @@ object TextQueries extends QueryGroup {
           col("n_langs"), col("n_sources"))
     },
 
+    "q259_rake_keywords" -> { (s, d) =>
+      // RAKE keyword extraction (Rose et al. 2010): top-50 candidate
+      // phrases (maximal content-word runs between stopword/non-alnum
+      // delimiters) scored by summed word degree/frequency ratios in
+      // exact floored ppm — the phrase-level complement of q75's
+      // unigram TF-IDF and q227's adjacency PMI. One per-doc islands
+      // window + bounded phrase/word aggregates; ties lexicographic.
+      graft.operators.Keywords.rakeTopK(
+        Tables.documents(s, d), "text", WebQueries.StopWords, k = 50)
+    },
+
     "q251_readability" -> { (s, d) =>
       // Per-source readability rollup: Flesch reading ease in exact
       // floored milli-points over the vowel-group syllable proxy (runs
@@ -2130,6 +2141,50 @@ object TextQueries extends QueryGroup {
         CAST(sum(CASE WHEN fb = bin THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
         CAST(sum(least(s + n, (bin + 1) * 256) - greatest(s, bin * 256)) AS BIGINT) AS n_tokens
       FROM x GROUP BY bin ORDER BY bin""",
+
+    "q259_rake_keywords" -> """
+      WITH dd AS MATERIALIZED (
+        SELECT doc_id,
+          string_split_regex(lower(text), '[^a-z0-9 ]+') AS fl
+        FROM documents WHERE text IS NOT NULL),
+      fr AS MATERIALIZED (
+        SELECT doc_id, fi, string_split(fl[fi], ' ') AS l
+        FROM dd, unnest(generate_series(1, len(fl))) AS g(fi)),
+      tk AS MATERIALIZED (
+        SELECT doc_id, fi, i, l[i] AS w,
+          (l[i] = '' OR l[i] IN ('the', 'a', 'of', 'to', 'in')) AS stop
+        FROM fr, unnest(generate_series(1, len(l))) AS h(i)),
+      runs AS MATERIALIZED (
+        SELECT doc_id, fi, i, w, stop,
+          sum(CASE WHEN stop THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id, fi ORDER BY i) AS run
+        FROM tk),
+      ph AS MATERIALIZED (
+        SELECT doc_id, fi, run, string_agg(w, ' ' ORDER BY i) AS phrase,
+          CAST(count(*) AS BIGINT) AS len
+        FROM runs WHERE NOT stop GROUP BY 1, 2, 3),
+      phf AS MATERIALIZED (
+        SELECT phrase, len FROM ph WHERE len <= 6),
+      wstat AS MATERIALIZED (
+        SELECT w, CAST(count(*) AS BIGINT) AS freq,
+          CAST(sum(len) AS BIGINT) AS deg
+        FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w
+              FROM phf) x
+        GROUP BY 1),
+      pt AS MATERIALIZED (
+        SELECT phrase, CAST(max(len) AS BIGINT) AS n_words,
+          CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM phf GROUP BY 1),
+      pw AS (
+        SELECT phrase, n_words, n_occurrences,
+          unnest(string_split(phrase, ' ')) AS w
+        FROM pt),
+      sc AS (
+        SELECT pw.phrase, pw.n_words, pw.n_occurrences,
+          CAST(sum((deg * 1000000) // freq) AS BIGINT) AS score_ppm
+        FROM pw JOIN wstat USING (w) GROUP BY 1, 2, 3)
+      SELECT phrase, n_words, n_occurrences, score_ppm
+      FROM sc ORDER BY score_ppm DESC, phrase LIMIT 50""",
 
     "q251_readability" -> """
       WITH c AS (
