@@ -29,11 +29,12 @@ object Keywords {
     * contributes 100× to its words' degree/freq — the RAKE paper's
     * corpus reading).
     *
-    * Scale shape: one posexplode + one per-DOC window (the
-    * gaps-and-islands run id — partitioned by doc, never global), one
-    * phrase aggregate, a word-stats aggregate on the exploded phrase
-    * words, a broadcast-scored join back, and a TakeOrdered top-k cut.
-    * Everything shuffles on doc/word/phrase keys; no global windows.
+    * Scale shape: two chained generators (fragments, then words) +
+    * one per-(doc, fragment) window (the gaps-and-islands run id —
+    * partitioned, never global), one phrase aggregate, a word-stats
+    * aggregate on the exploded phrase words, a scored join back on the
+    * word key, and a TakeOrdered top-k cut. Everything shuffles on
+    * doc/word/phrase keys; no global windows.
     *
     * Output (k rows): (phrase, n_words, n_occurrences, score_ppm) —
     * score desc, phrase asc.
