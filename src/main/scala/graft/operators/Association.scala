@@ -180,4 +180,36 @@ object Association {
           s" div (CAST(__sante AS $dec) * __scons)").cast("long")
           .as("lift_ppm"))
   }
+
+  /** "Also-bought" recommendation readout — the operational cut of
+    * [[rules2]]: per antecedent item, the top-k consequents by lift
+    * (ties to the smaller consequent id — a total order both engines
+    * replay). THIS is the table a retrieval service serves; the full
+    * rule table is its audit trail.
+    *
+    * Items must be integral (the k-bounded heap's id contract — same
+    * as [[Sampling.weightedSample]]); lift_ppm rides through the
+    * heap's double slot, exact for values < 2^53 (lift tops out at
+    * n_baskets·1e6 — fine to ~9e9 baskets, documented).
+    *
+    * Scale shape: [[rules2]]'s bounded pair machinery, then a k-bounded
+    * map-side-combinable heap per antecedent (a mega-item collapses
+    * map-side — no window over the rule table) and one join back for
+    * the rule metrics.
+    *
+    * Output: (antecedent, rn [1..k], consequent, n_pair,
+    * confidence_ppm, lift_ppm).
+    */
+  def alsoBought(df: DataFrame, basketCol: String, itemCol: String,
+                 minSupport: Long, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val rules = rules2(df, basketCol, itemCol, minSupport)
+    val top = TopK.perGroupAgg(rules, Seq("antecedent"),
+        col("lift_ppm"), col("consequent"), k)
+      .select(col("antecedent"), col("rn").cast("long").as("rn"),
+        col("id").as("consequent"))
+    top.join(rules, Seq("antecedent", "consequent"))
+      .select(col("antecedent"), col("rn"), col("consequent"),
+        col("n_pair"), col("confidence_ppm"), col("lift_ppm"))
+  }
 }

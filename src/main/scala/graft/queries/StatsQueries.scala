@@ -78,6 +78,17 @@ object StatsQueries extends QueryGroup {
         Tables.documents(s, d), "text", minCount = 5L, k = 20)
     },
 
+    "q260_also_bought" -> { (s, d) =>
+      // The operational cut of q250: top-3 "also-bought" consequents
+      // per part by lift (ties to the smaller part key) through the
+      // k-bounded map-side heap — the table a recommendation service
+      // actually serves; no window over the rule table.
+      graft.operators.Association.alsoBought(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L, k = 3)
+        .orderBy(col("antecedent"), col("rn"))
+    },
+
     "q250_assoc_rules" -> { (s, d) =>
       // Two-itemset association rules (A-priori level 2) over orders
       // as part baskets: support/confidence/lift in exact floored ppm.
@@ -514,6 +525,38 @@ object StatsQueries extends QueryGroup {
         max((ka - 1) * (kb - 1)) AS dof,
         CAST(sum(term) - max(r) * 1000000 AS BIGINT) AS chi2_ppm
       FROM terms GROUP BY 1 ORDER BY lang""",
+
+    "q260_also_bought" -> """
+      WITH memb AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM memb),
+      isup AS (
+        SELECT it, CAST(count(*) AS BIGINT) AS s FROM memb
+        GROUP BY 1 HAVING count(*) >= 2),
+      posts AS (SELECT m.bk, m.it, i.s FROM memb m JOIN isup i USING (it)),
+      pairs AS (
+        SELECT l.it AS a, r.it AS b, l.s AS sa, r.s AS sb,
+          CAST(count(*) AS BIGINT) AS sab
+        FROM posts l JOIN posts r ON l.bk = r.bk AND l.it < r.it
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      dir AS (
+        SELECT a AS ante, b AS cons, sab, sa AS sante, sb AS scons FROM pairs
+        UNION ALL SELECT b, a, sab, sb, sa FROM pairs),
+      sc AS (
+        SELECT ante, cons, sab,
+          (sab * 1000000) // sante AS confidence_ppm,
+          CAST((CAST(sab AS HUGEINT) * n * 1000000)
+            // (CAST(sante AS HUGEINT) * scons) AS BIGINT) AS lift_ppm
+        FROM dir CROSS JOIN tot),
+      rk AS (
+        SELECT ante, cons, sab, confidence_ppm, lift_ppm,
+          CAST(row_number() OVER (PARTITION BY ante
+            ORDER BY lift_ppm DESC, cons) AS BIGINT) AS rn
+        FROM sc)
+      SELECT ante AS antecedent, rn, cons AS consequent, sab AS n_pair,
+        confidence_ppm, lift_ppm
+      FROM rk WHERE rn <= 3 ORDER BY antecedent, rn""",
 
     "q250_assoc_rules" -> """
       WITH memb AS (

@@ -139,4 +139,37 @@ class AssociationSpec extends SparkSpec {
     assert(out(("z", "x"))._5 == 500000L) // conf z->x = 4/8
     assert(!out.contains(("x", "y"))) // never co-occur
   }
+
+  test("alsoBought: top-k by lift with id tie-break; metrics ride along") {
+    // baskets engineered so item 1 pairs strongest with 3, then 2:
+    // {1,3} x3, {1,2} x2, {2,3} x2, plus filler baskets to spread supports
+    val rows = Seq(
+      (1L, 1L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 3L),
+      (4L, 1L), (4L, 2L), (5L, 1L), (5L, 2L),
+      (6L, 2L), (6L, 3L), (7L, 2L), (7L, 3L),
+      (8L, 2L), (9L, 3L)).toDF("bk", "it")
+    val out = Association.alsoBought(rows, "bk", "it", 2L, 2)
+      .collect().map(r => (r.getAs[Long]("antecedent"), r.getAs[Long]("rn")) ->
+        ((r.getAs[Long]("consequent"), r.getAs[Long]("n_pair"),
+          r.getAs[Long]("lift_ppm")))).toMap
+    // n=9 baskets; s1=5, s2=5, s3=6; pairs: (1,3)=3, (1,2)=2, (2,3)=2
+    // lift(1,3) = 3*9e6/(5*6) = 900000; lift(1,2) = 2*9e6/25 = 720000
+    assert(out((1L, 1L)) == ((3L, 3L, 900000L)))
+    assert(out((1L, 2L)) == ((2L, 2L, 720000L)))
+    // k caps the list: antecedent 1 has exactly 2 rows
+    assert(!out.contains((1L, 3L)))
+    // symmetric lift: 3's list leads with 1 (900000 > lift(2,3)=600000)
+    assert(out((3L, 1L))._1 == 1L)
+  }
+
+  test("alsoBought: equal lift resolves to the smaller consequent id") {
+    // two perfectly-lifted pairs for item 1: {1,2} and {1,4}, same counts
+    val rows = Seq(
+      (1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 4L), (4L, 1L), (4L, 4L)).toDF("bk", "it")
+    val out = Association.alsoBought(rows, "bk", "it", 2L, 1)
+      .collect().map(r => r.getAs[Long]("antecedent") ->
+        r.getAs[Long]("consequent")).toMap
+    assert(out(1L) == 2L)
+  }
 }
