@@ -305,6 +305,17 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q261_rfm_census" -> { (s, d) =>
+      // RFM lifecycle census: per-user recency/frequency/monetary
+      // quintile scores (1-5, threshold counting — the q221
+      // duplicate-threshold rule) and the (r, f, m) cell table a
+      // campaign targets. One corpus aggregate to the user table;
+      // everything after is user-table- or cell-table-sized.
+      graft.operators.Rfm.rfmCensus(
+        Tables.events(s, d), "user_id", "ts", "value")
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
     "q257_ordered_funnel" -> { (s, d) =>
       // Three-step ordered funnel view -> click -> purchase: earliest
       // completion per user with strictly-increasing (ts, event_id)
@@ -783,6 +794,51 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q261_rfm_census" -> """
+      WITH anc AS (
+        SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS anchor
+        FROM events),
+      u AS MATERIALIZED (
+        SELECT user_id,
+          anchor - max(epoch_us(CAST(ts AS TIMESTAMP))) AS r,
+          CAST(count(*) AS BIGINT) AS f,
+          CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS m
+        FROM events CROSS JOIN anc
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND value IS NOT NULL
+        GROUP BY user_id, anchor),
+      qt AS (
+        SELECT
+          quantile_disc(r, 0.2) AS r1, quantile_disc(r, 0.4) AS r2,
+          quantile_disc(r, 0.6) AS r3, quantile_disc(r, 0.8) AS r4,
+          quantile_disc(f, 0.2) AS f1, quantile_disc(f, 0.4) AS f2,
+          quantile_disc(f, 0.6) AS f3, quantile_disc(f, 0.8) AS f4,
+          quantile_disc(m, 0.2) AS m1, quantile_disc(m, 0.4) AS m2,
+          quantile_disc(m, 0.6) AS m3, quantile_disc(m, 0.8) AS m4
+        FROM u),
+      s AS (
+        SELECT m,
+          6 - (1 + (CASE WHEN r >= r1 THEN 1 ELSE 0 END)
+             + (CASE WHEN r >= r2 THEN 1 ELSE 0 END)
+             + (CASE WHEN r >= r3 THEN 1 ELSE 0 END)
+             + (CASE WHEN r >= r4 THEN 1 ELSE 0 END)) AS r_score,
+          1 + (CASE WHEN f >= f1 THEN 1 ELSE 0 END)
+            + (CASE WHEN f >= f2 THEN 1 ELSE 0 END)
+            + (CASE WHEN f >= f3 THEN 1 ELSE 0 END)
+            + (CASE WHEN f >= f4 THEN 1 ELSE 0 END) AS f_score,
+          1 + (CASE WHEN m >= m1 THEN 1 ELSE 0 END)
+            + (CASE WHEN m >= m2 THEN 1 ELSE 0 END)
+            + (CASE WHEN m >= m3 THEN 1 ELSE 0 END)
+            + (CASE WHEN m >= m4 THEN 1 ELSE 0 END) AS m_score
+        FROM u CROSS JOIN qt)
+      SELECT CAST(r_score AS BIGINT) AS r_score,
+        CAST(f_score AS BIGINT) AS f_score,
+        CAST(m_score AS BIGINT) AS m_score,
+        CAST(count(*) AS BIGINT) AS n_users,
+        CAST(sum(m) AS BIGINT) AS sum_cents
+      FROM s GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""",
 
     "q257_ordered_funnel" -> """
       WITH ev AS MATERIALIZED (

@@ -87,6 +87,7 @@ class EntrySpec extends SparkSpec {
       "ev", "f1", "f2", "f3", "n1", "n2", "n3", "g3", // q257 funnel stages
       "checks", // q258 quality-constraint rows
       "dd", "fr", "runs", "ph", "phf", "wstat", "pt", "pw", // q259 RAKE stages
+      "anc", // q261 RFM anchor
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
