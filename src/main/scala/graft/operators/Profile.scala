@@ -242,4 +242,67 @@ object Profile {
         (col("metric_ppm") >= c.thresholdPpm).as("pass"))
     }.reduce(_.unionByName(_))
   }
+
+  /** Per-column statistics drift between two table snapshots — the
+    * whylogs/evidently-class monitor a recurring pipeline runs before
+    * trusting "the same table, one crawl later": B32's
+    * [[Snapshot.diff]] answers WHICH ROWS changed and q222's KS drift
+    * compares one column's full distribution; this is the cheap
+    * per-column summary sweep (null rate, cardinality, range, mean)
+    * that catches a broken extractor in one glance.
+    *
+    * Metrics per column per side: row count, null ppm, exact distinct
+    * count, min/max, and mean in exact MILLI-units
+    * (sum·1000 div nonnull through DECIMAL(38,0) — shifted +1e12
+    * before the div so floor/truncate agree below zero, the q251
+    * rule). Deltas: null_ppm_delta (B − A), ndv_ratio_ppm
+    * (ndv_b·1e6 div max(ndv_a, 1)), mean_shift_milli. Columns must be
+    * long-castable — cents/epoch pre-cast by the caller (the q252
+    * rule: double→long casting rounds differently across engines).
+    *
+    * Scale shape: per column per side ONE combinable aggregate (the
+    * exact NDV adds that column's distinct shuffle — the
+    * [[constraintReport]] uniqueness trade, HLL named as the
+    * relaxation); columns are independent jobs, the union is
+    * driver-side plan assembly. Empty sides report null mins/means,
+    * never divide-by-zero.
+    *
+    * Output (one row per column): (column_name, n_a, n_b, null_ppm_a,
+    * null_ppm_b, null_ppm_delta, ndv_a, ndv_b, ndv_ratio_ppm, min_a,
+    * min_b, max_a, max_b, mean_milli_a, mean_milli_b,
+    * mean_shift_milli).
+    */
+  def columnDrift(dfA: DataFrame, dfB: DataFrame,
+                  cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val dec = "decimal(38,0)"
+    def side(df: DataFrame, c: String, tag: String): DataFrame =
+      df.select(col(c).cast("long").as("__v"))
+        .agg(count(lit(1)).as(s"n_$tag"),
+          when(count(lit(1)) === 0, lit(null).cast("long")).otherwise(
+            expr("((count(1) - count(__v)) * 1000000L) div count(1)"))
+            .as(s"null_ppm_$tag"),
+          count_distinct(col("__v")).as(s"ndv_$tag"),
+          min(col("__v")).as(s"min_$tag"),
+          max(col("__v")).as(s"max_$tag"),
+          when(count(col("__v")) === 0, lit(null).cast("long")).otherwise(
+            expr(s"(sum(CAST(__v AS $dec) * 1000 +" +
+              s" CAST(1000000000000 AS $dec)) div count(__v)" +
+              " - 1000000000000)").cast("long"))
+            .as(s"mean_milli_$tag"))
+    cols.map { c =>
+      side(dfA, c, "a").crossJoin(side(dfB, c, "b"))
+        .select(lit(c).as("column_name"),
+          col("n_a"), col("n_b"),
+          col("null_ppm_a"), col("null_ppm_b"),
+          (col("null_ppm_b") - col("null_ppm_a")).as("null_ppm_delta"),
+          col("ndv_a"), col("ndv_b"),
+          expr("(ndv_b * 1000000L) div greatest(ndv_a, 1L)")
+            .as("ndv_ratio_ppm"),
+          col("min_a"), col("min_b"), col("max_a"), col("max_b"),
+          col("mean_milli_a"), col("mean_milli_b"),
+          (col("mean_milli_b") - col("mean_milli_a"))
+            .as("mean_shift_milli"))
+    }.reduce(_.unionByName(_))
+  }
 }

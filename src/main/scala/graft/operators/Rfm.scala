@@ -63,8 +63,10 @@ object Rfm {
         .agg(pivots.head, pivots.tail: _*)
         .drop("__g")
     }
-    val th = quintiles("__r").crossJoin(quintiles("__f"))
-      .crossJoin(quintiles("__m"))
+    // all three are 1-row tables — broadcast so the combine is a
+    // BroadcastNestedLoopJoin, never a CartesianProduct
+    val th = quintiles("__r").crossJoin(broadcast(quintiles("__f")))
+      .crossJoin(broadcast(quintiles("__m")))
     def ascScore(v: Column, c: String): Column =
       (1 to 4).map(i => when(v >= col(s"${c}_t$i"), 1).otherwise(0))
         .reduce(_ + _) + 1

@@ -305,6 +305,25 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q262_column_drift" -> { (s, d) =>
+      // Per-column statistics drift between two event-table slices
+      // (engagement vs transactional — the "same table, one crawl
+      // later" monitor shape): null rate / exact NDV / range / exact
+      // milli-mean per side plus deltas. One combinable aggregate per
+      // column per side; cents/epoch pre-cast to longs (the q252
+      // cast rule).
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("value_cents"),
+        col("user_id"),
+        expr("unix_micros(ts)").as("ts_micros"))
+      graft.operators.Profile.columnDrift(
+        ev.filter(col("event_type").isin("click", "view")),
+        ev.filter(col("event_type").isin("purchase", "signup", "error")),
+        Seq("value_cents", "user_id", "ts_micros"))
+        .orderBy(col("column_name"))
+    },
+
     "q261_rfm_census" -> { (s, d) =>
       // RFM lifecycle census: per-user recency/frequency/monetary
       // quintile scores (1-5, threshold counting — the q221
@@ -794,6 +813,39 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q262_column_drift" -> {
+      def sideAgg(flt: String, v: String) = s"""
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CASE WHEN count(*) = 0 THEN NULL
+            ELSE ((count(*) - count(v)) * 1000000) // count(*)
+          END AS null_ppm,
+          CAST(count(DISTINCT v) AS BIGINT) AS ndv,
+          CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+          CASE WHEN count(v) = 0 THEN NULL
+            ELSE CAST(sum(CAST(v AS HUGEINT) * 1000 + 1000000000000)
+              // count(v) - 1000000000000 AS BIGINT)
+          END AS mean_milli
+        FROM (SELECT $v AS v FROM events WHERE event_type IN $flt) x"""
+      def one(name: String, v: String) = s"""
+        SELECT '$name' AS column_name,
+          ca.n AS n_a, cb.n AS n_b,
+          ca.null_ppm AS null_ppm_a, cb.null_ppm AS null_ppm_b,
+          cb.null_ppm - ca.null_ppm AS null_ppm_delta,
+          ca.ndv AS ndv_a, cb.ndv AS ndv_b,
+          (cb.ndv * 1000000) // greatest(ca.ndv, 1) AS ndv_ratio_ppm,
+          ca.mn AS min_a, cb.mn AS min_b,
+          ca.mx AS max_a, cb.mx AS max_b,
+          ca.mean_milli AS mean_milli_a, cb.mean_milli AS mean_milli_b,
+          cb.mean_milli - ca.mean_milli AS mean_shift_milli
+        FROM (${sideAgg("('click', 'view')", v)}) ca
+        CROSS JOIN (${sideAgg("('purchase', 'signup', 'error')", v)}) cb"""
+      Seq(
+        one("value_cents", "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"),
+        one("user_id", "user_id"),
+        one("ts_micros", "epoch_us(CAST(ts AS TIMESTAMP))"))
+        .mkString(" UNION ALL ") + " ORDER BY column_name"
+    },
 
     "q261_rfm_census" -> """
       WITH anc AS (

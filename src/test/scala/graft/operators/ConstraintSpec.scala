@@ -49,4 +49,41 @@ class ConstraintSpec extends SparkSpec {
       .collect().map(_.getAs[String]("check")).toSeq
     assert(rows == Seq("uniqueness", "completeness", "bounded"))
   }
+
+  // --- columnDrift ---
+
+  private def drift(a: org.apache.spark.sql.DataFrame,
+                    b: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+    Profile.columnDrift(a, b, cols).collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+
+  test("columnDrift: exact per-side stats and deltas") {
+    val a = Seq[java.lang.Long](1L, 2L, 3L, null).toDF("v")
+    val b = Seq[java.lang.Long](10L, null, null).toDF("v")
+    val r = drift(a, b, Seq("v"))("v")
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 3L)
+    assert(r.getAs[Long]("null_ppm_a") == 250000L)
+    assert(r.getAs[Long]("null_ppm_b") == 666666L)
+    assert(r.getAs[Long]("null_ppm_delta") == 416666L)
+    assert(r.getAs[Long]("ndv_a") == 3L && r.getAs[Long]("ndv_b") == 1L)
+    assert(r.getAs[Long]("ndv_ratio_ppm") == 333333L)
+    assert(r.getAs[Long]("min_a") == 1L && r.getAs[Long]("max_a") == 3L)
+    assert(r.getAs[Long]("mean_milli_a") == 2000L)
+    assert(r.getAs[Long]("mean_milli_b") == 10000L)
+    assert(r.getAs[Long]("mean_shift_milli") == 8000L)
+  }
+
+  test("columnDrift: negative means floor consistently; empty side reports nulls") {
+    val a = Seq[java.lang.Long](-5L, -2L).toDF("v") // mean -3.5 -> -3500
+    val b = Seq[java.lang.Long](-2L).toDF("v")
+    val r = drift(a, b, Seq("v"))("v")
+    assert(r.getAs[Long]("mean_milli_a") == -3500L)
+    assert(r.getAs[Long]("mean_shift_milli") == 1500L)
+    val empty = Seq.empty[java.lang.Long].toDF("v")
+    val r2 = drift(a, empty, Seq("v"))("v")
+    assert(r2.getAs[Long]("n_b") == 0L && r2.getAs[Long]("ndv_b") == 0L)
+    assert(r2.isNullAt(r2.fieldIndex("mean_milli_b")))
+    assert(r2.isNullAt(r2.fieldIndex("null_ppm_b")))
+    assert(r2.getAs[Long]("ndv_ratio_ppm") == 0L)
+  }
 }
