@@ -305,6 +305,38 @@ object EventQueries extends QueryGroup {
         .orderBy(col("user_id"), col("grid_ts"))
     },
 
+    "q263_session_stats" -> { (s, d) =>
+      // Session economics over the q81 sessionization (10-minute gap):
+      // bounce rate (single-event sessions), exact median/p90 session
+      // span, mean events per session — the per-session rollup q27's
+      // per-session listing doesn't aggregate. One window per user,
+      // then everything runs on the session-bounded table.
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val sess = graft.operators.Windows.withSessionIds(
+          ev, "user_id", "ts", gapMicros = 10L * 60 * 1000000,
+          tieBreak = "event_id")
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).as("n"),
+          (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
+            .as("span"))
+        .localCheckpoint() // rollup + two percentile passes
+      val q = graft.operators.Percentiles.percentileDisc(
+          sess.select(lit(0).as("__g"), col("span").as("__v")),
+          "__g", "__v", Seq(0.5, 0.9))
+        .groupBy(col("__g"))
+        .agg(max(when(col("p") === 0.5, col("value"))).cast("long")
+            .as("median_span_micros"),
+          max(when(col("p") === 0.9, col("value"))).cast("long")
+            .as("p90_span_micros"))
+        .drop("__g")
+      sess.agg(count(lit(1)).as("n_sessions"),
+          expr("(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000L)" +
+            " div count(1)").as("bounce_ppm"),
+          expr("(sum(n) * 1000L) div count(1)").as("mean_events_milli"))
+        .crossJoin(broadcast(q))
+    },
+
     "q262_column_drift" -> { (s, d) =>
       // Per-column statistics drift between two event-table slices
       // (engagement vs transactional — the "same table, one crawl
@@ -813,6 +845,40 @@ object EventQueries extends QueryGroup {
       FROM grid ASOF LEFT JOIN obs
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
+
+    "q263_session_stats" -> """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (
+        SELECT user_id, event_id, t,
+          CASE WHEN lag(t) OVER w IS NULL
+               OR epoch_us(t) - epoch_us(lag(t) OVER w) > 600000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      numbered AS (
+        SELECT user_id, t,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+      sess AS MATERIALIZED (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+          epoch_us(max(t)) - epoch_us(min(t)) AS span
+        FROM numbered GROUP BY 1, 2),
+      qn AS (
+        SELECT CAST(quantile_disc(span, 0.5) AS BIGINT)
+            AS median_span_micros,
+          CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span_micros
+        FROM sess),
+      roll AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+          (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
+            AS bounce_ppm,
+          (sum(n) * 1000) // count(*) AS mean_events_milli
+        FROM sess)
+      SELECT n_sessions, bounce_ppm, mean_events_milli,
+        median_span_micros, p90_span_micros
+      FROM roll CROSS JOIN qn""",
 
     "q262_column_drift" -> {
       def sideAgg(flt: String, v: String) = s"""

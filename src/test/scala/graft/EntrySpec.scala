@@ -89,6 +89,7 @@ class EntrySpec extends SparkSpec {
       "dd", "fr", "runs", "ph", "phf", "wstat", "pt", "pw", // q259 RAKE stages
       "anc", // q261 RFM anchor
       "ca", // q262 column-drift side A
+      "sess", "qn", "roll", // q263 session-stats stages
 
       "dup", "occ", "marked", "isl", "dl", "st", "qt", "qv", "dfq", "sc", "tf",
       "spans", "cut", "kept", "cdocs", "px", "hb", "bands", "per_url",
