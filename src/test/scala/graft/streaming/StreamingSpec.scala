@@ -2512,6 +2512,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming k-step funnel: stage emissions == batch orderedFunnel rollup") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, Long, Long, String)]
+      val q = FunnelStepsStream.track(input.toDS(), Seq("A", "B", "C"))
+        .writeStream.format("memory").queryName("funnel_stream")
+        .outputMode("append").start()
+      try {
+        // u1 completes A(10)->B(40) in batch 1 (shuffled within batch)
+        // and C(100) in batch 2; u2's B arrives BEFORE its A (no B
+        // credit — order is mandatory); u3 does A->B
+        input.addData(("u1", 40L, 2L, "B"), ("u1", 10L, 1L, "A"),
+          ("u2", 5L, 3L, "B"), ("u2", 20L, 4L, "A"),
+          ("u3", 0L, 5L, "A"), ("u3", 10L, 6L, "B"))
+        q.processAllAvailable()
+        input.addData(("u1", 100L, 7L, "C"), ("u2", 30L, 8L, "A"))
+        q.processAllAvailable()
+        val rows = spark.table("funnel_stream")
+          .as[(String, Long, String, Long, Option[Long])].collect()
+        // per-stage counts and gap sets mirror the batch report
+        val byStage = rows.groupBy(_._2)
+        assert(byStage(1L).map(_._1).toSet == Set("u1", "u2", "u3"))
+        assert(byStage(2L).map(_._1).toSet == Set("u1", "u3"))
+        assert(byStage(3L).map(_._1).toSet == Set("u1"))
+        assert(byStage(2L).flatMap(_._5).toSet == Set(30L, 10L))
+        assert(byStage(3L).flatMap(_._5).toSet == Set(60L))
+        // one emission per (user, stage) — a second A for u2 cannot
+        // re-fire stage 1
+        assert(rows.groupBy(r => (r._1, r._2)).forall(_._2.length == 1))
+        // cross-check the rollup against the batch operator on the
+        // SAME events (micros timestamps)
+        val batch = graft.operators.Funnel.orderedFunnel(
+          Seq(("u1", 10L, 1L, "A"), ("u1", 40L, 2L, "B"),
+            ("u1", 100L, 7L, "C"), ("u2", 5L, 3L, "B"),
+            ("u2", 20L, 4L, "A"), ("u2", 30L, 8L, "A"),
+            ("u3", 0L, 5L, "A"), ("u3", 10L, 6L, "B"))
+            .map { case (u, t, s, ty) =>
+              (u, new java.sql.Timestamp(t / 1000L), s, ty) }
+            .toDF("u", "ts", "seq", "ty"),
+          "u", "ts", "seq", "ty", Seq("A", "B", "C"))
+          .collect().map(r => r.getAs[Long]("step_idx") ->
+            r.getAs[Long]("n_reached")).toMap
+        assert(byStage.view.mapValues(_.length.toLong).toMap == batch,
+          s"stream stage counts must equal batch n_reached: $batch")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming k-step funnel: stage and stamp survive a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_fun").toString
+      val input = MemoryStream[(String, Long, Long, String)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String, Long, Option[Long])]
+      def start() = FunnelStepsStream.track(input.toDS(), Seq("A", "B"))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, String, Long,
+            Option[Long])], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("u", 10L, 1L, "A"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // a same-stamp B must NOT fire (strictly-after rule vs the
+        // RESTORED stamp); a later B must, with the gap from stage 1
+        input.addData(("u", 10L, 1L, "B"))
+        q2.processAllAvailable()
+        input.addData(("u", 25L, 2L, "B"))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("u", 2L, "B", 25L, Some(15L))),
+          s"restored frontier must gate the same-stamp B: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming occupancy: tick totals survive a restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
