@@ -326,6 +326,27 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q264_lang_confusion" -> { (s, d) =>
+      // Confusion census of the q34 heuristic language ID against the
+      // labeled lang column — the classifier-audit rollup (which label
+      // pairs confuse, at what rate). One narrow scoring pass + one
+      // bounded (labels x predictions) aggregate with per-cell exact
+      // row ppm.
+      val ratio = stopwordRatio(col("text"), Stopwords)
+      val scored = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("lang").as("labeled_lang"),
+          when(ratio >= 0.15, lit("en"))
+            .when(ratio >= 0.05, lit("mixed"))
+            .otherwise(lit("other")).as("predicted_lang"))
+      scored.groupBy(col("labeled_lang"), col("predicted_lang"))
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("__tot"))))
+        .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+          expr("(n * 1000000L) div __tot").as("cell_ppm"))
+        .orderBy(col("labeled_lang"), col("predicted_lang"))
+    },
+
     "q34_lang_id" -> { (s, d) =>
       // Heuristic language ID: stopword-profile score. (The synthetic corpus
       // uses one shared vocabulary, so this demonstrates the operator shape,
@@ -2232,6 +2253,25 @@ object TextQueries extends QueryGroup {
           + 0.3 * least(swr * 3.0, 1.0)
           + 0.2 * (1.0 - pr) AS quality
       FROM t ORDER BY doc_id""",
+
+    "q264_lang_confusion" -> s"""
+      WITH t AS (
+        SELECT lang,
+          CAST(len(list_filter(string_split(text, ' '),
+            x -> list_contains($StopwordsSql, x))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS swr
+        FROM documents WHERE lang IS NOT NULL),
+      sc AS (
+        SELECT lang AS labeled_lang,
+          CASE WHEN swr >= 0.15 THEN 'en'
+               WHEN swr >= 0.05 THEN 'mixed'
+               ELSE 'other' END AS predicted_lang
+        FROM t),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM sc)
+      SELECT labeled_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n,
+        (CAST(count(*) AS BIGINT) * 1000000) // tt AS cell_ppm
+      FROM sc CROSS JOIN tot GROUP BY labeled_lang, predicted_lang, tt
+      ORDER BY labeled_lang, predicted_lang""",
 
     "q34_lang_id" -> s"""
       WITH t AS (
