@@ -90,10 +90,20 @@ object Experiment {
       col("conversions"),
       expr("(conversions * 1000000L) div n").as("rate_ppm"),
       lo.as("wilson_lo_ppm"), hi.as("wilson_hi_ppm"))
+    // Aggregate (never filter-to-maybe-empty) the control row: a typo'd
+    // control label would otherwise cross-join every variant away and
+    // silently return an EMPTY readout. The agg always yields one row;
+    // assert_true fails the job loudly when no variant matched.
     val control = scored.filter(col("variant") === controlVariant)
-      .select(col("n").as("__cn"), col("conversions").as("__cc"),
-        col("wilson_lo_ppm").as("__clo"), col("wilson_hi_ppm").as("__chi"))
+      .agg(count(lit(1)).as("__k"),
+        max(col("n")).as("__cn"), max(col("conversions")).as("__cc"),
+        max(col("wilson_lo_ppm")).as("__clo"),
+        max(col("wilson_hi_ppm")).as("__chi"))
     scored.crossJoin(broadcast(control))
+      .withColumn("__guard", assert_true(col("__k") === 1L,
+        lit(s"conversionLift: control variant '$controlVariant' matched " +
+          "no row — check the label")))
+      .filter(col("__guard").isNull) // assert_true yields null; keeps rows
       .select(col("variant"), col("n"), col("conversions"),
         col("rate_ppm"), col("wilson_lo_ppm"), col("wilson_hi_ppm"),
         when(col("variant") =!= controlVariant && col("__cc") > 0,

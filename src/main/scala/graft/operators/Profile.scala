@@ -254,8 +254,9 @@ object Profile {
     * Metrics per column per side: row count, null ppm, exact distinct
     * count, min/max, and mean in exact MILLI-units
     * (sum·1000 div nonnull through DECIMAL(38,0) — shifted +1e12
-    * before the div so floor/truncate agree below zero, the q251
-    * rule). Deltas: null_ppm_delta (B − A), ndv_ratio_ppm
+    * before the div to pin FLOOR semantics on negative sums; both
+    * engines' integer division truncates toward zero identically, the
+    * q251 rule). Deltas: null_ppm_delta (B − A), ndv_ratio_ppm
     * (ndv_b·1e6 div max(ndv_a, 1)), mean_shift_milli. Columns must be
     * long-castable — cents/epoch pre-cast by the caller (the q252
     * rule: double→long casting rounds differently across engines).

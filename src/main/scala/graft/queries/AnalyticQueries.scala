@@ -88,7 +88,9 @@ object AnalyticQueries extends QueryGroup {
     "q19_orderby_limit" -> { (s, d) =>
       Tables.lineitem(s, d)
         .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_extendedprice"))
         .limit(20)
     },
 
@@ -277,7 +279,8 @@ object AnalyticQueries extends QueryGroup {
       WHERE rn <= 3 ORDER BY o_orderstatus, rn""",
 
     "q19_orderby_limit" -> """
-      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_extendedprice FROM lineitem
       ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
       LIMIT 20""",
 

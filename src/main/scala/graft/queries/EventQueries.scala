@@ -311,30 +311,24 @@ object EventQueries extends QueryGroup {
       // span, mean events per session — the per-session rollup q27's
       // per-session listing doesn't aggregate. One window per user,
       // then everything runs on the session-bounded table.
-      val ev = Tables.events(s, d)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-      val sess = graft.operators.Windows.withSessionIds(
-          ev, "user_id", "ts", gapMicros = 10L * 60 * 1000000,
-          tieBreak = "event_id")
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(count(lit(1)).as("n"),
-          (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
-            .as("span"))
-        .localCheckpoint() // rollup + two percentile passes
-      val q = graft.operators.Percentiles.percentileDisc(
-          sess.select(lit(0).as("__g"), col("span").as("__v")),
-          "__g", "__v", Seq(0.5, 0.9))
-        .groupBy(col("__g"))
-        .agg(max(when(col("p") === 0.5, col("value"))).cast("long")
-            .as("median_span_micros"),
-          max(when(col("p") === 0.9, col("value"))).cast("long")
-            .as("p90_span_micros"))
-        .drop("__g")
-      sess.agg(count(lit(1)).as("n_sessions"),
-          expr("(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000L)" +
-            " div count(1)").as("bounce_ppm"),
-          expr("(sum(n) * 1000L) div count(1)").as("mean_events_milli"))
-        .crossJoin(broadcast(q))
+      sessionStatsRow(s, d)
+    },
+
+    "q266_session_evidence" -> { (s, d) =>
+      // Evidence twin for q263 (driver-red on first r7 appearance while
+      // locally green): the identical one-row readout unpivoted into
+      // (metric VARCHAR, value BIGINT) rows — one row per metric, so a
+      // red names the divergent column, and a green alongside a red
+      // q263 pins the divergence on comparator representation rather
+      // than values.
+      sessionStatsRow(s, d).selectExpr(
+        """stack(5,
+          'n_sessions', n_sessions,
+          'bounce_ppm', bounce_ppm,
+          'mean_events_milli', mean_events_milli,
+          'median_span_micros', median_span_micros,
+          'p90_span_micros', p90_span_micros) AS (metric, value)""")
+        .orderBy(col("metric"))
     },
 
     "q262_column_drift" -> { (s, d) =>
@@ -579,6 +573,75 @@ object EventQueries extends QueryGroup {
             .as("n_defaulted"))
         .orderBy(col("source"))
     })
+
+  /** The q263 one-row session-economics readout, shared with its q266
+    * evidence twin. All five outputs are BIGINT (div, not //-style
+    * HUGEINT — the r7 driver-red fingerprint, fixed by casting in the
+    * oracle's roll CTE).
+    */
+  private def sessionStatsRow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+    val sess = graft.operators.Windows.withSessionIds(
+        ev, "user_id", "ts", gapMicros = 10L * 60 * 1000000,
+        tieBreak = "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n"),
+        (max(expr("unix_micros(ts)")) - min(expr("unix_micros(ts)")))
+          .as("span"))
+      .localCheckpoint() // rollup + two percentile passes
+    val q = graft.operators.Percentiles.percentileDisc(
+        sess.select(lit(0).as("__g"), col("span").as("__v")),
+        "__g", "__v", Seq(0.5, 0.9))
+      .groupBy(col("__g"))
+      .agg(max(when(col("p") === 0.5, col("value"))).cast("long")
+          .as("median_span_micros"),
+        max(when(col("p") === 0.9, col("value"))).cast("long")
+          .as("p90_span_micros"))
+      .drop("__g")
+    sess.agg(count(lit(1)).as("n_sessions"),
+        expr("(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000L)" +
+          " div count(1)").as("bounce_ppm"),
+        expr("(sum(n) * 1000L) div count(1)").as("mean_events_milli"))
+      .crossJoin(broadcast(q))
+  }
+
+  /** Shared CTE chain of the q263 session-economics readout (10-minute
+    * gap sessionization → per-session table → roll + quantiles), reused
+    * by the q266 unpivoted evidence twin. roll CASTs its `//` outputs
+    * to BIGINT — DuckDB's sum() yields HUGEINT and `//` propagates it
+    * (the r7 driver-red fingerprint).
+    */
+  private val SessionStatsCte: String = """
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      m AS (
+        SELECT user_id, event_id, t,
+          CASE WHEN lag(t) OVER w IS NULL
+               OR epoch_us(t) - epoch_us(lag(t) OVER w) > 600000000
+            THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+      numbered AS (
+        SELECT user_id, t,
+          sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM m),
+      sess AS MATERIALIZED (
+        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
+          epoch_us(max(t)) - epoch_us(min(t)) AS span
+        FROM numbered GROUP BY 1, 2),
+      qn AS (
+        SELECT CAST(quantile_disc(span, 0.5) AS BIGINT)
+            AS median_span_micros,
+          CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span_micros
+        FROM sess),
+      roll AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+          CAST((sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS bounce_ppm,
+          CAST((sum(n) * 1000) // count(*) AS BIGINT) AS mean_events_milli
+        FROM sess)"""
 
   val oracle: Map[String, String] = Map(
     "q25_tumbling_window" -> s"""
@@ -846,39 +909,24 @@ object EventQueries extends QueryGroup {
         ON grid.user_id = obs.user_id AND grid.grid_ts >= obs.ts
       ORDER BY grid.user_id, grid.grid_ts""",
 
-    "q263_session_stats" -> """
-      WITH e AS (
-        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
-        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-      m AS (
-        SELECT user_id, event_id, t,
-          CASE WHEN lag(t) OVER w IS NULL
-               OR epoch_us(t) - epoch_us(lag(t) OVER w) > 600000000
-            THEN 1 ELSE 0 END AS is_new
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
-      numbered AS (
-        SELECT user_id, t,
-          sum(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
-            ROWS UNBOUNDED PRECEDING) AS sid
-        FROM m),
-      sess AS MATERIALIZED (
-        SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n,
-          epoch_us(max(t)) - epoch_us(min(t)) AS span
-        FROM numbered GROUP BY 1, 2),
-      qn AS (
-        SELECT CAST(quantile_disc(span, 0.5) AS BIGINT)
-            AS median_span_micros,
-          CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span_micros
-        FROM sess),
-      roll AS (
-        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
-          (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // count(*)
-            AS bounce_ppm,
-          (sum(n) * 1000) // count(*) AS mean_events_milli
-        FROM sess)
+    "q263_session_stats" -> s"""
+      $SessionStatsCte
       SELECT n_sessions, bounce_ppm, mean_events_milli,
         median_span_micros, p90_span_micros
       FROM roll CROSS JOIN qn""",
+
+    "q266_session_evidence" -> s"""
+      $SessionStatsCte,
+      one AS (
+        SELECT n_sessions, bounce_ppm, mean_events_milli,
+          median_span_micros, p90_span_micros
+        FROM roll CROSS JOIN qn)
+      SELECT 'n_sessions' AS metric, n_sessions AS value FROM one
+      UNION ALL SELECT 'bounce_ppm', bounce_ppm FROM one
+      UNION ALL SELECT 'mean_events_milli', mean_events_milli FROM one
+      UNION ALL SELECT 'median_span_micros', median_span_micros FROM one
+      UNION ALL SELECT 'p90_span_micros', p90_span_micros FROM one
+      ORDER BY metric""",
 
     "q262_column_drift" -> {
       def sideAgg(flt: String, v: String) = s"""

@@ -937,7 +937,8 @@ object ExtraQueries extends QueryGroup {
         c_custkey % 7 AS mod7,
         least(c_acctbal, 0.0) AS min0,
         greatest(c_acctbal, 0.0) AS max0,
-        CASE WHEN c_acctbal > 0 THEN 1.0 WHEN c_acctbal < 0 THEN -1.0 ELSE 0.0 END AS sign_bal
+        CAST(CASE WHEN c_acctbal > 0 THEN 1.0 WHEN c_acctbal < 0 THEN -1.0
+          ELSE 0.0 END AS DOUBLE) AS sign_bal
       FROM customer ORDER BY c_custkey""",
 
     "q52_join_hints" -> s"""
@@ -975,7 +976,7 @@ object ExtraQueries extends QueryGroup {
 
     "q61_histogram" -> s"""
       SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
-        CAST(floor(value / 20.0) AS BIGINT) * 20.0 AS bin_lo,
+        CAST(CAST(floor(value / 20.0) AS BIGINT) * 20.0 AS DOUBLE) AS bin_lo,
         count(*) AS n, ${sqlSum("value")} AS sum_value
       FROM events GROUP BY 1 ORDER BY bin""",
 

@@ -209,7 +209,7 @@ object SimilarityQueries extends QueryGroup {
       Similarity.dropNearDuplicatesByCosine(
           Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.3, nBits = 8)
-        .select(col("vec_id"), col("label"))
+        .select(col("vec_id"), col("label").cast("long").as("label"))
         .orderBy(col("vec_id"))
     },
 
@@ -417,7 +417,7 @@ object SimilarityQueries extends QueryGroup {
       // is identical in both. Long-form output (label, dim, mean); the
       // posexplode+sum formulation is the spec-pinned parity reference.
       Tables.embeddings(s, d)
-        .groupBy(col("label"))
+        .groupBy(col("label").cast("long").as("label"))
         .agg(VectorFunctions.vectorSumFixed(col("embedding"), 1L << 30).as("fx"))
         .select(col("label"), col("fx.n").as("n"),
           posexplode(col("fx.sums")).as(Seq("dim", "s")))
@@ -430,7 +430,7 @@ object SimilarityQueries extends QueryGroup {
       // Per-label centroid norms — aggregation over vector columns using
       // position-wise sums (exact integer count + sequential-fold norm).
       val emb = Tables.embeddings(s, d)
-      emb.groupBy(col("label"))
+      emb.groupBy(col("label").cast("long").as("label"))
         .agg(count(lit(1)).as("n"),
           min(VectorFunctions.l2Norm(col("embedding"))).as("min_norm"),
           max(VectorFunctions.l2Norm(col("embedding"))).as("max_norm"))
@@ -664,7 +664,8 @@ object SimilarityQueries extends QueryGroup {
         WHERE rn = 1),
       cnt AS (SELECT rank, CAST(count(*) AS BIGINT) AS n_assigned
         FROM assign GROUP BY 1)
-      SELECT c.rank, c.id AS vec_id, c.d2 AS d2_sel, cnt.n_assigned
+      SELECT c.rank, c.id AS vec_id, CAST(c.d2 AS BIGINT) AS d2_sel,
+        cnt.n_assigned
       FROM c$k c JOIN cnt USING (rank) ORDER BY c.rank"""
   }
 
@@ -999,7 +1000,7 @@ object SimilarityQueries extends QueryGroup {
         WHERE list_dot_product(l.v, r.v)
           / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
           >= 0.3)
-      SELECT vec_id, label FROM embeddings
+      SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings
       WHERE vec_id NOT IN (SELECT vec_id FROM losers)
       ORDER BY vec_id""",
     "q41_ann_bruteforce" -> s"""
@@ -1055,7 +1056,7 @@ object SimilarityQueries extends QueryGroup {
 
     "q101_label_centroids" -> """
       WITH t AS (
-        SELECT label,
+        SELECT CAST(label AS BIGINT) AS label,
           CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
           unnest(embedding) AS x
         FROM embeddings)
@@ -1065,7 +1066,7 @@ object SimilarityQueries extends QueryGroup {
       FROM t GROUP BY label, dim ORDER BY label, dim""",
 
     "q44_vector_stats" -> """
-      SELECT label, count(*) AS n,
+      SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
         min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS min_norm,
         max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS max_norm
       FROM embeddings GROUP BY label ORDER BY label""",

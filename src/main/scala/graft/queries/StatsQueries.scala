@@ -269,6 +269,24 @@ object StatsQueries extends QueryGroup {
         .orderBy(col("lang"), col("rn"))
     },
 
+    "q265_strata_evidence" -> { (s, d) =>
+      // Evidence twin for q235 (driver-red in r6/r7 while locally green
+      // at both gate SFs): the identical stratified sample reduced to
+      // per-stratum BIGINT checksums — row count, the stratum's alloc,
+      // Σ rn, Σ doc_id. If q235 stays red while this is green, the
+      // divergence is comparator representation, not values; if a
+      // checksum diverges, the failing column is named. All four
+      // outputs obey the house BIGINT cast rule (audit-enforced).
+      graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, d), "lang", "doc_id", k = 500)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          max(col("alloc")).as("alloc"),
+          sum(col("rn")).as("rn_sum"),
+          sum(col("doc_id")).as("docid_sum"))
+        .orderBy(col("lang"))
+    },
+
     "q236_sampled_triangles" -> { (s, d) =>
       // DOULION sampled triangle estimate over the same co-purchase
       // graph as q233 — the scale path when the exact census's wedge
@@ -435,6 +453,41 @@ object StatsQueries extends QueryGroup {
         Tables.events(s, d), "user_id", "ts", "value", tieCol = "event_id")
         .orderBy(col("user_id"))
     })
+
+  /** Shared CTE chain of the q235 Hamilton stratified sample: the
+    * NULL-stratum filter matches Sampling.stratifiedSample's up-front
+    * `isNotNull` contract, and `res` pre-casts alloc to BIGINT (sum(n)
+    * makes DuckDB's `//` propagate HUGEINT otherwise — the r6/r7
+    * driver-red fingerprint). q265 aggregates the same rows into
+    * per-stratum checksums as red-row evidence.
+    */
+  private val StratSampleCte: String = """
+      WITH b AS (
+        SELECT lang, doc_id,
+          ((CAST(doc_id AS BIGINT) * 1000003 + 17) % 1000000007
+            + 1000000007) % 1000000007 AS p
+        FROM documents
+        WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+      cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      tw AS (SELECT sum(n) AS w FROM cnt),
+      qa AS (
+        SELECT lang, n, (n * 500) // w AS base, (n * 500) % w AS r
+        FROM cnt CROSS JOIN tw),
+      lv AS (SELECT 500 - sum(base) AS l FROM qa),
+      al AS (
+        SELECT lang, base + CASE WHEN
+            row_number() OVER (ORDER BY r DESC, lang) <= l
+          THEN 1 ELSE 0 END AS alloc
+        FROM qa CROSS JOIN lv),
+      rk AS (
+        SELECT lang, doc_id,
+          CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY p, doc_id) AS BIGINT) AS rn
+        FROM b),
+      res AS (
+        SELECT rk.lang AS lang, doc_id, rn, CAST(alloc AS BIGINT) AS alloc
+        FROM rk JOIN al ON rk.lang = al.lang
+        WHERE rn <= alloc)"""
 
   override def oracle: Map[String, String] = Map(
 
@@ -834,31 +887,18 @@ object StatsQueries extends QueryGroup {
           END AS gini_ppm
       FROM r ORDER BY source""",
 
-    "q235_stratified_sample" -> """
-      WITH b AS (
-        SELECT lang, doc_id,
-          ((CAST(doc_id AS BIGINT) * 1000003 + 17) % 1000000007
-            + 1000000007) % 1000000007 AS p
-        FROM documents),
-      cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
-      tw AS (SELECT sum(n) AS w FROM cnt),
-      qa AS (
-        SELECT lang, n, (n * 500) // w AS base, (n * 500) % w AS r
-        FROM cnt CROSS JOIN tw),
-      lv AS (SELECT 500 - sum(base) AS l FROM qa),
-      al AS (
-        SELECT lang, base + CASE WHEN
-            row_number() OVER (ORDER BY r DESC, lang) <= l
-          THEN 1 ELSE 0 END AS alloc
-        FROM qa CROSS JOIN lv),
-      rk AS (
-        SELECT lang, doc_id,
-          CAST(row_number() OVER (PARTITION BY lang
-            ORDER BY p, doc_id) AS BIGINT) AS rn
-        FROM b)
-      SELECT rk.lang AS lang, doc_id, rn, alloc
-      FROM rk JOIN al ON rk.lang = al.lang
-      WHERE rn <= alloc ORDER BY lang, rn""",
+    "q235_stratified_sample" -> s"""
+      $StratSampleCte
+      SELECT lang, doc_id, rn, alloc
+      FROM res ORDER BY lang, rn""",
+
+    "q265_strata_evidence" -> s"""
+      $StratSampleCte
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(max(alloc) AS BIGINT) AS alloc,
+        CAST(sum(rn) AS BIGINT) AS rn_sum,
+        CAST(sum(doc_id) AS BIGINT) AS docid_sum
+      FROM res GROUP BY lang ORDER BY lang""",
 
     "q236_sampled_triangles" -> """
       WITH op AS (

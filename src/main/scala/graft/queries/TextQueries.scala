@@ -272,10 +272,12 @@ object TextQueries extends QueryGroup {
       // floored milli-points over the vowel-group syllable proxy (runs
       // of [aeiouy]) and [.!?]+ sentence terminators — both regexes in
       // the portable Java∩RE2 subset. The per-source mean shifts
-      // through +1e12 before the integer div so both engines floor a
-      // NON-NEGATIVE sum (DuckDB // floors, Spark div truncates — they
-      // agree only above zero); DECIMAL(38,0) keeps the shifted sum
-      // exact to ~1e25 docs. One narrow pass + one bounded aggregate.
+      // through +1e12 before the integer div: BOTH engines truncate
+      // toward zero (DuckDB // included — measured: -7 // 2 = -3), so
+      // the shift pins floor semantics on a possibly-negative Flesch
+      // sum rather than enabling cross-engine agreement; DECIMAL(38,0)
+      // keeps the shifted sum exact to ~1e25 docs. One narrow pass +
+      // one bounded aggregate.
       val c = graft.functions.TextFunctions.readabilityCounts(col("text"))
       Tables.documents(s, d)
         .select(col("source"), c.as("c"))
@@ -697,7 +699,7 @@ object TextQueries extends QueryGroup {
             sequence(lit(0), ((size(toks) - 1) / lit(S)).cast("int")),
             i => concat_ws(" ", slice(toks, i * S + 1, lit(C)))))
             .as(Seq("chunk_idx", "chunk")))
-        .select(col("doc_id"), col("chunk_idx"),
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
           (col("chunk_idx") * S + 1).cast("long").as("token_start"),
           least(lit(C), col("__len") - col("chunk_idx") * S)
             .cast("long").as("n_chunk_tokens"),
@@ -2575,7 +2577,7 @@ object TextQueries extends QueryGroup {
 
     "q113_sliding_chunks" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
-      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
         CAST(i*24 + 1 AS BIGINT) AS token_start,
         CAST(least(32, len(l) - i*24) AS BIGINT) AS n_chunk_tokens,
         array_to_string(l[(i*24+1):(i*24+32)], ' ') AS chunk

@@ -42,9 +42,11 @@ class BasketPairProcessor(ttl: TTLConfig)
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     // intra-batch rows apply in sorted order so the emission set is
     // deterministic under any within-batch arrival order (the pairs
-    // are the same either way; this pins WHICH call emits them)
-    rows.toArray.sortBy(_._2).foreach { case (_, it) =>
-      if (it != null && !held.contains(it)) {
+    // are the same either way; this pins WHICH call emits them).
+    // Nulls drop BEFORE the sort — Ordering[String] NPEs on null, and
+    // the batch twin (rules2) filters null items too.
+    rows.filter(_._2 != null).toArray.sortBy(_._2).foreach { case (_, it) =>
+      if (!held.contains(it)) {
         held.foreach { h =>
           out += (if (h < it) (h, it) else (it, h))
         }

@@ -61,12 +61,16 @@ object OccupancyStream {
   def boundaries(ds: Dataset[(Option[Long], Option[Long])]):
       Dataset[(Long, Long)] = {
     import ds.sparkSession.implicits._
+    // Plain Scala `/` truncates toward zero exactly like Spark's div in
+    // the batch operator — floorDiv would disagree by one tick on
+    // pre-1970 (negative-micros) boundaries, breaking the documented
+    // exact batch/stream ceiling parity.
     ds.flatMap {
       case (Some(f), t) =>
-        val open = (Math.floorDiv(f + BucketUs - 1L, BucketUs), 1L)
+        val open = ((f + BucketUs - 1L) / BucketUs, 1L)
         t match {
           case Some(to) =>
-            Seq(open, (Math.floorDiv(to + BucketUs - 1L, BucketUs), -1L))
+            Seq(open, ((to + BucketUs - 1L) / BucketUs, -1L))
           case None => Seq(open)
         }
       case _ => Seq.empty

@@ -58,7 +58,12 @@ class Scd2Processor(deleteOp: String, ttl: TTLConfig)
       else (Long.MinValue, Long.MinValue, 0L, 0L, 0L, 0L, false)
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(String, Long, Long, Option[Long], Long, Boolean)]
-    val ordered = rows.toArray.sortBy(r => (r._2, r._3, r._4, r._5))
+    // null op sorts as "" (Ordering[String] NPEs on null) and below
+    // behaves like a delete — the batch twin's `op =!= deleteOp`
+    // filter drops null-op rows while their ts still closes the prior
+    // version, exactly the delete shape.
+    val ordered = rows.toArray.sortBy(r =>
+      (r._2, r._3, if (r._4 == null) "" else r._4, r._5))
     for ((_, ts, seq, op, v) <- ordered) {
       val fresh = ts > lastTs || (ts == lastTs && seq > lastSeq)
       if (fresh) {
@@ -70,7 +75,7 @@ class Scd2Processor(deleteOp: String, ttl: TTLConfig)
           out += ((key, openVal, openFrom, Some(ts), openVer, false))
           hasOpen = false
         }
-        if (op != deleteOp) {
+        if (op != null && op != deleteOp) {
           openFrom = ts; openVer = n; openVal = v; hasOpen = true
           out += ((key, v, ts, None, n, true))
         }

@@ -48,11 +48,16 @@ class UpsertProcessor(deleteOp: String, ttl: TTLConfig)
       // op compared as UTF-8 bytes (Spark's UTF8String ordering) —
       // instead of arrival order, so batch == stream parity holds
       // under ANY arrival order even for degenerate duplicate stamps.
+      // A null op compares as the empty byte string — below every
+      // non-empty op, mirroring Spark's nulls-smallest struct-max
+      // ordering in the batch twin (and never NPEs here).
+      def opBytes(o: String): Array[Byte] =
+        if (o == null) Array.emptyByteArray
+        else o.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val newer = st.forall { w =>
         ts > w._1 || (ts == w._1 && (seq > w._2 || (seq == w._2 && {
           val c = java.util.Arrays.compareUnsigned(
-            op.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-            w._3.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            opBytes(op), opBytes(w._3))
           c > 0 || (c == 0 && v > w._4)
         })))
       }

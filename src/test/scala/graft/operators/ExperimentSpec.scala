@@ -75,4 +75,18 @@ class ExperimentSpec extends SparkSpec {
       .toMap
     assert(out == Map("A" -> 1L, "B" -> 1L))
   }
+
+  test("a typo'd control variant fails loudly, not silently empty") {
+    val df = (units("A", 10, 3) ++ units("B", 10, 5))
+      .toDF("variant", "converted")
+    val e = intercept[Exception] {
+      Experiment.conversionLift(df, "variant", "converted", "CONTROLL")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("CONTROLL")),
+      s"failure must name the bad control label: $e")
+  }
 }

@@ -38,6 +38,46 @@ class IntervalLookupSpec extends SparkSpec {
     assert(fast == naive)
   }
 
+  test("q221 bracket ids: a heavy mode collapsing deciles skips ids " +
+      "identically to the oracle's threshold-count semantics") {
+    // Heavy-mode fixture: value 100 occupies >30% of the data, so
+    // several PERCENTILE_DISC deciles coincide at 100. The q221 rule:
+    // bracket id of a row = how many of the NINE (duplicate-preserving)
+    // thresholds are <= its value (the oracle's CASE-sum), while the
+    // interval dim dedups threshold VALUES (zero-width [t, t) intervals
+    // are rejected by intervalLookup) but keeps the counting ids.
+    val vals: Seq[Long] =
+      (1L to 30L) ++ Seq.fill(40)(100L) ++ (201L to 230L)
+    val df = vals.toDF("pc")
+    val thresholds = Percentiles.percentileDisc(
+        df.select(lit(0).as("g"), col("pc").as("v")), "g", "v",
+        (1 to 9).map(_ / 10.0))
+      .orderBy(col("p")).collect()
+      .map(_.getAs[Number]("value").longValue())
+    assert(thresholds.distinct.length < 9,
+      s"fixture must collapse deciles: $thresholds")
+    val bounds = thresholds.distinct
+    val los = (Long.MinValue + 1L) +: bounds
+    val his = bounds :+ Long.MaxValue
+    val ids = 0L +: bounds.map(t => thresholds.count(_ <= t).toLong)
+    val dimQ = los.zip(his).zip(ids)
+      .map { case ((lo, hi), i) => (lo, hi, i) }
+      .toSeq.toDF("lo", "hi", "bracket")
+    val got = Joins.intervalLookup(df, col("pc"), dimQ, "lo", "hi")
+      .collect().map(r =>
+        r.getAs[Long]("pc") -> r.getAs[Long]("bracket"))
+    // oracle semantics, replayed in the JVM: CASE-sum over all nine
+    got.foreach { case (pc, b) =>
+      val want = thresholds.count(_ <= pc).toLong
+      assert(b == want, s"pc=$pc bracket=$b want=$want")
+    }
+    // collapsed ids must SKIP (e.g. ... -> 7) rather than renumber
+    val usedIds = got.map(_._2).distinct.sorted.toSeq
+    assert(usedIds == ids.distinct.sorted.toSeq &&
+      usedIds.length < 10 && usedIds.max == 9L,
+      s"ids must skip collapsed brackets: $usedIds")
+  }
+
   test("intervalLookup: loud validation of overlap, emptiness, and cap") {
     val fact = Seq(1L).toDF("v")
     val overlap = Seq((0L, 10L, "a"), (5L, 15L, "b")).toDF("lo", "hi", "t")

@@ -2512,6 +2512,140 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming seasonal Hampel: slot re-emissions converge to batch flags") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val hour = 3600L * 1000000L
+      // (key, tick, count): "a" hod-0 slot gets a spike day (mad 0 —
+      // every off-median tick flags); "a" hod-1 constant (flags
+      // nothing); "b" hod-0 has nonzero mad and one true anomaly
+      val counts = Seq(
+        ("a", 0L, 5), ("a", 24L, 5), ("a", 48L, 5), ("a", 72L, 5),
+        ("a", 96L, 9),
+        ("a", 1L, 3), ("a", 25L, 3), ("a", 49L, 3),
+        ("b", 0L, 1), ("b", 24L, 2), ("b", 48L, 3), ("b", 72L, 10))
+      val events = counts.flatMap { case (k, t, n) =>
+        (0 until n).map(i => (k, t * hour + i * 1000L))
+      }
+      // split ("a", 96) across micro-batches: 4 events then 5 — the
+      // additive merge must total 9 and the slot re-emission must
+      // retract the interim profile
+      val (late, early) = events.partition {
+        case (k, us) => k == "a" && us / hour == 96L && us % hour >= 4000L
+      }
+      val input = MemoryStream[(String, Long)]
+      val q = SeasonalStream.anomalies(
+          SeasonalStream.ticksFromEvents(input.toDS()))
+        .writeStream.format("memory").queryName("seasonal_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(scala.util.Random.shuffle(early))
+        q.processAllAvailable()
+        input.addData(late)
+        q.processAllAvailable()
+        val last = spark.table("seasonal_stream")
+          .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+          .zipWithIndex.groupBy(r => (r._1._1, r._1._2))
+          .map { case (_, es) => es.maxBy(_._2)._1 }.toSet
+        val batch = graft.operators.Seasonal.hourOfDayAnomalies(
+            events.map { case (k, us) =>
+              (k, new java.sql.Timestamp(us / 1000L))
+            }.toDF("key", "ts"), "key", "ts", k = 3L)
+          .collect().map(r => (r.getAs[String]("key"),
+            r.getAs[Long]("tick_hour"), r.getAs[Long]("hod"),
+            r.getAs[Long]("n"), r.getAs[Long]("med"),
+            r.getAs[Long]("mad"), r.getAs[Boolean]("is_anomaly"))).toSet
+        assert(last == batch,
+          s"final slot emissions must equal batch rows:\n$last\nvs\n$batch")
+        // sanity on the fixture itself: exactly two anomalies
+        assert(batch.count(_._7) == 2)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming seasonal Hampel: profile survives checkpoint restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_seasonal").toString
+      val input = MemoryStream[(String, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Long, Boolean)]
+      def start() = SeasonalStream.anomalies(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long,
+            Long, Long, Boolean)], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("a", 0L, 5L), ("a", 24L, 5L), ("a", 48L, 5L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // post-restart spike must be scored against the RESTORED
+        // profile (med 5, mad 0) — lost state would give med 9/mad 0
+        // over a singleton slot and flag nothing
+        input.addData(("a", 72L, 9L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList).toSet
+        assert(got == Set(
+          ("a", 0L, 0L, 5L, 5L, 0L, false),
+          ("a", 24L, 0L, 5L, 5L, 0L, false),
+          ("a", 48L, 0L, 5L, 5L, 0L, false),
+          ("a", 72L, 0L, 9L, 5L, 0L, true)),
+          s"restored profile must score the spike: $got")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming basket pairs: null items drop before the intra-batch sort") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, String)]
+      val q = AssocStream.basketPairs(input.toDS())
+        .writeStream.format("memory").queryName("assoc_null_stream")
+        .outputMode("append").start()
+      try {
+        // a null item in the same micro-batch as real rows used to NPE
+        // inside Ordering[String] BEFORE the null guard could run; it
+        // must be ignored like the batch twin's (rules2) null filter
+        input.addData(("1", "milk"), ("1", null), ("1", "bread"))
+        q.processAllAvailable()
+        val got = spark.table("assoc_null_stream").as[(String, String)]
+          .collect().toSet
+        assert(got == Set(("bread", "milk")), s"got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("occupancy boundaries: pre-epoch ticks match the batch ceiling exactly") {
+    implicit val sc = spark.sqlContext
+    val hour = 3600L * 1000000L
+    // exactly -2h and -1h: truncating div and floorDiv DISAGREE here
+    // (floorDiv(-2h + B - 1, B) = -2, truncate = -1) — the stream must
+    // use the batch operator's truncating semantics on both boundaries
+    val rows = Seq((Option(-2L * hour), Option(-1L * hour)),
+      (Option(-hour / 2), Option(hour / 2)))
+    val streamTicks = OccupancyStream.boundaries(rows.toDS())
+      .collect().toSet
+    def tsu(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val batchTicks = graft.operators.Intervals.hourlyCoverage(
+        rows.map { case (f, t) => (tsu(f.get), t.map(tsu).orNull) }
+          .toDF("f", "t"), "f", "t")
+      .collect().map(r => r.getAs[Long]("tick_hour") ->
+        r.getAs[Long]("delta")).toMap
+    val streamAgg = streamTicks.groupBy(_._1).view
+      .mapValues(_.toSeq.map(_._2).sum).toMap.filter(_._2 != 0L)
+    assert(streamAgg == batchTicks,
+      s"pre-epoch stream ticks $streamAgg != batch $batchTicks")
+  }
+
   test("streaming k-step funnel: stage emissions == batch orderedFunnel rollup") {
     withRocksDb {
       implicit val sc = spark.sqlContext
