@@ -79,6 +79,36 @@ object ApproxQueries extends QueryGroup {
         .orderBy(col("token"))
     },
 
+    "q267_kmv_setops" -> { (s, d) =>
+      // KMV distinct sketches with SET ALGEBRA (Beyer et al. 2007): the
+      // audience-overlap readout — per-event-type distinct users, plus
+      // pairwise union / Jaccard / INTERSECTION estimates computed from
+      // the k=256 sketches alone. Intersection is the op HLL cannot do;
+      // count(DISTINCT) pairs would need a per-pair EXPAND. The sketch
+      // is fully deterministic (house affine hash + k smallest), so the
+      // oracle replays sketches AND estimates exactly; exact anchors
+      // ride along (bounded group set) as the q195/q214 audit pattern.
+      // One corpus pass per side; all set math on the k-long arrays.
+      val k = 256
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+      val sk = graft.operators.Sketches.kminNdv(
+        ev, Seq("event_type"), "user_id", k)
+      val pair = graft.operators.Sketches.pairwiseSetOps(sk, "event_type", k)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"))
+      pair
+        .join(broadcast(exact.select(col("event_type").as("group_a"),
+          col("exact").as("exact_a"))), "group_a")
+        .join(broadcast(exact.select(col("event_type").as("group_b"),
+          col("exact").as("exact_b"))), "group_b")
+        .select(col("group_a"), col("group_b"), col("exact_a"),
+          col("exact_b"), col("ndv_a"), col("ndv_b"), col("est_union"),
+          col("jaccard_ppm"), col("est_intersect"))
+        .orderBy(col("group_a"), col("group_b"))
+    },
+
     "q216_sliding_distinct" -> { (s, d) =>
       // Sliding distinct-count series via MERGEABLE hourly partials:
       // distinct users per trailing 6-hour window at hourly ticks. The
@@ -222,6 +252,59 @@ object ApproxQueries extends QueryGroup {
         TRUE AS within_bound
       FROM sp JOIN ticks ON sp.wstart = ticks.wstart
       GROUP BY sp.wstart ORDER BY sp.wstart""",
+
+    "q267_kmv_setops" -> """
+      WITH u AS (
+        SELECT DISTINCT event_type AS g,
+          ((user_id * 1000003 + 17) % 1000000007
+            + 1000000007) % 1000000007 AS h
+        FROM events WHERE user_id IS NOT NULL),
+      rk AS (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+        FROM u),
+      kk AS (SELECT g, h FROM rk WHERE rn <= 256),
+      sz AS (
+        SELECT g, CAST(count(*) AS BIGINT) AS m, max(h) AS hk
+        FROM kk GROUP BY g),
+      est AS (
+        SELECT g, CASE WHEN m < 256 THEN m
+          ELSE (CAST(255 AS BIGINT) * 1000000007) // hk END AS est
+        FROM sz),
+      ex AS (
+        SELECT event_type AS g,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+        FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      pairs AS (SELECT a.g AS ga, b.g AS gb
+        FROM est a JOIN est b ON a.g < b.g),
+      uh AS (
+        SELECT p.ga, p.gb, k.h,
+          max(CASE WHEN k.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+          max(CASE WHEN k.g = p.gb THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p JOIN kk k ON k.g = p.ga OR k.g = p.gb
+        GROUP BY 1, 2, 3),
+      uk AS (
+        SELECT ga, gb, h, in_a, in_b,
+          row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rn
+        FROM uh),
+      ua AS (
+        SELECT ga, gb, CAST(count(*) AS BIGINT) AS usz, max(h) AS hk,
+          CAST(sum(in_a * in_b) AS BIGINT) AS common
+        FROM uk WHERE rn <= 256 GROUP BY 1, 2),
+      fin AS (
+        SELECT ga, gb, usz, common,
+          CASE WHEN usz < 256 THEN usz
+            ELSE (CAST(255 AS BIGINT) * 1000000007) // hk END AS est_union
+        FROM ua)
+      SELECT f.ga AS group_a, f.gb AS group_b,
+        xa.exact AS exact_a, xb.exact AS exact_b,
+        ea.est AS ndv_a, eb.est AS ndv_b,
+        CAST(f.est_union AS BIGINT) AS est_union,
+        CAST((f.common * 1000000) // f.usz AS BIGINT) AS jaccard_ppm,
+        CAST((f.est_union * f.common) // f.usz AS BIGINT) AS est_intersect
+      FROM fin f
+      JOIN est ea ON ea.g = f.ga JOIN est eb ON eb.g = f.gb
+      JOIN ex xa ON xa.g = f.ga JOIN ex xb ON xb.g = f.gb
+      ORDER BY group_a, group_b""",
 
     "q214_count_min" -> {
       val m = graft.operators.Dedup.M

@@ -140,6 +140,16 @@ object FunctionRegistrar {
       },
       "built-in")
     classic.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmin_sketch",
+      {
+        case Seq(v, Literal(k: Int, _)) =>
+          graft.functions.expressions.KminSketchAgg(
+            Cast(v, org.apache.spark.sql.types.LongType), k)
+        case _ => throw new IllegalArgumentException(
+          "kmin_sketch(hash, k) takes a bigint column and an int literal k")
+      },
+      "built-in")
+    classic.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_build",
       {
         case Seq(v, Literal(logBits: Int, _), Literal(k: Int, _)) =>

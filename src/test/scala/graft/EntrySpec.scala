@@ -120,6 +120,7 @@ class EntrySpec extends SparkSpec {
       "ft", "fs", "bo", "sel", "cm", // q189-q193 sampling/packing/fusion
       "smp", "en", "capped", // q194 audio energy hash
       "one", "res", // q265/q266 red-row evidence twins
+      "kk", "ex", "uh", "uk", "ua", "ea", "eb", "xa", "xb", // q267 KMV set ops
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

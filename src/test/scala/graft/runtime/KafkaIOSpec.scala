@@ -87,9 +87,9 @@ class KafkaIOSpec extends SparkSpec {
 
   test("kafka connector probe: source plan builds when the jar is present") {
     // The image currently ships no spark-sql-kafka connector (last
-    // re-verified 2026-08-15, round 7: no kafka jar in
-    // /opt/spark/jars), so the executable half of A1/A17 cannot run
-    // here. This probe flips on
+    // re-verified 2026-08-15, round 8: no kafka jar in /opt/spark/jars,
+    // no broker binary on PATH), so the executable half of A1/A17
+    // cannot run here. This probe flips on
     // AUTOMATICALLY the round the jar appears: it builds the real
     // readStream plan through KafkaIO.source (exercising option wiring +
     // the DataSource lookup) and only then stops short of needing a
