@@ -273,4 +273,59 @@ object Graphs {
           expr(s"(CAST(3 AS $dec) * __tri * ${pInv}L * 1000000) div __wed")
             .cast("long")).as("est_cc_ppm"))
   }
+
+  /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
+    * list — the question PageRank's single score can't separate: in a
+    * bipartite-ish graph (buyers→suppliers, pages→cited sources), who
+    * is a good DIRECTORY (hub: points at many good authorities) vs a
+    * good DESTINATION (authority: pointed at by many good hubs).
+    *
+    * Integer fixed-point form (the q119 PageRank rules): scores scale
+    * by `scale`; each half-step is one edge-co-partitioned join + one
+    * combinable sum; normalization divides by the step's MAX score (a
+    * one-row broadcast) instead of the classic L2 norm — same fixpoint
+    * direction, no square roots, exactly replayable. Sums and the
+    * (score·scale) products run in DECIMAL(38,0) (DuckDB: HUGEINT), so
+    * per-node inflow is reduction-order-proof at any parallelism and
+    * degree.
+    *
+    * Scale shape: edges localCheckpoint'ed once; per iteration, two
+    * joins against bounded score tables (each ≤ |V| rows,
+    * localCheckpoint'ed so plans stay linear in iters); two one-row
+    * max broadcasts. No driver-side collect of anything node-sized.
+    *
+    * Output: (vertex, hub, auth) — max hub = max auth = scale;
+    * vertices with no out-edges have null hub, none in no auth.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 2, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    var a = e.select(col("dst")).distinct()
+      .withColumn("a", lit(scale)).localCheckpoint()
+    var h: DataFrame = null
+    for (_ <- 1 to iters) {
+      val hp = e.join(a, "dst").groupBy(col("src"))
+        .agg(sum(col("a").cast(dec)).as("__hp"))
+      h = hp.crossJoin(broadcast(hp.agg(max(col("__hp")).as("__hm"))))
+        .select(col("src"),
+          expr(s"CAST((__hp * ${scale}L) div __hm AS BIGINT)").as("h"))
+        .localCheckpoint()
+      val ap = e.join(h, "src").groupBy(col("dst"))
+        .agg(sum(col("h").cast(dec)).as("__ap"))
+      a = ap.crossJoin(broadcast(ap.agg(max(col("__ap")).as("__am"))))
+        .select(col("dst"),
+          expr(s"CAST((__ap * ${scale}L) div __am AS BIGINT)").as("a"))
+        .localCheckpoint()
+    }
+    h.select(col("src").as("vertex"), col("h").as("hub"))
+      .join(a.select(col("dst").as("vertex"), col("a").as("auth")),
+        Seq("vertex"), "full_outer")
+  }
 }

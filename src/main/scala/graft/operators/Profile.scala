@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, NumericType}
 
@@ -305,5 +305,55 @@ object Profile {
           (col("mean_milli_b") - col("mean_milli_a"))
             .as("mean_shift_milli"))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Histogram drift between two table slices (B98) — the
+    * DISTRIBUTIONAL monitor [[columnDrift]]'s summary stats can't give:
+    * equal means hide a bimodal split; this shows WHERE the mass moved.
+    * The PSI-class readout, kept log-free so it stays exact integer:
+    * per bin, each side's exact ppm mass and the shift, plus the total
+    * variation distance TV = Σ|ppm_a − ppm_b| / 2 — 0 = identical
+    * distributions, 1e6 = disjoint (the standard drift alarm feeds off
+    * a TV/PSI threshold).
+    *
+    * Bins are exact integer FLOOR division of the (long, pre-cast by
+    * the caller — the q252 cents/epoch rule) value column: floor(v/w)
+    * via the remainder-strip idiom, identical in both engines for
+    * negative values too. Null values drop (no bin).
+    *
+    * Scale shape: one combinable aggregate per side to the bounded bin
+    * table; totals and the TV sum are one-row broadcasts back onto it.
+    * Each corpus side is scanned once.
+    *
+    * Output: (bin, bin_lo, n_a, n_b, ppm_a, ppm_b, shift_ppm, tv_ppm) —
+    * tv_ppm constant across rows (the readout's headline number).
+    */
+  def histogramDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+                     binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def floorDiv(c: Column): Column =
+      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(valueCol).cast("long").as("__v"))
+        .filter(col("__v").isNotNull)
+        .groupBy(floorDiv(col("__v")).as("bin"))
+        .agg(count(lit(1)).as(s"n_$tag"))
+    val a = side(dfA, "a")
+    val b = side(dfB, "b")
+    val bins = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = bins.agg(sum(col("n_a")).as("__ta"),
+      sum(col("n_b")).as("__tb"))
+    val withPpm = bins.crossJoin(broadcast(totals))
+      .select(col("bin"), (col("bin") * binWidth).as("bin_lo"),
+        col("n_a"), col("n_b"),
+        expr("(n_a * 1000000L) div greatest(__ta, 1L)").as("ppm_a"),
+        expr("(n_b * 1000000L) div greatest(__tb, 1L)").as("ppm_b"))
+      .withColumn("shift_ppm", col("ppm_b") - col("ppm_a"))
+    val tv = withPpm.agg(
+      expr("sum(abs(shift_ppm)) div 2").as("tv_ppm"))
+    withPpm.crossJoin(broadcast(tv))
   }
 }

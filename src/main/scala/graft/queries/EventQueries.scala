@@ -331,6 +331,24 @@ object EventQueries extends QueryGroup {
         .orderBy(col("metric"))
     },
 
+    "q269_histogram_drift" -> { (s, d) =>
+      // Distribution drift between the q262 slices (B98): where the
+      // value mass MOVED, per $20 bin, plus the total-variation
+      // distance — the PSI-class alarm number q262's summary stats
+      // (equal means can hide a bimodal split) cannot give. Exact
+      // integer throughout (floor bins via remainder strip, ppm masses,
+      // TV = half the L1); one combinable aggregate per side to the
+      // bounded bin table.
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("value_cents"))
+      graft.operators.Profile.histogramDrift(
+        ev.filter(col("event_type").isin("click", "view")),
+        ev.filter(col("event_type").isin("purchase", "signup", "error")),
+        "value_cents", binWidth = 2000L)
+        .orderBy(col("bin"))
+    },
+
     "q262_column_drift" -> { (s, d) =>
       // Per-column statistics drift between two event-table slices
       // (engagement vs transactional — the "same table, one crawl
@@ -451,6 +469,22 @@ object EventQueries extends QueryGroup {
       graft.operators.Changepoint.cusumShift(series, Seq("event_type"),
           "tick", "n", slackPpm = 100000L, hMeanTicksPpm = 2000000L)
         .orderBy(col("event_type"), col("tick"))
+    },
+
+    "q268_multitouch_attribution" -> { (s, d) =>
+      // Multi-touch attribution (B97): the fractional-credit complement
+      // of q219's last-touch — each purchase's credit splits across the
+      // journey's touches under linear and U-shaped (40/20/40) models,
+      // in exact ppm that sums to 1e6 per conversion; revenue allocates
+      // via credit_ppm x value_cents products (no division, so channel
+      // revenue reconciles to the milli-cent). Touch->conversion match
+      // is one as-of merge on the negated clock (O(T+C) per user);
+      // windows partition by conversion id only.
+      graft.operators.Attribution.multiTouch(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+        "value", Seq("click", "view"), "purchase",
+        windowMicros = 86400L * 1000000L)
+        .orderBy(col("model"), col("channel"))
     },
 
     "q219_last_touch_attribution" -> { (s, d) =>
@@ -1219,6 +1253,100 @@ object EventQueries extends QueryGroup {
         CAST(ss // tot AS BIGINT) AS cusum_ppm,
         ss > 2000000 * tot AS alarm
       FROM s ORDER BY event_type, tick""",
+
+    "q269_histogram_drift" -> """
+      WITH ev AS (
+        SELECT event_type,
+          CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        FROM events),
+      sa AS (
+        SELECT (v - ((v % 2000 + 2000) % 2000)) // 2000 AS bin,
+          CAST(count(*) AS BIGINT) AS n_a
+        FROM ev WHERE event_type IN ('click', 'view')
+          AND v IS NOT NULL GROUP BY 1),
+      sb AS (
+        SELECT (v - ((v % 2000 + 2000) % 2000)) // 2000 AS bin,
+          CAST(count(*) AS BIGINT) AS n_b
+        FROM ev WHERE event_type IN ('purchase', 'signup', 'error')
+          AND v IS NOT NULL GROUP BY 1),
+      bins AS (
+        SELECT coalesce(sa.bin, sb.bin) AS bin,
+          coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM sa FULL OUTER JOIN sb ON sa.bin = sb.bin),
+      tot AS (
+        SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+          CAST(sum(n_b) AS BIGINT) AS tb
+        FROM bins),
+      pp AS (
+        SELECT bin, CAST(bin * 2000 AS BIGINT) AS bin_lo, n_a, n_b,
+          CAST((n_a * 1000000) // greatest(ta, 1) AS BIGINT) AS ppm_a,
+          CAST((n_b * 1000000) // greatest(tb, 1) AS BIGINT) AS ppm_b
+        FROM bins CROSS JOIN tot),
+      tv AS (
+        SELECT CAST(sum(abs(ppm_b - ppm_a)) // 2 AS BIGINT) AS tv_ppm
+        FROM pp)
+      SELECT bin, bin_lo, n_a, n_b, ppm_a, ppm_b,
+        CAST(ppm_b - ppm_a AS BIGINT) AS shift_ppm, tv_ppm
+      FROM pp CROSS JOIN tv ORDER BY bin""",
+
+    "q268_multitouch_attribution" -> """
+      WITH ev AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+          event_type, value
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      conv AS (
+        SELECT user_id, t AS cts,
+          CAST(sum(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2),
+      tch AS (
+        SELECT user_id, t AS tts, arg_max(event_type, event_id) AS channel
+        FROM ev WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+      nxt AS (
+        SELECT tch.user_id AS user_id, tts, channel, cts, cents,
+          row_number() OVER (PARTITION BY tch.user_id, tts
+            ORDER BY cts) AS rn
+        FROM tch JOIN conv
+          ON conv.user_id = tch.user_id AND conv.cts >= tch.tts),
+      cr AS (
+        SELECT user_id, tts, channel, cts, cents
+        FROM nxt
+        WHERE rn = 1 AND epoch_us(cts) - epoch_us(tts) <= 86400000000),
+      rkd AS (
+        SELECT user_id, tts, channel, cts, cents,
+          row_number() OVER (PARTITION BY user_id, cts ORDER BY tts) AS r,
+          count(*) OVER (PARTITION BY user_id, cts) AS n
+        FROM cr),
+      lin AS (
+        SELECT channel, 'linear' AS model,
+          1000000 // n + CASE WHEN r = 1 THEN 1000000 % n ELSE 0 END
+            AS ppm,
+          cents, 1 AS tch_n FROM rkd),
+      pos AS (
+        SELECT channel, 'position' AS model,
+          CASE WHEN n = 1 THEN 1000000
+               WHEN n = 2 THEN 500000
+               WHEN r = 1 THEN 400000
+               WHEN r = n THEN 400000
+               ELSE 200000 // (n - 2)
+                 + CASE WHEN r = 2 THEN 200000 % (n - 2) ELSE 0 END
+          END AS ppm, cents, 1 AS tch_n FROM rkd),
+      dir AS (
+        SELECT 'direct' AS channel, m.model, 1000000 AS ppm, cents,
+          0 AS tch_n
+        FROM conv c
+        LEFT JOIN (SELECT DISTINCT user_id, cts FROM cr) x
+          ON x.user_id = c.user_id AND x.cts = c.cts
+        CROSS JOIN (SELECT unnest(['linear', 'position']) AS model) m
+        WHERE x.user_id IS NULL),
+      allr AS (
+        SELECT * FROM lin UNION ALL SELECT * FROM pos
+        UNION ALL SELECT * FROM dir)
+      SELECT channel, model,
+        CAST(sum(ppm) AS BIGINT) AS conversions_ppm,
+        CAST(sum(CAST(ppm AS HUGEINT) * cents) // 1000 AS BIGINT)
+          AS revenue_milli_cents,
+        CAST(sum(tch_n) AS BIGINT) AS n_touches
+      FROM allr GROUP BY 1, 2 ORDER BY model, channel""",
 
     "q219_last_touch_attribution" -> s"""
       WITH purchases AS (

@@ -287,6 +287,24 @@ object StatsQueries extends QueryGroup {
         .orderBy(col("lang"))
     },
 
+    "q270_hits" -> { (s, d) =>
+      // HITS hubs & authorities (B99) over the directed buyer->supplier
+      // graph: which customers are good DIRECTORIES (buy from many
+      // strong suppliers) vs which suppliers are good DESTINATIONS —
+      // the two-sided question q119's single PageRank score can't
+      // separate. Supplier keys offset by 1e9 so the two key spaces
+      // never collide in one vertex id. Two unrolled integer
+      // fixed-point iterations, max-normalized; all sums in
+      // DECIMAL(38,0) (oracle: HUGEINT) so scores are bit-stable at
+      // any parallelism.
+      val e = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + 1000000000L).as("supp"))
+      graft.operators.Graphs.hits(e, "cust", "supp", iters = 2)
+        .orderBy(col("vertex"))
+    },
+
     "q236_sampled_triangles" -> { (s, d) =>
       // DOULION sampled triangle estimate over the same co-purchase
       // graph as q233 — the scale path when the exact census's wedge
@@ -899,6 +917,34 @@ object StatsQueries extends QueryGroup {
         CAST(sum(rn) AS BIGINT) AS rn_sum,
         CAST(sum(doc_id) AS BIGINT) AS docid_sum
       FROM res GROUP BY lang ORDER BY lang""",
+
+    "q270_hits" -> """
+      WITH e AS (
+        SELECT DISTINCT o_custkey AS src,
+          l_suppkey + 1000000000 AS dst
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      a0 AS (
+        SELECT DISTINCT dst, CAST(1000000000000 AS BIGINT) AS a FROM e),
+      hp1 AS (SELECT src, sum(a) AS hp FROM e JOIN a0 USING (dst)
+        GROUP BY 1),
+      h1 AS (SELECT src, CAST((hp * 1000000000000)
+          // (SELECT max(hp) FROM hp1) AS BIGINT) AS h FROM hp1),
+      ap1 AS (SELECT dst, sum(h) AS ap FROM e JOIN h1 USING (src)
+        GROUP BY 1),
+      a1 AS (SELECT dst, CAST((ap * 1000000000000)
+          // (SELECT max(ap) FROM ap1) AS BIGINT) AS a FROM ap1),
+      hp2 AS (SELECT src, sum(a) AS hp FROM e JOIN a1 USING (dst)
+        GROUP BY 1),
+      h2 AS (SELECT src, CAST((hp * 1000000000000)
+          // (SELECT max(hp) FROM hp2) AS BIGINT) AS h FROM hp2),
+      ap2 AS (SELECT dst, sum(h) AS ap FROM e JOIN h2 USING (src)
+        GROUP BY 1),
+      a2 AS (SELECT dst, CAST((ap * 1000000000000)
+          // (SELECT max(ap) FROM ap2) AS BIGINT) AS a FROM ap2)
+      SELECT coalesce(h2.src, a2.dst) AS vertex, h2.h AS hub,
+        a2.a AS auth
+      FROM h2 FULL OUTER JOIN a2 ON h2.src = a2.dst
+      ORDER BY vertex""",
 
     "q236_sampled_triangles" -> """
       WITH op AS (

@@ -121,6 +121,11 @@ class EntrySpec extends SparkSpec {
       "smp", "en", "capped", // q194 audio energy hash
       "one", "res", // q265/q266 red-row evidence twins
       "kk", "ex", "uh", "uk", "ua", "ea", "eb", "xa", "xb", // q267 KMV set ops
+      "conv", "tch", "nxt", "cr", "rkd", "lin", "pos", "dir",
+      "allr", // q268 multi-touch attribution
+      "bins", "pp", "tv", // q269 histogram drift
+      "a0", "a1", "a2", "h1", "h2", "hp1", "hp2", "ap1",
+      "ap2", // q270 HITS iterations
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -202,4 +202,39 @@ class GraphsSpec extends SparkSpec {
       }
     }
   }
+
+  test("hits: hand fixture — two unrolled iterations, max-normalized") {
+    import spark.implicits._
+    val S = 1000000000000L
+    // u1 -> {s1, s2, s3}, u2 -> {s1}; duplicate edge must collapse
+    val edges = Seq((1L, 101L), (1L, 102L), (1L, 103L), (2L, 101L),
+      (2L, 101L)).toDF("src", "dst")
+    val out = Graphs.hits(edges, "src", "dst", iters = 2, scale = S)
+      .collect().map(r => r.getAs[Long]("vertex") ->
+        ((Option(r.getAs[java.lang.Long]("hub")).map(_.longValue()),
+          Option(r.getAs[java.lang.Long]("auth")).map(_.longValue()))))
+      .toMap
+    // iter1: h(u1)=S, h(u2)=S/3; a(s1)=S, a(s2)=a(s3)=S*S//(4S/3)
+    // iter2: hp(u1)=S+2*750e9=2.5e12 -> h(u1)=S, h(u2)=S*S//2.5e12=4e11
+    //        ap(s1)=1.4e12 -> a(s1)=S, a(s2)=a(s3)=S*S//1.4e12
+    assert(out(1L) == ((Some(S), None)))
+    assert(out(2L) == ((Some(400000000000L), None)))
+    assert(out(101L) == ((None, Some(S))))
+    assert(out(102L) == ((None, Some(714285714285L))))
+    assert(out(103L) == ((None, Some(714285714285L))))
+  }
+
+  test("hits: scores are repartition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 400).map(_ =>
+      (rnd.nextInt(20).toLong, 100L + rnd.nextInt(15).toLong))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Graphs.hits(df, "src", "dst", iters = 2)
+        .collect().map(r => (r.getAs[Long]("vertex"),
+          r.getAs[java.lang.Long]("hub"), r.getAs[java.lang.Long]("auth")))
+        .sortBy(_._1).toSeq
+    assert(run(edges.toDF("src", "dst").coalesce(1)) ==
+      run(edges.toDF("src", "dst").repartition(13)))
+  }
 }

@@ -106,4 +106,30 @@ class ProfileSpec extends SparkSpec {
       Profile.fdStrength(df, Seq.empty)
     }
   }
+
+  test("histogramDrift: hand fixture — floor bins, ppm masses, exact TV") {
+    import org.apache.spark.sql.functions.col
+    // A: 2 rows bin 0, 1 row bin -1 (negative value -> FLOOR bin);
+    // B: 3 rows bin 0, 1 row bin 2 (bin -1 empty on B, bin 2 empty on A)
+    val a = Seq(5L, 9L, -3L).toDF("v")
+    val b = Seq(1L, 2L, 3L, 25L).toDF("v")
+    val out = Profile.histogramDrift(a, b, "v", binWidth = 10L)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("bin_lo"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("ppm_a"),
+          r.getAs[Long]("ppm_b"), r.getAs[Long]("shift_ppm"),
+          r.getAs[Long]("tv_ppm")))).toMap
+    // TV = (333333 + 83334 + 250000) div 2 = 333333 (truncating)
+    assert(out(-1L) == ((-10L, 1L, 0L, 333333L, 0L, -333333L, 333333L)))
+    assert(out(0L) == ((0L, 2L, 3L, 666666L, 750000L, 83334L, 333333L)))
+    assert(out(2L) == ((20L, 0L, 1L, 0L, 250000L, 250000L, 333333L)))
+  }
+
+  test("histogramDrift: identical slices give zero TV and zero shifts") {
+    val x = Seq(1L, 5L, 15L, 15L, 25L).toDF("v")
+    val rows = Profile.histogramDrift(x, x, "v", binWidth = 10L).collect()
+    assert(rows.forall(_.getAs[Long]("shift_ppm") == 0L))
+    assert(rows.forall(_.getAs[Long]("tv_ppm") == 0L))
+    assert(rows.forall(r => r.getAs[Long]("n_a") == r.getAs[Long]("n_b")))
+  }
 }
