@@ -919,27 +919,35 @@ object StatsQueries extends QueryGroup {
       FROM res GROUP BY lang ORDER BY lang""",
 
     "q270_hits" -> """
-      WITH e AS (
+      WITH e AS MATERIALIZED (
         SELECT DISTINCT o_custkey AS src,
           l_suppkey + 1000000000 AS dst
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      a0 AS (
+      a0 AS MATERIALIZED (
         SELECT DISTINCT dst, CAST(1000000000000 AS BIGINT) AS a FROM e),
-      hp1 AS (SELECT src, sum(a) AS hp FROM e JOIN a0 USING (dst)
+      hp1 AS MATERIALIZED (
+        SELECT src, sum(a) AS hp FROM e JOIN a0 USING (dst)
         GROUP BY 1),
-      h1 AS (SELECT src, CAST((hp * 1000000000000)
+      h1 AS MATERIALIZED (
+        SELECT src, CAST((hp * 1000000000000)
           // (SELECT max(hp) FROM hp1) AS BIGINT) AS h FROM hp1),
-      ap1 AS (SELECT dst, sum(h) AS ap FROM e JOIN h1 USING (src)
+      ap1 AS MATERIALIZED (
+        SELECT dst, sum(h) AS ap FROM e JOIN h1 USING (src)
         GROUP BY 1),
-      a1 AS (SELECT dst, CAST((ap * 1000000000000)
+      a1 AS MATERIALIZED (
+        SELECT dst, CAST((ap * 1000000000000)
           // (SELECT max(ap) FROM ap1) AS BIGINT) AS a FROM ap1),
-      hp2 AS (SELECT src, sum(a) AS hp FROM e JOIN a1 USING (dst)
+      hp2 AS MATERIALIZED (
+        SELECT src, sum(a) AS hp FROM e JOIN a1 USING (dst)
         GROUP BY 1),
-      h2 AS (SELECT src, CAST((hp * 1000000000000)
+      h2 AS MATERIALIZED (
+        SELECT src, CAST((hp * 1000000000000)
           // (SELECT max(hp) FROM hp2) AS BIGINT) AS h FROM hp2),
-      ap2 AS (SELECT dst, sum(h) AS ap FROM e JOIN h2 USING (src)
+      ap2 AS MATERIALIZED (
+        SELECT dst, sum(h) AS ap FROM e JOIN h2 USING (src)
         GROUP BY 1),
-      a2 AS (SELECT dst, CAST((ap * 1000000000000)
+      a2 AS MATERIALIZED (
+        SELECT dst, CAST((ap * 1000000000000)
           // (SELECT max(ap) FROM ap2) AS BIGINT) AS a FROM ap2)
       SELECT coalesce(h2.src, a2.dst) AS vertex, h2.h AS hub,
         a2.a AS auth
