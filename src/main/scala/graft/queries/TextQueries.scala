@@ -684,6 +684,21 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q271_quantile_normalize" -> { (s, d) =>
+      // Cross-source quantile normalization (B100): map each source's
+      // token-count distribution onto the GLOBAL one — after it, a
+      // length threshold means the same thing in every source (the
+      // calibration step score fusion and quota design assume). Exact
+      // integer midrank/PERCENTILE_DISC contract; value tables bounded
+      // by the signal's cardinality; rank→value probe via the q221
+      // broadcast interval lookup.
+      val toks = Tables.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_toks"))
+      graft.operators.Calibrate.quantileNormalize(toks, "source", "n_toks")
+        .orderBy(col("source"), col("n_toks"))
+    },
+
     "q113_sliding_chunks" -> { (s, d) =>
       // Overlapping sliding-window chunker (the RAG / context-window prep
       // shape): size-32 chunks at stride 24, one output row per chunk with
@@ -2574,6 +2589,40 @@ object TextQueries extends QueryGroup {
         CAST(len(cl) AS BIGINT) AS n_clean,
         CAST(len(toks) - len(cl) AS DOUBLE) / len(toks) AS removed_frac
       FROM c ORDER BY doc_id""",
+
+    "q271_quantile_normalize" -> """
+      WITH b AS (
+        SELECT source AS g,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        FROM documents WHERE source IS NOT NULL),
+      vt AS (
+        SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      cum AS (
+        SELECT g, v, c,
+          coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cp,
+          sum(c) OVER (PARTITION BY g) AS n
+        FROM vt),
+      p AS (
+        SELECT g, v, c, ((2 * cp + c + 1) * 1000000) // (2 * n) AS p
+        FROM cum),
+      gv AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS gc FROM b GROUP BY 1),
+      gcum AS (
+        SELECT v, gc,
+          coalesce(sum(gc) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gcp
+        FROM gv),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS N FROM b),
+      pr AS (
+        SELECT g, v, c, p,
+          greatest(1, (p * N + 999999) // 1000000) AS R
+        FROM p CROSS JOIN nt)
+      SELECT pr.g AS source, pr.v AS n_toks, CAST(pr.c AS BIGINT) AS n,
+        CAST(pr.p AS BIGINT) AS p_ppm, gcum.v AS normalized
+      FROM pr JOIN gcum
+        ON pr.R > gcum.gcp AND pr.R <= gcum.gcp + gcum.gc
+      ORDER BY source, n_toks""",
 
     "q113_sliding_chunks" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)

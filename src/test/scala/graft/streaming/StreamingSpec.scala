@@ -2604,6 +2604,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV distinct estimate == batch sketch, restart-safe") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_kmv").toString
+      val input = MemoryStream[(String, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long)]
+      def start() = KmvStream.ndv(input.toDS(), k = 16)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long)],
+            _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      // 120 distinct ids for group a (saturates k=16), 5 for b (exact),
+      // with duplicates sprinkled in; split across batches + a restart
+      val idsA = (0L until 120L).map(("a", _))
+      val idsB = (0L until 5L).map(("b", _))
+      val (batch1, batch2) = (idsA ++ idsB ++ idsA.take(30)).splitAt(70)
+      val q1 = start()
+      try {
+        input.addData(batch1)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(batch2)
+        q2.processAllAvailable()
+        val last = collected.synchronized(collected.toList)
+          .groupBy(_._1).map { case (g, rs) => g -> rs.last }
+        val batch = graft.operators.Sketches.kminNdv(
+            (idsA ++ idsB).toDF("g", "id"), Seq("g"), "id", 16)
+          .collect().map(r => r.getAs[String]("g") ->
+            ((r.getAs[scala.collection.Seq[Long]]("sketch").size.toLong,
+              r.getAs[Long]("ndv_est")))).toMap
+        assert(last.map { case (g, (_, sz, est)) => g -> ((sz, est)) } ==
+          batch, s"stream $last vs batch $batch")
+        assert(last("b")._3 == 5L, "unsaturated estimate must be exact")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming basket pairs: null items drop before the intra-batch sort") {
     withRocksDb {
       implicit val sc = spark.sqlContext
