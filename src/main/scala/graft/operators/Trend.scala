@@ -60,4 +60,77 @@ object Trend {
       .select(col("__k").as(keyCol), col("n_points"), col("n_pairs"),
         col("slope_ppm"))
   }
+
+  /** Lagged cross-correlation between two tick series (B102) — the
+    * lead/lag detector: does series B follow series A by k ticks
+    * (clicks → purchases, deploys → errors)? Theil–Sen asks "is one
+    * series drifting"; this asks "which series MOVES FIRST".
+    *
+    * Exact integer contract. Both inputs are (tick, v) tables (the
+    * caller aggregates — [[Changepoint.tickCounts]] shape); ticks
+    * outside a side's observations count 0 on the COMMON calendar grid
+    * [min tick, max tick] of the union, length n. Centering multiplies
+    * through by n to stay integral (cx_t = n·x_t − Σx); for each lag
+    * k ∈ [−maxLag, maxLag],
+    *
+    *   cc(k) = Σ_t cx_t · cy_{t+k}   (t and t+k both on the grid)
+    *
+    * in DECIMAL(38,0), reported as cc_ppm = cc·1e6 div max|cc| over
+    * the probed lags (bounded output regardless of magnitudes;
+    * max|cc| = 0 degenerates to ppm 0). best = the lag maximizing
+    * cc(k), ties to the SMALLEST lag.
+    *
+    * Scale shape: one aggregate per side to the calendar-bounded tick
+    * table; the lag sweep is (2·maxLag+1) × ticks rows of bounded-table
+    * work (never corpus); two one-row broadcasts (grid bounds+sums,
+    * max|cc|).
+    *
+    * Output: (lag_ticks, n_overlap, cc_ppm, is_best), one row per
+    * probed lag.
+    */
+  def crossCorrelation(a: DataFrame, b: DataFrame, tickCol: String,
+                       valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val dec = "decimal(38,0)"
+    def side(df: DataFrame, n: String) = df
+      .filter(col(tickCol).isNotNull && col(valCol).isNotNull)
+      .select(col(tickCol).cast("long").as("__t"),
+        col(valCol).cast("long").as(n))
+      .groupBy(col("__t")).agg(sum(col(n)).as(n))
+    val sa = side(a, "__xa")
+    val sb = side(b, "__xb")
+    val bounds = sa.select(col("__t")).unionByName(sb.select(col("__t")))
+      .agg(min(col("__t")).as("__lo"), max(col("__t")).as("__hi"))
+    // the zero-filled common grid
+    val grid = bounds.select(
+        explode(sequence(col("__lo"), col("__hi"))).as("__t"))
+      .join(sa, Seq("__t"), "left").join(sb, Seq("__t"), "left")
+      .select(col("__t"), coalesce(col("__xa"), lit(0L)).as("__xa"),
+        coalesce(col("__xb"), lit(0L)).as("__xb"))
+      .localCheckpoint() // consumed by sums + the lag sweep
+    val sums = grid.agg(count(lit(1)).as("__n"),
+      sum(col("__xa")).as("__sxa"), sum(col("__xb")).as("__sxb"))
+    val centered = grid.crossJoin(broadcast(sums))
+      .select(col("__t"),
+        expr(s"CAST(__n * __xa - __sxa AS $dec)").as("__ca"),
+        expr(s"CAST(__n * __xb - __sxb AS $dec)").as("__cb"))
+    val lhs = centered
+      .select(col("__t"), col("__ca"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong)))
+          .as("lag_ticks"))
+    val rhs = centered.select(col("__t").as("__t2"), col("__cb"))
+    val cc = lhs
+      .join(rhs, col("__t2") === col("__t") + col("lag_ticks"))
+      .groupBy(col("lag_ticks"))
+      .agg(count(lit(1)).as("n_overlap"),
+        sum(expr("__ca * __cb")).as("__cc"))
+    val mx = cc.agg(max(abs(col("__cc"))).as("__mx"),
+      max(struct(col("__cc"), (-col("lag_ticks")).as("__neg"))).as("__best"))
+    cc.crossJoin(broadcast(mx))
+      .select(col("lag_ticks"), col("n_overlap"),
+        when(col("__mx") === 0, lit(0L))
+          .otherwise(expr(s"CAST((__cc * 1000000) div __mx AS BIGINT)"))
+          .as("cc_ppm"),
+        (col("lag_ticks") === -col("__best.__neg")).as("is_best"))
+  }
 }

@@ -331,6 +331,46 @@ object EventQueries extends QueryGroup {
         .orderBy(col("metric"))
     },
 
+    "q273_lag_correlation" -> { (s, d) =>
+      // Lead/lag detection (B102): lagged cross-correlation between the
+      // hourly click and purchase series — does purchasing FOLLOW
+      // clicking, and by how many hours? Exact integer centering
+      // (multiply through by n), DECIMAL(38,0) products, cc reported in
+      // ppm of the max |cc|; the sweep runs on the calendar-bounded
+      // tick grid, never the corpus.
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("tick"))
+      def series(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(col("tick")).agg(count(lit(1)).as("v"))
+      graft.operators.Trend.crossCorrelation(
+        series("click"), series("purchase"), "tick", "v", maxLag = 6)
+        .orderBy(col("lag_ticks"))
+    },
+
+    "q272_feature_split_audit" -> { (s, d) =>
+      // Depth-1 decision-stump audit (B101): for each candidate
+      // feature, the single best threshold split of the purchase label
+      // by exact-ppm Gini impurity — "does this column carry signal"
+      // before anyone trains on it (the ordered-threshold complement of
+      // q226's chi²). Per feature: one aggregate to the
+      // cardinality-bounded value table, two-phase cumulative counts,
+      // one struct-min argmin; driver-side union (the fdStrength
+      // shape).
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .select((col("event_type") === "purchase").as("is_purchase"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("value_cents"),
+          pmod(expr("unix_micros(ts) div 3600000000L"), lit(24L))
+            .as("hod"),
+          pmod(expr("unix_micros(ts) div 86400000000L"), lit(7L))
+            .as("dow"))
+      graft.operators.Features.bestSplit(ev, "is_purchase",
+        Seq("value_cents", "hod", "dow"))
+        .orderBy(col("feature"))
+    },
+
     "q269_histogram_drift" -> { (s, d) =>
       // Distribution drift between the q262 slices (B98): where the
       // value mass MOVED, per $20 bin, plus the total-variation
@@ -1253,6 +1293,95 @@ object EventQueries extends QueryGroup {
         CAST(ss // tot AS BIGINT) AS cusum_ppm,
         ss > 2000000 * tot AS alarm
       FROM s ORDER BY event_type, tick""",
+
+    "q273_lag_correlation" -> """
+      WITH sa AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+          CAST(count(*) AS BIGINT) AS xa
+        FROM events WHERE event_type = 'click' AND ts IS NOT NULL
+        GROUP BY 1),
+      sb AS (
+        SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t,
+          CAST(count(*) AS BIGINT) AS xb
+        FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL
+        GROUP BY 1),
+      bnd AS (
+        SELECT min(t) AS lo, max(t) AS hi FROM (
+          SELECT t FROM sa UNION ALL SELECT t FROM sb)),
+      grid AS (
+        SELECT g.t, coalesce(xa, 0) AS xa, coalesce(xb, 0) AS xb
+        FROM (SELECT unnest(generate_series(lo, hi)) AS t FROM bnd) g
+        LEFT JOIN sa ON sa.t = g.t LEFT JOIN sb ON sb.t = g.t),
+      sums AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(xa) AS BIGINT) AS sxa,
+          CAST(sum(xb) AS BIGINT) AS sxb
+        FROM grid),
+      cent AS (
+        SELECT t, CAST(n * xa - sxa AS HUGEINT) AS ca,
+          CAST(n * xb - sxb AS HUGEINT) AS cb
+        FROM grid CROSS JOIN sums),
+      lgs AS (SELECT unnest(generate_series(-6, 6)) AS lg),
+      ccx AS (
+        SELECT lg, CAST(count(*) AS BIGINT) AS n_overlap,
+          sum(x.ca * y.cb) AS scc
+        FROM lgs CROSS JOIN cent x JOIN cent y ON y.t = x.t + lgs.lg
+        GROUP BY 1),
+      mxb AS (SELECT max(abs(scc)) AS mx FROM ccx),
+      bst AS (SELECT lg FROM ccx ORDER BY scc DESC, lg LIMIT 1)
+      SELECT CAST(ccx.lg AS BIGINT) AS lag_ticks, n_overlap,
+        CAST(CASE WHEN mx = 0 THEN 0
+          ELSE (scc * 1000000) // mx END AS BIGINT) AS cc_ppm,
+        (ccx.lg = bst.lg) AS is_best
+      FROM ccx CROSS JOIN mxb CROSS JOIN bst ORDER BY lag_ticks""",
+
+    "q272_feature_split_audit" -> {
+      def feat(name: String, ex: String) = s"""
+        SELECT '$name' AS feature, t.threshold, t.split_ppm,
+          t.base_ppm, t.base_ppm - t.split_ppm AS gain_ppm, t.n
+        FROM (
+          WITH f AS (
+            SELECT CAST($ex AS BIGINT) AS v,
+              (event_type = 'purchase') AS y
+            FROM events WHERE ts IS NOT NULL AND $ex IS NOT NULL),
+          vt AS (
+            SELECT v, CAST(count(*) AS BIGINT) AS c,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+            FROM f GROUP BY 1),
+          cum AS (
+            SELECT v, sum(c) OVER w AS nl, sum(p) OVER w AS pl,
+              sum(c) OVER () AS n, sum(p) OVER () AS pos
+            FROM vt WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+          cand AS (
+            SELECT v,
+              (2 * pl * (nl - pl) * 1000000) // (nl * n)
+                + (2 * (pos - pl) * ((n - nl) - (pos - pl)) * 1000000)
+                  // ((n - nl) * n) AS s
+            FROM cum WHERE nl < n),
+          best AS (
+            SELECT v AS bv, s FROM cand ORDER BY s, v LIMIT 1),
+          tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+            FROM f)
+          SELECT CAST(bv AS BIGINT) AS threshold,
+            CAST(coalesce(s,
+              (2 * pos * (n - pos) * 1000000) // (n * n)) AS BIGINT)
+              AS split_ppm,
+            CAST((2 * pos * (n - pos) * 1000000) // (n * n) AS BIGINT)
+              AS base_ppm,
+            n
+          FROM tot LEFT JOIN best ON TRUE) t"""
+      val vcents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+      val hod = "((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24" +
+        " + 24) % 24"
+      val dow = "((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7" +
+        " + 7) % 7"
+      s"""${feat("dow", dow)}
+        UNION ALL ${feat("hod", hod)}
+        UNION ALL ${feat("value_cents", vcents)}
+        ORDER BY feature"""
+    },
 
     "q269_histogram_drift" -> """
       WITH ev AS (

@@ -127,6 +127,8 @@ class EntrySpec extends SparkSpec {
       "a0", "a1", "a2", "h1", "h2", "hp1", "hp2", "ap1",
       "ap2", // q270 HITS iterations
       "gv", "gcum", // q271 quantile normalization
+      "best", // q272 feature split audit
+      "bnd", "sums", "lgs", "ccx", "mxb", "bst", "y", // q273 lag correlation
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -52,4 +52,51 @@ class TrendSpec extends SparkSpec {
     // (2,3)28e6 -> sorted 1e6,1e6,1e6,10e6,14.5e6,28e6; lower middle = 1e6
     assert(even("e") == ((4L, 6L, 1000000L)))
   }
+
+  test("crossCorrelation: a shifted copy peaks at exactly its shift") {
+    import org.apache.spark.sql.functions.col
+    // B is A delayed by 2 ticks; spike pattern makes the peak sharp
+    val a = Seq((0L, 10L), (1L, 1L), (2L, 1L), (3L, 12L), (4L, 1L),
+      (5L, 1L), (6L, 9L), (7L, 1L))
+    val b = a.map { case (t, v) => (t + 2L, v) }
+    val out = Trend.crossCorrelation(
+        a.toDF("tick", "v"), b.toDF("tick", "v"), "tick", "v", maxLag = 4)
+      .collect().map(r => r.getAs[Long]("lag_ticks") ->
+        ((r.getAs[Long]("n_overlap"), r.getAs[Long]("cc_ppm"),
+          r.getAs[Boolean]("is_best")))).toMap
+    assert(out.size == 9)
+    assert(out(2L)._3, s"peak must sit at lag +2: $out")
+    assert(out(2L)._2 == 1000000L, "peak normalizes to 1e6 ppm")
+    assert(out.filter(_._2._3).keySet == Set(2L))
+    // grid is [0, 9] (10 ticks); at lag +2 the overlap is 8
+    assert(out(2L)._1 == 8L)
+  }
+
+  test("crossCorrelation: JVM contract replay on a random fixture") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    val a = (0L until 30L).map(t => (t, rnd.nextInt(20).toLong))
+    val b = (0L until 30L).map(t => (t, rnd.nextInt(20).toLong))
+    val L = 3
+    val out = Trend.crossCorrelation(
+        a.toDF("tick", "v"), b.toDF("tick", "v"), "tick", "v", L)
+      .collect().map(r => r.getAs[Long]("lag_ticks") ->
+        r.getAs[Long]("cc_ppm")).toMap
+    // reference
+    val n = 30L
+    val sa = a.map(_._2).sum; val sb = b.map(_._2).sum
+    val ca = a.map { case (_, v) => n * v - sa }
+    val cb = b.map { case (_, v) => n * v - sb }
+    val ccs = (-L to L).map { k =>
+      k.toLong -> (0 until 30).collect {
+        case t if t + k >= 0 && t + k < 30 =>
+          BigInt(ca(t)) * BigInt(cb(t + k))
+      }.sum
+    }.toMap
+    val mx = ccs.values.map(_.abs).max
+    ccs.foreach { case (k, v) =>
+      val want = (v * 1000000 / mx).toLong
+      assert(out(k) == want, s"lag $k: ${out(k)} vs $want")
+    }
+  }
 }

@@ -2604,6 +2604,71 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming multi-touch credits roll up to the batch attribution") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_mta").toString
+      val H = 3600L * 1000000L
+      // (user, tsMicros, seq, channel, isConv, cents): u1 a 3-touch
+      // journey then a 2nd journey; u2 direct; u3 an out-of-window
+      // touch; exact-ts collision on u1's first two touches
+      val rows = Seq(
+        ("u1", 1 * H, 1L, "click", false, 0L),
+        ("u1", 1 * H, 2L, "view", false, 0L),   // same-ts: view wins
+        ("u1", 2 * H, 3L, "click", false, 0L),
+        ("u1", 3 * H, 4L, "view", false, 0L),
+        ("u1", 4 * H, 5L, "", true, 1000L),
+        ("u1", 5 * H, 6L, "click", false, 0L),
+        ("u1", 6 * H, 7L, "", true, 200L),
+        ("u2", 2 * H, 8L, "", true, 400L),
+        ("u3", 1 * H, 9L, "view", false, 0L),
+        ("u3", 40 * H, 10L, "", true, 800L))
+      val input = MemoryStream[(String, Long, Long, String, Boolean, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, String, String, Long, Long)]
+      def start() = AttributionStream
+        .credits(input.toDS(), windowMicros = 24L * H)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, String,
+            String, Long, Long)], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      // ordered feed split across batches AND a restart mid-journey
+      val (b1, rest) = rows.sortBy(r => (r._2, r._3)).splitAt(4)
+      val q1 = start()
+      try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(rest)
+        q2.processAllAvailable()
+        val streamRollup = collected.synchronized(collected.toList)
+          .groupBy(r => (r._4, r._3)) // (channel, model)
+          .map { case (k, rs) =>
+            k -> ((rs.map(_._5).sum,
+              rs.map(r => r._5 * r._6).sum / 1000L,
+              rs.count(_._4 != "direct").toLong)) }
+        val batch = graft.operators.Attribution.multiTouch(
+            rows.map { case (u, ts, seq, ch, conv, cents) =>
+              (u, new java.sql.Timestamp(ts / 1000L), seq,
+                if (conv) "purchase" else ch, cents / 100.0)
+            }.toDF("user_id", "ts", "event_id", "event_type", "value"),
+            "user_id", "ts", "event_id", "event_type", "value",
+            Seq("click", "view"), "purchase", 24L * H)
+          .collect().map(r => (r.getAs[String]("channel"),
+            r.getAs[String]("model")) ->
+            ((r.getAs[Long]("conversions_ppm"),
+              r.getAs[Long]("revenue_milli_cents"),
+              r.getAs[Long]("n_touches")))).toMap
+        assert(streamRollup == batch,
+          s"stream rollup\n$streamRollup\nvs batch\n$batch")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming KMV distinct estimate == batch sketch, restart-safe") {
     withRocksDb {
       implicit val sc = spark.sqlContext
