@@ -98,4 +98,44 @@ object Funnel {
       }
     }.reduce(_.unionByName(_))
   }
+
+  /** Temporal precedence census (B104) — FUNNEL DISCOVERY, the step
+    * before [[orderedFunnel]]: which ordered type pairs actually occur?
+    * For every ordered pair (a, b), a ≠ b: how many users have both
+    * types, and for how many does an a-event strictly PRECEDE some
+    * b-event. A pair with n_both high and precede_ppm near 1e6 is a
+    * funnel edge worth declaring; near 500000 is noise (either order
+    * equally likely).
+    *
+    * Exact semantics: "a precedes b" for a user ⇔ min(ts of a) <
+    * max(ts of b) — existence of an a-event strictly before SOME
+    * b-event (ties at the exact same ts do NOT count as precedence;
+    * pinned). precede_ppm = n_precede·1e6 div n_both.
+    *
+    * Scale shape: ONE corpus aggregate to the (user, type, min, max)
+    * table (users × alphabet — the alphabet is bounded); the pair join
+    * is per-user alphabet², never event², co-partitioned on the user;
+    * the census is one combinable aggregate to the alphabet² table.
+    *
+    * Output: (type_a, type_b, n_both, n_precede, precede_ppm) for
+    * every ordered pair with n_both > 0.
+    */
+  def precedenceCensus(df: DataFrame, userCol: String, tsCol: String,
+                       typeCol: String): DataFrame = {
+    val spans = df
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isNotNull)
+      .groupBy(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .agg(min(unix_micros(col(tsCol))).as("__lo"),
+        max(unix_micros(col(tsCol))).as("__hi"))
+    spans.as("a")
+      .join(spans.as("b"),
+        col("a.__u") === col("b.__u") && col("a.__t") =!= col("b.__t"))
+      .groupBy(col("a.__t").as("type_a"), col("b.__t").as("type_b"))
+      .agg(count(lit(1)).as("n_both"),
+        sum(when(col("a.__lo") < col("b.__hi"), 1L).otherwise(0L))
+          .as("n_precede"))
+      .withColumn("precede_ppm",
+        expr("(n_precede * 1000000L) div n_both"))
+  }
 }

@@ -328,4 +328,67 @@ object Graphs {
       .join(a.select(col("dst").as("vertex"), col("a").as("auth")),
         Seq("vertex"), "full_outer")
   }
+
+  /** Personalized PageRank (B103) — random walk with restart to a SEED
+    * SET: "what is related to THESE nodes", the retrieval question
+    * global PageRank (q119) flattens away. The related-item/expansion
+    * primitive: seed one part's neighborhood, rank the catalog by walk
+    * mass.
+    *
+    * Integer fixed-point (the q119 rules): ranks scale by `scale`;
+    * per iteration each vertex sends rank div out-degree along its
+    * edges, and r'(v) = restart(v) + (85·inflow(v)) div 100 with the
+    * 15% restart mass split evenly over the seeds
+    * ((scale·15 div 100) div nSeeds each). Mass parked at dangling
+    * vertices leaks (standard for the walk-with-restart form —
+    * deterministic, both engines replay it).
+    *
+    * Scale shape: edges localCheckpoint'ed once; the rank FRONTIER is
+    * sparse — iteration k touches only vertices within k hops of a
+    * seed, so early iterations cost frontier-sized joins, not
+    * graph-sized; score tables checkpoint per iteration (linear
+    * plans). Output: (vertex, rank_fp, is_seed) for every vertex with
+    * nonzero walk mass.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+                           dstCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int = 3,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+    val sd = seeds.select(col(seedCol).cast("long").as("vertex"))
+      .filter(col("vertex").isNotNull).distinct().localCheckpoint()
+    val nTab = sd.agg(count(lit(1)).as("__ns"))
+    val restart = sd.crossJoin(broadcast(nTab))
+      .select(col("vertex"),
+        expr(s"((${scale}L * 15) div 100) div __ns").as("__restart"))
+      .localCheckpoint()
+    var r = sd.crossJoin(broadcast(nTab))
+      .select(col("vertex"), expr(s"${scale}L div __ns").as("rank_fp"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val inflow = e
+        .join(r.withColumnRenamed("vertex", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("vertex"),
+          expr("rank_fp div __deg").as("__c"))
+        .groupBy(col("vertex")).agg(sum(col("__c")).as("__in"))
+      r = inflow.join(restart, Seq("vertex"), "full_outer")
+        .select(col("vertex"),
+          (coalesce(col("__restart"), lit(0L)) +
+            expr("(85 * coalesce(__in, 0L)) div 100")).as("rank_fp"))
+        .filter(col("rank_fp") > 0L)
+        .localCheckpoint()
+    }
+    r.join(sd.withColumn("is_seed", lit(true)), Seq("vertex"), "left")
+      .select(col("vertex"), col("rank_fp"),
+        coalesce(col("is_seed"), lit(false)).as("is_seed"))
+  }
 }

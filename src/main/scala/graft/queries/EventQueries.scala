@@ -331,6 +331,18 @@ object EventQueries extends QueryGroup {
         .orderBy(col("metric"))
     },
 
+    "q274_precedence_census" -> { (s, d) =>
+      // Funnel DISCOVERY (B104), the step before q257's declared
+      // funnel: for every ordered event-type pair, how many users have
+      // both and for how many does a strictly precede some b — the
+      // census that tells you WHICH funnel to declare. One corpus
+      // aggregate to the (user, type, min, max) spans table; the pair
+      // join is per-user alphabet², co-partitioned on the user.
+      graft.operators.Funnel.precedenceCensus(
+        Tables.events(s, d), "user_id", "ts", "event_type")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     "q273_lag_correlation" -> { (s, d) =>
       // Lead/lag detection (B102): lagged cross-correlation between the
       // hourly click and purchase series — does purchasing FOLLOW
@@ -1293,6 +1305,26 @@ object EventQueries extends QueryGroup {
         CAST(ss // tot AS BIGINT) AS cusum_ppm,
         ss > 2000000 * tot AS alarm
       FROM s ORDER BY event_type, tick""",
+
+    "q274_precedence_census" -> """
+      WITH sp AS (
+        SELECT user_id AS u, event_type AS t,
+          min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+          max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      px AS (
+        SELECT a.t AS type_a, b.t AS type_b,
+          CAST(count(*) AS BIGINT) AS n_both,
+          CAST(sum(CASE WHEN a.lo < b.hi THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_precede
+        FROM sp a JOIN sp b ON a.u = b.u AND a.t <> b.t
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_both, n_precede,
+        CAST((n_precede * 1000000) // n_both AS BIGINT) AS precede_ppm
+      FROM px ORDER BY type_a, type_b""",
 
     "q273_lag_correlation" -> """
       WITH sa AS (

@@ -305,6 +305,29 @@ object StatsQueries extends QueryGroup {
         .orderBy(col("vertex"))
     },
 
+    "q275_personalized_pagerank" -> { (s, d) =>
+      // Personalized PageRank (B103) over the co-purchase graph:
+      // random walk with 15% restart to a seed category (every 500th
+      // part) — "what is related to THESE parts", the retrieval
+      // question q119's global rank flattens. Three integer
+      // fixed-point iterations on a SPARSE frontier (iteration k only
+      // touches vertices within k hops of a seed).
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val edges = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") % 500 === 0)
+        .select(col("p_partkey"))
+      graft.operators.Graphs.personalizedPageRank(
+        edges, "src", "dst", seeds, "p_partkey", iters = 3)
+        .orderBy(col("vertex"))
+    },
+
     "q236_sampled_triangles" -> { (s, d) =>
       // DOULION sampled triangle estimate over the same co-purchase
       // graph as q233 — the scale path when the exact census's wedge
@@ -507,7 +530,54 @@ object StatsQueries extends QueryGroup {
         FROM rk JOIN al ON rk.lang = al.lang
         WHERE rn <= alloc)"""
 
+  /** q275 oracle: three personalized-PageRank iterations unrolled as
+    * MATERIALIZED CTEs (the q217/q270 pattern — every iteration's
+    * argmax-free arithmetic replayed; a drift in any round hash-fails).
+    */
+  private def pprSql(iters: Int): String = {
+    def step(prev: String, cur: String) = s"""
+      $cur AS MATERIALIZED (
+        SELECT v, coalesce(rs, 0) + (85 * coalesce(infl, 0)) // 100 AS r
+        FROM (
+          SELECT coalesce(f.v, rst.v) AS v, f.infl, rst.rs
+          FROM (SELECT e.dst AS v, sum($prev.r // dg.deg) AS infl
+                FROM e JOIN $prev ON $prev.v = e.src
+                JOIN dg ON dg.src = e.src
+                GROUP BY 1) f
+          FULL OUTER JOIN rst ON rst.v = f.v) t
+        WHERE coalesce(rs, 0) + (85 * coalesce(infl, 0)) // 100 > 0)"""
+    val steps = (1 to iters)
+      .map(i => step(if (i == 1) "r0" else s"i${i - 1}", s"i$i"))
+      .mkString(",\n")
+    s"""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      pr0 AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS s, y.pk AS d
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      e AS MATERIALIZED (
+        SELECT s AS src, d AS dst FROM pr0
+        UNION ALL SELECT d, s FROM pr0),
+      dg AS MATERIALIZED (
+        SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+      sd AS MATERIALIZED (
+        SELECT DISTINCT p_partkey AS v FROM part
+        WHERE p_partkey % 500 = 0),
+      ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sd),
+      rst AS MATERIALIZED (
+        SELECT v, ((1000000000000 * 15) // 100) // n AS rs
+        FROM sd CROSS JOIN ns),
+      r0 AS MATERIALIZED (
+        SELECT v, 1000000000000 // n AS r FROM sd CROSS JOIN ns),
+      $steps
+      SELECT i$iters.v AS vertex, CAST(i$iters.r AS BIGINT) AS rank_fp,
+        (sd.v IS NOT NULL) AS is_seed
+      FROM i$iters LEFT JOIN sd ON sd.v = i$iters.v ORDER BY vertex"""
+  }
+
   override def oracle: Map[String, String] = Map(
+    "q275_personalized_pagerank" -> pprSql(3),
+
 
     "q224_score_auc" -> s"""
       WITH t AS (

@@ -63,4 +63,32 @@ class FunnelSpec extends SparkSpec {
         "u", "ts", "eid", "ty", Seq("A", "A"))
     }
   }
+
+  test("precedenceCensus: strict precedence, same-instant excluded") {
+    // u1: A@1 then B@2 (A precedes B; B does not precede A)
+    // u2: A@5 and B@5 exactly (both present, NEITHER precedes)
+    // u3: B@1 then A@2 (B precedes A)
+    val rows = Seq(
+      (1L, ts(1), "A"), (1L, ts(2), "B"),
+      (2L, ts(5), "A"), (2L, ts(5), "B"),
+      (3L, ts(1), "B"), (3L, ts(2), "A"))
+    val out = Funnel.precedenceCensus(
+        rows.toDF("u", "ts", "ty"), "u", "ts", "ty")
+      .collect().map(r => (r.getAs[String]("type_a"),
+        r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Long]("n_precede"),
+          r.getAs[Long]("precede_ppm")))).toMap
+    assert(out(("A", "B")) == ((3L, 1L, 333333L)))
+    assert(out(("B", "A")) == ((3L, 1L, 333333L)))
+  }
+
+  test("precedenceCensus: min/max span semantics — ANY a before SOME b") {
+    // u1: B@1, A@2, B@3 -> A precedes (the later B); B precedes A too
+    val rows = Seq((1L, ts(1), "B"), (1L, ts(2), "A"), (1L, ts(3), "B"))
+    val out = Funnel.precedenceCensus(
+        rows.toDF("u", "ts", "ty"), "u", "ts", "ty")
+      .collect().map(r => (r.getAs[String]("type_a"),
+        r.getAs[String]("type_b")) -> r.getAs[Long]("n_precede")).toMap
+    assert(out(("A", "B")) == 1L && out(("B", "A")) == 1L)
+  }
 }

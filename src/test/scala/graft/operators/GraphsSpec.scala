@@ -224,6 +224,37 @@ class GraphsSpec extends SparkSpec {
     assert(out(103L) == ((None, Some(714285714285L))))
   }
 
+  test("personalized pagerank: hand fixture, three exact iterations") {
+    import spark.implicits._
+    val S = 1000000000000L
+    // star: 1 <-> 2, 1 <-> 3; seed {1}
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("v")
+    val out = Graphs.personalizedPageRank(edges, "src", "dst",
+        seeds, "v", iters = 3, scale = S)
+      .collect().map(r => r.getAs[Long]("vertex") ->
+        ((r.getAs[Long]("rank_fp"), r.getAs[Boolean]("is_seed")))).toMap
+    // r1: (150e9, 425e9, 425e9); r2: (872.5e9, 63.75e9, 63.75e9);
+    // r3: 1 -> 150e9 + 85%*127.5e9 = 258375e6; 2,3 -> 85%*436.25e9
+    assert(out(1L) == ((258375000000L, true)))
+    assert(out(2L) == ((370812500000L, false)))
+    assert(out(3L) == ((370812500000L, false)))
+  }
+
+  test("personalized pagerank: isolated seed keeps restart-only mass") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("v")
+    val out = Graphs.personalizedPageRank(edges, "src", "dst",
+        seeds, "v", iters = 2)
+      .collect().map(r => r.getAs[Long]("vertex") ->
+        r.getAs[Long]("rank_fp")).toMap
+    // 99 never receives inflow: rank = its restart share every round
+    assert(out(99L) == 75000000000L) // (1e12*15/100)/2
+    assert(out.contains(1L) && out.contains(2L))
+  }
+
   test("hits: scores are repartition-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
