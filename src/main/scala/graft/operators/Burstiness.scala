@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inter-arrival burstiness — the traffic-SHAPE monitor the rate
+  * monitors miss: two streams with identical hourly counts can be a
+  * steady drizzle or silence-then-bursts, and capacity planning,
+  * session gap tuning, and bot detection all read the difference. The
+  * standard scalar is the squared coefficient of variation of
+  * inter-arrival gaps: CV² = 1 for a Poisson stream, → 0 periodic,
+  * > 1 bursty (Barabási 2005's heavy-tailed human timing).
+  */
+object Burstiness {
+
+  /** Per-group CV² of per-entity inter-arrival gaps.
+    *
+    * Gaps are computed WITHIN an entity (user/session/host) — ordered
+    * by (ts, tieCol) under a window partitioned by (entity, group), so
+    * partitions are entity-history-bounded, never corpus-bounded — and
+    * pooled per group. Exact integer output:
+    *
+    *   mean_gap_micros = Σg div n
+    *   cv2_milli = (1000·(n·Σg² − (Σg)²)) div (Σg)²   [n ≥ 2]
+    *
+    * with Σg² in DECIMAL(38,0) (micros² reaches 1e24). Entities with a
+    * single event contribute no gap; groups with fewer than 2 gaps
+    * emit cv2_milli null. Zero gaps (same-instant repeats) count as
+    * legitimate 0-micros gaps.
+    *
+    * Output: (groupCol, n_gaps, mean_gap_micros, cv2_milli).
+    */
+  def interArrivalCv2(df: DataFrame, entityCol: String, groupCol: String,
+                      tsCol: String, tieCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val w = Window.partitionBy(col(entityCol), col(groupCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val gaps = df
+      .filter(col(entityCol).isNotNull && col(groupCol).isNotNull &&
+        col(tsCol).isNotNull)
+      .select(col(entityCol), col(groupCol), col(tsCol), col(tieCol))
+      .withColumn("__g",
+        unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
+      .filter(col("__g").isNotNull)
+    gaps.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("__g")).as("__sg"),
+        sum(expr(s"CAST(__g AS $dec) * __g")).as("__sg2"))
+      .select(col(groupCol),
+        col("n_gaps"),
+        expr("__sg div n_gaps").as("mean_gap_micros"),
+        when(col("n_gaps") >= 2 && col("__sg") > 0,
+          expr(s"(1000 * (n_gaps * __sg2 - CAST(__sg AS $dec) * __sg))" +
+            s" div (CAST(__sg AS $dec) * __sg)").cast("long"))
+          .as("cv2_milli"))
+  }
+}

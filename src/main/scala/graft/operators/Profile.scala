@@ -356,4 +356,55 @@ object Profile {
       expr("sum(abs(shift_ppm)) div 2").as("tv_ppm"))
     withPpm.crossJoin(broadcast(tv))
   }
+
+  /** Referential-integrity audit (B106) — the CROSS-TABLE check the
+    * single-table [[constraintReport]] can't express: for each declared
+    * FK, how many child rows point at a parent key that does not exist
+    * (orphans), in rows and ppm, plus how many DISTINCT key values are
+    * orphaned (one bad key × a million rows vs a million bad keys are
+    * different bugs).
+    *
+    * Null child keys are NOT orphans (SQL FK semantics: null opts out
+    * of the constraint) — reported separately as null_rows.
+    *
+    * Scale shape per FK: the child aggregates to its DISTINCT key table
+    * first (hot keys collapse map-side), the parent contributes its
+    * distinct key table, one co-partitioned left join between the two
+    * key tables, then one join back... no — row counts ride the key
+    * table as weights, so the parent join moves KEY TABLES only and no
+    * second child pass happens. FKs are independent jobs, driver-side
+    * plan-assembly union (the fdStrength shape).
+    *
+    * Output per FK: (fk_name, n_rows, null_rows, orphan_rows,
+    * orphan_ppm, orphan_keys).
+    */
+  def fkOrphans(fks: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame = {
+    require(fks.nonEmpty, "need at least one FK to audit")
+    fks.map { case (name, child, childKey, parent, parentKey) =>
+      val ck = child.select(col(childKey).cast("long").as("__k"))
+      val keyTab = ck.filter(col("__k").isNotNull)
+        .groupBy(col("__k")).agg(count(lit(1)).as("__w"))
+      val pk = parent.select(col(parentKey).cast("long").as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+        .withColumn("__hit", lit(true))
+      val joined = keyTab.join(pk, Seq("__k"), "left")
+      val nulls = ck.agg(count(lit(1)).as("__n"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("__nulls"))
+      joined.agg(
+          coalesce(sum(when(col("__hit").isNull, col("__w"))), lit(0L))
+            .as("orphan_rows"),
+          coalesce(sum(when(col("__hit").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("orphan_keys"))
+        .crossJoin(broadcast(nulls))
+        .select(lit(name).as("fk_name"),
+          col("__n").as("n_rows"),
+          col("__nulls").as("null_rows"),
+          col("orphan_rows"),
+          when(col("__n") > col("__nulls"),
+            expr("(orphan_rows * 1000000L) div (__n - __nulls)"))
+            .as("orphan_ppm"),
+          col("orphan_keys"))
+    }.reduce(_.unionByName(_))
+  }
 }

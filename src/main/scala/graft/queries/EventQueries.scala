@@ -331,6 +331,36 @@ object EventQueries extends QueryGroup {
         .orderBy(col("metric"))
     },
 
+    "q277_fk_integrity" -> { (s, d) =>
+      // Referential-integrity audit (B106): orphan census for three
+      // declared FKs — two clean TPC-H edges (lineitem→orders,
+      // orders→customer) and the deliberately-violated
+      // events.user_id→customer edge (user ids are not customer keys),
+      // so both verdict polarities are live. Child rows collapse to
+      // distinct-key tables before the parent join; per-FK jobs union
+      // driver-side.
+      graft.operators.Profile.fkOrphans(Seq(
+        ("lineitem.l_orderkey->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"),
+        ("orders.o_custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"),
+        ("events.user_id->customer", Tables.events(s, d),
+          "user_id", Tables.customer(s, d), "c_custkey")))
+        .orderBy(col("fk_name"))
+    },
+
+    "q276_burstiness" -> { (s, d) =>
+      // Traffic-shape monitor (B105): CV² of per-user inter-arrival
+      // gaps pooled per event type — steady drizzle (→0), Poisson
+      // (1000 milli), or silence-then-bursts (>1000); rate monitors
+      // (q253's seasonal bands) can't see the difference. Windows
+      // partition by (user, type) — entity-history-bounded; one
+      // combinable aggregate per type; Σg² in DECIMAL(38,0).
+      graft.operators.Burstiness.interArrivalCv2(
+        Tables.events(s, d), "user_id", "event_type", "ts", "event_id")
+        .orderBy(col("event_type"))
+    },
+
     "q274_precedence_census" -> { (s, d) =>
       // Funnel DISCOVERY (B104), the step before q257's declared
       // funnel: for every ordered event-type pair, how many users have
@@ -1305,6 +1335,59 @@ object EventQueries extends QueryGroup {
         CAST(ss // tot AS BIGINT) AS cusum_ppm,
         ss > 2000000 * tot AS alarm
       FROM s ORDER BY event_type, tick""",
+
+    "q277_fk_integrity" -> {
+      def fk(name: String, child: String, ck: String, parent: String,
+             pk: String) = s"""
+        SELECT '$name' AS fk_name,
+          CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_rows,
+          CAST((SELECT count(*) FROM $child WHERE $ck IS NULL) AS BIGINT)
+            AS null_rows,
+          CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN w END), 0)
+            AS BIGINT) AS orphan_rows,
+          CASE WHEN (SELECT count(*) FROM $child)
+              > (SELECT count(*) FROM $child WHERE $ck IS NULL)
+            THEN CAST((coalesce(sum(CASE WHEN p.$pk IS NULL THEN w END), 0)
+              * 1000000)
+              // ((SELECT count(*) FROM $child)
+                - (SELECT count(*) FROM $child WHERE $ck IS NULL))
+              AS BIGINT) END AS orphan_ppm,
+          CAST(coalesce(sum(CASE WHEN p.$pk IS NULL THEN 1 END), 0)
+            AS BIGINT) AS orphan_keys
+        FROM (SELECT $ck AS k, count(*) AS w FROM $child
+              WHERE $ck IS NOT NULL GROUP BY 1) c
+        LEFT JOIN (SELECT DISTINCT $pk FROM $parent
+                   WHERE $pk IS NOT NULL) p ON p.$pk = c.k"""
+      s"""${fk("events.user_id->customer", "events", "user_id",
+            "customer", "c_custkey")}
+        UNION ALL ${fk("lineitem.l_orderkey->orders", "lineitem",
+            "l_orderkey", "orders", "o_orderkey")}
+        UNION ALL ${fk("orders.o_custkey->customer", "orders",
+            "o_custkey", "customer", "c_custkey")}
+        ORDER BY fk_name"""
+    },
+
+    "q276_burstiness" -> """
+      WITH g AS (
+        SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP))
+            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gp
+        FROM events
+        WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+          AND ts IS NOT NULL),
+      a AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+          CAST(sum(gp) AS BIGINT) AS sg,
+          sum(CAST(gp AS HUGEINT) * gp) AS sg2
+        FROM g WHERE gp IS NOT NULL GROUP BY 1)
+      SELECT event_type, n_gaps,
+        CAST(sg // n_gaps AS BIGINT) AS mean_gap_micros,
+        CASE WHEN n_gaps >= 2 AND sg > 0
+          THEN CAST((1000 * (n_gaps * sg2 - CAST(sg AS HUGEINT) * sg))
+            // (CAST(sg AS HUGEINT) * sg) AS BIGINT) END AS cv2_milli
+      FROM a ORDER BY event_type""",
 
     "q274_precedence_census" -> """
       WITH sp AS (

@@ -125,6 +125,39 @@ class ProfileSpec extends SparkSpec {
     assert(out(2L) == ((20L, 0L, 1L, 0L, 250000L, 250000L, 333333L)))
   }
 
+  test("fkOrphans: orphans in rows and keys; nulls opt out") {
+    import org.apache.spark.sql.functions.col
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    // children: 1,1 hit; 9,9,9 orphan (one key, three rows); 8 orphan;
+    // two null keys opt out of the constraint
+    val child = Seq[java.lang.Long](1L, 1L, 9L, 9L, 9L, 8L, null, null)
+      .toDF("ck")
+    val out = Profile.fkOrphans(
+        Seq(("t", child, "ck", parent, "pk")))
+      .collect().head
+    assert(out.getAs[Long]("n_rows") == 8L)
+    assert(out.getAs[Long]("null_rows") == 2L)
+    assert(out.getAs[Long]("orphan_rows") == 4L)
+    assert(out.getAs[Long]("orphan_ppm") == 666666L) // 4 of 6 non-null
+    assert(out.getAs[Long]("orphan_keys") == 2L)
+  }
+
+  test("fkOrphans: clean FK reports zeros; all-null child gives null ppm") {
+    import org.apache.spark.sql.functions.col
+    val parent = Seq(1L, 2L).toDF("pk")
+    val clean = Seq(1L, 2L, 2L).toDF("ck")
+    val allNull = Seq[java.lang.Long](null, null).toDF("ck")
+    val out = Profile.fkOrphans(Seq(
+        ("clean", clean, "ck", parent, "pk"),
+        ("nulls", allNull, "ck", parent, "pk")))
+      .collect().map(r => r.getAs[String]("fk_name") ->
+        ((r.getAs[Long]("orphan_rows"),
+          Option(r.getAs[java.lang.Long]("orphan_ppm")),
+          r.getAs[Long]("orphan_keys")))).toMap
+    assert(out("clean") == ((0L, Some(0L), 0L)))
+    assert(out("nulls")._1 == 0L && out("nulls")._2 == None)
+  }
+
   test("histogramDrift: identical slices give zero TV and zero shifts") {
     val x = Seq(1L, 5L, 15L, 15L, 25L).toDF("v")
     val rows = Profile.histogramDrift(x, x, "v", binWidth = 10L).collect()
