@@ -539,4 +539,61 @@ class PropertySpec extends SparkSpec {
       assert(err <= bound, s"q=$q err=$err bound=$bound")
     }
   }
+
+  test("property: multi-touch credit conserves exactly 1e6 ppm per conversion") {
+    // random journeys: every conversion's credits must sum to exactly
+    // one million ppm under BOTH models, and total revenue must
+    // reconcile — the no-lost-pennies invariant the division-free
+    // design exists for
+    val rnd = new scala.util.Random(17)
+    val H = 3600L * 1000000L
+    val rows = (0 until 200).map { i =>
+      val u = rnd.nextInt(8).toLong
+      val isConv = rnd.nextInt(5) == 0
+      val ch = if (isConv) "purchase"
+        else Seq("click", "view")(rnd.nextInt(2))
+      (u, new java.sql.Timestamp((i.toLong * H) / 1000L / 1000L * 1000L),
+        i.toLong, ch, if (isConv) rnd.nextInt(1000) / 100.0 else 0.0)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = graft.operators.Attribution.multiTouch(df, "user_id", "ts",
+        "event_id", "event_type", "value", Seq("click", "view"),
+        "purchase", windowMicros = 48L * H)
+      .collect()
+    val nConv = rows.count(_._4 == "purchase").toLong
+    Seq("linear", "position").foreach { m =>
+      val tot = out.filter(_.getAs[String]("model") == m)
+        .map(_.getAs[Long]("conversions_ppm")).sum
+      assert(tot == nConv * 1000000L,
+        s"$m credit must conserve: $tot vs ${nConv * 1000000L}")
+      // revenue reconciles to the milli-cent
+      val rev = out.filter(_.getAs[String]("model") == m)
+        .map(_.getAs[Long]("revenue_milli_cents")).sum
+      val want = rows.filter(_._4 == "purchase")
+        .map(r => math.round(r._5 * 100) * 1000L).sum
+      assert(math.abs(rev - want) < out.length,
+        s"$m revenue $rev vs $want (truncation < 1 milli-cent per row)")
+    }
+  }
+
+  test("property: quantile normalization is a monotone within-group map") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(1000).toLong))
+    val out = graft.operators.Calibrate.quantileNormalize(
+        rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("v"),
+        r.getAs[Long]("normalized")))
+    out.groupBy(_._1).foreach { case (g, ms) =>
+      val sorted = ms.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, v1, n1), (_, v2, n2)) =>
+          assert(n1 <= n2, s"group $g: v $v1->$n1 but $v2->$n2")
+        case _ =>
+      }
+    }
+    // normalized values come from the global value set
+    val global = rows.map(_._2).toSet
+    assert(out.forall(m => global.contains(m._3)))
+  }
 }
