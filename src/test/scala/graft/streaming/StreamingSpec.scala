@@ -2604,6 +2604,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming histogram bins == batch drift table, restart-safe") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_hist").toString
+      // side A: 5, 9, -3 (bin -1 via FLOOR); side B: 1, 2, 3, 25
+      val vals = Seq((true, 5L), (true, 9L), (true, -3L),
+        (false, 1L), (false, 2L), (false, 3L), (false, 25L))
+      val input = MemoryStream[(Boolean, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long)]
+      def start() = HistDriftStream
+        .bins(HistDriftStream.binsFromValues(input.toDS(), binWidth = 10L))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(Long, Long, Long)], _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val (b1, b2) = scala.util.Random.shuffle(vals).splitAt(3)
+      val q1 = start()
+      try { input.addData(b1); q1.processAllAvailable() } finally q1.stop()
+      val q2 = start()
+      try {
+        input.addData(b2)
+        q2.processAllAvailable()
+        val last = collected.synchronized(collected.toList)
+          .zipWithIndex.groupBy(_._1._1)
+          .map { case (_, es) => es.maxBy(_._2)._1 }
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        val batch = graft.operators.Profile.histogramDrift(
+            vals.filter(_._1).map(_._2).toDF("v"),
+            vals.filterNot(_._1).map(_._2).toDF("v"), "v", 10L)
+          .collect().map(r => r.getAs[Long]("bin") ->
+            ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b")))).toMap
+        assert(last == batch, s"upserted bins $last vs batch $batch")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming multi-touch credits roll up to the batch attribution") {
     withRocksDb {
       implicit val sc = spark.sqlContext
