@@ -684,6 +684,18 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q278_greedy_coverage" -> { (s, d) =>
+      // Submodular pilot-set selection (B107): 5 greedy rounds picking
+      // the documents that together cover the most distinct vocabulary
+      // (facility-location greedy, Nemhauser 1978's (1-1/e) bound) —
+      // the selector for tokenizer warmup / eval seeds where random
+      // sampling picks near-duplicates of each other. k corpus passes
+      // (k bounded); the seen vocabulary stays selection-bounded and
+      // broadcasts; argmax is one combinable struct-max.
+      graft.operators.Coverage.greedySelect(
+        Tables.documents(s, d), "doc_id", "text", k = 5)
+    },
+
     "q271_quantile_normalize" -> { (s, d) =>
       // Cross-source quantile normalization (B100): map each source's
       // token-count distribution onto the GLOBAL one — after it, a
@@ -1335,7 +1347,57 @@ object TextQueries extends QueryGroup {
       FROM ($union) ORDER BY merge_rank"""
   }
 
+  /** q278 oracle: the greedy coverage rounds unrolled as MATERIALIZED
+    * CTEs (the q217/q275 pattern): per round, gains against the
+    * accumulated seen vocabulary, argmax by (gain DESC, id), seen set
+    * unioned forward. A drift in any round's pick or gain hash-fails.
+    */
+  private def coverageSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      val notSeen =
+        if (r == 1) "" else s"WHERE tok NOT IN (SELECT tok FROM s${r - 1})"
+      val notPicked =
+        if (r == 1) ""
+        else "WHERE " + (1 until r)
+          .map(i => s"ids.id NOT IN (SELECT id FROM w$i)").mkString(" AND ")
+      val seenUnion =
+        if (r == 1) s"SELECT tok FROM toks JOIN w1 ON toks.id = w1.id"
+        else s"SELECT tok FROM s${r - 1} UNION " +
+          s"SELECT tok FROM toks JOIN w$r ON toks.id = w$r.id"
+      s"""g$r AS MATERIALIZED (
+        SELECT ids.id, coalesce(cnt, 0) AS gain FROM ids
+        LEFT JOIN (
+          SELECT id, CAST(count(*) AS BIGINT) AS cnt FROM toks
+          $notSeen GROUP BY 1) x ON x.id = ids.id
+        $notPicked),
+      w$r AS MATERIALIZED (
+        SELECT id, gain FROM g$r ORDER BY gain DESC, id LIMIT 1),
+      s$r AS MATERIALIZED ($seenUnion)"""
+    }.mkString(",\n      ")
+    val out = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, w$r.id AS doc_id,
+        CAST(w$r.gain AS BIGINT) AS gain,
+        CAST((SELECT count(*) FROM s$r) AS BIGINT) AS cum_coverage
+      FROM w$r"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH toks AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id, t AS tok FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL)
+        WHERE t <> ''),
+      ids AS MATERIALIZED (
+        SELECT DISTINCT doc_id AS id FROM documents
+        WHERE doc_id IS NOT NULL),
+      $rounds
+      $out
+      ORDER BY round"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "q278_greedy_coverage" -> coverageSql(5),
+
     "q220_script_mix" -> """
       WITH cps AS (
         SELECT lang,
