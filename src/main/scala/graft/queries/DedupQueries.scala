@@ -108,6 +108,24 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q279_split_leakage" -> { (s, d) =>
+      // Eval-hygiene gate (B108): an 80/20 hash split is uniform over
+      // documents, but near-dup PAIRS straddling the boundary leak
+      // training text into the test set (Lee et al. 2021). One summary
+      // row: split sizes, q38's banded-LSH candidate pairs, straddling
+      // count + ppm. Pair-table-sized joins only.
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text",
+        distinct = false)
+      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8,
+        rowsPerBand = 2)
+      graft.operators.Splits.leakageAudit(
+        graft.operators.Splits.hashSplit(docs, "doc_id",
+          trainPermille = 800),
+        pairs, "doc_id")
+    },
+
     "q152_lsh_tuning" -> { (s, d) =>
       // LSH design surface: bucket stats + candidate volume for every
       // (bands × rows) split of the 8-hash signature, off ONE shared
@@ -833,6 +851,38 @@ object DedupQueries extends QueryGroup {
         """FROM banded l JOIN banded r
             ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
           ORDER BY id_a, id_b""")
+    },
+
+    "q279_split_leakage" -> {
+      minhashSql(
+        s""", banded AS ($BandedCteBody),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bkey = r.bkey
+                AND l.doc_id < r.doc_id),
+          asn AS (
+            SELECT DISTINCT doc_id,
+              ((doc_id * 1000003 + 17) % 1000000007 + 1000000007)
+                % 1000000007 % 1000 < 800 AS is_train
+            FROM documents WHERE doc_id IS NOT NULL),
+          szb AS (
+            SELECT CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_train,
+              CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_test
+            FROM asn),
+          agx AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(sum(CASE WHEN a.is_train <> b.is_train THEN 1 ELSE 0
+                END) AS BIGINT) AS n_cross
+            FROM cand JOIN asn a ON a.doc_id = cand.id_a
+            JOIN asn b ON b.doc_id = cand.id_b)""",
+        """n_train, n_test, n_pairs, n_cross,
+          CASE WHEN n_pairs > 0
+            THEN CAST((n_cross * 1000000) // n_pairs AS BIGINT)
+          END AS cross_ppm""",
+        "FROM agx CROSS JOIN szb")
     },
 
     "q73_lsh_capped" -> {

@@ -131,6 +131,7 @@ class EntrySpec extends SparkSpec {
       "bnd", "sums", "lgs", "ccx", "mxb", "bst", "y", // q273 lag correlation
       "pr0", "sd", "ns", "rst", // q275 personalized PageRank
       "g3", "g5", // q278 greedy-coverage rounds
+      "asn", "szb", "agx", // q279 split leakage
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds
