@@ -59,16 +59,20 @@ object Bench {
       val times = Seq.fill(nRuns)(run(name, fn)).filter(_ >= 0)
       name -> (if (times.isEmpty) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Millisecond precision keeps the line ~3x shorter than raw double
+    // repr: a tail-capture that only keeps the last N bytes of the log has
+    // truncated the full-precision line mid-stream four rounds running
+    // (BENCH_r5–r8 all recorded "parsed": null).
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // Also write the line to a FILE: sbt log noise surrounds stdout, and a
-    // driver that only tails the log can lose the full per-query table
-    // (BENCH_r5/r6 both recorded "parsed": null). SPARK_GRAFT_BENCH_OUT
-    // overrides the default ./BENCH.json.
+    // driver that only tails the log can lose the full per-query table.
+    // SPARK_GRAFT_BENCH_OUT overrides the default ./BENCH.json.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -76,5 +80,8 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
+    // Re-print as the FINAL stdout line (after Spark's shutdown chatter) so
+    // a tail-capture of any reasonable size lands on a complete copy.
+    println(json)
   }
 }

@@ -419,8 +419,13 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     val szA = broadcast(ids.groupBy(col(idCol).as("id_a")).agg(count(lit(1)).as("sz_a")))
     val szB = broadcast(ids.groupBy(col(idCol).as("id_b")).agg(count(lit(1)).as("sz_b")))
-    pairs
-      .join(inter, Seq("id_a", "id_b"), "left")
+    // The final pairs×inter join is LEFT OUTER with pairs preserved: a
+    // broadcast hint on the preserved side cannot build-left and Spark
+    // silently drops it (HintErrorLogger). Hint the build side instead —
+    // `inter` is bounded by the pair count, strictly smaller than the
+    // pair table it grouped from, so it is the correct broadcast side.
+    pairs0
+      .join(broadcast(inter), Seq("id_a", "id_b"), "left")
       .join(szA, "id_a")
       .join(szB, "id_b")
       .select(col("id_a"), col("id_b"),

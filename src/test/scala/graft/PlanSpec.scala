@@ -165,6 +165,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", saved)
   }
 
+  test("containment (q94): pairs×inter left join broadcasts its build side") {
+    // Regression for a silently-dropped hint: broadcast() on the PRESERVED
+    // side of a left-outer join cannot build-left, so Spark discarded it
+    // (HintErrorLogger warned on every run) and the final pairs×inter join
+    // planned as a shuffle. The hint now sits on `inter` (bounded by the
+    // pair count) — assert the LeftOuter join actually rides a broadcast.
+    val p = plan("q94_containment")
+    val leftOuterBhj = collectAll(p).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter => j
+    }
+    assert(leftOuterBhj.nonEmpty,
+      s"pairs LEFT JOIN inter must be a BroadcastHashJoin:\n$p")
+    assert(!p.toString.contains("SortMergeJoin(LeftOuter") &&
+      !p.toString.contains("SortMergeJoin LeftOuter"),
+      s"the left-outer pairs join must not shuffle:\n$p")
+  }
+
   test("decontamination (q116): bench side broadcasts, no pair explosion") {
     val p = plan("q116_decontamination")
     assert(countBroadcasts(p) >= 1, s"bench tids must broadcast:\n$p")
