@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: k CORPUS PASSES (k is small and bounded — this is the
   * honest exact-greedy form; at 100 TB use it on a pre-filtered
-  * candidate pool, or the stochastic-greedy variant, both documented
-  * here rather than silently approximated). Per round: one
+  * candidate pool, or [[stochasticGreedySelect]], the shipped
+  * Mirzasoleiman et al. 2015 relaxation). Per round: one
   * tokenize+distinct aggregate with the SEEN vocabulary anti-joined
   * via broadcast (seen ≤ k·doc-vocab tokens — bounded by the
   * selection, not the corpus), one combinable struct-max argmax, and a
@@ -32,7 +32,37 @@ import org.apache.spark.sql.functions._
 object Coverage {
 
   def greedySelect(df: DataFrame, idCol: String, textCol: String,
-                   k: Int): DataFrame = {
+                   k: Int): DataFrame =
+    select(df, idCol, textCol, k, samplePct = 100)
+
+  /** Stochastic greedy (Mirzasoleiman et al. 2015, "Lazier Than Lazy
+    * Greedy"): each round evaluates gains on a SUBSAMPLE of the
+    * remaining candidates and picks the subsample argmax. With a
+    * uniform sample of size s = (n/k)·ln(1/ε) per round, expected
+    * coverage is within (1 − 1/e − ε) of optimal — here the sample is
+    * a per-round share `samplePct` of the pool, so s ≈ samplePct·n/100
+    * and the bound's ε = exp(−k·samplePct/100) (e.g. k=5, 40% →
+    * ε ≈ e^−2 ≈ 0.14). This is the 100 TB path: the per-round pass
+    * touches only the gated fraction of the corpus, and gains for the
+    * rest are never computed.
+    *
+    * Engine-replayable determinism (the q98 house rule): the subsample
+    * is HASH-GATED, not RNG-sampled — round r admits ids with
+    * ((id·1000003 + r·999983 + 17) mod 1000000007) mod 100 < samplePct,
+    * so re-runs, repartitioning, and the DuckDB oracle all see the
+    * identical pool. A round whose gated pool is empty picks nothing
+    * (both engines agree by construction); size samplePct so the
+    * expected pool ≥ 1 at the corpus floor.
+    */
+  def stochasticGreedySelect(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, samplePct: Int): DataFrame = {
+    require(samplePct >= 1 && samplePct < 100,
+      s"samplePct must be in [1, 100) — at 100 use greedySelect, got $samplePct")
+    select(df, idCol, textCol, k, samplePct)
+  }
+
+  private def select(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, samplePct: Int): DataFrame = {
     require(k >= 1 && k <= 64,
       s"k must be in [1, 64] (each round is a corpus pass), got $k")
     val spark = df.sparkSession
@@ -44,14 +74,19 @@ object Coverage {
       .filter(col("__tok") =!= "")
       .distinct()
       .localCheckpoint() // k rounds re-read it; tokenize once
+    // Portable per-round subsample gate (identity when samplePct = 100).
+    def gate(r: Int) =
+      if (samplePct >= 100) lit(true)
+      else ((col("__id") * 1000003L + lit(r.toLong) * 999983L + 17L)
+        % 1000000007L) % 100L < samplePct
     var seen = Set.empty[String]
     var picked = List.empty[(Long, Long, Long, Long)]
     var pickedIds = Set.empty[Long]
     for (r <- 1 to k) {
       val seenDf = seen.toSeq.toDF("__tok")
       val cand =
-        if (pickedIds.isEmpty) toks
-        else toks.filter(!col("__id").isin(pickedIds.toSeq: _*))
+        if (pickedIds.isEmpty) toks.filter(gate(r))
+        else toks.filter(gate(r) && !col("__id").isin(pickedIds.toSeq: _*))
       val gains = cand
         .join(broadcast(seenDf), Seq("__tok"), "left_anti")
         .groupBy(col("__id")).agg(count(lit(1)).as("__gain"))
@@ -59,7 +94,7 @@ object Coverage {
       // exceed the coverage frontier (deterministic smallest-id pick)
       val all = df.filter(col(idCol).isNotNull)
         .select(col(idCol).cast("long").as("__id")).distinct()
-        .filter(!col("__id").isin(pickedIds.toSeq: _*))
+        .filter(gate(r) && !col("__id").isin(pickedIds.toSeq: _*))
         .join(gains, Seq("__id"), "left")
         .select(col("__id"), coalesce(col("__gain"), lit(0L)).as("__gain"))
       val win = all

@@ -696,6 +696,19 @@ object TextQueries extends QueryGroup {
         Tables.documents(s, d), "doc_id", "text", k = 5)
     },
 
+    "q280_stochastic_coverage" -> { (s, d) =>
+      // The 100 TB relaxation of q278 (Mirzasoleiman 2015 stochastic
+      // greedy): each round evaluates gains only on a 40% HASH-GATED
+      // subsample of the remaining pool (the q98 portable gate keyed by
+      // round, engine-replayable), picks the subsample argmax. Expected
+      // coverage within (1 − 1/e − ε) of optimal, ε = exp(−k·pct/100)
+      // ≈ 0.14 here; per-round cost drops to the gated fraction. Same
+      // output contract as q278; CoverageSpec pins the quality ratio
+      // against exact greedy on a fixture.
+      graft.operators.Coverage.stochasticGreedySelect(
+        Tables.documents(s, d), "doc_id", "text", k = 5, samplePct = 40)
+    },
+
     "q271_quantile_normalize" -> { (s, d) =>
       // Cross-source quantile normalization (B100): map each source's
       // token-count distribution onto the GLOBAL one — after it, a
@@ -1347,19 +1360,24 @@ object TextQueries extends QueryGroup {
       FROM ($union) ORDER BY merge_rank"""
   }
 
-  /** q278 oracle: the greedy coverage rounds unrolled as MATERIALIZED
+  /** q278/q280 oracle: the greedy coverage rounds unrolled as MATERIALIZED
     * CTEs (the q217/q275 pattern): per round, gains against the
     * accumulated seen vocabulary, argmax by (gain DESC, id), seen set
     * unioned forward. A drift in any round's pick or gain hash-fails.
+    * With samplePct < 100 the per-round pool additionally passes the
+    * portable round-keyed hash gate — the q280 stochastic form.
     */
-  private def coverageSql(k: Int): String = {
+  private def coverageSql(k: Int, samplePct: Int = 100): String = {
     val rounds = (1 to k).map { r =>
       val notSeen =
         if (r == 1) "" else s"WHERE tok NOT IN (SELECT tok FROM s${r - 1})"
+      val gateConds =
+        (if (samplePct < 100)
+          Seq(s"(ids.id * 1000003 + $r * 999983 + 17) % 1000000007 % 100 < $samplePct")
+        else Seq.empty[String]) ++
+          (1 until r).map(i => s"ids.id NOT IN (SELECT id FROM w$i)")
       val notPicked =
-        if (r == 1) ""
-        else "WHERE " + (1 until r)
-          .map(i => s"ids.id NOT IN (SELECT id FROM w$i)").mkString(" AND ")
+        if (gateConds.isEmpty) "" else "WHERE " + gateConds.mkString(" AND ")
       val seenUnion =
         if (r == 1) s"SELECT tok FROM toks JOIN w1 ON toks.id = w1.id"
         else s"SELECT tok FROM s${r - 1} UNION " +
@@ -1397,6 +1415,7 @@ object TextQueries extends QueryGroup {
 
   val oracle: Map[String, String] = Map(
     "q278_greedy_coverage" -> coverageSql(5),
+    "q280_stochastic_coverage" -> coverageSql(5, samplePct = 40),
 
     "q220_script_mix" -> """
       WITH cps AS (
