@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -43,6 +44,31 @@ class SetJoinSpec extends SparkSpec {
       3L -> Set(5L, 6L))
     val got = runJoin(sets, 1000000L)
     assert(got == Map((1L, 2L) -> 1000000L))
+  }
+
+  test("adaptive 2-token prefix: candidates shrink on a template-dense corpus, losslessly") {
+    // Template-dense regime: every record draws from one shared
+    // medium-size vocabulary (no unique tokens), so document
+    // frequencies are flat and the rarest-first prefix can't isolate —
+    // random pairs share exactly one prefix element and flood the
+    // classical candidate set. The ℓ=2 count filter must cut them
+    // while the final result stays brute-exact.
+    val rnd = new scala.util.Random(7)
+    val sets = (1L to 50L).map { i =>
+      val toks = scala.collection.mutable.Set.empty[Long]
+      while (toks.size < 10) toks += (rnd.nextInt(60) + 100).toLong
+      i -> toks.toSet
+    }.toMap
+    val tau = 600000L // prefix = 5 rarest (+1 extended)
+    val ids = sets.toSeq.flatMap { case (id, es) => es.map(id -> _) }
+      .toDF("id", "elem")
+    val sizes = ids.groupBy(col("id")).agg(count(lit(1)).as("__sz"))
+    val c1 = SetJoin.candidatePairs(ids, sizes, "id", "elem", tau, ell = 1)
+      .count()
+    val c2 = SetJoin.candidatePairs(ids, sizes, "id", "elem", tau, ell = 2)
+      .count()
+    assert(c2 < c1, s"ell=2 must tighten: $c2 vs $c1")
+    assert(runJoin(sets, tau) == brute(sets, tau))
   }
 
   test("property: lossless vs brute force across thresholds and corpora") {
