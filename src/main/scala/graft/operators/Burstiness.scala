@@ -33,7 +33,6 @@ object Burstiness {
     */
   def interArrivalCv2(df: DataFrame, entityCol: String, groupCol: String,
                       tsCol: String, tieCol: String): DataFrame = {
-    val dec = "decimal(38,0)"
     val w = Window.partitionBy(col(entityCol), col(groupCol))
       .orderBy(col(tsCol), col(tieCol))
     val gaps = df
@@ -43,10 +42,22 @@ object Burstiness {
       .withColumn("__g",
         unix_micros(col(tsCol)) - lag(unix_micros(col(tsCol)), 1).over(w))
       .filter(col("__g").isNotNull)
+    cv2FromGaps(gaps, groupCol, "__g")
+  }
+
+  /** The per-group CV² rollup over an already-extracted gap table —
+    * shared by the batch operator above and the ingest twin's parity
+    * contract ([[graft.streaming.BurstinessStream]] emits exactly this
+    * gap table incrementally, so batch == stream reduces to the gap
+    * multiset matching).
+    */
+  def cv2FromGaps(gaps: DataFrame, groupCol: String,
+                  gapCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
     gaps.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_gaps"),
-        sum(col("__g")).as("__sg"),
-        sum(expr(s"CAST(__g AS $dec) * __g")).as("__sg2"))
+        sum(col(gapCol)).as("__sg"),
+        sum(expr(s"CAST($gapCol AS $dec) * $gapCol")).as("__sg2"))
       .select(col(groupCol),
         col("n_gaps"),
         expr("__sg div n_gaps").as("mean_gap_micros"),

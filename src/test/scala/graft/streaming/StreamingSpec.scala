@@ -2912,4 +2912,82 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("streaming burstiness: gap extraction matches batch CV² incl. shuffled arrival and batch splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(String, String, Long, Long)]
+      val q = BurstinessStream.gaps(input.toDS())
+        .writeStream.format("memory").queryName("burst_stream")
+        .outputMode("append").start()
+      // events: (entity, group, tsMicros, tie) — two entities in group g,
+      // one in h; same-instant repeats give legitimate 0 gaps
+      val events = Seq(
+        ("u1", "g", 1000000L, 1L), ("u1", "g", 4000000L, 2L),
+        ("u1", "g", 4000000L, 3L), ("u1", "g", 10000000L, 4L),
+        ("u2", "g", 2000000L, 5L), ("u2", "g", 3000000L, 6L),
+        ("u3", "h", 7000000L, 7L)) // single event -> no gap
+      try {
+        // batch 1 shuffled within itself; batch 2 continues u1/u2
+        input.addData(events.take(4).reverse: _*)
+        q.processAllAvailable()
+        input.addData(events.drop(4): _*)
+        q.processAllAvailable()
+        val gapRows = spark.table("burst_stream")
+          .toDF("entity", "grp", "ts", "gap")
+        // batch reference over the SAME events through the operator
+        val batch = graft.operators.Burstiness.interArrivalCv2(
+          events.toDF("entity", "grp", "ts_us", "tie")
+            .withColumn("ts", timestamp_micros(col("ts_us"))),
+          "entity", "grp", "ts", "tie")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+        val stream = graft.operators.Burstiness.cv2FromGaps(
+            gapRows, "grp", "gap")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+        // group h has one event -> no gaps -> absent from both rollups
+        assert(batch.keySet == Set("g") && stream == batch,
+          s"batch $batch vs stream $stream")
+        // hand check: u1 gaps 3s,0s,6s + u2 gap 1s -> n=4, mean=2.5s,
+        // cv2 = 1000*(4*46e12 - 1e13*1e1... ) -> compare via formula
+        assert(stream("g")._1 == 4L && stream("g")._2 == 2500000L)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming burstiness: last-timestamp state survives a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_burst").toString
+      val input = MemoryStream[(String, String, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Long)]
+      def start() = BurstinessStream.gaps(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, String, Long, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("u1", "g", 1000000L, 1L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData(("u1", "g", 5000000L, 2L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        // a reset would emit no gap (no predecessor); the restored
+        // last-ts makes the 4s gap
+        assert(got == List(("u1", "g", 5000000L, 4000000L)),
+          s"state must survive the restart: $got")
+      } finally q2.stop()
+    }
+  }
 }
