@@ -232,6 +232,57 @@ object Graphs {
       .limit(k)
   }
 
+  /** Sampled per-vertex clustering top-k — the DOULION scale path for
+    * [[localClusteringTopK]] (the census has [[triangleEstimate]]; this
+    * is the per-vertex form, the #1 exact-cost row of the graph
+    * family): sparsify the canonical edges with the SAME deterministic
+    * pair-hash coin (keep 1/pInv), enumerate wedges and count each
+    * vertex's triangles EXACTLY on the sparsified graph, scale the
+    * per-vertex count by pInv³ — while the DEGREE in the cc
+    * denominator stays exact (one cheap aggregate over the full edge
+    * set; a sampled denominator would square the estimator's variance
+    * for nothing). est_cc_ppm = 2·t̂_v·pInv³·1e6 div (d_v·(d_v−1)).
+    *
+    * Wedge-join cost drops ≈ pInv² versus exact; per-vertex estimates
+    * are noisier than the census's global sum (a vertex's surviving
+    * triangle count is small), so this ranks REGIONS of high clustering
+    * rather than resolving individual near-ties — the audit-triage
+    * contract, with the exact form one click deeper. Replayable: the
+    * hash coin means both engines sample the identical subgraph, so the
+    * oracle hash-matches (the q236 pattern).
+    *
+    * Output: top `k` of (vertex, degree — exact, sampled_triangles,
+    * est_triangles, est_cc_ppm), ordered (est_cc_ppm desc, vertex asc),
+    * among vertices with exact degree ≥ `minDegree`.
+    */
+  def localClusteringEstimate(edges: DataFrame, srcCol: String,
+                              dstCol: String, k: Int, pInv: Int,
+                              minDegree: Long = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(pInv >= 1, s"pInv must be >= 1, got $pInv")
+    require(minDegree >= 2, s"minDegree must be >= 2 (cc needs a pair), " +
+      s"got $minDegree")
+    val canon = canonical(edges, srcCol, dstCol)
+    val deg = degrees(canon) // exact denominator
+    val kept = canon.filter(
+      pmod(col("__a") * 1000003L + col("__b") * 7919L + 17L,
+        lit(1000000007L)) % pInv === 0).localCheckpoint()
+    val tris = wedgeRows(kept, degrees(kept)).join(kept, Seq("__a", "__b"))
+    val perVertex = tris
+      .select(explode(array(col("__u"), col("__a"), col("__b"))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__t"))
+    val p3 = pInv.toLong * pInv * pInv
+    deg.filter(col("__d") >= minDegree)
+      .join(perVertex, Seq("__v"), "left")
+      .select(col("__v").as("vertex"), col("__d").as("degree"),
+        coalesce(col("__t"), lit(0L)).as("sampled_triangles"),
+        (coalesce(col("__t"), lit(0L)) * p3).as("est_triangles"),
+        expr(s"(CAST(coalesce(__t, 0) AS $dec) * 2000000 * ${p3}L)" +
+          " div (__d * (__d - 1))").cast("long").as("est_cc_ppm"))
+      .orderBy(col("est_cc_ppm").desc, col("vertex").asc)
+      .limit(k)
+  }
+
   /** Sampled triangle estimate — DOULION (Tsourakakis, Kang & Faloutsos
     * 2009): keep each canonical edge with probability 1/pInv, count
     * triangles EXACTLY on the sparsified graph, scale by pInv³ (a

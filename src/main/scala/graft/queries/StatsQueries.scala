@@ -412,6 +412,27 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q281_sampled_local_clustering" -> { (s, d) =>
+      // The DOULION scale twin of q240 (the #1 exact-cost graph row):
+      // per-vertex clustering estimated on the 1/4-sparsified
+      // co-purchase graph (deterministic pair-hash coin, the q236
+      // contract) — wedge join ~16x cheaper, per-vertex triangles
+      // scaled by 4^3, the cc DENOMINATOR degree kept exact. Both
+      // engines sample the identical subgraph, so the oracle is a hash
+      // match, not a tolerance band.
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.localClusteringEstimate(
+          edges, "src", "dst", k = 50, pInv = 4)
+        .select(col("vertex").as("part"), col("degree"),
+          col("sampled_triangles"), col("est_triangles"),
+          col("est_cc_ppm"))
+    },
+
     "q249_version_occupancy" -> { (s, d) =>
       // Sweep-line concurrency curve over the q231 SCD2 intervals: how
       // many user versions were OPEN at each hour — capacity/occupancy
@@ -1131,6 +1152,37 @@ object StatsQueries extends QueryGroup {
       FROM dg LEFT JOIN pv ON pv.v = dg.v
       WHERE d >= 2
       ORDER BY local_cc_ppm DESC, part LIMIT 50""",
+
+    "q281_sampled_local_clustering" -> """
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      ek AS MATERIALIZED (
+        SELECT a, b FROM e
+        WHERE (a * 1000003 + b * 7919 + 17) % 1000000007 % 4 = 0),
+      dg AS MATERIALIZED (
+        SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1),
+      t AS MATERIALIZED (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM ek e1 JOIN ek e2 ON e2.a = e1.b
+          JOIN ek e3 ON e3.a = e1.a AND e3.b = e2.b),
+      pv AS (
+        SELECT v, CAST(count(*) AS BIGINT) AS nt FROM (
+          SELECT x AS v FROM t UNION ALL SELECT y AS v FROM t
+          UNION ALL SELECT z AS v FROM t)
+        GROUP BY 1)
+      SELECT dg.v AS part, d AS degree,
+        coalesce(nt, 0) AS sampled_triangles,
+        coalesce(nt, 0) * 64 AS est_triangles,
+        CAST((CAST(coalesce(nt, 0) AS HUGEINT) * 2000000 * 64)
+          // (d * (d - 1)) AS BIGINT) AS est_cc_ppm
+      FROM dg LEFT JOIN pv ON pv.v = dg.v
+      WHERE d >= 2
+      ORDER BY est_cc_ppm DESC, part LIMIT 50""",
 
     "q241_time_weighted_avg" -> """
       WITH b AS (

@@ -123,6 +123,49 @@ class GraphsSpec extends SparkSpec {
     }
   }
 
+  test("localClusteringEstimate pInv=1 reduces to the exact per-vertex form") {
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L))
+    val exact = Graphs.localClusteringTopK(es.toDF("s", "t"), "s", "t", 10)
+      .collect().map(r => (r.getAs[Long]("vertex"), r.getAs[Long]("degree"),
+        r.getAs[Long]("n_triangles"), r.getAs[Long]("local_cc_ppm"))).toSeq
+    val est = Graphs.localClusteringEstimate(
+        es.toDF("s", "t"), "s", "t", k = 10, pInv = 1)
+      .collect().map(r => (r.getAs[Long]("vertex"), r.getAs[Long]("degree"),
+        r.getAs[Long]("sampled_triangles"), r.getAs[Long]("est_cc_ppm")))
+      .toSeq
+    assert(est == exact)
+  }
+
+  test("localClusteringEstimate: exact degrees, kept-subgraph triangles scaled pInv³") {
+    // bigger random graph so the 1/2 coin keeps some edges; reference
+    // recomputes the sampled count on the JVM from the same hash gate
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L)))
+    val raw = gen.apply(Gen.Parameters.default, Seed(211L)).get
+    val es = raw.filter(e => e._1 != e._2)
+      .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+    val kept = es.filter { case (a, b) =>
+      (a * 1000003L + b * 7919L + 17L) % 1000000007L % 2 == 0 }.toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).distinct
+    val deg = vs.map(v => v -> es.count(e => e._1 == v || e._2 == v)).toMap
+    val triPerV = vs.map { v =>
+      val nbrs = kept.toSeq.collect { case (a, b) if a == v => b
+                                      case (a, b) if b == v => a }
+      v -> nbrs.combinations(2).count { case Seq(p, q) =>
+        kept((p min q, p max q)) }
+    }.toMap
+    val ref = vs.filter(deg(_) >= 2).map { v =>
+      (v, deg(v).toLong, triPerV(v).toLong, 8L * triPerV(v),
+        2000000L * 8L * triPerV(v) / (deg(v).toLong * (deg(v) - 1)))
+    }.sortBy(r => (-r._5, r._1))
+    val got = Graphs.localClusteringEstimate(
+        es.toDF("s", "t"), "s", "t", k = 100, pInv = 2)
+      .collect().map(r => (r.getAs[Long]("vertex"), r.getAs[Long]("degree"),
+        r.getAs[Long]("sampled_triangles"), r.getAs[Long]("est_triangles"),
+        r.getAs[Long]("est_cc_ppm"))).toSeq
+    assert(got == ref, s"edges: $es")
+  }
+
   test("kCore: peels to the unique maximal subgraph; cascades handled") {
     // K4 on 1-4 plus a pendant chain 4-5-6: 2-core = the K4 (5 peels
     // first, then 6... actually 6 peels first, then 5 — cascade).
