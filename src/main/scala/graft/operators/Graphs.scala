@@ -325,6 +325,54 @@ object Graphs {
             .cast("long")).as("est_cc_ppm"))
   }
 
+  /** Label-propagation communities (Raghavan et al. 2007), the
+    * COMMUNITY-detection member of the graph family: connected
+    * components (q76) find what hangs together at all, the k-core
+    * (q237) extracts the dense part, LPA partitions the graph into
+    * label-coherent neighborhoods — near-dup "topics", co-purchase
+    * categories — without a density threshold.
+    *
+    * Deterministic synchronous form (both engines replay it): labels
+    * start as vertex ids; each iteration EVERY vertex simultaneously
+    * adopts the most frequent label among its neighbors, ties to the
+    * SMALLEST label. A fixed iteration count replaces the classic
+    * random-order convergence test — synchronous LPA can oscillate on
+    * bipartite structures, so the contract is "the labeling after k
+    * rounds", exactly unrolled by the oracle (the q256/q275 rule: no
+    * RNG, no convergence race).
+    *
+    * Scale shape per iteration: two edge-co-partitioned joins against
+    * the vertex-bounded label table (localCheckpoint'ed so plans stay
+    * linear in iters), one (vertex, label) count aggregate, one
+    * combinable struct-max argmax. The q119 PageRank / q270 HITS cost
+    * class; edges checkpointed once.
+    *
+    * Output: (vertex, community) for every non-isolated vertex.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 16,
+      s"iters must be in [1, 16] (each is two edge joins), got $iters")
+    val canon = canonical(edges, srcCol, dstCol)
+    var labels = degrees(canon).select(col("__v"), col("__v").as("__l"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val nb = canon
+        .join(labels.select(col("__v").as("__b"), col("__l")), "__b")
+        .select(col("__a").as("__v"), col("__l"))
+        .unionAll(canon
+          .join(labels.select(col("__v").as("__a"), col("__l")), "__a")
+          .select(col("__b").as("__v"), col("__l")))
+      labels = nb.groupBy(col("__v"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__v"))
+        .agg(max(struct(col("__c"), (-col("__l")).as("__nl"))).as("__w"))
+        .select(col("__v"), (-col("__w.__nl")).as("__l"))
+        .localCheckpoint()
+    }
+    labels.select(col("__v").as("vertex"), col("__l").as("community"))
+  }
+
   /** HITS hubs and authorities (Kleinberg 1999) over a DIRECTED edge
     * list — the question PageRank's single score can't separate: in a
     * bipartite-ish graph (buyers→suppliers, pages→cited sources), who

@@ -412,6 +412,24 @@ object StatsQueries extends QueryGroup {
           col("n_triangles"), col("local_cc_ppm"))
     },
 
+    "q282_label_propagation" -> { (s, d) =>
+      // Community detection on the co-purchase graph (B109, Raghavan
+      // 2007 LPA): CC finds connectivity, k-core density — LPA
+      // partitions into label-coherent neighborhoods (the co-purchase
+      // "categories"). Deterministic synchronous form: 3 unrolled
+      // iterations, most-frequent neighbor label, ties to the smallest
+      // — the oracle replays every round (q256/q275 rule).
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.labelPropagation(edges, "src", "dst", iters = 3)
+        .select(col("vertex").as("part"), col("community"))
+        .orderBy(col("part"))
+    },
+
     "q281_sampled_local_clustering" -> { (s, d) =>
       // The DOULION scale twin of q240 (the #1 exact-cost graph row):
       // per-vertex clustering estimated on the 1/4-sparsified
@@ -1152,6 +1170,32 @@ object StatsQueries extends QueryGroup {
       FROM dg LEFT JOIN pv ON pv.v = dg.v
       WHERE d >= 2
       ORDER BY local_cc_ppm DESC, part LIMIT 50""",
+
+    "q282_label_propagation" -> ("""
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      lp0 AS MATERIALIZED (
+        SELECT v, v AS l FROM (
+          SELECT a AS v FROM e UNION SELECT b AS v FROM e))""" +
+      (1 to 3).map { i =>
+        s""",
+      nb$i AS (
+        SELECT e.a AS v, l.l AS l FROM e JOIN lp${i - 1} l ON l.v = e.b
+        UNION ALL
+        SELECT e.b AS v, l.l AS l FROM e JOIN lp${i - 1} l ON l.v = e.a),
+      lc$i AS (
+        SELECT v, l, count(*) AS c FROM nb$i GROUP BY 1, 2),
+      lp$i AS MATERIALIZED (
+        SELECT v, l FROM (
+          SELECT v, l, row_number() OVER (
+            PARTITION BY v ORDER BY c DESC, l) AS rn FROM lc$i)
+        WHERE rn = 1)"""
+      }.mkString + """
+      SELECT v AS part, CAST(l AS BIGINT) AS community
+      FROM lp3 ORDER BY part"""),
 
     "q281_sampled_local_clustering" -> """
       WITH op AS MATERIALIZED (

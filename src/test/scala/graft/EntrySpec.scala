@@ -132,6 +132,8 @@ class EntrySpec extends SparkSpec {
       "pr0", "sd", "ns", "rst", // q275 personalized PageRank
       "g3", "g5", // q278 greedy-coverage rounds
       "asn", "szb", "agx", // q279 split leakage
+      "lp0", "lp1", "lp2", "lp3", "nb1", "nb2", "nb3",
+      "lc1", "lc2", "lc3", // q282 label-propagation rounds
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -166,6 +166,70 @@ class GraphsSpec extends SparkSpec {
     assert(got == ref, s"edges: $es")
   }
 
+  test("labelPropagation: two cliques split; matches a synchronous JVM replay") {
+    def replay(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nbrs = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2) }
+      var lbl = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        lbl = nbrs.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+          v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      lbl
+    }
+    // K3 on 1-3, K3 on 10-12, bridge 3-10
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L))
+    for (iters <- Seq(1, 3)) {
+      val got = Graphs.labelPropagation(es.toDF("s", "t"), "s", "t", iters)
+        .collect().map(r => r.getAs[Long]("vertex") ->
+          r.getAs[Long]("community")).toMap
+      assert(got == replay(es, iters), s"iters=$iters")
+    }
+    // after 3 rounds the cliques hold two distinct communities
+    val fin = Graphs.labelPropagation(es.toDF("s", "t"), "s", "t", 3)
+      .collect().map(r => r.getAs[Long]("vertex") ->
+        r.getAs[Long]("community")).toMap
+    assert(Set(fin(1L), fin(2L), fin(3L)).size == 1)
+    assert(Set(fin(10L), fin(11L), fin(12L)).size == 1)
+    assert(fin(1L) != fin(10L))
+  }
+
+  test("labelPropagation property: matches the replay on random graphs; repartition-stable") {
+    val gen = Gen.listOfN(40, Gen.zip(Gen.choose(1L, 12L), Gen.choose(1L, 12L)))
+    val cases = (0 until 3).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(307L + i)))
+    def replay(es: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val nbrs = (es ++ es.map(_.swap)).groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2) }
+      var lbl = nbrs.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        lbl = nbrs.map { case (v, ns) =>
+          val counts = ns.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+          v -> counts.toSeq.maxBy { case (l, c) => (c, -l) }._1
+        }
+      }
+      lbl
+    }
+    cases.foreach { raw =>
+      val es = raw.filter(e => e._1 != e._2)
+        .map(e => (e._1 min e._2, e._1 max e._2)).distinct
+      if (es.nonEmpty) {
+        val got = Graphs.labelPropagation(es.toDF("s", "t"), "s", "t", 2)
+          .collect().map(r => r.getAs[Long]("vertex") ->
+            r.getAs[Long]("community")).toMap
+        assert(got == replay(es, 2), s"edges: $es")
+        val shuffled = Graphs.labelPropagation(
+            es.toDF("s", "t").repartition(7), "s", "t", 2)
+          .collect().map(r => r.getAs[Long]("vertex") ->
+            r.getAs[Long]("community")).toMap
+        assert(shuffled == got)
+      }
+    }
+  }
+
   test("kCore: peels to the unique maximal subgraph; cascades handled") {
     // K4 on 1-4 plus a pendant chain 4-5-6: 2-core = the K4 (5 peels
     // first, then 6... actually 6 peels first, then 5 — cascade).
