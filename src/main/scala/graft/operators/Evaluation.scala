@@ -82,4 +82,62 @@ object Evaluation {
           "(CAST(2 AS DECIMAL(38,0)) * __n1 * __n0)").cast("long"))
         .as("auc_ppm"))
   }
+
+  /** Ranked-retrieval quality readout — the RETRIEVAL complement of
+    * [[aucByGroup]] (AUC scores a classifier's global ordering; this
+    * scores a per-query TOP-K list): exact-ppm MRR, precision@k,
+    * recall@k, and AP@k per query, in the integer contract both engines
+    * replay. The eval harness for the ANN family (q41/q42/q66/q74) and
+    * any retrieval-backed curation step — a similarity index is only as
+    * good as what it RANKS first.
+    *
+    * Integer contract (every division truncating, operands
+    * non-negative):
+    *   mrr_ppm      = 1e6 div first_rel_rank          (0 if none in k)
+    *   p_at_k_ppm   = (1e6 · rel_in_k) div k
+    *   recall_ppm   = (1e6 · rel_in_k) div n_rel_total (null if 0 total)
+    *   ap_at_k_ppm  = (Σ_{rel i≤k} (1e6·hits_i) div i) div min(k, total)
+    * where hits_i = relevant results at ranks ≤ i. The per-rank inner
+    * truncation is part of the contract (documented, oracle-replayed).
+    *
+    * Scale shape: `ranked` holds ≤ k rows per query by contract, so the
+    * running-hits window partitions into k-row groups — bounded,
+    * never corpus-sized; the totals join is query-table-sized. One
+    * aggregate to the per-query row.
+    *
+    * @param ranked  (queryCol, rankCol 1..k, relCol boolean) — the
+    *                top-k lists under audit
+    * @param totals  (queryCol, totalCol) — relevant items per query in
+    *                the WHOLE corpus (the recall denominator)
+    */
+  def rankingReport(ranked: DataFrame, queryCol: String, rankCol: String,
+                    relCol: String, totals: DataFrame, totalCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(queryCol)).orderBy(col("__r"))
+    val withHits = ranked
+      .select(col(queryCol), col(rankCol).cast("long").as("__r"),
+        col(relCol).cast("boolean").as("__rel"))
+      .withColumn("__hits",
+        sum(when(col("__rel"), 1L).otherwise(0L)).over(w))
+    val perQuery = withHits.groupBy(col(queryCol))
+      .agg(
+        sum(when(col("__rel"), 1L).otherwise(0L)).as("n_rel_k"),
+        min(when(col("__rel"), col("__r"))).as("first_rel_rank"),
+        sum(when(col("__rel"),
+          expr("(1000000 * __hits) div __r"))).as("__apn"))
+    perQuery
+      .join(totals.select(col(queryCol),
+        col(totalCol).cast("long").as("__tot")), Seq(queryCol), "left")
+      .select(col(queryCol),
+        col("n_rel_k"),
+        col("first_rel_rank"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("mrr_ppm"),
+        expr(s"(1000000 * n_rel_k) div $k").as("p_at_k_ppm"),
+        when(coalesce(col("__tot"), lit(0L)) > 0,
+          expr("(1000000 * n_rel_k) div __tot")).as("recall_at_k_ppm"),
+        when(coalesce(col("__tot"), lit(0L)) > 0,
+          expr(s"coalesce(__apn, 0) div least(CAST($k AS BIGINT), __tot)"))
+          .as("ap_at_k_ppm"))
+  }
 }

@@ -128,6 +128,35 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    "q283_retrieval_eval" -> { (s, d) =>
+      // Ranked-retrieval quality readout (B110): exact-ppm MRR,
+      // precision@10, recall@10, AP@10 per query over the brute-force
+      // cosine ranking, relevance = label match — the eval harness the
+      // ANN family (q41/q42/q66/q74) is tuned against (AUC q224 scores
+      // a global ordering; this scores what a top-k list RANKS first).
+      // All divisions truncating non-negative integers; ties in the
+      // ranking break to the smaller neighbor id (the q41 contract).
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") < 20)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val ranked = Similarity.bruteForceTopK(
+          corpus, queries, "vec_id", "embedding", k = 10)
+        .join(queries.select(col("vec_id").as("query_id"),
+          col("label").as("__ql")), "query_id")
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("label").as("__nl")), "neighbor_id")
+        .select(col("query_id"), col("rank"),
+          (col("__ql") === col("__nl")).as("rel"))
+      val totals = queries
+        .select(col("vec_id").as("query_id"), col("label").as("__ql"))
+        .join(corpus.groupBy(col("label").as("__ql"))
+          .agg(count(lit(1)).as("n_rel")), Seq("__ql"), "left")
+        .select(col("query_id"), coalesce(col("n_rel"), lit(0L)).as("n_rel"))
+      graft.operators.Evaluation.rankingReport(
+          ranked, "query_id", "rank", "rel", totals, "n_rel", k = 10)
+        .orderBy(col("query_id"))
+    },
+
     "q42_ann_lsh" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(col("vec_id") < 10)
@@ -1016,6 +1045,50 @@ object SimilarityQueries extends QueryGroup {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q283_retrieval_eval" -> s"""
+      WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, label
+        FROM embeddings WHERE vec_id < 20),
+      c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+          label
+        FROM embeddings WHERE vec_id >= 20),
+      scored AS (
+        SELECT query_id, neighbor_id, q.label AS ql, c.label AS nl,
+          $CosSql AS cosine
+        FROM c CROSS JOIN q),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS r
+        FROM scored),
+      topk AS (
+        SELECT query_id, r, (ql = nl) AS rel FROM ranked WHERE r <= 10),
+      hits AS (
+        SELECT query_id, r, rel,
+          sum(CASE WHEN rel THEN 1 ELSE 0 END) OVER (
+            PARTITION BY query_id ORDER BY r) AS h
+        FROM topk),
+      pq AS (
+        SELECT query_id,
+          CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_k,
+          min(CASE WHEN rel THEN r END) AS frr,
+          sum(CASE WHEN rel THEN (1000000 * h) // r END) AS apn
+        FROM hits GROUP BY 1),
+      tot AS (
+        SELECT q.query_id, CAST(count(c.neighbor_id) AS BIGINT) AS tot
+        FROM q LEFT JOIN c ON c.label = q.label GROUP BY 1)
+      SELECT pq.query_id, n_rel_k,
+        CAST(frr AS BIGINT) AS first_rel_rank,
+        CAST(coalesce(1000000 // frr, 0) AS BIGINT) AS mrr_ppm,
+        CAST((1000000 * n_rel_k) // 10 AS BIGINT) AS p_at_k_ppm,
+        CASE WHEN tot > 0 THEN CAST((1000000 * n_rel_k) // tot AS BIGINT)
+          END AS recall_at_k_ppm,
+        CASE WHEN tot > 0 THEN
+          CAST(coalesce(apn, 0) // least(10, tot) AS BIGINT)
+          END AS ap_at_k_ppm
+      FROM pq JOIN tot ON tot.query_id = pq.query_id
+      ORDER BY pq.query_id""",
 
     "q42_ann_lsh" -> s"""
       WITH b AS (

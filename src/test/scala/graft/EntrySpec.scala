@@ -134,6 +134,7 @@ class EntrySpec extends SparkSpec {
       "asn", "szb", "agx", // q279 split leakage
       "lp0", "lp1", "lp2", "lp3", "nb1", "nb2", "nb3",
       "lc1", "lc2", "lc3", // q282 label-propagation rounds
+      "topk", "pq", // q283 retrieval-eval stages
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

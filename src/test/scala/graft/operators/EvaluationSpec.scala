@@ -64,4 +64,38 @@ class EvaluationSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_pos") == 1L && out(0).getAs[Long]("n_neg") == 1L)
     assert(out(0).getAs[Long]("auc_ppm") == 1000000L)
   }
+
+  test("rankingReport: hand-computed MRR / P@k / recall / AP@k") {
+    // q1: rel at ranks 2 and 4 of 5, 3 relevant total
+    //   mrr = 1e6 div 2 = 500000; p@5 = 2e6 div 5 = 400000
+    //   recall = 2e6 div 3 = 666666
+    //   apn = (1e6*1) div 2 + (1e6*2) div 4 = 500000 + 500000 = 1000000
+    //   ap = 1000000 div min(5,3) = 333333
+    // q2: no relevant, 0 total -> mrr 0, p 0, recall null, ap null
+    // q3: rel at rank 1, 1 total -> all 1e6
+    val ranked = Seq(
+      (1L, 1, false), (1L, 2, true), (1L, 3, false), (1L, 4, true),
+      (1L, 5, false),
+      (2L, 1, false), (2L, 2, false),
+      (3L, 1, true), (3L, 2, false))
+      .toDF("query_id", "rank", "rel")
+    val totals = Seq((1L, 3L), (2L, 0L), (3L, 1L)).toDF("query_id", "n_rel")
+    val got = Evaluation.rankingReport(
+        ranked, "query_id", "rank", "rel", totals, "n_rel", k = 5)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("mrr_ppm"), r.getAs[Long]("p_at_k_ppm"),
+          Option(r.get(5)), Option(r.get(6))))).toMap
+    assert(got(1L) == ((500000L, 400000L, Some(666666L), Some(333333L))))
+    assert(got(2L) == ((0L, 0L, None, None)))
+    assert(got(3L) == ((1000000L, 200000L, Some(1000000L), Some(1000000L))))
+  }
+
+  test("rankingReport: a query missing from totals gets null recall/ap") {
+    val ranked = Seq((7L, 1, true)).toDF("query_id", "rank", "rel")
+    val totals = Seq.empty[(Long, Long)].toDF("query_id", "n_rel")
+    val r = Evaluation.rankingReport(
+      ranked, "query_id", "rank", "rel", totals, "n_rel", k = 1).collect()(0)
+    assert(r.getAs[Long]("mrr_ppm") == 1000000L)
+    assert(r.isNullAt(5) && r.isNullAt(6))
+  }
 }
