@@ -39,6 +39,77 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
+    * — diversified top-k over a BOUNDED candidate set (an ANN prefetch:
+    * the production shape is bruteForce/ivf top-m, m ≈ 5·k, then MMR
+    * reranks to k). Pure relevance top-k returns near-duplicates of the
+    * best hit; MMR trades relevance against similarity to what is
+    * ALREADY selected:
+    *
+    *   pick_r = argmax  λ·rel_milli − (1e6−λ)·maxsim_milli
+    *
+    * with maxsim_milli = max over selected of floor(cos·1000) (0 before
+    * the first pick, so round 1 is pure relevance — the standard MMR
+    * convention), all integer arithmetic, ties to the smallest id —
+    * both engines replay every round.
+    *
+    * Scale shape: candidates are m rows BY CONTRACT (the prefetch owns
+    * the bound), so each of the k rounds is one combinable struct-max
+    * argmax + one broadcast 1-row join to fold the new pick's
+    * similarity into the running max; the candidate frame is
+    * localCheckpoint'ed per round so plans stay linear in k. NaN
+    * similarities (zero-norm vectors) clamp to −1000 rather than
+    * poisoning the max.
+    *
+    * Output: (rn, id, rel_milli, maxsim_milli, mmr_score) per pick —
+    * maxsim/score as of pick time.
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, vecCol: String,
+                relMilliCol: String, k: Int, lambdaPpm: Long): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    require(lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    var cand = candidates
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+        col(relMilliCol).cast("long").as("__rel"))
+      .filter(col("__id").isNotNull && col("__v").isNotNull &&
+        col("__rel").isNotNull)
+      .withColumn("__maxsim", lit(0L))
+      .localCheckpoint()
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long)]
+    for (r <- 1 to k) {
+      val scored = cand.withColumn("__score",
+        lit(lambdaPpm) * col("__rel") -
+          lit(1000000L - lambdaPpm) * col("__maxsim"))
+      val win = scored
+        .agg(max(struct(col("__score"), (-col("__id")).as("__n"),
+          col("__rel"), col("__maxsim"))).as("__w"))
+        .select(col("__w.__score").as("score"), col("__w.__n").as("negId"),
+          col("__w.__rel").as("rel"), col("__w.__maxsim").as("ms"))
+        .collect()
+      if (win.nonEmpty && !win.head.isNullAt(0)) {
+        val id = -win.head.getAs[Long]("negId")
+        picked += ((r.toLong, id, win.head.getAs[Long]("rel"),
+          win.head.getAs[Long]("ms"), win.head.getAs[Long]("score")))
+        val sel = broadcast(cand.filter(col("__id") === id)
+          .select(col("__v").as("__sv")))
+        cand = cand.filter(col("__id") =!= id)
+          .crossJoin(sel)
+          .withColumn("__sim",
+            floor(nanvl(cosine(col("__v"), col("__sv")), lit(-1.0)) * 1000)
+              .cast("long"))
+          .select(col("__id"), col("__v"), col("__rel"),
+            greatest(col("__maxsim"), col("__sim")).as("__maxsim"))
+          .localCheckpoint()
+      }
+    }
+    picked.toSeq
+      .toDF("rn", "id", "rel_milli", "maxsim_milli", "mmr_score")
+  }
+
   /** Attach a sign-bit LSH bucket column. */
   def withBucket(df: DataFrame, vecCol: String, nBits: Int = 8): DataFrame =
     df.withColumn("bucket", signBucket(col(vecCol), nBits))

@@ -19,6 +19,49 @@ object SimilarityQueries extends QueryGroup {
     """list_dot_product(qv, cv) /
        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"""
 
+  /** q284 oracle: MMR rounds unrolled as MATERIALIZED CTEs (the q278
+    * rule) — per round, integer-milli score λ·rel − (1e6−λ)·maxsim,
+    * argmax by (score DESC, id), the pick's cosine folded into every
+    * survivor's running max.
+    */
+  private def mmrSql(k: Int, m: Int, lambdaPpm: Long): String = {
+    val cosMP = "list_dot_product(m.cv, p.cv) / " +
+      "(sqrt(list_dot_product(m.cv, m.cv)) * sqrt(list_dot_product(p.cv, p.cv)))"
+    val oneMinus = 1000000L - lambdaPpm
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+        SELECT cid, cv, rel, ms, $lambdaPpm * rel - $oneMinus * ms AS sc
+        FROM m${r - 1} ORDER BY sc DESC, cid LIMIT 1),
+      m$r AS MATERIALIZED (
+        SELECT m.cid, m.cv, m.rel,
+          greatest(m.ms, CAST(floor(($cosMP) * 1000) AS BIGINT)) AS ms
+        FROM m${r - 1} m CROSS JOIN p$r p WHERE m.cid <> p.cid)"""
+    }.mkString(",\n      ")
+    val out = (1 to k).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS rn, cid AS cand_id,
+        rel AS rel_milli, ms AS maxsim_milli, sc AS mmr_score FROM p$r"""
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = 0),
+      c AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id >= 20),
+      scored AS (
+        SELECT cid, cv, $CosSql AS cosine FROM c CROSS JOIN q),
+      ranked AS (
+        SELECT *, row_number() OVER (ORDER BY cosine DESC, cid ASC) AS rk
+        FROM scored),
+      m0 AS MATERIALIZED (
+        SELECT cid, cv, CAST(floor(cosine * 1000) AS BIGINT) AS rel,
+          CAST(0 AS BIGINT) AS ms
+        FROM ranked WHERE rk <= $m),
+      $rounds
+      $out
+      ORDER BY rn"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q217_kcenter_select" -> { (s, d) =>
       // Greedy k-center coverage selection (Gonzalez 1985): the 6 most
@@ -126,6 +169,30 @@ object SimilarityQueries extends QueryGroup {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    "q284_mmr_rerank" -> { (s, d) =>
+      // Diversified retrieval (B111, Carbonell 1998 MMR): prefetch the
+      // top-50 by pure cosine (the m ≈ 5k ANN-prefetch shape), then
+      // rerank to 10 trading relevance against similarity to what is
+      // already picked (λ=0.7) — pure top-k returns near-duplicates of
+      // the best hit; MMR surfaces the distinct ones. Integer milli
+      // contract, ties to the smallest id; the oracle unrolls all 10
+      // rounds (q278 rule).
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(col("vec_id") === 0)
+      val corpus = emb.filter(col("vec_id") >= 20)
+      val prefetch = Similarity.bruteForceTopK(
+          corpus, queries, "vec_id", "embedding", k = 50)
+        .join(corpus.select(col("vec_id").as("neighbor_id"),
+          col("embedding")), "neighbor_id")
+        .select(col("neighbor_id").as("cand_id"), col("embedding"),
+          floor(col("cosine") * 1000).cast("long").as("rel_milli"))
+      Similarity.mmrSelect(prefetch, "cand_id", "embedding", "rel_milli",
+          k = 10, lambdaPpm = 700000L)
+        .select(col("rn"), col("id").as("cand_id"), col("rel_milli"),
+          col("maxsim_milli"), col("mmr_score"))
+        .orderBy(col("rn"))
     },
 
     "q283_retrieval_eval" -> { (s, d) =>
@@ -1045,6 +1112,8 @@ object SimilarityQueries extends QueryGroup {
         FROM scored)
       SELECT query_id, rank, neighbor_id, cosine FROM ranked
       WHERE rank <= 5 ORDER BY query_id, rank""",
+
+    "q284_mmr_rerank" -> mmrSql(k = 10, m = 50, lambdaPpm = 700000L),
 
     "q283_retrieval_eval" -> s"""
       WITH q AS (

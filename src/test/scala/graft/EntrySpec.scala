@@ -135,6 +135,8 @@ class EntrySpec extends SparkSpec {
       "lp0", "lp1", "lp2", "lp3", "nb1", "nb2", "nb3",
       "lc1", "lc2", "lc3", // q282 label-propagation rounds
       "topk", "pq", // q283 retrieval-eval stages
+      "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8", "m9",
+      "m10", // q284 MMR rounds
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -647,4 +647,51 @@ class DedupSimilaritySpec extends SparkSpec {
         ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))).toMap
     assert(guarded == cl)
   }
+
+  test("mmrSelect: diversifies a redundant candidate set; matches a JVM replay") {
+    // candidates: two near-identical high-relevance vectors (1, 2), one
+    // orthogonal mid-relevance (3), one opposite low (4). Pure top-2 =
+    // {1, 2}; MMR at λ=0.6 must pick 1 then 3 (2's similarity to 1
+    // kills its margin).
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.0f), 900L), (2L, Seq(0.999f, 0.01f), 890L),
+      (3L, Seq(0.0f, 1.0f), 600L), (4L, Seq(-1.0f, 0.0f), 100L))
+      .toDF("id", "vec", "rel")
+    val got = Similarity.mmrSelect(cands, "id", "vec", "rel",
+        k = 3, lambdaPpm = 600000L)
+      .collect().map(r => (r.getAs[Long]("rn"), r.getAs[Long]("id"),
+        r.getAs[Long]("maxsim_milli"))).toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 2L), s"got $got")
+    // JVM replay of the integer recurrence
+    def cosM(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.floor(dot / (na * nb) * 1000).toLong
+    }
+    val vecs = Map(1L -> Seq(1.0f, 0.0f), 2L -> Seq(0.999f, 0.01f),
+      3L -> Seq(0.0f, 1.0f), 4L -> Seq(-1.0f, 0.0f))
+    val rels = Map(1L -> 900L, 2L -> 890L, 3L -> 600L, 4L -> 100L)
+    var remaining = vecs.keySet
+    var maxsim = vecs.keys.map(_ -> 0L).toMap
+    got.foreach { case (_, id, ms) =>
+      val best = remaining.toSeq
+        .map(i => (600000L * rels(i) - 400000L * maxsim(i), -i, i))
+        .max
+      assert(best._3 == id && maxsim(id) == ms)
+      remaining -= id
+      maxsim = maxsim.map { case (i, m) =>
+        i -> (if (remaining(i)) m.max(cosM(vecs(i), vecs(id))) else m) }
+    }
+  }
+
+  test("mmrSelect: lambda=1e6 reduces to pure relevance order") {
+    val cands = Seq(
+      (5L, Seq(1.0f, 0.0f), 300L), (6L, Seq(0.99f, 0.01f), 800L),
+      (7L, Seq(0.0f, 1.0f), 500L)).toDF("id", "vec", "rel")
+    val got = Similarity.mmrSelect(cands, "id", "vec", "rel",
+        k = 3, lambdaPpm = 1000000L)
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(got == Seq(6L, 7L, 5L))
+  }
 }
