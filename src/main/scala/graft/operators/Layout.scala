@@ -80,6 +80,70 @@ object LayoutAudit {
     chunks("__zkey", "zorder").unionByName(chunks("__pid", "linear"))
   }
 
+  /** Zone-map SKIP-RATE readout — the workload half of the skipping
+    * question: [[zOrderReport]] reports the bounding boxes a layout
+    * produces and [[sortednessReport]] how sorted each column already
+    * is; this one answers what the reader actually GETS — for a table
+    * written in `orderCol` order and a probe workload of ranges over
+    * `valueCol`, how many equal-row chunks (files) a min/max-skipping
+    * reader prunes, and the scan amplification left over. The
+    * sort-by-time-probe-by-user anti-pattern becomes a number.
+    *
+    * Chunking is deterministic without a physical row order: rows rank
+    * by (orderCol, valueCol) through the house two-phase bucket cumsum
+    * (no global-order window; rows tied on both are identical in the
+    * aggregated value, so chunk stats are engine-independent — the
+    * zOrderReport pid rule), then cut into `nChunks` equal chunks. A
+    * chunk is skipped for probe [lo, hi] iff its [min, max] misses the
+    * range. Probes are a bounded driver list; per-probe rows assemble
+    * driver-side (the fdStrength shape) from ONE chunk table and ONE
+    * corpus aggregate.
+    *
+    * Output per probe: (probe_lo, probe_hi, n_chunks, skipped_chunks,
+    * skip_ppm, rows_scanned, rows_selected) — rows_scanned is the cost
+    * the reader pays, rows_selected what it wanted.
+    */
+  def skipRateReport(df: DataFrame, orderCol: String, valueCol: String,
+                     probes: Seq[(Long, Long)], nChunks: Int = 64,
+                     bucketWidth: Long = 4096L): DataFrame = {
+    require(probes.nonEmpty, "need at least one probe range")
+    require(nChunks >= 1, s"nChunks must be positive, got $nChunks")
+    val base = df
+      .filter(col(orderCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(orderCol).cast("long").as("__o"),
+        col(valueCol).cast("long").as("__v"))
+      .localCheckpoint(eager = false) // ranked + selected-count consumers
+    val tot = base.agg(count(lit(1)).as("__n"))
+    val ranked = Budget.takeByBudget(
+      base.select(col("__v").as("__id"), (-col("__o")).as("__neg"),
+        lit(1L).as("__one")),
+      "__id", "__neg", "__one", budget = Long.MaxValue, bucketWidth)
+    val chunkTable = ranked.crossJoin(broadcast(tot))
+      .withColumn("__csize", expr(s"(__n + ${nChunks}L - 1L) div ${nChunks}L"))
+      .groupBy(expr("(cum_cost - 1L) div __csize").as("__chunk"))
+      .agg(count(lit(1)).as("__cn"),
+        min(col("__id")).as("__vmin"), max(col("__id")).as("__vmax"))
+      .localCheckpoint() // one probe sweep per probe
+    val selCols = probes.zipWithIndex.map { case ((lo, hi), i) =>
+      sum(when(col("__v") >= lo && col("__v") <= hi, 1L).otherwise(0L))
+        .as(s"__sel$i")
+    }
+    val selected = base.agg(selCols.head, selCols.tail: _*).localCheckpoint()
+    probes.zipWithIndex.map { case ((lo, hi), i) =>
+      chunkTable
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("__vmax") < lo || col("__vmin") > hi, 1L)
+            .otherwise(0L)).as("skipped_chunks"),
+          sum(when(col("__vmax") < lo || col("__vmin") > hi, 0L)
+            .otherwise(col("__cn"))).as("rows_scanned"))
+        .crossJoin(broadcast(selected.select(col(s"__sel$i").as("rows_selected"))))
+        .select(lit(lo).as("probe_lo"), lit(hi).as("probe_hi"),
+          col("n_chunks"), col("skipped_chunks"),
+          expr("(skipped_chunks * 1000000) div n_chunks").as("skip_ppm"),
+          col("rows_scanned"), col("rows_selected"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sortedness audit — the WRITE-ORDER half of the skipping question
     * [[zOrderReport]] answers for candidate layouts: how sorted is each
     * column under the order rows are ALREADY written in? A column with

@@ -163,6 +163,35 @@ object StatsQueries extends QueryGroup {
         .orderBy(col("col_name"))
     },
 
+    "q285_skip_rate" -> { (s, d) =>
+      // Zone-map SKIP-RATE readout (B112): events written in ts order,
+      // probed by (a) time ranges — the layout's own key, most chunks
+      // skipped — and (b) user-id ranges — the sort-by-time /
+      // probe-by-user anti-pattern, ~zero skip. Completes the layout
+      // family: q229 reports the bounding boxes, q252 the write-order
+      // sortedness, this the number the reader actually pays. 64
+      // equal-row chunks off the deterministic two-phase rank.
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      val timeProbes = Seq(
+        (1704844800000000L, 1705017599999999L), // Jan 10-11 UTC
+        (1705276800000000L, 1705881599999999L)) // Jan 15-21 UTC
+      val userProbes = Seq((0L, 9L), (100L, 119L))
+      val byTime = graft.operators.LayoutAudit.skipRateReport(
+          ev, "ts_us", "ts_us", timeProbes, nChunks = 64,
+          bucketWidth = 86400000000L)
+        .withColumn("probe_col", lit("ts"))
+      val byUser = graft.operators.LayoutAudit.skipRateReport(
+          ev, "ts_us", "user_id", userProbes, nChunks = 64,
+          bucketWidth = 86400000000L)
+        .withColumn("probe_col", lit("user_id"))
+      byTime.unionByName(byUser)
+        .select(col("probe_col"), col("probe_lo"), col("probe_hi"),
+          col("n_chunks"), col("skipped_chunks"), col("skip_ppm"),
+          col("rows_scanned"), col("rows_selected"))
+        .orderBy(col("probe_col"), col("probe_lo"))
+    },
+
     "q229_zorder_layout" -> { (s, d) =>
       // Write-side layout audit: Z-order vs lexicographic clustering of
       // lineitem on (l_partkey, l_suppkey), reported as the per-chunk
@@ -573,6 +602,52 @@ object StatsQueries extends QueryGroup {
     * MATERIALIZED CTEs (the q217/q270 pattern — every iteration's
     * argmax-free arithmetic replayed; a drift in any round hash-fails).
     */
+  /** q285 oracle: chunk the (o, v) rank order into 64 equal chunks,
+    * min/max per chunk, one output row per probe (skip decision on the
+    * chunk table + exact selected count on the row table).
+    */
+  private def skipRateSql: String = {
+    def variant(label: String, valueExpr: String, extraFilter: String,
+                probes: Seq[(Long, Long)]): (String, String) = {
+      val ctes = s"""
+      ev_$label AS MATERIALIZED (
+        SELECT epoch_us(ts) AS o, $valueExpr AS v FROM events
+        WHERE ts IS NOT NULL$extraFilter),
+      nn_$label AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev_$label),
+      ch_$label AS MATERIALIZED (
+        SELECT (rn - 1) // ((n + 63) // 64) AS chunk,
+          CAST(count(*) AS BIGINT) AS cn, min(v) AS vmin, max(v) AS vmax
+        FROM (SELECT v, row_number() OVER (ORDER BY o, v) AS rn
+              FROM ev_$label)
+        CROSS JOIN nn_$label GROUP BY 1)"""
+      val rows = probes.map { case (lo, hi) =>
+        s"""SELECT '$label' AS probe_col, CAST($lo AS BIGINT) AS probe_lo,
+          CAST($hi AS BIGINT) AS probe_hi,
+          CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
+            THEN 1 END), 0) AS BIGINT) AS skipped_chunks,
+          CAST((coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
+            THEN 1 END), 0) * 1000000) // count(*) AS BIGINT) AS skip_ppm,
+          CAST(coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
+            THEN 0 ELSE cn END), 0) AS BIGINT) AS rows_scanned,
+          (SELECT CAST(coalesce(sum(CASE WHEN v >= $lo AND v <= $hi
+            THEN 1 END), 0) AS BIGINT) FROM ev_$label) AS rows_selected
+        FROM ch_$label"""
+      }.mkString("\n      UNION ALL ")
+      (ctes, rows)
+    }
+    val (c1, r1) = variant("ts", "epoch_us(ts)", "",
+      Seq((1704844800000000L, 1705017599999999L),
+        (1705276800000000L, 1705881599999999L)))
+    val (c2, r2) = variant("user_id", "user_id",
+      " AND user_id IS NOT NULL", Seq((0L, 9L), (100L, 119L)))
+    s"""
+      WITH $c1,$c2
+      $r1
+      UNION ALL $r2
+      ORDER BY probe_col, probe_lo"""
+  }
+
   private def pprSql(iters: Int): String = {
     def step(prev: String, cur: String) = s"""
       $cur AS MATERIALIZED (
@@ -860,6 +935,8 @@ object StatsQueries extends QueryGroup {
         cand("CAST(l_extendedprice AS DECIMAL(18,2)) * 100", "price_cents"))
         .mkString(" UNION ALL ") + " ORDER BY col_name"
     },
+
+    "q285_skip_rate" -> skipRateSql,
 
     "q229_zorder_layout" -> s"""
       WITH b AS (

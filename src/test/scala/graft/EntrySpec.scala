@@ -137,6 +137,8 @@ class EntrySpec extends SparkSpec {
       "topk", "pq", // q283 retrieval-eval stages
       "m0", "m1", "m2", "m3", "m4", "m5", "m6", "m7", "m8", "m9",
       "m10", // q284 MMR rounds
+      "ev_ts", "nn_ts", "ch_ts", "ev_user_id", "nn_user_id",
+      "ch_user_id", // q285 skip-rate variants
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

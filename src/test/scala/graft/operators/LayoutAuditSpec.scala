@@ -128,4 +128,25 @@ class LayoutAuditSpec extends SparkSpec {
     val out = sortMap(LayoutAudit.sortednessReport(df, "o", Seq("v"), 4096L))
     assert(out("v") == ((1L, 0L, 1L, None)))
   }
+
+  test("skipRateReport: sorted-by-probe-key skips all but one chunk; scattered key skips none") {
+    def run(rows: Seq[(Long, Long)], probes: Seq[(Long, Long)]) =
+      LayoutAudit.skipRateReport(rows.toDF("o", "v"), "o", "v", probes,
+          nChunks = 8, bucketWidth = 16L)
+        .collect().map(r => (r.getAs[Long]("probe_lo"),
+          r.getAs[Long]("probe_hi")) ->
+          ((r.getAs[Long]("n_chunks"), r.getAs[Long]("skipped_chunks"),
+            r.getAs[Long]("rows_scanned"), r.getAs[Long]("rows_selected"))))
+        .toMap
+    // v tracks the write order: 64 rows in 8 chunks of 8; probe [17,24]
+    // lands wholly inside one chunk, probe [100,200] misses everything
+    val sorted = (1L to 64L).map(i => (i, i))
+    val s = run(sorted, Seq((17L, 24L), (100L, 200L)))
+    assert(s((17L, 24L)) == ((8L, 7L, 8L, 8L)))
+    assert(s((100L, 200L)) == ((8L, 8L, 0L, 0L)))
+    // v cycles mod 8: every chunk spans [0,7], nothing skips
+    val scattered = (1L to 64L).map(i => (i, i % 8))
+    val c = run(scattered, Seq((3L, 3L)))
+    assert(c((3L, 3L)) == ((8L, 0L, 64L, 8L)))
+  }
 }
