@@ -432,6 +432,68 @@ object Dedup {
         coalesce(col("inter"), lit(0L)).as("inter"), col("sz_a"), col("sz_b"))
   }
 
+  /** LSH parameter advisor — measure-first (bands, rowsPerBand) tuning
+    * for the MinHash banding family (the q239 skew-advisor philosophy
+    * applied to q38's knobs): instead of guessing from the textbook
+    * S-curve alone, weight the collision probability
+    * P(s) = 1 − (1 − s^r)^b against the CORPUS'S OWN pair-similarity
+    * histogram, so the advisor reports what each config would actually
+    * do on this data — expected candidate pairs (the verify-join bill),
+    * recall over true pairs (jaccard ≥ τ), and the wasted fraction of
+    * candidates below τ.
+    *
+    * Determinism: similarities bucket to centi-units (floor(j·100),
+    * clamped to 99 so the midpoint stays < 1); the midpoint
+    * s = (bucket + 0.5)/100 and P(s) are DOUBLE but built from literal
+    * left-associated multiplication chains (no pow), so both engines
+    * execute the identical IEEE op sequence; P then floors to ppm and
+    * every sum is integer (order-free). The histogram input is any
+    * (pair, jaccard) table — the caller owns the pair-set bound.
+    *
+    * Scale shape: one bounded histogram aggregate (≤ 100 rows) off the
+    * pair table; each grid config is one select + one aggregate over
+    * that bounded table, assembled driver-side (fdStrength shape).
+    *
+    * Output per config: (bands, rows_per_band, exp_candidates,
+    * recall_ppm — null when no pair reaches τ, waste_ppm — null when
+    * no collisions expected).
+    */
+  def lshParamAdvisor(pairsJaccard: DataFrame, jacCol: String,
+                      grid: Seq[(Int, Int)], tauCenti: Int): DataFrame = {
+    require(grid.nonEmpty, "need at least one (bands, rows) config")
+    require(tauCenti >= 0 && tauCenti <= 99,
+      s"tauCenti must be in [0, 99], got $tauCenti")
+    grid.foreach { case (b, r) =>
+      require(b >= 1 && r >= 1 && b <= 64 && r <= 16,
+        s"config ($b, $r) out of range")
+    }
+    val hist = pairsJaccard
+      .filter(col(jacCol).isNotNull)
+      .select(least(floor(col(jacCol) * 100), lit(99L)).cast("long").as("__jb"))
+      .groupBy(col("__jb")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    grid.map { case (bands, rows) =>
+      val s = (col("__jb").cast("double") + lit(0.5)) / lit(100.0)
+      val sr = Seq.fill(rows)(s).reduce(_ * _)
+      val q = lit(1.0) - sr
+      val qb = Seq.fill(bands)(q).reduce(_ * _)
+      val pPpm = floor((lit(1.0) - qb) * 1000000).cast("long")
+      hist.select(col("__jb"), col("__c"), pPpm.as("__p"))
+        .agg(sum(col("__c") * col("__p")).as("__tot"),
+          sum(when(col("__jb") >= tauCenti, col("__c") * col("__p")))
+            .as("__hi"),
+          sum(when(col("__jb") >= tauCenti, col("__c"))).as("__hc"))
+        .select(lit(bands.toLong).as("bands"),
+          lit(rows.toLong).as("rows_per_band"),
+          expr("coalesce(__tot, 0) div 1000000").as("exp_candidates"),
+          when(coalesce(col("__hc"), lit(0L)) > 0,
+            expr("__hi div __hc")).as("recall_ppm"),
+          when(coalesce(col("__tot"), lit(0L)) > 0,
+            expr("(CAST(__tot - coalesce(__hi, 0) AS DECIMAL(38,0)) " +
+              "* 1000000) div __tot").cast("long")).as("waste_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** End-to-end near-duplicate detection: shingle → MinHash → LSH
     * candidates → exact Jaccard verification → threshold filter. The
     * complete pipeline a training-data dedup pass runs: candidates come

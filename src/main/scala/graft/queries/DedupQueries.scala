@@ -225,6 +225,25 @@ object DedupQueries extends QueryGroup {
         .orderBy(col("id_a"))
     },
 
+    "q286_lsh_advisor" -> { (s, d) =>
+      // LSH parameter advisor (B113): the q239 measure-first philosophy
+      // applied to q38's banding knobs — weight P(s) = 1−(1−s^r)^b
+      // against the corpus's OWN pair-similarity histogram (the q40
+      // consecutive-pair set) and report, per (bands, rows) config, the
+      // expected candidate bill, recall over true pairs (j ≥ 0.4), and
+      // the wasted-candidate fraction. Doubles appear only in literal
+      // multiplication chains (identical IEEE sequence both engines),
+      // then floor to ppm; all sums integer.
+      val docs = Tables.documents(s, d)
+      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text")
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .join(docs.select(col("doc_id").as("id_b")), "id_b")
+      val j = Dedup.jaccard(ids, "doc_id", pairs)
+      Dedup.lshParamAdvisor(j, "jaccard",
+          Seq((2, 4), (4, 2), (4, 4), (8, 2), (16, 1)), tauCenti = 40)
+        .orderBy(col("bands"), col("rows_per_band"))
+    },
+
     "q198_overlap_sketch" -> { (s, d) =>
       // q103's cross-source vocabulary overlap at SKETCH scale — the
       // q181 pattern applied to set INTERSECTION: per-source HLL
@@ -561,6 +580,59 @@ object DedupQueries extends QueryGroup {
           (col("inter").cast("double") / col("sz_b")).as("containment_b"))
         .orderBy(col("id_a"))
     })
+
+  /** q286 oracle: the q40 jaccard table → centi histogram → per-config
+    * expected-candidate/recall/waste rows. P(s) is built from literal
+    * left-associated multiplication chains (no pow) so the IEEE op
+    * sequence matches the Spark operator exactly, then floors to ppm;
+    * all sums integer (HUGEINT on the DuckDB side).
+    */
+  private def lshAdvisorSql(grid: Seq[(Int, Int)], tauCenti: Int): String = {
+    val configs = grid.map { case (bands, rows) =>
+      val sE = "((CAST(jb AS DOUBLE) + 0.5) / 100.0)"
+      val srE = Seq.fill(rows)(sE).mkString("(", " * ", ")")
+      val qE = s"(1.0 - $srE)"
+      val qbE = Seq.fill(bands)(qE).mkString("(", " * ", ")")
+      val pE = s"CAST(floor((1.0 - $qbE) * 1000000) AS BIGINT)"
+      s"""SELECT CAST($bands AS BIGINT) AS bands,
+        CAST($rows AS BIGINT) AS rows_per_band,
+        CAST(coalesce(sum(c * p), 0) // 1000000 AS BIGINT) AS exp_candidates,
+        CASE WHEN coalesce(sum(CASE WHEN jb >= $tauCenti THEN c END), 0) > 0
+          THEN CAST(sum(CASE WHEN jb >= $tauCenti THEN c * p END)
+            // sum(CASE WHEN jb >= $tauCenti THEN c END) AS BIGINT)
+          END AS recall_ppm,
+        CASE WHEN coalesce(sum(c * p), 0) > 0 THEN
+          CAST(((sum(c * p) -
+            coalesce(sum(CASE WHEN jb >= $tauCenti THEN c * p END), 0))
+            * 1000000) // sum(c * p) AS BIGINT)
+          END AS waste_ppm
+      FROM (SELECT jb, c, $pE AS p FROM jh)"""
+    }.mkString("\n      UNION ALL ")
+    s"""$ShingleCte,
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+      inter AS (
+        SELECT p.id_a, p.id_b, count(*) AS inter
+        FROM pairs p
+        JOIN ids ia ON ia.doc_id = p.id_a
+        JOIN ids ib ON ib.doc_id = p.id_b AND ib.tid = ia.tid
+        GROUP BY p.id_a, p.id_b),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM ids GROUP BY doc_id),
+      jtab AS (
+        SELECT CAST(coalesce(i.inter, 0) AS DOUBLE)
+          / (sa.sz + sb.sz - coalesce(i.inter, 0)) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+        JOIN sizes sa ON sa.doc_id = p.id_a
+        JOIN sizes sb ON sb.doc_id = p.id_b),
+      jh AS MATERIALIZED (
+        SELECT least(CAST(floor(jaccard * 100) AS BIGINT), 99) AS jb,
+          CAST(count(*) AS BIGINT) AS c
+        FROM jtab WHERE jaccard IS NOT NULL GROUP BY 1)
+      $configs
+      ORDER BY bands, rows_per_band"""
+  }
 
   /** The 4-band (2 rows/band) band-key union over `sigs` — shared with the
     * end-to-end near-dup oracle in ExtraQueries.
@@ -928,6 +1000,9 @@ object DedupQueries extends QueryGroup {
       JOIN sizes sa ON sa.doc_id = p.id_a
       JOIN sizes sb ON sb.doc_id = p.id_b
       ORDER BY p.id_a""",
+
+    "q286_lsh_advisor" -> lshAdvisorSql(
+      Seq((2, 4), (4, 2), (4, 4), (8, 2), (16, 1)), tauCenti = 40),
 
     "q198_overlap_sketch" -> s"""
       WITH toks AS (SELECT source, string_split(text, ' ') AS l FROM documents),

@@ -139,6 +139,7 @@ class EntrySpec extends SparkSpec {
       "m10", // q284 MMR rounds
       "ev_ts", "nn_ts", "ch_ts", "ev_user_id", "nn_user_id",
       "ch_user_id", // q285 skip-rate variants
+      "jtab", "jh", // q286 LSH-advisor histogram stages
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -685,6 +685,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("lshParamAdvisor: matches a JVM replay; recall rises with bands") {
+    val js = Seq.fill(10)(0.955) ++ Seq.fill(90)(0.055)
+    val df = js.zipWithIndex.map { case (j, i) => (i.toLong, j) }
+      .toDF("pid", "jaccard")
+    val grid = Seq((1, 1), (2, 2), (8, 2))
+    val out = Dedup.lshParamAdvisor(df, "jaccard", grid, tauCenti = 40)
+      .collect().map(r => (r.getAs[Long]("bands"),
+        r.getAs[Long]("rows_per_band")) ->
+        ((r.getAs[Long]("exp_candidates"),
+          Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    def replay(bands: Int, rows: Int) = {
+      val hist = js.groupBy(j => math.min(math.floor(j * 100).toLong, 99L))
+        .map { case (b, xs) => (b, xs.size.toLong) }
+      def pppm(b: Long): Long = {
+        val s = (b.toDouble + 0.5) / 100.0
+        val sr = Seq.fill(rows)(s).reduce(_ * _)
+        val qb = Seq.fill(bands)(1.0 - sr).reduce(_ * _)
+        math.floor((1.0 - qb) * 1000000).toLong
+      }
+      val tot = hist.map { case (b, c) => c * pppm(b) }.sum
+      val hi = hist.filter(_._1 >= 40).map { case (b, c) => c * pppm(b) }.sum
+      val hc = hist.filter(_._1 >= 40).map(_._2).sum
+      (tot / 1000000L, if (hc > 0) Some(hi / hc) else None,
+        if (tot > 0) Some((BigInt(tot - hi) * 1000000 / BigInt(tot)).toLong)
+        else None)
+    }
+    grid.foreach { case (b, r) =>
+      assert(out((b.toLong, r.toLong)) == replay(b, r), s"($b,$r)")
+    }
+    // more bands at fixed rows: collision probability (hence recall) rises
+    assert(out((8L, 2L))._2.get >= out((2L, 2L))._2.get)
+  }
+
   test("mmrSelect: lambda=1e6 reduces to pure relevance order") {
     val cands = Seq(
       (5L, Seq(1.0f, 0.0f), 300L), (6L, Seq(0.99f, 0.01f), 800L),
