@@ -490,4 +490,74 @@ object Graphs {
       .select(col("vertex"), col("rank_fp"),
         coalesce(col("is_seed"), lit(false)).as("is_seed"))
   }
+
+  /** Degree-mixing readout (Newman 2002 "Assortative mixing in
+    * networks") — the one-row SHAPE census that tells you which graph
+    * algorithms will hurt before you run them: degree assortativity
+    * (do hubs attach to hubs, r > 0, or to leaves, r < 0 — router-like
+    * disassortative graphs shatter under hub removal and skew every
+    * per-vertex join), degree CV² (regular ≈ 0 vs scale-free ≫ 1 —
+    * the wedge-volume and salting predictor for q233/q240), plus the
+    * max/mean degree the skew advisor (q239) wants per-key.
+    *
+    * Exactness: over the canonical undirected edge set with both
+    * orientations counted, the Pearson numerator and denominator share
+    * the same variance term (symmetry), so r needs NO sqrt:
+    *
+    *   r = (2E·Sxy − Sx²) / (2E·Sx2 − Sx²)
+    *   Sx = Σ_v d², Sx2 = Σ_v d³ (degree-table aggregates — the stub
+    *   sums collapse onto vertex moments), Sxy = 2·Σ_edges d_a·d_b.
+    *
+    * All integer in DECIMAL(38,0); milli ratios via sign-split
+    * truncating division (both engines floor on the non-negative
+    * magnitude). r is null on degree-regular graphs (zero variance).
+    *
+    * Scale shape: edge canonicalization + one degree aggregate + the
+    * same two vocab-sized endpoint-degree joins every census pays —
+    * but NO wedge enumeration: this is the cheap pre-flight before
+    * q233's Σ outdeg² bill.
+    *
+    * Output (1 row): (n_vertices, n_edges, max_degree,
+    * mean_degree_milli, degree_cv2_milli, assortativity_milli).
+    */
+  def degreeMixing(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    val canon = canonical(edges, srcCol, dstCol)
+    val deg = degrees(canon).localCheckpoint()
+    val vstats = deg.agg(
+      count(lit(1)).cast(dec).as("__v"),
+      max(col("__d")).as("max_degree"),
+      sum(col("__d")).cast(dec).as("__sd"),
+      sum(expr(s"CAST(__d AS $dec) * __d")).as("__sx"),
+      sum(expr(s"CAST(__d AS $dec) * __d * __d")).as("__sx2"))
+    val estats = canon
+      .join(deg.select(col("__v").as("__a"), col("__d").as("__da")), "__a")
+      .join(deg.select(col("__v").as("__b"), col("__d").as("__db")), "__b")
+      .agg(count(lit(1)).cast(dec).as("__e"),
+        sum(expr(s"CAST(__da AS $dec) * __db")).as("__sab"))
+    estats.crossJoin(vstats)
+      .withColumn("__rnum",
+        (lit(4).cast(dec) * col("__e") * col("__sab") -
+          col("__sx") * col("__sx")).cast(dec))
+      .withColumn("__rden",
+        (lit(2).cast(dec) * col("__e") * col("__sx2") -
+          col("__sx") * col("__sx")).cast(dec))
+      .select(
+        col("__v").cast("long").as("n_vertices"),
+        col("__e").cast("long").as("n_edges"),
+        col("max_degree"),
+        expr(s"(CAST(2000 AS $dec) * __e) div __v").cast("long")
+          .as("mean_degree_milli"),
+        when(col("__sd") > 0,
+          expr(s"(CAST(1000 AS $dec) * (__v * __sx - __sd * __sd))" +
+            s" div (__sd * __sd)").cast("long")).as("degree_cv2_milli"),
+        // sign-split truncating milli: floor the NON-NEGATIVE magnitude,
+        // re-apply the sign — identical in both engines regardless of
+        // their negative-integer-division convention.
+        when(col("__rden") > 0,
+          when(col("__rnum") >= 0,
+            expr(s"(CAST(1000 AS $dec) * __rnum) div __rden"))
+            .otherwise(-expr(s"(CAST(1000 AS $dec) * (-__rnum)) div __rden")))
+          .cast("long").as("assortativity_milli"))
+  }
 }

@@ -361,6 +361,52 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_type"))
     },
 
+    "q289_naive_bayes_gate" -> { (s, d) =>
+      // Count-based Naive Bayes baseline (B116, Maron 1961): train the
+      // add-one-smoothed classifier for the purchase label over q272's
+      // feature set ($20 value bin capped at 49, hour-of-day,
+      // day-of-week) on the deterministic 80% hash split and report
+      // the holdout confusion matrix — the number a heavier model must
+      // beat. Train = one counting pass; model = three bounded
+      // contingency tables, broadcast; posteriors cross-multiplied as
+      // identical left-assoc double chains in both engines.
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull)
+        .select(col("event_id"),
+          (col("event_type") === "purchase").as("is_purchase"),
+          least(greatest(expr(
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 2000"),
+            lit(0L)), lit(49L)).as("vbin"),
+          pmod(expr("unix_micros(ts) div 3600000000L"), lit(24L))
+            .as("hod"),
+          pmod(expr("unix_micros(ts) div 86400000000L"), lit(7L))
+            .as("dow"))
+      graft.operators.NaiveBayes.confusionGate(ev, "event_id",
+          "is_purchase", Seq("vbin", "hod", "dow"), trainPermille = 800)
+        .orderBy(col("actual"), col("predicted"))
+    },
+
+    "q287_ewma_chart" -> { (s, d) =>
+      // EWMA control chart (B114, Roberts 1959/Hunter 1986): the
+      // smoothed-deviation monitor between q253's per-tick z-bands
+      // (spike-only) and q218's CUSUM (accumulates forever) — s_t
+      // forgets geometrically, catching sustained 1-2 sigma drift and
+      // re-arming after it. alpha = 1/2 truncated at 8 lags makes the
+      // statistic an exact rational (numerator integer, denominator
+      // 2^(m+1)-1); the 3-sigma alarm cross-multiplies to all-integer
+      // DECIMAL(38,0). Calendar-bounded tick series, one corpus
+      // aggregate.
+      val series = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("tick"))
+        .groupBy("event_type", "tick").agg(count(lit(1)).as("x"))
+      graft.operators.Ewma.controlChart(series, Seq("event_type"),
+          "tick", "x", memory = 8, l = 3)
+        .orderBy(col("event_type"), col("tick"))
+    },
+
     "q274_precedence_census" -> { (s, d) =>
       // Funnel DISCOVERY (B104), the step before q257's declared
       // funnel: for every ordered event-type pair, how many users have
@@ -1366,6 +1412,123 @@ object EventQueries extends QueryGroup {
             "o_custkey", "customer", "c_custkey")}
         ORDER BY fk_name"""
     },
+
+    "q289_naive_bayes_gate" -> """
+      WITH b AS (
+        SELECT event_id AS id, (event_type = 'purchase') AS y,
+          least(greatest(
+            CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2000,
+            0), 49) AS vbin,
+          ((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 + 24)
+            % 24 AS hod,
+          ((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) % 7 + 7)
+            % 7 AS dow
+        FROM events
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+          AND event_type IS NOT NULL AND event_id IS NOT NULL),
+      sp AS (
+        SELECT *, (((id * 1000003 + 17) % 1000000007 + 1000000007)
+          % 1000000007) % 1000 < 800 AS istr
+        FROM b),
+      trn AS (SELECT * FROM sp WHERE istr),
+      ev AS (SELECT * FROM sp WHERE NOT istr),
+      pri AS (
+        SELECT CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n0
+        FROM trn),
+      t0 AS (
+        SELECT vbin,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        FROM trn GROUP BY 1),
+      v0 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM t0),
+      t1 AS (
+        SELECT hod,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        FROM trn GROUP BY 1),
+      v1 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM t1),
+      t2 AS (
+        SELECT dow,
+          CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        FROM trn GROUP BY 1),
+      v2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM t2),
+      sc AS (
+        SELECT e.y AS actual,
+          (CAST(n1 AS DOUBLE)
+            * CAST(coalesce(t0.c1, 0) + 1 AS DOUBLE)
+            * CAST(n0 + v0.v AS DOUBLE)
+            * CAST(coalesce(t1.c1, 0) + 1 AS DOUBLE)
+            * CAST(n0 + v1.v AS DOUBLE)
+            * CAST(coalesce(t2.c1, 0) + 1 AS DOUBLE)
+            * CAST(n0 + v2.v AS DOUBLE))
+          > (CAST(n0 AS DOUBLE)
+            * CAST(coalesce(t0.c0, 0) + 1 AS DOUBLE)
+            * CAST(n1 + v0.v AS DOUBLE)
+            * CAST(coalesce(t1.c0, 0) + 1 AS DOUBLE)
+            * CAST(n1 + v1.v AS DOUBLE)
+            * CAST(coalesce(t2.c0, 0) + 1 AS DOUBLE)
+            * CAST(n1 + v2.v AS DOUBLE)) AS predicted
+        FROM ev e
+        LEFT JOIN t0 ON t0.vbin = e.vbin
+        LEFT JOIN t1 ON t1.hod = e.hod
+        LEFT JOIN t2 ON t2.dow = e.dow
+        CROSS JOIN pri CROSS JOIN v0 CROSS JOIN v1 CROSS JOIN v2),
+      cf AS (
+        SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM sc GROUP BY 1, 2),
+      tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cf)
+      SELECT actual, predicted, n,
+        CAST((n * 1000000) // tot AS BIGINT) AS share_ppm
+      FROM cf CROSS JOIN tt ORDER BY actual, predicted""",
+
+    "q287_ewma_chart" -> """
+      WITH s AS (
+        SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS tick,
+          CAST(count(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        GROUP BY 1, 2),
+      t AS (
+        SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+          CAST(sum(x) AS HUGEINT) AS tot,
+          sum(CAST(x AS HUGEINT) * x) AS sx2
+        FROM s GROUP BY 1),
+      lg AS (
+        SELECT event_type, tick, x,
+          least(CAST(row_number() OVER win AS INTEGER) - 1, 7) AS m,
+          lag(x, 1) OVER win AS x1, lag(x, 2) OVER win AS x2,
+          lag(x, 3) OVER win AS x3, lag(x, 4) OVER win AS x4,
+          lag(x, 5) OVER win AS x5, lag(x, 6) OVER win AS x6,
+          lag(x, 7) OVER win AS x7
+        FROM s WINDOW win AS (PARTITION BY event_type ORDER BY tick)),
+      nm AS (
+        SELECT event_type, tick, x, m,
+          CAST(x AS HUGEINT) * (CAST(1 AS BIGINT) << m)
+          + coalesce(CASE WHEN 1 <= m THEN
+              CAST(x1 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 1)) END, 0)
+          + coalesce(CASE WHEN 2 <= m THEN
+              CAST(x2 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 2)) END, 0)
+          + coalesce(CASE WHEN 3 <= m THEN
+              CAST(x3 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 3)) END, 0)
+          + coalesce(CASE WHEN 4 <= m THEN
+              CAST(x4 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 4)) END, 0)
+          + coalesce(CASE WHEN 5 <= m THEN
+              CAST(x5 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 5)) END, 0)
+          + coalesce(CASE WHEN 6 <= m THEN
+              CAST(x6 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 6)) END, 0)
+          + coalesce(CASE WHEN 7 <= m THEN
+              CAST(x7 AS HUGEINT) * (CAST(1 AS BIGINT) << (m - 7)) END, 0)
+            AS num,
+          CAST((CAST(1 AS BIGINT) << (m + 1)) - 1 AS HUGEINT) AS d
+        FROM lg)
+      SELECT event_type, tick, x,
+        CAST((1000 * num) // d AS BIGINT) AS ewma_milli,
+        (3 * (num * n - tot * d) * (num * n - tot * d))
+          > (9 * d * d * (n * sx2 - tot * tot)) AS alarm
+      FROM nm JOIN t USING (event_type)
+      ORDER BY event_type, tick""",
 
     "q276_burstiness" -> """
       WITH g AS (

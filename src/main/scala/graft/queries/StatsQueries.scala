@@ -272,6 +272,23 @@ object StatsQueries extends QueryGroup {
       graft.operators.Graphs.triangleStats(edges, "src", "dst")
     },
 
+    "q288_degree_mixing" -> { (s, d) =>
+      // Degree-mixing readout (B115, Newman 2002) of the co-purchase
+      // graph: assortativity (hubs-to-hubs r > 0 vs hubs-to-leaves
+      // r < 0), degree CV² (the q233/q240 wedge-bill predictor) and
+      // max/mean degree — the cheap pre-flight SHAPE census before any
+      // wedge enumeration is paid. Sqrt-free exact Pearson (symmetry
+      // collapses both variance terms onto vertex degree moments);
+      // sign-split truncating milli division.
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graphs.degreeMixing(edges, "src", "dst")
+    },
+
     "q234_gini_concentration" -> { (s, d) =>
       // Per-source token-count Gini: is a source many same-sized docs
       // (G~0) or a few mega-docs and dust (G->1)? Packing efficiency,
@@ -1066,6 +1083,39 @@ object StatsQueries extends QueryGroup {
         CASE WHEN wed > 0 THEN CAST((3 * t * 1000000) // wed AS BIGINT)
           END AS global_cc_ppm
       FROM dtot CROSS JOIN tot CROSS JOIN tri""",
+
+    "q288_degree_mixing" -> """
+      WITH op AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      dg AS (
+        SELECT v, CAST(count(*) AS HUGEINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1),
+      vs AS (
+        SELECT CAST(count(*) AS HUGEINT) AS nv, max(d) AS maxd,
+          sum(d) AS sd, sum(d * d) AS sx, sum(d * d * d) AS sx2
+        FROM dg),
+      es AS (
+        SELECT CAST(count(*) AS HUGEINT) AS ne, sum(da.d * db.d) AS sab
+        FROM e JOIN dg da ON da.v = e.a JOIN dg db ON db.v = e.b)
+      SELECT CAST(nv AS BIGINT) AS n_vertices,
+        CAST(ne AS BIGINT) AS n_edges,
+        CAST(maxd AS BIGINT) AS max_degree,
+        CAST((2000 * ne) // nv AS BIGINT) AS mean_degree_milli,
+        CASE WHEN sd > 0 THEN
+          CAST((1000 * (nv * sx - sd * sd)) // (sd * sd) AS BIGINT)
+          END AS degree_cv2_milli,
+        CASE WHEN (2 * ne * sx2 - sx * sx) > 0 THEN
+          CASE WHEN (4 * ne * sab - sx * sx) >= 0
+            THEN CAST((1000 * (4 * ne * sab - sx * sx))
+              // (2 * ne * sx2 - sx * sx) AS BIGINT)
+            ELSE -CAST((1000 * (-(4 * ne * sab - sx * sx)))
+              // (2 * ne * sx2 - sx * sx) AS BIGINT)
+          END END AS assortativity_milli
+      FROM es CROSS JOIN vs""",
 
     "q234_gini_concentration" -> """
       WITH b AS (

@@ -140,6 +140,9 @@ class EntrySpec extends SparkSpec {
       "ev_ts", "nn_ts", "ch_ts", "ev_user_id", "nn_user_id",
       "ch_user_id", // q285 skip-rate variants
       "jtab", "jh", // q286 LSH-advisor histogram stages
+      "lg", "nm", // q287 EWMA lag/numerator stages
+      "vs", "es", // q288 degree-mixing vertex/edge moments
+      "trn", "pri", "v0", "cf", // q289 Naive Bayes stages
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

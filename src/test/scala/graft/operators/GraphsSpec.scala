@@ -362,6 +362,38 @@ class GraphsSpec extends SparkSpec {
     assert(out.contains(1L) && out.contains(2L))
   }
 
+  test("degreeMixing: star is exactly r = -1; cycle is degree-regular null") {
+    def mix(edges: Seq[(Long, Long)]) = {
+      val r = Graphs.degreeMixing(edges.toDF("s", "t"), "s", "t").collect()(0)
+      (r.getAs[Long]("n_vertices"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("max_degree"), r.getAs[Long]("mean_degree_milli"),
+        Option(r.getAs[Any]("degree_cv2_milli")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("assortativity_milli")).map(_.asInstanceOf[Long]))
+    }
+    // star 1-{2,3,4}: degrees (3,1,1,1); Newman's canonical perfectly
+    // disassortative graph — r = -1 exactly. cv2: sd=6, sx=12 ->
+    // 1000*(4*12-36)/36 = 333 (truncated)
+    assert(mix(Seq((1L, 2L), (1L, 3L), (1L, 4L))) ==
+      ((4L, 3L, 3L, 1500L, Some(333L), Some(-1000L))))
+    // 4-cycle: degree-regular -> zero variance -> r null, cv2 = 0
+    assert(mix(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))) ==
+      ((4L, 4L, 2L, 2000L, Some(0L), None)))
+    // two disjoint K2s joined by nothing: assortative by construction
+    // after adding a hub pair: {1-2, 3-4, 1-3}: degrees (2,1,2,1);
+    // edges (2,1),(2,1),(2,2): Sx=10, Sx2=18, Sab=2+2+4=8, E=3
+    // num = 4*3*8 - 100 = -4; den = 2*3*18 - 100 = 8 ->
+    // magnitude 4000 div 8 = 500 -> -500 (truncation toward zero)
+    assert(mix(Seq((1L, 2L), (3L, 4L), (1L, 3L)))._6 == Some(-500L))
+  }
+
+  test("degreeMixing: direction, duplicates and self-loops are canonicalized away") {
+    def mix(edges: Seq[(Long, Long)]) =
+      Graphs.degreeMixing(edges.toDF("s", "t"), "s", "t").collect()(0)
+        .toSeq
+    assert(mix(Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (1L, 3L))) ==
+      mix(Seq((1L, 2L), (1L, 3L))))
+  }
+
   test("hits: scores are repartition-invariant") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
