@@ -2913,6 +2913,91 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ewma: emissions match the batch chart incl. shuffled arrival and batch splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      // 30 quiet ticks then a sustained level shift: the trained sigma
+      // stays small enough that the late EWMA run crosses the 3-sigma
+      // steady-state band (both alarm states live in the fixture)
+      val xs = (0 until 30).map(i => 10L + (i % 3)) ++ Seq.fill(6)(60L)
+      val rows = xs.zipWithIndex.map { case (x, t) => ("k", t.toLong, x) }
+      // trained baseline = the full-series moments (what the batch op
+      // derives internally)
+      val nRef = xs.size.toLong
+      val totRef = xs.sum
+      val sx2Ref = xs.map(x => BigInt(x) * x).sum
+      val input = MemoryStream[(String, Long, Long)]
+      val q = EwmaStream.monitor(input.toDS(), memory = 8, l = 3,
+          nRef, totRef, sx2Ref)
+        .writeStream.format("memory").queryName("ewma_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(rows.take(13).reverse: _*) // shuffled within batch
+        q.processAllAvailable()
+        input.addData(rows.slice(13, 31): _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(31): _*)
+        q.processAllAvailable()
+        val stream = spark.table("ewma_stream")
+          .collect().map(r => (r.getLong(1),
+            (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+        val batch = graft.operators.Ewma.controlChart(
+            rows.toDF("k", "tick", "x"), Seq("k"), "tick", "x")
+          .collect().map(r => (r.getAs[Long]("tick"),
+            (r.getAs[Long]("x"), r.getAs[Long]("ewma_milli"),
+              r.getAs[Boolean]("alarm")))).toMap
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        assert(batch.values.exists(_._3) && batch.values.exists(!_._3))
+      } finally q.stop()
+    }
+  }
+
+  test("streaming ewma: the dyadic window survives a checkpoint restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      val xs = Seq(10L, 20L, 30L, 40L)
+      val rows = xs.zipWithIndex.map { case (x, t) => ("k", t.toLong, x) }
+      val nRef = xs.size.toLong
+      val totRef = xs.sum
+      val sx2Ref = xs.map(x => BigInt(x) * x).sum
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_ewma").toString
+      val input = MemoryStream[(String, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Boolean)]
+      def start() = EwmaStream.monitor(input.toDS(), memory = 8, l = 3,
+          nRef, totRef, sx2Ref)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Boolean)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(rows.take(2): _*)
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData(rows.drop(2): _*)
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList).map(r =>
+          r._2 -> r._4).toMap
+        // tick 2 with the restored {10, 20} window: num = 10+20*2+30*4,
+        // D = 7 -> 170000/7; a reset window would give 30000*... wrong
+        assert(got(2L) == 170000L / 7,
+          s"restored window must feed tick 2: $got")
+        assert(got(3L) == (10L + 20 * 2 + 30 * 4 + 40 * 8) * 1000 / 15)
+      } finally q2.stop()
+    }
+  }
+
   test("streaming burstiness: gap extraction matches batch CV² incl. shuffled arrival and batch splits") {
     withRocksDb {
       implicit val sc = spark.sqlContext
