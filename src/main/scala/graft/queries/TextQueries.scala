@@ -328,6 +328,25 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q290_gate_agreement" -> { (s, d) =>
+      // Cohen's kappa redundancy audit (B117) between two cheap quality
+      // gates — length (n_chars >= 300) vs stopword profile
+      // (ratio >= 0.15) — per source: two lenient gates agree mostly by
+      // CHANCE, and kappa is what says whether the second gate adds
+      // information (1 redundant, 0 independent, < 0 systematic
+      // disagreement). One corpus aggregate to the (source x 2 x 2)
+      // contingency table; every term derives from that bounded table.
+      val ratio = stopwordRatio(col("text"), Stopwords)
+      val gated = Tables.documents(s, d)
+        .filter(col("source").isNotNull)
+        .select(col("source"),
+          (col("n_chars") >= 300).as("long_doc"),
+          (ratio >= 0.15).as("stopwordy"))
+      graft.operators.Agreement.cohenKappa(gated, "long_doc",
+          "stopwordy", Seq("source"))
+        .orderBy(col("source"))
+    },
+
     "q264_lang_confusion" -> { (s, d) =>
       // Confusion census of the q34 heuristic language ID against the
       // labeled lang column — the classifier-audit rollup (which label
@@ -2351,6 +2370,38 @@ object TextQueries extends QueryGroup {
           + 0.3 * least(swr * 3.0, 1.0)
           + 0.2 * (1.0 - pr) AS quality
       FROM t ORDER BY doc_id""",
+
+    "q290_gate_agreement" -> s"""
+      WITH t AS (
+        SELECT source, n_chars >= 300 AS a,
+          (CAST(len(list_filter(string_split(text, ' '),
+            x -> list_contains($StopwordsSql, x))) AS DOUBLE)
+            / len(string_split(text, ' '))) >= 0.15 AS b
+        FROM documents WHERE source IS NOT NULL),
+      ct AS (
+        SELECT source, a, b, CAST(count(*) AS HUGEINT) AS c
+        FROM t WHERE a IS NOT NULL AND b IS NOT NULL GROUP BY 1, 2, 3),
+      nn AS (SELECT source, sum(c) AS n FROM ct GROUP BY 1),
+      dg AS (SELECT source, sum(c) AS o FROM ct WHERE a = b GROUP BY 1),
+      ma AS (SELECT source, a AS k, sum(c) AS ra FROM ct GROUP BY 1, 2),
+      mb AS (SELECT source, b AS k, sum(c) AS cb FROM ct GROUP BY 1, 2),
+      pc AS (
+        SELECT ma.source, sum(ra * cb) AS p
+        FROM ma JOIN mb ON ma.source = mb.source AND ma.k = mb.k
+        GROUP BY 1)
+      SELECT nn.source, CAST(n AS BIGINT) AS n,
+        CAST((1000000 * coalesce(o, 0)) // n AS BIGINT) AS po_ppm,
+        CAST((1000000 * coalesce(p, 0)) // (n * n) AS BIGINT) AS pe_ppm,
+        CASE WHEN (n * n - coalesce(p, 0)) > 0 THEN
+          CASE WHEN (n * coalesce(o, 0) - coalesce(p, 0)) >= 0
+            THEN CAST((1000 * (n * coalesce(o, 0) - coalesce(p, 0)))
+              // (n * n - coalesce(p, 0)) AS BIGINT)
+            ELSE -CAST((1000 * (-(n * coalesce(o, 0) - coalesce(p, 0))))
+              // (n * n - coalesce(p, 0)) AS BIGINT)
+          END END AS kappa_milli
+      FROM nn LEFT JOIN dg ON nn.source = dg.source
+      LEFT JOIN pc ON nn.source = pc.source
+      ORDER BY nn.source""",
 
     "q264_lang_confusion" -> s"""
       WITH t AS (
