@@ -87,4 +87,77 @@ object Markov {
     states.zipWithIndex.map { case (s, i) => (s, pi(i)) }.toSeq
       .toDF("state", "pi_ppm")
   }
+
+  /** Holdout accuracy of the first-order next-event predictor — the
+    * EVAL companion to the transition matrix (q104) and its stationary
+    * summary (q256): train "most likely next state given the current
+    * one" on the deterministic 80% USER hash split (split by user, not
+    * row — a user's transitions never straddle the boundary, the q279
+    * leakage rule), score the holdout transitions, and report per
+    * from-state the model accuracy NEXT TO the context-free baseline
+    * (always predict the train-global most frequent next state). The
+    * gap between the two columns is the value of sequence context —
+    * the number that justifies a sequence model at all.
+    *
+    * Determinism: argmax ties break to the SMALLEST label (struct-min
+    * of (−count, label), the house rule); a holdout from-state unseen
+    * in train predicts null and scores as a miss; accuracy in exact
+    * floored ppm. The user split uses the SQUARE-RECOMBINED mix
+    * (the q213 lesson): the linear house hash is affine mod 1000, so a
+    * small dense user-id space stripes — a 150-user corpus would land
+    * entirely in train; squaring first restores spread while staying
+    * engine-portable (all ops mod 1e9+7, no overflow past ~9e18).
+    *
+    * Scale shape: one corpus lag-window pass (user-history-bounded
+    * partitions) to the transition table; the model is the K²-bounded
+    * count table, broadcast to the holdout side; one aggregate per
+    * from-state. No driver loop, nothing corpus².
+    *
+    * Output: (from_type, predicted, n, hits, acc_ppm, base_hits,
+    * base_acc_ppm), one row per holdout from-state.
+    */
+  def nextEventAccuracy(df: DataFrame, keyCol: String, tsCol: String,
+                        seqCol: String, stateCol: String,
+                        trainPermille: Int = 800): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000,
+      s"trainPermille must be in (0, 1000), got $trainPermille")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(seqCol))
+    val trans = df
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(keyCol).cast("long").as("__k"),
+        lag(col(stateCol), 1).over(w).as("__from"),
+        col(stateCol).as("__to"))
+      .filter(col("__from").isNotNull)
+      .withColumn("__km", pmod(col("__k"), lit(1000000007L)))
+      .withColumn("__train",
+        pmod(pmod(col("__km") * col("__km"), lit(1000000007L)) * 1000003L +
+          col("__km") * 12345L + 17L, lit(1000000007L)) % 1000
+          < trainPermille)
+    val train = trans.filter(col("__train"))
+    val counts = train.groupBy(col("__from"), col("__to"))
+      .agg(count(lit(1)).as("__c"))
+    val pred = counts.groupBy(col("__from"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__to").as("t")))
+        .as("__am"))
+      .select(col("__from"), col("__am.t").as("__pred"))
+    val global = counts.groupBy(col("__to"))
+      .agg(sum(col("__c")).as("__c"))
+      .agg(min(struct((-col("__c")).as("nc"), col("__to").as("t")))
+        .as("__am"))
+      .select(col("__am.t").as("__gpred"))
+    trans.filter(!col("__train"))
+      .join(broadcast(pred), Seq("__from"), "left")
+      .crossJoin(broadcast(global))
+      .groupBy(col("__from").as("from_type"), col("__pred").as("predicted"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pred") === col("__to"), 1L).otherwise(0L))
+          .as("hits"),
+        sum(when(col("__gpred") === col("__to"), 1L).otherwise(0L))
+          .as("base_hits"))
+      .select(col("from_type"), col("predicted"), col("n"), col("hits"),
+        expr("(hits * 1000000L) div n").as("acc_ppm"),
+        col("base_hits"),
+        expr("(base_hits * 1000000L) div n").as("base_acc_ppm"))
+  }
 }

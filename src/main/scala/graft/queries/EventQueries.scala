@@ -361,6 +361,19 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_type"))
     },
 
+    "q291_markov_accuracy" -> { (s, d) =>
+      // Next-event prediction eval (B118): the holdout accuracy of the
+      // first-order Markov predictor next to the context-free
+      // most-frequent baseline, per from-state — the gap between the
+      // two columns is the measured value of sequence context (q104
+      // builds the matrix, q256 its stationary summary; this says
+      // whether the matrix predicts anything). User-level hash split
+      // (transitions never straddle — the q279 leakage rule).
+      graft.operators.Markov.nextEventAccuracy(
+        Tables.events(s, d), "user_id", "ts", "event_id", "event_type")
+        .orderBy(col("from_type"))
+    },
+
     "q289_naive_bayes_gate" -> { (s, d) =>
       // Count-based Naive Bayes baseline (B116, Maron 1961): train the
       // add-one-smoothed classifier for the purchase label over q272's
@@ -1412,6 +1425,53 @@ object EventQueries extends QueryGroup {
             "o_custkey", "customer", "c_custkey")}
         ORDER BY fk_name"""
     },
+
+    "q291_markov_accuracy" -> """
+      WITH tr AS (
+        SELECT user_id AS k,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS f,
+          event_type AS t
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IS NOT NULL),
+      tx AS (
+        SELECT f, t,
+          ((((((k % 1000000007 + 1000000007) % 1000000007)
+               * ((k % 1000000007 + 1000000007) % 1000000007))
+              % 1000000007) * 1000003
+            + ((k % 1000000007 + 1000000007) % 1000000007) * 12345
+            + 17) % 1000000007 + 1000000007) % 1000000007 % 1000
+            < 800 AS istr
+        FROM tr WHERE f IS NOT NULL),
+      cn AS (
+        SELECT f, t, CAST(count(*) AS BIGINT) AS c
+        FROM tx WHERE istr GROUP BY 1, 2),
+      pr AS (
+        SELECT f, t AS pred FROM (
+          SELECT f, t,
+            row_number() OVER (PARTITION BY f ORDER BY c DESC, t) AS rn
+          FROM cn)
+        WHERE rn = 1),
+      gl AS (
+        SELECT t AS gpred FROM (
+          SELECT t, sum(c) AS c FROM cn GROUP BY 1
+          ORDER BY c DESC, t LIMIT 1)),
+      ev2 AS (
+        SELECT tx.f, tx.t, pr.pred
+        FROM tx LEFT JOIN pr ON pr.f = tx.f WHERE NOT istr),
+      ag AS (
+        SELECT f AS from_type, pred AS predicted,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CASE WHEN pred = t THEN 1 ELSE 0 END) AS BIGINT)
+            AS hits,
+          CAST(sum(CASE WHEN gpred = t THEN 1 ELSE 0 END) AS BIGINT)
+            AS base_hits
+        FROM ev2 CROSS JOIN gl GROUP BY 1, 2)
+      SELECT from_type, predicted, n, hits,
+        (hits * 1000000) // n AS acc_ppm, base_hits,
+        (base_hits * 1000000) // n AS base_acc_ppm
+      FROM ag ORDER BY from_type""",
 
     "q289_naive_bayes_gate" -> """
       WITH b AS (

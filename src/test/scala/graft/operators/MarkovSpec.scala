@@ -63,4 +63,57 @@ class MarkovSpec extends SparkSpec {
         "u", "ts", "eid", "st", iters = 2, maxStates = 2).collect()
     }
   }
+
+  // the square-recombined user mix (see nextEventAccuracy scaladoc)
+  private def isTrain(id: Long): Boolean = {
+    val p = 1000000007L
+    val km = ((id % p) + p) % p
+    ((((km * km % p) * 1000003L + km * 12345L + 17L) % p + p) % p) % 1000 < 800
+  }
+
+  test("nextEventAccuracy: hand split — model beats the context-free baseline") {
+    // pick real train/eval users under the square-recombined mix.
+    // Train chains are strictly alternating a<->b, so the model
+    // predicts the eval user's alternation perfectly while the
+    // context-free baseline (global next counts tie -> smallest
+    // label "a") only hits the b->a half.
+    var eid = 0L
+    def walk(u: Long, states: Seq[String]) = states.zipWithIndex.map {
+      case (st, i) => eid += 1; (u, i.toLong, eid, st)
+    }
+    val trainUsers = (0L until 100L).filter(isTrain).take(10)
+    val evalUser = (0L until 100L).find(u => !isTrain(u)).get
+    val rows = trainUsers.flatMap(u =>
+      walk(u, Seq("a", "b", "a", "b", "a"))) ++
+      walk(evalUser, Seq("a", "b", "a", "b"))
+    val out = Markov.nextEventAccuracy(
+      rows.toDF("u", "ts", "eid", "st"), "u", "ts", "eid", "st")
+      .collect().map(r => r.getAs[String]("from_type") ->
+        ((r.getAs[String]("predicted"), r.getAs[Long]("n"),
+          r.getAs[Long]("hits"), r.getAs[Long]("acc_ppm"),
+          r.getAs[Long]("base_hits")))).toMap
+    // eval transitions: a->b, b->a, a->b
+    assert(out("a") == (("b", 2L, 2L, 1000000L, 0L))) // baseline "a" misses
+    assert(out("b") == (("a", 1L, 1L, 1000000L, 1L))) // baseline "a" hits
+  }
+
+  test("nextEventAccuracy: argmax ties break to the smallest label; unseen from-state predicts null") {
+    var eid = 0L
+    def walk(u: Long, states: Seq[String]) = states.zipWithIndex.map {
+      case (st, i) => eid += 1; (u, i.toLong, eid, st)
+    }
+    // train: from "a" the next is once "b", once "c" -> tie -> "b"
+    val tr = (0L until 100L).filter(isTrain).take(2)
+    val ev = (0L until 100L).filter(u => !isTrain(u)).take(2)
+    val rows = walk(tr(0), Seq("a", "b")) ++ walk(tr(1), Seq("a", "c")) ++
+      walk(ev(0), Seq("a", "c")) ++ // eval: predicted b, miss
+      walk(ev(1), Seq("z", "a")) // eval: from-state z unseen in train
+    val out = Markov.nextEventAccuracy(
+      rows.toDF("u", "ts", "eid", "st"), "u", "ts", "eid", "st")
+      .collect().map(r => r.getAs[String]("from_type") ->
+        ((Option(r.getAs[String]("predicted")), r.getAs[Long]("n"),
+          r.getAs[Long]("hits")))).toMap
+    assert(out("a") == ((Some("b"), 1L, 0L)))
+    assert(out("z") == ((None, 1L, 0L)))
+  }
 }
