@@ -423,6 +423,19 @@ object ExtraQueries extends QueryGroup {
         .orderBy(col("bucket"))
     },
 
+    "q292_coordinated_sample" -> { (s, d) =>
+      // Coordinated-sampling join audit (B119): dev-sampling lineitem
+      // and orders INDEPENDENTLY at 10% keeps ~1% of the join (two
+      // coins must both land); gating both sides on the SAME hash of
+      // the join key keeps the join restricted to the sampled key
+      // universe — unbiased 1/p scale-up. One row measures both:
+      // the coordinated estimate lands near truth, the naive 1/p²
+      // estimate carries the multiplicity variance.
+      graft.operators.Sampling.coordinatedJoinAudit(
+        Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey", permille = 100)
+    },
+
     "q98_hash_sample" -> { (s, d) =>
       // Deterministic stratified sampling by portable hash-gating — the
       // reproducible sampling a production pipeline ships: stable under
@@ -801,6 +814,41 @@ object ExtraQueries extends QueryGroup {
         min(pk) AS min_pk, max(pk) AS max_pk,
         min(sk) AS min_sk, max(sk) AS max_sk
       FROM zk GROUP BY 1 ORDER BY bucket""",
+
+    "q292_coordinated_sample" -> {
+      val mb = graft.operators.Sampling.mixedBucketSql("k")
+      val mb2 = graft.operators.Sampling.mixedBucketSql(
+        graft.operators.Sampling.mixedBucketSql("k") + " + 7919")
+      def err(est: String) = s"""CASE WHEN n_pairs > 0 THEN
+          CASE WHEN $est >= n_pairs
+            THEN (CAST($est - n_pairs AS HUGEINT) * 1000000) // n_pairs
+            ELSE -((CAST(n_pairs - $est AS HUGEINT) * 1000000) // n_pairs)
+          END END"""
+      s"""
+      WITH lk AS (
+        SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+      rk AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey IS NOT NULL),
+      ex AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM lk JOIN rk USING (k)),
+      lc AS (SELECT k FROM lk WHERE $mb < 100),
+      rc AS (SELECT k FROM rk WHERE $mb < 100),
+      co AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_coord FROM lc JOIN rc USING (k)),
+      rn2 AS (SELECT k FROM rk WHERE $mb2 < 100),
+      na AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_naive FROM lc JOIN rn2 USING (k)),
+      fin AS (
+        SELECT n_pairs, n_coord,
+          (n_coord * 1000) // 100 AS coord_est,
+          n_naive, (n_naive * 1000000) // 10000 AS naive_est
+        FROM ex CROSS JOIN co CROSS JOIN na)
+      SELECT n_pairs, n_coord, coord_est,
+        CAST(${err("coord_est")} AS BIGINT) AS coord_err_ppm,
+        n_naive, naive_est,
+        CAST(${err("naive_est")} AS BIGINT) AS naive_err_ppm
+      FROM fin"""
+    },
 
     "q98_hash_sample" -> """
       WITH t AS (

@@ -109,4 +109,52 @@ class SamplingSpec extends SparkSpec {
     // rn is 1..alloc within each stratum
     assert(byG("big").map(_.getAs[Long]("rn")).sorted.toSeq == (1L to 8L))
   }
+
+  // JVM replica of Sampling.mixedBucket
+  private def bucket(k: Long): Long = {
+    val p = 1000000007L
+    val km = ((k % p) + p) % p
+    ((((km * km % p) * 1000003L + km * 12345L + 17L) % p) + p) % p % 1000
+  }
+
+  test("mixedBucket matches the JVM replica and de-stripes dense ids") {
+    import spark.implicits._
+    val ids = (-5L to 400L).toSeq
+    val got = ids.toDF("k")
+      .select(col("k"), Sampling.mixedBucket(col("k")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(k => assert(got(k) == bucket(k), s"id $k"))
+    // the linear house hash leaves ids 0..260 entirely below 800; the
+    // mix must not (that is its whole purpose)
+    assert((0L to 260L).exists(k => bucket(k) >= 800))
+  }
+
+  test("coordinatedJoinAudit: join of samples == sample of the join; naive keeps ~p²") {
+    import spark.implicits._
+    // orders 0..999, each with 1 + (k % 3) line rows
+    val orders = (0L until 1000L).map(k => (k, s"o$k"))
+    val lines = orders.flatMap { case (k, _) =>
+      (0 to (k % 3).toInt).map(i => (k, i.toLong)) }
+    val out = Sampling.coordinatedJoinAudit(
+      lines.toDF("lk", "li"), "lk", orders.toDF("ok", "pay"), "ok",
+      permille = 100).collect()(0)
+    val nJoin = out.getAs[Long]("n_pairs")
+    val nCoord = out.getAs[Long]("n_coord")
+    assert(nJoin == lines.size.toLong)
+    // exact replay: the coordinated join is the true join restricted
+    // to the sampled key universe
+    val expectCoord = lines.count { case (k, _) => bucket(k) < 100 }
+    assert(nCoord == expectCoord.toLong)
+    assert(out.getAs[Long]("coord_est") == nCoord * 10)
+    // naive: both gates must land -> replay with the second mix
+    val expectNaive = lines.count { case (k, _) =>
+      bucket(k) < 100 && bucket(bucket(k) + 7919L) < 100 }
+    assert(out.getAs[Long]("n_naive") == expectNaive.toLong)
+    // the structural point: naive keeps an order of magnitude less
+    assert(expectNaive * 5 < expectCoord)
+    intercept[IllegalArgumentException] {
+      Sampling.coordinatedJoinAudit(
+        lines.toDF("lk", "li"), "lk", orders.toDF("ok", "pay"), "ok", 0)
+    }
+  }
 }
