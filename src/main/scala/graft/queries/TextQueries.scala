@@ -328,6 +328,20 @@ object TextQueries extends QueryGroup {
         .orderBy(col("doc_id"))
     },
 
+    "q293_frequency_spectrum" -> { (s, d) =>
+      // 4-gram frequency-of-frequencies census (B120, Good & Turing
+      // 1953): types occurring exactly r times, r = 1..10 + open tail.
+      // The r = 1 token share IS the Good-Turing unseen mass N1/N —
+      // the OOV-budget number vocab sizing starts from — and the
+      // non-hapax 4-gram mass is the template/boilerplate signal (the
+      // unigram spectrum saturates on this corpus's 31-word shared
+      // vocabulary; the 4-gram one fills all 11 buckets at sf1). One
+      // tokenize pass, one vocabulary-bounded rollup.
+      graft.operators.Vocab.frequencySpectrum(
+        Tables.documents(s, d), "text", n = 4)
+        .orderBy(col("r_bucket"))
+    },
+
     "q290_gate_agreement" -> { (s, d) =>
       // Cohen's kappa redundancy audit (B117) between two cheap quality
       // gates — length (n_chars >= 300) vs stopword profile
@@ -2370,6 +2384,29 @@ object TextQueries extends QueryGroup {
           + 0.3 * least(swr * 3.0, 1.0)
           + 0.2 * (1.0 - pr) AS quality
       FROM t ORDER BY doc_id""",
+
+    "q293_frequency_spectrum" -> """
+      WITH la AS (
+        SELECT list_filter(string_split(text, ' '), x -> x <> '') AS arr
+        FROM documents WHERE text IS NOT NULL),
+      tk AS (
+        SELECT unnest(list_transform(range(len(arr) - 3),
+          i -> array_to_string(arr[i+1:i+4], ' '))) AS tok
+        FROM la WHERE len(arr) >= 4),
+      ct AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r FROM tk GROUP BY 1),
+      spx AS (
+        SELECT least(r, 11) AS r_bucket,
+          CAST(count(*) AS BIGINT) AS n_types,
+          CAST(sum(r) AS BIGINT) AS n_tokens
+        FROM ct GROUP BY 1),
+      tot AS (
+        SELECT CAST(sum(n_types) AS BIGINT) AS tt,
+          CAST(sum(n_tokens) AS BIGINT) AS tn FROM spx)
+      SELECT r_bucket, n_types, n_tokens,
+        (n_types * 1000000) // tt AS type_share_ppm,
+        (n_tokens * 1000000) // tn AS token_share_ppm
+      FROM spx CROSS JOIN tot ORDER BY r_bucket""",
 
     "q290_gate_agreement" -> s"""
       WITH t AS (
