@@ -36,13 +36,27 @@ object Agreement {
   def cohenKappa(df: DataFrame, aCol: String, bCol: String,
                  groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
-    val dec = "decimal(38,0)"
     val gs = groupCols.map(col)
     val ct = df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(gs :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
       .agg(count(lit(1)).as("__c"))
       .localCheckpoint() // bounded (group × alphabet²); consumed 4x
+    kappaFromCells(ct, groupCols, "__a", "__b", "__c")
+  }
+
+  /** The κ rollup over an already-built contingency-cell table — shared
+    * by the batch operator above and the ingest twin's parity contract
+    * ([[graft.streaming.AgreementStream]] upserts exactly these cells
+    * incrementally, so batch == stream reduces to cell-table equality).
+    */
+  def kappaFromCells(cells: DataFrame, groupCols: Seq[String],
+                     aCol: String, bCol: String,
+                     cntCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val gs = groupCols.map(col)
+    val ct = cells.select(gs :+ col(aCol).as("__a") :+
+      col(bCol).as("__b") :+ col(cntCol).as("__c"): _*)
     val n = ct.groupBy(gs: _*).agg(sum(col("__c")).cast(dec).as("__n"))
     val diag = ct.filter(col("__a") === col("__b"))
       .groupBy(gs: _*).agg(sum(col("__c")).cast(dec).as("__o"))

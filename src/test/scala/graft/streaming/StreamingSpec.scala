@@ -2998,6 +2998,77 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming agreement: upserted cells reproduce batch kappa incl. shuffled arrival and batch splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      // two groups, mixed agreement; enough disagreement that kappa is
+      // a nontrivial value in both
+      val rows = Seq.fill(12)(("g", "y", "y")) ++
+        Seq.fill(5)(("g", "y", "n")) ++ Seq.fill(7)(("g", "n", "n")) ++
+        Seq.fill(3)(("h", "x", "x")) ++ Seq.fill(4)(("h", "x", "z"))
+      val input = MemoryStream[(String, String, String)]
+      val q = AgreementStream.cells(input.toDS())
+        .writeStream.format("memory").queryName("agree_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(rows.take(13).reverse: _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(13): _*)
+        q.processAllAvailable()
+        // upsert semantics: last (= max, counts are monotone) per cell
+        val cells = spark.table("agree_stream")
+          .toDF("g", "a", "b", "n")
+          .groupBy("g", "a", "b").agg(max(col("n")).as("c"))
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getString(0) ->
+            ((r.getAs[Long]("n"), r.getAs[Long]("po_ppm"),
+              r.getAs[Long]("pe_ppm"),
+              Option(r.getAs[Any]("kappa_milli"))))).toMap
+        val stream = snap(graft.operators.Agreement.kappaFromCells(
+          cells, Seq("g"), "a", "b", "c"))
+        val batch = snap(graft.operators.Agreement.cohenKappa(
+          rows.toDF("g", "a", "b"), "a", "b", Seq("g")))
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        assert(batch("g")._4.isDefined && batch("h")._4.isDefined)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming agreement: cell counts survive a checkpoint restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_agree").toString
+      val input = MemoryStream[(String, String, String)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, Long)]
+      def start() = AgreementStream.cells(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, String, String, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("g", "y", "y"), ("g", "y", "y"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData(("g", "y", "y"))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("g", "y", "y", 3L)),
+          s"restored cell count 2 plus 1 must emit 3: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming burstiness: gap extraction matches batch CV² incl. shuffled arrival and batch splits") {
     withRocksDb {
       implicit val sc = spark.sqlContext
