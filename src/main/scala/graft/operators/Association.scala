@@ -212,4 +212,52 @@ object Association {
       .select(col("antecedent"), col("rn"), col("consequent"),
         col("n_pair"), col("confidence_ppm"), col("lift_ppm"))
   }
+
+  /** Catalog-coverage and popularity-bias readout for a recommendation
+    * table (Ziegler et al. 2005's aggregate-diversity critique): a
+    * recommender that only ever surfaces bestsellers scores fine on
+    * per-list accuracy while exposing 2% of the catalog — the two
+    * numbers that catch it are CATALOG COVERAGE (distinct items ever
+    * recommended / recommendable catalog) and POPULARITY LIFT (how
+    * many times more popular the average recommendation slot is than
+    * the average catalog item; 1e6 ppm = popularity-neutral). Both
+    * exact integers from basket support counts.
+    *
+    * Scale shape: one distinct pass to basket membership (the rules2
+    * aggregate every association op already pays), one item-support
+    * aggregate, one join of the REC table (k·antecedents-bounded)
+    * against the item-bounded support table, two 1-row rollups.
+    *
+    * Output (1 row): (catalog_size, n_lists, n_recs,
+    * distinct_recommended, coverage_ppm, pop_lift_ppm — null when the
+    * rec table or catalog is empty).
+    */
+  def recExposure(baskets: DataFrame, basketCol: String, itemCol: String,
+                  recs: DataFrame, anteCol: String,
+                  consCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val memb = baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val cat = memb.groupBy(col("__it")).agg(count(lit(1)).as("__s"))
+    val cs = cat.agg(count(lit(1)).as("__ncat"), sum(col("__s")).as("__tot"))
+    val rs = recs
+      .select(col(anteCol).as("__ante"), col(consCol).as("__it"))
+      .join(cat, "__it")
+      .agg(count(lit(1)).as("n_recs"),
+        countDistinct(col("__ante")).as("n_lists"),
+        countDistinct(col("__it")).as("distinct_recommended"),
+        sum(col("__s")).as("__rsup"))
+    rs.crossJoin(broadcast(cs)).select(
+      col("__ncat").as("catalog_size"), col("n_lists"), col("n_recs"),
+      col("distinct_recommended"),
+      when(col("__ncat") > 0,
+        expr("(distinct_recommended * 1000000L) div __ncat"))
+        .as("coverage_ppm"),
+      when(col("n_recs") > 0 && col("__tot") > 0,
+        expr(s"(CAST(__rsup AS $dec) * __ncat * 1000000)" +
+          s" div (CAST(n_recs AS $dec) * __tot)").cast("long"))
+        .as("pop_lift_ppm"))
+  }
 }

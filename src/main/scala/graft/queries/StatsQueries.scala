@@ -78,6 +78,26 @@ object StatsQueries extends QueryGroup {
         Tables.documents(s, d), "text", minCount = 5L, k = 20)
     },
 
+    "q294_rec_exposure" -> { (s, d) =>
+      // Catalog-coverage + popularity-bias readout (B121, Ziegler
+      // 2005) of the q260 also-bought table: a recommender that only
+      // surfaces bestsellers looks fine per-list — these two numbers
+      // (distinct items ever recommended / catalog, and how many
+      // times more popular the average rec slot is than the average
+      // catalog item) are what catch it. Rec table is k-bounded;
+      // the corpus pays the membership distinct it already paid.
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      // the rec table is k·antecedents-bounded: localCheckpoint it so
+      // the rule-mining pair join executes once, not once per consumer
+      val recs = graft.operators.Association.alsoBought(
+        baskets, "l_orderkey", "l_partkey", minSupport = 2L, k = 3)
+        .localCheckpoint()
+      graft.operators.Association.recExposure(
+        baskets, "l_orderkey", "l_partkey", recs,
+        "antecedent", "consequent")
+    },
+
     "q260_also_bought" -> { (s, d) =>
       // The operational cut of q250: top-3 "also-bought" consequents
       // per part by lift (ties to the smaller part key) through the
@@ -587,6 +607,38 @@ object StatsQueries extends QueryGroup {
     * driver-red fingerprint). q265 aggregates the same rows into
     * per-stratum checksums as red-row evidence.
     */
+  /** Shared also-bought CTE chain (memb → … → rk), reused by q260 and
+    * the q294 exposure readout so both replay the identical rule table.
+    */
+  private val AlsoBoughtCte: String = """
+      WITH memb AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+      tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM memb),
+      isup AS (
+        SELECT it, CAST(count(*) AS BIGINT) AS s FROM memb
+        GROUP BY 1 HAVING count(*) >= 2),
+      posts AS (SELECT m.bk, m.it, i.s FROM memb m JOIN isup i USING (it)),
+      pairs AS (
+        SELECT l.it AS a, r.it AS b, l.s AS sa, r.s AS sb,
+          CAST(count(*) AS BIGINT) AS sab
+        FROM posts l JOIN posts r ON l.bk = r.bk AND l.it < r.it
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
+      dir AS (
+        SELECT a AS ante, b AS cons, sab, sa AS sante, sb AS scons FROM pairs
+        UNION ALL SELECT b, a, sab, sb, sa FROM pairs),
+      sc AS (
+        SELECT ante, cons, sab,
+          (sab * 1000000) // sante AS confidence_ppm,
+          CAST((CAST(sab AS HUGEINT) * n * 1000000)
+            // (CAST(sante AS HUGEINT) * scons) AS BIGINT) AS lift_ppm
+        FROM dir CROSS JOIN tot),
+      rk AS (
+        SELECT ante, cons, sab, confidence_ppm, lift_ppm,
+          CAST(row_number() OVER (PARTITION BY ante
+            ORDER BY lift_ppm DESC, cons) AS BIGINT) AS rn
+        FROM sc)"""
+
   private val StratSampleCte: String = """
       WITH b AS (
         SELECT lang, doc_id,
@@ -798,37 +850,35 @@ object StatsQueries extends QueryGroup {
         CAST(sum(term) - max(r) * 1000000 AS BIGINT) AS chi2_ppm
       FROM terms GROUP BY 1 ORDER BY lang""",
 
-    "q260_also_bought" -> """
-      WITH memb AS (
-        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
-        WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-      tot AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n FROM memb),
-      isup AS (
-        SELECT it, CAST(count(*) AS BIGINT) AS s FROM memb
-        GROUP BY 1 HAVING count(*) >= 2),
-      posts AS (SELECT m.bk, m.it, i.s FROM memb m JOIN isup i USING (it)),
-      pairs AS (
-        SELECT l.it AS a, r.it AS b, l.s AS sa, r.s AS sb,
-          CAST(count(*) AS BIGINT) AS sab
-        FROM posts l JOIN posts r ON l.bk = r.bk AND l.it < r.it
-        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2),
-      dir AS (
-        SELECT a AS ante, b AS cons, sab, sa AS sante, sb AS scons FROM pairs
-        UNION ALL SELECT b, a, sab, sb, sa FROM pairs),
-      sc AS (
-        SELECT ante, cons, sab,
-          (sab * 1000000) // sante AS confidence_ppm,
-          CAST((CAST(sab AS HUGEINT) * n * 1000000)
-            // (CAST(sante AS HUGEINT) * scons) AS BIGINT) AS lift_ppm
-        FROM dir CROSS JOIN tot),
-      rk AS (
-        SELECT ante, cons, sab, confidence_ppm, lift_ppm,
-          CAST(row_number() OVER (PARTITION BY ante
-            ORDER BY lift_ppm DESC, cons) AS BIGINT) AS rn
-        FROM sc)
+    "q260_also_bought" -> s"""
+      $AlsoBoughtCte
       SELECT ante AS antecedent, rn, cons AS consequent, sab AS n_pair,
         confidence_ppm, lift_ppm
       FROM rk WHERE rn <= 3 ORDER BY antecedent, rn""",
+
+    "q294_rec_exposure" -> s"""
+      $AlsoBoughtCte,
+      rec3 AS (SELECT ante, cons FROM rk WHERE rn <= 3),
+      cat AS (SELECT it, CAST(count(*) AS BIGINT) AS s FROM memb
+        GROUP BY 1),
+      cst AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_cat,
+          CAST(sum(s) AS BIGINT) AS tot_sup FROM cat),
+      rst AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_recs,
+          CAST(count(DISTINCT ante) AS BIGINT) AS n_lists,
+          CAST(count(DISTINCT cons) AS BIGINT) AS distinct_recommended,
+          CAST(sum(c.s) AS BIGINT) AS rec_sup
+        FROM rec3 JOIN cat c ON c.it = rec3.cons)
+      SELECT n_cat AS catalog_size, n_lists, n_recs, distinct_recommended,
+        CASE WHEN n_cat > 0
+          THEN (distinct_recommended * 1000000) // n_cat END
+          AS coverage_ppm,
+        CASE WHEN n_recs > 0 AND tot_sup > 0
+          THEN CAST((CAST(rec_sup AS HUGEINT) * n_cat * 1000000)
+            // (CAST(n_recs AS HUGEINT) * tot_sup) AS BIGINT) END
+          AS pop_lift_ppm
+      FROM rst CROSS JOIN cst""",
 
     "q250_assoc_rules" -> """
       WITH memb AS (

@@ -147,6 +147,7 @@ class EntrySpec extends SparkSpec {
       "tx", "cn", "gl", "ev2", // q291 Markov-accuracy stages
       "lk", "rk", "lc", "rc", "rn2", "co", "na", // q292 coordinated gates
       "spx", "la", // q293 frequency spectrum
+      "rec3", "cat", "cst", "rst", // q294 rec exposure
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -172,4 +172,30 @@ class AssociationSpec extends SparkSpec {
         r.getAs[Long]("consequent")).toMap
     assert(out(1L) == 2L)
   }
+
+  test("recExposure: hand coverage and popularity lift; off-catalog recs drop") {
+    import spark.implicits._
+    // baskets: {1,2}, {1,2}, {1,3}, {3} -> supports 1:3, 2:2, 3:2
+    // (n_cat = 3, tot_sup = 7)
+    val baskets = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 3L), (4L, 3L), (4L, 3L)) // dup membership collapses
+      .toDF("bk", "it")
+    val recs = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 99L))
+      .toDF("ante", "cons") // 99 is off-catalog -> drops
+    val out = Association.recExposure(baskets, "bk", "it", recs,
+      "ante", "cons").collect()(0)
+    assert(out.getAs[Long]("catalog_size") == 3L)
+    assert(out.getAs[Long]("n_lists") == 2L)
+    assert(out.getAs[Long]("n_recs") == 3L)
+    assert(out.getAs[Long]("distinct_recommended") == 2L)
+    assert(out.getAs[Long]("coverage_ppm") == 666666L) // 2 of 3
+    // rec_sup = 3 + 2 + 3 = 8; lift = 8*3e6 / (3*7) = 1142857
+    assert(out.getAs[Long]("pop_lift_ppm") == 1142857L)
+    // empty rec table: counts zero, ratios null, no crash
+    val empty = Association.recExposure(baskets, "bk", "it",
+      Seq.empty[(Long, Long)].toDF("ante", "cons"), "ante", "cons")
+      .collect()(0)
+    assert(empty.getAs[Long]("n_recs") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("pop_lift_ppm")))
+  }
 }
