@@ -126,4 +126,62 @@ object Windows {
       .agg(aggs.head, aggs.tail: _*)
       .withColumnRenamed("__id", idCol)
   }
+
+  /** Session-gap sensitivity sweep — the measurement BEHIND the one
+    * magic number every sessionizer carries (the q27 session window's
+    * gap): for each candidate threshold, how many sessions the corpus
+    * splits into, the mean events per session, and the mean
+    * within-session duration. The knee of the n_sessions(T) curve is
+    * the defensible gap choice; a flat curve says the corpus doesn't
+    * care (Halfaker et al. 2015 measured the inter-activity valley
+    * this sweep exposes).
+    *
+    * The trick that makes it one pass: a session count under threshold
+    * T is n_entities + |gaps > T| and the within-session time is
+    * Σ gaps ≤ T — every threshold is a pair of CONDITIONAL aggregates
+    * over the SAME per-entity gap table (the q276 window), so the
+    * sweep costs one lag-window pass + one aggregate regardless of
+    * grid size; the ≤grid-sized result assembles from one collected
+    * row (the fdStrength shape). Exact integers; means floored.
+    *
+    * Output per threshold: (gap_minutes, n_sessions,
+    * mean_events_milli, mean_dur_micros).
+    */
+  def gapSensitivity(df: DataFrame, entityCol: String, tsCol: String,
+                     tieCol: String,
+                     gapMinutes: Seq[Long]): DataFrame = {
+    require(gapMinutes.nonEmpty && gapMinutes.forall(_ > 0),
+      s"gapMinutes must be positive, got $gapMinutes")
+    require(gapMinutes.size <= 64, "bounded grid: at most 64 thresholds")
+    val base = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(entityCol),
+        unix_micros(col(tsCol)).as("__us"), col(tieCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col("__us"), col(tieCol))
+    val gaps = base
+      .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+    val thrAggs = gapMinutes.flatMap { m =>
+      val t = m * 60000000L
+      Seq(
+        sum(when(col("__g") > t, 1L).otherwise(0L)).as(s"__x_$m"),
+        sum(when(col("__g").isNotNull && col("__g") <= t, col("__g"))
+          .otherwise(0L)).as(s"__w_$m"))
+    }
+    // 1-row sufficient statistics, localCheckpoint'ed: the grid rows
+    // below each re-select it, and without the seam the corpus
+    // aggregate would re-execute once per threshold
+    val ag = gaps.agg(
+      countDistinct(col(entityCol)).as("__ne"),
+      (count(lit(1)).as("__nev") +: thrAggs): _*)
+      .localCheckpoint()
+    val rows = gapMinutes.map { m =>
+      ag.select(lit(m).as("gap_minutes"),
+        (col("__ne") + col(s"__x_$m")).as("n_sessions"),
+        expr(s"(__nev * 1000) div (__ne + __x_$m)")
+          .as("mean_events_milli"),
+        expr(s"__w_$m div (__ne + __x_$m)").as("mean_dur_micros"))
+    }
+    rows.reduce(_.unionAll(_))
+  }
 }

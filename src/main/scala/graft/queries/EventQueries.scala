@@ -361,6 +361,19 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_type"))
     },
 
+    "q295_gap_sensitivity" -> { (s, d) =>
+      // Session-gap sensitivity sweep (B122): the measurement behind
+      // q27's 10-minute session window — sessions, mean events and
+      // mean within-session time at gap = 5/10/20/40/80 min. One
+      // lag-window pass + one aggregate regardless of grid size (every
+      // threshold is a pair of conditional aggregates over the same
+      // gap table); the knee of n_sessions(T) is the defensible gap.
+      graft.operators.Windows.gapSensitivity(
+        Tables.events(s, d), "user_id", "ts", "event_id",
+        gapMinutes = Seq(5L, 10L, 20L, 40L, 80L))
+        .orderBy(col("gap_minutes"))
+    },
+
     "q291_markov_accuracy" -> { (s, d) =>
       // Next-event prediction eval (B118): the holdout accuracy of the
       // first-order Markov predictor next to the context-free
@@ -1424,6 +1437,38 @@ object EventQueries extends QueryGroup {
         UNION ALL ${fk("orders.o_custkey->customer", "orders",
             "o_custkey", "customer", "c_custkey")}
         ORDER BY fk_name"""
+    },
+
+    "q295_gap_sensitivity" -> {
+      val grid = Seq(5L, 10L, 20L, 40L, 80L)
+      val aggs = grid.map { m =>
+        val t = m * 60000000L
+        s"""CAST(sum(CASE WHEN gp > $t THEN 1 ELSE 0 END) AS BIGINT)
+              AS x$m,
+            CAST(sum(CASE WHEN gp IS NOT NULL AND gp <= $t
+              THEN gp ELSE 0 END) AS BIGINT) AS w$m"""
+      }.mkString(",\n")
+      val rows = grid.map { m =>
+        s"""SELECT CAST($m AS BIGINT) AS gap_minutes,
+              ne + x$m AS n_sessions,
+              (nev * 1000) // (ne + x$m) AS mean_events_milli,
+              w$m // (ne + x$m) AS mean_dur_micros FROM a"""
+      }.mkString("\nUNION ALL ")
+      s"""
+      WITH g AS (
+        SELECT user_id AS e,
+          epoch_us(CAST(ts AS TIMESTAMP))
+            - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+              PARTITION BY user_id
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gp
+        FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      a AS (
+        SELECT CAST(count(DISTINCT e) AS BIGINT) AS ne,
+          CAST(count(*) AS BIGINT) AS nev,
+          $aggs
+        FROM g)
+      $rows
+      ORDER BY gap_minutes"""
     },
 
     "q291_markov_accuracy" -> """

@@ -316,4 +316,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L).byte_len == 100L && out(1L).width == 100L && out(1L).n_frames == 11L)
     assert(out(2L).height == (65L * 7) % 480)
   }
+
+  test("gapSensitivity: hand sweep — sessions, mean events, within-session time per threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    // user A: events at 0, 2min, 30min (gaps 2min, 28min)
+    // user B: events at 0, 50min (gap 50min)
+    val min = 60000000L
+    val rows = Seq(("A", 0L, 1L), ("A", 2 * min, 2L), ("A", 30 * min, 3L),
+      ("B", 0L, 4L), ("B", 50 * min, 5L))
+      .toDF("u", "us", "eid")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Windows.gapSensitivity(rows, "u", "ts", "eid",
+        gapMinutes = Seq(5L, 40L, 80L))
+      .collect().map(r => r.getAs[Long]("gap_minutes") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("mean_events_milli"),
+          r.getAs[Long]("mean_dur_micros")))).toMap
+    // T=5min: crossings 28min + 50min -> 2 + 2 = 4 sessions;
+    // within = 2min; mean events = 5000/4 = 1250
+    assert(out(5L) == ((4L, 1250L, 2 * min / 4)))
+    // T=40min: crossing 50min only -> 3 sessions; within = 30min
+    assert(out(40L) == ((3L, 1666L, 30 * min / 3)))
+    // T=80min: no crossings -> 2 sessions; within = 80min total
+    assert(out(80L) == ((2L, 2500L, 80 * min / 2)))
+  }
 }
