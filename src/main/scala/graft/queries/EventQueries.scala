@@ -361,6 +361,27 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_type"))
     },
 
+    "q296_watermark_advisor" -> { (s, d) =>
+      // Watermark-delay advisor (B123, Akidau 2015 semantics measured):
+      // replay a stream in arrival order, track the event-time
+      // high-water mark, and report the exact ppm of rows a candidate
+      // watermark delay would DROP — withWatermark as a measurement
+      // instead of a guess. The live events stream is perfectly
+      // in-order (measured: disorder 0 at every type — event_id IS the
+      // time order), so the non-trivial scenario is the one every
+      // backfill hits: replaying ORDERS key-ordered into an event-time
+      // pipeline, where order dates are uncorrelated with keys
+      // (~99.7% disorder) and only month/year-scale delays keep rows.
+      // One arrival-ordered window pass + one conditional aggregate.
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          expr("CAST(o_orderdate AS TIMESTAMP)").as("odts"))
+      graft.operators.Lateness.watermarkAdvisor(
+        ord, "o_orderpriority", "o_orderkey", "odts",
+        delaysSeconds = Seq(2592000L, 31536000L, 94608000L))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q295_gap_sensitivity" -> { (s, d) =>
       // Session-gap sensitivity sweep (B122): the measurement behind
       // q27's 10-minute session window — sessions, mean events and
@@ -1437,6 +1458,33 @@ object EventQueries extends QueryGroup {
         UNION ALL ${fk("orders.o_custkey->customer", "orders",
             "o_custkey", "customer", "c_custkey")}
         ORDER BY fk_name"""
+    },
+
+    "q296_watermark_advisor" -> {
+      val delays = Seq(2592000L, 31536000L, 94608000L)
+      val drops = delays.map { d =>
+        s"""(CAST(sum(CASE WHEN lt > ${d * 1000000L} THEN 1 ELSE 0 END)
+              AS BIGINT) * 1000000) // count(*) AS drop_ppm_$d"""
+      }.mkString(",\n")
+      s"""
+      WITH b AS (
+        SELECT o_orderpriority, o_orderkey AS arr,
+          epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS us
+        FROM orders WHERE o_orderpriority IS NOT NULL
+          AND o_orderkey IS NOT NULL AND o_orderdate IS NOT NULL),
+      l AS (
+        SELECT o_orderpriority,
+          greatest(coalesce(
+            max(us) OVER (PARTITION BY o_orderpriority ORDER BY arr
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us,
+            0), 0) AS lt
+        FROM b)
+      SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_events,
+        (CAST(sum(CASE WHEN lt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          * 1000000) // count(*) AS disorder_ppm,
+        CAST(max(lt) AS BIGINT) AS max_late_micros,
+        $drops
+      FROM l GROUP BY o_orderpriority ORDER BY o_orderpriority"""
     },
 
     "q295_gap_sensitivity" -> {
