@@ -144,6 +144,61 @@ object LayoutAudit {
     }.reduce(_.unionByName(_))
   }
 
+  /** Sort-key ADVISOR — the decision the rest of the layout family
+    * informs ([[zOrderReport]] bounding boxes, [[sortednessReport]]
+    * write-order, [[skipRateReport]] per-probe skip): for each
+    * CANDIDATE sort key, replay the WHOLE probe workload and roll up
+    * what the reader would pay — total rows scanned, workload skip
+    * rate, and scan amplification (scanned / selected). The advised
+    * key is the argmin of rows_scanned_total; emitting the full table
+    * instead of just the winner keeps the margin visible (a 2%
+    * win does not justify a rewrite; a 40x one does).
+    *
+    * Scale shape: one [[skipRateReport]] pass per
+    * (candidate × probed column) — each a two-phase rank over the
+    * corpus — then bounded rollups; candidates/probes are bounded
+    * driver lists (the fdStrength assembly shape).
+    *
+    * @param candidates (label, orderCol, bucketWidth) — bucketWidth is
+    *                   the two-phase-rank bucket for THAT order column
+    *                   (a day of micros for a timestamp, a small span
+    *                   for a dense id)
+    * @param probes     (valueCol, lo, hi) — the workload, weights via
+    *                   repetition
+    *
+    * Output per candidate: (layout, n_probes, rows_scanned_total,
+    * rows_selected_total, workload_skip_ppm, scan_amplification_ppm —
+    * null when the workload selects nothing).
+    */
+  def sortKeyAdvisor(df: DataFrame,
+                     candidates: Seq[(String, String, Long)],
+                     probes: Seq[(String, Long, Long)],
+                     nChunks: Int = 64): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate sort key")
+    require(probes.nonEmpty, "need at least one probe")
+    require(candidates.size <= 16 && probes.size <= 64,
+      "bounded advisor grid")
+    val byCol = probes.groupBy(_._1).toSeq.sortBy(_._1)
+    candidates.map { case (label, ord, bw) =>
+      byCol.map { case (vc, ps) =>
+        skipRateReport(df, ord, vc, ps.map(p => (p._2, p._3)),
+          nChunks, bw)
+      }.reduce(_.unionByName(_))
+        .agg(count(lit(1)).as("n_probes"),
+          sum(col("n_chunks")).as("__tc"),
+          sum(col("skipped_chunks")).as("__ts"),
+          sum(col("rows_scanned")).as("rows_scanned_total"),
+          sum(col("rows_selected")).as("rows_selected_total"))
+        .select(lit(label).as("layout"), col("n_probes"),
+          col("rows_scanned_total"), col("rows_selected_total"),
+          expr("(__ts * 1000000L) div __tc").as("workload_skip_ppm"),
+          when(col("rows_selected_total") > 0,
+            expr("(rows_scanned_total * 1000000L)" +
+              " div rows_selected_total"))
+            .as("scan_amplification_ppm"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Sortedness audit — the WRITE-ORDER half of the skipping question
     * [[zOrderReport]] answers for candidate layouts: how sorted is each
     * column under the order rows are ALREADY written in? A column with

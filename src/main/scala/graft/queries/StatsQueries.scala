@@ -183,6 +183,27 @@ object StatsQueries extends QueryGroup {
         .orderBy(col("col_name"))
     },
 
+    "q297_sort_key_advisor" -> { (s, d) =>
+      // Sort-key advisor (B124): the layout DECISION the rest of the
+      // family informs — replay the whole q285 probe workload (2 time
+      // ranges + 2 user ranges) under each candidate sort key and roll
+      // up what the reader pays. Emits the full table so the MARGIN is
+      // visible, not just the winner.
+      val ev = Tables.events(s, d)
+        .select(unix_micros(col("ts")).as("ts_us"), col("user_id"))
+      graft.operators.LayoutAudit.sortKeyAdvisor(ev,
+        candidates = Seq(
+          ("by_ts", "ts_us", 86400000000L),
+          ("by_user", "user_id", 64L)),
+        probes = Seq(
+          ("ts_us", 1704844800000000L, 1705017599999999L),
+          ("ts_us", 1705276800000000L, 1705881599999999L),
+          ("user_id", 0L, 9L),
+          ("user_id", 100L, 119L)),
+        nChunks = 64)
+        .orderBy(col("layout"))
+    },
+
     "q285_skip_rate" -> { (s, d) =>
       // Zone-map SKIP-RATE readout (B112): events written in ts order,
       // probed by (a) time ranges — the layout's own key, most chunks
@@ -675,6 +696,62 @@ object StatsQueries extends QueryGroup {
     * min/max per chunk, one output row per probe (skip decision on the
     * chunk table + exact selected count on the row table).
     */
+  /** q297 oracle: the q285 chunk machinery replayed per
+    * (candidate layout × probed column), rolled up per layout. */
+  private def sortKeyAdvisorSql: String = {
+    val tprobes = Seq((1704844800000000L, 1705017599999999L),
+      (1705276800000000L, 1705881599999999L))
+    val uprobes = Seq((0L, 9L), (100L, 119L))
+    // (tag, layout, ordExpr, valExpr, where, probes) — WHERE mirrors
+    // skipRateReport's ord-nonnull AND val-nonnull exactly
+    val combos = Seq(
+      ("a", "by_ts", "epoch_us(ts)", "epoch_us(ts)",
+        "ts IS NOT NULL", tprobes),
+      ("b", "by_ts", "epoch_us(ts)", "user_id",
+        "ts IS NOT NULL AND user_id IS NOT NULL", uprobes),
+      ("c", "by_user", "user_id", "epoch_us(ts)",
+        "user_id IS NOT NULL AND ts IS NOT NULL", tprobes),
+      ("d", "by_user", "user_id", "user_id",
+        "user_id IS NOT NULL", uprobes))
+    val ctes = combos.map { case (t, _, ord, v, w, _) =>
+      s"""
+      ev_$t AS MATERIALIZED (
+        SELECT $ord AS o, $v AS v FROM events WHERE $w),
+      nn_$t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev_$t),
+      ch_$t AS MATERIALIZED (
+        SELECT (rn - 1) // ((n + 63) // 64) AS chunk,
+          CAST(count(*) AS BIGINT) AS cn, min(v) AS vmin, max(v) AS vmax
+        FROM (SELECT v, row_number() OVER (ORDER BY o, v) AS rn
+              FROM ev_$t)
+        CROSS JOIN nn_$t GROUP BY 1)"""
+    }.mkString(",")
+    val rows = combos.flatMap { case (t, layout, _, _, _, probes) =>
+      probes.map { case (lo, hi) =>
+        s"""SELECT '$layout' AS layout,
+          CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
+            THEN 1 END), 0) AS BIGINT) AS skipped_chunks,
+          CAST(coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
+            THEN 0 ELSE cn END), 0) AS BIGINT) AS rows_scanned,
+          (SELECT CAST(coalesce(sum(CASE WHEN v >= $lo AND v <= $hi
+            THEN 1 END), 0) AS BIGINT) FROM ev_$t) AS rows_selected
+        FROM ch_$t"""
+      }
+    }.mkString("\n      UNION ALL ")
+    s"""
+      WITH $ctes,
+      pa AS ($rows)
+      SELECT layout, CAST(count(*) AS BIGINT) AS n_probes,
+        CAST(sum(rows_scanned) AS BIGINT) AS rows_scanned_total,
+        CAST(sum(rows_selected) AS BIGINT) AS rows_selected_total,
+        CAST((sum(skipped_chunks) * 1000000) // sum(n_chunks) AS BIGINT)
+          AS workload_skip_ppm,
+        CASE WHEN sum(rows_selected) > 0
+          THEN CAST((sum(rows_scanned) * 1000000) // sum(rows_selected)
+            AS BIGINT) END AS scan_amplification_ppm
+      FROM pa GROUP BY layout ORDER BY layout"""
+  }
+
   private def skipRateSql: String = {
     def variant(label: String, valueExpr: String, extraFilter: String,
                 probes: Seq[(Long, Long)]): (String, String) = {
@@ -1004,6 +1081,8 @@ object StatsQueries extends QueryGroup {
     },
 
     "q285_skip_rate" -> skipRateSql,
+
+    "q297_sort_key_advisor" -> sortKeyAdvisorSql,
 
     "q229_zorder_layout" -> s"""
       WITH b AS (

@@ -149,4 +149,26 @@ class LayoutAuditSpec extends SparkSpec {
     val c = run(scattered, Seq((3L, 3L)))
     assert(c((3L, 3L)) == ((8L, 0L, 64L, 8L)))
   }
+
+  test("sortKeyAdvisor: value-ordered layout wins the workload; interleaved layout scans everything") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 16 rows, v = 0..15; candidate A orders by v (zone maps align),
+    // candidate B orders by v % 4 (every chunk spans the value range)
+    val rows = (0L until 16L).map(v => (v, v % 4)).toDF("v", "scr")
+    val out = LayoutAudit.sortKeyAdvisor(rows,
+        candidates = Seq(("by_v", "v", 4L), ("by_scr", "scr", 1L)),
+        probes = Seq(("v", 0L, 3L)), nChunks = 4)
+      .collect().map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("n_probes"), r.getAs[Long]("rows_scanned_total"),
+          r.getAs[Long]("rows_selected_total"),
+          r.getAs[Long]("workload_skip_ppm"),
+          r.getAs[Long]("scan_amplification_ppm")))).toMap
+    // by_v: chunks [0-3][4-7][8-11][12-15] -> probe [0,3] skips 3 of 4,
+    // scans exactly the 4 selected rows
+    assert(out("by_v") == ((1L, 4L, 4L, 750000L, 1000000L)))
+    // by_scr rank order (scr, v): chunks [0,4,8,12][1,5,9,13][2,6,10,14]
+    // [3,7,11,15] -> every chunk overlaps [0,3]: full scan, 4x amp
+    assert(out("by_scr") == ((1L, 16L, 4L, 0L, 4000000L)))
+  }
 }
