@@ -45,6 +45,55 @@ object Burstiness {
     cv2FromGaps(gaps, groupCol, "__g")
   }
 
+  /** Tick-count dispersion census (Fisher 1950's index of dispersion,
+    * variance-to-mean of counts per tick) — the COUNT-side view of
+    * traffic shape next to [[interArrivalCv2]]'s gap-side one, and the
+    * validity pre-check for every Poisson-calibrated alarm in the
+    * family (q218's CUSUM slack, q287's EWMA sigma band assume
+    * dispersion ≈ 1000 milli; overdispersed streams fire them
+    * spuriously). Crucially it counts the SILENT ticks: the tick-count
+    * table only holds ticks with events, so the span max−min+1 per
+    * group restores the zeros that drive dispersion down — a stream
+    * that is silent 90% of the time and bursts the rest is
+    * overdispersed even if its active ticks look uniform.
+    *
+    * Exact rational: with span S, total T and Σc² over active ticks
+    * (zeros add nothing), D = var/mean = (S·Σc² − T²)/(S·T) — all
+    * integer in DECIMAL(38,0), milli floored; 1000 = Poisson, < 1000
+    * under-dispersed (regular), > 1000 bursty.
+    *
+    * Scale shape: one corpus aggregate to the calendar-bounded tick
+    * table, one bounded aggregate per group. Output per group:
+    * (groupCol, span_ticks, active_ticks, total, mean_milli,
+    * dispersion_milli — null when the total is 0).
+    */
+  def tickDispersion(df: DataFrame, groupCol: String, tsCol: String,
+                     stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val dec = "decimal(38,0)"
+    val ticks = df
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol),
+        expr(s"unix_micros($tsCol) div ${stepSeconds * 1000000L}")
+          .as("__tick"))
+      .groupBy(col(groupCol), col("__tick"))
+      .agg(count(lit(1)).as("__c"))
+    ticks.groupBy(col(groupCol))
+      .agg((max(col("__tick")) - min(col("__tick")) + 1L).as("span_ticks"),
+        count(lit(1)).as("active_ticks"),
+        sum(col("__c")).as("total"),
+        sum(expr(s"CAST(__c AS $dec) * __c")).as("__c2"))
+      .select(col(groupCol), col("span_ticks"), col("active_ticks"),
+        col("total"),
+        expr("(total * 1000L) div span_ticks").as("mean_milli"),
+        when(col("total") > 0,
+          expr(s"(CAST(1000 AS $dec) *" +
+            s" (CAST(span_ticks AS $dec) * __c2 -" +
+            s" CAST(total AS $dec) * total))" +
+            s" div (CAST(span_ticks AS $dec) * total)").cast("long"))
+          .as("dispersion_milli"))
+  }
+
   /** The per-group CV² rollup over an already-extracted gap table —
     * shared by the batch operator above and the ingest twin's parity
     * contract ([[graft.streaming.BurstinessStream]] emits exactly this

@@ -361,6 +361,18 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_type"))
     },
 
+    "q298_tick_dispersion" -> { (s, d) =>
+      // Fisher index of dispersion over hourly tick counts (B125):
+      // the Poisson-validity pre-check for q218's CUSUM and q287's
+      // EWMA calibration, and the count-side complement of q276's gap
+      // CV². Silent ticks counted via the per-type span — they are
+      // what drives dispersion, and the tick table alone can't see
+      // them. 1000 milli = Poisson; > 1000 bursty.
+      graft.operators.Burstiness.tickDispersion(
+        Tables.events(s, d), "event_type", "ts", stepSeconds = 3600L)
+        .orderBy(col("event_type"))
+    },
+
     "q296_watermark_advisor" -> { (s, d) =>
       // Watermark-delay advisor (B123, Akidau 2015 semantics measured):
       // replay a stream in arrival order, track the event-time
@@ -1459,6 +1471,29 @@ object EventQueries extends QueryGroup {
             "o_custkey", "customer", "c_custkey")}
         ORDER BY fk_name"""
     },
+
+    "q298_tick_dispersion" -> """
+      WITH tk AS (
+        SELECT event_type,
+          epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS tick,
+          CAST(count(*) AS BIGINT) AS c
+        FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        GROUP BY 1, 2),
+      a AS (
+        SELECT event_type,
+          CAST(max(tick) - min(tick) + 1 AS BIGINT) AS span_ticks,
+          CAST(count(*) AS BIGINT) AS active_ticks,
+          CAST(sum(c) AS BIGINT) AS total,
+          sum(CAST(c AS HUGEINT) * c) AS c2
+        FROM tk GROUP BY 1)
+      SELECT event_type, span_ticks, active_ticks, total,
+        (total * 1000) // span_ticks AS mean_milli,
+        CASE WHEN total > 0 THEN
+          CAST((1000 * (CAST(span_ticks AS HUGEINT) * c2
+            - CAST(total AS HUGEINT) * total))
+            // (CAST(span_ticks AS HUGEINT) * total) AS BIGINT)
+          END AS dispersion_milli
+      FROM a ORDER BY event_type""",
 
     "q296_watermark_advisor" -> {
       val delays = Seq(2592000L, 31536000L, 94608000L)

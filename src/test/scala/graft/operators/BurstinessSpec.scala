@@ -46,4 +46,25 @@ class BurstinessSpec extends SparkSpec {
     assert(out("z") == ((1L, 0L, None))) // sg = 0 -> cv2 null
     assert(out("one") == ((1L, 7000000L, None))) // n_gaps < 2 -> null
   }
+
+  test("tickDispersion: silent ticks drive the Fisher index; regular is 0, Poisson ~1000") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val hr = 3600000000L
+    // "steady": 1 event every hour for 8 hours -> var 0 -> D = 0
+    val steady = (0L until 8L).map(t => ("steady", t * hr))
+    // "bursty": 8 events in hour 0 plus one in hour 7 -> span 8,
+    // active 2, total 9, c2 = 65: D = 1000*(8*65 - 81)/(8*9) = 6097
+    val bursty = (0L until 8L).map(_ => ("bursty", 5L)) :+
+      (("bursty", 7L * hr))
+    val rows = (steady ++ bursty).toDF("g", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Burstiness.tickDispersion(rows, "g", "ts", 3600L)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("span_ticks"), r.getAs[Long]("active_ticks"),
+          r.getAs[Long]("total"), r.getAs[Long]("mean_milli"),
+          r.getAs[Long]("dispersion_milli")))).toMap
+    assert(out("steady") == ((8L, 8L, 8L, 1000L, 0L)))
+    assert(out("bursty") == ((8L, 2L, 9L, 1125L, 6097L)))
+  }
 }
