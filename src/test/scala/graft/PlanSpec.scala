@@ -183,6 +183,26 @@ class PlanSpec extends SparkSpec {
       s"the left-outer pairs join must not shuffle:\n$p")
   }
 
+  test("naive bayes (q289): every model table broadcasts; the eval pass never sort-merges") {
+    // the model is three cardinality-bounded contingency tables + the
+    // 1-row priors + three 1-row vocab counts — ALL must ride
+    // broadcasts; a SortMergeJoin would mean the corpus-sized eval
+    // side is being shuffled once per feature
+    val p = plan("q289_naive_bayes_gate")
+    assert(countBroadcasts(p) >= 7,
+      s"3 contingency + priors + 3 vocab tables must broadcast:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"the eval pass must not shuffle per feature:\n$p")
+  }
+
+  test("markov accuracy (q291): the K²-bounded model broadcasts to the holdout") {
+    val p = plan("q291_markov_accuracy")
+    assert(countBroadcasts(p) >= 2,
+      s"per-state argmax + global baseline must broadcast:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"the holdout join must not shuffle on the transition table:\n$p")
+  }
+
   test("decontamination (q116): bench side broadcasts, no pair explosion") {
     val p = plan("q116_decontamination")
     assert(countBroadcasts(p) >= 1, s"bench tids must broadcast:\n$p")
