@@ -70,7 +70,6 @@ object Burstiness {
   def tickDispersion(df: DataFrame, groupCol: String, tsCol: String,
                      stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
-    val dec = "decimal(38,0)"
     val ticks = df
       .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
       .select(col(groupCol),
@@ -78,6 +77,20 @@ object Burstiness {
           .as("__tick"))
       .groupBy(col(groupCol), col("__tick"))
       .agg(count(lit(1)).as("__c"))
+    dispersionFromTicks(ticks, groupCol, "__tick", "__c")
+  }
+
+  /** The dispersion rollup over an already-built (group, tick, count)
+    * table — shared by the batch operator above and the ingest twin's
+    * parity contract ([[graft.streaming.TickDispersionStream]] upserts
+    * exactly these cells incrementally, so batch == stream reduces to
+    * tick-table equality).
+    */
+  def dispersionFromTicks(ticks0: DataFrame, groupCol: String,
+                          tickCol: String, cntCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ticks = ticks0.select(col(groupCol), col(tickCol).as("__tick"),
+      col(cntCol).as("__c"))
     ticks.groupBy(col(groupCol))
       .agg((max(col("__tick")) - min(col("__tick")) + 1L).as("span_ticks"),
         count(lit(1)).as("active_ticks"),

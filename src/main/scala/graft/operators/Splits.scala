@@ -15,6 +15,13 @@ object Splits {
   /** Deterministic hash split: is_train ⇔ houseHash(id) mod 1000 <
     * trainPermille — re-run/engine stable (the q98 gate family), no
     * RNG. Output: (idCol, is_train).
+    *
+    * Caveat (measured, q291): the affine house hash is affine mod
+    * 1000, so a DENSE SMALL id space stripes — ids 0..260 all land
+    * train at 800 permille, and a 150-key corpus splits 100/0. At
+    * production id ranges the stripes average out to the requested
+    * rate; for dense small key spaces (user ids, enum codes) split on
+    * [[Sampling.mixedBucket]] instead (the square-recombined mix).
     */
   def hashSplit(df: DataFrame, idCol: String,
                 trainPermille: Int): DataFrame = {

@@ -3035,6 +3035,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming tick dispersion: upserted cells reproduce the batch Fisher index incl. splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      val hr = 3600000000L
+      // bursty key (mass in tick 0, a straggler in tick 7) + steady key
+      val rows = (0 until 8).map(_ => ("b", 5L)) ++ Seq(("b", 7 * hr)) ++
+        (0L until 6L).map(t => ("s", t * hr))
+      val binned = rows.map { case (g, us) =>
+        (g, Math.floorDiv(us, hr)) }
+      val input = MemoryStream[(String, Long)]
+      val q = TickDispersionStream.cells(input.toDS())
+        .writeStream.format("memory").queryName("disp_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(binned.take(9).reverse: _*)
+        q.processAllAvailable()
+        input.addData(binned.drop(9): _*)
+        q.processAllAvailable()
+        val cells = spark.table("disp_stream")
+          .toDF("g", "tick", "n")
+          .groupBy("g", "tick").agg(max(col("n")).as("c"))
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getString(0) ->
+            ((r.getAs[Long]("span_ticks"), r.getAs[Long]("active_ticks"),
+              r.getAs[Long]("total"), r.getAs[Long]("mean_milli"),
+              Option(r.getAs[Any]("dispersion_milli"))))).toMap
+        val stream = snap(graft.operators.Burstiness.dispersionFromTicks(
+          cells, "g", "tick", "c"))
+        val batch = snap(graft.operators.Burstiness.tickDispersion(
+          rows.toDF("g", "us")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "g", "ts", 3600L))
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        assert(batch("b")._5 == Some(6097L)) // the hand-checked burst
+      } finally q.stop()
+    }
+  }
+
   test("streaming agreement: cell counts survive a checkpoint restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
