@@ -213,6 +213,64 @@ object Association {
         col("n_pair"), col("confidence_ppm"), col("lift_ppm"))
   }
 
+  /** Rank-agreement census between two top-k recommendation rankings —
+    * rank-biased overlap (Webber et al. 2010) with the persistence
+    * pinned to p = 1/2, which makes RBO an EXACT dyadic rational: with
+    * I_d = |A[1..d] ∩ B[1..d]| and k = 3,
+    *
+    *   RBO = (Σ_{d≤k} 2^{-d}·I_d/d) / (Σ_{d≤k} 2^{-d})
+    *       = (12·I₁ + 3·I₂ + I₃) / 21        [k = 3]
+    *
+    * (identical lists → 21/21; disjoint → 0). The question it answers
+    * is the model-choice one q294 leaves open: do two ranking metrics
+    * (lift vs confidence, old vs new model) actually SERVE different
+    * lists, and for what fraction of antecedents — top-weighted, so a
+    * swap at rank 1 costs more than one at rank 3.
+    *
+    * Census form: RBO takes finitely many values (I₁ ≤ 1, I_d ≤ d with
+    * containment monotonicity), so the output is the bounded
+    * (rbo_ppm → antecedent count, share) table — no per-antecedent
+    * row ever leaves the aggregate.
+    *
+    * Scale shape: both rec tables are k·antecedents-bounded BY
+    * CONTRACT; the intersection join is per-antecedent k×k; one
+    * bounded census aggregate. Antecedents present in only one
+    * ranking drop (no agreement is defined for them) — their count is
+    * visible as the difference vs either rec table's list count.
+    *
+    * Output: (rbo_ppm, n_antecedents, share_ppm), k = 3 pinned (the
+    * closed form above is k-specific; other k need their own weights).
+    */
+  def rankAgreement3(recsA: DataFrame, recsB: DataFrame, anteCol: String,
+                     rnCol: String, consCol: String): DataFrame = {
+    val a = recsA.filter(col(rnCol) <= 3)
+      .select(col(anteCol).as("__ante"), col(rnCol).as("__ra"),
+        col(consCol).as("__cons"))
+    val b = recsB.filter(col(rnCol) <= 3)
+      .select(col(anteCol).as("__ante"), col(rnCol).as("__rb"),
+        col(consCol).as("__cons"))
+    // one row per antecedent in BOTH rankings; matched items carry
+    // max(rank_a, rank_b) — I_d = matches with that max ≤ d
+    val matched = a.join(b, Seq("__ante", "__cons"))
+      .select(col("__ante"), greatest(col("__ra"), col("__rb")).as("__m"))
+    val perAnte = a.select(col("__ante")).distinct()
+      .join(b.select(col("__ante")).distinct(), Seq("__ante"))
+      .join(matched, Seq("__ante"), "left")
+      .groupBy(col("__ante"))
+      .agg(sum(when(col("__m") <= 1, 1L).otherwise(0L)).as("__i1"),
+        sum(when(col("__m") <= 2, 1L).otherwise(0L)).as("__i2"),
+        sum(when(col("__m") <= 3, 1L).otherwise(0L)).as("__i3"))
+      .select(col("__ante"),
+        expr("(1000000L * (12 * __i1 + 3 * __i2 + __i3)) div 21")
+          .as("rbo_ppm"))
+    val census = perAnte.groupBy(col("rbo_ppm"))
+      .agg(count(lit(1)).as("n_antecedents"))
+    census.crossJoin(broadcast(
+        census.agg(sum(col("n_antecedents")).as("__tot"))))
+      .select(col("rbo_ppm"), col("n_antecedents"),
+        expr("(n_antecedents * 1000000L) div __tot").as("share_ppm"))
+  }
+
   /** Catalog-coverage and popularity-bias readout for a recommendation
     * table (Ziegler et al. 2005's aggregate-diversity critique): a
     * recommender that only ever surfaces bestsellers scores fine on

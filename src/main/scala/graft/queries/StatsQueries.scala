@@ -78,6 +78,29 @@ object StatsQueries extends QueryGroup {
         Tables.documents(s, d), "text", minCount = 5L, k = 20)
     },
 
+    "q299_rank_agreement" -> { (s, d) =>
+      // Rank-biased overlap census (B126, Webber 2010, p = 1/2 dyadic-
+      // exact): does ranking the also-bought rules by LIFT vs by
+      // CONFIDENCE actually serve different top-3 lists, and for what
+      // share of antecedents? Top-weighted (a rank-1 swap costs more
+      // than a rank-3 one); the finitely-many RBO values make the
+      // output a bounded census. Rules mined once (localCheckpoint),
+      // two k-bounded cuts, per-antecedent 3x3 intersection.
+      val rules = graft.operators.Association.rules2(
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", minSupport = 2L)
+        .localCheckpoint()
+      def top(by: String) = graft.operators.TopK.perGroupAgg(
+          rules, Seq("antecedent"), col(by), col("consequent"), 3)
+        .select(col("antecedent"), col("rn").cast("long").as("rn"),
+          col("id").as("consequent"))
+      graft.operators.Association.rankAgreement3(
+        top("lift_ppm"), top("confidence_ppm"),
+        "antecedent", "rn", "consequent")
+        .orderBy(col("rbo_ppm"))
+    },
+
     "q294_rec_exposure" -> { (s, d) =>
       // Catalog-coverage + popularity-bias readout (B121, Ziegler
       // 2005) of the q260 also-bought table: a recommender that only
@@ -640,7 +663,7 @@ object StatsQueries extends QueryGroup {
         SELECT it, CAST(count(*) AS BIGINT) AS s FROM memb
         GROUP BY 1 HAVING count(*) >= 2),
       posts AS (SELECT m.bk, m.it, i.s FROM memb m JOIN isup i USING (it)),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT l.it AS a, r.it AS b, l.s AS sa, r.s AS sb,
           CAST(count(*) AS BIGINT) AS sab
         FROM posts l JOIN posts r ON l.bk = r.bk AND l.it < r.it
@@ -648,7 +671,7 @@ object StatsQueries extends QueryGroup {
       dir AS (
         SELECT a AS ante, b AS cons, sab, sa AS sante, sb AS scons FROM pairs
         UNION ALL SELECT b, a, sab, sb, sa FROM pairs),
-      sc AS (
+      sc AS MATERIALIZED (
         SELECT ante, cons, sab,
           (sab * 1000000) // sante AS confidence_ppm,
           CAST((CAST(sab AS HUGEINT) * n * 1000000)
@@ -932,6 +955,37 @@ object StatsQueries extends QueryGroup {
       SELECT ante AS antecedent, rn, cons AS consequent, sab AS n_pair,
         confidence_ppm, lift_ppm
       FROM rk WHERE rn <= 3 ORDER BY antecedent, rn""",
+
+    "q299_rank_agreement" -> s"""
+      $AlsoBoughtCte,
+      rkc AS (
+        SELECT ante, cons,
+          CAST(row_number() OVER (PARTITION BY ante
+            ORDER BY confidence_ppm DESC, cons) AS BIGINT) AS rn
+        FROM sc),
+      ta AS (SELECT ante, cons, rn FROM rk WHERE rn <= 3),
+      tb AS (SELECT ante, cons, rn FROM rkc WHERE rn <= 3),
+      mm AS (
+        SELECT ta.ante, greatest(ta.rn, tb.rn) AS m
+        FROM ta JOIN tb ON ta.ante = tb.ante AND ta.cons = tb.cons),
+      pr2 AS (
+        SELECT aa.ante,
+          CAST((1000000 * (
+            12 * sum(CASE WHEN m <= 1 THEN 1 ELSE 0 END)
+            + 3 * sum(CASE WHEN m <= 2 THEN 1 ELSE 0 END)
+            + sum(CASE WHEN m <= 3 THEN 1 ELSE 0 END))) // 21 AS BIGINT)
+            AS rbo_ppm
+        FROM (SELECT DISTINCT ante FROM ta) aa
+        JOIN (SELECT DISTINCT ante FROM tb) bb ON bb.ante = aa.ante
+        LEFT JOIN mm ON mm.ante = aa.ante
+        GROUP BY 1),
+      cs2 AS (
+        SELECT rbo_ppm, CAST(count(*) AS BIGINT) AS n_antecedents
+        FROM pr2 GROUP BY 1),
+      tt2 AS (SELECT CAST(sum(n_antecedents) AS BIGINT) AS tot FROM cs2)
+      SELECT rbo_ppm, n_antecedents,
+        (n_antecedents * 1000000) // tot AS share_ppm
+      FROM cs2 CROSS JOIN tt2 ORDER BY rbo_ppm""",
 
     "q294_rec_exposure" -> s"""
       $AlsoBoughtCte,

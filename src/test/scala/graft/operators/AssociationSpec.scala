@@ -198,4 +198,29 @@ class AssociationSpec extends SparkSpec {
     assert(empty.getAs[Long]("n_recs") == 0L)
     assert(empty.isNullAt(empty.fieldIndex("pop_lift_ppm")))
   }
+
+  test("rankAgreement3: dyadic RBO hand values; one-sided antecedents drop") {
+    import spark.implicits._
+    def recs(rows: (Long, Long, Long)*) =
+      rows.toSeq.toDF("ante", "rn", "cons")
+    val a = recs(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L), // identical lists
+      (2L, 1L, 20L), (2L, 2L, 21L), (2L, 3L, 22L), // disjoint lists
+      (3L, 1L, 30L), (3L, 2L, 31L), (3L, 3L, 32L), // rank-1 swap
+      (9L, 1L, 90L)) // only in A -> drops
+    val b = recs(
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 25L), (2L, 2L, 26L), (2L, 3L, 27L),
+      (3L, 1L, 31L), (3L, 2L, 30L), (3L, 3L, 32L))
+    val out = Association.rankAgreement3(a, b, "ante", "rn", "cons")
+      .collect().map(r => r.getAs[Long]("rbo_ppm") ->
+        ((r.getAs[Long]("n_antecedents"), r.getAs[Long]("share_ppm"))))
+      .toMap
+    // identical: 21/21 = 1e6; disjoint: 0; rank-1 swap (30<->31):
+    // I1 = 0 (different heads), I2 = 2, I3 = 3 -> (0 + 6 + 3)/21
+    assert(out(1000000L) == ((1L, 333333L)))
+    assert(out(0L) == ((1L, 333333L)))
+    assert(out(1000000L * 9 / 21) == ((1L, 333333L)))
+    assert(out.values.map(_._1).sum == 3L) // antecedent 9 dropped
+  }
 }
