@@ -80,8 +80,30 @@ object Bench {
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
     }
     spark.stop()
-    // Re-print as the FINAL stdout line (after Spark's shutdown chatter) so
-    // a tail-capture of any reasonable size lands on a complete copy.
-    println(json)
+    // The driver's tail capture keeps only ~2 KB (BENCH_r01–r09 are all
+    // ~2.2 KB files), so the 12 KB full line can NEVER land whole in it
+    // — r9's "re-print last" fix still parsed null. The FINAL stdout
+    // line must itself fit the window: a compact complete JSON doc with
+    // the contract keys, a stable headline-query subset, and a pointer
+    // to the committed BENCH.json carrying the full 300+-query table.
+    val headline = Seq(
+      "q01_pricing_summary", "q03_revenue_by_nation", "q04_left_join_counts",
+      "q10_cube", "q20_string_funcs", "q27_session_window",
+      "q36_exact_dedup", "q38_lsh_pairs", "q41_ann_bruteforce",
+      "q48_approx_percentile", "q66_ann_ivf", "q73_lsh_capped",
+      "q77_bpe_tokens", "q94_containment", "q104_transitions", "q123_kmeans",
+      "q142_image_neardup", "q159_cdc_neardup", "q172_span_decontamination",
+      "q195_quantile_sketch", "q205_hard_negatives_scaled", "q233_triangle_census",
+      "q240_local_clustering", "q244_exact_jaccard_join", "q260_also_bought",
+      "q275_personalized_pagerank", "q288_degree_mixing",
+      "q294_rec_exposure", "q297_sort_key_advisor")
+    val hset = headline.toSet
+    val hqs = results.filter { case (n, _) => hset.contains(n) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total)},""" +
+      s""""unit":"sec","n_queries":${results.size},"queries":$hqs,""" +
+      s""""queries_full":"BENCH.json","sf":"$sfDir"}"""
+    println(compact)
   }
 }

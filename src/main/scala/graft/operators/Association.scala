@@ -221,7 +221,14 @@ object Association {
     *   RBO = (Σ_{d≤k} 2^{-d}·I_d/d) / (Σ_{d≤k} 2^{-d})
     *       = (12·I₁ + 3·I₂ + I₃) / 21        [k = 3]
     *
-    * (identical lists → 21/21; disjoint → 0). The question it answers
+    * (identical FULL 3-item lists → 21/21; disjoint → 0). Truncated
+    * lists cap below 21/21 even when identical: I_d ≤ list length, so
+    * two identical 2-item lists max at 19/21 and identical 1-item
+    * lists at 16/21 — the census deliberately keeps the raw RBO (both
+    * engines agree bit-for-bit), so short-list buckets mix "agrees but
+    * shallow" with mild disagreement; read the 19/21- and 16/21-ppm
+    * rows as the identical-short-list ceilings, not as partial
+    * disagreement. The question it answers
     * is the model-choice one q294 leaves open: do two ranking metrics
     * (lift vs confidence, old vs new model) actually SERVE different
     * lists, and for what fraction of antecedents — top-weighted, so a

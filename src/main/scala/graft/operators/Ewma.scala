@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
   *   3·(num·n − tot·D)² > L²·D²·(n·Σx² − tot²),   D = 2^(m+1) − 1
   *
   * evaluated in DECIMAL(38,0) (a 1e12-count tick at memory 8 leaves the
-  * squared term < 1e31 — documented headroom, checked by require).
+  * squared term < 1e31 — comfortable headroom). The headroom is NOT a
+  * static require (it depends on the data's tick magnitudes, which a
+  * require can't see without an extra pass); instead the alarm is
+  * guarded IN-PLAN: the contract makes every operand non-null, so a
+  * null on either side of the comparison can only mean DECIMAL(38,0)
+  * overflow, and the plan raises rather than silently emitting a null
+  * alarm (Spark's non-ANSI decimal overflow nulls where DuckDB's
+  * HUGEINT stays exact — the guard turns that silent cross-engine
+  * divergence into a loud failure).
   *
   * Scale shape: identical to [[Changepoint.cusumShift]] — the tick series
   * is CALENDAR-bounded, so the lag window and the alarm join run over
@@ -78,13 +86,20 @@ object Ewma {
     val joined = lagged.join(stats, keyCols)
       .withColumn("__delta",
         (col("__num") * col("__n") - col("__tot") * col("__d")).cast(dec))
+    // Overflow guard: inputs are non-null by contract, so a null side
+    // here can only be DECIMAL(38,0) overflow — raise, don't emit a
+    // silently-null alarm (see scaladoc headroom note).
+    val lhs = lit(3).cast(dec) * col("__delta") * col("__delta")
+    val rhs = lit(l.toLong * l).cast(dec) * col("__d") * col("__d") *
+      (col("__n") * col("__sx2") - col("__tot") * col("__tot"))
+    val alarm = when(lhs.isNull || rhs.isNull,
+      raise_error(lit("ewma alarm: DECIMAL(38,0) overflow in the " +
+        "cross-multiplied band comparison")).cast("boolean"))
+      .otherwise(lhs > rhs)
     joined.select(keyCols.map(col) ++ Seq(
       col(tickCol), col(valueCol),
       expr(s"(CAST(1000 AS $dec) * __num) div __d").cast("long")
         .as("ewma_milli"),
-      (lit(3).cast(dec) * col("__delta") * col("__delta") >
-        lit(l.toLong * l).cast(dec) * col("__d") * col("__d") *
-          (col("__n") * col("__sx2") - col("__tot") * col("__tot")))
-        .as("alarm")): _*)
+      alarm.as("alarm")): _*)
   }
 }

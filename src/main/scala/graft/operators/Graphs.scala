@@ -515,15 +515,23 @@ object Graphs {
     * Scale shape: edge canonicalization + one degree aggregate + the
     * same two vocab-sized endpoint-degree joins every census pays —
     * but NO wedge enumeration: this is the cheap pre-flight before
-    * q233's Σ outdeg² bill.
+    * q233's Σ outdeg² bill. The degree table is counted off its
+    * checkpoint (one cheap action) and BROADCAST to both endpoint
+    * joins when it fits under `maxBroadcastDegreeRows` — the edge set
+    * then never shuffles at all (two broadcast-hash probes of the same
+    * ~vertex-sized table); an over-limit vertex set falls back to
+    * shuffle joins instead of a driver-OOM broadcast (the B40 rule).
     *
     * Output (1 row): (n_vertices, n_edges, max_degree,
     * mean_degree_milli, degree_cv2_milli, assortativity_milli).
     */
   def degreeMixing(edges: DataFrame, srcCol: String,
-                   dstCol: String): DataFrame = {
+                   dstCol: String,
+                   maxBroadcastDegreeRows: Long = 2000000L): DataFrame = {
     val canon = canonical(edges, srcCol, dstCol)
-    val deg = degrees(canon).localCheckpoint()
+    val deg0 = degrees(canon).localCheckpoint()
+    val deg =
+      if (deg0.count() <= maxBroadcastDegreeRows) broadcast(deg0) else deg0
     val vstats = deg.agg(
       count(lit(1)).cast(dec).as("__v"),
       max(col("__d")).as("max_degree"),

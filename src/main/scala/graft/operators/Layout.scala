@@ -154,10 +154,22 @@ object LayoutAudit {
     * instead of just the winner keeps the margin visible (a 2%
     * win does not justify a rewrite; a 40x one does).
     *
-    * Scale shape: one [[skipRateReport]] pass per
-    * (candidate × probed column) — each a two-phase rank over the
-    * corpus — then bounded rollups; candidates/probes are bounded
-    * driver lists (the fdStrength assembly shape).
+    * Scale shape: ONE two-phase rank per CANDIDATE (not per
+    * candidate × probed column — the chunk table is a function of the
+    * layout's sort key only, so every probed column's [min, max]
+    * rides the same pass; r9 verdict task 2 halved the rank passes),
+    * then bounded rollups; candidates/probes are bounded driver lists
+    * (the fdStrength assembly shape).
+    *
+    * Determinism of the shared chunk table: rows rank by
+    * (orderCol, v₁, …, v_k) with the probed columns as tie-breaks in
+    * column-name order — rows tied on the FULL key are identical in
+    * every aggregated value, so each column's per-chunk [min, max] is
+    * engine-independent (and, for the column that equals or follows
+    * the old single-column tie-break, bit-identical to the 4-pass
+    * form). Rows with a null order key or a null in ANY probed column
+    * drop up front: one consistent row universe per candidate, so
+    * every probe is scored against the same corpus.
     *
     * @param candidates (label, orderCol, bucketWidth) — bucketWidth is
     *                   the two-phase-rank bucket for THAT order column
@@ -179,10 +191,69 @@ object LayoutAudit {
     require(candidates.size <= 16 && probes.size <= 64,
       "bounded advisor grid")
     val byCol = probes.groupBy(_._1).toSeq.sortBy(_._1)
+    val vcols = byCol.map(_._1)
     candidates.map { case (label, ord, bw) =>
-      byCol.map { case (vc, ps) =>
-        skipRateReport(df, ord, vc, ps.map(p => (p._2, p._3)),
-          nChunks, bw)
+      // One ranked pass per candidate; chunk table carries min/max
+      // for ALL probed columns (see scaladoc determinism note).
+      val base = df
+        .filter(col(ord).isNotNull &&
+          vcols.map(col(_).isNotNull).reduce(_ && _))
+        .select(col(ord).cast("long").as("__o") +:
+          vcols.zipWithIndex.map { case (v, i) =>
+            col(v).cast("long").as(s"__v$i") }: _*)
+        .localCheckpoint(eager = false) // ranked + selected consumers
+      val tot = base.agg(count(lit(1)).as("__n"))
+      // two-phase rank: bucket by the order key, row_number inside a
+      // bucket over (o, v1..vk), broadcast bucket prefixes — the
+      // takeByBudget machinery with a composite tie-break
+      val bucketed = base
+        .withColumn("__b", expr(s"(__o - pmod(__o, ${bw}L)) div ${bw}L"))
+      val inBucket = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__b"))
+        .orderBy(col("__o").asc +:
+          vcols.indices.map(i => col(s"__v$i").asc): _*)
+      val local = bucketed
+        .withColumn("__rn", row_number().over(inBucket).cast("long"))
+      val totals = bucketed.groupBy(col("__b"))
+        .agg(count(lit(1)).as("__bt"))
+      val prefW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val prefixes = totals
+        .withColumn("__pre", sum(col("__bt")).over(prefW) - col("__bt"))
+        .select(col("__b"), col("__pre"))
+      val chunkAggs = count(lit(1)).as("__cn") +:
+        vcols.indices.flatMap(i => Seq(
+          min(col(s"__v$i")).as(s"__vmin$i"),
+          max(col(s"__v$i")).as(s"__vmax$i")))
+      val chunkTable = local.join(broadcast(prefixes), "__b")
+        .withColumn("__cum", col("__pre") + col("__rn"))
+        .crossJoin(broadcast(tot))
+        .withColumn("__csize",
+          expr(s"(__n + ${nChunks}L - 1L) div ${nChunks}L"))
+        .groupBy(expr("(__cum - 1L) div __csize").as("__chunk"))
+        .agg(chunkAggs.head, chunkAggs.tail: _*)
+        .localCheckpoint() // one probe sweep per probe
+      // exact selected counts: every probe in ONE corpus aggregate
+      val probeList = byCol.zipWithIndex.flatMap { case ((_, ps), i) =>
+        ps.map(p => (i, p._2, p._3)) }
+      val selCols = probeList.zipWithIndex.map { case ((i, lo, hi), j) =>
+        sum(when(col(s"__v$i") >= lo && col(s"__v$i") <= hi, 1L)
+          .otherwise(0L)).as(s"__sel$j")
+      }
+      val selected = base.agg(selCols.head, selCols.tail: _*)
+        .localCheckpoint()
+      probeList.zipWithIndex.map { case ((i, lo, hi), j) =>
+        val miss = col(s"__vmax$i") < lo || col(s"__vmin$i") > hi
+        chunkTable
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(miss, 1L).otherwise(0L)).as("skipped_chunks"),
+            sum(when(miss, 0L).otherwise(col("__cn")))
+              .as("rows_scanned"))
+          .crossJoin(broadcast(
+            selected.select(col(s"__sel$j").as("rows_selected"))))
       }.reduce(_.unionByName(_))
         .agg(count(lit(1)).as("n_probes"),
           sum(col("n_chunks")).as("__tc"),

@@ -10,7 +10,12 @@ import org.apache.spark.sql.functions._
   * broadcast joins. The q272 stump audit asks "does this column carry
   * signal alone"; this trains the standard multi-feature baseline on a
   * deterministic hash split and reports the holdout confusion matrix —
-  * the number a heavier model must beat to justify itself.
+  * the number a heavier model must beat to justify itself. The split
+  * gate is [[Sampling.mixedBucket]] (square-recombined): the plain
+  * affine hash stripes on dense small id spaces (the q291 lesson) and
+  * its raw `id * 1000003` multiply silently wraps in Spark for
+  * |id| > ~9.2e12 while DuckDB errors on BIGINT overflow; mixedBucket
+  * pre-mods the id so every op stays in-range in both engines.
   *
   * Determinism: every model statistic is an exact integer (class
   * priors n_c, per-feature Laplace counts cnt+1, denominators
@@ -44,8 +49,7 @@ object NaiveBayes {
       .filter(col(idCol).isNotNull && col(labelCol).isNotNull &&
         featureCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__train",
-        pmod(col(idCol).cast("long") * 1000003L + 17L,
-          lit(1000000007L)) % 1000 < trainPermille)
+        Sampling.mixedBucket(col(idCol)) < trainPermille)
     val train = base.filter(col("__train"))
     val eval0 = base.filter(!col("__train"))
     // Class priors; a single-class train split makes every posterior

@@ -175,12 +175,19 @@ object Windows {
       countDistinct(col(entityCol)).as("__ne"),
       (count(lit(1)).as("__nev") +: thrAggs): _*)
       .localCheckpoint()
+    // Empty-corpus guard: with zero entities n_sessions is 0 and the
+    // means are 0/0 — Spark (non-ANSI) would emit null while the
+    // DuckDB twin raises division-by-zero; gate both means on
+    // n_sessions > 0 (the oracle SQL carries the same CASE) so the
+    // engines agree on the degenerate edge too.
     val rows = gapMinutes.map { m =>
       ag.select(lit(m).as("gap_minutes"),
         (col("__ne") + col(s"__x_$m")).as("n_sessions"),
-        expr(s"(__nev * 1000) div (__ne + __x_$m)")
+        expr(s"CASE WHEN __ne + __x_$m > 0 THEN " +
+          s"(__nev * 1000) div (__ne + __x_$m) END")
           .as("mean_events_milli"),
-        expr(s"__w_$m div (__ne + __x_$m)").as("mean_dur_micros"))
+        expr(s"CASE WHEN __ne + __x_$m > 0 THEN " +
+          s"__w_$m div (__ne + __x_$m) END").as("mean_dur_micros"))
     }
     rows.reduce(_.unionAll(_))
   }

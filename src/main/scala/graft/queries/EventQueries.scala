@@ -1534,8 +1534,10 @@ object EventQueries extends QueryGroup {
       val rows = grid.map { m =>
         s"""SELECT CAST($m AS BIGINT) AS gap_minutes,
               ne + x$m AS n_sessions,
-              (nev * 1000) // (ne + x$m) AS mean_events_milli,
-              w$m // (ne + x$m) AS mean_dur_micros FROM a"""
+              CASE WHEN ne + x$m > 0
+                THEN (nev * 1000) // (ne + x$m) END AS mean_events_milli,
+              CASE WHEN ne + x$m > 0
+                THEN w$m // (ne + x$m) END AS mean_dur_micros FROM a"""
       }.mkString("\nUNION ALL ")
       s"""
       WITH g AS (
@@ -1601,7 +1603,7 @@ object EventQueries extends QueryGroup {
         (base_hits * 1000000) // n AS base_acc_ppm
       FROM ag ORDER BY from_type""",
 
-    "q289_naive_bayes_gate" -> """
+    "q289_naive_bayes_gate" -> s"""
       WITH b AS (
         SELECT event_id AS id, (event_type = 'purchase') AS y,
           least(greatest(
@@ -1615,8 +1617,8 @@ object EventQueries extends QueryGroup {
         WHERE ts IS NOT NULL AND value IS NOT NULL
           AND event_type IS NOT NULL AND event_id IS NOT NULL),
       sp AS (
-        SELECT *, (((id * 1000003 + 17) % 1000000007 + 1000000007)
-          % 1000000007) % 1000 < 800 AS istr
+        SELECT *,
+          ${graft.operators.Sampling.mixedBucketSql("id")} < 800 AS istr
         FROM b),
       trn AS (SELECT * FROM sp WHERE istr),
       ev AS (SELECT * FROM sp WHERE NOT istr),

@@ -719,46 +719,52 @@ object StatsQueries extends QueryGroup {
     * min/max per chunk, one output row per probe (skip decision on the
     * chunk table + exact selected count on the row table).
     */
-  /** q297 oracle: the q285 chunk machinery replayed per
-    * (candidate layout × probed column), rolled up per layout. */
+  /** q297 oracle: ONE shared chunk table per candidate layout (rank by
+    * (o, v0, v1) — the r10 2-pass form; each probed column reads its
+    * own min/max off the shared table), rolled up per layout. */
   private def sortKeyAdvisorSql: String = {
     val tprobes = Seq((1704844800000000L, 1705017599999999L),
       (1705276800000000L, 1705881599999999L))
     val uprobes = Seq((0L, 9L), (100L, 119L))
-    // (tag, layout, ordExpr, valExpr, where, probes) — WHERE mirrors
-    // skipRateReport's ord-nonnull AND val-nonnull exactly
-    val combos = Seq(
-      ("a", "by_ts", "epoch_us(ts)", "epoch_us(ts)",
-        "ts IS NOT NULL", tprobes),
-      ("b", "by_ts", "epoch_us(ts)", "user_id",
-        "ts IS NOT NULL AND user_id IS NOT NULL", uprobes),
-      ("c", "by_user", "user_id", "epoch_us(ts)",
-        "user_id IS NOT NULL AND ts IS NOT NULL", tprobes),
-      ("d", "by_user", "user_id", "user_id",
-        "user_id IS NOT NULL", uprobes))
-    val ctes = combos.map { case (t, _, ord, v, w, _) =>
+    // probed columns in column-name order (ts_us < user_id): v0 = ts
+    // micros, v1 = user_id; WHERE mirrors sortKeyAdvisor's combined
+    // ord-nonnull AND every-probed-col-nonnull filter
+    val where = "ts IS NOT NULL AND user_id IS NOT NULL"
+    val candidates = Seq(
+      ("a", "by_ts", "epoch_us(ts)"),
+      ("b", "by_user", "user_id"))
+    // (column index, probes): 0 = ts_us probes, 1 = user_id probes
+    val probeCols = Seq((0, tprobes), (1, uprobes))
+    val ctes = candidates.map { case (t, _, ord) =>
       s"""
       ev_$t AS MATERIALIZED (
-        SELECT $ord AS o, $v AS v FROM events WHERE $w),
+        SELECT $ord AS o, epoch_us(ts) AS v0, user_id AS v1
+        FROM events WHERE $where),
       nn_$t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ev_$t),
       ch_$t AS MATERIALIZED (
         SELECT (rn - 1) // ((n + 63) // 64) AS chunk,
-          CAST(count(*) AS BIGINT) AS cn, min(v) AS vmin, max(v) AS vmax
-        FROM (SELECT v, row_number() OVER (ORDER BY o, v) AS rn
+          CAST(count(*) AS BIGINT) AS cn,
+          min(v0) AS vmin0, max(v0) AS vmax0,
+          min(v1) AS vmin1, max(v1) AS vmax1
+        FROM (SELECT v0, v1,
+                row_number() OVER (ORDER BY o, v0, v1) AS rn
               FROM ev_$t)
         CROSS JOIN nn_$t GROUP BY 1)"""
     }.mkString(",")
-    val rows = combos.flatMap { case (t, layout, _, _, _, probes) =>
-      probes.map { case (lo, hi) =>
-        s"""SELECT '$layout' AS layout,
-          CAST(count(*) AS BIGINT) AS n_chunks,
-          CAST(coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
-            THEN 1 END), 0) AS BIGINT) AS skipped_chunks,
-          CAST(coalesce(sum(CASE WHEN vmax < $lo OR vmin > $hi
-            THEN 0 ELSE cn END), 0) AS BIGINT) AS rows_scanned,
-          (SELECT CAST(coalesce(sum(CASE WHEN v >= $lo AND v <= $hi
-            THEN 1 END), 0) AS BIGINT) FROM ev_$t) AS rows_selected
-        FROM ch_$t"""
+    val rows = candidates.flatMap { case (t, layout, _) =>
+      probeCols.flatMap { case (i, probes) =>
+        probes.map { case (lo, hi) =>
+          s"""SELECT '$layout' AS layout,
+            CAST(count(*) AS BIGINT) AS n_chunks,
+            CAST(coalesce(sum(CASE WHEN vmax$i < $lo OR vmin$i > $hi
+              THEN 1 END), 0) AS BIGINT) AS skipped_chunks,
+            CAST(coalesce(sum(CASE WHEN vmax$i < $lo OR vmin$i > $hi
+              THEN 0 ELSE cn END), 0) AS BIGINT) AS rows_scanned,
+            (SELECT CAST(coalesce(sum(CASE WHEN v$i >= $lo
+              AND v$i <= $hi THEN 1 END), 0) AS BIGINT) FROM ev_$t)
+              AS rows_selected
+          FROM ch_$t"""
+        }
       }
     }.mkString("\n      UNION ALL ")
     s"""

@@ -171,4 +171,26 @@ class LayoutAuditSpec extends SparkSpec {
     // [3,7,11,15] -> every chunk overlaps [0,3]: full scan, 4x amp
     assert(out("by_scr") == ((1L, 16L, 4L, 0L, 4000000L)))
   }
+
+  test("sortKeyAdvisor 2-pass: two probed columns share one chunk table, hand-checked rollup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 64 rows ordered by o; probed columns a == o (aligned) and
+    // b = o % 8 (every chunk spans b's full range)
+    val rows = (0L until 64L).map(o => (o, o, o % 8)).toDF("o", "a", "b")
+    val out = LayoutAudit.sortKeyAdvisor(rows,
+        candidates = Seq(("by_o", "o", 8L)),
+        probes = Seq(("a", 16L, 23L), ("b", 3L, 3L)), nChunks = 8)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    // probe a [16,23]: exactly chunk 2 -> skips 7 of 8, scans 8 of its
+    // 8 selected; probe b [3,3]: all 8 chunks overlap -> scans 64 for
+    // 8 selected. Rollup: 7 of 16 chunk-probes skipped.
+    assert(r.getAs[Long]("n_probes") == 2L)
+    assert(r.getAs[Long]("rows_scanned_total") == 8L + 64L)
+    assert(r.getAs[Long]("rows_selected_total") == 16L)
+    assert(r.getAs[Long]("workload_skip_ppm") == 7L * 1000000L / 16L)
+    assert(r.getAs[Long]("scan_amplification_ppm") == 72000000L / 16L)
+  }
 }

@@ -17,8 +17,12 @@ class NaiveBayesSpec extends SparkSpec {
       (id, label, f1, f2)
     }
 
-  private def isTrain(id: Long): Boolean =
-    (((id * 1000003L + 17L) % 1000000007L) + 1000000007L) % 1000000007L % 1000 < 800
+  // Sampling.mixedBucket replica (the de-striped gate; q291 lesson)
+  private def isTrain(id: Long): Boolean = {
+    val p = 1000000007L
+    val km = ((id % p) + p) % p
+    ((((km * km % p) * 1000003L + km * 12345L + 17L) % p) + p) % p % 1000 < 800
+  }
 
   test("confusion matrix matches an exact BigInt reference") {
     val rows = fixture
@@ -54,8 +58,8 @@ class NaiveBayesSpec extends SparkSpec {
   }
 
   test("an eval-only feature value scores through Laplace, not a crash") {
-    // pick an eval-side id (the house hash stripes small dense ids:
-    // 0..260 all land train) and give it an f1 never seen in train
+    // pick an eval-side id under the mixedBucket gate and give it an
+    // f1 never seen in train
     val evalId = (0L until 400L).find(id => !isTrain(id)).get
     val rows = fixture.map(r => if (r._1 == evalId) r.copy(_3 = 99L) else r)
     val out = NaiveBayes.confusionGate(
@@ -66,7 +70,7 @@ class NaiveBayesSpec extends SparkSpec {
   }
 
   test("single-class train split fails loudly") {
-    // 400 dense ids so the eval stripe (261..327) is non-empty — with
+    // 400 dense ids so the mixedBucket eval side is non-empty — with
     // an empty eval side AQE's empty-relation propagation would skip
     // the priors broadcast and the check could never evaluate
     val rows = (0L until 400L).map(id => (id, true, id % 3, id % 2))

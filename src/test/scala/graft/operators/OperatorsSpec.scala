@@ -340,4 +340,19 @@ class OperatorsSpec extends SparkSpec {
     // T=80min: no crossings -> 2 sessions; within = 80min total
     assert(out(80L) == ((2L, 2500L, 80 * min / 2)))
   }
+
+  test("gapSensitivity: empty corpus yields zero sessions and null means, not a crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val empty = Seq.empty[(String, Long, Long)].toDF("u", "us", "eid")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Windows.gapSensitivity(empty, "u", "ts", "eid",
+      gapMinutes = Seq(5L, 40L)).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sessions") == 0L)
+      assert(r.isNullAt(r.fieldIndex("mean_events_milli")))
+      assert(r.isNullAt(r.fieldIndex("mean_dur_micros")))
+    }
+  }
 }
