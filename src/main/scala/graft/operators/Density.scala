@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid-density clustering labels (DBSCAN-lite) over an embedding
+  * column — the density form the clustering family lacked: k-means
+  * (q123) and k-center (q217) force every point into a cell and
+  * SemDeDup (q124) only asks about near-duplicates; none of them can
+  * say "this point sits in NO dense region" — the outlier/noise call
+  * density clustering exists for (Ester et al. 1996). This is the
+  * STING/GriDBSCAN-style grid approximation: the eps-ball becomes the
+  * L∞ cell block, so labels come from bounded cell-table arithmetic
+  * with NO pair space over points.
+  *
+  * Semantics (exact, both engines replay):
+  *  - points quantize per grid dim d: s = floor(x_d·scale + 0.5) (the
+  *    house kmeans rounding), cell coord = floor(s / cellWidth)
+  *    (sign-safe floor via the pmod subtraction);
+  *  - a cell's BLOCK count = Σ points over its 3^D neighborhood
+  *    (itself + adjacent cells — the quantized eps-ball);
+  *  - core-dense cell: block·1e6 ≥ densityPpm·n — the gate is
+  *    RELATIVE to the corpus (an absolute minPts is meaningless
+  *    across scales: the same grid holds 500 points at sf0.01 and
+  *    20k at sf1; ppm-of-corpus keeps "dense" meaning dense);
+  *  - labels: core = point in a core-dense cell; border = point whose
+  *    cell is not core-dense but has a core-dense cell in its block;
+  *    noise = the rest. Labels only — cluster ids would need the
+  *    core-cell connected components (q282's label-propagation
+  *    machinery, deliberately not duplicated here).
+  *
+  * Scale shape: one corpus aggregate to the occupied-cell table
+  * (≤ min(n, grid size)); 3^D ≤ 27 shifted unions of that BOUNDED
+  * table (the scatter form — never a cell×cell join); one equi-join of
+  * the corpus against the labeled cell table (broadcast-sized in
+  * practice, shuffle-hash otherwise — no pair explosion either way);
+  * one ≤3-row census aggregate. Census output with per-label id_sum so
+  * the oracle pins every point-level label without emitting the
+  * corpus.
+  *
+  * Output (≤3 rows): (dbscan_label, n_cells, n_points, share_ppm,
+  * id_sum).
+  */
+object Density {
+
+  def gridDbscanCensus(df: DataFrame, idCol: String, vecCol: String,
+                       gridDims: Seq[Int], scale: Long = 1000L,
+                       cellWidth: Long = 100L,
+                       densityPpm: Long = 60000L): DataFrame = {
+    require(gridDims.nonEmpty && gridDims.size <= 3,
+      s"gridDims must be 1..3 one-based dims, got $gridDims")
+    require(gridDims.forall(_ >= 1), "gridDims are 1-based")
+    require(scale >= 1 && cellWidth >= 1, "scale/cellWidth must be positive")
+    require(densityPpm >= 1 && densityPpm <= 1000000,
+      s"densityPpm must be in [1, 1e6], got $densityPpm")
+    val dec = "decimal(38,0)"
+    val dIdx = gridDims.indices
+    def scaledDim(dim: Int): Column =
+      floor(element_at(col(vecCol), dim).cast("double") * scale
+        + lit(0.5)).cast("long")
+    val pts = df
+      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id") +:
+        dIdx.map(i => scaledDim(gridDims(i)).as(s"__s$i")): _*)
+      // sign-safe floor division (pmod subtraction) — `div`, not `/`,
+      // so the coord stays an exact long
+      .select(col("__id") +: dIdx.map(i =>
+        expr(s"(__s$i - pmod(__s$i, ${cellWidth}L)) div ${cellWidth}L")
+          .as(s"__c$i")): _*)
+      .localCheckpoint(eager = false) // cell counts + the label join
+    val cCols = dIdx.map(i => col(s"__c$i"))
+    val cells = pts.groupBy(cCols: _*)
+      .agg(count(lit(1)).as("__cn"))
+      .localCheckpoint() // scattered 3^D times below
+    val nTot = pts.agg(count(lit(1)).as("__n"))
+    // 3^D offsets: scatter each cell's count to every block it belongs
+    // to, then collapse — bounded-table unions, never cells × cells
+    val offsets = dIdx.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
+    def shifted(src: DataFrame, extra: Seq[Column]) = offsets.map { o =>
+      src.select(dIdx.map(i => (col(s"__c$i") + o(i)).as(s"__c$i")) ++
+        extra: _*)
+    }.reduce(_.unionAll(_))
+    val block = shifted(cells, Seq(col("__cn")))
+      .groupBy(cCols: _*).agg(sum(col("__cn")).as("__bn"))
+    val flagged = cells.join(block, dIdx.map(i => s"__c$i"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__core",
+        expr(s"CAST(__bn AS $dec) * 1000000 >= " +
+          s"CAST($densityPpm AS $dec) * __n"))
+      .localCheckpoint() // consumed by the scatter AND the label join
+    val nearCore = shifted(flagged.filter(col("__core")), Nil)
+      .distinct()
+      .withColumn("__nc", lit(true))
+    val labeledCells = flagged
+      .join(nearCore, dIdx.map(i => s"__c$i"), "left")
+      .select(cCols :+ col("__cn") :+
+        when(col("__core"), "core")
+          .when(col("__nc").isNotNull, "border")
+          .otherwise("noise").as("dbscan_label"): _*)
+    val census = pts.join(labeledCells, dIdx.map(i => s"__c$i"))
+      .groupBy(col("dbscan_label"))
+      .agg(count(lit(1)).as("n_points"), sum(col("__id")).as("id_sum"))
+    val cellCounts = labeledCells.groupBy(col("dbscan_label"))
+      .agg(count(lit(1)).as("n_cells"))
+    census.join(cellCounts, "dbscan_label")
+      .crossJoin(broadcast(census.agg(sum(col("n_points")).as("__tot"))))
+      .select(col("dbscan_label"), col("n_cells"), col("n_points"),
+        expr("(n_points * 1000000L) div __tot").as("share_ppm"),
+        col("id_sum"))
+  }
+}

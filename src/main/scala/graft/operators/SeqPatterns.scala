@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Level-2 sequential pattern mining with a max-gap constraint —
+  * the PrefixSpan/GSP length-2 level (Pei et al. 2001; Srikant &
+  * Agrawal 1996 introduced the max-gap) over per-entity event
+  * sequences: for every ordered type pair ⟨a, b⟩, in how many entities
+  * does some b follow some a within `maxGapMinutes`, and what are the
+  * rule metrics? This closes the gap the event-sequence suite left
+  * open: q274's precedence census is the UNCONSTRAINED a-before-b
+  * count (gap = ∞), q104/q256 are adjacent-transition views (gap = one
+  * step), and the basket family's support/confidence/lift (the
+  * [[Association.rules2]] forms, replayed here verbatim on entity
+  * counts) never sees order at all. A length-2 gap-constrained pattern
+  * is the funnel-discovery primitive WITH the timeout every real
+  * funnel has.
+  *
+  * Exact semantics: entity e supports ⟨a, b⟩ iff ∃ occurrences
+  * t_a < t_b ≤ t_a + gap (strictly later — simultaneous events never
+  * chain, a value-based rule both engines replay; a = b is allowed
+  * and reads "a recurs within the gap"). Support counts ENTITIES, not
+  * occurrence pairs (GSP's definition — one busy user can't inflate a
+  * pattern). Metrics: support_ppm = n·1e6 div N, confidence_ppm =
+  * n·1e6 div n_ante, lift_ppm = n·N·1e6 div (n_ante·n_cons) in
+  * DECIMAL(38,0) — [[Association.rules2]]'s exact floored forms with
+  * baskets → entities.
+  *
+  * Scale shape — NO occurrence-pair join anywhere (the naive
+  * formulation is per-entity events², quadratic in the q295 power-user
+  * tail):
+  *  1. one aggregate collapses events to the per-(entity, timestamp)
+  *     grid with k presence flags (k = |alphabet| ≤ 16, a bounded
+  *     driver list — the q274 contract);
+  *  2. one RUNNING window per entity (ORDER BY ts DESC, ROWS UNBOUNDED
+  *     PRECEDING TO 1 PRECEDING — incremental, never the O(n²)
+  *     unbounded-FOLLOWING frame) yields next-occurrence[b] for all k
+  *     types in a single WindowExec pass; distinct grid timestamps
+  *     make the 1-PRECEDING cut exactly "strictly later" with no
+  *     tie nondeterminism;
+  *  3. one per-entity aggregate takes min over a-flagged rows of
+  *     (next[b] − ts) for all k² pairs;
+  *  4. one global 1-row aggregate (entity count, k antecedent
+  *     supports, k² gap-gated pattern counts), localCheckpoint'ed;
+  *     the ≤ k² output rows assemble driver-side from it (the
+  *     gapSensitivity/fdStrength shape).
+  * Corpus pays one groupBy + one co-partitioned running window — the
+  * same bill as sessionization.
+  *
+  * Output (≤ k² rows, minSupport-gated): (antecedent, consequent,
+  * n_entities, n_ante, n_cons, support_ppm, confidence_ppm,
+  * lift_ppm).
+  */
+object SeqPatterns {
+
+  private def hasAggs(alphabet: Seq[String]) =
+    alphabet.indices.map(j => max(when(col("__t") === alphabet(j), 1L)
+      .otherwise(0L)).as(s"__has$j"))
+
+  def level2(df: DataFrame, entityCol: String, tsCol: String,
+             typeCol: String, alphabet: Seq[String],
+             maxGapMinutes: Long, minSupport: Long = 1L): DataFrame = {
+    require(alphabet.nonEmpty && alphabet.size <= 16,
+      s"alphabet must be a bounded driver list of 1..16 types, got ${alphabet.size}")
+    require(alphabet.distinct.size == alphabet.size, "alphabet has duplicates")
+    require(maxGapMinutes > 0, s"maxGapMinutes must be positive, got $maxGapMinutes")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val dec = "decimal(38,0)"
+    val gapUs = maxGapMinutes * 60000000L
+    val k = alphabet.size
+    val idx = alphabet.indices
+    // 1. per-(entity, ts) grid with one presence flag per type
+    val grid = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(alphabet.map(x => x: Any): _*))
+      .select(col(entityCol).as("__e"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"))
+      .groupBy(col("__e"), col("__us"))
+      .agg(hasAggs(alphabet).head, hasAggs(alphabet).tail: _*)
+    // 2. next strictly-later occurrence of each type: ts DESC running
+    // min over earlier-processed rows = later timestamps only (grid
+    // timestamps are distinct per entity, so "1 preceding" IS strict)
+    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withNext = idx.foldLeft(grid) { (d, j) =>
+      d.withColumn(s"__nxt$j",
+        min(when(col(s"__has$j") === 1L, col("__us"))).over(wDesc))
+    }
+    // 3. per-entity: min gap for every ordered pair + antecedent flags
+    val pairAggs = idx.flatMap(a => idx.map(b =>
+      min(when(col(s"__has$a") === 1L, col(s"__nxt$b") - col("__us")))
+        .as(s"__mg_${a}_$b"))) ++
+      idx.map(a => max(col(s"__has$a")).as(s"__ha$a"))
+    val perEntity = withNext.groupBy(col("__e"))
+      .agg(pairAggs.head, pairAggs.tail: _*)
+    // 4. one global sufficient-statistics row
+    val statAggs = Seq(count(lit(1)).as("__nu")) ++
+      idx.map(a => sum(col(s"__ha$a")).as(s"__na$a")) ++
+      idx.flatMap(a => idx.map(b =>
+        sum(when(col(s"__mg_${a}_$b") <= gapUs, 1L).otherwise(0L))
+          .as(s"__np_${a}_$b")))
+    val stats = perEntity.agg(statAggs.head, statAggs.tail: _*)
+      .localCheckpoint()
+    val rows = idx.flatMap(a => idx.map { b =>
+      stats.select(
+        lit(alphabet(a)).as("antecedent"), lit(alphabet(b)).as("consequent"),
+        col(s"__np_${a}_$b").as("n_entities"),
+        col(s"__na$a").as("n_ante"), col(s"__na$b").as("n_cons"),
+        expr(s"(__np_${a}_$b * 1000000L) div __nu").as("support_ppm"),
+        expr(s"CASE WHEN __na$a > 0 THEN " +
+          s"(__np_${a}_$b * 1000000L) div __na$a END").as("confidence_ppm"),
+        expr(s"CASE WHEN __na$a > 0 AND __na$b > 0 THEN " +
+          s"(CAST(__np_${a}_$b AS $dec) * __nu * CAST(1000000 AS $dec))" +
+          s" div (CAST(__na$a AS $dec) * __na$b) END").cast("long")
+          .as("lift_ppm"))
+    })
+    rows.reduce(_.unionAll(_)).filter(col("n_entities") >= minSupport)
+  }
+}

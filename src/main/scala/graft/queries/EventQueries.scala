@@ -420,6 +420,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("from_type"))
     },
 
+    "q300_seq_patterns" -> { (s, d) =>
+      // Level-2 sequential patterns with a max-gap (B127, PrefixSpan/
+      // GSP level 2): for every ordered event-type pair <a, b>, how
+      // many users see some b follow some a within 60 minutes, with
+      // the rules2 support/confidence/lift forms on ENTITY counts.
+      // q274 is this census at gap = infinity; q104 at gap = one step.
+      // No occurrence-pair join: one (user, ts) grid aggregate + one
+      // running window (ts DESC) + k-squared conditional mins.
+      graft.operators.SeqPatterns.level2(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        alphabet = Seq("click", "error", "purchase", "signup", "view"),
+        maxGapMinutes = 60L, minSupport = 2L)
+        .orderBy(col("antecedent"), col("consequent"))
+    },
+
     "q289_naive_bayes_gate" -> { (s, d) =>
       // Count-based Naive Bayes baseline (B116, Maron 1961): train the
       // add-one-smoothed classifier for the purchase label over q272's
@@ -1602,6 +1617,33 @@ object EventQueries extends QueryGroup {
         (hits * 1000000) // n AS acc_ppm, base_hits,
         (base_hits * 1000000) // n AS base_acc_ppm
       FROM ag ORDER BY from_type""",
+
+    "q300_seq_patterns" -> """
+      WITH e AS (
+        SELECT user_id AS u, event_type AS t,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('click','error','purchase','signup','view')),
+      n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS nu FROM e),
+      s AS (SELECT t, CAST(count(DISTINCT u) AS BIGINT) AS ns
+            FROM e GROUP BY 1),
+      p AS (
+        SELECT a.t AS ante, b.t AS cons,
+          CAST(count(DISTINCT a.u) AS BIGINT) AS np
+        FROM e a JOIN e b ON a.u = b.u AND b.us > a.us
+          AND b.us <= a.us + 3600000000
+        GROUP BY 1, 2)
+      SELECT p.ante AS antecedent, p.cons AS consequent,
+        p.np AS n_entities, sa.ns AS n_ante, sb.ns AS n_cons,
+        CAST((p.np * 1000000) // n.nu AS BIGINT) AS support_ppm,
+        CAST((p.np * 1000000) // sa.ns AS BIGINT) AS confidence_ppm,
+        CAST((CAST(p.np AS HUGEINT) * n.nu * 1000000)
+          // (CAST(sa.ns AS HUGEINT) * sb.ns) AS BIGINT) AS lift_ppm
+      FROM p JOIN s sa ON sa.t = p.ante JOIN s sb ON sb.t = p.cons
+      CROSS JOIN n
+      WHERE p.np >= 2
+      ORDER BY antecedent, consequent""",
 
     "q289_naive_bayes_gate" -> s"""
       WITH b AS (

@@ -309,6 +309,21 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("vec_id"))
     },
 
+    "q301_dbscan_census" -> { (s, d) =>
+      // Grid-density DBSCAN-lite census (B128, Ester 1996 via the
+      // STING/GriDBSCAN grid): core/border/noise labels from 3x3
+      // cell-block counts over the first two embedding dims — the
+      // density question (is this point in NO dense region?) k-means
+      // can't ask. Relative 6%-of-corpus gate so "dense" stays dense
+      // at every SF; bounded cell-table arithmetic, no point pairs;
+      // per-label id_sum pins point-level labels.
+      graft.operators.Density.gridDbscanCensus(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        gridDims = Seq(1, 2), scale = 1000L, cellWidth = 100L,
+        densityPpm = 60000L)
+        .orderBy(col("dbscan_label"))
+    },
+
     "q123_kmeans" -> { (s, d) =>
       // Fixed-point Lloyd k-means (the SemDeDup clustering step): k=8
       // seeds = the lowest vec_ids, two assignment passes with one
@@ -939,6 +954,57 @@ object SimilarityQueries extends QueryGroup {
       FROM cls JOIN szs2 USING (cluster_id)
       ORDER BY doc_id""".replaceFirst("WITH ", "WITH RECURSIVE "),
 
+
+    "q301_dbscan_census" -> """
+      WITH v AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5)
+            AS BIGINT) AS s0,
+          CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5)
+            AS BIGINT) AS s1
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+      p AS (
+        SELECT id,
+          (s0 - ((s0 % 100 + 100) % 100)) // 100 AS c0,
+          (s1 - ((s1 % 100 + 100) % 100)) // 100 AS c1
+        FROM v),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p),
+      cells AS (
+        SELECT c0, c1, CAST(count(*) AS BIGINT) AS cn
+        FROM p GROUP BY 1, 2),
+      g AS (
+        SELECT a.c0, a.c1, CAST(sum(b.cn) AS BIGINT) AS bn
+        FROM cells a JOIN cells b
+          ON abs(a.c0 - b.c0) <= 1 AND abs(a.c1 - b.c1) <= 1
+        GROUP BY 1, 2),
+      f AS (
+        SELECT c.c0, c.c1, c.cn,
+          (g.bn * 1000000 >= 60000 * (SELECT nn FROM n)) AS core
+        FROM cells c JOIN g ON g.c0 = c.c0 AND g.c1 = c.c1),
+      x AS (
+        SELECT DISTINCT a.c0, a.c1 FROM f a JOIN f b
+          ON abs(a.c0 - b.c0) <= 1 AND abs(a.c1 - b.c1) <= 1
+          AND b.core),
+      cl AS (
+        SELECT f.c0, f.c1, f.cn,
+          CASE WHEN f.core THEN 'core'
+            WHEN x.c0 IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS lbl
+        FROM f LEFT JOIN x ON x.c0 = f.c0 AND x.c1 = f.c1),
+      cs AS (
+        SELECT lbl, CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(sum(cn) AS BIGINT) AS n_points
+        FROM cl GROUP BY 1),
+      isum AS (
+        SELECT cl.lbl AS lbl, CAST(sum(p.id) AS BIGINT) AS id_sum
+        FROM p JOIN cl ON cl.c0 = p.c0 AND cl.c1 = p.c1 GROUP BY 1)
+      SELECT cs.lbl AS dbscan_label, cs.n_cells, cs.n_points,
+        CAST((cs.n_points * 1000000) // (SELECT nn FROM n) AS BIGINT)
+          AS share_ppm,
+        isum.id_sum
+      FROM cs JOIN isum ON isum.lbl = cs.lbl
+      ORDER BY dbscan_label""",
 
     "q123_kmeans" -> s"""$KmeansCte
       SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum

@@ -151,6 +151,7 @@ class EntrySpec extends SparkSpec {
       "ev_a", "ev_b", "ev_c", "ev_d", "nn_a", "nn_b", "nn_c", "nn_d",
       "ch_a", "ch_b", "ch_c", "ch_d", "pa", // q297 advisor combos
       "rkc", "ta", "tb", "mm", "pr2", "tt2", "aa", "bb", // q299 RBO
+      "cs", "isum", // q301 dbscan census / per-label id sums
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

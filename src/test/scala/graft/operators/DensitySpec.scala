@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DensitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 2-d grid, cellWidth 100 milli: cells (0,0)x6, (1,0)x2, (2,0)x1,
+  // (9,9)x1 — with a 60% block gate (n = 10, threshold 6):
+  //   (0,0) block = 8 core; (1,0) block = 9 core;
+  //   (2,0) block = 3, adjacent to core (1,0) -> border;
+  //   (9,9) block = 1, no core neighbour -> noise
+  private def fixture = Seq(
+    (1L, Array(0.05f, 0.05f)), (2L, Array(0.04f, 0.06f)),
+    (3L, Array(0.01f, 0.01f)), (4L, Array(0.09f, 0.09f)),
+    (5L, Array(0.05f, 0.01f)), (6L, Array(0.02f, 0.08f)),
+    (7L, Array(0.15f, 0.05f)), (8L, Array(0.16f, 0.04f)),
+    (9L, Array(0.25f, 0.05f)),
+    (10L, Array(0.95f, 0.95f)))
+    .toDF("id", "vec")
+
+  private def run(d: org.apache.spark.sql.DataFrame) =
+    Density.gridDbscanCensus(d, "id", "vec", gridDims = Seq(1, 2),
+        scale = 1000L, cellWidth = 100L, densityPpm = 600000L)
+      .collect().map(r => r.getAs[String]("dbscan_label") ->
+        ((r.getAs[Long]("n_cells"), r.getAs[Long]("n_points"),
+          r.getAs[Long]("share_ppm"), r.getAs[Long]("id_sum")))).toMap
+
+  test("hand-checked core/border/noise labels with id-sum pins") {
+    val out = run(fixture)
+    assert(out("core") == ((2L, 8L, 800000L, 36L)))
+    assert(out("border") == ((1L, 1L, 100000L, 9L)))
+    assert(out("noise") == ((1L, 1L, 100000L, 10L)))
+  }
+
+  test("negative coordinates floor to the correct cell (sign-safe div)") {
+    // (-0.05, -0.05) -> scaled -50 -> cell (-1, -1), NOT 0 (a
+    // truncating div would collapse it onto (0,0)). Its 3x3 block
+    // sees the 6-dense (0,0) cell (7 >= 6.6), so the cell itself is
+    // core-dense — the point reads core and the census gains a cell.
+    val withNeg = fixture.union(Seq((11L, Array(-0.05f, -0.05f)))
+      .toDF("id", "vec"))
+    val out = run(withNeg)
+    assert(out("core") == ((3L, 9L, 9L * 1000000L / 11L, 36L + 11L)))
+    assert(out("border")._4 == 9L)
+    assert(out("noise")._4 == 10L)
+  }
+
+  test("repartition-invariant") {
+    assert(run(fixture.coalesce(1)) == run(fixture.repartition(7)))
+  }
+
+  test("empty input yields empty census, not a crash") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
+    assert(run(empty).isEmpty)
+  }
+}
