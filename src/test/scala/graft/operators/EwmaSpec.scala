@@ -36,6 +36,19 @@ class EwmaSpec extends SparkSpec {
     assert(out.values.forall(_ == ((7000L, false))))
   }
 
+  test("DECIMAL(38,0) overflow in the alarm raises loudly instead of nulling") {
+    // x ~ 1e18 with real variance: n * sum(x^2) ~ 1.4e38 — past
+    // DECIMAL(38,0); the in-plan guard must raise (the r10 fix for
+    // the silent Spark-null vs DuckDB-HUGEINT divergence)
+    val rows = (1L to 12L).map(t =>
+      ("o", t, 900000000000000000L + t * 13700000000000000L))
+    val e = intercept[Exception] { run(rows) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("overflow")), msgs(e).mkString("|"))
+  }
+
   test("exact replay: ewma and the 3-sigma alarm match a BigInt oracle") {
     // deterministic mixed series: a base sawtooth with a late level run
     val xs = (0 until 40).map(i =>
