@@ -118,4 +118,55 @@ object SeqPatterns {
     })
     rows.reduce(_.unionAll(_)).filter(col("n_entities") >= minSupport)
   }
+
+  /** Reader-side rule rollup over an UPSERTED cell table — the
+    * [[graft.streaming.SeqPatternsStream]] readout (the kappaFromCells
+    * convention: the rule metrics are a global function of every
+    * entity's cells, so they live with the reader, and batch == stream
+    * reduces to cell-table equality). `cells` columns: (entity, ante,
+    * cons, min_gap_us) with cons = "*" marking "ante seen by this
+    * entity"; duplicate upserts collapse by MIN (emissions are
+    * monotone decreasing), so any prefix of re-emissions is legal
+    * input. Output: identical schema and values to [[level2]] on the
+    * same underlying events.
+    *
+    * Scale shape: the cell table is entity·(k²+k)-bounded; one min
+    * aggregate + bounded joins — never the event corpus.
+    */
+  def rulesFromCells(cells: DataFrame, entityCol: String, anteCol: String,
+                     consCol: String, gapCol: String,
+                     maxGapMinutes: Long, minSupport: Long = 1L): DataFrame = {
+    require(maxGapMinutes > 0, s"maxGapMinutes must be positive, got $maxGapMinutes")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val dec = "decimal(38,0)"
+    val gapUs = maxGapMinutes * 60000000L
+    val seen = cells.filter(col(consCol) === "*")
+      .select(col(entityCol).as("__e"), col(anteCol).as("__t"))
+      .distinct()
+    val nu = seen.select(col("__e")).distinct()
+      .agg(count(lit(1)).as("__nu"))
+    val supp = seen.groupBy(col("__t")).agg(count(lit(1)).as("__ns"))
+    val pat = cells.filter(col(consCol) =!= "*")
+      .groupBy(col(entityCol).as("__e"), col(anteCol).as("__a"),
+        col(consCol).as("__b"))
+      .agg(min(col(gapCol)).as("__g"))
+      .filter(col("__g") <= gapUs)
+      .groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minSupport)
+    pat
+      .join(broadcast(supp.select(col("__t").as("__a"),
+        col("__ns").as("__na"))), "__a")
+      .join(broadcast(supp.select(col("__t").as("__b"),
+        col("__ns").as("__nb"))), "__b")
+      .crossJoin(broadcast(nu))
+      .select(col("__a").as("antecedent"), col("__b").as("consequent"),
+        col("__np").as("n_entities"),
+        col("__na").as("n_ante"), col("__nb").as("n_cons"),
+        expr("(__np * 1000000L) div __nu").as("support_ppm"),
+        expr("(__np * 1000000L) div __na").as("confidence_ppm"),
+        expr(s"(CAST(__np AS $dec) * __nu * CAST(1000000 AS $dec))" +
+          s" div (CAST(__na AS $dec) * __nb)").cast("long")
+          .as("lift_ppm"))
+  }
 }

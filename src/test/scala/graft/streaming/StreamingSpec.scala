@@ -3185,4 +3185,90 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("streaming seq patterns: upserted cells reproduce the batch rules incl. shuffled arrival, batch splits, and a same-ts group split") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      val min = 60000000L
+      // the SeqPatternsSpec fixture: A closes a->b (10m) and b->a at
+      // EXACTLY the 60m boundary; B closes b->a, b->c, a->c; C is
+      // antecedent-only; D's simultaneous a/b must chain neither way
+      val rows = Seq(
+        ("A", 0L, "a"), ("A", 10 * min, "b"), ("A", 70 * min, "a"),
+        ("A", 200 * min, "c"),
+        ("B", 0L, "b"), ("B", 5 * min, "a"), ("B", 50 * min, "c"),
+        ("C", 0L, "a"),
+        ("D", 0L, "a"), ("D", 0L, "b"))
+      val input = MemoryStream[(String, Long, String)]
+      val q = SeqPatternsStream.cells(input.toDS(), Seq("a", "b", "c"))
+        .writeStream.format("memory").queryName("seqpat_stream")
+        .outputMode("append").start()
+      try {
+        // batch 1 shuffled within itself; D's same-ts pair is SPLIT
+        // across batches 1 and 2 — the strict t_a < t guard must
+        // still refuse to chain it
+        input.addData(("A", 10 * min, "b"), ("A", 0L, "a"), ("D", 0L, "a"))
+        q.processAllAvailable()
+        input.addData(("D", 0L, "b"), ("B", 0L, "b"), ("B", 5 * min, "a"),
+          ("C", 0L, "a"))
+        q.processAllAvailable()
+        input.addData(("A", 70 * min, "a"), ("A", 200 * min, "c"),
+          ("B", 50 * min, "c"))
+        q.processAllAvailable()
+        val cells = spark.table("seqpat_stream")
+          .toDF("entity", "ante", "cons", "gap")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+        val stream = graft.operators.SeqPatterns.rulesFromCells(
+            cells, "entity", "ante", "cons", "gap",
+            maxGapMinutes = 60L)
+          .collect().map(key).toSet
+        val batch = graft.operators.SeqPatterns.level2(
+            rows.toDF("u", "us", "t")
+              .withColumn("ts", timestamp_micros(col("us"))),
+            "u", "ts", "t", Seq("a", "b", "c"), maxGapMinutes = 60L)
+          .collect().map(key).toSet
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        assert(batch.nonEmpty)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming seq patterns: last-seen state survives a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_seqpat").toString
+      val input = MemoryStream[(String, Long, String)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, Long)]
+      def start() = SeqPatternsStream.cells(input.toDS(), Seq("a", "b"))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, String, String, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("u", 1000000L, "a"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData(("u", 5000000L, "b"))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList).toSet
+        // a reset would see no prior a and emit only b's seen-marker;
+        // the restored last-seen closes the 4s a->b gap
+        assert(got == Set(("u", "b", "*", 0L), ("u", "a", "b", 4000000L)),
+          s"state must survive the restart: $got")
+      } finally q2.stop()
+    }
+  }
 }
