@@ -32,9 +32,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: one corpus aggregate to the occupied-cell table
   * (≤ min(n, grid size)); 3^D ≤ 27 shifted unions of that BOUNDED
   * table (the scatter form — never a cell×cell join); one equi-join of
-  * the corpus against the labeled cell table (broadcast-sized in
-  * practice, shuffle-hash otherwise — no pair explosion either way);
-  * one ≤3-row census aggregate. Census output with per-label id_sum so
+  * the corpus against the labeled cell table, BROADCAST-hinted (the
+  * occupied-cell table is bounded by (domain/cellWidth)^D, so the
+  * point corpus never shuffles for its label — PlanSpec pins it); one
+  * ≤3-row census aggregate. Census output with per-label id_sum so
   * the oracle pins every point-level label without emitting the
   * corpus.
   *
@@ -83,7 +84,11 @@ object Density {
     }.reduce(_.unionAll(_))
     val block = shifted(cells, Seq(col("__cn")))
       .groupBy(cCols: _*).agg(sum(col("__cn")).as("__bn"))
-    val flagged = cells.join(block, dIdx.map(i => s"__c$i"))
+    // every join below keeps a CELL table on the build side — occupied
+    // cells are bounded by (domain/cellWidth)^D (≤ thousands for any
+    // sane grid), so the hints are safe and the point corpus never
+    // shuffles for its label
+    val flagged = cells.join(broadcast(block), dIdx.map(i => s"__c$i"))
       .crossJoin(broadcast(nTot))
       .withColumn("__core",
         expr(s"CAST(__bn AS $dec) * 1000000 >= " +
@@ -93,17 +98,17 @@ object Density {
       .distinct()
       .withColumn("__nc", lit(true))
     val labeledCells = flagged
-      .join(nearCore, dIdx.map(i => s"__c$i"), "left")
+      .join(broadcast(nearCore), dIdx.map(i => s"__c$i"), "left")
       .select(cCols :+ col("__cn") :+
         when(col("__core"), "core")
           .when(col("__nc").isNotNull, "border")
           .otherwise("noise").as("dbscan_label"): _*)
-    val census = pts.join(labeledCells, dIdx.map(i => s"__c$i"))
+    val census = pts.join(broadcast(labeledCells), dIdx.map(i => s"__c$i"))
       .groupBy(col("dbscan_label"))
       .agg(count(lit(1)).as("n_points"), sum(col("__id")).as("id_sum"))
     val cellCounts = labeledCells.groupBy(col("dbscan_label"))
       .agg(count(lit(1)).as("n_cells"))
-    census.join(cellCounts, "dbscan_label")
+    census.join(broadcast(cellCounts), "dbscan_label")
       .crossJoin(broadcast(census.agg(sum(col("n_points")).as("__tot"))))
       .select(col("dbscan_label"), col("n_cells"), col("n_points"),
         expr("(n_points * 1000000L) div __tot").as("share_ppm"),

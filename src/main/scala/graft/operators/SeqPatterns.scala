@@ -59,6 +59,34 @@ object SeqPatterns {
     alphabet.indices.map(j => max(when(col("__t") === alphabet(j), 1L)
       .otherwise(0L)).as(s"__has$j"))
 
+  /** Stages 1+2 of [[level2]]: the per-(entity, ts) grid with k
+    * presence flags and k next-occurrence columns off ONE running
+    * window. Package-visible so PlanSpec can pin the window shape
+    * (the outer level2 plan hides it behind the stats checkpoint).
+    */
+  private[graft] def nextOccurrenceGrid(df: DataFrame, entityCol: String,
+      tsCol: String, typeCol: String, alphabet: Seq[String]): DataFrame = {
+    val idx = alphabet.indices
+    val grid = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(typeCol).isin(alphabet.map(x => x: Any): _*))
+      .select(col(entityCol).as("__e"), unix_micros(col(tsCol)).as("__us"),
+        col(typeCol).as("__t"))
+      .groupBy(col("__e"), col("__us"))
+      .agg(hasAggs(alphabet).head, hasAggs(alphabet).tail: _*)
+    // next strictly-later occurrence of each type: ts DESC running min
+    // over earlier-processed rows = later timestamps only (grid
+    // timestamps are distinct per entity, so "1 preceding" IS strict)
+    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // all k next-columns in ONE select so they share a single
+    // WindowExec (chained withColumn left k separate Window nodes
+    // behind — PlanSpec pins the collapsed shape)
+    grid.select(col("*") +: idx.map(j =>
+      min(when(col(s"__has$j") === 1L, col("__us"))).over(wDesc)
+        .as(s"__nxt$j")): _*)
+  }
+
   def level2(df: DataFrame, entityCol: String, tsCol: String,
              typeCol: String, alphabet: Seq[String],
              maxGapMinutes: Long, minSupport: Long = 1L): DataFrame = {
@@ -71,23 +99,8 @@ object SeqPatterns {
     val gapUs = maxGapMinutes * 60000000L
     val k = alphabet.size
     val idx = alphabet.indices
-    // 1. per-(entity, ts) grid with one presence flag per type
-    val grid = df
-      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
-        col(typeCol).isin(alphabet.map(x => x: Any): _*))
-      .select(col(entityCol).as("__e"), unix_micros(col(tsCol)).as("__us"),
-        col(typeCol).as("__t"))
-      .groupBy(col("__e"), col("__us"))
-      .agg(hasAggs(alphabet).head, hasAggs(alphabet).tail: _*)
-    // 2. next strictly-later occurrence of each type: ts DESC running
-    // min over earlier-processed rows = later timestamps only (grid
-    // timestamps are distinct per entity, so "1 preceding" IS strict)
-    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withNext = idx.foldLeft(grid) { (d, j) =>
-      d.withColumn(s"__nxt$j",
-        min(when(col(s"__has$j") === 1L, col("__us"))).over(wDesc))
-    }
+    // stages 1+2: grid + next-occurrence columns (one window pass)
+    val withNext = nextOccurrenceGrid(df, entityCol, tsCol, typeCol, alphabet)
     // 3. per-entity: min gap for every ordered pair + antecedent flags
     val pairAggs = idx.flatMap(a => idx.map(b =>
       min(when(col(s"__has$a") === 1L, col(s"__nxt$b") - col("__us")))

@@ -195,6 +195,43 @@ class PlanSpec extends SparkSpec {
       s"the eval pass must not shuffle per feature:\n$p")
   }
 
+  test("seq patterns (q300): one entity-partitioned running window, never an unbounded-FOLLOWING frame") {
+    // the single-pass claim: all k next-occurrence columns ride ONE
+    // WindowExec (same window spec), and the frame is the incremental
+    // [unbounded preceding, 1 preceding] — an unbounded-FOLLOWING
+    // frame would recompute per row (O(n²) per entity partition).
+    // The outer q300 plan hides this stage behind the stats
+    // localCheckpoint, so the pin targets the internal fragment; the
+    // outer plan is separately pinned join- and window-free (pure
+    // checkpoint-scan assembly, the fdStrength shape).
+    val ev = graft.Tables.events(spark, dir)
+    val inner = graft.operators.SeqPatterns.nextOccurrenceGrid(
+        ev, "user_id", "ts", "event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .queryExecution.executedPlan
+    val wins = collectAll(inner).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    assert(wins.size == 1,
+      s"expected exactly one WindowExec, got ${wins.size}:\n$inner")
+    assert(!inner.toString.toLowerCase.contains("unboundedfollowing"),
+      s"the next-occurrence frame must not be unbounded-following:\n$inner")
+    val outer = plan("q300_seq_patterns")
+    assert(!outer.toString.contains("Join") &&
+      collectAll(outer).forall(
+        !_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"the outer plan must be checkpoint-scan assembly only:\n$outer")
+  }
+
+  test("dbscan census (q301): bounded cell tables broadcast, no pair space anywhere") {
+    val p = plan("q301_dbscan_census")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no point-pair or cell-pair join may exist:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"cell tables are bounded — every join must broadcast:\n$p")
+    assert(countBroadcasts(p) >= 2,
+      s"cell/flag tables + total must ride broadcasts:\n$p")
+  }
+
   test("markov accuracy (q291): the K²-bounded model broadcasts to the holdout") {
     val p = plan("q291_markov_accuracy")
     assert(countBroadcasts(p) >= 2,
