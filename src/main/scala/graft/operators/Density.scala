@@ -29,15 +29,14 @@ import org.apache.spark.sql.functions._
   *    core-cell connected components (q282's label-propagation
   *    machinery, deliberately not duplicated here).
   *
-  * Scale shape: one corpus aggregate to the occupied-cell table
-  * (≤ min(n, grid size)); 3^D ≤ 27 shifted unions of that BOUNDED
-  * table (the scatter form — never a cell×cell join); one equi-join of
-  * the corpus against the labeled cell table, BROADCAST-hinted (the
-  * occupied-cell table is bounded by (domain/cellWidth)^D, so the
-  * point corpus never shuffles for its label — PlanSpec pins it); one
-  * ≤3-row census aggregate. Census output with per-label id_sum so
-  * the oracle pins every point-level label without emitting the
-  * corpus.
+  * Scale shape: ONE corpus pass (per-cell count + id sum); everything
+  * after runs on the occupied-cell table, bounded by
+  * (domain/cellWidth)^D ≤ min(n, grid size) — 3^D ≤ 27 shifted unions
+  * (the scatter form, never a cell×cell join) and broadcast-hinted
+  * cell joins; a ≤3-row census aggregate. The corpus is never joined
+  * back at all (PlanSpec pins no-SortMergeJoin). Census output with
+  * per-label id_sum so the oracle pins every point-level label
+  * without emitting the corpus.
   *
   * Output (≤3 rows): (dbscan_label, n_cells, n_points, share_ppm,
   * id_sum).
@@ -48,19 +47,35 @@ object Density {
                        gridDims: Seq[Int], scale: Long = 1000L,
                        cellWidth: Long = 100L,
                        densityPpm: Long = 60000L): DataFrame = {
+    require(scale >= 1 && cellWidth >= 1, "scale/cellWidth must be positive")
+    val pts = pointCells(df, idCol, vecCol, gridDims, scale, cellWidth)
+    val dIdx = gridDims.indices
+    // ONE corpus pass: per-cell count + id sum; everything after runs
+    // on the bounded cell table (the r10 simplification — the old form
+    // joined the corpus back against the labeled cells for the census)
+    val cells = pts.groupBy(dIdx.map(i => col(s"__c$i")): _*)
+      .agg(count(lit(1)).as("__cn"), sum(col("__id")).as("__ids"))
+      .localCheckpoint() // scattered 3^D times inside censusFromCells
+    censusFromCells(cells, dIdx.map(i => s"__c$i"), "__cn", "__ids",
+      densityPpm)
+  }
+
+  /** The quantization stage of [[gridDbscanCensus]]: (__id, __c0..):
+    * per grid dim, scaled-long rounding then sign-safe floor division
+    * to the cell coordinate. Shared with the streaming twin so both
+    * sides quantize identically.
+    */
+  def pointCells(df: DataFrame, idCol: String, vecCol: String,
+                 gridDims: Seq[Int], scale: Long = 1000L,
+                 cellWidth: Long = 100L): DataFrame = {
     require(gridDims.nonEmpty && gridDims.size <= 3,
       s"gridDims must be 1..3 one-based dims, got $gridDims")
     require(gridDims.forall(_ >= 1), "gridDims are 1-based")
-    require(scale >= 1 && cellWidth >= 1, "scale/cellWidth must be positive")
-    require(densityPpm >= 1 && densityPpm <= 1000000,
-      s"densityPpm must be in [1, 1e6], got $densityPpm")
-    val dec = "decimal(38,0)"
     val dIdx = gridDims.indices
     def scaledDim(dim: Int): Column =
       floor(element_at(col(vecCol), dim).cast("double") * scale
         + lit(0.5)).cast("long")
-    val pts = df
-      .filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
       .select(col(idCol).cast("long").as("__id") +:
         dIdx.map(i => scaledDim(gridDims(i)).as(s"__s$i")): _*)
       // sign-safe floor division (pmod subtraction) — `div`, not `/`,
@@ -68,12 +83,35 @@ object Density {
       .select(col("__id") +: dIdx.map(i =>
         expr(s"(__s$i - pmod(__s$i, ${cellWidth}L)) div ${cellWidth}L")
           .as(s"__c$i")): _*)
-      .localCheckpoint(eager = false) // cell counts + the label join
+  }
+
+  /** Label census off an already-aggregated CELL table — the shared
+    * core of [[gridDbscanCensus]] and the
+    * [[graft.streaming.DensityStream]] readout (the kappaFromCells
+    * convention: labels are a global function of every cell, so they
+    * live with the reader, and batch == stream reduces to cell-table
+    * equality). `cells` carries one row per occupied cell (a streaming
+    * reader collapses upserts by MAX first — counts and, under the
+    * non-negative-id contract, id sums are monotone).
+    *
+    * Scale shape: every step is bounded by the occupied-cell table —
+    * 3^D scatter unions, broadcast joins, a ≤3-row census. The corpus
+    * never appears.
+    */
+  def censusFromCells(cells0: DataFrame, coordCols: Seq[String],
+                      nCol: String, idSumCol: String,
+                      densityPpm: Long): DataFrame = {
+    require(coordCols.nonEmpty && coordCols.size <= 3,
+      s"coordCols must be 1..3 columns, got $coordCols")
+    require(densityPpm >= 1 && densityPpm <= 1000000,
+      s"densityPpm must be in [1, 1e6], got $densityPpm")
+    val dec = "decimal(38,0)"
+    val dIdx = coordCols.indices
     val cCols = dIdx.map(i => col(s"__c$i"))
-    val cells = pts.groupBy(cCols: _*)
-      .agg(count(lit(1)).as("__cn"))
-      .localCheckpoint() // scattered 3^D times below
-    val nTot = pts.agg(count(lit(1)).as("__n"))
+    val cells = cells0.select(
+      coordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__c$i") } ++
+        Seq(col(nCol).as("__cn"), col(idSumCol).as("__ids")): _*)
+    val nTot = cells.agg(sum(col("__cn")).as("__n"))
     // 3^D offsets: scatter each cell's count to every block it belongs
     // to, then collapse — bounded-table unions, never cells × cells
     val offsets = dIdx.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
@@ -84,31 +122,25 @@ object Density {
     }.reduce(_.unionAll(_))
     val block = shifted(cells, Seq(col("__cn")))
       .groupBy(cCols: _*).agg(sum(col("__cn")).as("__bn"))
-    // every join below keeps a CELL table on the build side — occupied
-    // cells are bounded by (domain/cellWidth)^D (≤ thousands for any
-    // sane grid), so the hints are safe and the point corpus never
-    // shuffles for its label
+    // every join keeps a CELL table on the build side — occupied cells
+    // are bounded by (domain/cellWidth)^D, so the hints are safe
     val flagged = cells.join(broadcast(block), dIdx.map(i => s"__c$i"))
       .crossJoin(broadcast(nTot))
       .withColumn("__core",
         expr(s"CAST(__bn AS $dec) * 1000000 >= " +
           s"CAST($densityPpm AS $dec) * __n"))
-      .localCheckpoint() // consumed by the scatter AND the label join
+      .localCheckpoint() // consumed by the scatter AND the label step
     val nearCore = shifted(flagged.filter(col("__core")), Nil)
       .distinct()
       .withColumn("__nc", lit(true))
-    val labeledCells = flagged
+    val census = flagged
       .join(broadcast(nearCore), dIdx.map(i => s"__c$i"), "left")
-      .select(cCols :+ col("__cn") :+
-        when(col("__core"), "core")
-          .when(col("__nc").isNotNull, "border")
-          .otherwise("noise").as("dbscan_label"): _*)
-    val census = pts.join(broadcast(labeledCells), dIdx.map(i => s"__c$i"))
-      .groupBy(col("dbscan_label"))
-      .agg(count(lit(1)).as("n_points"), sum(col("__id")).as("id_sum"))
-    val cellCounts = labeledCells.groupBy(col("dbscan_label"))
-      .agg(count(lit(1)).as("n_cells"))
-    census.join(broadcast(cellCounts), "dbscan_label")
+      .groupBy(when(col("__core"), "core")
+        .when(col("__nc").isNotNull, "border")
+        .otherwise("noise").as("dbscan_label"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__cn")).as("n_points"),
+        sum(col("__ids")).as("id_sum"))
+    census
       .crossJoin(broadcast(census.agg(sum(col("n_points")).as("__tot"))))
       .select(col("dbscan_label"), col("n_cells"), col("n_points"),
         expr("(n_points * 1000000L) div __tot").as("share_ppm"),

@@ -3271,4 +3271,87 @@ class StreamingSpec extends SparkSpec {
       } finally q2.stop()
     }
   }
+
+  test("streaming density: upserted grid cells reproduce the batch dbscan census incl. shuffled arrival and batch splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      // the DensitySpec fixture: dense (0,0) block, border (2,0),
+      // noise (9,9), with a 60% relative gate
+      val vecs = Seq(
+        (1L, Array(0.05f, 0.05f)), (2L, Array(0.04f, 0.06f)),
+        (3L, Array(0.01f, 0.01f)), (4L, Array(0.09f, 0.09f)),
+        (5L, Array(0.05f, 0.01f)), (6L, Array(0.02f, 0.08f)),
+        (7L, Array(0.15f, 0.05f)), (8L, Array(0.16f, 0.04f)),
+        (9L, Array(0.25f, 0.05f)), (10L, Array(0.95f, 0.95f)))
+      val batchDf = vecs.toDF("id", "vec")
+      // quantize through the SHARED helper so the stream sees exactly
+      // the batch bucketing
+      val pts = graft.operators.Density.pointCells(
+          batchDf, "id", "vec", Seq(1, 2))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = DensityStream.cells(input.toDS())
+        .writeStream.format("memory").queryName("density_stream")
+        .outputMode("append").start()
+      try {
+        val shuffled = scala.util.Random.javaRandomToRandom(
+          new java.util.Random(42)).shuffle(pts.toSeq)
+        input.addData(shuffled.take(4): _*)
+        q.processAllAvailable()
+        input.addData(shuffled.drop(4): _*)
+        q.processAllAvailable()
+        // upsert semantics: last (= max, sums are monotone) per cell
+        val cells = spark.table("density_stream")
+          .toDF("c0", "c1", "n", "ids")
+          .groupBy("c0", "c1")
+          .agg(max(col("n")).as("n"), max(col("ids")).as("ids"))
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+            .toMap
+        val stream = snap(graft.operators.Density.censusFromCells(
+          cells, Seq("c0", "c1"), "n", "ids", densityPpm = 600000L))
+        val batch = snap(graft.operators.Density.gridDbscanCensus(
+          batchDf, "id", "vec", Seq(1, 2), densityPpm = 600000L))
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        assert(batch.keySet == Set("core", "border", "noise"))
+      } finally q.stop()
+    }
+  }
+
+  test("streaming density: cell counts survive a restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_density").toString
+      val input = MemoryStream[(Long, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      def start() = DensityStream.cells(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(Long, Long, Long, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData((5L, 0L, 0L), (6L, 0L, 0L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        input.addData((7L, 0L, 0L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        // a reset would re-emit (1, 7); the restored cell accumulates
+        assert(got == List((0L, 0L, 3L, 18L)),
+          s"state must survive the restart: $got")
+      } finally q2.stop()
+    }
+  }
 }
