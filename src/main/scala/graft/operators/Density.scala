@@ -75,7 +75,13 @@ object Density {
     def scaledDim(dim: Int): Column =
       floor(element_at(col(vecCol), dim).cast("double") * scale
         + lit(0.5)).cast("long")
-    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull)
+    // a null ELEMENT at a grid dim would otherwise propagate to a
+    // null cell coordinate — consistent across engines in batch, but
+    // a null grid key would break the streaming twin's tuple encoder,
+    // so the row universe drops them here for both sides
+    df.filter(col(idCol).isNotNull && col(vecCol).isNotNull &&
+        gridDims.map(d => element_at(col(vecCol), d).isNotNull)
+          .reduce(_ && _))
       .select(col(idCol).cast("long").as("__id") +:
         dIdx.map(i => scaledDim(gridDims(i)).as(s"__s$i")): _*)
       // sign-safe floor division (pmod subtraction) — `div`, not `/`,

@@ -963,7 +963,8 @@ object SimilarityQueries extends QueryGroup {
           CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5)
             AS BIGINT) AS s1
         FROM embeddings
-        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
       p AS (
         SELECT id,
           (s0 - ((s0 % 100 + 100) % 100)) // 100 AS c0,

@@ -54,4 +54,10 @@ class DensitySpec extends SparkSpec {
     val empty = Seq.empty[(Long, Array[Float])].toDF("id", "vec")
     assert(run(empty).isEmpty)
   }
+
+  test("a null element at a grid dim drops the row (no null cell key)") {
+    val withNull = fixture.union(
+      Seq((99L, Array[java.lang.Float](null, 0.5f))).toDF("id", "vec"))
+    assert(run(withNull) == run(fixture))
+  }
 }
