@@ -116,20 +116,106 @@ object SeqPatterns {
           .as(s"__np_${a}_$b")))
     val stats = perEntity.agg(statAggs.head, statAggs.tail: _*)
       .localCheckpoint()
-    val rows = idx.flatMap(a => idx.map { b =>
-      stats.select(
-        lit(alphabet(a)).as("antecedent"), lit(alphabet(b)).as("consequent"),
-        col(s"__np_${a}_$b").as("n_entities"),
-        col(s"__na$a").as("n_ante"), col(s"__na$b").as("n_cons"),
-        expr(s"(__np_${a}_$b * 1000000L) div __nu").as("support_ppm"),
-        expr(s"CASE WHEN __na$a > 0 THEN " +
-          s"(__np_${a}_$b * 1000000L) div __na$a END").as("confidence_ppm"),
-        expr(s"CASE WHEN __na$a > 0 AND __na$b > 0 THEN " +
-          s"(CAST(__np_${a}_$b AS $dec) * __nu * CAST(1000000 AS $dec))" +
-          s" div (CAST(__na$a AS $dec) * __na$b) END").cast("long")
+    // assemble all k² rows in ONE select (explode of a struct array —
+    // a k²-way unionAll of per-pair selects costs k² tiny jobs)
+    val packed = idx.flatMap(a => idx.map(b =>
+      struct(lit(alphabet(a)).as("a"), lit(alphabet(b)).as("b"),
+        col(s"__np_${a}_$b").as("np"), col(s"__na$a").as("na"),
+        col(s"__na$b").as("nb"))))
+    stats.select(col("__nu"), explode(array(packed: _*)).as("__r"))
+      .select(col("__r.a").as("antecedent"), col("__r.b").as("consequent"),
+        col("__r.np").as("n_entities"),
+        col("__r.na").as("n_ante"), col("__r.nb").as("n_cons"),
+        expr("(__r.np * 1000000L) div __nu").as("support_ppm"),
+        expr("CASE WHEN __r.na > 0 THEN " +
+          "(__r.np * 1000000L) div __r.na END").as("confidence_ppm"),
+        expr(s"CASE WHEN __r.na > 0 AND __r.nb > 0 THEN " +
+          s"(CAST(__r.np AS $dec) * __nu * CAST(1000000 AS $dec))" +
+          s" div (CAST(__r.na AS $dec) * __r.nb) END").cast("long")
           .as("lift_ppm"))
-    })
-    rows.reduce(_.unionAll(_)).filter(col("n_entities") >= minSupport)
+      .filter(col("n_entities") >= minSupport)
+  }
+
+  /** Level-3 sequential patterns with a PER-STEP max-gap — the depth-3
+    * extension of [[level2]] and the DISCOVERY census behind q257's
+    * declared funnel: for every ordered type triple ⟨a, b, c⟩, how
+    * many entities see some b within the gap after some a AND some c
+    * within the gap after that b. Existence is NOT greedy-chainable
+    * (the first b after an a may have no c behind it while a later
+    * in-gap b does — the spec pins this trap), so the exact form
+    * composes two window passes:
+    *
+    *  1. the [[level2]] next-occurrence pass: next_c per grid row;
+    *  2. a row-wise FLAG per (b, c): this row is a b-occurrence with
+    *     a c strictly after it within the gap (next_c − ts ≤ G);
+    *  3. a second running min over the SAME window spec: next
+    *     FLAGGED-b strictly after each row, per (b, c);
+    *  4. per entity, min over a-rows of (next-flagged-b − ts) for all
+    *     k³ triples; the triple is present iff that min ≤ G.
+    *
+    * Correctness: a valid chain (t_a, t_b, t_c) makes t_b flagged
+    * (next_c(t_b) ≤ t_c) and next-flagged-b(t_a) ≤ t_b ≤ t_a + G;
+    * conversely a flagged b within the gap IS a chain head. Both
+    * window passes share one sort (same partitioning/ordering —
+    * PlanSpec-class shape, two stacked WindowExecs, no re-sort), so
+    * the corpus bill stays one groupBy + one co-partitioned sort.
+    *
+    * Output (≤ k³ rows, minSupport-gated): (step1, step2, step3,
+    * n_entities, n_step1, support_ppm, completion_ppm — the share of
+    * step1-bearing entities that complete the whole triple).
+    */
+  def level3(df: DataFrame, entityCol: String, tsCol: String,
+             typeCol: String, alphabet: Seq[String],
+             maxGapMinutes: Long, minSupport: Long = 1L): DataFrame = {
+    require(alphabet.nonEmpty && alphabet.size <= 8,
+      s"alphabet must be a bounded driver list of 1..8 types (k^3 output), got ${alphabet.size}")
+    require(alphabet.distinct.size == alphabet.size, "alphabet has duplicates")
+    require(maxGapMinutes > 0, s"maxGapMinutes must be positive, got $maxGapMinutes")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val gapUs = maxGapMinutes * 60000000L
+    val k = alphabet.size
+    val idx = alphabet.indices
+    val withNext = nextOccurrenceGrid(df, entityCol, tsCol, typeCol, alphabet)
+    // 2+3: flag b-rows that have an in-gap c behind them, then the
+    // next flagged-b per (b, c) off a second pass over the same window
+    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val flagged = withNext.select(col("*") +:
+      idx.flatMap(b => idx.map(c =>
+        (col(s"__has$b") === 1L && col(s"__nxt$c").isNotNull &&
+          col(s"__nxt$c") - col("__us") <= gapUs).as(s"__f_${b}_$c"))): _*)
+    val withNextF = flagged.select(col("*") +:
+      idx.flatMap(b => idx.map(c =>
+        min(when(col(s"__f_${b}_$c"), col("__us"))).over(wDesc)
+          .as(s"__nf_${b}_$c"))): _*)
+    // 4: per-entity triple mins + antecedent flags
+    val perAggs = idx.flatMap(a => idx.flatMap(b => idx.map(c =>
+      min(when(col(s"__has$a") === 1L,
+        col(s"__nf_${b}_$c") - col("__us"))).as(s"__m_${a}_${b}_$c")))) ++
+      idx.map(a => max(col(s"__has$a")).as(s"__ha$a"))
+    val perEntity = withNextF.groupBy(col("__e"))
+      .agg(perAggs.head, perAggs.tail: _*)
+    val statAggs = Seq(count(lit(1)).as("__nu")) ++
+      idx.map(a => sum(col(s"__ha$a")).as(s"__na$a")) ++
+      idx.flatMap(a => idx.flatMap(b => idx.map(c =>
+        sum(when(col(s"__m_${a}_${b}_$c") <= gapUs, 1L).otherwise(0L))
+          .as(s"__np_${a}_${b}_$c"))))
+    val stats = perEntity.agg(statAggs.head, statAggs.tail: _*)
+      .localCheckpoint()
+    // ONE exploded select for all k³ rows (the level2 assembly form —
+    // a k³-way unionAll would cost k³ tiny jobs)
+    val packed = idx.flatMap(a => idx.flatMap(b => idx.map(c =>
+      struct(lit(alphabet(a)).as("a"), lit(alphabet(b)).as("b"),
+        lit(alphabet(c)).as("c"),
+        col(s"__np_${a}_${b}_$c").as("np"), col(s"__na$a").as("na")))))
+    stats.select(col("__nu"), explode(array(packed: _*)).as("__r"))
+      .select(col("__r.a").as("step1"), col("__r.b").as("step2"),
+        col("__r.c").as("step3"),
+        col("__r.np").as("n_entities"), col("__r.na").as("n_step1"),
+        expr("(__r.np * 1000000L) div __nu").as("support_ppm"),
+        expr("CASE WHEN __r.na > 0 THEN " +
+          "(__r.np * 1000000L) div __r.na END").as("completion_ppm"))
+      .filter(col("n_entities") >= minSupport)
   }
 
   /** Reader-side rule rollup over an UPSERTED cell table — the

@@ -420,6 +420,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("from_type"))
     },
 
+    "q302_seq_funnel_discovery" -> { (s, d) =>
+      // Depth-3 sequential pattern census with PER-STEP max-gap
+      // (B129): for every ordered type triple, users where some b
+      // follows some a within 60 min AND some c follows that b within
+      // 60 min — the discovery census behind q257's declared funnel,
+      // with the timeout every real funnel has. Existence is not
+      // greedy-chainable; two stacked window passes over ONE sort
+      // (flag b-rows with an in-gap c, then next-flagged-b per pair).
+      graft.operators.SeqPatterns.level3(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        alphabet = Seq("click", "error", "purchase", "signup", "view"),
+        maxGapMinutes = 60L, minSupport = 2L)
+        .orderBy(col("step1"), col("step2"), col("step3"))
+    },
+
     "q300_seq_patterns" -> { (s, d) =>
       // Level-2 sequential patterns with a max-gap (B127, PrefixSpan/
       // GSP level 2): for every ordered event-type pair <a, b>, how
@@ -1617,6 +1632,71 @@ object EventQueries extends QueryGroup {
         (hits * 1000000) // n AS acc_ppm, base_hits,
         (base_hits * 1000000) // n AS base_acc_ppm
       FROM ag ORDER BY from_type""",
+
+    "q302_seq_funnel_discovery" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val k = types.size
+      val g = 3600000000L
+      val win = "OVER (PARTITION BY u ORDER BY us DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      val hs = types.zipWithIndex.map { case (t, j) =>
+        s"max(CASE WHEN t = '$t' THEN 1 ELSE 0 END) AS h$j" }
+        .mkString(",\n          ")
+      val nx = (0 until k).map(j =>
+        s"min(CASE WHEN h$j = 1 THEN us END) $win AS nx$j")
+        .mkString(",\n          ")
+      val nf = (for (b <- 0 until k; c <- 0 until k) yield
+        s"min(CASE WHEN h$b = 1 AND nx$c IS NOT NULL AND nx$c - us <= $g" +
+          s" THEN us END) $win AS nf_${b}_$c").mkString(",\n          ")
+      val pe = ((for (a <- 0 until k; b <- 0 until k; c <- 0 until k) yield
+        s"min(CASE WHEN h$a = 1 THEN nf_${b}_$c - us END) AS m_${a}_${b}_$c") ++
+        (0 until k).map(a => s"max(h$a) AS ha$a")).mkString(",\n          ")
+      val st = (Seq("CAST(count(*) AS BIGINT) AS nu") ++
+        (0 until k).map(a => s"CAST(sum(ha$a) AS BIGINT) AS na$a") ++
+        (for (a <- 0 until k; b <- 0 until k; c <- 0 until k) yield
+          s"CAST(sum(CASE WHEN m_${a}_${b}_$c <= $g THEN 1 ELSE 0 END)" +
+            s" AS BIGINT) AS np_${a}_${b}_$c")).mkString(",\n          ")
+      val rows = (for (a <- 0 until k; b <- 0 until k; c <- 0 until k) yield
+        s"""SELECT '${types(a)}' AS step1, '${types(b)}' AS step2,
+            '${types(c)}' AS step3, np_${a}_${b}_$c AS n_entities,
+            na$a AS n_step1,
+            CAST((np_${a}_${b}_$c * 1000000) // nu AS BIGINT)
+              AS support_ppm,
+            CASE WHEN na$a > 0 THEN
+              CAST((np_${a}_${b}_$c * 1000000) // na$a AS BIGINT) END
+              AS completion_ppm
+          FROM st WHERE np_${a}_${b}_$c >= 2""")
+        .mkString("\n      UNION ALL ")
+      s"""
+      WITH e AS (
+        SELECT user_id AS u, event_type AS t,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN (${types.map(t => s"'$t'").mkString(",")})),
+      g AS (
+        SELECT u, us,
+          $hs
+        FROM e GROUP BY u, us),
+      w1 AS (
+        SELECT *,
+          $nx
+        FROM g),
+      w2 AS (
+        SELECT *,
+          $nf
+        FROM w1),
+      pe AS (
+        SELECT u,
+          $pe
+        FROM w2 GROUP BY u),
+      st AS MATERIALIZED (
+        SELECT
+          $st
+        FROM pe)
+      $rows
+      ORDER BY step1, step2, step3"""
+    },
 
     "q300_seq_patterns" -> """
       WITH e AS (

@@ -63,4 +63,48 @@ class SeqPatternsSpec extends SparkSpec {
     assert(SeqPatterns.level2(empty, "u", "ts", "t", Seq("a", "b"), 60L)
       .collect().isEmpty)
   }
+
+  test("level3: the greedy trap — a later in-gap b with a c behind it beats the first b without one") {
+    // E: a@0, b@1m (next c is 11m away — too far from THIS b),
+    //    b@9m, c@12m. Per-step gap 10m: the chain a→b@9→c@12 is valid
+    //    (gaps 9m, 3m) even though the FIRST b after a fails its
+    //    c-step (11m > 10m). A greedy first-b chain would miss it.
+    // F: a@0, b@5m, c@30m — b in gap but no c within 10m of any b.
+    val rows = Seq(
+      ("E", 0L, "a"), ("E", 1 * min, "b"), ("E", 9 * min, "b"),
+      ("E", 12 * min, "c"),
+      ("F", 0L, "a"), ("F", 5 * min, "b"), ("F", 30 * min, "c"))
+      .toDF("u", "us", "t")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = SeqPatterns.level3(rows, "u", "ts", "t", Seq("a", "b", "c"),
+        maxGapMinutes = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getAs[Long]("n_entities"), r.getAs[Long]("n_step1"),
+          r.getAs[Long]("support_ppm"), r.getAs[Long]("completion_ppm"))))
+      .toMap
+    assert(out(("a", "b", "c")) == ((1L, 2L, 500000L, 500000L)))
+    // b→b→c on E: b@1 → b@9 (8m) → c@12 (3m): present
+    assert(out(("b", "b", "c"))._1 == 1L)
+    assert(!out.contains(("a", "c", "b")))
+  }
+
+  test("level3: simultaneous steps never chain and each step's gap binds separately") {
+    // G: a@0, b@0 (same ts: step 1 fails), c@5m
+    // H: a@0, b@9m, c@20m (second gap 11m > 10m: fails)
+    // I: a@0, b@9m, c@19m (gaps 9m, 10m inclusive: present)
+    val rows = Seq(
+      ("G", 0L, "a"), ("G", 0L, "b"), ("G", 5 * min, "c"),
+      ("H", 0L, "a"), ("H", 9 * min, "b"), ("H", 20 * min, "c"),
+      ("I", 0L, "a"), ("I", 9 * min, "b"), ("I", 19 * min, "c"))
+      .toDF("u", "us", "t")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = SeqPatterns.level3(rows, "u", "ts", "t", Seq("a", "b", "c"),
+        maxGapMinutes = 10L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getAs[Long]("n_entities")).toMap
+    assert(out(("a", "b", "c")) == 1L) // only I
+    // G's b@0 never follows a@0; but b@0 -> c@5m IS a valid level-2
+    // tail: the triple needs all three, so G contributes nothing here
+    assert(!out.contains(("a", "b", "a")))
+  }
 }
