@@ -222,6 +222,18 @@ class PlanSpec extends SparkSpec {
       s"the outer plan must be checkpoint-scan assembly only:\n$outer")
   }
 
+  test("seq funnel discovery (q302): the outer plan is checkpoint-scan assembly, no unbounded-FOLLOWING frame anywhere") {
+    // the two stacked window passes live behind the stats checkpoint
+    // (same as q300); the outer plan must stay join- and window-free,
+    // and no plan fragment may ever use an unbounded-FOLLOWING frame
+    val outer = plan("q302_seq_funnel_discovery")
+    assert(!outer.toString.contains("Join") &&
+      collectAll(outer).forall(
+        !_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"the outer plan must be checkpoint-scan assembly only:\n$outer")
+    assert(!outer.toString.toLowerCase.contains("unboundedfollowing"))
+  }
+
   test("dbscan census (q301): bounded cell tables broadcast, no pair space anywhere") {
     val p = plan("q301_dbscan_census")
     assert(!p.toString.contains("CartesianProduct"),
