@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,25 +33,41 @@ object Budget {
     // precision past 2^53), negated so ascending bucket order is
     // descending score order.
     val base = df.select(col(idCol), col(scoreCol).cast("long").as("__s"),
-        col(costCol).cast("long").as("__c"))
-      .withColumn("__b",
-        expr(s"-((__s - pmod(__s, ${bucketWidth}L)) div ${bucketWidth}L)"))
-    val inBucket = Window.partitionBy(col("__b"))
-      .orderBy(col("__s").desc, col(idCol).asc)
+      col(costCol).cast("long").as("__c"))
+    bucketCumsum(base,
+      expr(s"-((__s - pmod(__s, ${bucketWidth}L)) div ${bucketWidth}L)"),
+      Seq(col("__s").desc, col(idCol).asc), col("__c"))
+      .filter(col("__cum") <= budget)
+      .select(col(idCol), col("__s").as(scoreCol), col("__c").as(costCol),
+        col("__cum").as("cum_cost"))
+  }
+
+  /** The house two-phase bucket cumsum, factored out (r10 — it used to
+    * live in three shapes: here, via [[takeByBudget]] in
+    * skipRateReport, and inlined in sortKeyAdvisor): running sum of
+    * `valueCol` over the global (bucketCol asc, orderCols) order as
+    * `__cum`, with NO global-order window — an in-bucket running sum
+    * plus a broadcast bucket-prefix table. `bucketCol` must be
+    * monotone in the leading order column so bucket-ascending +
+    * in-bucket order = global order; with `valueCol = lit(1)` the
+    * cumsum IS the 1-based global rank.
+    */
+  private[operators] def bucketCumsum(df: DataFrame, bucketCol: Column,
+      orderCols: Seq[Column], valueCol: Column): DataFrame = {
+    val base = df.withColumn("__bkx", bucketCol)
+    val inBucket = Window.partitionBy(col("__bkx")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base.withColumn("__cum_in", sum(col("__c")).over(inBucket))
+    val local = base.withColumn("__cum_in", sum(valueCol).over(inBucket))
     // Bucket totals: map-side combinable aggregate, #buckets rows.
-    val totals = base.groupBy(col("__b")).agg(sum(col("__c")).as("__bt"))
-    val prefW = Window.orderBy(col("__b"))
+    val totals = base.groupBy(col("__bkx")).agg(sum(valueCol).as("__bt"))
+    val prefW = Window.orderBy(col("__bkx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prefixes = totals
       .withColumn("__pre", sum(col("__bt")).over(prefW) - col("__bt"))
-      .select(col("__b"), col("__pre"))
-    local.join(broadcast(prefixes), "__b")
-      .withColumn("cum_cost", col("__pre") + col("__cum_in"))
-      .filter(col("cum_cost") <= budget)
-      .select(col(idCol), col("__s").as(scoreCol), col("__c").as(costCol),
-        col("cum_cost"))
+      .select(col("__bkx"), col("__pre"))
+    local.join(broadcast(prefixes), "__bkx")
+      .withColumn("__cum", col("__pre") + col("__cum_in"))
+      .drop("__bkx", "__cum_in", "__pre")
   }
 
   /** Water-filling per-domain quota: the UNIFORM cap C such that

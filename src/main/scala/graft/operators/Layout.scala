@@ -203,33 +203,18 @@ object LayoutAudit {
             col(v).cast("long").as(s"__v$i") }: _*)
         .localCheckpoint(eager = false) // ranked + selected consumers
       val tot = base.agg(count(lit(1)).as("__n"))
-      // two-phase rank: bucket by the order key, row_number inside a
-      // bucket over (o, v1..vk), broadcast bucket prefixes — the
-      // takeByBudget machinery with a composite tie-break
-      val bucketed = base
-        .withColumn("__b", expr(s"(__o - pmod(__o, ${bw}L)) div ${bw}L"))
-      val inBucket = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__b"))
-        .orderBy(col("__o").asc +:
-          vcols.indices.map(i => col(s"__v$i").asc): _*)
-      val local = bucketed
-        .withColumn("__rn", row_number().over(inBucket).cast("long"))
-      val totals = bucketed.groupBy(col("__b"))
-        .agg(count(lit(1)).as("__bt"))
-      val prefW = org.apache.spark.sql.expressions.Window
-        .orderBy(col("__b"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, org.apache.spark.sql.expressions.Window
-          .currentRow)
-      val prefixes = totals
-        .withColumn("__pre", sum(col("__bt")).over(prefW) - col("__bt"))
-        .select(col("__b"), col("__pre"))
+      // two-phase rank = the shared bucket cumsum with unit weights
+      // and a composite (o, v1..vk) tie-break (Budget.bucketCumsum —
+      // the same machinery takeByBudget runs on)
+      val ranked = Budget.bucketCumsum(base,
+        expr(s"(__o - pmod(__o, ${bw}L)) div ${bw}L"),
+        col("__o").asc +: vcols.indices.map(i => col(s"__v$i").asc),
+        lit(1L))
       val chunkAggs = count(lit(1)).as("__cn") +:
         vcols.indices.flatMap(i => Seq(
           min(col(s"__v$i")).as(s"__vmin$i"),
           max(col(s"__v$i")).as(s"__vmax$i")))
-      val chunkTable = local.join(broadcast(prefixes), "__b")
-        .withColumn("__cum", col("__pre") + col("__rn"))
+      val chunkTable = ranked
         .crossJoin(broadcast(tot))
         .withColumn("__csize",
           expr(s"(__n + ${nChunks}L - 1L) div ${nChunks}L"))

@@ -67,13 +67,14 @@ object SeqPatterns {
   private[graft] def nextOccurrenceGrid(df: DataFrame, entityCol: String,
       tsCol: String, typeCol: String, alphabet: Seq[String]): DataFrame = {
     val idx = alphabet.indices
+    val ha = hasAggs(alphabet)
     val grid = df
       .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
         col(typeCol).isin(alphabet.map(x => x: Any): _*))
       .select(col(entityCol).as("__e"), unix_micros(col(tsCol)).as("__us"),
         col(typeCol).as("__t"))
       .groupBy(col("__e"), col("__us"))
-      .agg(hasAggs(alphabet).head, hasAggs(alphabet).tail: _*)
+      .agg(ha.head, ha.tail: _*)
     // next strictly-later occurrence of each type: ts DESC running min
     // over earlier-processed rows = later timestamps only (grid
     // timestamps are distinct per entity, so "1 preceding" IS strict)
@@ -224,9 +225,10 @@ object SeqPatterns {
     * entity's cells, so they live with the reader, and batch == stream
     * reduces to cell-table equality). `cells` columns: (entity, ante,
     * cons, min_gap_us) with cons = "*" marking "ante seen by this
-    * entity"; duplicate upserts collapse by MIN (emissions are
-    * monotone decreasing), so any prefix of re-emissions is legal
-    * input. Output: identical schema and values to [[level2]] on the
+    * entity" — "*" is therefore RESERVED and must not be an alphabet
+    * type (the stream side requires it); duplicate upserts collapse
+    * by MIN (emissions are monotone decreasing), so any prefix of
+    * re-emissions is legal input. Output: identical schema and values to [[level2]] on the
     * same underlying events.
     *
     * Scale shape: the cell table is entity·(k²+k)-bounded; one min

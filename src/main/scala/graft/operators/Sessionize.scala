@@ -161,12 +161,15 @@ object Windows {
       .partitionBy(col(entityCol)).orderBy(col("__us"), col(tieCol))
     val gaps = base
       .withColumn("__g", col("__us") - lag(col("__us"), 1).over(w))
+    // coalesce: sum() over an EMPTY corpus is null, which would make
+    // n_sessions = 0 + null = null instead of the documented 0
     val thrAggs = gapMinutes.flatMap { m =>
       val t = m * 60000000L
       Seq(
-        sum(when(col("__g") > t, 1L).otherwise(0L)).as(s"__x_$m"),
-        sum(when(col("__g").isNotNull && col("__g") <= t, col("__g"))
-          .otherwise(0L)).as(s"__w_$m"))
+        coalesce(sum(when(col("__g") > t, 1L).otherwise(0L)), lit(0L))
+          .as(s"__x_$m"),
+        coalesce(sum(when(col("__g").isNotNull && col("__g") <= t,
+          col("__g")).otherwise(0L)), lit(0L)).as(s"__w_$m"))
     }
     // 1-row sufficient statistics, localCheckpoint'ed: the grid rows
     // below each re-select it, and without the seam the corpus
@@ -175,11 +178,12 @@ object Windows {
       countDistinct(col(entityCol)).as("__ne"),
       (count(lit(1)).as("__nev") +: thrAggs): _*)
       .localCheckpoint()
-    // Empty-corpus guard: with zero entities n_sessions is 0 and the
-    // means are 0/0 — Spark (non-ANSI) would emit null while the
-    // DuckDB twin raises division-by-zero; gate both means on
-    // n_sessions > 0 (the oracle SQL carries the same CASE) so the
-    // engines agree on the degenerate edge too.
+    // Empty-corpus guard: with zero entities n_sessions is 0 (the
+    // coalesce above — a bare sum() would null it) and the means are
+    // 0/0 — Spark (non-ANSI) would emit null while the DuckDB twin
+    // raises division-by-zero; gate both means on n_sessions > 0 (the
+    // oracle SQL carries the same coalesce + CASE) so the engines
+    // agree on the degenerate edge too.
     val rows = gapMinutes.map { m =>
       ag.select(lit(m).as("gap_minutes"),
         (col("__ne") + col(s"__x_$m")).as("n_sessions"),

@@ -1556,10 +1556,10 @@ object EventQueries extends QueryGroup {
       val grid = Seq(5L, 10L, 20L, 40L, 80L)
       val aggs = grid.map { m =>
         val t = m * 60000000L
-        s"""CAST(sum(CASE WHEN gp > $t THEN 1 ELSE 0 END) AS BIGINT)
-              AS x$m,
-            CAST(sum(CASE WHEN gp IS NOT NULL AND gp <= $t
-              THEN gp ELSE 0 END) AS BIGINT) AS w$m"""
+        s"""CAST(coalesce(sum(CASE WHEN gp > $t THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS x$m,
+            CAST(coalesce(sum(CASE WHEN gp IS NOT NULL AND gp <= $t
+              THEN gp ELSE 0 END), 0) AS BIGINT) AS w$m"""
       }.mkString(",\n")
       val rows = grid.map { m =>
         s"""SELECT CAST($m AS BIGINT) AS gap_minutes,

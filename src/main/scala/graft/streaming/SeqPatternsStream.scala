@@ -98,6 +98,9 @@ object SeqPatternsStream {
       Dataset[(String, String, String, Long)] = {
     require(alphabet.nonEmpty && alphabet.size <= 16,
       s"alphabet must be 1..16 types, got ${alphabet.size}")
+    require(!alphabet.contains("*"),
+      "\"*\" is reserved as the seen-marker sentinel consequent — an " +
+        "alphabet containing it would corrupt the rulesFromCells readout")
     import ds.sparkSession.implicits._
     ds.groupByKey(_._1).transformWithState(
       new SeqPatternsCellProcessor(alphabet, ttl), StreamModes.forTtl(ttl),

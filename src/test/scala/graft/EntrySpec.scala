@@ -148,8 +148,8 @@ class EntrySpec extends SparkSpec {
       "lk", "rk", "lc", "rc", "rn2", "co", "na", // q292 coordinated gates
       "spx", "la", // q293 frequency spectrum
       "rec3", "cat", "cst", "rst", // q294 rec exposure
-      "ev_a", "ev_b", "ev_c", "ev_d", "nn_a", "nn_b", "nn_c", "nn_d",
-      "ch_a", "ch_b", "ch_c", "ch_d", "pa", // q297 advisor combos
+      "ev_a", "ev_b", "nn_a", "nn_b",
+      "ch_a", "ch_b", "pa", // q297 advisor candidates (r10 2-pass form)
       "rkc", "ta", "tb", "mm", "pr2", "tt2", "aa", "bb", // q299 RBO
       "cs", "isum", // q301 dbscan census / per-label id sums
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)

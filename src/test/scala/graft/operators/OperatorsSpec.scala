@@ -350,6 +350,9 @@ class OperatorsSpec extends SparkSpec {
       gapMinutes = Seq(5L, 40L)).collect()
     assert(out.length == 2)
     out.foreach { r =>
+      // a bare getAs[Long] would unbox NULL to 0 and pin nothing —
+      // assert non-null THEN zero (the r10 review catch)
+      assert(!r.isNullAt(r.fieldIndex("n_sessions")), "n_sessions null")
       assert(r.getAs[Long]("n_sessions") == 0L)
       assert(r.isNullAt(r.fieldIndex("mean_events_milli")))
       assert(r.isNullAt(r.fieldIndex("mean_dur_micros")))
