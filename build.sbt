@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver's bench gate parses the LAST stdout line; sbt's
+// "[success] Total time: ..." banner otherwise prints after the
+// program's final JSON line and breaks the parse (BENCH_r5–r10 all
+// recorded "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by sbt itself, not a task
+// Pass the forked JVM's stdout through raw: the default LoggedOutput
+// prefixes every line with "[info] ", which also breaks a last-line
+// JSON parse (BENCH_r10's captured tail shows the prefixed line).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -12,6 +12,23 @@ import org.apache.spark.sql.SparkSession
   * first measured query.
   */
 object Bench {
+  /** The compact-final-line query subset (sized for the driver's ~2 KB
+    * tail capture). Validated against SparkEntry.queries before the run
+    * so a rename/drop/typo fails loudly instead of silently shrinking
+    * the driver-visible subset.
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q03_revenue_by_nation", "q04_left_join_counts",
+    "q10_cube", "q20_string_funcs", "q27_session_window",
+    "q36_exact_dedup", "q38_lsh_pairs", "q41_ann_bruteforce",
+    "q48_approx_percentile", "q66_ann_ivf", "q73_lsh_capped",
+    "q77_bpe_tokens", "q94_containment", "q104_transitions", "q123_kmeans",
+    "q142_image_neardup", "q159_cdc_neardup", "q172_span_decontamination",
+    "q195_quantile_sketch", "q205_hard_negatives_scaled", "q233_triangle_census",
+    "q240_local_clustering", "q244_exact_jaccard_join", "q260_also_bought",
+    "q275_personalized_pagerank", "q288_degree_mixing",
+    "q294_rec_exposure", "q297_sort_key_advisor")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") // spec: local[32]
@@ -43,6 +60,21 @@ object Bench {
       elapsed
     }
 
+    // Dev loop: SPARK_GRAFT_ONLY=q90_mad,q40_ngram_jaccard benches a subset.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Headline drift is loud, and BEFORE the multi-minute run: a
+    // renamed/dropped query (or a typo in the list) must not silently
+    // shrink the driver-visible compact line. Full runs fail hard;
+    // SPARK_GRAFT_ONLY subset runs only warn (they legitimately omit
+    // headline queries).
+    val missing = Bench.headline.toSet -- SparkEntry.queries.keySet
+    if (missing.nonEmpty) {
+      val msg = s"[bench] headline names not in SparkEntry.queries: " +
+        missing.toSeq.sorted.mkString(",")
+      if (only.isEmpty) { System.err.println(msg); sys.exit(2) }
+      else System.err.println(msg)
+    }
+
     // Warm-up: JVM + codegen + parquet footer caches.
     run("warmup", SparkEntry.queries("q01_pricing_summary"))
 
@@ -51,8 +83,6 @@ object Bench {
     // property of the plan; extra runs damp machine noise on the
     // shingle-heavy queries when the time budget allows.
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt.max(1)
-    // Dev loop: SPARK_GRAFT_ONLY=q90_mad,q40_ngram_jaccard benches a subset.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -72,8 +102,11 @@ object Bench {
     println(json)
     // Also write the line to a FILE: sbt log noise surrounds stdout, and a
     // driver that only tails the log can lose the full per-query table.
-    // SPARK_GRAFT_BENCH_OUT overrides the default ./BENCH.json.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    // SPARK_GRAFT_BENCH_OUT overrides the default ./BENCH.json; a
+    // SPARK_GRAFT_ONLY subset run defaults to /tmp instead so isolated
+    // adjudication runs never clobber the committed full table.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/BENCH_subset.json" else "BENCH.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
@@ -86,18 +119,9 @@ object Bench {
     // line must itself fit the window: a compact complete JSON doc with
     // the contract keys, a stable headline-query subset, and a pointer
     // to the committed BENCH.json carrying the full 300+-query table.
-    val headline = Seq(
-      "q01_pricing_summary", "q03_revenue_by_nation", "q04_left_join_counts",
-      "q10_cube", "q20_string_funcs", "q27_session_window",
-      "q36_exact_dedup", "q38_lsh_pairs", "q41_ann_bruteforce",
-      "q48_approx_percentile", "q66_ann_ivf", "q73_lsh_capped",
-      "q77_bpe_tokens", "q94_containment", "q104_transitions", "q123_kmeans",
-      "q142_image_neardup", "q159_cdc_neardup", "q172_span_decontamination",
-      "q195_quantile_sketch", "q205_hard_negatives_scaled", "q233_triangle_census",
-      "q240_local_clustering", "q244_exact_jaccard_join", "q260_also_bought",
-      "q275_personalized_pagerank", "q288_degree_mixing",
-      "q294_rec_exposure", "q297_sort_key_advisor")
-    val hset = headline.toSet
+    // (build.sbt suppresses sbt's "[success]" banner — Global /
+    // showSuccess — so this compact line really is the last one.)
+    val hset = Bench.headline.toSet
     val hqs = results.filter { case (n, _) => hset.contains(n) }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
