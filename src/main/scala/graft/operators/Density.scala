@@ -43,6 +43,19 @@ import org.apache.spark.sql.functions._
   */
 object Density {
 
+  /** DECIMAL(38,0) → BIGINT with a loud failure when the value doesn't
+    * fit (non-ANSI Spark would otherwise return null where the DuckDB
+    * oracle's HUGEINT→BIGINT cast raises — the Ewma raise-don't-wrap
+    * rule). A null input can only be decimal overflow here: inputs are
+    * non-null by contract.
+    */
+  private[graft] def guardedLongCast(c: Column, what: String): Column =
+    when(c.isNull ||
+        c < lit(Long.MinValue).cast("decimal(38,0)") ||
+        c > lit(Long.MaxValue).cast("decimal(38,0)"),
+      raise_error(lit(s"$what overflows BIGINT")).cast("long"))
+      .otherwise(c.cast("long"))
+
   def gridDbscanCensus(df: DataFrame, idCol: String, vecCol: String,
                        gridDims: Seq[Int], scale: Long = 1000L,
                        cellWidth: Long = 100L,
@@ -53,8 +66,13 @@ object Density {
     // ONE corpus pass: per-cell count + id sum; everything after runs
     // on the bounded cell table (the r10 simplification — the old form
     // joined the corpus back against the labeled cells for the census)
+    // id sums accumulate in DECIMAL(38,0), not LONG: Spark (non-ANSI)
+    // wraps silently on BIGINT overflow while the DuckDB oracle sums in
+    // HUGEINT and fails its cast loudly — reachable once n·max_id nears
+    // 2^63. censusFromCells guards the final cast back to BIGINT.
     val cells = pts.groupBy(dIdx.map(i => col(s"__c$i")): _*)
-      .agg(count(lit(1)).as("__cn"), sum(col("__id")).as("__ids"))
+      .agg(count(lit(1)).as("__cn"),
+        sum(col("__id").cast("decimal(38,0)")).as("__ids"))
       .localCheckpoint() // scattered 3^D times inside censusFromCells
     censusFromCells(cells, dIdx.map(i => s"__c$i"), "__cn", "__ids",
       densityPpm)
@@ -114,9 +132,13 @@ object Density {
     val dec = "decimal(38,0)"
     val dIdx = coordCols.indices
     val cCols = dIdx.map(i => col(s"__c$i"))
+    // id sums ride in DECIMAL(38,0) (batch already accumulates there;
+    // the streaming twin's LONG cell sums upcast here) so the global
+    // per-label sum can't wrap; the output cast back to BIGINT is
+    // guarded below (the Ewma raise-don't-wrap rule).
     val cells = cells0.select(
       coordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__c$i") } ++
-        Seq(col(nCol).as("__cn"), col(idSumCol).as("__ids")): _*)
+        Seq(col(nCol).as("__cn"), col(idSumCol).cast(dec).as("__ids")): _*)
     val nTot = cells.agg(sum(col("__cn")).as("__n"))
     // 3^D offsets: scatter each cell's count to every block it belongs
     // to, then collapse — bounded-table unions, never cells × cells
@@ -145,11 +167,12 @@ object Density {
         .when(col("__nc").isNotNull, "border")
         .otherwise("noise").as("dbscan_label"))
       .agg(count(lit(1)).as("n_cells"), sum(col("__cn")).as("n_points"),
-        sum(col("__ids")).as("id_sum"))
+        sum(col("__ids")).as("__idsum"))
     census
       .crossJoin(broadcast(census.agg(sum(col("n_points")).as("__tot"))))
       .select(col("dbscan_label"), col("n_cells"), col("n_points"),
         expr("(n_points * 1000000L) div __tot").as("share_ppm"),
-        col("id_sum"))
+        guardedLongCast(col("__idsum"), "density census id_sum")
+          .as("id_sum"))
   }
 }

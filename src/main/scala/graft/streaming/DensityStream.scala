@@ -42,7 +42,16 @@ class DensityCellProcessor(ttl: TTLConfig)
       Iterator[(Long, Long, Long, Long)] = {
     val (n0, s0) = if (st.exists()) st.get() else (0L, 0L)
     var n = n0; var s = s0
-    for ((id, _, _) <- rows) { n += 1; s += id }
+    for ((id, _, _) <- rows) {
+      // The documented reader contract (upsert-by-MAX in
+      // censusFromCells) needs idSum monotone, which only holds for
+      // non-negative ids — enforce it at ingest instead of letting the
+      // sink's last-row-per-cell silently diverge from the true sum.
+      if (id < 0) throw new IllegalArgumentException(
+        s"DensityStream requires non-negative ids (idSum monotonicity " +
+          s"contract); got $id in cell $key")
+      n += 1; s += id
+    }
     st.update((n, s))
     Iterator.single((key._1, key._2, n, s))
   }

@@ -5,8 +5,11 @@ import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
 
 /** Ingest-time twin of the batch level-2 sequential pattern miner
   * ([[graft.operators.SeqPatterns.level2]]): per-entity state is
-  * k last-seen timestamps + k² running min gaps (k = |alphabet| ≤ 16
-  * — BOUNDED per entity, never the event history), and each
+  * k last-seen timestamps (headed by an alphabet fingerprint slot, so
+  * a restart against a checkpoint written by a different alphabet of
+  * the same size fails loudly instead of misattributing slots) + k²
+  * running min gaps (k = |alphabet| ≤ 16 — BOUNDED per entity, never
+  * the event history), and each
   * micro-batch re-emits the post-batch value for every cell it
   * improved (upsert semantics, the HistDriftStream pattern) plus a
   * one-time seen-marker per (entity, type) — the antecedent-support
@@ -44,6 +47,17 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
 
   private val k = alphabet.size
   private val idx = alphabet.zipWithIndex.toMap
+  // 64-bit fingerprint of the ORDERED alphabet, persisted as the head
+  // slot of the lastSeen state: restored state is only valid for the
+  // exact alphabet that wrote it — a restart against a checkpoint from
+  // a reordered or substituted alphabet of the same size would
+  // otherwise silently misattribute lastSeen/minGap slots to the wrong
+  // types (length alone can't tell them apart).
+  private val alphFp: Long = {
+    var h = 1125899906842597L // FNV-ish seeded polynomial over chars
+    for (s <- alphabet) { h = 31 * h + 0; for (c <- s) h = 31 * h + c }
+    h
+  }
 
   @transient private var lastSeen: ListState[Long] = _
   @transient private var minGap: ListState[Long] = _
@@ -57,14 +71,27 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
       rows: Iterator[(String, Long, String)],
       timerValues: org.apache.spark.sql.streaming.TimerValues):
       Iterator[(String, String, String, Long)] = {
-    val last = {
-      val s = lastSeen.get().toArray
-      if (s.length == k) s else Array.fill(k)(Long.MinValue)
-    }
-    val mg = {
-      val s = minGap.get().toArray
-      if (s.length == k * k) s else Array.fill(k * k)(Long.MaxValue)
-    }
+    // State layout: lastSeen = [alphFp, t_0 .. t_{k-1}] (fingerprint
+    // head slot), minGap = k² running mins. Empty = fresh entity; any
+    // populated state must carry THIS alphabet's fingerprint and the
+    // matching lengths — anything else is a checkpoint written by a
+    // different alphabet (or corrupt) and must fail, not be silently
+    // reinterpreted slot-by-slot.
+    val rawLast = lastSeen.get().toArray
+    val rawMg = minGap.get().toArray
+    val fresh = rawLast.isEmpty && rawMg.isEmpty
+    if (!fresh && (rawLast.length != k + 1 || rawLast(0) != alphFp ||
+        rawMg.length != k * k))
+      throw new IllegalStateException(
+        s"SeqPatternsStream state for entity '$key' was written by a " +
+          s"different alphabet or is corrupt (expected fingerprint " +
+          s"$alphFp with ${k + 1}+${k * k} slots, found " +
+          s"${rawLast.length}+${rawMg.length} slots" +
+          (if (rawLast.nonEmpty) s", fingerprint ${rawLast(0)}" else "") +
+          ") — restart with the checkpoint's original alphabet or a " +
+          "fresh checkpoint")
+    val last = if (fresh) Array.fill(k)(Long.MinValue) else rawLast.tail
+    val mg = if (fresh) Array.fill(k * k)(Long.MaxValue) else rawMg
     val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
     val seenNow = scala.collection.mutable.LinkedHashSet.empty[Int]
     val byTs = rows.toArray.collect {
@@ -84,7 +111,8 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
         if (ts > last(ti)) last(ti) = ts
       }
     }
-    lastSeen.clear(); last.foreach(lastSeen.appendValue)
+    lastSeen.clear(); lastSeen.appendValue(alphFp)
+    last.foreach(lastSeen.appendValue)
     minGap.clear(); mg.foreach(minGap.appendValue)
     seenNow.iterator.map(ti => (key, alphabet(ti), "*", 0L)) ++
       touched.iterator.map(p =>

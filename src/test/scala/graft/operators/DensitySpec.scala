@@ -60,4 +60,32 @@ class DensitySpec extends SparkSpec {
       Seq((99L, Array[java.lang.Float](null, 0.5f))).toDF("id", "vec"))
     assert(run(withNull) == run(fixture))
   }
+
+  test("id_sum that exceeds BIGINT raises instead of wrapping") {
+    // two far-apart single-point cells whose ids sum past 2^63: the
+    // DECIMAL(38,0) accumulation carries the true value and the final
+    // BIGINT cast must raise (DuckDB's HUGEINT->BIGINT cast raises on
+    // the oracle side; a silent Spark wrap would diverge), never emit
+    // a wrapped or null id_sum.
+    import org.apache.spark.sql.functions.col
+    val cells = Seq((0L, 0L, 1L, 9000000000000000000L),
+        (10L, 10L, 1L, 9000000000000000000L))
+      .toDF("c0", "c1", "n", "ids")
+    val ex = intercept[Exception] {
+      Density.censusFromCells(cells, Seq("c0", "c1"), "n", "ids",
+        densityPpm = 1000000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overflows BIGINT")), ex)
+    // sanity: the same shape under the threshold passes through exact
+    val ok = Density.censusFromCells(
+        Seq((0L, 0L, 1L, 4000000000000000000L),
+          (10L, 10L, 1L, 4000000000000000000L))
+          .toDF("c0", "c1", "n", "ids"),
+        Seq("c0", "c1"), "n", "ids", densityPpm = 1000000L)
+      .select(col("id_sum")).collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq(8000000000000000000L))
+  }
 }

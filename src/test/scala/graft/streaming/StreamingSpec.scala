@@ -3272,6 +3272,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming seq patterns: restart with a reordered alphabet of the same size fails loudly") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_seqpat_alpha").toString
+      val input = MemoryStream[(String, Long, String)]
+      def start(alphabet: Seq[String]) =
+        SeqPatternsStream.cells(input.toDS(), alphabet)
+          .writeStream
+          .foreachBatch {
+            // must CONSUME the frame — an unprocessed micro-batch trips
+            // Spark's state-store commit validation before our guard
+            (df: org.apache.spark.sql.Dataset[(String, String, String, Long)],
+             _: Long) => { df.collect(); () }
+          }
+          .option("checkpointLocation", ckpt).start()
+      val q1 = start(Seq("a", "b"))
+      try {
+        input.addData(("u", 1000000L, "a"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // same size, same strings, different slot assignment: length-based
+      // validation can't see this — the persisted fingerprint must
+      val q2 = start(Seq("b", "a"))
+      try {
+        val ex = intercept[Exception] {
+          input.addData(("u", 5000000L, "b"))
+          q2.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ messages(e.getCause))
+        assert(messages(ex).exists(_.contains("different alphabet")), ex)
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming density: a negative id is rejected at ingest, not silently summed") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val input = MemoryStream[(Long, Long, Long)]
+      val q = DensityStream.cells(input.toDS())
+        .writeStream.format("memory").queryName("density_negid")
+        .outputMode("append").start()
+      try {
+        val ex = intercept[Exception] {
+          input.addData((-7L, 0L, 0L))
+          q.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ messages(e.getCause))
+        assert(messages(ex).exists(_.contains("non-negative ids")), ex)
+      } finally q.stop()
+    }
+  }
+
   test("streaming density: upserted grid cells reproduce the batch dbscan census incl. shuffled arrival and batch splits") {
     withRocksDb {
       implicit val sc = spark.sqlContext
