@@ -25,9 +25,8 @@ import org.apache.spark.sql.functions._
   *    20k at sf1; ppm-of-corpus keeps "dense" meaning dense);
   *  - labels: core = point in a core-dense cell; border = point whose
   *    cell is not core-dense but has a core-dense cell in its block;
-  *    noise = the rest. Labels only — cluster ids would need the
-  *    core-cell connected components (q282's label-propagation
-  *    machinery, deliberately not duplicated here).
+  *    noise = the rest. Labels only here — cluster ids (= the
+  *    core-cell connected components) are [[clusterCensus]].
   *
   * Scale shape: ONE corpus pass (per-cell count + id sum); everything
   * after runs on the occupied-cell table, bounded by
@@ -125,40 +124,9 @@ object Density {
   def censusFromCells(cells0: DataFrame, coordCols: Seq[String],
                       nCol: String, idSumCol: String,
                       densityPpm: Long): DataFrame = {
-    require(coordCols.nonEmpty && coordCols.size <= 3,
-      s"coordCols must be 1..3 columns, got $coordCols")
-    require(densityPpm >= 1 && densityPpm <= 1000000,
-      s"densityPpm must be in [1, 1e6], got $densityPpm")
-    val dec = "decimal(38,0)"
     val dIdx = coordCols.indices
-    val cCols = dIdx.map(i => col(s"__c$i"))
-    // id sums ride in DECIMAL(38,0) (batch already accumulates there;
-    // the streaming twin's LONG cell sums upcast here) so the global
-    // per-label sum can't wrap; the output cast back to BIGINT is
-    // guarded below (the Ewma raise-don't-wrap rule).
-    val cells = cells0.select(
-      coordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__c$i") } ++
-        Seq(col(nCol).as("__cn"), col(idSumCol).cast(dec).as("__ids")): _*)
-    val nTot = cells.agg(sum(col("__cn")).as("__n"))
-    // 3^D offsets: scatter each cell's count to every block it belongs
-    // to, then collapse — bounded-table unions, never cells × cells
-    val offsets = dIdx.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
-      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
-    def shifted(src: DataFrame, extra: Seq[Column]) = offsets.map { o =>
-      src.select(dIdx.map(i => (col(s"__c$i") + o(i)).as(s"__c$i")) ++
-        extra: _*)
-    }.reduce(_.unionAll(_))
-    val block = shifted(cells, Seq(col("__cn")))
-      .groupBy(cCols: _*).agg(sum(col("__cn")).as("__bn"))
-    // every join keeps a CELL table on the build side — occupied cells
-    // are bounded by (domain/cellWidth)^D, so the hints are safe
-    val flagged = cells.join(broadcast(block), dIdx.map(i => s"__c$i"))
-      .crossJoin(broadcast(nTot))
-      .withColumn("__core",
-        expr(s"CAST(__bn AS $dec) * 1000000 >= " +
-          s"CAST($densityPpm AS $dec) * __n"))
-      .localCheckpoint() // consumed by the scatter AND the label step
-    val nearCore = shifted(flagged.filter(col("__core")), Nil)
+    val flagged = flaggedCells(cells0, coordCols, nCol, idSumCol, densityPpm)
+    val nearCore = shifted(dIdx, flagged.filter(col("__core")), Nil)
       .distinct()
       .withColumn("__nc", lit(true))
     val census = flagged
@@ -174,5 +142,147 @@ object Density {
         expr("(n_points * 1000000L) div __tot").as("share_ppm"),
         guardedLongCast(col("__idsum"), "density census id_sum")
           .as("id_sum"))
+  }
+
+  /** Cluster census over the core-dense cells — the "which dense
+    * region?" readout [[gridDbscanCensus]]'s labels-only census
+    * deliberately left out (its scaladoc note): clusters are the
+    * connected components of the core-dense cells under the same 3^D
+    * block adjacency that defines the labels, so every core point of
+    * q301 lands in exactly one cluster here and the per-label core
+    * totals reconcile (DensitySpec pins it). Border/noise points stay
+    * outside by DBSCAN convention — a border cell can touch several
+    * clusters, and an arbitrary assignment would be
+    * engine-order-dependent.
+    *
+    * cluster_id = the smallest encoded cell id in the component
+    * (deterministic; encode = base-(2·10⁶+1) positional over the
+    * offset coords, in-plan guarded against out-of-range coords).
+    *
+    * Scale shape: one corpus pass (the shared quantize + cell
+    * aggregate); adjacency, connected components
+    * ([[Dedup.connectedComponentsAuto]] — min-label with the
+    * large/small-star fallback), and the census all run on the
+    * CORE-CELL table, ≤ 3^D−1 neighbors per cell by construction; the
+    * corpus is never joined back.
+    *
+    * Output (one row per cluster): (cluster_id, n_cells, n_points,
+    * share_ppm, id_sum) — share_ppm relative to the whole quantized
+    * corpus, so it reads against q301's label shares directly.
+    */
+  def clusterCensus(df: DataFrame, idCol: String, vecCol: String,
+                    gridDims: Seq[Int], scale: Long = 1000L,
+                    cellWidth: Long = 100L,
+                    densityPpm: Long = 60000L): DataFrame = {
+    require(scale >= 1 && cellWidth >= 1, "scale/cellWidth must be positive")
+    val pts = pointCells(df, idCol, vecCol, gridDims, scale, cellWidth)
+    val dIdx = gridDims.indices
+    val cells = pts.groupBy(dIdx.map(i => col(s"__c$i")): _*)
+      .agg(count(lit(1)).as("__cn"),
+        sum(col("__id").cast("decimal(38,0)")).as("__ids"))
+      .localCheckpoint()
+    clustersFromCells(cells, dIdx.map(i => s"__c$i"), "__cn", "__ids",
+      densityPpm)
+  }
+
+  /** [[clusterCensus]] off an already-aggregated cell table (the
+    * [[censusFromCells]] convention, so the
+    * [[graft.streaming.DensityStream]] upsert table gets the same
+    * readout).
+    */
+  def clustersFromCells(cells0: DataFrame, coordCols: Seq[String],
+                        nCol: String, idSumCol: String,
+                        densityPpm: Long): DataFrame = {
+    val dIdx = coordCols.indices
+    val flagged = flaggedCells(cells0, coordCols, nCol, idSumCol, densityPpm)
+    // positional cell-id encode: coords are grid indices (|c| well
+    // under 10⁶ for any sane scale/cellWidth), but the bound is
+    // data-dependent, so it's enforced in-plan — base^3 already rides
+    // at 8.0e18, one more digit would wrap silently
+    val OFF = 1000000L
+    val BASE = 2 * OFF + 1
+    val encoded: Column = dIdx
+      .map(i => when(abs(col(s"__c$i")) > OFF,
+        raise_error(lit(s"cell coordinate beyond ±$OFF — cell-id " +
+          "encoding would collide; shrink the grid (larger cellWidth " +
+          "or smaller scale)")).cast("long"))
+        .otherwise(col(s"__c$i") + OFF))
+      .foldLeft(lit(0L))((acc, c) => acc * BASE + c)
+    val core = flagged.filter(col("__core"))
+      .select(encoded.as("__cell") +:
+        (dIdx.map(i => col(s"__c$i")) ++
+          Seq(col("__cn"), col("__ids"), col("__n"))): _*)
+      .localCheckpoint() // adjacency build side + census + node list
+    // core-cell adjacency: scatter each core cell to its 3^D block and
+    // join against the core table — the census scatter form, never
+    // core × core
+    val edges = shifted(dIdx, core, Seq(col("__cell").as("id_a")))
+      .join(broadcast(core.select(
+        dIdx.map(i => col(s"__c$i")) :+ col("__cell").as("id_b"): _*)),
+        dIdx.map(i => s"__c$i"))
+      .select(col("id_a"), col("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val labels = Dedup.connectedComponentsAuto(
+      core.select(col("__cell")), edges, "__cell")
+    val census = core.join(broadcast(labels), "__cell")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("__cn")).as("n_points"),
+        sum(col("__ids")).as("__idsum"), max(col("__n")).as("__ntot"))
+    census.select(col("cluster_id"), col("n_cells"), col("n_points"),
+      expr("(n_points * 1000000L) div __ntot").as("share_ppm"),
+      guardedLongCast(col("__idsum"), "density cluster id_sum")
+        .as("id_sum"))
+  }
+
+  /** 3^D neighbor-offset scatter over a cell table: each row re-emitted
+    * at every coordinate in its block (bounded-table unions, never
+    * cells × cells). Shared by the block counts, the near-core stamp,
+    * and the core-cell adjacency.
+    */
+  private def shifted(dIdx: Range, src: DataFrame,
+                      extra: Seq[Column]): DataFrame = {
+    val offsets = dIdx.foldLeft(Seq(Seq.empty[Int]))((acc, _) =>
+      acc.flatMap(o => Seq(-1, 0, 1).map(o :+ _)))
+    offsets.map { o =>
+      src.select(dIdx.map(i => (col(s"__c$i") + o(i)).as(s"__c$i")) ++
+        extra: _*)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The shared core-density stage of [[censusFromCells]] and
+    * [[clustersFromCells]]: normalize the cell table to (__c0..,
+    * __cn LONG, __ids DECIMAL(38,0)), stamp each cell with its 3^D
+    * block count (__bn), the corpus total (__n), and the core verdict
+    * (__core) under the RELATIVE densityPpm gate. localCheckpointed —
+    * every caller consumes it at least twice.
+    */
+  private def flaggedCells(cells0: DataFrame, coordCols: Seq[String],
+                           nCol: String, idSumCol: String,
+                           densityPpm: Long): DataFrame = {
+    require(coordCols.nonEmpty && coordCols.size <= 3,
+      s"coordCols must be 1..3 columns, got $coordCols")
+    require(densityPpm >= 1 && densityPpm <= 1000000,
+      s"densityPpm must be in [1, 1e6], got $densityPpm")
+    val dec = "decimal(38,0)"
+    val dIdx = coordCols.indices
+    val cCols = dIdx.map(i => col(s"__c$i"))
+    // id sums ride in DECIMAL(38,0) (batch already accumulates there;
+    // the streaming twin's LONG cell sums upcast here) so the global
+    // per-label sum can't wrap; the output cast back to BIGINT is
+    // guarded at the readout (the Ewma raise-don't-wrap rule).
+    val cells = cells0.select(
+      coordCols.zipWithIndex.map { case (c, i) => col(c).as(s"__c$i") } ++
+        Seq(col(nCol).as("__cn"), col(idSumCol).cast(dec).as("__ids")): _*)
+    val nTot = cells.agg(sum(col("__cn")).as("__n"))
+    val block = shifted(dIdx, cells, Seq(col("__cn")))
+      .groupBy(cCols: _*).agg(sum(col("__cn")).as("__bn"))
+    // every join keeps a CELL table on the build side — occupied cells
+    // are bounded by (domain/cellWidth)^D, so the hints are safe
+    cells.join(broadcast(block), dIdx.map(i => s"__c$i"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("__core",
+        expr(s"CAST(__bn AS $dec) * 1000000 >= " +
+          s"CAST($densityPpm AS $dec) * __n"))
+      .localCheckpoint() // consumed by the scatter AND the label step
   }
 }

@@ -324,6 +324,20 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("dbscan_label"))
     },
 
+    "q303_dbscan_clusters" -> { (s, d) =>
+      // Cluster ids for q301's core-dense region (B128 completion):
+      // connected components of the core cells under the same 3x3
+      // block adjacency, cluster_id = min encoded cell id, census of
+      // cluster sizes + per-cluster id_sum. Everything after the
+      // shared one-pass cell aggregate runs on the bounded core-cell
+      // table; the corpus is never joined back.
+      graft.operators.Density.clusterCensus(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        gridDims = Seq(1, 2), scale = 1000L, cellWidth = 100L,
+        densityPpm = 60000L)
+        .orderBy(col("cluster_id"))
+    },
+
     "q123_kmeans" -> { (s, d) =>
       // Fixed-point Lloyd k-means (the SemDeDup clustering step): k=8
       // seeds = the lowest vec_ids, two assignment passes with one
@@ -1006,6 +1020,67 @@ object SimilarityQueries extends QueryGroup {
         isum.id_sum
       FROM cs JOIN isum ON isum.lbl = cs.lbl
       ORDER BY dbscan_label""",
+
+    // q301's quantize/flag CTEs verbatim, then min-label connected
+    // components over the core cells (recursive reach, the q207 CC
+    // idiom) with the same positional cell-id encode as the Spark side
+    "q303_dbscan_clusters" -> """
+      WITH v AS (
+        SELECT CAST(vec_id AS BIGINT) AS id,
+          CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000 + 0.5)
+            AS BIGINT) AS s0,
+          CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000 + 0.5)
+            AS BIGINT) AS s1
+        FROM embeddings
+        WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+          AND embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+      p AS (
+        SELECT id,
+          (s0 - ((s0 % 100 + 100) % 100)) // 100 AS c0,
+          (s1 - ((s1 % 100 + 100) % 100)) // 100 AS c1
+        FROM v),
+      n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM p),
+      cells AS (
+        SELECT c0, c1, CAST(count(*) AS BIGINT) AS cn
+        FROM p GROUP BY 1, 2),
+      g AS (
+        SELECT a.c0, a.c1, CAST(sum(b.cn) AS BIGINT) AS bn
+        FROM cells a JOIN cells b
+          ON abs(a.c0 - b.c0) <= 1 AND abs(a.c1 - b.c1) <= 1
+        GROUP BY 1, 2),
+      f AS (
+        SELECT c.c0, c.c1, c.cn,
+          (g.bn * 1000000 >= 60000 * (SELECT nn FROM n)) AS core
+        FROM cells c JOIN g ON g.c0 = c.c0 AND g.c1 = c.c1),
+      cor AS (
+        SELECT (c0 + 1000000) * 2000001 + (c1 + 1000000) AS cell,
+          c0, c1, cn
+        FROM f WHERE core),
+      e AS (
+        SELECT a.cell AS src, b.cell AS dst FROM cor a JOIN cor b
+          ON abs(a.c0 - b.c0) <= 1 AND abs(a.c1 - b.c1) <= 1
+          AND a.cell <> b.cell),
+      reach AS (
+        SELECT cell AS nd, cell AS l FROM cor
+        UNION
+        SELECT e.dst, r.l FROM reach r JOIN e ON e.src = r.nd),
+      cls AS (
+        SELECT nd AS cell, CAST(min(l) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY nd),
+      cc AS (
+        SELECT cls.cluster_id, CAST(count(*) AS BIGINT) AS n_cells,
+          CAST(sum(cor.cn) AS BIGINT) AS n_points
+        FROM cor JOIN cls USING (cell) GROUP BY 1),
+      ci AS (
+        SELECT cls.cluster_id, CAST(sum(p.id) AS BIGINT) AS id_sum
+        FROM p JOIN cor ON cor.c0 = p.c0 AND cor.c1 = p.c1
+        JOIN cls ON cls.cell = cor.cell GROUP BY 1)
+      SELECT cc.cluster_id, cc.n_cells, cc.n_points,
+        CAST((cc.n_points * 1000000) // (SELECT nn FROM n) AS BIGINT)
+          AS share_ppm,
+        ci.id_sum
+      FROM cc JOIN ci USING (cluster_id)
+      ORDER BY cluster_id""".replaceFirst("WITH ", "WITH RECURSIVE "),
 
     "q123_kmeans" -> s"""$KmeansCte
       SELECT cell, CAST(count(*) AS BIGINT) AS n, CAST(sum(id) AS BIGINT) AS id_sum

@@ -152,6 +152,7 @@ class EntrySpec extends SparkSpec {
       "ch_a", "ch_b", "pa", // q297 advisor candidates (r10 2-pass form)
       "rkc", "ta", "tb", "mm", "pr2", "tt2", "aa", "bb", // q299 RBO
       "cs", "isum", // q301 dbscan census / per-label id sums
+      "ci", // q303 dbscan clusters (per-cluster id sums; cor/cc/e/reach shared)
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

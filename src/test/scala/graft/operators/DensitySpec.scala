@@ -61,6 +61,64 @@ class DensitySpec extends SparkSpec {
     assert(run(withNull) == run(fixture))
   }
 
+  private def runClusters(d: org.apache.spark.sql.DataFrame,
+                          ppm: Long = 600000L) =
+    Density.clusterCensus(d, "id", "vec", gridDims = Seq(1, 2),
+        scale = 1000L, cellWidth = 100L, densityPpm = ppm)
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("n_cells"), r.getAs[Long]("n_points"),
+          r.getAs[Long]("share_ppm"), r.getAs[Long]("id_sum")))).toMap
+
+  test("hand-checked cluster census: adjacent core cells merge, id = min encoded cell") {
+    // fixture core cells (0,0) and (1,0) are block-adjacent -> ONE
+    // cluster, id = encode(0,0) = (0+1e6)*2000001 + (0+1e6)
+    val out = runClusters(fixture)
+    assert(out == Map(2000002000000L -> ((2L, 8L, 800000L, 36L))))
+  }
+
+  test("two separated dense blobs form two clusters") {
+    val blobs = Seq(
+      (1L, Array(0.05f, 0.05f)), (2L, Array(0.04f, 0.06f)),
+      (3L, Array(0.01f, 0.01f)), (4L, Array(0.09f, 0.09f)),
+      (5L, Array(0.95f, 0.95f)), (6L, Array(0.94f, 0.96f)),
+      (7L, Array(0.91f, 0.91f)), (8L, Array(0.99f, 0.99f)),
+      (9L, Array(0.55f, 0.05f)), (10L, Array(0.05f, 0.55f)))
+      .toDF("id", "vec")
+    // 30% gate (threshold 3): the two 4-point cells are core, the two
+    // singles are noise; encode(0,0) and encode(9,9) head the clusters
+    val out = runClusters(blobs, ppm = 300000L)
+    assert(out == Map(
+      2000002000000L -> ((1L, 4L, 400000L, 10L)),
+      2000020000018L -> ((1L, 4L, 400000L, 26L))))
+  }
+
+  test("negative-coordinate core cell joins the cluster and can head it") {
+    // (-0.05,-0.05) -> core cell (-1,-1), block-adjacent to (0,0);
+    // its encoded id is the smallest, so it becomes the cluster id
+    val withNeg = fixture.union(Seq((11L, Array(-0.05f, -0.05f)))
+      .toDF("id", "vec"))
+    val out = runClusters(withNeg)
+    assert(out == Map(1999999999998L -> ((3L, 9L, 818181L, 47L))))
+  }
+
+  test("cluster census reconciles with the q301 core row (label<->cluster consistency)") {
+    for (d <- Seq(fixture, fixture.repartition(7))) {
+      val core = run(d)("core")
+      val clusters = runClusters(d).values.toSeq
+      assert(clusters.map(_._1).sum == core._1, "core cells")
+      assert(clusters.map(_._2).sum == core._2, "core points")
+      assert(clusters.map(_._4).sum == core._4, "core id_sum")
+    }
+  }
+
+  test("no core cells yields an empty cluster census, not a crash") {
+    // 10 spread-out singleton cells under a 60% gate: nothing is core
+    val sparse = (1 to 10).map(i =>
+      (i.toLong, Array(i * 0.09f, i * 0.07f + 0.3f))).toDF("id", "vec")
+    assert(run(sparse).get("core").isEmpty)
+    assert(runClusters(sparse).isEmpty)
+  }
+
   test("id_sum that exceeds BIGINT raises instead of wrapping") {
     // two far-apart single-point cells whose ids sum past 2^63: the
     // DECIMAL(38,0) accumulation carries the true value and the final
