@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -217,6 +217,106 @@ object SeqPatterns {
         expr("CASE WHEN __r.na > 0 THEN " +
           "(__r.np * 1000000L) div __r.na END").as("completion_ppm"))
       .filter(col("n_entities") >= minSupport)
+  }
+
+  /** Per-step drop-off readout for a DECLARED 3-step funnel with
+    * PER-STEP max-gaps — the question q257 (one declared funnel,
+    * completion + leg latencies) and q302 (triple discovery) both
+    * leave open: of the entities lost at step i, how many saw the
+    * step-i event arrive but only after the gap had expired, and how
+    * many never saw it at all after entering? The distinction drives
+    * opposite fixes (lengthen the timeout vs fix the step).
+    *
+    * Exact semantics ([[level3]]'s non-greedy existence, per-step
+    * gaps): an entity reaches step 2 iff ∃ occurrences t₁ < t₂ ≤
+    * t₁+G₂ of (s₁, s₂); reaches step 3 iff some such chain extends
+    * with t₃ ≤ t₂+G₃. Among entities that reached step i−1 but not i:
+    *  - gap_expired: some valid chain through step i−1 has an s_i
+    *    occurrence strictly AFTER its completion (it arrived, but
+    *    never inside the gap of any valid chain);
+    *  - absent: no s_i occurrence follows any valid step-(i−1)
+    *    completion at all (an s_i BEFORE entering doesn't count — the
+    *    funnel is ordered).
+    * Step 1 enters the whole entity universe; its absent bucket is
+    * "never saw s₁" and gap_expired is 0 by definition.
+    *
+    * Implementation: the [[level3]] window machinery with one more
+    * conditional-min column per step — the gap-expired test for step i
+    * is the SAME next-flagged-b pass with the flag's gap condition
+    * relaxed to "any s_i after" (a valid chain reaching a
+    * flagged-any row within its gap ⟺ some valid completion precedes
+    * an s_i occurrence). Two stacked window passes over one sort, one
+    * per-entity aggregate, one global stats row; the 3 output rows
+    * assemble from it driver-side (the level2 exploded-struct form).
+    *
+    * Steps need not be distinct (a repeated type reads "recurs within
+    * the gap", the level2/level3 convention). Output (3 rows):
+    * (step, event_type, n_entered, n_reached, n_gap_expired,
+    * n_absent, conversion_ppm) with n_entered(i) = n_reached(i−1) and
+    * conversion_ppm = n_reached·1e6 div n_entered.
+    */
+  def funnelDropoff3(df: DataFrame, entityCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String],
+                     gapsMinutes: Seq[Long]): DataFrame = {
+    require(steps.size == 3, s"declared funnel must have 3 steps, got $steps")
+    require(gapsMinutes.size == 2 && gapsMinutes.forall(_ > 0),
+      s"need one positive max-gap per step transition, got $gapsMinutes")
+    val alphabet = steps.distinct
+    val g2 = gapsMinutes(0) * 60000000L
+    val g3 = gapsMinutes(1) * 60000000L
+    val Seq(i1, i2, i3) = steps.map(alphabet.indexOf)
+    val withNext = nextOccurrenceGrid(df, entityCol, tsCol, typeCol, alphabet)
+    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // flag s2-rows two ways: a valid chain tail (in-gap s3 behind it)
+    // and the relaxed gap-expired probe (ANY s3 behind it); both
+    // next-flagged mins ride the same second window pass
+    val flagged = withNext
+      .withColumn("__fg", col(s"__has$i2") === 1L &&
+        col(s"__nxt$i3").isNotNull && col(s"__nxt$i3") - col("__us") <= g3)
+      .withColumn("__fa", col(s"__has$i2") === 1L &&
+        col(s"__nxt$i3").isNotNull)
+    val withNf = flagged.select(col("*"),
+      min(when(col("__fg"), col("__us"))).over(wDesc).as("__nfg"),
+      min(when(col("__fa"), col("__us"))).over(wDesc).as("__nfa"))
+    val perEntity = withNf.groupBy(col("__e")).agg(
+      max(col(s"__has$i1")).as("__ha1"),
+      min(when(col(s"__has$i1") === 1L, col(s"__nxt$i2") - col("__us")))
+        .as("__m2gap"),
+      min(when(col(s"__has$i1") === 1L, col(s"__nxt$i2"))).as("__m2any"),
+      min(when(col(s"__has$i1") === 1L, col("__nfg") - col("__us")))
+        .as("__m3gap"),
+      min(when(col(s"__has$i1") === 1L, col("__nfa") - col("__us")))
+        .as("__m3any"))
+    // reached/saw predicates; a null min coalesces to "not reached" so
+    // gap-expired classification can't be swallowed by null && logic
+    val r2 = coalesce(col("__m2gap") <= g2, lit(false))
+    val r3 = coalesce(col("__m3gap") <= g2, lit(false))
+    val saw2 = col("__m2any").isNotNull
+    val saw3 = coalesce(col("__m3any") <= g2, lit(false))
+    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    val stats = perEntity.agg(
+      count(lit(1)).as("__nu"),
+      cnt(col("__ha1") === 1L).as("__n1"),
+      cnt(r2).as("__n2"),
+      cnt(r3).as("__n3"),
+      cnt(col("__ha1") === 1L && !r2 && saw2).as("__ge2"),
+      cnt(r2 && !r3 && saw3).as("__ge3"))
+      .localCheckpoint()
+    val packed = array(
+      struct(lit(1L).as("step"), lit(steps(0)).as("t"),
+        col("__nu").as("en"), col("__n1").as("re"), lit(0L).as("ge")),
+      struct(lit(2L).as("step"), lit(steps(1)).as("t"),
+        col("__n1").as("en"), col("__n2").as("re"), col("__ge2").as("ge")),
+      struct(lit(3L).as("step"), lit(steps(2)).as("t"),
+        col("__n2").as("en"), col("__n3").as("re"), col("__ge3").as("ge")))
+    stats.select(explode(packed).as("__r"))
+      .select(col("__r.step").as("step"), col("__r.t").as("event_type"),
+        col("__r.en").as("n_entered"), col("__r.re").as("n_reached"),
+        col("__r.ge").as("n_gap_expired"),
+        (col("__r.en") - col("__r.re") - col("__r.ge")).as("n_absent"),
+        expr("CASE WHEN __r.en > 0 THEN (__r.re * 1000000L) div __r.en END")
+          .as("conversion_ppm"))
   }
 
   /** Reader-side rule rollup over an UPSERTED cell table — the

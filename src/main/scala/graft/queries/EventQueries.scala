@@ -435,6 +435,21 @@ object EventQueries extends QueryGroup {
         .orderBy(col("step1"), col("step2"), col("step3"))
     },
 
+    "q304_funnel_dropoff" -> { (s, d) =>
+      // Declared-funnel drop-off readout (B130, the B88×B129
+      // composition): view→click→purchase with per-step 4-hour
+      // max-gaps, per-step counts of entities lost because the step
+      // event arrived after the gap expired vs never arrived after
+      // entering — the distinction that decides "lengthen the timeout"
+      // vs "fix the step". Same one-sort two-window-pass machinery as
+      // q302 plus one relaxed (any-gap) conditional-min per step.
+      graft.operators.SeqPatterns.funnelDropoff3(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        gapsMinutes = Seq(240L, 240L))
+        .orderBy(col("step"))
+    },
+
     "q300_seq_patterns" -> { (s, d) =>
       // Level-2 sequential patterns with a max-gap (B127, PrefixSpan/
       // GSP level 2): for every ordered event-type pair <a, b>, how
@@ -1696,6 +1711,77 @@ object EventQueries extends QueryGroup {
         FROM pe)
       $rows
       ORDER BY step1, step2, step3"""
+    },
+
+    // the q302 window replay specialized to the declared
+    // view->click->purchase funnel, plus the relaxed any-gap
+    // conditional mins that split drop-off into gap-expired vs absent
+    "q304_funnel_dropoff" -> {
+      val g = 14400000000L // 240 min in micros, both steps
+      val win = "OVER (PARTITION BY u ORDER BY us DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      s"""
+      WITH e AS (
+        SELECT user_id AS u, event_type AS t,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+          AND event_type IN ('view','click','purchase')),
+      g AS (
+        SELECT u, us,
+          max(CASE WHEN t = 'view' THEN 1 ELSE 0 END) AS h0,
+          max(CASE WHEN t = 'click' THEN 1 ELSE 0 END) AS h1,
+          max(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS h2
+        FROM e GROUP BY u, us),
+      w1 AS (
+        SELECT *,
+          min(CASE WHEN h1 = 1 THEN us END) $win AS nx1,
+          min(CASE WHEN h2 = 1 THEN us END) $win AS nx2
+        FROM g),
+      w2 AS (
+        SELECT *,
+          min(CASE WHEN h1 = 1 AND nx2 IS NOT NULL AND nx2 - us <= $g
+            THEN us END) $win AS nfg,
+          min(CASE WHEN h1 = 1 AND nx2 IS NOT NULL
+            THEN us END) $win AS nfa
+        FROM w1),
+      pe AS (
+        SELECT u, max(h0) AS ha1,
+          min(CASE WHEN h0 = 1 THEN nx1 - us END) AS m2gap,
+          min(CASE WHEN h0 = 1 THEN nx1 END) AS m2any,
+          min(CASE WHEN h0 = 1 THEN nfg - us END) AS m3gap,
+          min(CASE WHEN h0 = 1 THEN nfa - us END) AS m3any
+        FROM w2 GROUP BY u),
+      st AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS nu,
+          CAST(coalesce(sum(ha1), 0) AS BIGINT) AS n1,
+          CAST(coalesce(sum(CASE WHEN coalesce(m2gap <= $g, false)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2,
+          CAST(coalesce(sum(CASE WHEN coalesce(m3gap <= $g, false)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n3,
+          CAST(coalesce(sum(CASE WHEN ha1 = 1
+            AND NOT coalesce(m2gap <= $g, false)
+            AND m2any IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS ge2,
+          CAST(coalesce(sum(CASE WHEN coalesce(m2gap <= $g, false)
+            AND NOT coalesce(m3gap <= $g, false)
+            AND coalesce(m3any <= $g, false)
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS ge3
+        FROM pe)
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        nu AS n_entered, n1 AS n_reached,
+        CAST(0 AS BIGINT) AS n_gap_expired, nu - n1 AS n_absent,
+        CASE WHEN nu > 0 THEN CAST((n1 * 1000000) // nu AS BIGINT) END
+          AS conversion_ppm
+      FROM st
+      UNION ALL SELECT CAST(2 AS BIGINT), 'click', n1, n2, ge2,
+        n1 - n2 - ge2,
+        CASE WHEN n1 > 0 THEN CAST((n2 * 1000000) // n1 AS BIGINT) END
+      FROM st
+      UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', n2, n3, ge3,
+        n2 - n3 - ge3,
+        CASE WHEN n2 > 0 THEN CAST((n3 * 1000000) // n2 AS BIGINT) END
+      FROM st
+      ORDER BY step"""
     },
 
     "q300_seq_patterns" -> """

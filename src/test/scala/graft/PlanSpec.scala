@@ -244,6 +244,36 @@ class PlanSpec extends SparkSpec {
       s"cell/flag tables + total must ride broadcasts:\n$p")
   }
 
+  test("funnel drop-off (q304): outer plan is checkpoint-scan assembly, no unbounded-FOLLOWING frame") {
+    // the q302 shape: both window passes (next-occurrence + the
+    // gap/any flagged-b mins) hide behind the stats localCheckpoint;
+    // the outer plan must stay join- and window-free, and nothing may
+    // use an unbounded-FOLLOWING frame
+    val outer = plan("q304_funnel_dropoff")
+    assert(!outer.toString.contains("Join") &&
+      collectAll(outer).forall(
+        !_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      s"the outer plan must be checkpoint-scan assembly only:\n$outer")
+    assert(!outer.toString.toLowerCase.contains("unboundedfollowing"))
+  }
+
+  test("dbscan clusters (q303): bounded cell tables broadcast, no pair space, corpus never joined back") {
+    // the q301 contract carried through the clustering: adjacency, CC
+    // labels, and the census all run on the core-cell table; the only
+    // corpus pass is the quantize+cell aggregate (behind its
+    // localCheckpoint), so the outer plan has no SortMergeJoin and no
+    // cartesian anywhere
+    val p = plan("q303_dbscan_clusters")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no point-pair or cell-pair join may exist:\n$p")
+    assert(!p.toString.contains("SortMergeJoin"),
+      s"cell tables are bounded — every join must broadcast:\n$p")
+    // the adjacency joins live behind the CC iteration checkpoints;
+    // the label->census join is the one visible here and must broadcast
+    assert(countBroadcasts(p) >= 1,
+      s"the label join must ride a broadcast:\n$p")
+  }
+
   test("markov accuracy (q291): the K²-bounded model broadcasts to the holdout") {
     val p = plan("q291_markov_accuracy")
     assert(countBroadcasts(p) >= 2,

@@ -107,4 +107,56 @@ class SeqPatternsSpec extends SparkSpec {
     // tail: the triple needs all three, so G contributes nothing here
     assert(!out.contains(("a", "b", "a")))
   }
+
+  // view→click→purchase, gaps (10m, 10m); one entity per drop-off bucket:
+  // u1 completes; u2 gap-expires at 2 (click 20m late); u3 absent at 2
+  //   (its only click PRECEDES the view); u4 never views (absent at 1);
+  // u5 gap-expires at 3 (purchase 25m after the valid click); u6 absent
+  //   at 3 (purchase precedes the click); u7 completes via the
+  //   non-greedy trap (first click has no in-gap purchase, a later
+  //   in-gap click does); u8 view+click simultaneous (never chains).
+  private def funnelFixture = Seq(
+    ("u1", 0L, "view"), ("u1", 5 * min, "click"), ("u1", 12 * min, "purchase"),
+    ("u2", 0L, "view"), ("u2", 20 * min, "click"),
+    ("u3", 0L, "click"), ("u3", 5 * min, "view"),
+    ("u4", 0L, "click"), ("u4", 1 * min, "purchase"),
+    ("u5", 0L, "view"), ("u5", 5 * min, "click"), ("u5", 30 * min, "purchase"),
+    ("u6", 0L, "view"), ("u6", 2 * min, "purchase"), ("u6", 5 * min, "click"),
+    ("u7", 0L, "view"), ("u7", 2 * min, "click"), ("u7", 8 * min, "click"),
+    ("u7", 15 * min, "purchase"),
+    ("u8", 0L, "view"), ("u8", 0L, "click"))
+    .toDF("u", "us", "t")
+    .withColumn("ts", timestamp_micros(col("us")))
+
+  private def runFunnel(d: org.apache.spark.sql.DataFrame) =
+    SeqPatterns.funnelDropoff3(d, "u", "ts", "t",
+        steps = Seq("view", "click", "purchase"), gapsMinutes = Seq(10L, 10L))
+      .collect().map(r => r.getAs[Long]("step") ->
+        ((r.getAs[String]("event_type"), r.getAs[Long]("n_entered"),
+          r.getAs[Long]("n_reached"), r.getAs[Long]("n_gap_expired"),
+          r.getAs[Long]("n_absent"),
+          r.getAs[java.lang.Long]("conversion_ppm"))))
+      .toMap
+
+  test("funnel drop-off: gap-expired vs absent distinguished at every step") {
+    val out = runFunnel(funnelFixture)
+    assert(out(1L) == (("view", 8L, 7L, 0L, 1L, 875000L)))
+    // reached2 = u1,u5,u6,u7; gap-expired = u2 (click came, 20m > 10m);
+    // absent = u3 (click only BEFORE the view), u8 (same-ts never chains)
+    assert(out(2L) == (("click", 7L, 4L, 1L, 2L, 571428L)))
+    // reached3 = u1, u7 (non-greedy: via click@8m); gap-expired = u5
+    // (purchase 25m after the valid click); absent = u6 (purchase
+    // precedes the click — never follows a valid completion)
+    assert(out(3L) == (("purchase", 4L, 2L, 1L, 1L, 500000L)))
+  }
+
+  test("funnel drop-off: repartition-invariant and empty-corpus safe") {
+    assert(runFunnel(funnelFixture.coalesce(1)) ==
+      runFunnel(funnelFixture.repartition(7)))
+    val empty = Seq.empty[(String, Long, String)].toDF("u", "us", "t")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val z = runFunnel(empty)
+    assert(z(1L) == (("view", 0L, 0L, 0L, 0L, null)))
+    assert(z(2L)._2 == 0L && z(3L)._2 == 0L)
+  }
 }
