@@ -23,6 +23,48 @@ object DedupQueries extends QueryGroup {
     * ascii() per code point; list_prepend supplies the 0 seed). DISTINCT at
     * the (doc_id, tid) level matches shingleIdsPoly(distinct = true).
     */
+  /** The q119 fixed-point PageRank pipeline over an arbitrary doc set
+    * — shared by the full-corpus query and the q306 sf1 evidence twin.
+    * Returns one (doc_id, deg, rank_fp) row per input doc, unordered.
+    */
+  private def graphRank(docs: DataFrame): DataFrame = {
+    val S = 1000000000000L
+    val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
+    val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
+    val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
+    // The edge list is edge-set-sized (tiny vs the corpus) but carries
+    // the whole shingle->signature->banding lineage; localCheckpoint it
+    // once (the connectedComponents pattern) so the three iterations
+    // join against the materialized RDD instead of re-running the LSH
+    // pipeline per step — without it the executed plan re-scans the
+    // corpus 36 times.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nTab = docs.agg(count(lit(1)).as("__n"))
+    val nodes = docs.select(col("doc_id"))
+    val r0 = nodes.crossJoin(broadcast(nTab))
+      .select(col("doc_id"), expr(s"${S}L div __n").as("r"))
+    def step(prev: DataFrame): DataFrame = {
+      val inflow = edges
+        .join(prev.withColumnRenamed("doc_id", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+        .groupBy(col("doc_id")).agg(sum(col("c")).as("inflow"))
+      nodes.join(inflow, Seq("doc_id"), "left").crossJoin(broadcast(nTab))
+        .select(col("doc_id"),
+          expr(s"((${S}L * 15) div 100) div __n + (85 * coalesce(inflow, 0L)) div 100")
+            .as("r"))
+    }
+    val r3 = step(step(step(r0)))
+    r3.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deg"), lit(0L)).cast("long").as("deg"),
+        col("r").cast("long").as("rank_fp"))
+  }
+
   private val ShingleCte = s"""
       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
       sh AS (
@@ -430,43 +472,25 @@ object DedupQueries extends QueryGroup {
       // neighbors and float sums depend on reduction order — long sums
       // are partition-order-independent, so ranks are bit-stable at any
       // parallelism and DuckDB replays them exactly.
-      val S = 1000000000000L
+      graphRank(Tables.documents(s, d)).orderBy(col("doc_id"))
+    },
+
+    "q306_graph_rank_evidence" -> { (s, d) =>
+      // sf1 evidence twin for q119 (BASELINE §20: its shingle->banding
+      // oracle CTEs exhaust DuckDB temp disk at the 10x corpus): the
+      // SAME graphRank pipeline over the deterministic 2%
+      // mixedBucket doc slice, collapsed to one BIGINT-checksum row
+      // DuckDB can replay at any SF — the q265/q266 red-row pattern.
+      // rank_checksum stays in BIGINT range by rank conservation
+      // (Σr ≈ 1e12 regardless of n, so Σ r·(id mod 1000003) < 1e18).
       val docs = Tables.documents(s, d)
-      val ids = Dedup.shingleIdsPoly(docs, "doc_id", "text", distinct = false)
-      val sigs = Dedup.minhashSignatures(ids, "doc_id", numHashes = 8)
-      val pairs = Dedup.lshCandidatePairs(sigs, "doc_id", numHashes = 8, rowsPerBand = 2)
-      // The edge list is edge-set-sized (tiny vs the corpus) but carries
-      // the whole shingle->signature->banding lineage; localCheckpoint it
-      // once (the connectedComponents pattern) so the three iterations
-      // join against the materialized RDD instead of re-running the LSH
-      // pipeline per step — without it the executed plan re-scans the
-      // corpus 36 times.
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .localCheckpoint()
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
-      val nTab = docs.agg(count(lit(1)).as("__n"))
-      val nodes = docs.select(col("doc_id"))
-      val r0 = nodes.crossJoin(broadcast(nTab))
-        .select(col("doc_id"), expr(s"${S}L div __n").as("r"))
-      def step(prev: DataFrame): DataFrame = {
-        val inflow = edges
-          .join(prev.withColumnRenamed("doc_id", "src"), "src")
-          .join(deg, "src")
-          .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
-          .groupBy(col("doc_id")).agg(sum(col("c")).as("inflow"))
-        nodes.join(inflow, Seq("doc_id"), "left").crossJoin(broadcast(nTab))
-          .select(col("doc_id"),
-            expr(s"((${S}L * 15) div 100) div __n + (85 * coalesce(inflow, 0L)) div 100")
-              .as("r"))
-      }
-      val r3 = step(step(step(r0)))
-      r3.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("deg"), lit(0L)).cast("long").as("deg"),
-          col("r").cast("long").as("rank_fp"))
-        .orderBy(col("doc_id"))
+        .filter(graft.operators.Sampling.mixedBucket(col("doc_id")) < 20)
+      graphRank(docs).agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("deg")), lit(0L)).as("deg_sum"),
+        coalesce(sum(col("rank_fp")), lit(0L)).as("rank_sum"),
+        coalesce(sum(col("rank_fp") * pmod(col("doc_id"), lit(1000003L))),
+          lit(0L)).as("rank_checksum"))
     },
 
     "q120_boilerplate" -> { (s, d) =>
@@ -768,6 +792,46 @@ object DedupQueries extends QueryGroup {
           CAST(r3.r AS BIGINT) AS rank_fp""",
         """FROM r3 LEFT JOIN deg ON deg.src = r3.doc_id
           ORDER BY r3.doc_id""")
+    },
+
+    // the q119 chain verbatim over the 2% mixedBucket doc slice (every
+    // FROM documents redirected to the docsl CTE), collapsed to one
+    // checksum row — DuckDB replays it at sf1 where the full-corpus
+    // q119 oracle exhausts temp disk
+    "q306_graph_rank_evidence" -> {
+      val S = "1000000000000"
+      def iter(k: Int): String = s"""
+        i$k AS (SELECT e.dst AS doc_id, CAST(sum(r${k - 1}.r // d.deg) AS BIGINT) AS inflow
+          FROM edges e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src
+          JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r$k AS (SELECT d0.doc_id, (($S * 15) // 100) // (SELECT n FROM n)
+            + (85 * coalesce(i$k.inflow, 0)) // 100 AS r
+          FROM documents d0 LEFT JOIN i$k USING (doc_id))"""
+      val mb = graft.operators.Sampling.mixedBucketSql("doc_id")
+      minhashSql(
+        s""", banded AS ($BandedCteBody),
+          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+            ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+          edges AS (SELECT a AS src, b AS dst FROM pairs
+            UNION ALL SELECT b, a FROM pairs),
+          deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY src),
+          n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          r0 AS (SELECT doc_id, $S // n AS r FROM documents CROSS JOIN n),
+          ${iter(1)},
+          ${iter(2)},
+          ${iter(3)}""",
+        """CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(coalesce(sum(coalesce(deg.deg, 0)), 0) AS BIGINT) AS deg_sum,
+          CAST(coalesce(sum(r3.r), 0) AS BIGINT) AS rank_sum,
+          CAST(coalesce(sum(CAST(r3.r AS HUGEINT)
+            * (((r3.doc_id % 1000003) + 1000003) % 1000003)), 0)
+            AS BIGINT) AS rank_checksum""",
+        """FROM r3 LEFT JOIN deg ON deg.src = r3.doc_id""")
+        .replace("FROM documents", "FROM docsl")
+        .replaceFirst("WITH ",
+          s"WITH docsl AS (SELECT doc_id, text FROM documents WHERE $mb < 20), ")
     },
 
     "q116_decontamination" -> decontaminationSql,

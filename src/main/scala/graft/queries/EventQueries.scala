@@ -271,6 +271,35 @@ object EventQueries extends QueryGroup {
         .orderBy(col("event_id"))
     },
 
+    "q305_trailing_evidence" -> { (s, d) =>
+      // sf1 evidence twin for q111/q93 (BASELINE §20: the dense RANGE
+      // self-window oracle exhausts DuckDB temp disk over 10M events):
+      // the SAME Windows.trailingCountSum machinery over the 1%
+      // mixedBucket event slice, collapsed to per-type BIGINT checksum
+      // rows (row count, trailing-count total, an event_id-aligned
+      // checksum that pins per-row attribution, and the trailing sums
+      // in exact centi-units) — DuckDB replays the sparse slice at any
+      // SF. The per-row floor(x*100+0.5) re-integerization is exact:
+      // both engines hold the identical IEEE double of a DECIMAL(18,2)
+      // value.
+      val ev = Tables.events(s, d)
+        .filter(graft.operators.Sampling.mixedBucket(col("event_id")) < 10)
+        .select(col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+      Windows.trailingCountSum(ev, Seq("event_type"), "event_id", "us",
+          dec(col("value")), windowMicros = 3600L * 1000000L)
+        .select(col("event_type"), col("event_id"), col("n_trailing"),
+          coalesce(floor(col("sum_trailing") * 100 + lit(0.5)).cast("long"),
+            lit(0L)).as("__c1h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_trailing")).as("n1h_sum"),
+          sum(col("n_trailing") * pmod(col("event_id"), lit(1000003L)))
+            .as("align_sum"),
+          sum(col("__c1h")).as("sum1h_centi"))
+        .orderBy(col("event_type"))
+    },
+
     "q89_outliers" -> { (s, d) =>
       // Z-score outlier flagging per event type: one sufficient-statistics
       // pass (order-independent DECIMAL sums), broadcast the tiny per-type
@@ -1133,6 +1162,31 @@ object EventQueries extends QueryGroup {
       WINDOW w AS (PARTITION BY event_type ORDER BY us
         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       ORDER BY event_id""",
+
+    // the q111 naive RANGE frame over the 1% mixedBucket slice —
+    // sparse enough for DuckDB at sf1 — then per-type checksums
+    "q305_trailing_evidence" -> s"""
+      WITH e AS (
+        SELECT event_id, event_type, value,
+          epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+        WHERE ${graft.operators.Sampling.mixedBucketSql("event_id")} < 10),
+      w AS (
+        SELECT event_id, event_type,
+          count(*) OVER win AS n_1h,
+          CAST(sum(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE)
+            AS s_1h
+        FROM e
+        WINDOW win AS (PARTITION BY event_type ORDER BY us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW))
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(n_1h) AS BIGINT) AS n1h_sum,
+        CAST(sum(n_1h * ((event_id % 1000003 + 1000003) % 1000003))
+          AS BIGINT) AS align_sum,
+        CAST(sum(coalesce(CAST(floor(s_1h * 100 + 0.5) AS BIGINT), 0))
+          AS BIGINT) AS sum1h_centi
+      FROM w GROUP BY event_type ORDER BY event_type""",
 
     "q89_outliers" -> """
       WITH s AS (

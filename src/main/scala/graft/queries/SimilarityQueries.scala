@@ -463,6 +463,47 @@ object SimilarityQueries extends QueryGroup {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    "q307_cross_signal_evidence" -> { (s, d) =>
+      // sf1 evidence twin for q196 (BASELINE §20: its kNN-replay
+      // oracle is DuckDB-resource-limited at sf1 — Σ|cell|² pair
+      // space): the SAME crossSignalPairs machinery over the 10%
+      // mixedBucket doc/embedding slice (vec_id == doc_id, so one
+      // bucket gate keeps the sides aligned; 10% is the smallest
+      // power-of-ten slice where all three verdict branches are live
+      // at sf1 — 2% decorrelates the near-dup families and leaves
+      // text_only/both empty), collapsed to one
+      // BIGINT-checksum row — verdict mix, jac total, per-row
+      // floor-integerized cosine total, and an id-aligned pair
+      // checksum. The q265/q266 red-row pattern.
+      val docs = Tables.documents(s, d)
+        .filter(graft.operators.Sampling.mixedBucket(col("doc_id")) < 100)
+      val emb = Tables.embeddings(s, d)
+        .filter(graft.operators.Sampling.mixedBucket(col("vec_id")) < 100)
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      Similarity.crossSignalPairs(docs, emb, "doc_id", "text", "embedding")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("verdict") === "both", 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col("verdict") === "text_only", 1L).otherwise(0L))
+            .as("n_text_only"),
+          sum(when(col("verdict") === "semantic_only", 1L).otherwise(0L))
+            .as("n_semantic_only"),
+          sum(col("jac_ppm")).as("jac_sum"),
+          sum(coalesce(floor(col("cos") * 1000000 + lit(0.5)).cast("long"),
+            lit(0L))).as("cos_ppm_sum"),
+          sum(pmod(pmod(col("id_a"), lit(1000003L)) * 31L +
+            pmod(col("id_b"), lit(1000003L)), lit(1000003L)))
+            .as("pair_checksum"))
+        .select(col("n_pairs"),
+          coalesce(col("n_both"), lit(0L)).as("n_both"),
+          coalesce(col("n_text_only"), lit(0L)).as("n_text_only"),
+          coalesce(col("n_semantic_only"), lit(0L)).as("n_semantic_only"),
+          coalesce(col("jac_sum"), lit(0L)).as("jac_sum"),
+          coalesce(col("cos_ppm_sum"), lit(0L)).as("cos_ppm_sum"),
+          coalesce(col("pair_checksum"), lit(0L)).as("pair_checksum"))
+    },
+
     "q204_cross_signal_scaled" -> { (s, d) =>
       // q196 at the PRODUCTION cell parameterization (kCells ∝ n, the
       // q203 contract applied to the composition): same cross-signal
@@ -909,6 +950,57 @@ object SimilarityQueries extends QueryGroup {
              WHEN jac_ppm >= 300000 THEN 'text_only'
              ELSE 'semantic_only' END AS verdict
       FROM fin ORDER BY id_a, id_b""",
+
+    // the q196 chain verbatim over the 10% mixedBucket slice of BOTH
+    // sides (every FROM documents/embeddings redirected to the slice
+    // CTEs), collapsed to one checksum row — DuckDB replays it at sf1
+    // where the full-corpus kNN oracle exhausts resources
+    "q307_cross_signal_evidence" -> {
+      val mbd = graft.operators.Sampling.mixedBucketSql("doc_id")
+      val mbv = graft.operators.Sampling.mixedBucketSql("vec_id")
+      (s"""${CrossSignalCte("0.3")},
+      bcf AS (
+        SELECT fo.id_a, fo.id_b, fo.jac_t, fo.coss,
+          list_dot_product(ea.rv, eb.rv)
+            / (sqrt(list_dot_product(ea.rv, ea.rv))
+               * sqrt(list_dot_product(eb.rv, eb.rv))) AS cosb
+        FROM fo LEFT JOIN v ea ON ea.id = fo.id_a
+                LEFT JOIN v eb ON eb.id = fo.id_b),
+      fin AS (
+        SELECT bcf.id_a, bcf.id_b,
+          CAST(coalesce(bcf.jac_t, jall.jac_all, 0) AS BIGINT) AS jac_ppm,
+          coalesce(bcf.coss,
+            CASE WHEN NOT isnan(bcf.cosb) THEN bcf.cosb END) AS cos
+        FROM bcf LEFT JOIN jall
+          ON jall.id_a = bcf.id_a AND jall.id_b = bcf.id_b),
+      vr AS (
+        SELECT id_a, id_b, jac_ppm, cos,
+          CASE WHEN jac_ppm >= 300000 AND cos IS NOT NULL AND cos >= 0.3
+                 THEN 'both'
+               WHEN jac_ppm >= 300000 THEN 'text_only'
+               ELSE 'semantic_only' END AS verdict
+        FROM fin)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(coalesce(sum(CASE WHEN verdict = 'both' THEN 1 ELSE 0 END),
+          0) AS BIGINT) AS n_both,
+        CAST(coalesce(sum(CASE WHEN verdict = 'text_only' THEN 1 ELSE 0
+          END), 0) AS BIGINT) AS n_text_only,
+        CAST(coalesce(sum(CASE WHEN verdict = 'semantic_only' THEN 1
+          ELSE 0 END), 0) AS BIGINT) AS n_semantic_only,
+        CAST(coalesce(sum(jac_ppm), 0) AS BIGINT) AS jac_sum,
+        CAST(coalesce(sum(coalesce(
+          CAST(floor(cos * 1000000 + 0.5) AS BIGINT), 0)), 0) AS BIGINT)
+          AS cos_ppm_sum,
+        CAST(coalesce(sum((((id_a % 1000003 + 1000003) % 1000003) * 31
+          + ((id_b % 1000003 + 1000003) % 1000003)) % 1000003), 0)
+          AS BIGINT) AS pair_checksum
+      FROM vr""")
+        .replace("FROM documents", "FROM docsl")
+        .replace("FROM embeddings", "FROM embsl")
+        .replaceFirst("WITH ",
+          s"WITH docsl AS (SELECT * FROM documents WHERE $mbd < 100), " +
+            s"embsl AS (SELECT * FROM embeddings WHERE $mbv < 100), ")
+    },
 
     "q204_cross_signal_scaled" -> s"""${CrossSignalCte("0.3", 80)},
       bcf AS (

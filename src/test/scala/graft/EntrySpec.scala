@@ -153,6 +153,7 @@ class EntrySpec extends SparkSpec {
       "rkc", "ta", "tb", "mm", "pr2", "tt2", "aa", "bb", // q299 RBO
       "cs", "isum", // q301 dbscan census / per-label id sums
       "ci", // q303 dbscan clusters (per-cluster id sums; cor/cc/e/reach shared)
+      "docsl", "embsl", "vr", // q305-q307 sf1 evidence twins (sliced tables)
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds
