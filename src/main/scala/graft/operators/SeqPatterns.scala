@@ -370,4 +370,52 @@ object SeqPatterns {
           s" div (CAST(__na AS $dec) * __nb)").cast("long")
           .as("lift_ppm"))
   }
+
+  /** Level-3 reader rollup over an UPSERTED cell table — the
+    * [[graft.streaming.SeqPatternsStream.cells3]] readout (the
+    * rulesFromCells convention: the triple metrics are a global
+    * function of every entity's cells, so they live with the reader).
+    * `cells` columns: (entity, step1, step2, step3, min_gap_us) with
+    * step2 = "*" marking "step1 seen by this entity" (the reserved
+    * seen-marker); duplicate upserts collapse by MIN. A triple is
+    * present for an entity iff its min cell value ≤ the gap — the
+    * stream recurrence guarantees this matches [[level3]]'s presence
+    * exactly (see the processor scaladoc). Output: identical schema
+    * and values to [[level3]] on the same underlying events.
+    *
+    * Scale shape: the cell table is entity·(k³+k)-bounded; one min
+    * aggregate + bounded joins — never the event corpus.
+    */
+  def triplesFromCells(cells: DataFrame, entityCol: String, s1Col: String,
+                       s2Col: String, s3Col: String, gapCol: String,
+                       maxGapMinutes: Long,
+                       minSupport: Long = 1L): DataFrame = {
+    require(maxGapMinutes > 0, s"maxGapMinutes must be positive, got $maxGapMinutes")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val gapUs = maxGapMinutes * 60000000L
+    val seen = cells.filter(col(s2Col) === "*")
+      .select(col(entityCol).as("__e"), col(s1Col).as("__t"))
+      .distinct()
+    val nu = seen.select(col("__e")).distinct()
+      .agg(count(lit(1)).as("__nu"))
+    val supp = seen.groupBy(col("__t")).agg(count(lit(1)).as("__ns"))
+    val pat = cells.filter(col(s2Col) =!= "*")
+      .groupBy(col(entityCol).as("__e"), col(s1Col).as("__a"),
+        col(s2Col).as("__b"), col(s3Col).as("__c"))
+      .agg(min(col(gapCol)).as("__g"))
+      .filter(col("__g") <= gapUs)
+      .groupBy(col("__a"), col("__b"), col("__c"))
+      .agg(count(lit(1)).as("__np"))
+      .filter(col("__np") >= minSupport)
+    pat
+      .join(broadcast(supp.select(col("__t").as("__a"),
+        col("__ns").as("__na"))), "__a")
+      .crossJoin(broadcast(nu))
+      .select(col("__a").as("step1"), col("__b").as("step2"),
+        col("__c").as("step3"), col("__np").as("n_entities"),
+        col("__na").as("n_step1"),
+        expr("(__np * 1000000L) div __nu").as("support_ppm"),
+        // the inner join on the support table guarantees __na >= 1
+        expr("(__np * 1000000L) div __na").as("completion_ppm"))
+  }
 }

@@ -120,6 +120,130 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
   }
 }
 
+/** Ingest-time twin of the batch level-3 gap-constrained pattern miner
+  * ([[graft.operators.SeqPatterns.level3]]) — B129's streaming side.
+  * Per-entity state is BOUNDED (never the event history): k last-seen
+  * timestamps (fingerprint-headed, the level-2 convention), k²
+  * valid-prefix-b timestamps, and k³ running step-2 min gaps.
+  *
+  * Why the recurrence is exact for triple PRESENCE — the trap is real
+  * and one-sided: the obvious dual state ("latest b later flagged by
+  * an in-gap c", the suffix flag) is NOT exact, because a newer b
+  * inside the gap window overwrites an older b that a future c could
+  * still flag (a@0, b@9m, b@15m, c@16m, G=10m: only the 9m b
+  * completes a chain — its step-1 gap is 9 ≤ G while the 15m b's is
+  * 15 > G — yet "latest b" state forgot it; StreamingSpec pins this
+  * exact fixture). Flipping the flag to the PREFIX side removes the
+  * race: validB[a][b] = the LATEST b-occurrence whose strictly-prior
+  * last-seen a closed a step-1 gap ≤ G. A chain exists at c-arrival
+  * t_c iff SOME valid-prefix b sits in [t_c − G, t_c); all
+  * b-occurrences seen so far are < t_c, so the latest valid-prefix b
+  * is in that window iff any is — one timestamp per (a, b) suffices,
+  * and the step-1 test was evaluated at b's own arrival where "latest
+  * a strictly before this b" is exactly the level-2 last-seen state.
+  * The emitted cell value is the running min over c-arrivals of
+  * (t_c − validB[a][b]); it is ≤ G iff the entity supports the triple
+  * (≤ G ⟹ that c closed a genuine chain; a genuine chain ⟹ its c saw
+  * a valid-prefix b within the window ⟹ min ≤ G), so the reader's gap
+  * gate reproduces the batch count exactly.
+  *
+  * Same-timestamp handling (incl. a group split across micro-batches):
+  * per timestamp group, c-completions read validB from strictly
+  * earlier groups, THEN b-arrivals update validB from strictly earlier
+  * last-seen, THEN last-seen absorbs the group — simultaneous events
+  * never chain in any role, matching the batch grid semantics.
+  *
+  * In rows: (entity, tsUs, type). Out rows:
+  * (entity, step1, step2, step3, minGapUs) upsert cells (min is
+  * monotone decreasing) plus one-time (entity, type, "*", "*", 0)
+  * seen-markers — [[graft.operators.SeqPatterns.triplesFromCells]]
+  * over the upserted table IS the readout.
+  */
+class SeqPatternsL3Processor(alphabet: Seq[String], maxGapMinutes: Long,
+                             ttl: TTLConfig)
+    extends StatefulProcessor[String, (String, Long, String),
+      (String, String, String, String, Long)] {
+
+  private val k = alphabet.size
+  private val gapUs = maxGapMinutes * 60000000L
+  private val idx = alphabet.zipWithIndex.toMap
+  private val alphFp: Long = {
+    var h = 1125899906842597L
+    for (s <- alphabet) { h = 31 * h + 0; for (c <- s) h = 31 * h + c }
+    h ^ gapUs // the gap is part of the semantics validB was written under
+  }
+
+  @transient private var lastSeen: ListState[Long] = _
+  @transient private var validB: ListState[Long] = _
+  @transient private var minG: ListState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    lastSeen = getHandle.getListState[Long]("lastSeen3", Encoders.scalaLong, ttl)
+    validB = getHandle.getListState[Long]("validB", Encoders.scalaLong, ttl)
+    minG = getHandle.getListState[Long]("minG", Encoders.scalaLong, ttl)
+  }
+
+  override def handleInputRows(key: String,
+      rows: Iterator[(String, Long, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues):
+      Iterator[(String, String, String, String, Long)] = {
+    val rawLast = lastSeen.get().toArray
+    val rawVb = validB.get().toArray
+    val rawM = minG.get().toArray
+    val fresh = rawLast.isEmpty && rawVb.isEmpty && rawM.isEmpty
+    if (!fresh && (rawLast.length != k + 1 || rawLast(0) != alphFp ||
+        rawVb.length != k * k || rawM.length != k * k * k))
+      throw new IllegalStateException(
+        s"SeqPatternsL3 state for entity '$key' was written by a " +
+          s"different alphabet/gap or is corrupt (expected fingerprint " +
+          s"$alphFp with ${k + 1}+${k * k}+${k * k * k} slots, found " +
+          s"${rawLast.length}+${rawVb.length}+${rawM.length} slots" +
+          (if (rawLast.nonEmpty) s", fingerprint ${rawLast(0)}" else "") +
+          ") — restart with the checkpoint's original parameters or a " +
+          "fresh checkpoint")
+    val last = if (fresh) Array.fill(k)(Long.MinValue) else rawLast.tail
+    val vb = if (fresh) Array.fill(k * k)(Long.MinValue) else rawVb
+    val m = if (fresh) Array.fill(k * k * k)(Long.MaxValue) else rawM
+    val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val seenNow = scala.collection.mutable.LinkedHashSet.empty[Int]
+    val byTs = rows.toArray.collect {
+      case (_, ts, t) if idx.contains(t) => (ts, idx(t))
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+    for ((ts, group) <- byTs) {
+      val types = group.map(_._2).distinct
+      // 1. c-completions against valid-prefix b's from STRICTLY
+      //    earlier groups only
+      for (ci <- types; ai <- 0 until k; bi <- 0 until k) {
+        val v = vb(ai * k + bi)
+        if (v != Long.MinValue && v < ts) {
+          val g = ts - v
+          val slot = (ai * k + bi) * k + ci
+          if (g < m(slot)) { m(slot) = g; touched += slot }
+        }
+      }
+      // 2. b-arrivals close step-1 gaps against strictly earlier a's
+      for (bi <- types; ai <- 0 until k)
+        if (last(ai) != Long.MinValue && last(ai) < ts &&
+            ts - last(ai) <= gapUs && ts > vb(ai * k + bi))
+          vb(ai * k + bi) = ts
+      // 3. the group joins last-seen
+      for (ti <- types) {
+        if (last(ti) == Long.MinValue) seenNow += ti
+        if (ts > last(ti)) last(ti) = ts
+      }
+    }
+    lastSeen.clear(); lastSeen.appendValue(alphFp)
+    last.foreach(lastSeen.appendValue)
+    validB.clear(); vb.foreach(validB.appendValue)
+    minG.clear(); m.foreach(minG.appendValue)
+    seenNow.iterator.map(ti => (key, alphabet(ti), "*", "*", 0L)) ++
+      touched.iterator.map { s =>
+        val ci = s % k; val ab = s / k
+        (key, alphabet(ab / k), alphabet(ab % k), alphabet(ci), m(s))
+      }
+  }
+}
+
 object SeqPatternsStream {
   def cells(ds: Dataset[(String, Long, String)], alphabet: Seq[String],
             ttl: TTLConfig = TTLConfig.NONE):
@@ -133,5 +257,26 @@ object SeqPatternsStream {
     ds.groupByKey(_._1).transformWithState(
       new SeqPatternsCellProcessor(alphabet, ttl), StreamModes.forTtl(ttl),
       OutputMode.Append())
+  }
+
+  /** Level-3 ingest twin (see [[SeqPatternsL3Processor]]). Unlike the
+    * level-2 cells, the max gap is a PROCESSOR parameter: the
+    * valid-prefix-b state is only meaningful for the gap it was
+    * written under (it is folded into the state fingerprint).
+    */
+  def cells3(ds: Dataset[(String, Long, String)], alphabet: Seq[String],
+             maxGapMinutes: Long, ttl: TTLConfig = TTLConfig.NONE):
+      Dataset[(String, String, String, String, Long)] = {
+    require(alphabet.nonEmpty && alphabet.size <= 8,
+      s"alphabet must be 1..8 types (k^3 state), got ${alphabet.size}")
+    require(!alphabet.contains("*"),
+      "\"*\" is reserved as the seen-marker sentinel — an alphabet " +
+        "containing it would corrupt the triplesFromCells readout")
+    require(maxGapMinutes > 0,
+      s"maxGapMinutes must be positive, got $maxGapMinutes")
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1).transformWithState(
+      new SeqPatternsL3Processor(alphabet, maxGapMinutes, ttl),
+      StreamModes.forTtl(ttl), OutputMode.Append())
   }
 }

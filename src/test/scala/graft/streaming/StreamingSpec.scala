@@ -3236,6 +3236,116 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming seq patterns L3: upserted cells reproduce the batch triples incl. the suffix-flag trap, shuffled arrival, batch splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      val min = 60000000L
+      // E: the level3 greedy trap (first b after a has no in-gap c, a
+      //    later in-gap b does); F: valid 2-prefix, c too late; S: the
+      //    SUFFIX-flag trap — a@0, b@9m, b@15m, c@16m with G=10m: only
+      //    the 9m b (step-1 gap 9 <= 10) completes a chain, and a
+      //    "latest b later flagged by c" state would have overwritten
+      //    it with the invalid 15m b; G: simultaneous a/b never chains
+      val rows = Seq(
+        ("E", 0L, "a"), ("E", 1 * min, "b"), ("E", 9 * min, "b"),
+        ("E", 12 * min, "c"),
+        ("F", 0L, "a"), ("F", 5 * min, "b"), ("F", 30 * min, "c"),
+        ("S", 0L, "a"), ("S", 9 * min, "b"), ("S", 15 * min, "b"),
+        ("S", 16 * min, "c"),
+        ("G", 0L, "a"), ("G", 0L, "b"), ("G", 5 * min, "c"))
+      val input = MemoryStream[(String, Long, String)]
+      val q = SeqPatternsStream.cells3(input.toDS(), Seq("a", "b", "c"),
+          maxGapMinutes = 10L)
+        .writeStream.format("memory").queryName("seqpat3_stream")
+        .outputMode("append").start()
+      try {
+        // shuffled within batches; G's same-ts a/b split across
+        // batches 1 and 2 — the strict guards must refuse every role
+        input.addData(("E", 1 * min, "b"), ("E", 0L, "a"),
+          ("S", 0L, "a"), ("G", 0L, "a"))
+        q.processAllAvailable()
+        input.addData(("G", 0L, "b"), ("S", 9 * min, "b"),
+          ("E", 9 * min, "b"), ("F", 5 * min, "b"), ("F", 0L, "a"))
+        q.processAllAvailable()
+        input.addData(("E", 12 * min, "c"), ("S", 15 * min, "b"),
+          ("S", 16 * min, "c"), ("F", 30 * min, "c"), ("G", 5 * min, "c"))
+        q.processAllAvailable()
+        val cells = spark.table("seqpat3_stream")
+          .toDF("entity", "s1", "s2", "s3", "gap")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+            r.getLong(4), r.getLong(5), r.getLong(6))
+        val stream = graft.operators.SeqPatterns.triplesFromCells(
+            cells, "entity", "s1", "s2", "s3", "gap", maxGapMinutes = 10L)
+          .collect().map(key).toSet
+        val batch = graft.operators.SeqPatterns.level3(
+            rows.toDF("u", "us", "t")
+              .withColumn("ts", timestamp_micros(col("us"))),
+            "u", "ts", "t", Seq("a", "b", "c"), maxGapMinutes = 10L)
+          .collect().map(key).toSet
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        // the trap entities: E and S both support <a,b,c> (2 of the 4)
+        assert(batch.exists(r => r._1 == "a" && r._2 == "b" &&
+          r._3 == "c" && r._4 == 2L), s"E+S must both complete: $batch")
+      } finally q.stop()
+    }
+  }
+
+  test("streaming seq patterns L3: valid-prefix state survives a restart; a changed gap fails loudly") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_seqpat3").toString
+      val input = MemoryStream[(String, Long, String)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String, String, Long)]
+      def start(gap: Long) =
+        SeqPatternsStream.cells3(input.toDS(), Seq("a", "b"), gap)
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[
+              (String, String, String, String, Long)], _: Long) => {
+              val got = df.collect()
+              collected.synchronized { collected ++= got }
+              ()
+            }
+          }
+          .option("checkpointLocation", ckpt).start()
+      val q1 = start(10L)
+      try {
+        // a@1s, b@5s: a->b valid prefix (4s <= 10m) recorded pre-restart
+        input.addData(("u", 1000000L, "a"), ("u", 5000000L, "b"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start(10L)
+      try {
+        // b@8s completes <a,b,b>: the restored validB closes gap 3s; a
+        // state reset would see no valid prefix and emit nothing but
+        // the b seen-marker (already emitted pre-restart)
+        input.addData(("u", 8000000L, "b"))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList).toSet
+        assert(got == Set(("u", "a", "b", "b", 3000000L)),
+          s"valid-prefix state must survive the restart: $got")
+      } finally q2.stop()
+      // same alphabet, different gap: the fingerprint must refuse —
+      // validB entries are only meaningful under the gap that wrote them
+      val q3 = start(20L)
+      try {
+        val ex = intercept[Exception] {
+          input.addData(("u", 9000000L, "b"))
+          q3.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ messages(e.getCause))
+        assert(messages(ex).exists(_.contains("different alphabet/gap")), ex)
+      } finally q3.stop()
+    }
+  }
+
   test("streaming seq patterns: last-seen state survives a restart") {
     withRocksDb {
       implicit val sc = spark.sqlContext
