@@ -160,11 +160,13 @@ object Density {
     * offset coords, in-plan guarded against out-of-range coords).
     *
     * Scale shape: one corpus pass (the shared quantize + cell
-    * aggregate); adjacency, connected components
-    * ([[Dedup.connectedComponentsAuto]] — min-label with the
-    * large/small-star fallback), and the census all run on the
-    * CORE-CELL table, ≤ 3^D−1 neighbors per cell by construction; the
-    * corpus is never joined back.
+    * aggregate); the connected components run driver-side by
+    * union-find over the COLLECTED core-cell table — grid-bounded by
+    * contract ((domain/cellWidth)^D, guarded with a require; the
+    * bounded-model-table collect class, like k-means centroids), with
+    * ≤ 3^D−1 neighbors per cell by exact coordinate lookup; the
+    * census joins the broadcast label table back to the bounded cell
+    * table. The corpus is never joined back.
     *
     * Output (one row per cluster): (cluster_id, n_cells, n_points,
     * share_ppm, id_sum) — share_ppm relative to the whole quantized
@@ -212,18 +214,47 @@ object Density {
       .select(encoded.as("__cell") +:
         (dIdx.map(i => col(s"__c$i")) ++
           Seq(col("__cn"), col("__ids"), col("__n"))): _*)
-      .localCheckpoint() // adjacency build side + census + node list
-    // core-cell adjacency: scatter each core cell to its 3^D block and
-    // join against the core table — the census scatter form, never
-    // core × core
-    val edges = shifted(dIdx, core, Seq(col("__cell").as("id_a")))
-      .join(broadcast(core.select(
-        dIdx.map(i => col(s"__c$i")) :+ col("__cell").as("id_b"): _*)),
-        dIdx.map(i => s"__c$i"))
-      .select(col("id_a"), col("id_b"))
-      .filter(col("id_a") < col("id_b"))
-    val labels = Dedup.connectedComponentsAuto(
-      core.select(col("__cell")), edges, "__cell")
+      .localCheckpoint() // CC collect + census
+    // Connected components run DRIVER-SIDE over the collected cell
+    // list: the core-cell table is grid-bounded by contract
+    // ((domain/cellWidth)^D — the same bounded-model-table class as
+    // k-means centroids or BPE merges, guarded below), and the
+    // distributed min-label machinery costs ~8 tiny jobs per call for
+    // a graph of a few hundred nodes (measured 4.3 s at sf0.1 vs
+    // 1.2 s for the whole q301 census). Neighbor lookup is by exact
+    // coordinate vector (not id arithmetic — a ±1 shift at the ±OFF
+    // boundary would carry between digits and alias another cell).
+    val coreCells = core
+      .select(col("__cell") +: dIdx.map(i => col(s"__c$i")): _*)
+      .collect()
+      .map(r => (r.getLong(0), dIdx.map(i => r.getLong(i + 1))))
+    require(coreCells.length <= 2000000,
+      s"core-cell table has ${coreCells.length} rows — the grid " +
+        "contract ((domain/cellWidth)^D bounded) is broken; use a " +
+        "larger cellWidth")
+    val byCoord = coreCells.map { case (id, cs) => (cs, id) }.toMap
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val offsets = dIdx.foldLeft(Seq(Seq.empty[Long]))((acc, _) =>
+      acc.flatMap(o => Seq(-1L, 0L, 1L).map(o :+ _)))
+      .filter(_.exists(_ != 0L))
+    for ((id, cs) <- coreCells; o <- offsets;
+         nId <- byCoord.get(dIdx.map(i => cs(i) + o(i))))
+      union(id, nId)
+    val labels = {
+      val spark = cells0.sparkSession
+      import spark.implicits._
+      coreCells.map { case (id, _) => (id, find(id)) }.toSeq
+        .toDF("__cell", "cluster_id")
+    }
     val census = core.join(broadcast(labels), "__cell")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_cells"), sum(col("__cn")).as("n_points"),
