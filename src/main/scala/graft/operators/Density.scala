@@ -196,7 +196,10 @@ object Density {
                         nCol: String, idSumCol: String,
                         densityPpm: Long): DataFrame = {
     val dIdx = coordCols.indices
-    val flagged = flaggedCells(cells0, coordCols, nCol, idSumCol, densityPpm)
+    // no checkpoint on the flagged stage here: unlike censusFromCells
+    // it has ONE consumer (the core filter, checkpointed right below)
+    val flagged = flaggedCells(cells0, coordCols, nCol, idSumCol,
+      densityPpm, checkpoint = false)
     // positional cell-id encode: coords are grid indices (|c| well
     // under 10⁶ for any sane scale/cellWidth), but the bound is
     // data-dependent, so it's enforced in-plan — base^3 already rides
@@ -224,20 +227,29 @@ object Density {
     // 1.2 s for the whole q301 census). Neighbor lookup is by exact
     // coordinate vector (not id arithmetic — a ±1 shift at the ±OFF
     // boundary would carry between digits and alias another cell).
+    // bound BEFORE the collect — a broken grid contract must fail
+    // with this message, not a driver OOM inside collect() (core is
+    // checkpointed, so the count is one cheap local scan)
+    val nCore = core.count()
+    require(nCore <= 2000000,
+      s"core-cell table has $nCore rows — the grid contract " +
+        "((domain/cellWidth)^D bounded) is broken; use a larger " +
+        "cellWidth")
     val coreCells = core
       .select(col("__cell") +: dIdx.map(i => col(s"__c$i")): _*)
       .collect()
       .map(r => (r.getLong(0), dIdx.map(i => r.getLong(i + 1))))
-    require(coreCells.length <= 2000000,
-      s"core-cell table has ${coreCells.length} rows — the grid " +
-        "contract ((domain/cellWidth)^D bounded) is broken; use a " +
-        "larger cellWidth")
     val byCoord = coreCells.map { case (id, cs) => (cs, id) }.toMap
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // iterative find (walk to root, then compress): a recursive form
+    // would recurse component-deep and a long-path component inside
+    // the 2M bound can overflow the driver stack
     def find(x: Long): Long = {
-      val p = parent.getOrElse(x, x)
-      if (p == x) x
-      else { val r = find(p); parent(x) = r; r }
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
     }
     def union(a: Long, b: Long): Unit = {
       val (ra, rb) = (find(a), find(b))
@@ -284,12 +296,15 @@ object Density {
     * [[clustersFromCells]]: normalize the cell table to (__c0..,
     * __cn LONG, __ids DECIMAL(38,0)), stamp each cell with its 3^D
     * block count (__bn), the corpus total (__n), and the core verdict
-    * (__core) under the RELATIVE densityPpm gate. localCheckpointed —
-    * every caller consumes it at least twice.
+    * (__core) under the RELATIVE densityPpm gate. localCheckpointed by
+    * default for the census path (which scatters AND labels it);
+    * clustersFromCells passes checkpoint = false — it consumes the
+    * stage once.
     */
   private def flaggedCells(cells0: DataFrame, coordCols: Seq[String],
                            nCol: String, idSumCol: String,
-                           densityPpm: Long): DataFrame = {
+                           densityPpm: Long,
+                           checkpoint: Boolean = true): DataFrame = {
     require(coordCols.nonEmpty && coordCols.size <= 3,
       s"coordCols must be 1..3 columns, got $coordCols")
     require(densityPpm >= 1 && densityPpm <= 1000000,
@@ -309,11 +324,11 @@ object Density {
       .groupBy(cCols: _*).agg(sum(col("__cn")).as("__bn"))
     // every join keeps a CELL table on the build side — occupied cells
     // are bounded by (domain/cellWidth)^D, so the hints are safe
-    cells.join(broadcast(block), dIdx.map(i => s"__c$i"))
+    val flagged = cells.join(broadcast(block), dIdx.map(i => s"__c$i"))
       .crossJoin(broadcast(nTot))
       .withColumn("__core",
         expr(s"CAST(__bn AS $dec) * 1000000 >= " +
           s"CAST($densityPpm AS $dec) * __n"))
-      .localCheckpoint() // consumed by the scatter AND the label step
+    if (checkpoint) flagged.localCheckpoint() else flagged
   }
 }

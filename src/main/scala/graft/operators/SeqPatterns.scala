@@ -59,6 +59,19 @@ object SeqPatterns {
     alphabet.indices.map(j => max(when(col("__t") === alphabet(j), 1L)
       .otherwise(0L)).as(s"__has$j"))
 
+  /** The ONE running-window spec every pass in this family shares
+    * (ts DESC, rows unbounded-preceding → 1-preceding): a min over it
+    * is "the next strictly-later occurrence" — grid timestamps are
+    * distinct per entity, so the 1-PRECEDING cut IS strictness, and
+    * stacked passes over the same spec share a single sort
+    * (PlanSpec-pinned). Declared once: the spec is the semantic
+    * contract, and a drifted copy would silently desynchronize the
+    * passes.
+    */
+  private def wDescRunning = Window.partitionBy(col("__e"))
+    .orderBy(col("__us").desc)
+    .rowsBetween(Window.unboundedPreceding, -1)
+
   /** Stages 1+2 of [[level2]]: the per-(entity, ts) grid with k
     * presence flags and k next-occurrence columns off ONE running
     * window. Package-visible so PlanSpec can pin the window shape
@@ -75,11 +88,9 @@ object SeqPatterns {
         col(typeCol).as("__t"))
       .groupBy(col("__e"), col("__us"))
       .agg(ha.head, ha.tail: _*)
-    // next strictly-later occurrence of each type: ts DESC running min
-    // over earlier-processed rows = later timestamps only (grid
-    // timestamps are distinct per entity, so "1 preceding" IS strict)
-    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // next strictly-later occurrence of each type off the shared
+    // running spec (see wDescRunning)
+    val wDesc = wDescRunning
     // all k next-columns in ONE select so they share a single
     // WindowExec (chained withColumn left k separate Window nodes
     // behind — PlanSpec pins the collapsed shape)
@@ -179,8 +190,7 @@ object SeqPatterns {
     val withNext = nextOccurrenceGrid(df, entityCol, tsCol, typeCol, alphabet)
     // 2+3: flag b-rows that have an in-gap c behind them, then the
     // next flagged-b per (b, c) off a second pass over the same window
-    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = wDescRunning
     val flagged = withNext.select(col("*") +:
       idx.flatMap(b => idx.map(c =>
         (col(s"__has$b") === 1L && col(s"__nxt$c").isNotNull &&
@@ -266,8 +276,7 @@ object SeqPatterns {
     val g3 = gapsMinutes(1) * 60000000L
     val Seq(i1, i2, i3) = steps.map(alphabet.indexOf)
     val withNext = nextOccurrenceGrid(df, entityCol, tsCol, typeCol, alphabet)
-    val wDesc = Window.partitionBy(col("__e")).orderBy(col("__us").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDesc = wDescRunning
     // flag s2-rows two ways: a valid chain tail (in-gap s3 behind it)
     // and the relaxed gap-expired probe (ANY s3 behind it); both
     // next-flagged mins ride the same second window pass

@@ -50,7 +50,18 @@ class DensityCellProcessor(ttl: TTLConfig)
       if (id < 0) throw new IllegalArgumentException(
         s"DensityStream requires non-negative ids (idSum monotonicity " +
           s"contract); got $id in cell $key")
-      n += 1; s += id
+      n += 1
+      // overflow-checked: the batch side accumulates id sums in
+      // DECIMAL(38,0) and raises on a BIGINT overflow — a silent Long
+      // wrap here would be the exact batch/stream divergence that
+      // guard exists to prevent (and a wrapped negative sum also
+      // breaks the last-row-per-cell = max sink contract)
+      s = try Math.addExact(s, id)
+      catch { case _: ArithmeticException =>
+        throw new IllegalStateException(
+          s"DensityStream cell $key idSum overflows BIGINT — the batch " +
+            "twin raises on the same corpus; re-key or rescale the ids")
+      }
     }
     st.update((n, s))
     Iterator.single((key._1, key._2, n, s))

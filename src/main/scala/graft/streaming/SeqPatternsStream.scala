@@ -53,11 +53,7 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
   // a reordered or substituted alphabet of the same size would
   // otherwise silently misattribute lastSeen/minGap slots to the wrong
   // types (length alone can't tell them apart).
-  private val alphFp: Long = {
-    var h = 1125899906842597L // FNV-ish seeded polynomial over chars
-    for (s <- alphabet) { h = 31 * h + 0; for (c <- s) h = 31 * h + c }
-    h
-  }
+  private val alphFp: Long = SeqPatternsStream.alphabetFingerprint(alphabet)
 
   @transient private var lastSeen: ListState[Long] = _
   @transient private var minGap: ListState[Long] = _
@@ -82,14 +78,9 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
     val fresh = rawLast.isEmpty && rawMg.isEmpty
     if (!fresh && (rawLast.length != k + 1 || rawLast(0) != alphFp ||
         rawMg.length != k * k))
-      throw new IllegalStateException(
-        s"SeqPatternsStream state for entity '$key' was written by a " +
-          s"different alphabet or is corrupt (expected fingerprint " +
-          s"$alphFp with ${k + 1}+${k * k} slots, found " +
-          s"${rawLast.length}+${rawMg.length} slots" +
-          (if (rawLast.nonEmpty) s", fingerprint ${rawLast(0)}" else "") +
-          ") — restart with the checkpoint's original alphabet or a " +
-          "fresh checkpoint")
+      throw SeqPatternsStream.stateContractError("SeqPatternsStream",
+        key, "alphabet", alphFp, s"${k + 1}+${k * k}",
+        s"${rawLast.length}+${rawMg.length}", rawLast.headOption)
     val last = if (fresh) Array.fill(k)(Long.MinValue) else rawLast.tail
     val mg = if (fresh) Array.fill(k * k)(Long.MaxValue) else rawMg
     val touched = scala.collection.mutable.LinkedHashSet.empty[Int]
@@ -167,11 +158,9 @@ class SeqPatternsL3Processor(alphabet: Seq[String], maxGapMinutes: Long,
   private val k = alphabet.size
   private val gapUs = maxGapMinutes * 60000000L
   private val idx = alphabet.zipWithIndex.toMap
-  private val alphFp: Long = {
-    var h = 1125899906842597L
-    for (s <- alphabet) { h = 31 * h + 0; for (c <- s) h = 31 * h + c }
-    h ^ gapUs // the gap is part of the semantics validB was written under
-  }
+  // the gap is part of the semantics validB was written under
+  private val alphFp: Long =
+    SeqPatternsStream.alphabetFingerprint(alphabet, salt = gapUs)
 
   @transient private var lastSeen: ListState[Long] = _
   @transient private var validB: ListState[Long] = _
@@ -193,14 +182,10 @@ class SeqPatternsL3Processor(alphabet: Seq[String], maxGapMinutes: Long,
     val fresh = rawLast.isEmpty && rawVb.isEmpty && rawM.isEmpty
     if (!fresh && (rawLast.length != k + 1 || rawLast(0) != alphFp ||
         rawVb.length != k * k || rawM.length != k * k * k))
-      throw new IllegalStateException(
-        s"SeqPatternsL3 state for entity '$key' was written by a " +
-          s"different alphabet/gap or is corrupt (expected fingerprint " +
-          s"$alphFp with ${k + 1}+${k * k}+${k * k * k} slots, found " +
-          s"${rawLast.length}+${rawVb.length}+${rawM.length} slots" +
-          (if (rawLast.nonEmpty) s", fingerprint ${rawLast(0)}" else "") +
-          ") — restart with the checkpoint's original parameters or a " +
-          "fresh checkpoint")
+      throw SeqPatternsStream.stateContractError("SeqPatternsL3",
+        key, "alphabet/gap", alphFp, s"${k + 1}+${k * k}+${k * k * k}",
+        s"${rawLast.length}+${rawVb.length}+${rawM.length}",
+        rawLast.headOption)
     val last = if (fresh) Array.fill(k)(Long.MinValue) else rawLast.tail
     val vb = if (fresh) Array.fill(k * k)(Long.MinValue) else rawVb
     val m = if (fresh) Array.fill(k * k * k)(Long.MaxValue) else rawM
@@ -245,6 +230,34 @@ class SeqPatternsL3Processor(alphabet: Seq[String], maxGapMinutes: Long,
 }
 
 object SeqPatternsStream {
+  /** 64-bit fingerprint of the ORDERED alphabet (FNV-ish seeded
+    * polynomial over chars with a 0 separator per type), optionally
+    * salted with a semantics parameter (the L3 gap). Shared by both
+    * processors so the state-validity contract can't drift between
+    * them.
+    */
+  private[streaming] def alphabetFingerprint(alphabet: Seq[String],
+                                             salt: Long = 0L): Long = {
+    var h = 1125899906842597L
+    for (s <- alphabet) { h = 31 * h + 0; for (c <- s) h = 31 * h + c }
+    h ^ salt
+  }
+
+  /** The shared loud-failure for restored state that was written under
+    * different parameters (or is corrupt) — reinterpreting slots
+    * written by another alphabet/gap would silently misattribute them.
+    */
+  private[streaming] def stateContractError(processor: String,
+      key: String, params: String, expectedFp: Long, expectedSlots: String,
+      foundSlots: String, foundFp: Option[Long]): Nothing =
+    throw new IllegalStateException(
+      s"$processor state for entity '$key' was written by a different " +
+        s"$params or is corrupt (expected fingerprint $expectedFp with " +
+        s"$expectedSlots slots, found $foundSlots slots" +
+        foundFp.map(f => s", fingerprint $f").getOrElse("") +
+        s") — restart with the checkpoint's original $params or a " +
+        "fresh checkpoint")
+
   def cells(ds: Dataset[(String, Long, String)], alphabet: Seq[String],
             ttl: TTLConfig = TTLConfig.NONE):
       Dataset[(String, String, String, Long)] = {
