@@ -303,7 +303,6 @@ object SeqPatterns {
     val r3 = coalesce(col("__m3gap") <= g2, lit(false))
     val saw2 = col("__m2any").isNotNull
     val saw3 = coalesce(col("__m3any") <= g2, lit(false))
-    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     val stats = perEntity.agg(
       count(lit(1)).as("__nu"),
       cnt(col("__ha1") === 1L).as("__n1"),
@@ -312,6 +311,19 @@ object SeqPatterns {
       cnt(col("__ha1") === 1L && !r2 && saw2).as("__ge2"),
       cnt(r2 && !r3 && saw3).as("__ge3"))
       .localCheckpoint()
+    assembleDropoff(stats, steps)
+  }
+
+  private def cnt(c: Column) =
+    coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+
+  /** The 3-row drop-off assembly off a 1-row stats frame
+    * (__nu/__n1/__n2/__n3/__ge2/__ge3) — shared by [[funnelDropoff3]]
+    * and the [[dropoffFromFlags]] stream readout so both emit the
+    * identical schema and derived columns.
+    */
+  private def assembleDropoff(stats: DataFrame,
+                              steps: Seq[String]): DataFrame = {
     val packed = array(
       struct(lit(1L).as("step"), lit(steps(0)).as("t"),
         col("__nu").as("en"), col("__n1").as("re"), lit(0L).as("ge")),
@@ -326,6 +338,43 @@ object SeqPatterns {
         (col("__r.en") - col("__r.re") - col("__r.ge")).as("n_absent"),
         expr("CASE WHEN __r.en > 0 THEN (__r.re * 1000000L) div __r.en END")
           .as("conversion_ppm"))
+  }
+
+  /** Reader-side drop-off rollup over the UPSERTED flag table emitted
+    * by [[graft.streaming.FunnelDropoffStream]] (the rulesFromCells
+    * convention: the per-step counts are a global function of every
+    * entity's flags, so they live with the reader). `flags` columns:
+    * (entity, flag) with flag ∈ {seen, s1, r2, saw2, r3, saw3} — each
+    * monotone (set once, re-emissions legal), so duplicates collapse
+    * by distinct. Output: identical schema and values to
+    * [[funnelDropoff3]] on the same underlying events.
+    *
+    * Scale shape: the flag table is entity·6-bounded; one distinct +
+    * one per-entity pivot + a 1-row stats aggregate — never the event
+    * corpus.
+    */
+  def dropoffFromFlags(flags: DataFrame, entityCol: String,
+                       flagCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.size == 3, s"declared funnel must have 3 steps, got $steps")
+    def has(f: String) = max(when(col("__f") === f, 1L).otherwise(0L))
+    val per = flags
+      .select(col(entityCol).as("__e"), col(flagCol).as("__f"))
+      .distinct()
+      .groupBy(col("__e"))
+      .agg(has("s1").as("__ha1"), has("r2").as("__r2"),
+        has("saw2").as("__saw2"), has("r3").as("__r3"),
+        has("saw3").as("__saw3"))
+    val stats = per.agg(
+      count(lit(1)).as("__nu"),
+      cnt(col("__ha1") === 1L).as("__n1"),
+      cnt(col("__r2") === 1L).as("__n2"),
+      cnt(col("__r3") === 1L).as("__n3"),
+      cnt(col("__ha1") === 1L && col("__r2") === 0L &&
+        col("__saw2") === 1L).as("__ge2"),
+      cnt(col("__r2") === 1L && col("__r3") === 0L &&
+        col("__saw3") === 1L).as("__ge3"))
+      .localCheckpoint()
+    assembleDropoff(stats, steps)
   }
 
   /** Reader-side rule rollup over an UPSERTED cell table — the
