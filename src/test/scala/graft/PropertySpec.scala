@@ -596,4 +596,141 @@ class PropertySpec extends SparkSpec {
     val global = rows.map(_._2).toSet
     assert(out.forall(m => global.contains(m._3)))
   }
+
+  // ---- sequence-pattern family vs a brute-force reference ----------
+  // Random per-entity event streams (with deliberate same-ts
+  // collisions) checked against direct quantifier evaluation of the
+  // documented semantics — the window/flag machinery must agree with
+  // "∃ occurrences ..." verbatim.
+
+  private val min = 60000000L
+
+  private def randomEvents(seed: Int): Seq[(String, Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    for {
+      e <- (0 until 6).map(i => s"e$i")
+      _ <- 0 until (3 + rnd.nextInt(10))
+    } yield (e, rnd.nextInt(50) * min, Seq("a", "b", "c")(rnd.nextInt(3)))
+  }
+
+  private def perEntity(rows: Seq[(String, Long, String)])
+      : Map[String, Seq[(Long, String)]] =
+    rows.groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3))).toMap
+
+  private def brutePair(ev: Seq[(Long, String)], a: String, b: String,
+                        g: Long): Boolean =
+    ev.exists { case (ta, t1) => t1 == a &&
+      ev.exists { case (tb, t2) => t2 == b && ta < tb && tb <= ta + g } }
+
+  private def bruteTriple(ev: Seq[(Long, String)], a: String, b: String,
+                          c: String, g2: Long, g3: Long): Boolean =
+    ev.exists { case (ta, t1) => t1 == a &&
+      ev.exists { case (tb, t2) => t2 == b && ta < tb && tb <= ta + g2 &&
+        ev.exists { case (tc, t3) => t3 == c && tb < tc && tc <= tb + g3 } } }
+
+  test("property: level2 pattern counts match brute-force ∃-pair evaluation") {
+    for (seed <- Seq(7, 11, 13)) {
+      val rows = randomEvents(seed)
+      val pe = perEntity(rows)
+      val g = 10 * min
+      val got = graft.operators.SeqPatterns.level2(
+          rows.toDF("u", "us", "t")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "u", "ts", "t", Seq("a", "b", "c"), maxGapMinutes = 10L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_entities"))
+        .toMap
+      for (a <- Seq("a", "b", "c"); b <- Seq("a", "b", "c")) {
+        val want = pe.values.count(brutePair(_, a, b, g)).toLong
+        assert(got.getOrElse((a, b), 0L) == want,
+          s"seed $seed <$a,$b>: got ${got.get((a, b))}, brute $want")
+      }
+    }
+  }
+
+  test("property: level3 triple counts match brute-force ∃-chain evaluation") {
+    for (seed <- Seq(17, 19)) {
+      val rows = randomEvents(seed)
+      val pe = perEntity(rows)
+      val g = 10 * min
+      val got = graft.operators.SeqPatterns.level3(
+          rows.toDF("u", "us", "t")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "u", "ts", "t", Seq("a", "b", "c"), maxGapMinutes = 10L)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+          r.getAs[Long]("n_entities"))
+        .toMap
+      for (a <- Seq("a", "b", "c"); b <- Seq("a", "b", "c");
+           c <- Seq("a", "b", "c")) {
+        val want = pe.values.count(bruteTriple(_, a, b, c, g, g)).toLong
+        assert(got.getOrElse((a, b, c), 0L) == want,
+          s"seed $seed <$a,$b,$c>: got ${got.get((a, b, c))}, brute $want")
+      }
+    }
+  }
+
+  test("property: funnel drop-off buckets match brute-force evaluation and tile") {
+    for (seed <- Seq(29, 31)) {
+      val rows = randomEvents(seed)
+      val pe = perEntity(rows)
+      val (g2, g3) = (10 * min, 5 * min)
+      def reach2(ev: Seq[(Long, String)]) = brutePair(ev, "a", "b", g2)
+      def reach3(ev: Seq[(Long, String)]) =
+        bruteTriple(ev, "a", "b", "c", g2, g3)
+      def saw2(ev: Seq[(Long, String)]) =
+        ev.exists { case (ta, t1) => t1 == "a" &&
+          ev.exists { case (tb, t2) => t2 == "b" && tb > ta } }
+      def saw3(ev: Seq[(Long, String)]) =
+        ev.exists { case (ta, t1) => t1 == "a" &&
+          ev.exists { case (tb, t2) => t2 == "b" && ta < tb &&
+            tb <= ta + g2 &&
+            ev.exists { case (tc, t3) => t3 == "c" && tc > tb } } }
+      val evs = pe.values.toSeq
+      val nu = evs.size.toLong
+      val n1 = evs.count(_.exists(_._2 == "a")).toLong
+      val n2 = evs.count(reach2).toLong
+      val n3 = evs.count(reach3).toLong
+      val ge2 = evs.count(e =>
+        e.exists(_._2 == "a") && !reach2(e) && saw2(e)).toLong
+      val ge3 = evs.count(e => reach2(e) && !reach3(e) && saw3(e)).toLong
+      val got = graft.operators.SeqPatterns.funnelDropoff3(
+          rows.toDF("u", "us", "t")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "u", "ts", "t", Seq("a", "b", "c"), gapsMinutes = Seq(10L, 5L))
+        .collect().map(r => r.getAs[Long]("step") ->
+          ((r.getAs[Long]("n_entered"), r.getAs[Long]("n_reached"),
+            r.getAs[Long]("n_gap_expired"), r.getAs[Long]("n_absent"))))
+        .toMap
+      assert(got(1L) == ((nu, n1, 0L, nu - n1)), s"seed $seed step1 ${got(1L)}")
+      assert(got(2L) == ((n1, n2, ge2, n1 - n2 - ge2)),
+        s"seed $seed step2 ${got(2L)}")
+      assert(got(3L) == ((n2, n3, ge3, n2 - n3 - ge3)),
+        s"seed $seed step3 ${got(3L)}")
+      // the buckets tile: reached + gap_expired + absent == entered
+      got.values.foreach { case (en, re, ge, ab) =>
+        assert(re + ge + ab == en && re >= 0 && ge >= 0 && ab >= 0)
+      }
+    }
+  }
+
+  test("property: level2/level3/funnel reached counts are monotone in the gap") {
+    val rows = randomEvents(37)
+    val df = rows.toDF("u", "us", "t")
+      .withColumn("ts", timestamp_micros(col("us")))
+    def l2(g: Long) = graft.operators.SeqPatterns.level2(
+        df, "u", "ts", "t", Seq("a", "b", "c"), maxGapMinutes = g)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_entities")).toMap
+    val (s5, s20) = (l2(5L), l2(20L))
+    for ((k, v) <- s5)
+      assert(s20.getOrElse(k, 0L) >= v, s"$k: gap 20 lost entities vs gap 5")
+    def f(g: Long) = graft.operators.SeqPatterns.funnelDropoff3(
+        df, "u", "ts", "t", Seq("a", "b", "c"), gapsMinutes = Seq(g, g))
+      .collect().map(r => r.getAs[Long]("step") -> r.getAs[Long]("n_reached"))
+      .toMap
+    val (f5, f20) = (f(5L), f(20L))
+    for (step <- Seq(1L, 2L, 3L))
+      assert(f20(step) >= f5(step), s"step $step not monotone in gap")
+  }
 }
