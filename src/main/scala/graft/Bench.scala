@@ -27,7 +27,8 @@ object Bench {
     "q195_quantile_sketch", "q205_hard_negatives_scaled", "q233_triangle_census",
     "q240_local_clustering", "q244_exact_jaccard_join", "q260_also_bought",
     "q275_personalized_pagerank", "q288_degree_mixing",
-    "q294_rec_exposure", "q297_sort_key_advisor")
+    "q294_rec_exposure", "q297_sort_key_advisor",
+    "q303_dbscan_clusters", "q304_funnel_dropoff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
