@@ -45,14 +45,18 @@ object Density {
   /** DECIMAL(38,0) → BIGINT with a loud failure when the value doesn't
     * fit (non-ANSI Spark would otherwise return null where the DuckDB
     * oracle's HUGEINT→BIGINT cast raises — the Ewma raise-don't-wrap
-    * rule). A null input can only be decimal overflow here: inputs are
-    * non-null by contract.
+    * rule). Inputs are non-null by contract, so a null gets its own
+    * message — either a contract breach upstream (null ids) or
+    * DECIMAL(38,0) accumulator overflow — rather than being
+    * misdiagnosed as a BIGINT range overflow.
     */
   private[graft] def guardedLongCast(c: Column, what: String): Column =
-    when(c.isNull ||
-        c < lit(Long.MinValue).cast("decimal(38,0)") ||
-        c > lit(Long.MaxValue).cast("decimal(38,0)"),
-      raise_error(lit(s"$what overflows BIGINT")).cast("long"))
+    when(c.isNull,
+      raise_error(lit(s"$what is null — null input ids or DECIMAL " +
+        "accumulator overflow")).cast("long"))
+      .when(c < lit(Long.MinValue).cast("decimal(38,0)") ||
+          c > lit(Long.MaxValue).cast("decimal(38,0)"),
+        raise_error(lit(s"$what overflows BIGINT")).cast("long"))
       .otherwise(c.cast("long"))
 
   def gridDbscanCensus(df: DataFrame, idCol: String, vecCol: String,
@@ -229,9 +233,13 @@ object Density {
     // boundary would carry between digits and alias another cell).
     // bound BEFORE the collect — a broken grid contract must fail
     // with this message, not a driver OOM inside collect() (core is
-    // checkpointed, so the count is one cheap local scan)
+    // checkpointed, so the count is one cheap local scan). 100k keeps
+    // the driver path genuinely light (the design assumption is a few
+    // hundred cells; 100k × 26 neighbor probes is still ~3M cheap
+    // Long-keyed lookups, where the old 2M bound permitted a
+    // 50M-probe Seq-keyed map and a 2M-row broadcast).
     val nCore = core.count()
-    require(nCore <= 2000000,
+    require(nCore <= 100000,
       s"core-cell table has $nCore rows — the grid contract " +
         "((domain/cellWidth)^D bounded) is broken; use a larger " +
         "cellWidth")
@@ -239,11 +247,12 @@ object Density {
       .select(col("__cell") +: dIdx.map(i => col(s"__c$i")): _*)
       .collect()
       .map(r => (r.getLong(0), dIdx.map(i => r.getLong(i + 1))))
-    val byCoord = coreCells.map { case (id, cs) => (cs, id) }.toMap
+    val coreIds = new java.util.HashSet[java.lang.Long](coreCells.length * 2)
+    coreCells.foreach(c => coreIds.add(c._1))
     val parent = scala.collection.mutable.HashMap.empty[Long, Long]
     // iterative find (walk to root, then compress): a recursive form
     // would recurse component-deep and a long-path component inside
-    // the 2M bound can overflow the driver stack
+    // the 100k bound can overflow the driver stack
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
@@ -258,9 +267,21 @@ object Density {
     val offsets = dIdx.foldLeft(Seq(Seq.empty[Long]))((acc, _) =>
       acc.flatMap(o => Seq(-1L, 0L, 1L).map(o :+ _)))
       .filter(_.exists(_ != 0L))
-    for ((id, cs) <- coreCells; o <- offsets;
-         nId <- byCoord.get(dIdx.map(i => cs(i) + o(i))))
-      union(id, nId)
+    // neighbor lookup RE-ENCODES the shifted coordinate digit by digit
+    // into the same Long cell id (cheap primitive hashing, no Seq
+    // allocation per probe). This is not id±delta arithmetic: each
+    // digit is range-checked against [0, BASE) first, so a shift at
+    // the ±OFF boundary is recognized as off-grid and skipped instead
+    // of carrying between digits and aliasing another cell.
+    for ((id, cs) <- coreCells; o <- offsets) {
+      var enc = 0L; var ok = true; var i = 0
+      while (ok && i < cs.length) {
+        val d = cs(i) + o(i) + OFF
+        if (d < 0L || d >= BASE) ok = false else enc = enc * BASE + d
+        i += 1
+      }
+      if (ok && coreIds.contains(enc)) union(id, enc)
+    }
     val labels = {
       val spark = cells0.sparkSession
       import spark.implicits._

@@ -59,9 +59,11 @@ class FunnelDropoffProcessor(steps: Seq[String], gapsMinutes: Seq[Long],
   private val g2 = gapsMinutes(0) * 60000000L
   private val g3 = gapsMinutes(1) * 60000000L
   private val stepSet = steps.toSet
-  // gaps are part of the semantics validB was written under
+  // gaps are part of the semantics validB was written under; folded
+  // through the hash chain separately so distinct (g2, g3) pairs
+  // never share a fingerprint (a linear g2*31+g3 pre-mix would)
   private val fp: Long =
-    SeqPatternsStream.alphabetFingerprint(steps, salt = g2 * 31 + g3)
+    SeqPatternsStream.alphabetFingerprint(steps, g2, g3)
 
   private val FlagNames = Array("seen", "s1", "r2", "saw2", "r3", "saw3")
   private val SEEN = 1L; private val HA1 = 2L; private val R2 = 4L

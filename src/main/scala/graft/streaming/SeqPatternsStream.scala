@@ -76,6 +76,15 @@ class SeqPatternsCellProcessor(alphabet: Seq[String], ttl: TTLConfig)
     val rawLast = lastSeen.get().toArray
     val rawMg = minGap.get().toArray
     val fresh = rawLast.isEmpty && rawMg.isEmpty
+    // k-slot lastSeen with no fingerprint header is the pre-r11 state
+    // layout — a real format change, not an alphabet mismatch; name
+    // the actual cause instead of blaming the alphabet.
+    if (!fresh && rawLast.length == k && rawMg.length == k * k)
+      throw new IllegalStateException(
+        s"SeqPatternsStream state for entity '$key' uses the " +
+          "pre-fingerprint state format (k-slot lastSeen, no header " +
+          "slot); this layout predates the state-validity fingerprint " +
+          "and has no migration path — restart from a fresh checkpoint")
     if (!fresh && (rawLast.length != k + 1 || rawLast(0) != alphFp ||
         rawMg.length != k * k))
       throw SeqPatternsStream.stateContractError("SeqPatternsStream",
@@ -160,7 +169,7 @@ class SeqPatternsL3Processor(alphabet: Seq[String], maxGapMinutes: Long,
   private val idx = alphabet.zipWithIndex.toMap
   // the gap is part of the semantics validB was written under
   private val alphFp: Long =
-    SeqPatternsStream.alphabetFingerprint(alphabet, salt = gapUs)
+    SeqPatternsStream.alphabetFingerprint(alphabet, gapUs)
 
   @transient private var lastSeen: ListState[Long] = _
   @transient private var validB: ListState[Long] = _
@@ -232,15 +241,21 @@ class SeqPatternsL3Processor(alphabet: Seq[String], maxGapMinutes: Long,
 object SeqPatternsStream {
   /** 64-bit fingerprint of the ORDERED alphabet (FNV-ish seeded
     * polynomial over chars with a 0 separator per type), optionally
-    * salted with a semantics parameter (the L3 gap). Shared by both
-    * processors so the state-validity contract can't drift between
-    * them.
+    * salted with semantics parameters (the L3 gap, the funnel gap
+    * pair). Each salt is folded through the multiplier chain
+    * SEPARATELY — a pre-combined linear mix (a*31+b) would let
+    * distinct parameter vectors collide (e.g. gaps (1,32) and (2,1)),
+    * and a restart with such changed gaps would silently reuse state
+    * written under different semantics. Shared by all the
+    * sequence-family processors so the state-validity contract can't
+    * drift between them.
     */
   private[streaming] def alphabetFingerprint(alphabet: Seq[String],
-                                             salt: Long = 0L): Long = {
+                                             salts: Long*): Long = {
     var h = 1125899906842597L
     for (s <- alphabet) { h = 31 * h + 0; for (c <- s) h = 31 * h + c }
-    h ^ salt
+    for (s <- salts) { h = 31 * h + 1; h = h * 6364136223846793005L + s }
+    h
   }
 
   /** The shared loud-failure for restored state that was written under
@@ -252,7 +267,8 @@ object SeqPatternsStream {
       foundSlots: String, foundFp: Option[Long]): Nothing =
     throw new IllegalStateException(
       s"$processor state for entity '$key' was written by a different " +
-        s"$params or is corrupt (expected fingerprint $expectedFp with " +
+        s"$params, by an older state format, or is corrupt (expected " +
+        s"fingerprint $expectedFp with " +
         s"$expectedSlots slots, found $foundSlots slots" +
         foundFp.map(f => s", fingerprint $f").getOrElse("") +
         s") — restart with the checkpoint's original $params or a " +
