@@ -325,6 +325,66 @@ object Graphs {
             .cast("long")).as("est_cc_ppm"))
   }
 
+  /** Auto-selecting triangle census: exact [[triangleStats]] while the
+    * EXACT wedge census fits `budgetWedges`, the DOULION sampled
+    * estimate ([[triangleEstimate]]) past the knee — the family's own
+    * design applied to itself: the degree census (the q288 cost class,
+    * strictly cheaper than any triangle work — one degree aggregate,
+    * no wedge join) is computed FIRST and decides the plan, the
+    * `connectedComponentsAuto` precedent
+    * ([[graft.operators.Dedup.connectedComponentsAuto]]).
+    *
+    * The sampling rate is a DETERMINISTIC power-of-two ladder: the
+    * smallest pInv ∈ {1, 2, 4, …, 32768} with
+    * wedges div pInv² ≤ budget (DOULION's wedge volume scales by
+    * ≈ 1/pInv²). Pure integer arithmetic on the exact wedge count, so
+    * the choice — and therefore the whole result — replays identically
+    * in the oracle; no float sqrt at the boundary. pInv = 1 means the
+    * "sampled" plan IS the exact census (the %1 gate keeps every
+    * edge), so both branches share one formula and the mode label is
+    * derived, not a separate code path.
+    *
+    * Driver cost: ONE 1-row wedge-scalar collect (bounded by
+    * construction — CollectAuditSpec) before any triangle work.
+    *
+    * Output (1 row): (mode 'exact'|'sampled', p_inv, n_edges,
+    * n_wedges — the EXACT wedge census in both modes, est_triangles —
+    * exact count when p_inv = 1, sampled·pInv³ otherwise, est_cc_ppm —
+    * null when the counted graph is wedge-free).
+    */
+  def triangleAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                   budgetWedges: Long): DataFrame = {
+    require(budgetWedges >= 1, s"budgetWedges must be >= 1, got $budgetWedges")
+    val canon = canonical(edges, srcCol, dstCol)
+    val wedRow = degrees(canon)
+      .agg(coalesce(sum(expr(s"(CAST(__d AS $dec) * (__d - 1)) div 2")),
+        lit(0).cast(dec)).as("__w"))
+      .collect()(0)
+    val wedges = BigInt(wedRow.getDecimal(0).toBigInteger)
+    require(wedges.isValidLong, s"wedge census $wedges overflows BIGINT")
+    var pInv = 1L
+    while (wedges / (BigInt(pInv) * BigInt(pInv)) > BigInt(budgetWedges) &&
+        pInv < 32768L) pInv *= 2
+    val kept =
+      if (pInv == 1L) canon
+      else canon.filter(
+        pmod(col("__a") * 1000003L + col("__b") * 7919L + 17L,
+          lit(1000000007L)) % pInv === 0).localCheckpoint()
+    census(kept)
+      .select(col("__wed"), col("__tri"))
+      .crossJoin(canon.agg(count(lit(1)).as("n_edges")))
+      .select(
+        lit(if (pInv == 1L) "exact" else "sampled").as("mode"),
+        lit(pInv).as("p_inv"),
+        col("n_edges"),
+        lit(wedges.toLong).as("n_wedges"),
+        expr(s"CAST(__tri * ${pInv}L * ${pInv}L * ${pInv}L AS $dec)")
+          .cast("long").as("est_triangles"),
+        when(col("__wed") > 0,
+          expr(s"(CAST(3 AS $dec) * __tri * ${pInv}L * 1000000) div __wed")
+            .cast("long")).as("est_cc_ppm"))
+  }
+
   /** Label-propagation communities (Raghavan et al. 2007), the
     * COMMUNITY-detection member of the graph family: connected
     * components (q76) find what hangs together at all, the k-core

@@ -456,6 +456,31 @@ object StatsQueries extends QueryGroup {
       graft.operators.Graphs.triangleEstimate(edges, "src", "dst", pInv = 4)
     },
 
+    "q308_triangle_auto" -> { (s, d) =>
+      // Auto-selecting triangle census over the q233 co-purchase
+      // graph: the exact DEGREE census (the q288 cost class, no wedge
+      // join) picks the plan against a wedge budget, so the same call
+      // is exact under a wide budget and DOULION-sampled under a tight
+      // one — both branches of the knee pinned in one row set. The
+      // pInv ladder (smallest power of two with wedges div pInv² <=
+      // budget) is exact integer arithmetic on the exact wedge count,
+      // replayed verbatim by the oracle.
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = parts.as("x").join(parts.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+        .localCheckpoint() // consumed by both fixtures
+      graft.operators.Graphs
+        .triangleAuto(edges, "src", "dst", budgetWedges = 1000000000000000L)
+        .select(lit("wide_budget").as("fixture"), col("*"))
+        .unionAll(graft.operators.Graphs
+          .triangleAuto(edges, "src", "dst", budgetWedges = 20000L)
+          .select(lit("tight_budget").as("fixture"), col("*")))
+        .orderBy(col("fixture"))
+    },
+
     "q237_kcore" -> { (s, d) =>
       // 80-core of the co-purchase graph: parts that keep >= 80
       // co-purchase partners AFTER all weaker parts are peeled away —
@@ -1409,6 +1434,65 @@ object StatsQueries extends QueryGroup {
         CASE WHEN wed > 0 THEN CAST((3 * t * 4 * 1000000) // wed AS BIGINT)
           END AS est_cc_ppm
       FROM dtot CROSS JOIN tot CROSS JOIN ktot CROSS JOIN tri""",
+
+    "q308_triangle_auto" -> """
+      WITH op AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      e AS MATERIALIZED (
+        SELECT DISTINCT x.pk AS a, y.pk AS b
+        FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk),
+      dg AS (
+        SELECT v, CAST(count(*) AS HUGEINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY 1),
+      w0 AS MATERIALIZED (
+        SELECT coalesce(sum((d * (d - 1)) // 2), 0) AS wed,
+          (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges
+        FROM dg),
+      fx AS (SELECT * FROM (VALUES
+        ('wide_budget', CAST(1000000000000000 AS HUGEINT)),
+        ('tight_budget', CAST(20000 AS HUGEINT))) t(fixture, budget)),
+      rungs AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512,
+        1024, 2048, 4096, 8192, 16384, 32768]) AS p),
+      pick AS MATERIALIZED (
+        SELECT fixture, CAST(coalesce(min(CASE
+            WHEN wed // (CAST(p AS HUGEINT) * p) <= budget THEN p END),
+          32768) AS BIGINT) AS p
+        FROM fx CROSS JOIN rungs CROSS JOIN w0 GROUP BY 1),
+      ek AS MATERIALIZED (
+        SELECT pc.fixture, e.a, e.b
+        FROM pick pc JOIN e
+          ON (e.a * 1000003 + e.b * 7919 + 17) % 1000000007 % pc.p = 0),
+      dgk AS (
+        SELECT fixture, v, CAST(count(*) AS HUGEINT) AS d FROM (
+          SELECT fixture, a AS v FROM ek
+          UNION ALL SELECT fixture, b AS v FROM ek)
+        GROUP BY 1, 2),
+      wedk AS (
+        SELECT fixture, coalesce(sum((d * (d - 1)) // 2), 0) AS swed
+        FROM dgk GROUP BY 1),
+      trik AS (
+        SELECT e1.fixture, CAST(count(*) AS HUGEINT) AS t
+        FROM ek e1 JOIN ek e2
+          ON e2.fixture = e1.fixture AND e2.a = e1.b
+        JOIN ek e3
+          ON e3.fixture = e1.fixture AND e3.a = e1.a AND e3.b = e2.b
+        GROUP BY 1)
+      SELECT f.fixture,
+        CASE WHEN pc.p = 1 THEN 'exact' ELSE 'sampled' END AS mode,
+        pc.p AS p_inv,
+        w0.n_edges,
+        CAST(w0.wed AS BIGINT) AS n_wedges,
+        CAST(coalesce(t.t, 0) * pc.p * pc.p * pc.p AS BIGINT)
+          AS est_triangles,
+        CASE WHEN coalesce(wk.swed, 0) > 0 THEN
+          CAST((3 * coalesce(t.t, 0) * pc.p * 1000000) // wk.swed
+            AS BIGINT) END AS est_cc_ppm
+      FROM fx f JOIN pick pc USING (fixture)
+        CROSS JOIN w0
+        LEFT JOIN wedk wk USING (fixture)
+        LEFT JOIN trik t USING (fixture)
+      ORDER BY fixture""",
 
     "q237_kcore" -> KCoreOracle,
 

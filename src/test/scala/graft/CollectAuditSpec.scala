@@ -31,6 +31,8 @@ class CollectAuditSpec extends AnyFunSuite {
       "kCenterSelect: 1-row seed + 1-row argmax per round"),
     "graft/operators/Dedup.scala" -> (1,
       "connected-components convergence probe: 1-row xor-checksum aggregate"),
+    "graft/operators/Graphs.scala" -> (1,
+      "triangleAuto plan pick: 1-row exact wedge-census scalar BEFORE any triangle work"),
     "graft/operators/Markov.scala" -> (1,
       "transition model table: k x k states, k bounded by the declared alphabet"),
     "graft/operators/Bpe.scala" -> (1,

@@ -154,6 +154,7 @@ class EntrySpec extends SparkSpec {
       "cs", "isum", // q301 dbscan census / per-label id sums
       "ci", // q303 dbscan clusters (per-cluster id sums; cor/cc/e/reach shared)
       "docsl", "embsl", "vr", // q305-q307 sf1 evidence twins (sliced tables)
+      "fx", "rungs", "pick", "dgk", "wedk", "trik", // q308 auto-census ladder
       "w0") ++ // BPE oracle stages (p0..pN, pc1..pcN, b1..bN)
       (0 to 16).flatMap(i => Seq(s"p$i", s"pc$i", s"b$i")) ++
       (0 to 16).flatMap(i => Seq(s"e$i", s"w$i")) ++ // q237 k-core peel rounds

@@ -75,6 +75,40 @@ class GraphsSpec extends SparkSpec {
       ref.getAs[Long]("n_triangles") * p * p * p)
   }
 
+  test("triangleAuto: exact under the budget, sampled past the knee, ladder pInv") {
+    // K6: 15 edges, every vertex degree 5 -> wedges = 6 * C(5,2) = 60,
+    // 20 triangles, cc = 1. Budget 60 fits exactly -> exact mode.
+    val k6 = (for (a <- 1L to 6L; b <- (a + 1) to 6L) yield (a, b)).toDF("s", "t")
+    val exact = Graphs.triangleAuto(k6, "s", "t", budgetWedges = 60L).collect()(0)
+    assert(exact.getAs[String]("mode") == "exact")
+    assert(exact.getAs[Long]("p_inv") == 1L)
+    assert(exact.getAs[Long]("n_edges") == 15L)
+    assert(exact.getAs[Long]("n_wedges") == 60L)
+    assert(exact.getAs[Long]("est_triangles") == 20L)
+    assert(exact.getAs[Long]("est_cc_ppm") == 1000000L)
+
+    // Budget 10: ladder wants smallest power of two with 60 div p² <= 10
+    // -> p=4 (60/4=15 > 10, 60/16=3 <= 10). Result must equal the
+    // DOULION estimate at that pInv, with the exact wedge census kept.
+    val auto = Graphs.triangleAuto(k6, "s", "t", budgetWedges = 10L).collect()(0)
+    assert(auto.getAs[String]("mode") == "sampled")
+    assert(auto.getAs[Long]("p_inv") == 4L)
+    assert(auto.getAs[Long]("n_wedges") == 60L) // exact census, both modes
+    val ref = Graphs.triangleEstimate(k6, "s", "t", pInv = 4).collect()(0)
+    assert(auto.getAs[Long]("est_triangles") == ref.getAs[Long]("est_triangles"))
+    assert(Option(auto.getAs[Any]("est_cc_ppm")) ==
+      Option(ref.getAs[Any]("est_cc_ppm")))
+  }
+
+  test("triangleAuto: empty and wedge-free graphs stay exact with null cc") {
+    val single = Seq((1L, 2L)).toDF("s", "t")
+    val r = Graphs.triangleAuto(single, "s", "t", budgetWedges = 1L).collect()(0)
+    assert(r.getAs[String]("mode") == "exact")
+    assert(r.getAs[Long]("n_wedges") == 0L)
+    assert(r.getAs[Long]("est_triangles") == 0L)
+    assert(Option(r.getAs[Any]("est_cc_ppm")).isEmpty)
+  }
+
   test("localClusteringTopK: hand fixture — clique members rank over the bridge") {
     // K4 on 1-4, pendant chain 4-5-6: per-vertex triangles 3,3,3,3,0,0;
     // cc: 1,2,3 -> 1e6; 4 (deg 4) -> 500000; 5 (deg 2) -> 0; 6 excluded
