@@ -733,4 +733,87 @@ class PropertySpec extends SparkSpec {
     for (step <- Seq(1L, 2L, 3L))
       assert(f20(step) >= f5(step), s"step $step not monotone in gap")
   }
+
+  // ---- exact-join family vs filter-free brute force ------------------
+  // PPJoin (q244) and FastSS (q168) are EXACT joins whose entire value
+  // is the filters (prefix/positional/extended-prefix; deletion
+  // neighborhoods + hash candidates). The fixtures pin specific
+  // corpora; these properties check the filters lose nothing across
+  // random small corpora and the parameter space (tau sweeps, singleton
+  // and identical sets, near-threshold sizes, collision-dense short
+  // strings) against direct all-pairs evaluation of the definition.
+
+  private def randomSets(seed: Int, n: Int): Map[Long, Set[String]] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 8).map(i => s"t$i")
+    (0L until n.toLong).map { id =>
+      id -> rnd.shuffle(vocab).take(1 + rnd.nextInt(6)).toSet
+    }.toMap
+  }
+
+  test("property: PPJoin jaccard join matches brute-force all-pairs at every tau") {
+    for (seed <- Seq(41, 43); tauPpm <- Seq(300000L, 500000L, 800000L, 1000000L)) {
+      val sets = randomSets(seed, 30) +
+        // identical-set and singleton corners the generator may miss
+        (100L -> Set("t0")) + (101L -> Set("t0")) +
+        (102L -> Set("t1", "t2", "t3"))
+      val ids = sets.toSeq.flatMap { case (id, es) => es.map(e => (id, e)) }
+        .toDF("id", "elem")
+      val got = graft.operators.SetJoin.jaccardJoin(ids, "id", "elem", tauPpm)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          ((r.getAs[Long]("inter"), r.getAs[Long]("sz_a"),
+            r.getAs[Long]("sz_b"), r.getAs[Long]("jaccard_ppm"))))
+        .toMap
+      val keys = sets.keys.toSeq.sorted
+      val want = (for {
+        i <- keys.indices; j <- (i + 1) until keys.size
+        (a, b) = (keys(i), keys(j))
+        inter = (sets(a) intersect sets(b)).size.toLong
+        uni = (sets(a).size + sets(b).size).toLong - inter
+        if inter * 1000000L >= uni * tauPpm
+      } yield (a, b) -> ((inter, sets(a).size.toLong, sets(b).size.toLong,
+        inter * 1000000L / uni))).toMap
+      assert(got == want,
+        s"seed $seed tau $tauPpm: missing ${want.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- want.keySet}")
+    }
+  }
+
+  private def bruteLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("property: FastSS edit-distance join matches brute-force all-pairs at tau 1 and 2") {
+    for (seed <- Seq(47, 53); tau <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      // short strings over a 3-char alphabet: collision-dense deletion
+      // neighborhoods (many strings share variants), plus duplicates
+      // (distinct() contract) and the empty/1-char boundary
+      val strs = (0 until 40).map(_ =>
+        (0 until rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+          .mkString) ++ Seq("", "a", "a")
+      val got = graft.operators.EditDistance.pairs(
+          strs.map(Tuple1(_)).toDF("s"), "s", tau)
+        .collect()
+        .map(r => (r.getAs[String]("s_a"), r.getAs[String]("s_b")) ->
+          r.getAs[Long]("dist"))
+        .toMap
+      val ds = strs.distinct.sorted
+      val want = (for {
+        i <- ds.indices; j <- (i + 1) until ds.size
+        d = bruteLev(ds(i), ds(j))
+        if d <= tau
+      } yield (ds(i), ds(j)) -> d.toLong).toMap
+      assert(got == want,
+        s"seed $seed tau $tau: missing ${want.keySet -- got.keySet}, " +
+          s"extra ${got.keySet -- want.keySet}")
+    }
+  }
 }
