@@ -110,6 +110,37 @@ object Evaluation {
     * @param totals  (queryCol, totalCol) — relevant items per query in
     *                the WHOLE corpus (the recall denominator)
     */
+  /** The readout over [[graft.streaming.RankingEvalStream]]'s upserted
+    * per-query partial rows — the reader side of the B110 ingest twin
+    * (the `kappaFromCells` convention): `partials` carries
+    * (queryCol, n_rel_k, first_rel_rank — 0 while none, apn — the
+    * Σ (1e6·hits_i) div i numerator), and this joins the recall/AP
+    * denominators and emits exactly [[rankingReport]]'s columns, so
+    * batch == stream reduces to partial-table equality.
+    */
+  def reportFromPartials(partials: DataFrame, queryCol: String,
+                         totals: DataFrame, totalCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    partials
+      .select(col(queryCol), col("n_rel_k").cast("long").as("n_rel_k"),
+        col("first_rel_rank").cast("long").as("__fr"),
+        col("apn").cast("long").as("__apn"))
+      .join(totals.select(col(queryCol),
+        col(totalCol).cast("long").as("__tot")), Seq(queryCol), "left")
+      .select(col(queryCol),
+        col("n_rel_k"),
+        when(col("__fr") > 0, col("__fr")).as("first_rel_rank"),
+        when(col("__fr") > 0, expr("1000000 div __fr")).otherwise(lit(0L))
+          .as("mrr_ppm"),
+        expr(s"(1000000 * n_rel_k) div $k").as("p_at_k_ppm"),
+        when(coalesce(col("__tot"), lit(0L)) > 0,
+          expr("(1000000 * n_rel_k) div __tot")).as("recall_at_k_ppm"),
+        when(coalesce(col("__tot"), lit(0L)) > 0,
+          expr(s"__apn div least(CAST($k AS BIGINT), __tot)"))
+          .as("ap_at_k_ppm"))
+  }
+
   def rankingReport(ranked: DataFrame, queryCol: String, rankCol: String,
                     relCol: String, totals: DataFrame, totalCol: String,
                     k: Int): DataFrame = {

@@ -3035,6 +3035,109 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming ranking eval: upserted partials reproduce batch rankingReport incl. shuffled arrival, splits, re-delivery") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      // q1: mixed hits; q2: hit at 1 only; q3: nothing relevant; rank 6
+      // row for q1 must be ignored (outside k=5)
+      val rows = Seq(
+        ("q1", 1L, false), ("q1", 2L, true), ("q1", 3L, true),
+        ("q1", 4L, false), ("q1", 5L, true), ("q1", 6L, true),
+        ("q2", 1L, true), ("q2", 2L, false),
+        ("q3", 1L, false), ("q3", 2L, false))
+      val totals = Seq(("q1", 10L), ("q2", 1L), ("q3", 0L))
+        .toDF("query", "n_rel_total")
+      val input = MemoryStream[(String, Long, Boolean)]
+      val q = RankingEvalStream.partials(input.toDS(), k = 5)
+        .writeStream.format("memory").queryName("rank_stream")
+        .outputMode("append").start()
+      try {
+        // shuffled within batch 1, split mid-query, one re-delivery
+        input.addData(rows.take(6).reverse: _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(6) :+ ("q1", 2L, true): _*)
+        q.processAllAvailable()
+        // upsert semantics: last row per query = max n_seen
+        val parts = spark.table("rank_stream")
+          .toDF("query", "n_seen", "n_rel_k", "first_rel_rank", "apn")
+        val last = parts.groupBy("query")
+          .agg(max(struct(col("n_seen"), col("n_rel_k"),
+            col("first_rel_rank"), col("apn"))).as("w"))
+          .select(col("query"), col("w.n_rel_k").as("n_rel_k"),
+            col("w.first_rel_rank").as("first_rel_rank"),
+            col("w.apn").as("apn"))
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => r.getString(0) ->
+            ((r.getAs[Long]("n_rel_k"),
+              Option(r.getAs[Any]("first_rel_rank")),
+              r.getAs[Long]("mrr_ppm"), r.getAs[Long]("p_at_k_ppm"),
+              Option(r.getAs[Any]("recall_at_k_ppm")),
+              Option(r.getAs[Any]("ap_at_k_ppm"))))).toMap
+        val stream = snap(graft.operators.Evaluation.reportFromPartials(
+          last, "query", totals, "n_rel_total", k = 5))
+        // batch sees the SAME contract: top-5 rows only, no duplicates
+        val batch = snap(graft.operators.Evaluation.rankingReport(
+          rows.filter(_._2 <= 5L).toDF("query", "rank", "rel"),
+          "query", "rank", "rel", totals, "n_rel_total", k = 5))
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        // hand values: q1 hits at 2,3,5 -> apn = 500000+666666+600000
+        assert(stream("q1") == ((3L, Some(2L), 500000L, 600000L,
+          Some(300000L), Some((500000L + 666666L + 600000L) / 5L))))
+        assert(stream("q3")._5.isEmpty && stream("q3")._6.isEmpty)
+      } finally q.stop()
+    }
+  }
+
+  test("streaming ranking eval: slots survive a checkpoint restart; changed k refuses") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_rank").toString
+      val input = MemoryStream[(String, Long, Boolean)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long)]
+      def start(k: Int) = RankingEvalStream.partials(input.toDS(), k)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start(5)
+      try {
+        input.addData(("q1", 3L, true), ("q1", 5L, false))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start(5)
+      try {
+        // rank 1 lands after restart: restored slots must yield
+        // n_seen=3 and keep first_rel_rank=3 (a reset would give 1, 0)
+        input.addData(("q1", 1L, false))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("q1", 3L, 1L, 3L, 333333L)),
+          s"restored slots must feed the partial: $got")
+      } finally q2.stop()
+      // same query, different k: slot positions are only meaningful
+      // under the k that wrote them — the fingerprint must refuse
+      val q3 = start(7)
+      try {
+        val ex = intercept[Exception] {
+          input.addData(("q1", 2L, true))
+          q3.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(e =>
+            Option(e.getMessage).toSeq ++ messages(e.getCause))
+        assert(messages(ex).exists(_.contains("different k")), ex)
+      } finally q3.stop()
+    }
+  }
+
   test("streaming tick dispersion: upserted cells reproduce the batch Fisher index incl. splits") {
     withRocksDb {
       implicit val sc = spark.sqlContext
