@@ -64,9 +64,21 @@ def connect(sf_dir):
 def main(sf_dir, out_dir):
     con = connect(sf_dir)
     oracle = json.loads(Path(out_dir, "oracle_sql.json").read_text())
+    # GRAFT_ORACLE_SKIP=q93,q119,... — substring match, for sweeps at
+    # scales where a specific oracle SQL exhausts DuckDB resources (the
+    # sf1 q93/q111/q119/q196 class, each carrying a checksum evidence
+    # twin). Skipped rows are reported, never counted as passes.
+    import os
+    skip = [s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")
+            if s]
     failed = []
     done = 0
+    skipped = 0
     for name in sorted(oracle):
+        if any(s in name for s in skip):
+            print(f"SKIP {name} (GRAFT_ORACLE_SKIP)")
+            skipped += 1
+            continue
         # fresh connection periodically: one long-lived connection
         # accumulates buffer/fd state across 150+ heavy queries and
         # starts failing spuriously at sf0.1+ (observed: bad-allocation
@@ -120,7 +132,9 @@ def main(sf_dir, out_dir):
             failed.append(name)
         else:
             print(f"PASS {name} ({len(sr)} rows)")
-    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} passed")
+    note = f" ({skipped} skipped)" if skipped else ""
+    print(f"\n{len(oracle) - len(failed) - skipped}/{len(oracle)} "
+          f"passed{note}")
     return 1 if failed else 0
 
 
