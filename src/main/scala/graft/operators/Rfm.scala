@@ -48,6 +48,33 @@ object Rfm {
       .select(col(userCol), (col("__anchor") - col("__last")).as("__r"),
         col("__f"), col("__m"))
       .localCheckpoint() // thresholds + scoring both read it
+    scoredCensus(users, userCol)
+  }
+
+  /** The readout over [[graft.streaming.RfmStream]]'s upserted
+    * per-user rows — the reader side of the B92 ingest twin (the
+    * `reportFromPartials` convention): `users0` carries
+    * (userCol, lastCol — last event micros, fCol — event count,
+    * mCol — exact cents), and this recomputes the recency anchor as
+    * max(lastCol) and runs the identical quintile/census stage, so
+    * batch == stream reduces to user-table equality. NOTE the anchor
+    * nuance: [[rfmCensus]] anchors on the RAW corpus max ts (a
+    * null-user row can advance it); feed the stream the same
+    * null-filtered rows and the anchors coincide.
+    */
+  def censusFromUsers(users0: DataFrame, userCol: String, lastCol: String,
+                      fCol: String, mCol: String): DataFrame = {
+    val users = users0
+      .crossJoin(broadcast(users0.agg(max(col(lastCol)).as("__anchor"))))
+      .select(col(userCol), (col("__anchor") - col(lastCol)).as("__r"),
+        col(fCol).cast("long").as("__f"), col(mCol).cast("long").as("__m"))
+      .localCheckpoint()
+    scoredCensus(users, userCol)
+  }
+
+  /** The shared quintile-threshold + cell-census stage over a
+    * (userCol, __r, __f, __m) user table (already checkpointed). */
+  private def scoredCensus(users: DataFrame, userCol: String): DataFrame = {
     def quintiles(c: String): DataFrame = {
       // pivot on the EXACT requested p literals — 3 * 0.2 is
       // 0.6000000000000001 in IEEE doubles and would silently null a

@@ -3089,6 +3089,86 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming RFM: upserted user triples reproduce the batch census incl. shuffled arrival and splits") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      import spark.implicits._
+      val hr = 3600000000L
+      // 10 users with spread-out recency/frequency/monetary so several
+      // quintile cells are live; cents chosen 2dp-exact
+      val rows = (1 to 10).flatMap { u =>
+        (0 until u).map(i => (s"u$u", (u * 10 + i) * hr, u * 125L + i))
+      }
+      val input = MemoryStream[(String, Long, Long)]
+      val q = RfmStream.users(input.toDS())
+        .writeStream.format("memory").queryName("rfm_stream")
+        .outputMode("append").start()
+      try {
+        input.addData(rows.take(23).reverse: _*)
+        q.processAllAvailable()
+        input.addData(rows.drop(23): _*)
+        q.processAllAvailable()
+        // upsert semantics: frequency is monotone, last row = max f
+        val users = spark.table("rfm_stream")
+          .toDF("user", "last_us", "f", "m")
+          .groupBy("user")
+          .agg(max(struct(col("f"), col("last_us"), col("m"))).as("w"))
+          .select(col("user"), col("w.last_us").as("last_us"),
+            col("w.f").as("f"), col("w.m").as("m"))
+        def snap(df: org.apache.spark.sql.DataFrame) =
+          df.collect().map(r => (r.getAs[Long]("r_score"),
+            r.getAs[Long]("f_score"), r.getAs[Long]("m_score")) ->
+            ((r.getAs[Long]("n_users"), r.getAs[Long]("sum_cents")))).toMap
+        val stream = snap(graft.operators.Rfm.censusFromUsers(
+          users, "user", "last_us", "f", "m"))
+        val batch = snap(graft.operators.Rfm.rfmCensus(
+          rows.map { case (u, ts, c) => (u, ts, c / 100.0) }
+            .toDF("user", "us", "value")
+            .withColumn("ts", timestamp_micros(col("us"))),
+          "user", "ts", "value"))
+        assert(stream == batch, s"stream $stream vs batch $batch")
+        assert(stream.values.map(_._1).sum == 10L) // every user in a cell
+      } finally q.stop()
+    }
+  }
+
+  test("streaming RFM: user triples survive a checkpoint restart") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt_rfm").toString
+      val input = MemoryStream[(String, Long, Long)]
+      val collected = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long)]
+      def start() = RfmStream.users(input.toDS())
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[(String, Long, Long, Long)],
+           _: Long) =>
+          collected.synchronized { collected ++= df.collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      val q1 = start()
+      try {
+        input.addData(("u", 5000000L, 250L), ("u", 9000000L, 100L))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      collected.synchronized(collected.clear())
+      val q2 = start()
+      try {
+        // an EARLIER event after restart: last must stay 9s, f and m
+        // must accumulate on the restored triple (a reset would give
+        // f=1, m=50)
+        input.addData(("u", 2000000L, 50L))
+        q2.processAllAvailable()
+        val got = collected.synchronized(collected.toList)
+        assert(got == List(("u", 9000000L, 3L, 400L)),
+          s"restored triple must accumulate: $got")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming ranking eval: slots survive a checkpoint restart; changed k refuses") {
     withRocksDb {
       implicit val sc = spark.sqlContext
