@@ -163,9 +163,9 @@ object SimilarityQueries extends QueryGroup {
 
     "q41_ann_bruteforce" -> { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(col("vec_id") < 10)
+      val probes = emb.filter(col("vec_id") < 10)
       val corpus = emb.filter(col("vec_id") >= 10)
-      Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", k = 5)
+      Similarity.bruteForceTopK(corpus, probes, "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("neighbor_id"), col("cosine"))
         .orderBy(col("query_id"), col("rank"))
