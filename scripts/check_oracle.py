@@ -39,6 +39,12 @@ def connect(sf_dir):
     # big-scale sweeps (sf0.1/sf1) need explicit spill space; per-query
     # buffers otherwise fail with "bad allocation" despite free RAM
     con.execute("SET temp_directory='/tmp/duckdb_swap'")
+    # sharded sweep workers cap their buffer pool so N parallel
+    # connections fit the box (GRAFT_ORACLE_MEMLIMIT, e.g. '12GB')
+    import os
+    mem = os.environ.get("GRAFT_ORACLE_MEMLIMIT")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         # driver testdata ships single files; Spark-generated scale dirs
         # (tools/GenData) are directories of part files — glob those
@@ -71,12 +77,19 @@ def main(sf_dir, out_dir):
     import os
     skip = [s for s in os.environ.get("GRAFT_ORACLE_SKIP", "").split(",")
             if s]
+    # GRAFT_ORACLE_SHARD=i/n — process only names with hash(name)%n==i,
+    # so a big sweep can run as n parallel workers over disjoint subsets
+    shard = os.environ.get("GRAFT_ORACLE_SHARD")
+    si, sn = (0, 1)
+    if shard:
+        si, sn = (int(x) for x in shard.split("/"))
     failed = []
     done = 0
     skipped = 0
-    for name in sorted(oracle):
+    names = [n for i, n in enumerate(sorted(oracle)) if i % sn == si]
+    for name in names:
         if any(s in name for s in skip):
-            print(f"SKIP {name} (GRAFT_ORACLE_SKIP)")
+            print(f"SKIP {name} (GRAFT_ORACLE_SKIP)", flush=True)
             skipped += 1
             continue
         # fresh connection periodically: one long-lived connection
@@ -93,14 +106,32 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: no Spark output")
             failed.append(name)
             continue
+        # GRAFT_ORACLE_TIMEOUT=<seconds>: interrupt any single oracle
+        # SQL that exceeds the budget (sweep runs at sf1 — one hog must
+        # not absorb the whole sweep). Interrupted rows FAIL with a
+        # timeout note; the connection stays usable for the next row.
+        t_budget = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+        timer = None
         try:
+            if t_budget > 0:
+                import threading
+                timer = threading.Timer(t_budget, con.interrupt)
+                timer.start()
+            import time
+            t0 = time.time()
             duck = con.execute(sql)
             dcols = [c[0] for c in duck.description]
             drows = duck.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {e}")
+            took = time.time() - t0
+            note = (f"TIMEOUT after {took:.0f}s" if t_budget and
+                    took >= t_budget - 1 else f"oracle SQL error: {e}")
+            print(f"FAIL {name}: {note}", flush=True)
             failed.append(name)
             continue
+        finally:
+            if timer is not None:
+                timer.cancel()
         try:
             sp = con.execute(
                 f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
@@ -133,7 +164,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(sr)} rows)")
     note = f" ({skipped} skipped)" if skipped else ""
-    print(f"\n{len(oracle) - len(failed) - skipped}/{len(oracle)} "
+    print(f"\n{len(names) - len(failed) - skipped}/{len(names)} "
           f"passed{note}")
     return 1 if failed else 0
 
