@@ -201,25 +201,32 @@ object Graphs {
             "components first or raise maxRounds")
         // an edge fires at its FIRST death: the newly-weak endpoint on
         // one side, an endpoint that is neither weak nor already
-        // removed on the other. All vertex tables are checkpointed
-        // with known sizes, so AQE broadcasts them while they fit and
-        // falls back to shuffle when even the vertex set doesn't (no
-        // forced hint — a billion-vertex graph must not OOM the
-        // driver). Variants measured and rejected: a doubled-adjacency
-        // one-scan form (the 2|E| table re-shuffles per round — 42.8
-        // vs 25.5 s at sf1) and an alive-set semi-join form (slower at
-        // sf0.1, equal at sf1).
-        val wA = weak.select(col("__v").as("__a"))
-        val wB = weak.select(col("__v").as("__b"))
-        val rA = removed.select(col("__v").as("__a"))
-        val rB = removed.select(col("__v").as("__b"))
+        // removed on the other. ONE status table (1 = dies this round,
+        // 2 = died earlier; weak ⊆ alive and removed ∩ alive = ∅, so
+        // ids are unique) left-joined to both endpoints decides every
+        // edge's fire in a single edge scan — the r11 form unioned two
+        // semi/anti-join branch scans (6 joins + 2 scans per round vs
+        // 2 joins + 1 scan here; q237 at sf0.1 measured 6.7-8.1 s on
+        // the r11 plan vs 5.0 s best-of-5 on this one).
+        // All vertex tables are checkpointed with known sizes,
+        // so AQE broadcasts them while they fit and falls back to
+        // shuffle when even the vertex set doesn't (no forced hint — a
+        // billion-vertex graph must not OOM the driver). Variants
+        // measured and rejected earlier: a doubled-adjacency one-scan
+        // form (the 2|E| table re-shuffles per round — 42.8 vs 25.5 s
+        // at sf1) and an alive-set semi-join form (slower at sf0.1,
+        // equal at sf1).
+        val stat = weak.select(col("__v"), lit(1).as("__s"))
+          .unionAll(removed.select(col("__v"), lit(2).as("__s")))
         val dec = canon
-          .join(wA, Seq("__a"), "left_semi").join(wB, Seq("__b"), "left_anti")
-          .join(rB, Seq("__b"), "left_anti").select(col("__b").as("__v"))
-          .unionAll(canon
-            .join(wB, Seq("__b"), "left_semi")
-            .join(wA, Seq("__a"), "left_anti")
-            .join(rA, Seq("__a"), "left_anti").select(col("__a").as("__v")))
+          .join(stat.select(col("__v").as("__a"), col("__s").as("__sa")),
+            Seq("__a"), "left")
+          .join(stat.select(col("__v").as("__b"), col("__s").as("__sb")),
+            Seq("__b"), "left")
+          .select(when(col("__sa") === 1 && col("__sb").isNull, col("__b"))
+            .when(col("__sb") === 1 && col("__sa").isNull, col("__a"))
+            .as("__v"))
+          .filter(col("__v").isNotNull)
           .groupBy(col("__v")).agg(count(lit(1)).as("__dec"))
         deg = deg.join(weak, Seq("__v"), "left_anti")
           .join(dec, Seq("__v"), "left")
@@ -453,12 +460,18 @@ object Graphs {
     var labels = degrees(canon).select(col("__v"), col("__v").as("__l"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // both label attachments in ONE edge scan (emit each edge's two
+      // neighbor messages from one row) — the unioned two-scan form
+      // paid a second scan + join per iteration for the same rows
       val nb = canon
-        .join(labels.select(col("__v").as("__b"), col("__l")), "__b")
-        .select(col("__a").as("__v"), col("__l"))
-        .unionAll(canon
-          .join(labels.select(col("__v").as("__a"), col("__l")), "__a")
-          .select(col("__b").as("__v"), col("__l")))
+        .join(labels.select(col("__v").as("__a"), col("__l").as("__la")),
+          "__a")
+        .join(labels.select(col("__v").as("__b"), col("__l").as("__lb")),
+          "__b")
+        .select(explode(array(
+          struct(col("__a").as("v"), col("__lb").as("l")),
+          struct(col("__b").as("v"), col("__la").as("l")))).as("__e"))
+        .select(col("__e.v").as("__v"), col("__e.l").as("__l"))
       labels = nb.groupBy(col("__v"), col("__l"))
         .agg(count(lit(1)).as("__c"))
         .groupBy(col("__v"))
@@ -550,14 +563,17 @@ object Graphs {
                            seedCol: String, iters: Int = 3,
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val e = edges
+    val e0 = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-      .localCheckpoint()
+    // out-degree is loop-invariant: attach it to the edge set ONCE and
+    // checkpoint, instead of re-joining the degree table every
+    // iteration (saves one |V|-table join per iteration)
+    val e = e0.join(e0.groupBy(col("src")).agg(count(lit(1)).as("__deg")),
+      "src").localCheckpoint()
     val sd = seeds.select(col(seedCol).cast("long").as("vertex"))
       .filter(col("vertex").isNotNull).distinct().localCheckpoint()
     val nTab = sd.agg(count(lit(1)).as("__ns"))
@@ -571,7 +587,6 @@ object Graphs {
     for (_ <- 1 to iters) {
       val inflow = e
         .join(r.withColumnRenamed("vertex", "src"), "src")
-        .join(deg, "src")
         .select(col("dst").as("vertex"),
           expr("rank_fp div __deg").as("__c"))
         .groupBy(col("vertex")).agg(sum(col("__c")).as("__in"))
