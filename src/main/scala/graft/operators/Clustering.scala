@@ -90,6 +90,23 @@ object Clustering {
       .select(col(idCol), col("__v"), bestCell(col("__v"), col("cents")).as("cell"))
   }
 
+  /** Narrow assignment that KEEPS the caller's columns: every `df` row
+    * plus its `cell`, computed by the same broadcast-fold [[bestCell]]
+    * pass as [[assignCells]]. Callers used to take the (id, cell) table
+    * and equi-join it BACK to `df` by id to recover the vector they
+    * started from — a full corpus shuffle join (two Exchanges) per
+    * assignment that this removes outright (guide-§2.4 class). Null
+    * vectors still map to a null cell, exactly like the join-back form
+    * on an unfiltered frame.
+    */
+  private def assignKeep(df: DataFrame, cents: DataFrame, idCol: String,
+                         vecCol: String, scale: Long): DataFrame = {
+    val centArr = cents.agg(collect_list(struct(col("cell"), col("cv"))).as("cents"))
+    df.crossJoin(broadcast(centArr))
+      .withColumn("cell", bestCell(scaleVector(col(vecCol), scale), col("cents")))
+      .drop("cents")
+  }
+
   /** One integer centroid update from an assignment. */
   private def updateCent(assigned: DataFrame): DataFrame =
     assigned
@@ -160,7 +177,8 @@ object Clustering {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int = 2, scale: Long = 1000L,
                     threshold: Double = 0.3): DataFrame = {
-    val withCell = df.join(kmeansFixed(df, idCol, vecCol, k, iters, scale), idCol)
+    val withCell = assignKeep(df,
+      kmeansCentroids(df, idCol, vecCol, k, iters, scale), idCol, vecCol, scale)
     val l = withCell.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = withCell.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     val losers = l.join(r, "cell")
@@ -222,7 +240,9 @@ object Clustering {
   def knnGraph(df: DataFrame, idCol: String, vecCol: String,
                kCells: Int, kNeighbors: Int, iters: Int = 2,
                scale: Long = 1000L): DataFrame = {
-    val withCell = df.join(kmeansFixed(df, idCol, vecCol, kCells, iters, scale), idCol)
+    val withCell = assignKeep(df,
+      kmeansCentroids(df, idCol, vecCol, kCells, iters, scale),
+      idCol, vecCol, scale)
     val l = withCell.select(col("cell"), col(idCol).as("src"), col(vecCol).as("va"))
     val r = withCell.select(col("cell"), col(idCol).as("dst"), col(vecCol).as("vb"))
     val pairs = l.join(r, "cell").filter(col("src") =!= col("dst"))
@@ -250,7 +270,9 @@ object Clustering {
   def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
                     labelCol: String, kCells: Int, kNegatives: Int,
                     iters: Int = 2, scale: Long = 1000L): DataFrame = {
-    val withCell = df.join(kmeansFixed(df, idCol, vecCol, kCells, iters, scale), idCol)
+    val withCell = assignKeep(df,
+      kmeansCentroids(df, idCol, vecCol, kCells, iters, scale),
+      idCol, vecCol, scale)
     val l = withCell.select(col("cell"), col(idCol).as("src"),
       col(vecCol).as("va"), col(labelCol).as("la"))
     val r = withCell.select(col("cell"), col(idCol).as("dst"),
@@ -337,9 +359,9 @@ object Clustering {
                                k: Int, iters: Int = 2, scale: Long = 1000L,
                                threshold: Double = 0.3): DataFrame = {
     val cents = kmeansCentroids(history, idCol, vecCol, k, iters, scale)
-    val hSide = history.join(assignCells(history, cents, idCol, vecCol, scale), idCol)
+    val hSide = assignKeep(history, cents, idCol, vecCol, scale)
       .select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val fAss = fresh.join(assignCells(fresh, cents, idCol, vecCol, scale), idCol)
+    val fAss = assignKeep(fresh, cents, idCol, vecCol, scale)
     val fSide = fAss.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     val cos = graft.functions.VectorFunctions.cosine(col("va"), col("vb"))
     val vsHistory = hSide.join(fSide, "cell")
@@ -381,9 +403,9 @@ object Clustering {
                             k: Int, iters: Int = 2, scale: Long = 1000L,
                             threshold: Double = 0.3): DataFrame = {
     val cents = kmeansCentroids(bench, idCol, vecCol, k, iters, scale)
-    val bSide = bench.join(assignCells(bench, cents, idCol, vecCol, scale), idCol)
+    val bSide = assignKeep(bench, cents, idCol, vecCol, scale)
       .select(col("cell"), col(vecCol).as("__bv"))
-    val cAss = corpus.join(assignCells(corpus, cents, idCol, vecCol, scale), idCol)
+    val cAss = assignKeep(corpus, cents, idCol, vecCol, scale)
       .select(col(idCol), col("cell"), col(vecCol))
     val cos = graft.functions.VectorFunctions.cosine(col(vecCol), col("__bv"))
     val hits = cAss
