@@ -14,6 +14,22 @@ object Graphs {
 
   private val dec = "decimal(38,0)"
 
+  /** Broadcast guard for vertex-sized join sides (the [[degreeMixing]]
+    * `maxBroadcastDegreeRows` / B40 rule generalized to the whole
+    * family): a checkpointed vertex table broadcasts while its
+    * materialized row count fits — the edge set then streams through a
+    * BroadcastHashJoin and never shuffles — and falls back to a shuffle
+    * join when even the vertex set doesn't fit (never an unconditional
+    * hint that could OOM the driver on a billion-vertex graph).
+    * Checkpointed plans carry no usable stats, so without the explicit
+    * count the planner always picks a sort-merge join here and the edge
+    * table pays an Exchange per join per iteration. Callers must pass a
+    * checkpointed (cheap-to-count) table.
+    */
+  private val maxBroadcastVertexRows = 2000000L
+  private def maybeBroadcast(t: DataFrame): DataFrame =
+    if (t.count() <= maxBroadcastVertexRows) broadcast(t) else t
+
   /** Canonical simple-graph edges: nulls and self-loops dropped,
     * endpoints ordered (a < b), duplicates and reversals collapsed.
     * localCheckpoint'ed — every census consumes it 3+ times. */
@@ -68,10 +84,15 @@ object Graphs {
     val adj = oriented.groupBy(col("__u"))
       .agg(collect_list(col("__w")).as("__nbrs"))
       .localCheckpoint()
+    // adj is vertex-ROW-bounded but its payload is Σ outdeg = E array
+    // elements, so the broadcast guard keys on the EDGE count, not the
+    // adjacency row count
+    val adjB =
+      if (oriented.count() <= maxBroadcastVertexRows) broadcast(adj) else adj
     oriented
-      .join(adj, Seq("__u"))
+      .join(adjB, Seq("__u"))
       .withColumnRenamed("__nbrs", "__nu")
-      .join(adj.withColumnRenamed("__u", "__w")
+      .join(adjB.withColumnRenamed("__u", "__w")
         .withColumnRenamed("__nbrs", "__nw"), Seq("__w"), "left")
       .select(col("__u"), col("__w"),
         array_intersect(col("__nu"),
@@ -81,8 +102,8 @@ object Graphs {
   /** Census core over canonical edges: one row
     * (n_vertices, n_edges, __wed DECIMAL, __tri DECIMAL). */
   private def census(canon: DataFrame): DataFrame = {
-    val deg = degrees(canon)
-    val triangles = closedWedges(canon, deg)
+    val deg = degrees(canon).localCheckpoint()
+    val triangles = closedWedges(canon, maybeBroadcast(deg))
       .agg(coalesce(sum(size(col("__zs")).cast(dec)), lit(0).cast(dec))
         .as("__tri"))
     canon.agg(count(lit(1)).as("n_edges"))
@@ -182,6 +203,12 @@ object Graphs {
     require(k >= 1, s"k must be >= 1, got $k")
     val canon = canonical(edges, srcCol, dstCol)
     var deg = degrees(canon).localCheckpoint()
+    // one decision for the whole peel: every per-round table (weak,
+    // removed, their union, the decrement counts) is bounded by the
+    // INITIAL vertex count, so the broadcast-vs-shuffle choice is made
+    // once, from a count on the checkpointed degree table
+    val bcastOk = deg.count() <= maxBroadcastVertexRows
+    def bc(t: DataFrame): DataFrame = if (bcastOk) broadcast(t) else t
     val spark = edges.sparkSession
     var removed = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -219,17 +246,17 @@ object Graphs {
         val stat = weak.select(col("__v"), lit(1).as("__s"))
           .unionAll(removed.select(col("__v"), lit(2).as("__s")))
         val dec = canon
-          .join(stat.select(col("__v").as("__a"), col("__s").as("__sa")),
+          .join(bc(stat.select(col("__v").as("__a"), col("__s").as("__sa"))),
             Seq("__a"), "left")
-          .join(stat.select(col("__v").as("__b"), col("__s").as("__sb")),
+          .join(bc(stat.select(col("__v").as("__b"), col("__s").as("__sb"))),
             Seq("__b"), "left")
           .select(when(col("__sa") === 1 && col("__sb").isNull, col("__b"))
             .when(col("__sb") === 1 && col("__sa").isNull, col("__a"))
             .as("__v"))
           .filter(col("__v").isNotNull)
           .groupBy(col("__v")).agg(count(lit(1)).as("__dec"))
-        deg = deg.join(weak, Seq("__v"), "left_anti")
-          .join(dec, Seq("__v"), "left")
+        deg = deg.join(bc(weak), Seq("__v"), "left_anti")
+          .join(bc(dec), Seq("__v"), "left")
           .select(col("__v"),
             (col("__d") - coalesce(col("__dec"), lit(0L))).as("__d"))
           .filter(col("__d") > 0)
@@ -266,8 +293,8 @@ object Graphs {
     require(minDegree >= 2, s"minDegree must be >= 2 (cc needs a pair), " +
       s"got $minDegree")
     val canon = canonical(edges, srcCol, dstCol)
-    val deg = degrees(canon)
-    val perVertex = perVertexTriangles(closedWedges(canon, deg))
+    val deg = degrees(canon).localCheckpoint()
+    val perVertex = perVertexTriangles(closedWedges(canon, maybeBroadcast(deg)))
     deg.filter(col("__d") >= minDegree)
       .join(perVertex, Seq("__v"), "left")
       .select(col("__v").as("vertex"), col("__d").as("degree"),
@@ -313,7 +340,8 @@ object Graphs {
     val kept = canon.filter(
       pmod(col("__a") * 1000003L + col("__b") * 7919L + 17L,
         lit(1000000007L)) % pInv === 0).localCheckpoint()
-    val perVertex = perVertexTriangles(closedWedges(kept, degrees(kept)))
+    val perVertex = perVertexTriangles(closedWedges(kept,
+      maybeBroadcast(degrees(kept).localCheckpoint())))
     val p3 = pInv.toLong * pInv * pInv
     deg.filter(col("__d") >= minDegree)
       .join(perVertex, Seq("__v"), "left")
@@ -459,14 +487,18 @@ object Graphs {
     val canon = canonical(edges, srcCol, dstCol)
     var labels = degrees(canon).select(col("__v"), col("__v").as("__l"))
       .localCheckpoint()
+    // the label table stays exactly |non-isolated V| rows every
+    // iteration — one count decides broadcast-vs-shuffle for the run
+    val bcastOk = labels.count() <= maxBroadcastVertexRows
+    def bc(t: DataFrame): DataFrame = if (bcastOk) broadcast(t) else t
     for (_ <- 1 to iters) {
       // both label attachments in ONE edge scan (emit each edge's two
       // neighbor messages from one row) — the unioned two-scan form
       // paid a second scan + join per iteration for the same rows
       val nb = canon
-        .join(labels.select(col("__v").as("__a"), col("__l").as("__la")),
+        .join(bc(labels.select(col("__v").as("__a"), col("__l").as("__la"))),
           "__a")
-        .join(labels.select(col("__v").as("__b"), col("__l").as("__lb")),
+        .join(bc(labels.select(col("__v").as("__b"), col("__l").as("__lb"))),
           "__b")
         .select(explode(array(
           struct(col("__a").as("v"), col("__lb").as("l")),
@@ -517,15 +549,19 @@ object Graphs {
       .localCheckpoint()
     var a = e.select(col("dst")).distinct()
       .withColumn("a", lit(scale)).localCheckpoint()
+    // score tables hold one row per (in- or out-) endpoint every
+    // iteration — one count decides broadcast-vs-shuffle for the run
+    val bcastOk = a.count() <= maxBroadcastVertexRows
+    def bc(t: DataFrame): DataFrame = if (bcastOk) broadcast(t) else t
     var h: DataFrame = null
     for (_ <- 1 to iters) {
-      val hp = e.join(a, "dst").groupBy(col("src"))
+      val hp = e.join(bc(a), "dst").groupBy(col("src"))
         .agg(sum(col("a").cast(dec)).as("__hp"))
       h = hp.crossJoin(broadcast(hp.agg(max(col("__hp")).as("__hm"))))
         .select(col("src"),
           expr(s"CAST((__hp * ${scale}L) div __hm AS BIGINT)").as("h"))
         .localCheckpoint()
-      val ap = e.join(h, "src").groupBy(col("dst"))
+      val ap = e.join(bc(h), "src").groupBy(col("dst"))
         .agg(sum(col("h").cast(dec)).as("__ap"))
       a = ap.crossJoin(broadcast(ap.agg(max(col("__ap")).as("__am"))))
         .select(col("dst"),
@@ -585,8 +621,11 @@ object Graphs {
       .select(col("vertex"), expr(s"${scale}L div __ns").as("rank_fp"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // the frontier is checkpointed each iteration, so the per-
+      // iteration count is one cheap job; while it fits, the edge set
+      // streams through a broadcast join and never shuffles
       val inflow = e
-        .join(r.withColumnRenamed("vertex", "src"), "src")
+        .join(maybeBroadcast(r.withColumnRenamed("vertex", "src")), "src")
         .select(col("dst").as("vertex"),
           expr("rank_fp div __deg").as("__c"))
         .groupBy(col("vertex")).agg(sum(col("__c")).as("__in"))

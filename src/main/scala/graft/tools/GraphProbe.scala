@@ -32,6 +32,26 @@ object GraphProbe {
       .distinct()
     time("parts distinct")(noop(parts))
 
+    // alternative pair generation: one groupBy(ok) + local pair explode
+    val edges2 = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("__items"))
+      .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "src")))
+      .select(col("src"), explode(slice(col("__items"), col("__i") + 2,
+        size(col("__items")) - col("__i") - 1)).as("dst"))
+    time("pairs (groupBy+explode)")(noop(edges2))
+    val canon2 = edges2
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).cast("long").as("__a"),
+        greatest(col("src"), col("dst")).cast("long").as("__b"))
+      .distinct()
+    time("canonical2 (distinct)")(noop(canon2))
+    println("[probe] canon2 rows = " + canon2.count())
+    println("[probe] canon2 ckpt parts = " +
+      canon2.localCheckpoint().rdd.getNumPartitions)
+
     val edges = parts.as("x").join(parts.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("src"), col("y.pk").as("dst"))
@@ -46,6 +66,7 @@ object GraphProbe {
       .distinct()
       .localCheckpoint())
     println("[probe] canon rows = " + canon.count())
+    println("[probe] canon ckpt parts = " + canon.rdd.getNumPartitions)
 
     val deg = canon.select(col("__a").as("__v"))
       .unionAll(canon.select(col("__b").as("__v")))
