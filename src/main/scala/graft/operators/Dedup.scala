@@ -686,11 +686,19 @@ object Dedup {
     try {
       var labels = nodes.select(col(idCol).as("__node"), col(idCol).as("__label"))
         .localCheckpoint()
+      // node-sized label table, constant row count across iterations: one
+      // count decides broadcast-vs-shuffle for the run (the Graphs /
+      // degreeMixing guard) — while it fits, the adjacency list streams
+      // through a broadcast join instead of re-shuffling every iteration;
+      // checkpointed plans carry no stats, so the planner alone would
+      // always sort-merge here
+      val bcastOk = labels.count() <= 2000000L
+      def bc(t: DataFrame): DataFrame = if (bcastOk) broadcast(t) else t
       var iter = 0
       var changed = 1L
       while (changed > 0 && iter < maxIter) {
         val neighborMin = adj
-          .join(labels.withColumnRenamed("__node", "src"), "src")
+          .join(bc(labels.withColumnRenamed("__node", "src")), "src")
           .groupBy(col("dst").as("__node"))
           .agg(min(col("__label")).as("__nmin"))
         // One checkpointed frame carries old + new label, so the

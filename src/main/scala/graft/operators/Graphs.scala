@@ -621,11 +621,13 @@ object Graphs {
       .select(col("vertex"), expr(s"${scale}L div __ns").as("rank_fp"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      // the frontier is checkpointed each iteration, so the per-
-      // iteration count is one cheap job; while it fits, the edge set
-      // streams through a broadcast join and never shuffles
+      // NOTE: a guarded broadcast of the frontier (the LPA/k-core
+      // pattern) was measured here and REJECTED — best-of-5 at sf0.1
+      // 4.7 -> 5.1 s: the frontier grows to ~|reachable| after one hop,
+      // so each iteration paid a count job + a driver-side relation
+      // build without removing enough shuffle to cover them
       val inflow = e
-        .join(maybeBroadcast(r.withColumnRenamed("vertex", "src")), "src")
+        .join(r.withColumnRenamed("vertex", "src"), "src")
         .select(col("dst").as("vertex"),
           expr("rank_fp div __deg").as("__c"))
         .groupBy(col("vertex")).agg(sum(col("__c")).as("__in"))
