@@ -84,12 +84,16 @@ object Attribution {
 
     // attribution window: conversion ts - touch ts <= W (both sides
     // live on the negated clock here, so cts = -unix_micros(asof___bnts))
+    // two consumers (the ranked windows and the direct anti-join), so
+    // the as-of subtree runs once, not twice (the q182 seam rule);
+    // touch-sized narrow rows
     val credited = matched
       .select(col(userCol), col("__tts"), col("__channel"),
         col("asof___cid").as("__cid"), col("asof___cents").as("__cents"),
         (-unix_micros(col("asof___bnts"))
           - unix_micros(col("__tts"))).as("__gap"))
       .filter(col("__gap") >= 0L && col("__gap") <= windowMicros)
+      .localCheckpoint()
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__cid")).orderBy(col("__tts"))
@@ -99,19 +103,25 @@ object Attribution {
         org.apache.spark.sql.expressions.Window.partitionBy(col("__cid")))
         .cast("long"))
 
-    val linear = ranked.withColumn("__ppm",
-      expr("1000000L div __n") +
-        when(col("__r") === 1L, expr("1000000L % __n")).otherwise(0L))
-      .withColumn("model", lit("linear"))
-    val position = ranked.withColumn("__ppm",
-      when(col("__n") === 1L, lit(1000000L))
-        .when(col("__n") === 2L, lit(500000L))
-        .when(col("__r") === 1L, lit(400000L))
-        .when(col("__r") === col("__n"), lit(400000L))
-        .otherwise(expr("200000L div (__n - 2)") +
-          when(col("__r") === 2L, expr("200000L % (__n - 2)"))
-            .otherwise(0L)))
-      .withColumn("model", lit("position"))
+    // both models differ only in per-row ppm arithmetic — emit them
+    // from ONE pass over the ranked rows (a 2-struct explode) instead
+    // of unioning two copies of the window subtree
+    val models = ranked.select(col("__channel"), col("__cents"),
+      explode(array(
+        struct(lit("linear").as("model"),
+          (expr("1000000L div __n") +
+            when(col("__r") === 1L, expr("1000000L % __n")).otherwise(0L))
+            .as("__ppm")),
+        struct(lit("position").as("model"),
+          when(col("__n") === 1L, lit(1000000L))
+            .when(col("__n") === 2L, lit(500000L))
+            .when(col("__r") === 1L, lit(400000L))
+            .when(col("__r") === col("__n"), lit(400000L))
+            .otherwise(expr("200000L div (__n - 2)") +
+              when(col("__r") === 2L, expr("200000L % (__n - 2)"))
+                .otherwise(0L)).as("__ppm")))).as("__e"))
+      .select(col("__channel"), col("__e.model").as("model"),
+        col("__e.__ppm").as("__ppm"), col("__cents"), lit(1L).as("__t"))
 
     // conversions with no credited touch -> 'direct' under both models
     val creditedIds = credited.select(col("__cid")).distinct()
@@ -121,10 +131,7 @@ object Attribution {
       .withColumn("__channel", lit("direct"))
       .withColumn("__ppm", lit(1000000L))
 
-    val allRows = linear.select(col("__channel"), col("model"),
-        col("__ppm"), col("__cents"), lit(1L).as("__t"))
-      .unionByName(position.select(col("__channel"), col("model"),
-        col("__ppm"), col("__cents"), lit(1L).as("__t")))
+    val allRows = models
       .unionByName(direct.select(col("__channel"), col("model"),
         col("__ppm"), col("__cents"), lit(0L).as("__t")))
 
