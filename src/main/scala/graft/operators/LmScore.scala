@@ -101,14 +101,21 @@ object LmScore {
   def stupidBackoffScores(corpus: DataFrame, train: DataFrame, idCol: String,
                           textCol: String, scale: Long = 1000000L,
                           maxBroadcastModelRows: Long = 2000000L): DataFrame = {
+    // every model table is vocabulary-bounded and consumed twice+ (the
+    // guard count / both join sides), so each is checkpointed — without
+    // the seams the train corpus is re-scanned ~7x per call; the total
+    // token count derives from c1 (Σ counts) instead of an extra pass
     val c3 = trigramTriples(train, idCol, textCol)
       .groupBy(col("w1"), col("w2"), col("w3")).agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
     val small = c3.count() <= maxBroadcastModelRows
-    val toks = train.select(explode(split(col(textCol), " ")).as("__t"))
-    val c1 = toks.groupBy(col("__t")).agg(count(lit(1)).as("c1"))
+    val c1 = train.select(explode(split(col(textCol), " ")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
     val c2 = bigramPairs(train, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val n = toks.agg(count(lit(1)).as("nn"))
+      .localCheckpoint()
+    val n = c1.agg(sum(col("c1")).as("nn"))
     val triples = trigramTriples(corpus, idCol, textCol)
     def maybeB(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df.hint("shuffle_hash")
@@ -153,8 +160,13 @@ object LmScore {
   def bigramScores(corpus: DataFrame, train: DataFrame, idCol: String,
                    textCol: String, scale: Long = 1000000L,
                    maxBroadcastModelRows: Long = 2000000L): DataFrame = {
+    // model-sized (bigram-vocabulary-bounded) with THREE consumers (the
+    // guard count, the broadcast, and the cu prefix derivation) — the
+    // checkpoint stops the train-side explode+aggregate from running
+    // once per consumer
     val cb = bigramPairs(train, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
     val small = cb.count() <= maxBroadcastModelRows
     // Prefix counts derived FROM the bigram table (c(w1,·) = how often w1
     // opens a bigram) — the standard conditional denominator.

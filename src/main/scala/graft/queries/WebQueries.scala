@@ -409,6 +409,9 @@ object WebQueries extends QueryGroup {
           size(split(col("chunk"), " ")).cast("long")).otherwise(0L))
           .as("n_toks"))
         .filter(col("n_toks") > 0L)
+        // two consumers (the quota aggregate and the cap join): without
+        // the seam the whole LM-scoring subtree executes twice
+        .localCheckpoint()
       val perSrc = rebuilt.groupBy(col("source"))
         .agg(sum(col("n_toks")).as("n"))
       val caps = Budget.waterFillCaps(perSrc, "source", "n", budget = 2000L)
