@@ -789,9 +789,17 @@ class PlanSpec extends SparkSpec {
   test("backoff LM (q173): model tables broadcast, corpus explodes once") {
     val p = plan("q173_backoff_lm")
     // at the fixture size every model table rides a broadcast — the
-    // corpus trigram stream must never shuffle for a model lookup
-    val joins = collectAll(p).map(_.getClass.getSimpleName)
-    assert(!joins.exists(_.contains("SortMergeJoin")),
+    // corpus trigram stream must never shuffle for a MODEL lookup
+    // (keys w1/w2/w3). The final per-doc outer join is doc-sized on
+    // both sides and may legitimately sort-merge — since the r12 model
+    // seams its checkpointed inputs no longer carry the tiny estimates
+    // that used to make the planner broadcast it at fixture size.
+    val smjKeys = collectAll(p).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        (j.leftKeys ++ j.rightKeys).map(_.toString)
+    }.flatten
+    assert(!smjKeys.exists(k => k.startsWith("w1#") ||
+        k.startsWith("w2#") || k.startsWith("w3#")),
       s"model lookups must broadcast (or shuffle-hash over the guard):\n$p")
     assert(countBroadcasts(p) >= 5,
       s"c3/c2x2/c1x2/N must all broadcast at this size:\n$p")
@@ -847,8 +855,14 @@ class PlanSpec extends SparkSpec {
 
   test("chunk LM filter (q182): model joins broadcast at fixture size") {
     val p = plan("q182_chunk_lm_filter")
-    assert(!collectAll(p).map(_.getClass.getSimpleName)
-        .exists(_.contains("SortMergeJoin")),
+    // model lookups (keys w1/w2) must not shuffle the chunk stream; the
+    // per-doc rebuild joins are doc-sized on both sides and may
+    // sort-merge (see the q173 spec note on the r12 model seams)
+    val smjKeys = collectAll(p).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        (j.leftKeys ++ j.rightKeys).map(_.toString)
+    }.flatten
+    assert(!smjKeys.exists(k => k.startsWith("w1#") || k.startsWith("w2#")),
       s"model lookups must broadcast (guard covers the large case):\n$p")
   }
 
