@@ -57,6 +57,14 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
       spark.catalog.clearCache() // operators may persist intermediates
+      // localCheckpoint blocks are NOT covered by clearCache and only
+      // free when the ContextCleaner gets to them — across 300+ queries
+      // they pile up in the block manager and inflate late-run cells
+      // (r12: untouched queries late in the alphabet drifted 2-3x while
+      // their isolated cells were flat). Dropping them here is BETWEEN
+      // queries, outside the timed window; every query still computes
+      // from the parquet inputs.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       if (gcBarrier) System.gc() // damp cross-query heap pressure in long runs
       elapsed
     }
